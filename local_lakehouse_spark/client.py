@@ -1,0 +1,345 @@
+"""LakehouseClient — the user-facing facade.
+
+Parity: /root/reference/uchelper/client.py:44-544 (``UCClient``: 25
+public methods over catalog CRUD, table I/O, merge, and SQL). The
+reference pairs a REST UC server with Polars + DuckDB; here one
+SparkSession serves the DataFrame API, SQL (Catalyst), and all
+storage formats, and the metastore is the local file-backed store.
+
+SQL over three-level names: ``client.sql("SELECT ... FROM
+unity.default.lineitem")`` resolves each known ``cat.sch.tbl`` name
+against the metastore, registers the scan as a temp view, rewrites
+the query, and hands it to ``spark.sql`` — Catalyst then owns
+parse/optimize/execute (predicate pushdown reaches the parquet scan
+because the view IS the lazy scan). Parity with the reference's
+DuckDB ATTACH pass-through (client.py:537-544) without a server.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import io as _io
+from .exceptions import (
+    DoesNotExistError,
+    SQLEngineSetupError,
+    UnsupportedOperationError,
+)
+from .merge import merge_table as _merge_table
+from .metastore import Metastore
+from .models import (
+    Catalog,
+    Column,
+    FileType,
+    Schema,
+    SchemaEvolution,
+    Table,
+    TableType,
+    WriteMode,
+)
+from .session import get_spark
+from .types_map import spark_schema_to_uc_columns
+from .utils import to_file_type, to_schema_evolution, to_table_type, to_write_mode
+
+
+class LakehouseClient:
+    """Facade over metastore + Spark I/O + SQL."""
+
+    def __init__(
+        self,
+        metastore_path: str = "lakehouse_metastore.json",
+        spark: Optional[SparkSession] = None,
+    ) -> None:
+        self.metastore = Metastore(metastore_path)
+        try:
+            self.spark = spark or get_spark()
+        except Exception as exc:  # parity: degraded conn, client.py:79-81
+            self.spark = None  # type: ignore[assignment]
+            self._spark_error = exc
+
+    def _require_spark(self) -> SparkSession:
+        if self.spark is None:
+            raise SQLEngineSetupError(
+                "SparkSession was not set up correctly"
+            )  # parity client.py:542-543
+        return self.spark
+
+    # -- catalog / schema / table CRUD (delegation to metastore) ------------
+    # Parity: client.py:83-307 — thin pass-throughs with identical names.
+
+    def health_check(self) -> bool:
+        return self.metastore.health_check()
+
+    def create_catalog(self, catalog: Catalog) -> Catalog:
+        return self.metastore.create_catalog(catalog)
+
+    def delete_catalog(self, name: str, force: bool = False) -> bool:
+        return self.metastore.delete_catalog(name, force)
+
+    def list_catalogs(self) -> list[Catalog]:
+        return self.metastore.list_catalogs()
+
+    def get_catalog(self, name: str) -> Catalog:
+        return self.metastore.get_catalog(name)
+
+    def update_catalog(self, name: str, catalog: Catalog) -> Catalog:
+        return self.metastore.update_catalog(name, catalog)
+
+    def create_schema(self, schema: Schema) -> Schema:
+        return self.metastore.create_schema(schema)
+
+    def delete_schema(self, catalog: str, schema: str, force: bool = False) -> bool:
+        return self.metastore.delete_schema(catalog, schema, force)
+
+    def get_schema(self, catalog: str, schema: str) -> Schema:
+        return self.metastore.get_schema(catalog, schema)
+
+    def list_schemas(self, catalog: str) -> list[Schema]:
+        return self.metastore.list_schemas(catalog)
+
+    def update_schema(self, catalog: str, schema_name: str, schema: Schema) -> Schema:
+        return self.metastore.update_schema(catalog, schema_name, schema)
+
+    def create_table(self, table: Table) -> Table:
+        # MANAGED rejected; external locations must be absolute.
+        # Parity: client.py:450-462.
+        if table.table_type == TableType.MANAGED:
+            raise UnsupportedOperationError("MANAGED tables are not supported")
+        loc = _io.strip_file_scheme(table.storage_location or "")
+        if not os.path.isabs(loc):
+            raise UnsupportedOperationError(
+                f"storage_location must be an absolute path, got {loc!r}"
+            )
+        return self.metastore.create_table(table)
+
+    def delete_table(self, catalog: str, schema: str, table: str) -> None:
+        self.metastore.delete_table(catalog, schema, table)
+
+    def get_table(self, catalog: str, schema: str, table: str) -> Table:
+        return self.metastore.get_table(catalog, schema, table)
+
+    def list_tables(self, catalog: str, schema: str) -> list[Table]:
+        return self.metastore.list_tables(catalog, schema)
+
+    def update_table(self, table: Table) -> Table:
+        return self.metastore.update_table(table)
+
+    def set_table_default_merge_columns(
+        self, catalog: str, schema: str, table: str, merge_columns: list[str]
+    ) -> Table:
+        return self.metastore.set_table_default_merge_columns(
+            catalog, schema, table, merge_columns
+        )
+
+    # -- Delta-specific helpers ---------------------------------------------
+
+    def get_delta_table(self, catalog: str, schema: str, name: str):
+        """Parity: client.py:323-330; raises unless format DELTA."""
+        tbl = self.get_table(catalog, schema, name)
+        if tbl.file_type != FileType.DELTA:
+            raise UnsupportedOperationError(
+                f"Table {tbl.full_name} is not a DELTA table"
+            )
+        if not _io.HAVE_DELTA:
+            raise UnsupportedOperationError(
+                "delta-spark package is not installed"
+            )
+        from delta.tables import DeltaTable  # type: ignore
+
+        return DeltaTable.forPath(
+            self._require_spark(), _io.strip_file_scheme(tbl.storage_location or "")
+        )
+
+    def sync_delta_properties(self, catalog: str, schema: str, name: str) -> Table:
+        """Replace all ``delta.*`` properties in the catalog with the ones
+        from the Delta log. Parity: client.py:332-349,
+        uc_api_wrapper.py:567-590.
+        """
+        tbl = self.get_table(catalog, schema, name)
+        dt = self.get_delta_table(catalog, schema, name)
+        config = dt.detail().collect()[0].asDict().get("properties") or {}
+        props = {k: v for k, v in tbl.properties.items() if not k.startswith("delta.")}
+        for k, v in config.items():
+            if k.startswith("delta."):
+                props[k] = v
+        tbl.properties = props
+        return self.update_table(tbl)
+
+    # -- Table I/O -----------------------------------------------------------
+
+    def read_table(self, catalog: str, schema: str, name: str) -> DataFrame:
+        """Parity: client.py:309-314. Lazy Spark DataFrame."""
+        tbl = self.get_table(catalog, schema, name)
+        return _io.read_table(self._require_spark(), tbl)
+
+    def scan_table(self, catalog: str, schema: str, name: str) -> DataFrame:
+        """Parity: client.py:316-321 — Spark DataFrames are always lazy,
+        so scan ≡ read (SURVEY §1.3); both names kept for API parity.
+        """
+        return self.read_table(catalog, schema, name)
+
+    def write_table(
+        self,
+        df: DataFrame,
+        catalog: str,
+        schema: str,
+        name: str,
+        mode: Union[str, WriteMode] = WriteMode.APPEND,
+        schema_evolution: Union[str, SchemaEvolution] = SchemaEvolution.STRICT,
+        partition_filters: Optional[list[tuple[str, str, object]]] = None,
+        replace_where: Optional[str] = None,
+    ) -> None:
+        """Parity: client.py:351-399 — write + post-write schema
+        reconciliation into the metastore (client.py:394-399).
+        """
+        mode = to_write_mode(mode)
+        schema_evolution = to_schema_evolution(schema_evolution)
+        tbl = self.get_table(catalog, schema, name)
+        new_cols = _io.write_table(
+            self._require_spark(),
+            df,
+            tbl,
+            mode,
+            schema_evolution,
+            partition_filters=partition_filters,
+            replace_where=replace_where,
+        )
+        if new_cols is not None:
+            tbl.columns = new_cols
+            self.metastore.overwrite_table(tbl)
+
+    def create_as_table(
+        self,
+        df: DataFrame,
+        catalog: str,
+        schema: str,
+        name: str,
+        file_type: Union[str, FileType] = FileType.PARQUET,
+        table_type: Union[str, TableType] = TableType.EXTERNAL,
+        location: Optional[str] = None,
+        partition_cols: Optional[list[str]] = None,
+    ) -> Table:
+        """Infer schema → create catalog entry → write OVERWRITE.
+
+        Parity: client.py:429-487 (CTAS).
+        """
+        file_type = to_file_type(file_type)
+        table_type = to_table_type(table_type)
+        if location is None:
+            raise UnsupportedOperationError(
+                "location is required (only EXTERNAL tables are supported)"
+            )
+        if partition_cols and file_type not in (FileType.DELTA, FileType.PARQUET):
+            # Parity: client.py:464-467.
+            raise UnsupportedOperationError(
+                "Only DELTA and PARQUET tables support partitioning"
+            )
+        cols = spark_schema_to_uc_columns(df.schema, partition_cols)
+        tbl = Table(
+            name=name,
+            catalog_name=catalog,
+            schema_name=schema,
+            table_type=table_type,
+            file_type=file_type,
+            columns=cols,
+            storage_location=self._normalize_location(location),
+        )
+        created = self.create_table(tbl)
+        try:
+            self.write_table(
+                df, catalog, schema, name, WriteMode.OVERWRITE, SchemaEvolution.STRICT
+            )
+        except Exception:
+            self.metastore.delete_table(catalog, schema, name)
+            raise
+        return created
+
+    def register_as_table(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        file_type: Union[str, FileType],
+        location: str,
+        partition_cols: Optional[list[str]] = None,
+    ) -> Table:
+        """Register an EXISTING file/dir: infer schema by reading it, then
+        create the catalog entry. Parity: client.py:489-535 (incl. bare
+        path → file:// normalization at client.py:506-511 and the
+        DELTA/PARQUET-only partition_cols guard at client.py:523-527).
+        """
+        file_type = to_file_type(file_type)
+        if partition_cols and file_type not in (FileType.DELTA, FileType.PARQUET):
+            raise UnsupportedOperationError(
+                "Only DELTA and PARQUET tables support partitioning"
+            )
+        df = _io.read_format_path(
+            self._require_spark(), file_type, location, None
+        )
+        cols = spark_schema_to_uc_columns(df.schema, partition_cols)
+        tbl = Table(
+            name=name,
+            catalog_name=catalog,
+            schema_name=schema,
+            table_type=TableType.EXTERNAL,
+            file_type=file_type,
+            columns=cols,
+            storage_location=self._normalize_location(location),
+        )
+        return self.create_table(tbl)
+
+    @staticmethod
+    def _normalize_location(location: str) -> str:
+        if location.startswith("file://"):
+            return location
+        return "file://" + os.path.abspath(location)
+
+    def merge_table(
+        self,
+        df: DataFrame,
+        catalog: str,
+        schema: str,
+        name: str,
+        condition: Optional[str] = None,
+        source_alias: str = "s",
+        target_alias: str = "t",
+    ):
+        """Parity: client.py:401-427. Returns a chainable merger."""
+        tbl = self.get_table(catalog, schema, name)
+        return _merge_table(
+            self._require_spark(), tbl, df, condition, source_alias, target_alias
+        )
+
+    # -- SQL -----------------------------------------------------------------
+
+    _NAME_RE = re.compile(
+        r'(?<![\w.])([A-Za-z_][\w$]*|"[^"]+")\.([A-Za-z_][\w$]*|"[^"]+")\.'
+        r'([A-Za-z_][\w$]*|"[^"]+")(?![\w.])'
+    )
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL referencing ``catalog.schema.table`` names.
+
+        Resolution: every three-part name that exists in the metastore
+        is registered as a temp view over its (lazy) scan and the query
+        text is rewritten to the view name; unknown names are left for
+        Spark to resolve (error parity with the reference where DuckDB
+        raises on unknown tables). Parity: client.py:537-544.
+        """
+        spark = self._require_spark()
+
+        def repl(m: re.Match) -> str:
+            cat, sch, tbl = (p.strip('"') for p in m.groups())
+            try:
+                table = self.get_table(cat, sch, tbl)
+            except DoesNotExistError:
+                return m.group(0)
+            view = f"__llh_{cat}_{sch}_{tbl}"
+            _io.read_table(spark, table).createOrReplaceTempView(view)
+            return view
+
+        return spark.sql(self._NAME_RE.sub(repl, query))

@@ -1,0 +1,243 @@
+"""MERGE (upsert) — chainable merger with Delta-parity clause API.
+
+Parity: /root/reference/uchelper/client.py:401-427 +
+/root/reference/uchelper/dataframe.py:448-488 return a delta-rs
+``TableMerger`` the caller chains clauses on; the clauses exercised by
+the reference tests (tests/test_dataframes.py:658-837) are:
+``when_not_matched_insert_all``, ``when_matched_update_all``,
+``when_not_matched_by_source_update(updates=...)``,
+``when_not_matched_by_source_delete``.
+
+This implementation is Spark-native and works on PARQUET directory
+tables (no delta-spark needed): one full-outer join classifies every
+row as matched / not-matched-by-target / not-matched-by-source, each
+clause maps to a projection over the join, and ``execute()`` commits
+the rewritten table with an atomic directory swap. With delta-spark
+installed, DELTA tables delegate 1:1 to ``DeltaTable.merge`` instead.
+
+Scale notes: the join shuffles on the merge keys exactly like Delta's
+own MERGE; small sources are broadcast automatically by AQE. No
+driver-side row handling anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .exceptions import UnsupportedOperationError
+from .io import HAVE_DELTA, _rewrite_table_dir, read_table, strip_file_scheme
+from .models import FileType, Table
+
+
+def default_merge_condition(table: Table, source_alias: str, target_alias: str) -> str:
+    """AND-equality over the stored default merge columns.
+
+    Parity: /root/reference/uchelper/dataframe.py:180-188, 475-478.
+    """
+    cols = table.default_merge_columns()
+    if not cols:
+        raise UnsupportedOperationError(
+            f"Table {table.full_name} has no default merge columns set and "
+            "no merge condition was given"
+        )
+    return " AND ".join(
+        f"{source_alias}.{c} = {target_alias}.{c}" for c in cols
+    )
+
+
+class SparkMerger:
+    """Chainable merge builder; mirrors delta-rs TableMerger clauses."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: Table,
+        source: DataFrame,
+        condition: str,
+        source_alias: str = "s",
+        target_alias: str = "t",
+    ) -> None:
+        self._spark = spark
+        self._table = table
+        self._source = source
+        self._condition = condition
+        self._s = source_alias
+        self._t = target_alias
+        # Each clause: (kind, updates|None, predicate|None)
+        self._matched: list[tuple[str, Optional[dict], Optional[str]]] = []
+        self._not_matched: list[tuple[str, Optional[dict], Optional[str]]] = []
+        self._not_matched_by_source: list[tuple[str, Optional[dict], Optional[str]]] = []
+
+    # -- clause builders (names match delta-rs / reference tests) ----------
+
+    def when_matched_update_all(self, predicate: Optional[str] = None) -> "SparkMerger":
+        self._matched.append(("update_all", None, predicate))
+        return self
+
+    def when_matched_update(self, updates: dict[str, str], predicate: Optional[str] = None) -> "SparkMerger":
+        self._matched.append(("update", updates, predicate))
+        return self
+
+    def when_matched_delete(self, predicate: Optional[str] = None) -> "SparkMerger":
+        self._matched.append(("delete", None, predicate))
+        return self
+
+    def when_not_matched_insert_all(self, predicate: Optional[str] = None) -> "SparkMerger":
+        self._not_matched.append(("insert_all", None, predicate))
+        return self
+
+    def when_not_matched_insert(self, updates: dict[str, str], predicate: Optional[str] = None) -> "SparkMerger":
+        self._not_matched.append(("insert", updates, predicate))
+        return self
+
+    def when_not_matched_by_source_update(self, updates: dict[str, str], predicate: Optional[str] = None) -> "SparkMerger":
+        self._not_matched_by_source.append(("update", updates, predicate))
+        return self
+
+    def when_not_matched_by_source_delete(self, predicate: Optional[str] = None) -> "SparkMerger":
+        self._not_matched_by_source.append(("delete", None, predicate))
+        return self
+
+    # -- execution ----------------------------------------------------------
+
+    def _result_plan(self) -> DataFrame:
+        """Build the merged DataFrame: full-outer join + per-class projection."""
+        target = read_table(self._spark, self._table)
+        out_cols = target.columns
+        s, t = self._s, self._t
+
+        tgt = target.withColumn("__t_present", F.lit(True)).alias(t)
+        src = self._source.withColumn("__s_present", F.lit(True)).alias(s)
+        joined = tgt.join(src, F.expr(self._condition), "full_outer")
+
+        t_present = F.col(f"{t}.__t_present").isNotNull()
+        s_present = F.col(f"{s}.__s_present").isNotNull()
+
+        def proj(prefix: str) -> list:
+            return [F.col(f"{prefix}.{c}").alias(c) for c in out_cols]
+
+        def apply_updates(updates: dict[str, str]) -> list:
+            cols = []
+            for c in out_cols:
+                if c in updates:
+                    cols.append(F.expr(updates[c]).alias(c))
+                else:
+                    cols.append(F.col(f"{t}.{c}").alias(c))
+            return cols
+
+        branches: list[DataFrame] = []
+
+        # Matched rows: first clause whose predicate holds wins
+        # (delta-rs evaluates clauses in order; we implement the common
+        # single-clause-per-class case plus ordered predicates).
+        matched = joined.filter(t_present & s_present)
+        remaining = matched
+        for kind, updates, predicate in self._matched:
+            subset = remaining.filter(F.expr(predicate)) if predicate else remaining
+            if kind == "update_all":
+                branches.append(subset.select(*proj(s)))
+            elif kind == "update":
+                branches.append(subset.select(*apply_updates(updates or {})))
+            elif kind == "delete":
+                pass  # drop
+            if predicate:
+                remaining = remaining.filter(~F.expr(predicate) | F.expr(predicate).isNull())
+            else:
+                remaining = remaining.limit(0)
+        branches.append(remaining.select(*proj(t)))  # untouched matched rows
+
+        # Source-only rows (not matched by target): insert clauses.
+        src_only = joined.filter(s_present & ~t_present)
+        remaining = src_only
+        for kind, updates, predicate in self._not_matched:
+            subset = remaining.filter(F.expr(predicate)) if predicate else remaining
+            if kind == "insert_all":
+                branches.append(subset.select(*proj(s)))
+            elif kind == "insert":
+                branches.append(
+                    subset.select(
+                        *[
+                            F.expr(updates[c]).alias(c) if c in (updates or {})
+                            else F.lit(None).cast(dict(target.dtypes)[c]).alias(c)
+                            for c in out_cols
+                        ]
+                    )
+                )
+            if predicate:
+                remaining = remaining.filter(~F.expr(predicate) | F.expr(predicate).isNull())
+            else:
+                remaining = remaining.limit(0)
+        # untouched source-only rows are NOT inserted (merge semantics)
+
+        # Target-only rows (not matched by source).
+        tgt_only = joined.filter(t_present & ~s_present)
+        remaining = tgt_only
+        for kind, updates, predicate in self._not_matched_by_source:
+            subset = remaining.filter(F.expr(predicate)) if predicate else remaining
+            if kind == "update":
+                branches.append(subset.select(*apply_updates(updates or {})))
+            elif kind == "delete":
+                pass  # drop
+            if predicate:
+                remaining = remaining.filter(~F.expr(predicate) | F.expr(predicate).isNull())
+            else:
+                remaining = remaining.limit(0)
+        branches.append(remaining.select(*proj(t)))  # untouched target-only rows
+
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
+    def execute(self) -> None:
+        """Materialize the merge and commit atomically."""
+        result = self._result_plan()
+        path = strip_file_scheme(self._table.storage_location or "")
+        part_cols = [c.name for c in self._table.partition_columns()]
+        _rewrite_table_dir(result, "parquet", path, partition_by=part_cols or None)
+
+
+def merge_table(
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    condition: Optional[str] = None,
+    source_alias: str = "s",
+    target_alias: str = "t",
+):
+    """Entry point, parity /root/reference/uchelper/client.py:401-427:
+    DELTA/PARQUET-only, exact schema match required, condition defaults
+    to AND-equality over stored default merge columns, aliases default
+    s/t. Returns a chainable merger.
+    """
+    from .types_map import check_schemas_equal, spark_schema_to_uc_columns
+
+    if table.file_type not in (FileType.DELTA, FileType.PARQUET):
+        raise UnsupportedOperationError(
+            f"MERGE is only supported for DELTA and PARQUET tables, not "
+            f"{table.file_type.value}"
+        )
+    # Exact schema match, parity dataframe.py:473.
+    check_schemas_equal(
+        spark_schema_to_uc_columns(source.schema), table.columns
+    )
+    if condition is None:
+        condition = default_merge_condition(table, source_alias, target_alias)
+
+    if table.file_type == FileType.DELTA:
+        if not HAVE_DELTA:
+            raise UnsupportedOperationError(
+                "DELTA merge requires the delta-spark package"
+            )
+        from delta.tables import DeltaTable  # type: ignore
+
+        path = strip_file_scheme(table.storage_location or "")
+        return (
+            DeltaTable.forPath(spark, path)
+            .alias(target_alias)
+            .merge(source.alias(source_alias), condition)
+        )
+    return SparkMerger(spark, table, source, condition, source_alias, target_alias)

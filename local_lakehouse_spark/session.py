@@ -1,0 +1,40 @@
+"""SparkSession builder with scale-aware defaults.
+
+Local test profile: ``local[N]`` with shuffle partitions sized to the
+core count (not the 200 default — at sf0.1 that's 200 tiny tasks of
+pure overhead). On a real cluster the same code runs with AQE
+coalescing shuffle partitions to data volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "local-lakehouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing, skew-join splitting, dynamic
+        # broadcast — the knobs that make the same plan survive 100×.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic timestamps vs the DuckDB oracle (BASELINE.md).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas UDF / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

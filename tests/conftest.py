@@ -1,0 +1,94 @@
+"""Shared fixtures: session-scoped SparkSession + randomized frames.
+
+Test strategy modeled on the reference's (SURVEY.md §5): randomized
+round-trip frames (cf. /root/reference/tests/conftest.py:68-94), dual
+oracles (independent reader + DataFrame-vs-SQL), catalog CRUD state
+machines — but against a local SparkSession instead of a Dockerized
+UC server.
+"""
+
+from __future__ import annotations
+
+import random
+import uuid
+
+import pytest
+from pyspark.sql import SparkSession, types as T
+
+from local_lakehouse_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    s = get_spark(app_name="llh-tests")
+    yield s
+
+
+@pytest.fixture()
+def client(tmp_path, spark):
+    from local_lakehouse_spark import LakehouseClient
+
+    c = LakehouseClient(str(tmp_path / "metastore.json"), spark=spark)
+    return c
+
+
+@pytest.fixture()
+def unity(client):
+    """Client with a ready `unity.default` namespace."""
+    from local_lakehouse_spark import Catalog, Schema
+
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    return client
+
+
+RANDOM_DF_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("uid", T.StringType(), True),
+        T.StructField("ints", T.IntegerType(), True),
+        T.StructField("floats", T.DoubleType(), True),
+        T.StructField("decimals", T.DecimalType(10, 5), True),
+        T.StructField("strings", T.StringType(), True),
+    ]
+)
+
+
+def random_rows(n: int = 10, seed: int | None = None, start_id: int = 0):
+    """Randomized rows mirroring the reference's random_df
+    (/root/reference/tests/conftest.py:68-94): uuid strings, ints,
+    floats, decimal(10,5), random-length strings.
+    """
+    import decimal
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                start_id + i,
+                str(uuid.UUID(int=rng.getrandbits(128))),
+                rng.randint(-(2**31), 2**31 - 1),
+                rng.random() * 1000,
+                decimal.Decimal(rng.randint(-(10**9), 10**9)) / 10**5,
+                "".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 30))),
+            )
+        )
+    return rows
+
+
+@pytest.fixture()
+def random_df(spark):
+    def make(n: int = 10, seed: int | None = 42, start_id: int = 0):
+        return spark.createDataFrame(
+            random_rows(n, seed, start_id), schema=RANDOM_DF_SCHEMA
+        )
+
+    return make
+
+
+def rows_set(df):
+    """Order-insensitive row multiset for equality asserts."""
+    return sorted(tuple(r) for r in df.collect())

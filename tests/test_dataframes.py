@@ -1,0 +1,229 @@
+"""Round-trip write→read tests over the format × mode × evolution matrix.
+
+Modeled on /root/reference/tests/test_dataframes.py (write→read
+equality oracle + independent-reader secondary oracle + negative
+guard tests + merge clause matrix)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_lakehouse_spark import (
+    DataType,
+    FileType,
+    SchemaMismatchError,
+    UnsupportedOperationError,
+)
+from tests.conftest import rows_set
+
+
+def _loc(tmp_path, name):
+    return str(tmp_path / name)
+
+
+@pytest.mark.parametrize(
+    "file_type,ext",
+    [
+        (FileType.PARQUET, ""),          # directory table
+        (FileType.PARQUET, ".parquet"),  # single-file table
+        (FileType.CSV, ".csv"),
+        (FileType.JSON, ""),
+        (FileType.ORC, ""),
+    ],
+)
+def test_create_as_table_roundtrip(unity, random_df, tmp_path, file_type, ext):
+    df = random_df(12)
+    if file_type == FileType.CSV:
+        # CSV can't round-trip decimals exactly like the reference notes
+        # (tests/test_dataframes.py:54-58) — drop the decimal column.
+        df = df.drop("decimals")
+    if file_type == FileType.JSON:
+        df = df.drop("decimals")  # JSON reads decimals back as double
+    unity.create_as_table(
+        df, "unity", "default", "t", file_type=file_type,
+        location=_loc(tmp_path, "t" + ext),
+    )
+    back = unity.read_table("unity", "default", "t")
+    assert rows_set(back) == rows_set(df)
+    # independent-reader oracle (reference parity: bypass the client)
+    spark = unity.spark
+    if file_type == FileType.PARQUET:
+        direct = spark.read.parquet(_loc(tmp_path, "t" + ext))
+        assert rows_set(direct) == rows_set(df)
+
+
+def test_register_as_table(unity, spark):
+    t = unity.register_as_table(
+        "unity", "default", "lineitem", "parquet",
+        "/root/testdata/sf0.001/lineitem.parquet",
+    )
+    assert t.storage_location.startswith("file://")
+    df = unity.read_table("unity", "default", "lineitem")
+    assert df.count() == 6000
+    names = {c.name: c.data_type for c in t.columns}
+    assert names["l_orderkey"] == DataType.LONG
+    assert names["l_quantity"] == DataType.DOUBLE
+
+
+def test_sql_three_level_names(unity):
+    unity.register_as_table(
+        "unity", "default", "lineitem", "parquet",
+        "/root/testdata/sf0.001/lineitem.parquet",
+    )
+    out = unity.sql(
+        "SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty "
+        "FROM unity.default.lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    assert len(out) > 0
+    # DataFrame-vs-SQL oracle (reference tests/test_sql.py:50-67 parity)
+    df = unity.read_table("unity", "default", "lineitem")
+    expected = (
+        df.groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert out == expected
+
+
+def test_append_partitioned_parquet(unity, random_df, tmp_path):
+    df = random_df(10)
+    unity.create_as_table(
+        df.withColumn("part", F.col("id") % 2),
+        "unity", "default", "t",
+        location=_loc(tmp_path, "t"), partition_cols=["part"],
+    )
+    more = random_df(5, seed=7, start_id=100).withColumn("part", F.col("id") % 2)
+    unity.write_table(more, "unity", "default", "t", mode="append")
+    back = unity.read_table("unity", "default", "t")
+    assert back.count() == 15
+
+
+def test_append_unpartitioned_singlefile_rejected(unity, random_df, tmp_path):
+    df = random_df(5)
+    unity.create_as_table(
+        df, "unity", "default", "t", location=_loc(tmp_path, "t.parquet")
+    )
+    with pytest.raises(UnsupportedOperationError):
+        unity.write_table(df, "unity", "default", "t", mode="append")
+
+
+def test_append_directory_parquet_ok(unity, random_df, tmp_path):
+    # directory tables support append (our scale-first extension;
+    # reference restricts append to delta/partitioned-parquet)
+    df = random_df(5)
+    unity.create_as_table(df, "unity", "default", "t", location=_loc(tmp_path, "t"))
+    unity.write_table(random_df(3, seed=1, start_id=50), "unity", "default", "t",
+                      mode="append")
+    assert unity.read_table("unity", "default", "t").count() == 8
+
+
+def test_csv_append_rejected(unity, random_df, tmp_path):
+    df = random_df(5).drop("decimals")
+    unity.create_as_table(
+        df, "unity", "default", "t", file_type="csv", location=_loc(tmp_path, "t.csv")
+    )
+    with pytest.raises(UnsupportedOperationError):
+        unity.write_table(df, "unity", "default", "t", mode="append")
+
+
+def test_strict_schema_mismatch_raises(unity, random_df, tmp_path):
+    df = random_df(5)
+    unity.create_as_table(df, "unity", "default", "t", location=_loc(tmp_path, "t"))
+    bad = df.withColumn("ints", F.col("ints").cast("string"))
+    with pytest.raises(SchemaMismatchError):
+        unity.write_table(bad, "unity", "default", "t", mode="overwrite")
+
+
+def test_append_evolution_overwrite_rejected(unity, random_df, tmp_path):
+    df = random_df(5)
+    unity.create_as_table(df, "unity", "default", "t", location=_loc(tmp_path, "t"))
+    with pytest.raises(UnsupportedOperationError):
+        unity.write_table(
+            df, "unity", "default", "t", mode="append", schema_evolution="overwrite"
+        )
+
+
+def test_schema_evolution_merge_append(unity, random_df, tmp_path):
+    # catalog column set grows after evolving write; parity with the
+    # reference's evolution assertions (tests/test_dataframes.py:166-201)
+    df = random_df(5)
+    unity.create_as_table(df, "unity", "default", "t", location=_loc(tmp_path, "t"))
+    evolved = random_df(3, seed=9, start_id=10).withColumn("extra", F.lit("x"))
+    unity.write_table(
+        evolved, "unity", "default", "t", mode="append", schema_evolution="merge"
+    )
+    back = unity.read_table("unity", "default", "t")
+    assert back.count() == 8
+    assert "extra" in back.columns
+    cols = {c.name for c in unity.get_table("unity", "default", "t").columns}
+    assert "extra" in cols
+
+
+def test_schema_evolution_overwrite(unity, random_df, tmp_path):
+    df = random_df(5)
+    unity.create_as_table(df, "unity", "default", "t", location=_loc(tmp_path, "t"))
+    new = random_df(4).withColumn("ints", F.col("ints").cast("string"))
+    unity.write_table(
+        new, "unity", "default", "t", mode="overwrite", schema_evolution="overwrite"
+    )
+    got = unity.get_table("unity", "default", "t")
+    types = {c.name: c.data_type for c in got.columns}
+    assert types["ints"] == DataType.STRING  # LONG→STRING style flip
+
+
+def test_replace_where(unity, random_df, tmp_path):
+    # row-level selective overwrite (reference tests/test_dataframes.py:840-994)
+    df = random_df(10)
+    unity.create_as_table(df, "unity", "default", "t", location=_loc(tmp_path, "t"))
+    replacement = random_df(3, seed=5, start_id=1000)
+    unity.write_table(
+        replacement, "unity", "default", "t", mode="overwrite",
+        replace_where="id >= 5",
+    )
+    back = unity.read_table("unity", "default", "t")
+    ids = sorted(r.id for r in back.select("id").collect())
+    assert ids == [0, 1, 2, 3, 4, 1000, 1001, 1002]
+
+
+def test_partition_filters_overwrite(unity, random_df, tmp_path):
+    # parity: delta-rs partition_filters → only matching partitions
+    # replaced (tests/test_dataframes.py:997-1114)
+    df = random_df(10).withColumn("part", (F.col("id") % 2).cast("int"))
+    unity.create_as_table(
+        df, "unity", "default", "t", location=_loc(tmp_path, "t"),
+        partition_cols=["part"],
+    )
+    repl = random_df(2, seed=3, start_id=500).withColumn("part", F.lit(1).cast("int"))
+    unity.write_table(
+        repl, "unity", "default", "t", mode="overwrite",
+        partition_filters=[("part", "=", 1)],
+    )
+    back = unity.read_table("unity", "default", "t")
+    ids = sorted(r.id for r in back.collect())
+    assert ids == [0, 2, 4, 6, 8, 500, 501]
+
+
+def test_partition_filters_nonpartition_col_rejected(unity, random_df, tmp_path):
+    df = random_df(4).withColumn("part", (F.col("id") % 2).cast("int"))
+    unity.create_as_table(
+        df, "unity", "default", "t", location=_loc(tmp_path, "t"),
+        partition_cols=["part"],
+    )
+    with pytest.raises(UnsupportedOperationError):
+        unity.write_table(
+            df, "unity", "default", "t", mode="overwrite",
+            partition_filters=[("ints", "=", 1)],
+        )
+
+
+def test_partition_filters_replace_where_exclusive(unity, random_df, tmp_path):
+    df = random_df(4).withColumn("part", (F.col("id") % 2).cast("int"))
+    unity.create_as_table(
+        df, "unity", "default", "t", location=_loc(tmp_path, "t"),
+        partition_cols=["part"],
+    )
+    with pytest.raises(UnsupportedOperationError):
+        unity.write_table(
+            df, "unity", "default", "t", mode="overwrite",
+            partition_filters=[("part", "=", 1)], replace_where="id > 2",
+        )

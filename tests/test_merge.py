@@ -1,0 +1,108 @@
+"""MERGE clause matrix tests.
+
+Modeled on /root/reference/tests/test_dataframes.py:658-837:
+insert-only, update-all + not-matched-by-source-update,
+not-matched-by-source-delete, with exact expected frames; plus
+negative tests (no default cols, schema mismatch)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from local_lakehouse_spark import SchemaMismatchError, UnsupportedOperationError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def target(unity, spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], schema=SCHEMA
+    )
+    unity.create_as_table(df, "unity", "default", "t", location=str(tmp_path / "t"))
+    unity.set_table_default_merge_columns("unity", "default", "t", ["id"])
+    return unity
+
+
+def _rows(client):
+    return sorted(
+        tuple(r) for r in client.read_table("unity", "default", "t").collect()
+    )
+
+
+def test_merge_insert_only(target, spark):
+    src = spark.createDataFrame([(3, "cc", 33), (4, "d", 40)], schema=SCHEMA)
+    target.merge_table(src, "unity", "default", "t").when_not_matched_insert_all().execute()
+    assert _rows(target) == [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+
+
+def test_merge_update_all_and_by_source_update(target, spark):
+    src = spark.createDataFrame([(2, "B", 200), (4, "d", 40)], schema=SCHEMA)
+    (
+        target.merge_table(src, "unity", "default", "t")
+        .when_matched_update_all()
+        .when_not_matched_by_source_update(updates={"n": "t.n + 1"})
+        .execute()
+    )
+    assert _rows(target) == [(1, "a", 11), (2, "B", 200), (3, "c", 31)]
+
+
+def test_merge_not_matched_by_source_delete(target, spark):
+    src = spark.createDataFrame([(1, "a", 10)], schema=SCHEMA)
+    (
+        target.merge_table(src, "unity", "default", "t")
+        .when_not_matched_by_source_delete()
+        .execute()
+    )
+    assert _rows(target) == [(1, "a", 10)]
+
+
+def test_merge_full_upsert(target, spark):
+    src = spark.createDataFrame([(1, "A", 100), (9, "z", 90)], schema=SCHEMA)
+    (
+        target.merge_table(src, "unity", "default", "t")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert _rows(target) == [(1, "A", 100), (2, "b", 20), (3, "c", 30), (9, "z", 90)]
+
+
+def test_merge_matched_delete_with_predicate(target, spark):
+    src = spark.createDataFrame([(1, "x", 0), (2, "y", 0)], schema=SCHEMA)
+    (
+        target.merge_table(src, "unity", "default", "t")
+        .when_matched_delete(predicate="t.n >= 20")
+        .when_matched_update_all()
+        .execute()
+    )
+    # id=2 deleted (n=20 >= 20); id=1 updated (n=10 < 20)
+    assert _rows(target) == [(1, "x", 0), (3, "c", 30)]
+
+
+def test_merge_without_default_cols_raises(unity, spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 10)], schema=SCHEMA)
+    unity.create_as_table(df, "unity", "default", "t2", location=str(tmp_path / "t2"))
+    with pytest.raises(UnsupportedOperationError):
+        unity.merge_table(df, "unity", "default", "t2")
+
+
+def test_merge_schema_mismatch_raises(target, spark):
+    bad = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(SchemaMismatchError):
+        target.merge_table(bad, "unity", "default", "t")
+
+
+def test_merge_custom_condition(target, spark):
+    src = spark.createDataFrame([(100, "b", 777)], schema=SCHEMA)
+    (
+        target.merge_table(src, "unity", "default", "t", condition="s.v = t.v")
+        .when_matched_update(updates={"n": "s.n"})
+        .execute()
+    )
+    assert _rows(target) == [(1, "a", 10), (2, "b", 777), (3, "c", 30)]
