@@ -1,0 +1,856 @@
+"""Declared query inventory Q01–Q32 (SURVEY.md §2.C) + extensions.
+
+Each entry pairs a Spark DataFrame-API implementation with the
+equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing).
+
+Determinism rules (BASELINE.md): total ORDER BY on a unique key
+prefix, ROUND(double_agg, 2..4), session timezone UTC, no
+nondeterministic functions. Casts are chosen so both engines emit the
+same logical type (e.g. DuckDB SUM(int) is HUGEINT → cast BIGINT;
+double→int casts go through FLOOR because Spark truncates while
+DuckDB rounds).
+
+Scale notes per query class:
+- Small dims (region/nation/customer/supplier at TPC-H ratios) are
+  explicitly broadcast — no shuffle on the fact side for those joins.
+- Aggregations rely on partial (map-side) aggregation; AQE coalesces
+  post-shuffle partitions.
+- Window queries partition by high-cardinality keys (custkey), so the
+  shuffle is even; no global single-partition windows anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as
+    long (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper
+    timestamp column here so downstream queries see the same values the
+    DuckDB oracle sees.
+    """
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible, rows-only check
+
+
+def _r(col, digits: int = 2):
+    """Engine-agnostic rounding: FLOOR(x*10^n + 0.5)/10^n.
+
+    Plain ROUND(double, n) diverges between Spark (HALF_UP on the
+    BigDecimal rendering) and DuckDB on .xx5-boundary doubles — which
+    are COMMON here because prices have 2 decimals and discounts are
+    multiples of 0.01, so products land exactly on boundaries. The
+    floor formula is the same double arithmetic in both engines, hence
+    bit-deterministic. The SQL twin must use the same formula (see
+    _rsql).
+    """
+    p = 10**digits
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
+def _rsql(expr: str, digits: int = 2) -> str:
+    p = 10**digits
+    return f"FLOOR(({expr}) * {p} + 0.5) / {p}"
+
+
+# ---------------------------------------------------------------------------
+# Q01–Q07: scans, filters, distinct, top-k
+# ---------------------------------------------------------------------------
+
+
+def q01(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q01_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q02(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .filter((F.col("o_totalprice") > 400000) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_totalprice > 400000 AND o_orderstatus = 'F'
+ORDER BY o_orderkey
+"""
+
+
+def q03(spark, sf):
+    return (
+        t(spark, sf, "part")
+        .filter(
+            F.col("p_size").between(10, 20)
+            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        )
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+Q03_SQL = """
+SELECT p_partkey, p_brand, p_size
+FROM part
+WHERE p_size BETWEEN 10 AND 20 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+ORDER BY p_partkey
+"""
+
+
+def q04(spark, sf):
+    return (
+        t(spark, sf, "part")
+        .filter(F.col("p_type").like("%AR%"))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+Q04_SQL = """
+SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%AR%' ORDER BY p_partkey
+"""
+
+
+def q05(spark, sf):
+    return (
+        t(spark, sf, "events")
+        .select(
+            "event_id",
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+            F.when(F.col("value").isNull(), 1).otherwise(0).alias("was_null"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q05_SQL = """
+SELECT event_id,
+       COALESCE(value, 0.0) AS value_filled,
+       CASE WHEN value IS NULL THEN 1 ELSE 0 END AS was_null
+FROM events ORDER BY event_id
+"""
+
+
+def q06(spark, sf):
+    return t(spark, sf, "orders").select("o_orderstatus").distinct().orderBy("o_orderstatus")
+
+
+Q06_SQL = "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus"
+
+
+def q07(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q07_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q08–Q15: joins
+# ---------------------------------------------------------------------------
+
+
+def q08(spark, sf):
+    orders = t(spark, sf, "orders")
+    customer = t(spark, sf, "customer")
+    # customer is the small side at TPC-H ratios (1:10 vs orders) —
+    # broadcast it so the fact table never shuffles.
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+Q08_SQL = """
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
+def q09(spark, sf):
+    customer = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+Q09_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def q10(spark, sf):
+    cn = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    sn = (
+        t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("s_cnt"))
+    )
+    return (
+        cn.join(sn, "nk", "full")
+        .select(
+            "nk",
+            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+            F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
+        )
+        .orderBy("nk")
+    )
+
+
+Q10_SQL = """
+SELECT COALESCE(cn.nk, sn.nk) AS nk,
+       COALESCE(cn.c_cnt, 0) AS c_cnt,
+       COALESCE(sn.s_cnt, 0) AS s_cnt
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1) cn
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) sn
+USING (nk)
+ORDER BY nk
+"""
+
+
+def q11(spark, sf):
+    customer = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+Q11_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q12(spark, sf):
+    customer = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+Q12_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q13(spark, sf):
+    region = t(spark, sf, "region")
+    nation = t(spark, sf, "nation")
+    customer = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    # Dim→fact chain: every dim broadcast, single shuffle for the agg.
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("o_orderkey").alias("cnt"),
+            _r(F.sum("o_totalprice")).alias("total"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q13_SQL = """
+SELECT r_name, n_name, COUNT(o_orderkey) AS cnt,
+       FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q14(spark, sf):
+    lineitem = t(spark, sf, "lineitem")
+    orders = t(spark, sf, "orders")
+    # Equi-key + range predicate: Catalyst plans the equi-join and
+    # applies the range as a post-join filter — no BNL join.
+    return (
+        lineitem.join(
+            orders,
+            (lineitem.l_orderkey == orders.o_orderkey)
+            & (lineitem.l_shipdate > orders.o_orderdate),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q14_SQL = """
+SELECT l_returnflag, COUNT(*) AS cnt
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q15(spark, sf):
+    region = t(spark, sf, "region")
+    nation = t(spark, sf, "nation")
+    return (
+        region.crossJoin(nation)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q15_SQL = """
+SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16–Q19: aggregation
+# ---------------------------------------------------------------------------
+
+
+def q16(spark, sf):
+    # TPC-H Q1 shape (pricing summary report).
+    return (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q16_SQL = """
+SELECT l_returnflag, l_linestatus,
+       FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+       FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+       FLOOR((AVG(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+       FLOOR((AVG(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q17(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+        .orderBy("o_orderstatus")
+    )
+
+
+Q17_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q18(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 12)
+        .orderBy("o_custkey")
+    )
+
+
+Q18_SQL = """
+SELECT o_custkey, COUNT(*) AS cnt FROM orders
+GROUP BY o_custkey HAVING COUNT(*) > 12 ORDER BY o_custkey
+"""
+
+
+def q19(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            _r(F.sum("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+Q19_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS cnt,
+       FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20–Q22: window functions
+# ---------------------------------------------------------------------------
+
+
+def q20(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q20_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) x
+WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+def q21(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _r(F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q21_SQL = """
+SELECT o_custkey, o_orderkey,
+       FLOOR((o_totalprice - LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) * 100 + 0.5)
+         / 100 AS delta_prev
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q22(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _r(F.sum("o_totalprice").over(w)).alias("moving_sum3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q22_SQL = """
+SELECT o_custkey, o_orderkey,
+       FLOOR((SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+         AS moving_sum3
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q23–Q24: set operations
+# ---------------------------------------------------------------------------
+
+
+def q23(spark, sf):
+    cn = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cn.unionAll(sn).groupBy("nk").agg(F.count("*").alias("cnt")).orderBy("nk")
+
+
+Q23_SQL = """
+SELECT nk, COUNT(*) AS cnt FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk FROM supplier) u
+GROUP BY nk ORDER BY nk
+"""
+
+
+def q24(spark, sf):
+    cn = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    only = cn.subtract(sn).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only).select("tag", "nk").orderBy("tag", "nk")
+
+
+Q24_SQL = """
+SELECT 'both' AS tag, nk FROM (
+  SELECT c_nationkey AS nk FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier) a
+UNION ALL
+SELECT 'cust_only' AS tag, nk FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier) b
+ORDER BY tag, nk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q25–Q27: scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q25(spark, sf):
+    return (
+        t(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            F.upper(F.substring("c_name", 1, 5)).alias("up5"),
+            F.length("c_name").alias("name_len"),
+            F.concat(F.col("c_mktsegment"), F.lit("-"), F.col("c_name")).alias(
+                "seg_name"
+            ),
+            F.regexp_replace("c_name", "Customer", "Cust").alias("repl"),
+            F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("num_part"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+Q25_SQL = """
+SELECT c_custkey,
+       UPPER(SUBSTR(c_name, 1, 5)) AS up5,
+       LENGTH(c_name) AS name_len,
+       CONCAT(c_mktsegment, '-', c_name) AS seg_name,
+       REPLACE(c_name, 'Customer', 'Cust') AS repl,
+       SPLIT_PART(c_name, '#', 2) AS num_part
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q26(spark, sf):
+    orders = t(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            _r(F.sum("o_totalprice")).alias("total"),
+            _r(
+                F.avg(
+                    F.datediff(
+                        F.col("o_orderdate").cast("date"),
+                        F.lit("1995-01-01").cast("date"),
+                    )
+                )
+            ).alias("avg_days_since_epoch"),
+        )
+        .orderBy("month")
+    )
+
+
+Q26_SQL = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS cnt,
+       FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total,
+       FLOOR((AVG(DATEDIFF('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)))) * 100 + 0.5) / 100
+         AS avg_days_since_epoch
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def q27(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor("l_quantity").cast("int").alias("qty_int"),
+            _r(F.abs(F.col("l_extendedprice") * F.col("l_discount"))).alias("disc_amt"),
+            F.when(F.col("l_discount") < 0.03, "low")
+            .when(F.col("l_discount") < 0.07, "mid")
+            .otherwise("high")
+            .alias("disc_band"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q27_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_quantity) AS INT) AS qty_int,
+       FLOOR((ABS(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS disc_amt,
+       CASE WHEN l_discount < 0.03 THEN 'low'
+            WHEN l_discount < 0.07 THEN 'mid'
+            ELSE 'high' END AS disc_band
+FROM lineitem WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q28–Q30: subqueries and CTEs (via spark.sql — Catalyst decorrelates)
+# ---------------------------------------------------------------------------
+
+
+def _register(spark: SparkSession, sf: str, *names: str) -> None:
+    for n in names:
+        t(spark, sf, n).createOrReplaceTempView(n)
+
+
+def q28(spark, sf):
+    _register(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+Q28_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+def q29(spark, sf):
+    _register(spark, sf, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice FROM part p
+        WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_partkey
+        """
+    )
+
+
+Q29_SQL = """
+SELECT p_partkey, p_brand, p_retailprice FROM part p
+WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+ORDER BY p_partkey
+"""
+
+
+def q30(spark, sf):
+    _register(spark, sf, "orders", "customer")
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+          SELECT o_custkey, COUNT(*) AS cnt,
+                 FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total
+          FROM orders GROUP BY o_custkey)
+        SELECT c.c_custkey, c.c_mktsegment, co.cnt, co.total
+        FROM customer c JOIN cust_orders co ON co.o_custkey = c.c_custkey
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+Q30_SQL = """
+WITH cust_orders AS (
+  SELECT o_custkey, COUNT(*) AS cnt,
+         FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_mktsegment, co.cnt, co.total
+FROM customer c JOIN cust_orders co ON co.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q31–Q32: nested types and JSON
+# ---------------------------------------------------------------------------
+
+
+def q31(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.explode("embedding").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_elems"),
+            _r(F.sum(F.col("v").cast("double")), 3).alias("sum_v"),
+            _r(F.max(F.col("v").cast("double")), 4).alias("max_v"),
+        )
+        .orderBy("label")
+    )
+
+
+Q31_SQL = """
+SELECT label, COUNT(*) AS n_elems,
+       FLOOR((SUM(CAST(v AS DOUBLE))) * 1000 + 0.5) / 1000 AS sum_v,
+       FLOOR((MAX(CAST(v AS DOUBLE))) * 10000 + 0.5) / 10000 AS max_v
+FROM (SELECT label, UNNEST(embedding) AS v FROM embeddings) x
+GROUP BY label ORDER BY label
+"""
+
+
+def q32(spark, sf):
+    return (
+        t(spark, sf, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q32_SQL = """
+SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERY_SPECS: dict[str, QuerySpec] = {
+    "q01_scan_project": QuerySpec(q01, Q01_SQL),
+    "q02_filter_and": QuerySpec(q02, Q02_SQL),
+    "q03_between_in": QuerySpec(q03, Q03_SQL),
+    "q04_like": QuerySpec(q04, Q04_SQL),
+    "q05_null_coalesce": QuerySpec(q05, Q05_SQL),
+    "q06_distinct": QuerySpec(q06, Q06_SQL),
+    "q07_topk": QuerySpec(q07, Q07_SQL),
+    "q08_inner_join": QuerySpec(q08, Q08_SQL),
+    "q09_left_join": QuerySpec(q09, Q09_SQL),
+    "q10_full_outer_join": QuerySpec(q10, Q10_SQL),
+    "q11_semi_join": QuerySpec(q11, Q11_SQL),
+    "q12_anti_join": QuerySpec(q12, Q12_SQL),
+    "q13_multiway_join": QuerySpec(q13, Q13_SQL),
+    "q14_range_join": QuerySpec(q14, Q14_SQL),
+    "q15_cross_join": QuerySpec(q15, Q15_SQL),
+    "q16_tpch_q1_agg": QuerySpec(q16, Q16_SQL),
+    "q17_count_distinct": QuerySpec(q17, Q17_SQL),
+    "q18_having": QuerySpec(q18, Q18_SQL),
+    "q19_rollup": QuerySpec(q19, Q19_SQL),
+    "q20_window_rownum": QuerySpec(q20, Q20_SQL),
+    "q21_window_lag": QuerySpec(q21, Q21_SQL),
+    "q22_window_moving": QuerySpec(q22, Q22_SQL),
+    "q23_union_all": QuerySpec(q23, Q23_SQL),
+    "q24_intersect_except": QuerySpec(q24, Q24_SQL),
+    "q25_string_fns": QuerySpec(q25, Q25_SQL),
+    "q26_date_fns": QuerySpec(q26, Q26_SQL),
+    "q27_math_case_cast": QuerySpec(q27, Q27_SQL),
+    "q28_scalar_subquery": QuerySpec(q28, Q28_SQL),
+    "q29_correlated_subquery": QuerySpec(q29, Q29_SQL),
+    "q30_cte": QuerySpec(q30, Q30_SQL),
+    "q31_array_explode": QuerySpec(q31, Q31_SQL),
+    "q32_json_extract": QuerySpec(q32, Q32_SQL),
+}

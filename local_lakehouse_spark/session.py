@@ -32,6 +32,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Deterministic timestamps vs the DuckDB oracle (BASELINE.md).
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events.parquet stores TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read as long and convert explicitly
+        # (queries.events_table does the nanos→timestamp conversion).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any pandas UDF / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
