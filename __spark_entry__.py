@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from local_lakehouse_spark.queries import QUERY_SPECS
+from local_lakehouse_spark.queries import QUERY_SPECS as _CORE
+from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
+
+QUERY_SPECS = {**_CORE, **_EXT}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,311 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All operators are pure DataFrame compositions (JVM-side, whole-stage
+codegen — no Python UDFs), designed for the 100 TB case:
+
+- exact_dedup groups on a 64-bit content hash, not the raw text, so
+  the shuffle carries 8-byte keys instead of documents.
+- n-gram Jaccard generates candidates by blocking on shared shingles
+  (never all-pairs), with a frequency cap that drops stop-shingles —
+  the standard guard against quadratic blow-up on hot shingles.
+- MinHash-LSH is the sub-quadratic scale path: k hash signature per
+  doc, banded bucket join for candidates, signature-estimated Jaccard.
+- SimHash packs per-token hash bits into a fingerprint; candidate
+  pairs come from band-equality (pigeonhole on Hamming distance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, word) — whitespace tokenization, JVM-side."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word-level n-gram shingles per document: (id, shingle).
+
+    Built with window LEAD over token positions — expressible in plain
+    SQL (the DuckDB oracle uses the same construction), shuffles once
+    on doc id.
+    """
+    toks = tokenize(df, id_col, text_col)
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        "id", F.concat_ws(" ", *parts).alias("shingle"), *[
+            F.lead("word", i).over(w).alias(f"_w{i}") for i in range(1, n)
+        ]
+    )
+    # Drop incomplete shingles at the document tail.
+    for i in range(1, n):
+        sh = sh.filter(F.col(f"_w{i}").isNotNull())
+    return sh.select("id", "shingle").distinct()
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """Exact duplicate groups: (keep_id, dup_count, content_hash).
+
+    Keeps the minimum id per identical content. The groupBy key is
+    xxhash64(content) — an 8-byte shuffle key regardless of document
+    size. (Hash collisions at 64 bits are ~n²/2⁶⁵ — negligible below
+    ~10¹² docs; use exact_dedup_full for a collision-proof variant.)
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.xxhash64(*content_cols).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("keep_id", "dup_count", "content_hash")
+    )
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """Deduplicated rows themselves: keep the min-id row per content.
+
+    row_number over a content-hash window — one shuffle, no join back.
+    """
+    w = Window.partitionBy(*content_cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard: (id_a, id_b,
+    common, size_a, size_b, jaccard) with id_a < id_b, jaccard ≥ τ.
+
+    Candidate generation blocks on shared shingles (a pair is compared
+    only if it shares ≥1 shingle — which any pair above a positive
+    threshold must). Shingles occurring in more than
+    ``max_shingle_freq`` docs are dropped from BLOCKING ONLY — the
+    scale guard against hot-shingle skew; sizes/Jaccard still count
+    them, so the score is exact whenever some rarer shingle also links
+    the pair. Integer arithmetic → bit-deterministic vs the SQL oracle.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    blockable = sh.join(
+        freq.filter(F.col("df") <= max_shingle_freq), "shingle"
+    ).select("id", "shingle")
+
+    a = blockable.select(F.col("id").alias("id_a"), "shingle")
+    b = blockable.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("blocked_common"))
+        .select("id_a", "id_b")
+    )
+    # Exact common-shingle count for candidates (includes hot shingles).
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            "size_a",
+            "size_b",
+            (F.floor(F.col("jaccard") * 1000 + F.lit(0.5)) / 1000).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature from word n-gram shingles.
+
+    k independent permutations approximated by seeded xxhash64 — one
+    shuffle (groupBy id) computing all k mins at once.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH: (id_a, id_b,
+    est_jaccard). Sub-quadratic: candidates only from shared band
+    buckets; Jaccard estimated as the fraction of equal signature
+    components. bands=8 over k=32 (r=4 rows/band) targets τ≈0.5.
+    """
+    assert k % bands == 0, "k must divide into bands evenly"
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k).cache()
+
+    # band hash per (id, band): hash of the band's r signature values
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * r + j}") for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    a = band_rows.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = band_rows.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sig_a = sig.select(F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    sig_b = sig.select(F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", matches / F.lit(float(k)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 48
+) -> DataFrame:
+    """(id, simhash) — per-token hash bits majority-voted into an
+    n_bits fingerprint (bit set iff more token hashes have that bit
+    set than not). n_bits ≤ 62 keeps the packed value positive in a
+    BIGINT. One shuffle; n_bits conditional sums in a single agg.
+    """
+    toks = tokenize(df, id_col, text_col).withColumn(
+        "h", F.xxhash64(F.col("word"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(n_bits)
+    ]
+    per_doc = toks.groupBy("id").agg(*votes)
+    packed = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(n_bits)
+    )
+    return per_doc.select("id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 48,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates via band equality: fingerprints within Hamming d must
+    share at least one of (d+1) bands (pigeonhole), so bands must be
+    > max_hamming. Exact Hamming via bit_count(xor) afterwards.
+    """
+    assert bands > max_hamming, "need bands > max_hamming for recall"
+    fp = simhash_fingerprints(df, id_col, text_col, n_bits).cache()
+    bw = n_bits // bands
+    band_rows = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * bw)
+                        .bitwiseAND(F.lit((1 << bw) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+
+    a = band_rows.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+    )
+    b = band_rows.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB design requires:
+- brute-force cosine top-k: exact baseline, O(n·q·d) JVM-side
+  (zip_with + aggregate — no Python, no shuffle beyond the final
+  top-k window). Right answer for small query sets / reranking.
+- random-hyperplane LSH top-k: the scale path — corpus hashed once
+  into sign-pattern buckets, queries probe only their bucket, exact
+  cosine computed within the bucket. Hyperplanes are derived from a
+  seeded hash (deterministic, no state to ship).
+
+Embedding near-dup detection reuses the LSH bucketing: candidate
+pairs from shared buckets, exact cosine verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    """Σ aᵢ·bᵢ in double, sequential array order (JVM codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_cosine(
+    pairs: DataFrame, left_col: str = "emb_a", right_col: str = "emb_b"
+) -> DataFrame:
+    """Add a ``cosine`` column to a DataFrame of embedding pairs."""
+    return pairs.withColumn(
+        "cosine",
+        _dot(F.col(left_col), F.col(right_col))
+        / F.sqrt(_norm2(F.col(left_col)) * _norm2(F.col(right_col))),
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (qid, cid, cosine, rank).
+
+    The query side is broadcast (query sets are small by definition);
+    the corpus streams through map-side only — the single shuffle is
+    the per-query top-k window, keyed by qid. Rank is deterministic:
+    cosine is rounded BEFORE ranking and ties break on cid.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_emb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
+    )
+    p = 10**round_digits
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.floor(
+                    (_dot(F.col("q_emb"), F.col("c_emb"))
+                     / F.sqrt(_norm2(F.col("q_emb")) * _norm2(F.col("c_emb"))))
+                    * p
+                    + F.lit(0.5)
+                )
+                / p
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def _hyperplane_sign(vec_col, plane: int, dim: int):
+    """Sign of <v, h_plane> where h_plane[d] = deterministic pseudo-
+    random value in [-1, 1) derived from xxhash64(plane, d). No stored
+    plane matrix — any executor can recompute any coefficient.
+    """
+    products = F.transform(
+        vec_col,
+        lambda x, i: x.cast("double")
+        * (
+            (F.pmod(F.xxhash64(F.lit(plane), i), F.lit(200003)) / 100001.5)
+            - F.lit(1.0)
+        ),
+    )
+    return (
+        F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v) >= 0
+    ).cast("int")
+
+
+def lsh_bucket(vec_col, n_planes: int = 8):
+    """Pack n_planes hyperplane signs into an int bucket id."""
+    return sum(
+        _hyperplane_sign(vec_col, p, 0) * F.lit(2**p) for p in range(n_planes)
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's sign bucket.
+
+    Corpus is bucketed once (reusable — persist/bucket-write it in a
+    real pipeline); the bucket join replaces the cross join, cutting
+    candidate count by ~2^n_planes. Recall is tunable via n_planes
+    (fewer planes → bigger buckets → higher recall & cost) or
+    multi-probe extensions.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("c_emb"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_emb"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    p = 10**round_digits
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.floor(
+                    (_dot(F.col("q_emb"), F.col("c_emb"))
+                     / F.sqrt(_norm2(F.col("q_emb")) * _norm2(F.col("c_emb"))))
+                    * p
+                    + F.lit(0.5)
+                )
+                / p
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine ≥ τ), LSH-blocked:
+    candidates share a sign bucket, then exact cosine verification.
+    (id_a, id_b, cosine) with id_a < id_b.
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("emb"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a = e.select(
+        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / F.sqrt(_norm2(F.col("emb_a")) * _norm2(F.col("emb_b"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("cosine") * 10000 + F.lit(0.5)) / 10000).alias("cosine"),
+        )
+        .distinct()
+    )

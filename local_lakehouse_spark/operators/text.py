@@ -1,0 +1,145 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure JVM-side column expressions (no Python UDFs) so they run
+inside whole-stage codegen over 100 TB — and all four are expressible
+in plain SQL, which is exactly what their DuckDB oracle twins run
+(see queries.py x-series).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny marker lexicons per language — n-gram/stopword heuristic in the
+# spirit of CLD/langid's top-feature lists. Deterministic and cheap:
+# one pass, array_intersect against a literal array.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "y"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+
+def _words(text_col: Column) -> Column:
+    return F.split(text_col, r"\s+")
+
+
+def language_id(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, lang_pred, marker_hits) — argmax over marker-word hit
+    counts, 'und' (undetermined) when no lexicon matches.
+    """
+    words = _words(F.col(text_col))
+    hit_cols = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break on language code order
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    return df.select(
+        F.col(id_col).alias("id"),
+        pred.alias("lang_pred"),
+        best.cast("int").alias("marker_hits"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_chars, n_words, avg_word_len, stopword_ratio, score).
+
+    Heuristic quality features a pretraining pipeline filters on:
+    document length, mean word length, stopword density. ``score`` is
+    a bounded combination in [0, 1]; all arithmetic is derived from
+    integer counts so the SQL oracle matches bit-for-bit.
+    """
+    words = _words(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words)
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(STOPWORDS))
+    )
+    avg_word_len = (n_chars - (n_words - 1)) / n_words  # total chars sans spaces
+    stopword_ratio = stop_hits / n_words
+    length_ok = (n_words >= 10) & (n_words <= 100000)
+    score = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 12), F.lit(0.25)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(
+            (stopword_ratio >= 0.01) & (stopword_ratio <= 0.5), F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+    )
+    r3 = lambda c: F.floor(c * 1000 + F.lit(0.5)) / 1000  # noqa: E731
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        r3(avg_word_len).alias("avg_word_len"),
+        r3(stopword_ratio).alias("stopword_ratio"),
+        score.alias("score"),
+    )
+
+
+def token_count(
+    df: DataFrame, id_col: str, text_col: str, chars_per_token: int = 4
+) -> DataFrame:
+    """(id, n_words, n_tokens_est) — whitespace word count plus a
+    BPE-style subword estimate: Σ ceil(len(word)/chars_per_token).
+    Pure integer arithmetic (oracle-exact); the scale-path analog of
+    running a real tokenizer, which would be a mapInPandas stage.
+    """
+    words = _words(F.col(text_col))
+    est = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.ceil(F.length(w) / F.lit(chars_per_token)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).cast("bigint").alias("n_words"),
+        est.alias("n_tokens_est"),
+    )
+
+
+FP_MOD = 1_000_000_007
+FP_MUL = 31
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, fp) — order-sensitive rolling polynomial hash over the word
+    sequence: fp = fold(acc·31 + code(word)) mod 1e9+7, where
+    code(word) = ascii(first char)·31 + length(word).
+
+    Engine-agnostic integer arithmetic (the DuckDB oracle runs the
+    identical fold via list_reduce), unlike xxhash-based fingerprints.
+    Order-sensitive → detects reordered plagiarism that bag-of-words
+    hashes miss.
+    """
+    words = _words(F.col(text_col))
+    codes = F.transform(
+        words,
+        lambda w: (F.ascii(w) * F.lit(FP_MUL) + F.length(w)).cast("bigint"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(FP_MUL) + c) % F.lit(FP_MOD),
+    )
+    return df.select(F.col(id_col).alias("id"), fp.alias("fp"))

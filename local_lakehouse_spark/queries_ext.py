@@ -1,0 +1,413 @@
+"""Extension query inventory: training-data-pipeline operators
+(x-series) — dedup, similarity search, text analysis, as-of join,
+event-time windowing, multimodal plumbing.
+
+Same contract as queries.py: Spark implementation + DuckDB oracle SQL
+with identical column names/types. Operators whose Spark side depends
+on xxhash64 (MinHash, SimHash, LSH buckets) have no SQL twin → no
+oracle (driver records the weaker rows-only check); everything else is
+oracle-checked, including the streaming pipeline (validated against
+the batch SQL answer via the availableNow trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+from .operators.text import fingerprint, language_id, quality_score, token_count
+from .queries import QuerySpec, events_table, t
+
+# DuckDB shingle construction shared by x02's oracle: distinct word
+# 3-grams per doc via list_zip of shifted slices (DuckDB 1.0 has no
+# UNNEST WITH ORDINALITY). Equivalent to the Spark LEAD-window
+# construction in operators/dedup.shingles.
+_SHINGLES_CTE = r"""
+sh AS (
+  SELECT id, list_distinct(sl[1:len(w) - 2]) AS shingles
+  FROM (SELECT doc_id AS id, w,
+               list_transform(list_zip(w, w[2:], w[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]) AS sl
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+              FROM documents))
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# x01–x04: deduplication
+# ---------------------------------------------------------------------------
+
+
+def x01(spark, sf):
+    return (
+        exact_dedup(t(spark, sf, "documents"), "doc_id", ["text"])
+        .select("keep_id", "dup_count")
+        .orderBy("keep_id")
+    )
+
+
+X01_SQL = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text ORDER BY keep_id
+"""
+
+
+def x02(spark, sf):
+    return ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+# The Spark side blocks on shingles with doc-frequency ≤ 1000 before
+# the exact recount; at these corpus sizes no shingle reaches that
+# frequency, so the plain formulation below is result-identical.
+X02_SQL = f"""
+WITH {_SHINGLES_CTE},
+ ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+ sizes AS (SELECT id, len(shingles) AS sz FROM sh),
+ pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+           GROUP BY 1, 2),
+ j AS (SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+              common / (sa.sz + sb.sz - common) AS jac
+       FROM pairs
+       JOIN sizes sa ON sa.id = id_a
+       JOIN sizes sb ON sb.id = id_b)
+SELECT id_a, id_b, common, size_a, size_b,
+       FLOOR(jac * 1000 + 0.5) / 1000 AS jaccard
+FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b
+"""
+
+
+def x03(spark, sf):
+    # xxhash64-based → no SQL twin; deterministic across runs though.
+    return minhash_lsh_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n=3, k=32, bands=8,
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+def x04(spark, sf):
+    return simhash_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n_bits=48, max_hamming=3,
+        bands=4,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# x05–x06, x14: embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def x05(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    return cosine_topk_bruteforce(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 5), k=3
+    )
+
+
+X05_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 5),
+ c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+ un AS (SELECT qid, cid, unnest(qe) AS qv, unnest(ce) AS cv
+        FROM c, q WHERE cid <> qid),
+ d AS (SELECT qid, cid,
+              SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot,
+              SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq,
+              SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS nc
+       FROM un GROUP BY qid, cid),
+ scored AS (SELECT qid, cid,
+                   FLOOR(dot / SQRT(nq * nc) * 10000 + 0.5) / 10000 AS cosine
+            FROM d),
+ ranked AS (SELECT qid, cid, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS INT) AS rank
+            FROM scored)
+SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3
+ORDER BY qid, rank
+"""
+
+
+def x06(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    # LSH-bucketed ANN (approximate; xxhash-derived planes → rows-only)
+    return cosine_topk_lsh(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 5), k=3, n_planes=6
+    )
+
+
+def x14(spark, sf):
+    return embedding_near_dup_pairs(
+        t(spark, sf, "embeddings"), threshold=0.4, n_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# x07–x10: text analysis
+# ---------------------------------------------------------------------------
+
+
+def x07(spark, sf):
+    return language_id(t(spark, sf, "documents"), "doc_id", "text").orderBy("id")
+
+
+_G = "GREATEST(h_de, h_en, h_es, h_fr)"
+X07_SQL = rf"""
+WITH f AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS w
+           FROM documents),
+ h AS (SELECT id,
+   CAST(len(list_intersect(w, ['the','and','of','to','a'])) AS INT) AS h_en,
+   CAST(len(list_intersect(w, ['der','die','das','und','nicht'])) AS INT) AS h_de,
+   CAST(len(list_intersect(w, ['le','la','et','les','des'])) AS INT) AS h_fr,
+   CAST(len(list_intersect(w, ['el','la','que','de','y'])) AS INT) AS h_es
+ FROM f)
+SELECT id,
+  CASE WHEN {_G} <= 0 THEN 'und'
+       WHEN h_de = {_G} THEN 'de'
+       WHEN h_en = {_G} THEN 'en'
+       WHEN h_es = {_G} THEN 'es'
+       WHEN h_fr = {_G} THEN 'fr' END AS lang_pred,
+  {_G} AS marker_hits
+FROM h ORDER BY id
+"""
+
+
+def x08(spark, sf):
+    return quality_score(t(spark, sf, "documents"), "doc_id", "text").orderBy("id")
+
+
+X08_SQL = r"""
+WITH f AS (SELECT doc_id AS id, LENGTH(text) AS n_chars,
+                  string_split_regex(text, '\s+') AS w
+           FROM documents),
+ m AS (SELECT id,
+              CAST(n_chars AS BIGINT) AS n_chars,
+              CAST(len(w) AS BIGINT) AS n_words,
+              (n_chars - (len(w) - 1)) / len(w) AS awl,
+              len(list_filter(w, x -> list_contains(
+                ['the','a','of','to','and','in','is','it'], x))) / len(w)
+                AS swr
+       FROM f)
+SELECT id, n_chars, n_words,
+       FLOOR(awl * 1000 + 0.5) / 1000 AS avg_word_len,
+       FLOOR(swr * 1000 + 0.5) / 1000 AS stopword_ratio,
+       CAST(CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN awl >= 3 AND awl <= 12 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN swr >= 0.01 AND swr <= 0.5 THEN 0.25 ELSE 0.0 END
+            AS DOUBLE) AS score
+FROM m ORDER BY id
+"""
+
+
+def x09(spark, sf):
+    return token_count(t(spark, sf, "documents"), "doc_id", "text").orderBy("id")
+
+
+X09_SQL = r"""
+SELECT doc_id AS id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(
+         w, x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT))) AS BIGINT)
+         AS n_tokens_est
+FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+ORDER BY id
+"""
+
+
+def x10(spark, sf):
+    return fingerprint(t(spark, sf, "documents"), "doc_id", "text").orderBy("id")
+
+
+X10_SQL = r"""
+SELECT doc_id AS id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(w, x -> CAST(ASCII(x) * 31 + LENGTH(x) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp
+FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# x11: as-of join
+# ---------------------------------------------------------------------------
+
+
+def x11(spark, sf):
+    events = events_table(spark, sf)
+    orders = t(spark, sf, "orders")
+    # Dedupe right side to one order per (custkey, orderdate) — makes
+    # the as-of pick deterministic in BOTH engines (ties on the asof
+    # key are otherwise unspecified).
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    od = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    joined = asof_join(
+        events,
+        od,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select("event_id", "o_orderkey", "o_totalprice").orderBy(
+        "event_id"
+    )
+
+
+X11_SQL = """
+WITH od AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders) x
+  WHERE rn = 1)
+SELECT e.event_id, od.o_orderkey, od.o_totalprice
+FROM events e
+ASOF LEFT JOIN od
+  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# x12–x13, x16: event-time windowing (batch + streaming)
+# ---------------------------------------------------------------------------
+
+
+def x12(spark, sf):
+    from .streaming.windows import tumbling_agg
+
+    return tumbling_agg(events_table(spark, sf), "1 hour")
+
+
+X12_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+       COUNT(*) AS cnt,
+       FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
+def x13(spark, sf):
+    from .streaming.windows import sessionize_batch
+
+    return sessionize_batch(events_table(spark, sf), gap_minutes=30)
+
+
+X13_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ sess AS (
+  SELECT user_id, event_id,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM sess GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def x16(spark, sf):
+    """Structured Streaming twin of x12: replay the events file through
+    readStream → watermark → tumbling window with the availableNow
+    trigger; must produce the batch answer (the oracle is x12's SQL).
+    """
+    from .streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_tumbling_agg,
+    )
+
+    import hashlib
+
+    name = "x16_sink_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    # File-source streams need a directory; expose the single events
+    # file through a symlinked staging dir (testdata is read-only).
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "llh_stream_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    stream = read_events_stream(spark, stage)
+    run_stream_to_memory(streaming_tumbling_agg(stream), name)
+    return spark.table(name).orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# x15: multimodal plumbing (stubbed codecs, real Spark contract)
+# ---------------------------------------------------------------------------
+
+
+def x15(spark, sf):
+    from .operators.multimodal import decode_image_features
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = decode_image_features(docs, "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("features", 1).alias("feat0"),
+    ).orderBy("doc_id")
+
+
+EXT_QUERY_SPECS: dict[str, QuerySpec] = {
+    "x01_dedup_exact": QuerySpec(x01, X01_SQL),
+    "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
+    "x03_dedup_minhash_lsh": QuerySpec(x03, None),
+    "x04_dedup_simhash": QuerySpec(x04, None),
+    "x05_ann_cosine_topk": QuerySpec(x05, X05_SQL),
+    "x06_ann_lsh_topk": QuerySpec(x06, None),
+    "x07_language_id": QuerySpec(x07, X07_SQL),
+    "x08_quality_score": QuerySpec(x08, X08_SQL),
+    "x09_token_count": QuerySpec(x09, X09_SQL),
+    "x10_fingerprint": QuerySpec(x10, X10_SQL),
+    "x11_asof_join": QuerySpec(x11, X11_SQL),
+    "x12_events_hourly": QuerySpec(x12, X12_SQL),
+    "x13_sessionize": QuerySpec(x13, X13_SQL),
+    "x14_embedding_near_dup": QuerySpec(x14, None),
+    "x15_multimodal_decode": QuerySpec(x15, None),
+    "x16_streaming_tumbling": QuerySpec(x16, X12_SQL),
+}

@@ -1,0 +1,189 @@
+"""Event-time windowing: batch + Structured Streaming twins.
+
+The reference has no streaming surface (SURVEY §2.C); these are the
+north-star extensions over the driver's ``events`` table. Each
+operator exists in two forms with identical semantics:
+
+- a BATCH form (plain DataFrame) — oracle-checkable against DuckDB
+  via date_trunc/window SQL;
+- a STREAMING form (``readStream`` → watermark → windowed agg) —
+  validated in tests with the availableNow trigger, which replays the
+  same files through the streaming engine and must produce the batch
+  answer.
+
+Scale: event-time windows shuffle on (window, key); watermarks bound
+state. Session windows use Spark's native session_window (streaming)
+and the lag/cumsum composition (batch SQL twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _norm_ts(df: DataFrame) -> DataFrame:
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Batch forms
+# ---------------------------------------------------------------------------
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts/sums per event_type."""
+    return (
+        _norm_ts(events)
+        .groupBy(
+            F.window("ts", width).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in width/slide
+    windows)."""
+    return (
+        _norm_ts(events)
+        .groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "cnt")
+        .orderBy("win_start")
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Session windows, batch composition: a session starts when the
+    gap from the previous event of the same user exceeds the timeout.
+    lag → gap flag → running sum = session id. Identical SQL runs in
+    DuckDB (the oracle); the streaming twin uses native
+    session_window.
+    """
+    e = _norm_ts(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(w)
+            )
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming forms
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned —
+    streaming sources don't infer)."""
+    return _norm_ts(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    )
+
+
+def streaming_tumbling_agg(
+    stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling window counts — late events beyond the
+    watermark are dropped; state is bounded by watermark horizon."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (dynamic gap-merged) on the stream."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, table_name: str, complete: bool = True
+) -> None:
+    """Execute a streaming query with the availableNow trigger into an
+    in-memory sink (test/validation path: replays all files, then
+    stops)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
