@@ -157,20 +157,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — distinct n-grams, row-side."""
+    staged = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), r"\s+").alias("__w")
+    )
+    w = F.col("__w")
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    sh_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    guarded = F.when(F.size(w) >= n, sh_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    return staged.select("id", F.array_distinct(guarded).alias("shingles"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32
 ) -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature from word n-gram shingles.
 
-    k independent permutations approximated by seeded xxhash64 — one
-    shuffle (groupBy id) computing all k mins at once.
+    k independent permutations approximated by seeded xxhash64,
+    computed as array_min over a row-side transform — ZERO shuffle;
+    the signature stage is a pure map, so it scales with input
+    partitions and never repartitions the corpus.
     """
-    sh = shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    sh = shingle_arrays(df, id_col, text_col, n).filter(
+        F.size("shingles") > 0
+    )
+    def sig(i: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"h{i}")
+
+    return sh.select("id", *[sig(i) for i in range(k)])
 
 
 def minhash_lsh_pairs(

@@ -1,0 +1,198 @@
+"""Unit tests for the training-data-pipeline operators on small
+synthetic inputs with hand-computable expected values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_lakehouse_spark.operators.asof import asof_join
+from local_lakehouse_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_pairs,
+)
+from local_lakehouse_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_image_features,
+    frame_sample,
+)
+from local_lakehouse_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+)
+from local_lakehouse_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog"
+NEAR_DOC = "the quick brown fox jumps over the lazy cat"  # 1 word changed
+OTHER = "completely different words about spark and lakehouse engines"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, NEAR_DOC), (3, OTHER), (4, DOC)],
+        "doc_id long, text string",
+    )
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = {r.shingle for r in shingles(df, "doc_id", "text", 3).collect()}
+    assert out == {"a b c", "b c d"}
+    # doc shorter than n -> no shingles
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert shingles(short, "doc_id", "text", 3).count() == 0
+
+
+def test_exact_dedup(docs):
+    out = {
+        r.keep_id: r.dup_count
+        for r in exact_dedup(docs, "doc_id", ["text"]).collect()
+    }
+    assert out[1] == 2  # docs 1 and 4 identical, keeps min id
+    assert out[2] == 1 and out[3] == 1
+    kept = exact_dedup_keep_first(docs, "doc_id", ["text"])
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3
+    ).collect()
+    by_pair = {(r.id_a, r.id_b): r for r in pairs}
+    # identical docs: jaccard 1.0
+    assert by_pair[(1, 4)].jaccard == 1.0
+    # 9-word docs, 7 shingles each; only the final shingle contains the
+    # changed last word: common=6, union=8 -> 0.75
+    r = by_pair[(1, 2)]
+    assert (r.common, r.size_a, r.size_b) == (6, 7, 7)
+    assert abs(r.jaccard - 0.75) < 1e-3
+    assert (1, 3) not in by_pair and (2, 3) not in by_pair
+
+
+def test_minhash_lsh(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical -> all signature mins equal
+    assert (1, 2) in pairs  # near-dup detected
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=10, bands=12
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical -> same fingerprint
+    assert (1, 3) not in pairs
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [(r.cid, r.rank) for r in out.collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]  # by cosine: ~0.995, 0, -1
+
+
+def test_embedding_near_dup(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.95, n_planes=2).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+
+
+def test_asof_join_backward_forward(spark):
+    events = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 150)],
+        "event_id long, key long, t long",
+    )
+    states = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (20, 160, "c")],
+        "key long, t long, v string",
+    )
+    back = asof_join(
+        events, states, "key", "key", "t", "t", ["v"], direction="backward"
+    )
+    got = {r.event_id: r.v for r in back.collect()}
+    # event1 t=100 matches state t<=100 -> "a" (equal time included)
+    # event2 t=205 -> "b"; event3 t=150, no state <=150 for key 20 -> None
+    assert got == {1: "a", 2: "b", 3: None}
+    fwd = asof_join(
+        events, states, "key", "key", "t", "t", ["v"], direction="forward"
+    )
+    got_f = {r.event_id: r.v for r in fwd.collect()}
+    assert got_f == {1: "a", 2: None, 3: "c"}
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"),
+         (2, "der hund und die katze das haus"),
+         (3, "xyzzy qwerty")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.lang_pred for r in language_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame([(1, DOC)], "doc_id long, text string")
+    q = quality_score(df, "doc_id", "text").collect()[0]
+    assert q.n_words == 9 and q.n_chars == len(DOC)
+    tc = token_count(df, "doc_id", "text").collect()[0]
+    # words: the(1) quick(2) brown(2) fox(1) jumps(2) over(1) the(1)
+    # lazy(1) dog(1) with ceil(len/4)
+    assert tc.n_words == 9 and tc.n_tokens_est == 12
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.fp for r in fingerprint(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]  # order matters
+
+
+def test_multimodal_decode(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world document"), (2, "x")], "doc_id long, text string"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    meta = attach_media_metadata(docs, "payload", "image", "image/png")
+    m = meta.select("media.*").collect()[0]
+    assert m.modality == "image" and len(m.sha256) == 64
+    feats = decode_image_features(docs).collect()
+    assert {r.doc_id for r in feats} == {1, 2}
+    assert all(len(r.features) == 8 for r in feats)
+    # deterministic across runs
+    feats2 = decode_image_features(docs).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_frame_sample_fanout(spark):
+    docs = spark.createDataFrame(
+        [(1, bytes(range(256)) * 2)], "doc_id long, payload binary"
+    )
+    frames = frame_sample(docs, every_n=4).collect()
+    # 512 bytes -> 16 frames, every 4th -> indices 0,4,8,12
+    assert [r.frame_idx for r in frames] == [0, 4, 8, 12]

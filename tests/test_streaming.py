@@ -1,0 +1,65 @@
+"""Structured Streaming twins must reproduce the batch answers when
+replaying the same files (availableNow trigger)."""
+
+import os
+import tempfile
+
+import pytest
+
+from local_lakehouse_spark.queries import events_table
+from local_lakehouse_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_batch,
+    sliding_agg,
+    streaming_session_agg,
+    streaming_tumbling_agg,
+    tumbling_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stage():
+    stage = tempfile.mkdtemp(prefix="llh_stream_test_")
+    os.symlink(
+        os.path.abspath(f"{SF_DIR}/events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    return stage
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stage):
+    batch = tumbling_agg(events_table(spark, SF_DIR), "1 hour").collect()
+    stream = read_events_stream(spark, events_stage)
+    run_stream_to_memory(streaming_tumbling_agg(stream), "t_tumble")
+    got = (
+        spark.table("t_tumble").orderBy("win_start", "event_type").collect()
+    )
+    assert got == batch
+
+
+def test_streaming_sessions_match_batch_counts(spark, events_stage):
+    batch = sessionize_batch(events_table(spark, SF_DIR), 30)
+    batch_sessions = batch.count()
+    stream = read_events_stream(spark, events_stage)
+    run_stream_to_memory(
+        streaming_session_agg(stream, gap="30 minutes"), "t_sess"
+    )
+    got = spark.table("t_sess")
+    # identical number of sessions and total events
+    assert got.count() == batch_sessions
+    assert (
+        got.agg({"n_events": "sum"}).collect()[0][0]
+        == batch.agg({"n_events": "sum"}).collect()[0][0]
+    )
+
+
+def test_sliding_agg_total(spark):
+    events = events_table(spark, SF_DIR)
+    out = sliding_agg(events, "2 hours", "1 hour")
+    # every event appears in exactly 2 sliding windows
+    assert (
+        out.agg({"cnt": "sum"}).collect()[0][0] == events.count() * 2
+    )
