@@ -172,6 +172,143 @@ def cosine_topk_lsh(
     )
 
 
+def _l2sq(a, b):
+    """Squared L2 distance between two double arrays (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """K-means centroids for an IVF index (driver-held list, small:
+    n_centroids × dim doubles).
+
+    Training runs distributed via pyspark.ml KMeans; at 100 TB you
+    train on a sample (``sample_fraction``) — centroid quality needs
+    only ~100× n_centroids points — and only the assignment pass
+    (a broadcast map) touches the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(v) for v in c] for c in model.clusterCenters()]
+
+
+def _probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
+    """Array of the nprobe nearest centroid indexes for a vector.
+
+    Centroids are embedded as literal arrays (broadcast-by-plan: every
+    executor evaluates them locally, no join, no shuffle). Ties break
+    on cell index via struct ordering.
+    """
+    cent_arr = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+    )
+    ranked = F.sort_array(
+        F.transform(
+            cent_arr,
+            lambda c, i: F.struct(
+                _l2sq(vec_col, c).alias("d"), i.alias("cell")
+            ),
+        )
+    )
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s.getField("cell")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: (qid, cid, cosine, rank).
+
+    The corpus is partitioned into n_centroids Voronoi cells by a
+    k-means pass; each query probes only its ``nprobe`` nearest cells,
+    so the scored candidate set is ~nprobe/n_centroids of the corpus.
+    Exact cosine + deterministic rank within the probed cells. With
+    ``nprobe == n_centroids`` every cell is probed and the result is
+    EXACTLY the brute-force top-k (the oracle-checked configuration —
+    centroid placement can only affect routing, not scoring).
+
+    Scale path: cell assignment is a broadcast map (centroids are plan
+    literals); the only shuffle is the per-query top-k window. Persist
+    the assigned corpus (or write it bucketed by cell) to amortize the
+    index across query batches.
+    """
+    centroids = train_ivf_centroids(
+        corpus, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("c_emb"),
+        F.element_at(_probe_cells(F.col(vec_col), centroids, 1), 1).alias(
+            "cell"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(
+            _probe_cells(F.col(vec_col), centroids, nprobe)
+        ).alias("cell"),
+    )
+    p = 10**round_digits
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.floor(
+                    (_dot(F.col("q_emb"), F.col("c_emb"))
+                     / F.sqrt(_norm2(F.col("q_emb")) * _norm2(F.col("c_emb"))))
+                    * p
+                    + F.lit(0.5)
+                )
+                / p
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -24,6 +24,7 @@ from .operators.dedup import (
 )
 from .operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
 )
@@ -154,6 +155,21 @@ def x14(spark, sf):
     return embedding_near_dup_pairs(
         t(spark, sf, "embeddings"), threshold=0.4, n_planes=4
     ).orderBy("id_a", "id_b")
+
+
+def x17(spark, sf):
+    """IVF ANN in its oracle-checkable configuration: with nprobe ==
+    n_centroids every Voronoi cell is probed, so the k-means routing
+    cannot drop any candidate and the result is exactly the
+    brute-force top-k (X05_SQL). The approximate configuration
+    (nprobe < n_centroids) is exercised with a recall floor in
+    tests/test_operators.py.
+    """
+    emb = t(spark, sf, "embeddings")
+    return cosine_topk_ivf(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 5), k=3,
+        n_centroids=8, nprobe=8,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +409,75 @@ def x15(spark, sf):
     ).orderBy("doc_id")
 
 
+def x18(spark, sf):
+    """Custom stateful streaming operator: per-user sessionization via
+    applyInPandasWithState (GroupState + event-time timeout), replayed
+    with availableNow. Emits sessions closed by an in-stream gap plus
+    final sessions flushed by timeout once the 0-second watermark
+    (= max event time) passes their close; the oracle reproduces
+    exactly that set in SQL.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from .streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_sessionize_stateful,
+    )
+
+    name = "x18_sink_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    stage = os.path.join(
+        tempfile.gettempdir(), "llh_stream_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    stream = read_events_stream(spark, stage)
+    out = streaming_sessionize_stateful(
+        stream, gap_minutes=30, watermark="0 seconds"
+    )
+    run_stream_to_memory(out, name, complete=False)
+    return spark.table(name).orderBy("user_id", "session_seq")
+
+
+# Emitted set = all gap-closed sessions + final sessions whose
+# (last_ts + gap) <= max stream ts (the event-time timeout fires when
+# the final watermark passes the session close).
+X18_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged),
+ agg AS (
+  SELECT user_id, session_seq,
+         COUNT(*) AS n_events,
+         MIN(event_id) AS first_event,
+         MAX(event_id) AS last_event,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_ts_s,
+         MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq
+  FROM sess GROUP BY user_id, session_seq),
+ m AS (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx FROM events)
+SELECT user_id, session_seq, n_events, first_event, last_event
+FROM agg, m
+WHERE session_seq < max_seq OR last_ts_s + 1800 <= mx
+ORDER BY user_id, session_seq
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -410,4 +495,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x14_embedding_near_dup": QuerySpec(x14, None),
     "x15_multimodal_decode": QuerySpec(x15, None),
     "x16_streaming_tumbling": QuerySpec(x16, X12_SQL),
+    "x17_ann_ivf_topk": QuerySpec(x17, X05_SQL),
+    "x18_streaming_sessionize_stateful": QuerySpec(x18, X18_SQL),
 }

@@ -173,6 +173,116 @@ def streaming_session_agg(
     )
 
 
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_event", T.LongType()),
+        T.StructField("last_event", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("last_ts_s", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_event", T.LongType()),
+        T.StructField("last_event", T.LongType()),
+    ]
+)
+
+
+def streaming_sessionize_stateful(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``
+    — the Pandas-UDF-backed path for operators whose per-key logic
+    Spark's built-ins can't express (SURVEY custom-operator rule (b)).
+
+    Unlike native ``session_window`` (which only merges windows), the
+    per-user GroupState carries (session_seq, last_ts, counts, first/
+    last event ids) across micro-batches, so the emitted rows match
+    the batch lag→cumsum sessionization (x13) EXACTLY — same
+    session_seq numbering, same aggregates. Sessions close when the
+    event-time gap exceeds the timeout; the final open session per
+    user is flushed by an EventTimeTimeout once the watermark passes
+    it. State is bounded: one fixed-width row per active user.
+    """
+    import pandas as pd  # noqa: F401 (arrow batches arrive as pandas)
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_s = gap_minutes * 60
+
+    def kernel(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            seq, last_ts_s, n, first_ev, last_ev = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_seq": [seq],
+                    "n_events": [n],
+                    "first_event": [first_ev],
+                    "last_event": [last_ev],
+                }
+            )
+            return
+
+        # floored-second gap arithmetic — identical to the batch
+        # twin's CAST(ts AS LONG) (x13) so session boundaries match.
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        ts_s = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        ev = pdf["event_id"].tolist()
+
+        if state.exists:
+            seq, last_ts_s, n, first_ev, last_ev = state.get
+        else:
+            seq, last_ts_s, n, first_ev, last_ev = 0, None, 0, None, None
+
+        closed: list[tuple] = []
+        for t_s, e in zip(ts_s, ev):
+            if last_ts_s is not None and t_s - last_ts_s > gap_s:
+                closed.append((user_id, seq, n, first_ev, last_ev))
+                seq, n, first_ev, last_ev = seq + 1, 0, None, None
+            n += 1
+            first_ev = e if first_ev is None else min(first_ev, e)
+            last_ev = e if last_ev is None else max(last_ev, e)
+            last_ts_s = t_s
+
+        state.update((seq, last_ts_s, n, first_ev, last_ev))
+        # flush the open session when the watermark passes its close
+        state.setTimeoutTimestamp((last_ts_s + gap_s) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_seq",
+                    "n_events",
+                    "first_event",
+                    "last_event",
+                ],
+            )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            kernel,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, table_name: str, complete: bool = True
 ) -> None:

@@ -196,3 +196,34 @@ def test_frame_sample_fanout(spark):
     frames = frame_sample(docs, every_n=4).collect()
     # 512 bytes -> 16 frames, every 4th -> indices 0,4,8,12
     assert [r.frame_idx for r in frames] == [0, 4, 8, 12]
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe == n_centroids probes every cell → exactly brute force."""
+    from local_lakehouse_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = cosine_topk_bruteforce(emb, q, k=3).collect()
+    ivf = cosine_topk_ivf(emb, q, k=3, n_centroids=4, nprobe=4).collect()
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_recall(spark):
+    """The approximate config (nprobe < n_centroids) keeps most true
+    neighbors — the recall/cost dial of a real IVF index."""
+    from local_lakehouse_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.qid, r.cid) for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    }
+    got = {
+        (r.qid, r.cid)
+        for r in cosine_topk_ivf(
+            emb, q, k=3, n_centroids=8, nprobe=3
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"

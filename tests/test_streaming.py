@@ -63,3 +63,47 @@ def test_sliding_agg_total(spark):
     assert (
         out.agg({"cnt": "sum"}).collect()[0][0] == events.count() * 2
     )
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, events_stage):
+    """applyInPandasWithState sessionization must reproduce the batch
+    lag→cumsum sessions exactly for every session the watermark can
+    close (gap-closed mid-stream + timeout-flushed finals)."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.streaming.windows import (
+        streaming_sessionize_stateful,
+    )
+
+    batch = sessionize_batch(events_table(spark, SF_DIR), 30)
+    stream = read_events_stream(spark, events_stage)
+    run_stream_to_memory(
+        streaming_sessionize_stateful(stream, 30, watermark="0 seconds"),
+        "t_state_sess",
+        complete=False,
+    )
+    got = {
+        tuple(r)
+        for r in spark.table("t_state_sess")
+        .select("user_id", "session_seq", "n_events", "first_event", "last_event")
+        .collect()
+    }
+    want_all = {
+        tuple(r)
+        for r in batch.select(
+            "user_id", "session_seq", "n_events", "first_event", "last_event"
+        ).collect()
+    }
+    # every emitted session is a true batch session...
+    assert got <= want_all
+    # ...and only final-per-user sessions near stream end may be open
+    missing = want_all - got
+    finals = {
+        (r.user_id, r.session_seq)
+        for r in batch.groupBy("user_id")
+        .agg(F.max("session_seq").alias("session_seq"))
+        .collect()
+    }
+    assert all((m[0], m[1]) in finals for m in missing)
+    # the stream must have closed the vast majority
+    assert len(got) >= 0.9 * len(want_all)
