@@ -320,6 +320,8 @@ class LakehouseClient:
         r'(?<![\w.])([A-Za-z_][\w$]*|"[^"]+")\.([A-Za-z_][\w$]*|"[^"]+")\.'
         r'([A-Za-z_][\w$]*|"[^"]+")(?![\w.])'
     )
+    # single-quoted SQL string literal, '' = escaped quote
+    _STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL referencing ``catalog.schema.table`` names.
@@ -342,4 +344,14 @@ class LakehouseClient:
             _io.read_table(spark, table).createOrReplaceTempView(view)
             return view
 
-        return spark.sql(self._NAME_RE.sub(repl, query))
+        # Rewrite only OUTSIDE single-quoted string literals — a
+        # dotted name inside a literal is data, not a table reference
+        # (parity: the reference hands the text verbatim to DuckDB).
+        parts: list[str] = []
+        last = 0
+        for m in self._STRING_LIT_RE.finditer(query):
+            parts.append(self._NAME_RE.sub(repl, query[last : m.start()]))
+            parts.append(m.group(0))
+            last = m.end()
+        parts.append(self._NAME_RE.sub(repl, query[last:]))
+        return spark.sql("".join(parts))

@@ -85,6 +85,27 @@ def test_sql_three_level_names(unity):
     assert out == expected
 
 
+def test_sql_string_literal_not_rewritten(unity):
+    """A dotted name inside a string literal is data, not a table
+    reference — the rewriter must leave it verbatim (the reference
+    passes query text untouched to DuckDB)."""
+    unity.register_as_table(
+        "unity", "default", "lineitem", "parquet",
+        "/root/testdata/sf0.001/lineitem.parquet",
+    )
+    row = unity.sql(
+        "SELECT 'unity.default.lineitem' AS s, COUNT(*) AS n "
+        "FROM unity.default.lineitem"
+    ).collect()[0]
+    assert row.s == "unity.default.lineitem"
+    assert row.n == 6000
+    # escaped-quote literal spanning a dotted name
+    row2 = unity.sql(
+        "SELECT 'it''s unity.default.lineitem' AS s"
+    ).collect()[0]
+    assert row2.s == "it's unity.default.lineitem"
+
+
 def test_append_partitioned_parquet(unity, random_df, tmp_path):
     df = random_df(10)
     unity.create_as_table(
