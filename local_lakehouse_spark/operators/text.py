@@ -116,6 +116,58 @@ def token_count(
     )
 
 
+def clean_text(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, clean) — pretraining-corpus text normalization: lowercase,
+    strip non-alphanumeric ASCII to spaces, collapse whitespace, trim.
+    Pure regexp_replace chain (whole-stage codegen); the patterns are
+    RE2/Java-regex-common so the DuckDB oracle runs them verbatim.
+    """
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(F.col(id_col).alias("id"), c.alias("clean"))
+
+
+def corpus_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    langs: tuple[str, ...] = ("en",),
+    min_score: float = 0.75,
+) -> DataFrame:
+    """The end-to-end training-data admission pipeline, composed from
+    the individual operators: language-ID gate + quality-score gate +
+    exact first-occurrence dedup. Returns the admitted documents as
+    (id, lang_pred, n_words, score).
+
+    Shape at scale: language/quality are map-side column expressions
+    over one scan; the dedup is one 8-byte-keyed shuffle (min id per
+    content hash, re-joined by id — both sides shrink before the
+    join). No Python anywhere.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    lang = language_id(df, id_col, text_col).select("id", "lang_pred")
+    qual = quality_score(df, id_col, text_col).select(
+        "id", "n_words", "score"
+    )
+    firsts = (
+        base.groupBy("__t")
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    return (
+        lang.join(qual, "id")
+        .join(firsts, "id", "left_semi")
+        .filter(
+            F.col("lang_pred").isin(list(langs))
+            & (F.col("score") >= min_score)
+        )
+        .select("id", "lang_pred", "n_words", "score")
+    )
+
+
 FP_MOD = 1_000_000_007
 FP_MUL = 31
 

@@ -478,6 +478,74 @@ ORDER BY user_id, session_seq
 """
 
 
+def x19(spark, sf):
+    from .operators.text import clean_text
+
+    return clean_text(t(spark, sf, "documents"), "doc_id", "text").orderBy(
+        "id"
+    )
+
+
+X19_SQL = r"""
+SELECT doc_id AS id,
+       TRIM(regexp_replace(
+         regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+         '\s+', ' ', 'g')) AS clean
+FROM documents ORDER BY id
+"""
+
+
+def x20(spark, sf):
+    from .operators.text import corpus_filter
+
+    return corpus_filter(
+        t(spark, sf, "documents"), "doc_id", "text",
+        langs=("en",), min_score=0.75,
+    ).orderBy("id")
+
+
+# language gate + quality gate + first-occurrence dedup, composed in
+# SQL exactly as corpus_filter composes the operators.
+X20_SQL = rf"""
+WITH f AS (SELECT doc_id AS id, text, LENGTH(text) AS n_chars,
+                  string_split_regex(text, '\s+') AS w
+           FROM documents),
+ h AS (SELECT id,
+   CAST(len(list_intersect(w, ['the','and','of','to','a'])) AS INT) AS h_en,
+   CAST(len(list_intersect(w, ['der','die','das','und','nicht'])) AS INT) AS h_de,
+   CAST(len(list_intersect(w, ['le','la','et','les','des'])) AS INT) AS h_fr,
+   CAST(len(list_intersect(w, ['el','la','que','de','y'])) AS INT) AS h_es
+ FROM f),
+ lang AS (
+  SELECT id,
+    CASE WHEN {_G} <= 0 THEN 'und'
+         WHEN h_de = {_G} THEN 'de'
+         WHEN h_en = {_G} THEN 'en'
+         WHEN h_es = {_G} THEN 'es'
+         WHEN h_fr = {_G} THEN 'fr' END AS lang_pred
+  FROM h),
+ qual AS (
+  SELECT id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 THEN 0.5 ELSE 0.0 END
+          + CASE WHEN (n_chars - (len(w) - 1)) / len(w) >= 3
+                  AND (n_chars - (len(w) - 1)) / len(w) <= 12 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN len(list_filter(w, x -> list_contains(
+                    ['the','a','of','to','and','in','is','it'], x))) / len(w) >= 0.01
+                  AND len(list_filter(w, x -> list_contains(
+                    ['the','a','of','to','and','in','is','it'], x))) / len(w) <= 0.5
+                 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS score
+  FROM f),
+ firsts AS (SELECT MIN(id) AS id FROM f GROUP BY text)
+SELECT l.id, l.lang_pred, q.n_words, q.score
+FROM lang l
+JOIN qual q ON l.id = q.id
+WHERE l.id IN (SELECT id FROM firsts)
+  AND l.lang_pred IN ('en') AND q.score >= 0.75
+ORDER BY l.id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -497,4 +565,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x16_streaming_tumbling": QuerySpec(x16, X12_SQL),
     "x17_ann_ivf_topk": QuerySpec(x17, X05_SQL),
     "x18_streaming_sessionize_stateful": QuerySpec(x18, X18_SQL),
+    "x19_clean_text": QuerySpec(x19, X19_SQL),
+    "x20_corpus_filter": QuerySpec(x20, X20_SQL),
 }
