@@ -816,6 +816,95 @@ FROM events ORDER BY event_id
 """
 
 
+def q33(spark, sf):
+    """Exact percentiles (median / p90) per group — Spark's
+    ``percentile`` (exact, SQL-standard interpolation) twins DuckDB's
+    ``quantile_cont``. Distributed cost: per-group sort inside the
+    aggregate; fine for bounded group counts.
+    """
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            r2(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+            r2(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q33_SQL = """
+SELECT o_orderstatus,
+       FLOOR(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_price,
+       FLOOR(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90_price,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q34(spark, sf):
+    """Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST
+    over per-customer spend."""
+    spend = (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        spend.select(
+            "o_custkey",
+            F.ntile(10).over(w).alias("decile"),
+            r4(F.percent_rank().over(w)).alias("pct_rank"),
+            r4(F.cume_dist().over(w)).alias("cume"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q34_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey,
+       CAST(NTILE(10) OVER w AS INT) AS decile,
+       FLOOR(PERCENT_RANK() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+       FLOOR(CUME_DIST() OVER w * 10000 + 0.5) / 10000 AS cume
+FROM spend
+WINDOW w AS (ORDER BY spend DESC, o_custkey)
+ORDER BY o_custkey
+"""
+
+
+def q35(spark, sf):
+    """Pivot: order counts per priority pivoted across statuses —
+    Spark's ``pivot()`` with explicit values (required for a stable
+    plan at scale: no extra collect-distinct pass); the oracle runs
+    the equivalent conditional aggregation.
+    """
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .orderBy("o_orderpriority")
+    )
+
+
+Q35_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -853,4 +942,7 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q30_cte": QuerySpec(q30, Q30_SQL),
     "q31_array_explode": QuerySpec(q31, Q31_SQL),
     "q32_json_extract": QuerySpec(q32, Q32_SQL),
+    "q33_percentiles": QuerySpec(q33, Q33_SQL),
+    "q34_ntile_distribution": QuerySpec(q34, Q34_SQL),
+    "q35_pivot": QuerySpec(q35, Q35_SQL),
 }

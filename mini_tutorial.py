@@ -1,0 +1,110 @@
+"""End-to-end usage walkthrough — the Spark-native twin of the
+reference's mini_tutorial.py (/root/reference/mini_tutorial.py:1-91),
+same flow: csv → register → read → filter → create_as_table → append
+→ SQL. Run with: python mini_tutorial.py
+"""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from local_lakehouse_spark import Catalog, LakehouseClient, Schema
+from local_lakehouse_spark.session import get_spark
+
+TUTORIAL_DIR = tempfile.mkdtemp(prefix="llh_tutorial_")
+
+spark = get_spark(app_name="llh-tutorial")
+spark.sparkContext.setLogLevel("ERROR")
+
+# Create a csv file to start with.
+df = spark.createDataFrame(
+    [(0, True, 1.1), (1, True, 2.2), (2, False, 3.3), (3, False, 4.4)],
+    ["id", "filter_col", "float_col"],
+)
+csv_path = os.path.join(TUTORIAL_DIR, "data.csv")
+# single-file csv parity with the reference's pl.write_csv
+from local_lakehouse_spark.io import _write_single_file  # noqa: E402
+
+_write_single_file(df, "csv", csv_path, header="true")
+print("Original DataFrame:")
+df.show()
+print("-" * 50)
+
+# All interaction goes through a client object (metastore-backed —
+# no external server needed, unlike the reference's UC container).
+client = LakehouseClient(
+    os.path.join(TUTORIAL_DIR, "metastore.json"), spark=spark
+)
+client.create_catalog(Catalog(name="unity"))
+client.create_schema(Schema(name="default", catalog_name="unity"))
+
+# Register the csv file as unity.default.csv_table.
+client.register_as_table(
+    "unity", "default", "csv_table", "csv", csv_path
+)
+
+# Read the created table back as a (lazy) DataFrame.
+df_read = client.read_table("unity", "default", "csv_table")
+print("Table read from the catalog:")
+df_read.show()
+print("-" * 50)
+
+# Filter and persist as a new table with create_as_table (PARQUET
+# here; with delta-spark installed, file_type='delta' works too).
+df_filtered = df_read.filter(F.col("filter_col") == True)  # noqa: E712
+print("Filtered DataFrame:")
+df_filtered.show()
+print("-" * 50)
+client.create_as_table(
+    df_filtered,
+    "unity",
+    "default",
+    "filtered_table",
+    file_type="parquet",
+    location="file://" + os.path.join(TUTORIAL_DIR, "parquet_dir"),
+    partition_cols=["filter_col"],
+)
+
+df_read = client.read_table("unity", "default", "filtered_table")
+print("Filtered table read back:")
+df_read.show()
+print("-" * 50)
+
+# Append more data with write_table. Schema enforcement is strict by
+# default: our in-memory frame has id:LONG but the CSV-inferred table
+# schema says id:INT, so the append is rejected...
+from local_lakehouse_spark.exceptions import SchemaMismatchError  # noqa: E402
+
+try:
+    client.write_table(
+        df, "unity", "default", "filtered_table",
+        mode="append", schema_evolution="strict",
+    )
+except SchemaMismatchError as exc:
+    print(f"Strict append rejected as expected: {exc}")
+    print("-" * 50)
+
+# ...until the frame matches the declared schema.
+client.write_table(
+    df.withColumn("id", F.col("id").cast("int")),
+    "unity",
+    "default",
+    "filtered_table",
+    mode="append",
+    schema_evolution="strict",
+)
+df_read = client.read_table("unity", "default", "filtered_table")
+print("After appending the original DataFrame:")
+df_read.orderBy("id").show()
+print("-" * 50)
+
+# SQL over catalog tables — Catalyst executes; 3-level names resolve
+# through the metastore (reference: DuckDB pass-through).
+print("Table queried with SQL:")
+client.sql(
+    "SELECT * FROM unity.default.filtered_table "
+    "WHERE filter_col = FALSE ORDER BY id"
+).show()
+
+spark.stop()
