@@ -546,6 +546,46 @@ ORDER BY l.id
 """
 
 
+def x21(spark, sf):
+    """Streaming exactly-once dedup: the events file is read by TWO
+    file-source streams unioned together (every event arrives twice),
+    then dropDuplicatesWithinWatermark collapses them back — the
+    availableNow replay must reproduce the original distinct events.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from .streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    name = "x21_sink_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    stage = os.path.join(
+        tempfile.gettempdir(), "llh_stream_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    doubled = read_events_stream(spark, stage).unionByName(
+        read_events_stream(spark, stage)
+    )
+    out = streaming_dedup(doubled, ["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    run_stream_to_memory(out, name, complete=False)
+    return spark.table(name).orderBy("event_id")
+
+
+X21_SQL = """
+SELECT event_id, user_id, event_type
+FROM events ORDER BY event_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -567,4 +607,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x18_streaming_sessionize_stateful": QuerySpec(x18, X18_SQL),
     "x19_clean_text": QuerySpec(x19, X19_SQL),
     "x20_corpus_filter": QuerySpec(x20, X20_SQL),
+    "x21_streaming_dedup": QuerySpec(x21, X21_SQL),
 }

@@ -283,6 +283,23 @@ def streaming_sessionize_stateful(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once streaming deduplication on ``key_cols`` via
+    ``dropDuplicatesWithinWatermark`` — the streaming twin of exact
+    batch dedup (x01). State holds one entry per key only within the
+    watermark horizon, so memory is bounded; duplicates separated by
+    more than the watermark are NOT collapsed (the documented
+    streaming-vs-batch divergence; batch dedup has no horizon).
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, table_name: str, complete: bool = True
 ) -> None:

@@ -112,3 +112,19 @@ def test_salted_agg_matches_plain(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Hive-partitioned writes must let Catalyst prune partitions: a
+    filter on the partition column shows up in PartitionFilters and
+    the scan reads only the matching directory."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "ev_part")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200], plan
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert df.count() == want

@@ -107,3 +107,21 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, events_stage):
     assert all((m[0], m[1]) in finals for m in missing)
     # the stream must have closed the vast majority
     assert len(got) >= 0.9 * len(want_all)
+
+
+def test_streaming_dedup_collapses_double_stream(spark, events_stage):
+    """Two unioned file streams over the same events (every row twice)
+    must dedup back to the batch-distinct set."""
+    from local_lakehouse_spark.streaming.windows import streaming_dedup
+
+    doubled = read_events_stream(spark, events_stage).unionByName(
+        read_events_stream(spark, events_stage)
+    )
+    run_stream_to_memory(
+        streaming_dedup(doubled, ["event_id"]).select("event_id"),
+        "t_dedup",
+        complete=False,
+    )
+    got = spark.table("t_dedup").count()
+    want = events_table(spark, SF_DIR).select("event_id").distinct().count()
+    assert got == want
