@@ -586,6 +586,20 @@ FROM events ORDER BY event_id
 """
 
 
+def x22(spark, sf):
+    """Approximate distinct customers per order status via mergeable
+    HLL sketches (DataSketches). No SQL oracle — DuckDB's
+    approx_count_distinct is a different HLL implementation — so the
+    driver records rows-only; accuracy (±2% vs exact) and
+    merge-consistency are asserted in tests/test_operators.py.
+    """
+    from .operators.sketches import approx_distinct
+
+    return approx_distinct(
+        t(spark, sf, "orders"), ["o_orderstatus"], "o_custkey"
+    )
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -608,4 +622,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x19_clean_text": QuerySpec(x19, X19_SQL),
     "x20_corpus_filter": QuerySpec(x20, X20_SQL),
     "x21_streaming_dedup": QuerySpec(x21, X21_SQL),
+    "x22_approx_distinct_hll": QuerySpec(x22, None),
 }

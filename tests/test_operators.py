@@ -227,3 +227,42 @@ def test_ivf_partial_probe_recall(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_hll_sketch_accuracy_and_merge(spark):
+    """HLL estimates within 2% of exact, and merged per-nation
+    sketches must give (near-)identical global estimates to a direct
+    global sketch — the mergeability that enables incremental rollups."""
+    from local_lakehouse_spark.operators.sketches import (
+        approx_distinct,
+        distinct_sketches,
+        merge_sketches,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    exact = {
+        (r.o_orderstatus, r.n)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.o_orderstatus: r.approx_distinct
+        for r in approx_distinct(
+            orders, ["o_orderstatus"], "o_custkey"
+        ).collect()
+    }
+    for status, n in exact:
+        assert abs(approx[status] - n) / n < 0.02, (status, n, approx[status])
+
+    # merge path: per-(status, priority) sketches re-aggregated to
+    # status must match the direct per-status estimate exactly
+    # (sketch union is deterministic)
+    fine = distinct_sketches(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_custkey"
+    )
+    merged = {
+        r.o_orderstatus: r.approx_distinct
+        for r in merge_sketches(fine, ["o_orderstatus"]).collect()
+    }
+    assert merged == approx
