@@ -586,6 +586,45 @@ FROM events ORDER BY event_id
 """
 
 
+def x23(spark, sf):
+    """Arrow-vectorized scalar pandas UDF over events.value, held to
+    the exact-match oracle via fixed-order IEEE arithmetic."""
+    from .operators.udfs import scalar_score
+
+    return scalar_score(
+        events_table(spark, sf), "event_id", "value"
+    ).orderBy("id")
+
+
+X23_SQL = """
+SELECT event_id AS id,
+       (value * value) * 0.5 + value * 0.25 + 1.0 AS score
+FROM events ORDER BY id
+"""
+
+
+def x24(spark, sf):
+    """Grouped applyInPandas min-max normalization per event_type;
+    oracle is the window-function formulation of the same IEEE ops."""
+    from .operators.udfs import minmax_normalize
+
+    return minmax_normalize(
+        events_table(spark, sf), "event_type", "event_id", "value"
+    ).orderBy("id")
+
+
+X24_SQL = """
+SELECT event_type AS group, event_id AS id,
+       CASE WHEN MAX(value) OVER w > MIN(value) OVER w
+            THEN (value - MIN(value) OVER w)
+                 / (MAX(value) OVER w - MIN(value) OVER w)
+       END AS norm
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY id
+"""
+
+
 def x22(spark, sf):
     """Approximate distinct customers per order status via mergeable
     HLL sketches (DataSketches). No SQL oracle — DuckDB's
@@ -623,4 +662,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x20_corpus_filter": QuerySpec(x20, X20_SQL),
     "x21_streaming_dedup": QuerySpec(x21, X21_SQL),
     "x22_approx_distinct_hll": QuerySpec(x22, None),
+    "x23_pandas_udf_scalar": QuerySpec(x23, X23_SQL),
+    "x24_apply_in_pandas_norm": QuerySpec(x24, X24_SQL),
 }

@@ -266,3 +266,25 @@ def test_hll_sketch_accuracy_and_merge(spark):
         for r in merge_sketches(fine, ["o_orderstatus"]).collect()
     }
     assert merged == approx
+
+
+def test_pandas_udf_operators(spark):
+    """Scalar pandas_udf and grouped applyInPandas on a synthetic
+    frame with hand-computable values."""
+    from local_lakehouse_spark.operators.udfs import (
+        minmax_normalize,
+        scalar_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 4.0), (3, "a", 3.0), (4, "b", 7.0)],
+        ["id", "g", "v"],
+    )
+    scores = {r.id: r.score for r in scalar_score(df, "id", "v").collect()}
+    assert scores == {1: 3.5, 2: 10.0, 3: 6.25, 4: 27.25}
+
+    norms = {
+        r.id: r.norm for r in minmax_normalize(df, "g", "id", "v").collect()
+    }
+    assert norms[1] == 0.0 and norms[2] == 1.0 and norms[3] == 0.5
+    assert norms[4] is None  # single-valued group
