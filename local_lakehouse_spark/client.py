@@ -292,6 +292,50 @@ class LakehouseClient:
         )
         return self.create_table(tbl)
 
+    def optimize_table(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        target_files: Optional[int] = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Compact a table's small files (the OPTIMIZE / bin-packing
+        analog — beyond the reference, which has no maintenance ops).
+
+        Reads the table, coalesces to ``target_files`` (or an estimate
+        from the table's on-disk size / ``target_file_bytes``), and
+        rewrites it atomically via the overwrite path, preserving
+        schema and hive partitioning. Returns the file count written.
+
+        Scale note: at 100 TB you run this per partition predicate
+        (compact yesterday's partition), not table-wide; the
+        table-wide form here is the local/unpartitioned case. Uses
+        coalesce (narrow — no shuffle) when shrinking file count.
+        """
+        import glob as _glob
+
+        tbl = self.get_table(catalog, schema, name)
+        if tbl.file_type not in (FileType.PARQUET, FileType.DELTA):
+            raise UnsupportedOperationError(
+                "optimize_table supports PARQUET/DELTA tables"
+            )
+        spark = self._require_spark()
+        path = tbl.storage_location.removeprefix("file://")
+        if target_files is None:
+            on_disk = sum(
+                os.path.getsize(f)
+                for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+            ) or os.path.getsize(path)
+            target_files = max(1, on_disk // target_file_bytes)
+        df = _io.read_table(spark, tbl).coalesce(int(target_files))
+        self.write_table(
+            df, catalog, schema, name,
+            mode=WriteMode.OVERWRITE,
+            schema_evolution=SchemaEvolution.STRICT,
+        )
+        return int(target_files)
+
     @staticmethod
     def _normalize_location(location: str) -> str:
         if location.startswith("file://"):

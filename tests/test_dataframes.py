@@ -248,3 +248,22 @@ def test_partition_filters_replace_where_exclusive(unity, random_df, tmp_path):
             df, "unity", "default", "t", mode="overwrite",
             partition_filters=[("part", "=", 1)], replace_where="id > 2",
         )
+
+
+def test_optimize_table_compacts_files(unity, tmp_path):
+    """optimize_table bin-packs small files; content identical."""
+    import glob
+
+    spark = unity._require_spark()
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2).repartition(16)
+    loc = str(tmp_path / "frag")
+    unity.create_as_table(df, "unity", "default", "frag", location=f"file://{loc}")
+    before_files = len(glob.glob(f"{loc}/**/*.parquet", recursive=True))
+    assert before_files >= 16
+    before = sorted(tuple(r) for r in unity.read_table("unity", "default", "frag").collect())
+
+    unity.optimize_table("unity", "default", "frag", target_files=2)
+    after_files = len(glob.glob(f"{loc}/**/*.parquet", recursive=True))
+    assert after_files <= 2, after_files
+    after = sorted(tuple(r) for r in unity.read_table("unity", "default", "frag").collect())
+    assert after == before
