@@ -625,6 +625,40 @@ ORDER BY id
 """
 
 
+def x25(spark, sf):
+    """Incremental rollup maintenance (hypertable-rollup pattern):
+    the events stream feeds a watermarked tumbling aggregate whose
+    changed windows are upserted each micro-batch into a
+    date-partitioned parquet table (foreachBatch + anti-join merge +
+    dynamic partition overwrite). Reading the maintained table back
+    must equal the batch aggregate — x12's SQL oracle.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.windows import (
+        read_events_stream,
+        streaming_rollup_to_table,
+    )
+
+    h = hashlib.md5(sf.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), "llh_stream_" + h)
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    out = os.path.join(tempfile.gettempdir(), "llh_rollup_" + h)
+    shutil.rmtree(out, ignore_errors=True)
+    streaming_rollup_to_table(read_events_stream(spark, stage), out)
+    return (
+        spark.read.parquet(out)
+        .select("win_start", "event_type", "cnt", "sum_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
 def x22(spark, sf):
     """Approximate distinct customers per order status via mergeable
     HLL sketches (DataSketches). No SQL oracle — DuckDB's
@@ -664,4 +698,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x22_approx_distinct_hll": QuerySpec(x22, None),
     "x23_pandas_udf_scalar": QuerySpec(x23, X23_SQL),
     "x24_apply_in_pandas_norm": QuerySpec(x24, X24_SQL),
+    "x25_streaming_rollup_table": QuerySpec(x25, X12_SQL),
 }

@@ -300,6 +300,95 @@ def streaming_dedup(
     )
 
 
+def streaming_rollup_to_table(
+    stream: DataFrame,
+    out_path: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Continuously-maintained rollup table (the hypertable-rollup /
+    materialized-aggregate pattern): a watermarked tumbling aggregate
+    in UPDATE mode, with each micro-batch's changed windows upserted
+    into a date-partitioned parquet table via foreachBatch + dynamic
+    partition overwrite.
+
+    Scale properties: state is bounded by the watermark; each batch
+    rewrites only the partitions (dates) whose windows changed —
+    late data within the watermark amends exactly its own partition.
+    Readers see the rollup as a plain parquet table.
+    """
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.to_date(F.col("win.start")).alias("win_date"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        # UPDATE mode emits only the windows that changed this batch;
+        # a partition may also hold unchanged windows from earlier
+        # batches, so merge: keep existing rows whose (window, type)
+        # key was NOT updated, union the updates, rewrite only the
+        # touched date partitions (dynamic overwrite).
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.persist()
+        dates = [
+            r.win_date
+            for r in batch.select("win_date").distinct().collect()
+        ]
+        try:
+            existing = spark.read.parquet(out_path).filter(
+                F.col("win_date").isin(dates)
+            )
+            keep = existing.join(
+                batch.select("win_start", "event_type"),
+                ["win_start", "event_type"],
+                "left_anti",
+            )
+            # localCheckpoint truncates lineage so the write below
+            # isn't "overwriting a path being read from"; rollup rows
+            # are small (windows × types within the watermark).
+            out = keep.unionByName(batch).localCheckpoint()
+        except Exception:  # first batch: table doesn't exist yet
+            out = batch
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("win_date")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+            batch.unpersist()
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, table_name: str, complete: bool = True
 ) -> None:

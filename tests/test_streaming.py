@@ -125,3 +125,53 @@ def test_streaming_dedup_collapses_double_stream(spark, events_stage):
     got = spark.table("t_dedup").count()
     want = events_table(spark, SF_DIR).select("event_id").distinct().count()
     assert got == want
+
+
+def test_streaming_rollup_incremental_batches(spark, tmp_path):
+    """The rollup upsert must stay correct across MULTIPLE
+    micro-batches (maxFilesPerTrigger=1 over a two-file copy of the
+    events data): late batch updates amend windows already written
+    without clobbering untouched windows of the same date."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.queries import events_table
+    from local_lakehouse_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        tumbling_agg,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stage = str(tmp_path / "stage")
+    # two files → two micro-batches interleaved across event time
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{stage}/a"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{stage}/b"
+    )
+    from local_lakehouse_spark.streaming.windows import (
+        _norm_ts,
+        streaming_rollup_to_table,
+    )
+
+    stream = _norm_ts(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    out = str(tmp_path / "rollup")
+    streaming_rollup_to_table(stream, out)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("win_start", "event_type", "cnt", "sum_value")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in tumbling_agg(events_table(spark, SF_DIR), "1 hour")
+        .collect()
+    )
+    assert got == want
