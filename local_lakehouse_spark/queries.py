@@ -906,6 +906,140 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# Q36–Q38: TPC-H classics (full multi-join analytic pipelines)
+# ---------------------------------------------------------------------------
+
+
+def q36(spark, sf):
+    """TPC-H Q3 shape (shipping priority): selective dim filter →
+    fact⋈fact join → hash agg → top-k by revenue. customer is
+    broadcast; the orders⋈lineitem join shuffles on orderkey only.
+    (Schema note: testdata has no o_shippriority; o_orderpriority
+    stands in.)
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    customer = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q36_SQL = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority,
+       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q37(spark, sf):
+    """TPC-H Q5 shape (local-supplier volume): 6-way join where the
+    customer→nation and supplier→nation keys must AGREE — the classic
+    cyclic join. All dims broadcast; the only shuffle is
+    lineitem⋈orders on orderkey, then the final 5-group agg.
+    """
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf, "nation")
+    customer = t(spark, sf, "customer")
+    supplier = t(spark, sf, "supplier")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    lineitem = t(spark, sf, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q37_SQL = """
+SELECT n_name,
+       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q38(spark, sf):
+    """TPC-H Q10 shape (returned-item reporting): time-sliced orders ⋈
+    returned lineitems, grouped per customer, top-20 by lost revenue.
+    (Schema note: no c_address/c_phone/c_comment in testdata.)
+    """
+    lo = F.lit("1996-10-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    customer = t(spark, sf, "customer")
+    nation = t(spark, sf, "nation")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    lineitem = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q38_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -945,4 +1079,7 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q33_percentiles": QuerySpec(q33, Q33_SQL),
     "q34_ntile_distribution": QuerySpec(q34, Q34_SQL),
     "q35_pivot": QuerySpec(q35, Q35_SQL),
+    "q36_tpch_q3_shipping_priority": QuerySpec(q36, Q36_SQL),
+    "q37_tpch_q5_local_supplier": QuerySpec(q37, Q37_SQL),
+    "q38_tpch_q10_returned_items": QuerySpec(q38, Q38_SQL),
 }
