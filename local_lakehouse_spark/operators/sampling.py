@@ -1,0 +1,80 @@
+"""Deterministic sampling operators for training-data mixing.
+
+A pretraining pipeline needs REPRODUCIBLE samples: re-running the
+job, on any cluster size, must admit exactly the same rows — so
+`rand()` (per-task RNG, partition-dependent) is out. These operators
+derive the admission decision from a cryptographic hash of the row
+key: portable, seed-able via salt, and expressible in any engine
+(the DuckDB oracle runs the identical md5-prefix comparison).
+
+Scale shape: pure map-side filters — no shuffle, no driver round-trip,
+admission decided row-locally inside the scan stage. Changing the
+fraction only moves the hex threshold, so samples are NESTED
+(a 10% sample is a subset of the 20% sample — handy for scaling-law
+runs over the same corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars = 32 bits of the md5 — plenty of resolution for any
+# practical sampling rate, and a short lexicographic compare.
+_HEX_DIGITS = 8
+_SPACE = 16**_HEX_DIGITS
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    """Lowercase 8-hex-char bucket key in ['00000000', 'ffffffff']."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, _HEX_DIGITS
+    )
+
+
+def _threshold(fraction: float) -> str:
+    """Hex threshold T such that P[bucket < T] = fraction.
+
+    fraction ≥ 1 → 'g' (sorts above every hex digit, so every 8-char
+    lowercase-hex bucket satisfies bucket < T).
+    """
+    f = min(max(fraction, 0.0), 1.0)
+    if f >= 1.0:
+        return "g"
+    return format(int(f * _SPACE), "08x")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on ``id_col``.
+
+    Every row with md5(salt || id)[:8] < hex(fraction · 16^8) is kept:
+    the same rows survive on every run, every partitioning, every
+    engine.
+    """
+    if fraction >= 1.0:
+        return df
+    return df.filter(_bucket(F.col(id_col), salt) < F.lit(_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 50% of English docs, 10% of each minor language).
+
+    One CASE expression picks the stratum's hex threshold; the filter
+    stays a scan-stage predicate (no shuffle, no per-stratum passes).
+    """
+    thr: Column = F.lit(_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(_bucket(F.col(id_col), salt) < thr)

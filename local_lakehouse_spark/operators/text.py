@@ -9,7 +9,7 @@ in plain SQL, which is exactly what their DuckDB oracle twins run
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny marker lexicons per language — n-gram/stopword heuristic in the
@@ -165,6 +165,130 @@ def corpus_filter(
             & (F.col("score") >= min_score)
         )
         .select("id", "lang_pred", "n_words", "score")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 120,
+    stride: int = 90,
+) -> DataFrame:
+    """(id, chunk_id, start, chunk, chunk_len) — fixed-width character
+    chunking with overlap (chunk_chars - stride), the LLM-context
+    windowing step of a pretraining pipeline.
+
+    Spark shape: sequence() + posexplode() — a generator expression
+    evaluated inside the scan stage, no shuffle at all; output rows
+    stay co-partitioned with their source document. At 100 TB this is
+    a pure map stage whose output is ~(chunk_chars/stride)× the input.
+    """
+    n = F.length(F.col(text_col)).cast("bigint")
+    starts = F.sequence(F.lit(1).cast("bigint"), n, F.lit(stride).cast("bigint"))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__t"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "start",
+            F.expr(f"substring(__t, start, {chunk_chars})").alias("chunk"),
+            F.length(F.expr(f"substring(__t, start, {chunk_chars})"))
+            .cast("int")
+            .alias("chunk_len"),
+        )
+    )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_words, n_distinct, dup_word_frac, top_word_frac,
+    top_bigram_frac, keep) — Gopher-style repetition quality rules
+    (Rae et al. 2021: filter docs whose most frequent word / 2-gram
+    covers too much of the text).
+
+    Spark shape: posexplode → two keyed aggregations + one keyed
+    window, all partitioned by document id — at scale each doc's
+    words stay in one task after a single shuffle on id; no global
+    windows. Word splitting is on a single space so the DuckDB twin
+    (string_split) is byte-identical.
+    """
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("i", "w"),
+    )
+    wc = base.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wc.groupBy("id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_word"),
+    )
+    win = Window.partitionBy("id").orderBy("i")
+    bg = base.select(
+        "id",
+        F.concat_ws(" ", F.col("w"), F.lead("w").over(win)).alias("b"),
+        F.lead("w").over(win).alias("__next"),
+    ).filter(F.col("__next").isNotNull())
+    bgc = bg.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
+    bgstats = bgc.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram"),
+    )
+    top_word_frac = F.col("top_word") / F.col("n_words")
+    top_bigram_frac = F.coalesce(
+        F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    return (
+        wstats.join(bgstats, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            "n_distinct",
+            r4(1 - F.col("n_distinct") / F.col("n_words")).alias("dup_word_frac"),
+            r4(top_word_frac).alias("top_word_frac"),
+            r4(top_bigram_frac).alias("top_bigram_frac"),
+            ((top_word_frac <= 0.2) & (top_bigram_frac <= 0.18))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset so the
+# DuckDB oracle can run them verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_ID_RUN = r"[0-9]{5,}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, redacted, n_email, n_ip, n_idrun) — PII scrubbing for
+    training corpora: emails → [EMAIL], IPv4 → [IP], long digit runs
+    (account/serial numbers) → [ID], with per-category match counts
+    for audit sampling.
+
+    Pure regexp_replace / regexp_extract_all chain — whole-stage
+    codegen, zero Python in the hot path, trivially map-parallel at
+    100 TB.
+    """
+    c = F.col(text_col)
+    red = F.regexp_replace(c, PII_EMAIL, "[EMAIL]")
+    red = F.regexp_replace(red, PII_IPV4, "[IP]")
+    red = F.regexp_replace(red, PII_ID_RUN, "[ID]")
+    return df.select(
+        F.col(id_col).alias("id"),
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), 0)).alias("n_ip"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_ID_RUN), 0)).alias("n_idrun"),
     )
 
 

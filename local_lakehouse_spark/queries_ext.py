@@ -673,6 +673,128 @@ def x22(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# x26–x29: chunking, repetition quality, stratified sampling, PII scrub
+# ---------------------------------------------------------------------------
+
+
+def x26(spark, sf):
+    from .operators.text import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf, "documents"), "doc_id", "text", chunk_chars=120, stride=90
+    ).orderBy("id", "start")
+
+
+X26_SQL = """
+WITH starts AS (
+  SELECT doc_id AS id, text,
+         unnest(range(1, length(text) + 1, 90)) AS start
+  FROM documents)
+SELECT id,
+       CAST((start - 1) // 90 AS INT) AS chunk_id,
+       start,
+       substring(text, start, 120) AS chunk,
+       CAST(length(substring(text, start, 120)) AS INT) AS chunk_len
+FROM starts ORDER BY id, start
+"""
+
+
+def x27(spark, sf):
+    from .operators.text import repetition_score
+
+    return repetition_score(t(spark, sf, "documents"), "doc_id", "text").orderBy(
+        "id"
+    )
+
+
+X27_SQL = """
+WITH words AS (
+  SELECT doc_id AS id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS i
+  FROM documents),
+wc AS (SELECT id, w, COUNT(*) AS c FROM words GROUP BY id, w),
+wstats AS (
+  SELECT id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         MAX(c) AS top_word
+  FROM wc GROUP BY id),
+bg AS (
+  SELECT id, w || ' ' || LEAD(w) OVER (PARTITION BY id ORDER BY i) AS b
+  FROM words),
+bgc AS (SELECT id, b, COUNT(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY id, b),
+bgstats AS (
+  SELECT id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram
+  FROM bgc GROUP BY id)
+SELECT w.id, w.n_words, w.n_distinct,
+       FLOOR((1 - w.n_distinct / w.n_words) * 10000 + 0.5) / 10000
+         AS dup_word_frac,
+       FLOOR((w.top_word / w.n_words) * 10000 + 0.5) / 10000
+         AS top_word_frac,
+       FLOOR(COALESCE(b.top_bigram / b.n_bigrams, 0.0) * 10000 + 0.5) / 10000
+         AS top_bigram_frac,
+       CASE WHEN w.top_word / w.n_words <= 0.2
+             AND COALESCE(b.top_bigram / b.n_bigrams, 0.0) <= 0.18
+            THEN 1 ELSE 0 END AS keep
+FROM wstats w LEFT JOIN bgstats b ON w.id = b.id
+ORDER BY w.id
+"""
+
+
+def x28(spark, sf):
+    from .operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(
+            t(spark, sf, "documents"),
+            "doc_id",
+            "lang",
+            {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1},
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# Thresholds are hex(fraction · 16^8): 0.5→80000000, 0.25→40000000,
+# 0.1→19999999 — identical to operators/sampling._threshold.
+X28_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+  CASE lang WHEN 'en' THEN '80000000'
+            WHEN 'de' THEN '40000000'
+            WHEN 'fr' THEN '40000000'
+            WHEN 'es' THEN '40000000'
+            WHEN 'zh' THEN '19999999'
+            ELSE '00000000' END
+ORDER BY doc_id
+"""
+
+
+def x29(spark, sf):
+    from .operators.text import pii_redact
+
+    return pii_redact(t(spark, sf, "customer"), "c_custkey", "c_name").orderBy(
+        "id"
+    )
+
+
+from .operators.text import PII_EMAIL, PII_ID_RUN, PII_IPV4  # noqa: E402
+
+X29_SQL = f"""
+SELECT c_custkey AS id,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+         '{PII_EMAIL}', '[EMAIL]', 'g'),
+         '{PII_IPV4}', '[IP]', 'g'),
+         '{PII_ID_RUN}', '[ID]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(c_name, '{PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(c_name, '{PII_IPV4}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(c_name, '{PII_ID_RUN}')) AS INT) AS n_idrun
+FROM customer ORDER BY id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -699,4 +821,8 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x23_pandas_udf_scalar": QuerySpec(x23, X23_SQL),
     "x24_apply_in_pandas_norm": QuerySpec(x24, X24_SQL),
     "x25_streaming_rollup_table": QuerySpec(x25, X12_SQL),
+    "x26_chunk_documents": QuerySpec(x26, X26_SQL),
+    "x27_repetition_quality": QuerySpec(x27, X27_SQL),
+    "x28_stratified_sample": QuerySpec(x28, X28_SQL),
+    "x29_pii_redact": QuerySpec(x29, X29_SQL),
 }

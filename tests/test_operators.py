@@ -288,3 +288,95 @@ def test_pandas_udf_operators(spark):
     }
     assert norms[1] == 0.0 and norms[2] == 1.0 and norms[3] == 0.5
     assert norms[4] is None  # single-valued group
+
+
+def test_chunk_documents_reassembly(spark):
+    from local_lakehouse_spark.operators.text import chunk_documents
+
+    text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, "doc_id", "text", chunk_chars=100, stride=80)
+        .orderBy("start")
+        .collect()
+    )
+    # starts 1, 81, 161, 241 -> 4 chunks
+    assert [r.start for r in rows] == [1, 81, 161, 241]
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    # each chunk matches the source slice (1-based substring)
+    for r in rows:
+        assert r.chunk == text[r.start - 1 : r.start - 1 + 100]
+        assert r.chunk_len == len(r.chunk)
+    # stride-prefix of each chunk reassembles the document exactly
+    assert "".join(r.chunk[:80] for r in rows)[: len(text)] == text
+
+
+def test_repetition_score_flags_repeats(spark):
+    from local_lakehouse_spark.operators.text import repetition_score
+
+    clean = "one two three four five six seven eight nine ten"
+    loop = "spam ham spam ham spam ham spam ham spam ham"
+    df = spark.createDataFrame(
+        [(1, clean), (2, loop)], "doc_id long, text string"
+    )
+    out = {r.id: r for r in repetition_score(df, "doc_id", "text").collect()}
+    assert out[1].keep == 1 and out[1].dup_word_frac == 0.0
+    # 'spam ham' covers nearly every bigram -> flagged
+    assert out[2].keep == 0
+    assert out[2].top_word_frac == 0.5
+    assert out[2].top_bigram_frac > 0.5
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from local_lakehouse_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s20 = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    s20_again = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    s50 = {r.k for r in hash_sample(df, "k", 0.5).collect()}
+    assert s20 == s20_again  # reproducible
+    assert s20 <= s50  # nested samples
+    assert 0.15 < len(s20) / 2000 < 0.25
+    assert 0.45 < len(s50) / 2000 < 0.55
+    # full fraction keeps everything; salt changes the sample
+    assert hash_sample(df, "k", 1.0).count() == 2000
+    salted = {r.k for r in hash_sample(df, "k", 0.2, salt="v2").collect()}
+    assert salted != s20
+
+
+def test_stratified_sample_rates(spark):
+    from local_lakehouse_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'xx' END AS g"
+    )
+    out = (
+        stratified_sample(df, "k", "g", {"en": 1.0, "de": 0.3})
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    counts = {r.g: r["count"] for r in out}
+    assert counts["en"] == 1000  # fraction 1.0 -> every row survives
+    assert 240 < counts["de"] < 360
+    assert "xx" not in counts  # default fraction 0.0
+
+
+def test_pii_redact_patterns(spark):
+    from local_lakehouse_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server at 10.0.255.7 port open"),
+            (3, "acct 1234567 and card 99887766"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert out[1].redacted == "mail [EMAIL] now" and out[1].n_email == 1
+    assert out[2].redacted == "server at [IP] port open" and out[2].n_ip == 1
+    assert out[3].redacted == "acct [ID] and card [ID]" and out[3].n_idrun == 2
+    assert out[4].redacted == "clean text only"
+    assert (out[4].n_email, out[4].n_ip, out[4].n_idrun) == (0, 0, 0)
