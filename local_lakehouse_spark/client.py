@@ -299,6 +299,7 @@ class LakehouseClient:
         name: str,
         target_files: Optional[int] = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: Optional[list[str]] = None,
     ) -> int:
         """Compact a table's small files (the OPTIMIZE / bin-packing
         analog — beyond the reference, which has no maintenance ops).
@@ -308,10 +309,16 @@ class LakehouseClient:
         rewrites it atomically via the overwrite path, preserving
         schema and hive partitioning. Returns the file count written.
 
+        ``zorder_by``: cluster the rewrite along a Morton curve over
+        the given columns (OPTIMIZE ZORDER BY analog — see
+        operators/layout.py) so min/max file stats prune on every
+        listed column, not just a lead sort key.
+
         Scale note: at 100 TB you run this per partition predicate
         (compact yesterday's partition), not table-wide; the
         table-wide form here is the local/unpartitioned case. Uses
-        coalesce (narrow — no shuffle) when shrinking file count.
+        coalesce (narrow — no shuffle) when shrinking file count
+        without reclustering; zorder_by pays one range shuffle.
         """
         import glob as _glob
 
@@ -328,7 +335,13 @@ class LakehouseClient:
                 for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)
             ) or os.path.getsize(path)
             target_files = max(1, on_disk // target_file_bytes)
-        df = _io.read_table(spark, tbl).coalesce(int(target_files))
+        df = _io.read_table(spark, tbl)
+        if zorder_by:
+            from .operators.layout import zorder_layout
+
+            df = zorder_layout(df, zorder_by, int(target_files))
+        else:
+            df = df.coalesce(int(target_files))
         self.write_table(
             df, catalog, schema, name,
             mode=WriteMode.OVERWRITE,

@@ -267,3 +267,26 @@ def test_optimize_table_compacts_files(unity, tmp_path):
     assert after_files <= 2, after_files
     after = sorted(tuple(r) for r in unity.read_table("unity", "default", "frag").collect())
     assert after == before
+
+
+def test_optimize_table_zorder(unity, tmp_path):
+    """optimize_table(zorder_by=...) reclusters; content identical."""
+    import glob
+
+    spark = unity._require_spark()
+    df = (
+        spark.range(0, 4000)
+        .selectExpr("id AS a", "CAST(pmod(id * 2654435761, 4000) AS BIGINT) AS b")
+        .repartition(12)
+    )
+    loc = str(tmp_path / "zt")
+    unity.create_as_table(df, "unity", "default", "zt", location=f"file://{loc}")
+    before = sorted(tuple(r) for r in unity.read_table("unity", "default", "zt").collect())
+
+    unity.optimize_table(
+        "unity", "default", "zt", target_files=8, zorder_by=["a", "b"]
+    )
+    files = glob.glob(f"{loc}/*.parquet")
+    assert len(files) == 8
+    after = sorted(tuple(r) for r in unity.read_table("unity", "default", "zt").collect())
+    assert after == before

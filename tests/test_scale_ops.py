@@ -128,3 +128,84 @@ def test_partition_pruning(spark, tmp_path):
     assert "event_type" in plan.split("PartitionFilters")[1][:200], plan
     want = ev.filter(F.col("event_type") == "click").count()
     assert df.count() == want
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: file-skipping vs linear sort
+# ---------------------------------------------------------------------------
+
+
+def _files_matching(path, col, value):
+    """(matching, total) parquet files whose [min, max] stats for
+    ``col`` contain ``value`` — what a stats-based reader must scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        assert lo is not None, f"no stats for {col} in {f}"
+        if lo <= value <= hi:
+            hit += 1
+    return hit, len(files)
+
+
+def test_zorder_skips_files_on_both_dims(spark, tmp_path):
+    from local_lakehouse_spark.operators.layout import (
+        linear_layout,
+        zorder_layout,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n_files = 16
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_layout(df, ["l_orderkey", "l_partkey"], n_files).write.parquet(zpath)
+    linear_layout(df, "l_orderkey", n_files).write.parquet(lpath)
+
+    probe = df.selectExpr(
+        "percentile(l_orderkey, 0.5) p1", "percentile(l_partkey, 0.5) p2"
+    ).first()
+    ok_hit, ok_total = _files_matching(zpath, "l_orderkey", int(probe.p1))
+    pk_hit, pk_total = _files_matching(zpath, "l_partkey", int(probe.p2))
+    lin_ok_hit, _ = _files_matching(lpath, "l_orderkey", int(probe.p1))
+    lin_pk_hit, lin_pk_total = _files_matching(lpath, "l_partkey", int(probe.p2))
+
+    assert ok_total == n_files and pk_total == n_files
+    # Linear layout: perfect pruning on the sort key, none on the other
+    assert lin_ok_hit <= 2
+    assert lin_pk_hit == lin_pk_total
+    # Z-order: real pruning on BOTH clustered columns
+    assert ok_hit <= n_files // 2
+    assert pk_hit <= n_files // 2
+
+
+def test_zorder_key_interleaves(spark):
+    from local_lakehouse_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 3), (3, 0), (3, 3)], "a int, b int"
+    )
+    out = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key(df, ["a", "b"], bits=2).alias("z")
+        ).collect()
+    }
+    # 2-bit ranks over [0,3] are the values themselves; Morton order:
+    # z(a,b) interleaves a into even bits, b into odd bits
+    assert out[(0, 0)] == 0
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+    assert out[(3, 3)] == 0b1111
