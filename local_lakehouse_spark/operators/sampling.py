@@ -16,7 +16,7 @@ runs over the same corpus).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 8 hex chars = 32 bits of the md5 — plenty of resolution for any
@@ -78,3 +78,26 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(_threshold(frac))
         ).otherwise(thr)
     return df.filter(_bucket(F.col(id_col), salt) < thr)
+
+
+def cap_per_group(
+    df: DataFrame, id_col: str, group_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by hash order — the
+    source-capping step of corpus mixing ("no more than N docs per
+    domain"), reproducible across runs and cluster sizes.
+
+    Hash-then-rank ≡ a uniform random cap, but deterministic. One
+    shuffle on the group key; the per-group sort is bounded by group
+    size (cap groups are usually ≪ a partition). Heavily skewed
+    groups (one domain = half the corpus) should be pre-split by
+    salting — see operators/skew.py.
+    """
+    win = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1039,6 +1039,66 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q39(spark, sf):
+    """Window value functions: FIRST_VALUE / LAST_VALUE / NTH_VALUE
+    over an unbounded frame per customer (deterministic order on the
+    unique orderkey)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q39_SQL = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q40(spark, sf):
+    """Ordered string aggregation (LISTAGG/STRING_AGG): Spark builds
+    it as collect_set → array_sort → array_join, which keeps the
+    aggregation partial-aggregatable (map-side combine on the set)."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q40_SQL = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+         AS priorities,
+       COUNT(*) AS cnt
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1082,4 +1142,6 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q36_tpch_q3_shipping_priority": QuerySpec(q36, Q36_SQL),
     "q37_tpch_q5_local_supplier": QuerySpec(q37, Q37_SQL),
     "q38_tpch_q10_returned_items": QuerySpec(q38, Q38_SQL),
+    "q39_window_value_fns": QuerySpec(q39, Q39_SQL),
+    "q40_string_agg": QuerySpec(q40, Q40_SQL),
 }

@@ -795,6 +795,28 @@ FROM customer ORDER BY id
 """
 
 
+def x30(spark, sf):
+    from .operators.sampling import cap_per_group
+
+    return (
+        cap_per_group(t(spark, sf, "documents"), "doc_id", "source", 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+X30_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS rn
+  FROM documents)
+WHERE rn <= 10 ORDER BY doc_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -825,4 +847,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x27_repetition_quality": QuerySpec(x27, X27_SQL),
     "x28_stratified_sample": QuerySpec(x28, X28_SQL),
     "x29_pii_redact": QuerySpec(x29, X29_SQL),
+    "x30_cap_per_group": QuerySpec(x30, X30_SQL),
 }

@@ -380,3 +380,19 @@ def test_pii_redact_patterns(spark):
     assert out[3].redacted == "acct [ID] and card [ID]" and out[3].n_idrun == 2
     assert out[4].redacted == "clean text only"
     assert (out[4].n_email, out[4].n_ip, out[4].n_idrun) == (0, 0, 0)
+
+
+def test_cap_per_group(spark):
+    from local_lakehouse_spark.operators.sampling import cap_per_group
+
+    df = spark.range(0, 500).selectExpr("id AS k", "CAST(id % 5 AS STRING) AS g")
+    out = cap_per_group(df, "k", "g", 20)
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert all(v == 20 for v in counts.values()) and len(counts) == 5
+    # deterministic: same rows every run
+    a = {r.k for r in out.collect()}
+    b = {r.k for r in cap_per_group(df, "k", "g", 20).collect()}
+    assert a == b
+    # groups under the cap are untouched
+    small = cap_per_group(df.filter("k < 7"), "k", "g", 20)
+    assert small.count() == 7
