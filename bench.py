@@ -32,6 +32,7 @@ HEADLINE = [
     "q22_window_moving",
     "q29_correlated_subquery",
     "q31_array_explode",
+    "q37_tpch_q5_local_supplier",
     "x01_dedup_exact",
     "x02_dedup_ngram_jaccard",
     "x03_dedup_minhash_lsh",
@@ -39,6 +40,7 @@ HEADLINE = [
     "x10_fingerprint",
     "x11_asof_join",
     "x13_sessionize",
+    "x26_chunk_documents",
 ]
 
 

@@ -817,6 +817,46 @@ WHERE rn <= 10 ORDER BY doc_id
 """
 
 
+def x31(spark, sf):
+    """Int8 quantization projected to scalar checksums (q_sum/min/max/
+    nnz) so the oracle compares exact values without array-typed
+    output columns."""
+    from .operators.similarity import quantize_embeddings
+
+    qdf = quantize_embeddings(t(spark, sf, "embeddings"), "vec_id", "embedding")
+    q = F.col("q")
+    return qdf.select(
+        "id",
+        "scale",
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, v: a + v).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.size(F.filter(q, lambda v: v != 0)).alias("nnz"),
+    ).orderBy("id")
+
+
+X31_SQL = """
+WITH base AS (
+  SELECT vec_id AS id,
+         CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE) AS mx
+  FROM embeddings),
+qv AS (
+  SELECT e.vec_id AS id,
+         CASE WHEN b.mx = 0 THEN 1.0 ELSE b.mx / 127 END AS scale,
+         list_transform(e.embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE)
+                / (CASE WHEN b.mx = 0 THEN 1.0 ELSE b.mx / 127 END)
+                + 0.5) AS INT)) AS q
+  FROM embeddings e JOIN base b ON e.vec_id = b.id)
+SELECT id, scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_min(q) AS INT) AS q_min,
+       CAST(list_max(q) AS INT) AS q_max,
+       CAST(len(list_filter(q, x -> x != 0)) AS INT) AS nnz
+FROM qv ORDER BY id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -848,4 +888,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x28_stratified_sample": QuerySpec(x28, X28_SQL),
     "x29_pii_redact": QuerySpec(x29, X29_SQL),
     "x30_cap_per_group": QuerySpec(x30, X30_SQL),
+    "x31_quantize_embeddings": QuerySpec(x31, X31_SQL),
 }

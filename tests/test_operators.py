@@ -396,3 +396,21 @@ def test_cap_per_group(spark):
     # groups under the cap are untouched
     small = cap_per_group(df.filter("k < 7"), "k", "g", 20)
     assert small.count() == 7
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from local_lakehouse_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.id: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    # scale = 1.0/127; q = round(v * 127)
+    assert out[1].q == [127, -63, 32, 0]
+    assert abs(out[1].scale - 1.0 / 127) < 1e-12
+    # dequantization error bounded by scale/2 per component
+    for orig, qi in zip([1.0, -0.5, 0.25, 0.0], out[1].q):
+        assert abs(qi * out[1].scale - orig) <= out[1].scale / 2 + 1e-12
+    # all-zero vector: scale 1, q all zero (no div-by-zero)
+    assert out[2].scale == 1.0 and out[2].q == [0, 0, 0, 0]
