@@ -106,5 +106,46 @@ client.sql(
     "SELECT * FROM unity.default.filtered_table "
     "WHERE filter_col = FALSE ORDER BY id"
 ).show()
+print("-" * 50)
+
+# ---------------------------------------------------------------
+# Beyond the reference: the training-data pipeline, composed.
+# documents → chunk → repetition-quality gate → stratified sample
+# → per-source cap → (embeddings) int8 quantization. Every step is
+# a declarative DataFrame transform — one pipeline, one plan.
+# ---------------------------------------------------------------
+from local_lakehouse_spark.operators.sampling import (  # noqa: E402
+    cap_per_group,
+    stratified_sample,
+)
+from local_lakehouse_spark.operators.similarity import (  # noqa: E402
+    quantize_embeddings,
+)
+from local_lakehouse_spark.operators.text import (  # noqa: E402
+    chunk_documents,
+    repetition_score,
+)
+
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+admitted = (
+    stratified_sample(docs, "doc_id", "lang", {"en": 1.0, "de": 0.5}, salt="demo")
+    .transform(lambda d: cap_per_group(d, "doc_id", "source", 5))
+    .join(
+        repetition_score(docs, "doc_id", "text").filter("keep = 1"),
+        F.col("doc_id") == F.col("id"),
+        "left_semi",
+    )
+)
+chunks = chunk_documents(admitted, "doc_id", "text", chunk_chars=120, stride=90)
+print(
+    f"Pipeline: {docs.count()} docs -> {admitted.count()} admitted "
+    f"-> {chunks.count()} training chunks"
+)
+chunks.orderBy("id", "start").show(5)
+
+vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+print("Embeddings int8-quantized for the ANN index (4x smaller):")
+quantize_embeddings(vecs, "vec_id", "embedding").show(3)
 
 spark.stop()
