@@ -380,6 +380,21 @@ class LakehouseClient:
     # single-quoted SQL string literal, '' = escaped quote
     _STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+"
+        r'("?\w+"?)\.("?\w+"?)\.("?\w+"?)\s+'
+        r"(SELECT|VALUES|WITH)\b(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _CTAS_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+"
+        r'("?\w+"?)\.("?\w+"?)\.("?\w+"?)\s+'
+        r"(?:USING\s+(\w+)\s+)?"
+        r"(?:LOCATION\s+'([^']+)'\s+)?"
+        r"AS\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL referencing ``catalog.schema.table`` names.
 
@@ -388,8 +403,45 @@ class LakehouseClient:
         text is rewritten to the view name; unknown names are left for
         Spark to resolve (error parity with the reference where DuckDB
         raises on unknown tables). Parity: client.py:537-544.
+
+        Beyond the reference (whose SQL surface is read-only,
+        README.md:29-31): ``INSERT INTO|OVERWRITE c.s.t SELECT ...``
+        and ``CREATE TABLE c.s.t [USING fmt] [LOCATION '...'] AS
+        SELECT ...`` route through the governed write matrix
+        (write_table / create_as_table) — same schema checks, same
+        metastore bookkeeping as the DataFrame API, never a raw path
+        write.
         """
         spark = self._require_spark()
+
+        m = self._INSERT_RE.match(query)
+        if m:
+            verb, cat, sch, tbl, kw, rest = m.groups()
+            df = self.sql(kw + rest)
+            self.write_table(
+                df,
+                cat.strip('"'),
+                sch.strip('"'),
+                tbl.strip('"'),
+                mode=WriteMode.APPEND
+                if verb.upper() == "INTO"
+                else WriteMode.OVERWRITE,
+                schema_evolution=SchemaEvolution.STRICT,
+            )
+            return spark.createDataFrame([], "rows string")
+        m = self._CTAS_RE.match(query)
+        if m:
+            cat, sch, tbl, fmt, loc, select = m.groups()
+            df = self.sql(select)
+            self.create_as_table(
+                df,
+                cat.strip('"'),
+                sch.strip('"'),
+                tbl.strip('"'),
+                file_type=(fmt or "parquet").upper(),
+                location=loc,
+            )
+            return spark.createDataFrame([], "rows string")
 
         def repl(m: re.Match) -> str:
             cat, sch, tbl = (p.strip('"') for p in m.groups())

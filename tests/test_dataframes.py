@@ -290,3 +290,49 @@ def test_optimize_table_zorder(unity, tmp_path):
     assert len(files) == 8
     after = sorted(tuple(r) for r in unity.read_table("unity", "default", "zt").collect())
     assert after == before
+
+
+def test_sql_insert_and_ctas(unity, tmp_path):
+    """SQL write statements route through the governed write matrix."""
+    spark = unity._require_spark()
+    base = spark.range(0, 5).selectExpr("id", "id * 10 AS v")
+    unity.create_as_table(
+        base, "unity", "default", "src", location=f"file://{tmp_path}/src"
+    )
+
+    # CTAS with LOCATION: new table from a SELECT over a 3-level name
+    unity.sql(
+        f"CREATE TABLE unity.default.big LOCATION '{tmp_path}/big' "
+        "AS SELECT id, v FROM unity.default.src WHERE v >= 20"
+    )
+    got = unity.sql("SELECT * FROM unity.default.big ORDER BY id")
+    assert [(r.id, r.v) for r in got.collect()] == [(2, 20), (3, 30), (4, 40)]
+
+    # INSERT OVERWRITE replaces contents
+    unity.sql(
+        "INSERT OVERWRITE unity.default.big SELECT id, v "
+        "FROM unity.default.src WHERE v < 20"
+    )
+    got = unity.sql("SELECT * FROM unity.default.big ORDER BY id")
+    assert [(r.id, r.v) for r in got.collect()] == [(0, 0), (1, 10)]
+
+    # INSERT statements go through write_table's policy, not a raw
+    # path write: strict schema check fires first (VALUES columns are
+    # col1/col2:int, table wants id/v:bigint)...
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+
+    with pytest.raises(SchemaMismatchError):
+        unity.sql("INSERT INTO unity.default.big VALUES (9, 90)")
+    # ...and a schema-clean INSERT INTO appends through the matrix
+    # (directory-parquet append is supported; only the single-file
+    # layout rejects it, as in the reference).
+    unity.sql(
+        "INSERT INTO unity.default.big "
+        "SELECT CAST(9 AS BIGINT) AS id, CAST(90 AS BIGINT) AS v"
+    )
+    got = unity.sql("SELECT * FROM unity.default.big ORDER BY id")
+    assert [(r.id, r.v) for r in got.collect()] == [(0, 0), (1, 10), (9, 90)]
+
+    # CTAS without LOCATION: external-only parity guard
+    with pytest.raises(UnsupportedOperationError):
+        unity.sql("CREATE TABLE unity.default.nope AS SELECT 1 AS x")
