@@ -1099,6 +1099,87 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q41(spark, sf):
+    """TPC-H Q12 shape (shipping-priority audit): fact⋈fact join with
+    a date-window scan filter feeding a conditional aggregation —
+    the CASE arms become two map-side partial sums, one shuffle on
+    the single group key. (Schema note: no l_shipmode/l_commitdate in
+    testdata; l_returnflag groups, l_shipdate windows.)
+    """
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q41_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q42(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    aggregate subquery re-joined to its fact — the classic
+    "aggregate, then semi-enrich" pipeline. The big-orders aggregate
+    shrinks to a small key set before any join, so both enrichment
+    joins broadcast it.
+    """
+    big = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(_r(F.sum("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = t(spark, sf, "orders")
+    customer = t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q42_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN (SELECT l_orderkey,
+             FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 > 150) big
+  ON o_orderkey = big.l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1144,4 +1225,6 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q38_tpch_q10_returned_items": QuerySpec(q38, Q38_SQL),
     "q39_window_value_fns": QuerySpec(q39, Q39_SQL),
     "q40_string_agg": QuerySpec(q40, Q40_SQL),
+    "q41_tpch_q12_conditional_agg": QuerySpec(q41, Q41_SQL),
+    "q42_tpch_q18_having_join": QuerySpec(q42, Q42_SQL),
 }
