@@ -38,6 +38,9 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any pandas UDF / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let Python DataSources (sources/synthetic.py) absorb
+        # predicates and prune their input partitions at plan time.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,146 @@
+"""`synthetic_docs` — a Python DataSource (Spark 4 DataSource API)
+that GENERATES a deterministic document corpus instead of reading
+files. The dev/scale-testing companion to the pipeline operators:
+spin up 100M rows of schema-identical fake documents across every
+executor without writing a byte to storage.
+
+Spark-native behavior implemented from scratch:
+
+- **Partition planning**: ``partitions()`` splits the doc_id range
+  into contiguous slices, one per task — generation parallelizes
+  across the cluster like any file scan.
+- **Filter pushdown** (opt-in: ``.option("pushdown", "true")``):
+  ``pushFilters`` absorbs doc_id range predicates and prunes whole
+  partitions before they are scheduled (the Python-source analog of
+  parquet min/max file skipping); remaining filters stay with Spark.
+  Opt-in because Spark's Python-DataSource integration caches the
+  last negotiated scan on the relation: re-using ONE load()ed
+  DataFrame for a second query after planning a filtered one can
+  replay the previous pushdown's pruning (measured on 4.1.2 —
+  presumably why ``spark.sql.python.filterPushdown.enabled``
+  defaults to false). Enable it when each query does its own
+  ``load()`` — which is how ``queries()`` entries and pipelines
+  here use sources.
+- **Determinism**: every document is derived from (seed, doc_id)
+  alone — the same rows come back under any partitioning, any
+  pushdown, any cluster size. Sampling/dedup tests can rely on
+  exact equality.
+
+Python generation is the slow path by design (this is a dev source,
+~100k rows/s/task); the schema matches testdata's ``documents`` so
+every x-series operator runs on it unchanged.
+
+Usage::
+
+    register_sources(spark)
+    docs = (spark.read.format("synthetic_docs")
+            .option("n_docs", 1_000_000).option("partitions", 64)
+            .load())
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "line sort window big small filter data column join customer query "
+    "order group stream vector the a"
+).split()
+LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]
+
+
+@dataclass
+class _Slice(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.seed = int(options.get("seed", 0))
+        self.prune = str(options.get("pushdown", "false")).lower() == "true"
+        self.lo = 0
+        self.hi = self.n_docs  # exclusive
+
+    # -- planning ----------------------------------------------------
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        if not self.prune:
+            yield from filters
+            return
+        for f in filters:
+            ref = getattr(f, "attribute", None)
+            if ref == ("doc_id",):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, IsNotNull):
+                    continue
+            yield f  # not handled -> Spark keeps evaluating it
+
+    def partitions(self) -> List[InputPartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        if hi <= lo:
+            return [_Slice(lo, lo)]
+        n = min(self.n_parts, hi - lo)
+        step = (hi - lo + n - 1) // n
+        return [_Slice(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    # -- execution ---------------------------------------------------
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            rng = random.Random((self.seed << 40) ^ doc_id)
+            n_words = rng.randint(10, 120)
+            text = " ".join(rng.choice(VOCAB) for _ in range(n_words))
+            yield (
+                doc_id,
+                text,
+                LANGS[doc_id % len(LANGS)],
+                f"src{doc_id % 20}",
+                len(text),
+            )
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return (
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(dict(self.options))
+
+
+def register_sources(spark) -> None:
+    """Register all custom sources on a session (idempotent)."""
+    spark.dataSource.register(SyntheticDocsDataSource)
