@@ -1180,6 +1180,70 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+def q43(spark, sf):
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    with a range condition — Catalyst decorrelates it into a left
+    semi join carrying the non-equi predicate, so the fact side is
+    scanned once, no subquery-per-row.
+    """
+    lo = F.lit("1996-07-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    lineitem = t(spark, sf, "lineitem")
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q43_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q44(spark, sf):
+    """TPC-H Q6 shape (forecast revenue change): the canonical pure
+    scan-aggregate — every predicate reaches the parquet reader as a
+    pushed filter, zero joins, one-row result."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q44_SQL = """
+SELECT FLOOR((SUM(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1227,4 +1291,6 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q40_string_agg": QuerySpec(q40, Q40_SQL),
     "q41_tpch_q12_conditional_agg": QuerySpec(q41, Q41_SQL),
     "q42_tpch_q18_having_join": QuerySpec(q42, Q42_SQL),
+    "q43_tpch_q4_exists": QuerySpec(q43, Q43_SQL),
+    "q44_tpch_q6_scan_agg": QuerySpec(q44, Q44_SQL),
 }
