@@ -144,3 +144,109 @@ class SyntheticDocsDataSource(DataSource):
 def register_sources(spark) -> None:
     """Register all custom sources on a session (idempotent)."""
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# synthetic_events — a STREAMING Python DataSource: a deterministic,
+# replayable event stream for exercising the streaming operators
+# (tumbling/sliding/session windows, dedup, stateful sessionize)
+# without files or external systems.
+#
+# Offsets are plain row indices ({"index": n}): each micro-batch
+# covers [start, end) and is split into task partitions, so a batch
+# parallelizes like any source. Event payloads derive from
+# (seed, row index) alone — a restarted or replayed query
+# regenerates byte-identical events, which is exactly the
+# reproducibility Structured Streaming's exactly-once contract
+# assumes of a source.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+@dataclass
+class _EventSlice(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+def _event_row(seed: int, i: int) -> tuple:
+    rng = random.Random((seed << 40) ^ i)
+    # event-time advances ~1s per row with jitter; sessions emerge
+    # from user_id reuse across nearby rows.
+    ts_micros = 1_700_000_000_000_000 + i * 1_000_000 + rng.randint(0, 900_000)
+    return (
+        i,
+        ts_micros,
+        rng.randint(0, 49),
+        round(rng.uniform(0.0, 100.0), 3),
+    )
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.seed = int(options.get("seed", 0))
+        self.max_rows = int(options.get("max_rows", 10_000))
+        self.n_parts = max(1, int(options.get("partitions", 4)))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # everything up to the cap is available now; an availableNow
+        # trigger captures this once and drains it (batch granularity
+        # is an engine admission-control concern the Python stream API
+        # doesn't expose — parallelism comes from partitions()).
+        return {"index": self.max_rows}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["index"]), int(end["index"])
+        if hi <= lo:
+            return [_EventSlice(lo, lo)]
+        n = min(self.n_parts, hi - lo)
+        step = (hi - lo + n - 1) // n
+        return [_EventSlice(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _EventSlice) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _event_row(self.seed, i)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — regeneration is free
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, ts_micros bigint, user_id int, value double"
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(dict(self.options))
+
+    def reader(self, schema):
+        # batch twin: the full capped range in one shot, so batch
+        # oracles can validate streaming results row-for-row.
+        return _EventsBatchReader(dict(self.options))
+
+
+class _EventsBatchReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.seed = int(options.get("seed", 0))
+        self.max_rows = int(options.get("max_rows", 10_000))
+        self.n_parts = max(1, int(options.get("partitions", 4)))
+
+    def partitions(self) -> List[InputPartition]:
+        n = min(self.n_parts, max(1, self.max_rows))
+        step = (self.max_rows + n - 1) // n
+        return [
+            _EventSlice(s, min(s + step, self.max_rows))
+            for s in range(0, self.max_rows, step)
+        ]
+
+    def read(self, partition: _EventSlice) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _event_row(self.seed, i)

@@ -70,3 +70,70 @@ def test_synthetic_docs_feed_pipeline(synth):
     sampled = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
     langs = {r.lang for r in sampled.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_synthetic_events_stream_matches_batch_twin(spark, tmp_path):
+    """The streaming source replayed with availableNow produces
+    exactly the rows of its batch twin — the reproducibility contract
+    Structured Streaming's exactly-once semantics assume."""
+    register_sources(spark)
+    opts = {"max_rows": "2500", "partitions": "3"}
+
+    reader = spark.readStream.format("synthetic_events")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    stream = reader.load()
+    assert stream.isStreaming
+
+    sink = f"events_sink_{tmp_path.name}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.table(sink).collect())
+    batch = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        batch = batch.option(k, v)
+    want = sorted(tuple(r) for r in batch.load().collect())
+    assert len(got) == 2500
+    assert got == want
+
+
+def test_synthetic_events_windowed_agg(spark, tmp_path):
+    """Event-time tumbling aggregation over the generated stream."""
+    import pyspark.sql.functions as F
+
+    register_sources(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("max_rows", "1200")
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.col("ts_micros")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = f"win_sink_{tmp_path.name}"
+    q = (
+        agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(sink).collect()
+    # 1200 events x ~1s spacing = 20 min -> 4 full 5-min windows
+    # (complete mode emits every window; a single availableNow batch
+    # never closes windows in append mode — watermarks advance
+    # between batches)
+    assert sum(r.n for r in rows) == 1200
+    assert len(rows) in (4, 5)
+    assert all(r.n <= 301 for r in rows)
