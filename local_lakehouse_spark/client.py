@@ -171,10 +171,55 @@ class LakehouseClient:
 
     # -- Table I/O -----------------------------------------------------------
 
-    def read_table(self, catalog: str, schema: str, name: str) -> DataFrame:
-        """Parity: client.py:309-314. Lazy Spark DataFrame."""
+    def read_table(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        version: Optional[int] = None,
+    ) -> DataFrame:
+        """Parity: client.py:309-314. Lazy Spark DataFrame.
+
+        ``version``: time travel — read a retained snapshot (created
+        automatically by full rewrites; see ``table_history``).
+        Beyond the reference, which has no versioning.
+        """
         tbl = self.get_table(catalog, schema, name)
-        return _io.read_table(self._require_spark(), tbl)
+        return _io.read_table(self._require_spark(), tbl, version=version)
+
+    def table_history(self, catalog: str, schema: str, name: str) -> list[int]:
+        """Retained snapshot versions (oldest first) for time travel.
+        Full rewrites retire the previous contents as renames only —
+        the metadata-cost profile of Delta's log-retained versions;
+        in-place mutations (partitioned append / dynamic partition
+        overwrite) are not snapshotted (that granularity is what a
+        commit log buys — DELTA tables use delta-spark's own time
+        travel)."""
+        tbl = self.get_table(catalog, schema, name)
+        return _io.snapshot_versions(tbl.storage_location.removeprefix("file://"))
+
+    def restore_table(
+        self, catalog: str, schema: str, name: str, version: int
+    ) -> None:
+        """Make a retained snapshot the current table contents. The
+        pre-restore contents are themselves retired as a new snapshot
+        first, so a restore is always reversible."""
+        df = self.read_table(catalog, schema, name, version=version)
+        self.write_table(
+            df, catalog, schema, name,
+            mode=WriteMode.OVERWRITE,
+            schema_evolution=SchemaEvolution.OVERWRITE,
+        )
+
+    def vacuum_table(
+        self, catalog: str, schema: str, name: str, keep: int = 0
+    ) -> list[int]:
+        """Drop retained snapshots beyond the newest ``keep``;
+        returns the versions removed (VACUUM analog)."""
+        tbl = self.get_table(catalog, schema, name)
+        return _io.vacuum_snapshots(
+            tbl.storage_location.removeprefix("file://"), keep=keep
+        )
 
     def scan_table(self, catalog: str, schema: str, name: str) -> DataFrame:
         """Parity: client.py:316-321 — Spark DataFrames are always lazy,

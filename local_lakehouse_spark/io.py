@@ -35,7 +35,11 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .exceptions import SchemaMismatchError, UnsupportedOperationError
+from .exceptions import (
+    DoesNotExistError,
+    SchemaMismatchError,
+    UnsupportedOperationError,
+)
 from .models import Column, FileType, SchemaEvolution, Table, WriteMode
 from .types_map import (
     check_schemas_equal,
@@ -139,25 +143,114 @@ def read_format_path(
     raise UnsupportedOperationError(f"Unsupported file type {file_type}")
 
 
-def read_table(spark: SparkSession, table: Table) -> DataFrame:
+def read_table(
+    spark: SparkSession, table: Table, version: Optional[int] = None
+) -> DataFrame:
     """Catalog entry → DataFrame. Parity: dataframe.py:191-228.
 
     ``scan_table`` (dataframe.py:231-268) is identical because Spark
     DataFrames are always lazy (SURVEY §1.3) — the client exposes both
     names over this one function.
+
+    ``version``: read a retained snapshot (time travel) instead of the
+    current contents — see the snapshot section below. The snapshot
+    keeps the table's full layout (incl. hive partition dirs), so the
+    same reader dispatch applies.
     """
     if not table.storage_location:
         raise UnsupportedOperationError(
             f"Table {table.full_name} has no storage location"
         )
+    location = table.storage_location
+    if version is not None:
+        location = "file://" + snapshot_path(
+            location.removeprefix("file://"), version
+        )
     return read_format_path(
-        spark, table.file_type, table.storage_location, table.columns or None
+        spark, table.file_type, location, table.columns or None
     )
 
 
 # ---------------------------------------------------------------------------
 # Write helpers
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Snapshot versioning (time travel without a Delta log)
+#
+# Every FULL rewrite of a table (directory swap or single-file
+# replace) retires the previous contents into a sibling
+# ``<path>.__snapshots/v{N}`` instead of deleting them — renames
+# only, no data copied, the same metadata-cost profile as Delta's
+# log-retained versions. ``SNAPSHOT_KEEP`` bounds history (0
+# disables). Coarse-grained by design: in-place mutations
+# (directory-parquet append, dynamic partition overwrite) do not
+# snapshot — that finer granularity is exactly what a commit log
+# buys, and DELTA tables get it from delta-spark's own time travel.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_KEEP = 3
+
+
+def _snap_root(dest: str) -> str:
+    return dest.rstrip("/") + ".__snapshots"
+
+
+def snapshot_versions(dest: str) -> list[int]:
+    """Retained version numbers for a table path, oldest first."""
+    root = _snap_root(dest)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(n[1:])
+        for n in os.listdir(root)
+        if n.startswith("v") and n[1:].isdigit()
+    )
+
+
+def snapshot_path(dest: str, version: int) -> str:
+    """Path of a retained version; raises if not retained."""
+    if version not in snapshot_versions(dest):
+        raise DoesNotExistError(
+            f"version {version} of {dest} is not retained "
+            f"(have: {snapshot_versions(dest)})"
+        )
+    return os.path.join(_snap_root(dest), f"v{version}")
+
+
+def _drop_path(p: str) -> None:
+    if os.path.isdir(p):
+        shutil.rmtree(p, ignore_errors=True)
+    elif os.path.exists(p):
+        os.unlink(p)
+
+
+def _retire_version(old_path: str, dest: str) -> None:
+    """Move a table's previous contents into the snapshot area and
+    prune history beyond SNAPSHOT_KEEP. Pure renames."""
+    if SNAPSHOT_KEEP <= 0:
+        _drop_path(old_path)
+        return
+    root = _snap_root(dest)
+    os.makedirs(root, exist_ok=True)
+    versions = snapshot_versions(dest)
+    nxt = (versions[-1] + 1) if versions else 1
+    os.replace(old_path, os.path.join(root, f"v{nxt}"))
+    for v in snapshot_versions(dest)[:-SNAPSHOT_KEEP]:
+        _drop_path(os.path.join(root, f"v{v}"))
+
+
+def vacuum_snapshots(dest: str, keep: int = 0) -> list[int]:
+    """Drop retained versions beyond the newest ``keep``; returns the
+    versions removed."""
+    versions = snapshot_versions(dest)
+    victims = versions if keep <= 0 else versions[:-keep]
+    for v in victims:
+        _drop_path(os.path.join(_snap_root(dest), f"v{v}"))
+    if not snapshot_versions(dest) and os.path.isdir(_snap_root(dest)):
+        shutil.rmtree(_snap_root(dest), ignore_errors=True)
+    return victims
 
 
 def _write_single_file(df: DataFrame, fmt: str, dest_file: str, **options) -> None:
@@ -181,10 +274,8 @@ def _write_single_file(df: DataFrame, fmt: str, dest_file: str, **options) -> No
     if part is None:  # pragma: no cover - defensive
         shutil.rmtree(tmp, ignore_errors=True)
         raise UnsupportedOperationError(f"No part file produced writing {dest_file}")
-    if os.path.isdir(dest_file):
-        shutil.rmtree(dest_file)
-    elif os.path.exists(dest_file):
-        os.unlink(dest_file)
+    if os.path.exists(dest_file):
+        _retire_version(dest_file, dest_file)
     os.replace(part, dest_file)
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -200,7 +291,8 @@ def _atomic_swap_dir(write_tmp: str, dest: str) -> None:
         if os.path.exists(old):
             os.replace(old, dest)
         raise
-    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(old):
+        _retire_version(old, dest)
 
 
 def _rewrite_table_dir(df: DataFrame, fmt: str, dest: str, partition_by=None, **options) -> None:

@@ -336,3 +336,60 @@ def test_sql_insert_and_ctas(unity, tmp_path):
     # CTAS without LOCATION: external-only parity guard
     with pytest.raises(UnsupportedOperationError):
         unity.sql("CREATE TABLE unity.default.nope AS SELECT 1 AS x")
+
+
+def test_time_travel_snapshots(unity, tmp_path):
+    """Full rewrites retire versions; read_table(version=) time
+    travels; restore is reversible; vacuum prunes."""
+    spark = unity._require_spark()
+    loc = f"file://{tmp_path}/tt"
+
+    def frame(tag):
+        return spark.range(0, 3).selectExpr("id", f"'{tag}' AS tag")
+
+    unity.create_as_table(frame("v1"), "unity", "default", "tt", location=loc)
+    assert unity.table_history("unity", "default", "tt") == []
+
+    unity.write_table(frame("v2"), "unity", "default", "tt", mode="overwrite")
+    unity.write_table(frame("v3"), "unity", "default", "tt", mode="overwrite")
+    assert unity.table_history("unity", "default", "tt") == [1, 2]
+
+    def tags(df):
+        return {r.tag for r in df.select("tag").distinct().collect()}
+
+    assert tags(unity.read_table("unity", "default", "tt")) == {"v3"}
+    assert tags(unity.read_table("unity", "default", "tt", version=1)) == {"v1"}
+    assert tags(unity.read_table("unity", "default", "tt", version=2)) == {"v2"}
+
+    # restore v1 -> current becomes v1, pre-restore (v3) retired
+    unity.restore_table("unity", "default", "tt", version=1)
+    assert tags(unity.read_table("unity", "default", "tt")) == {"v1"}
+    hist = unity.table_history("unity", "default", "tt")
+    assert tags(unity.read_table("unity", "default", "tt", version=hist[-1])) == {"v3"}
+
+    # vacuum to 1 retained version
+    removed = unity.vacuum_table("unity", "default", "tt", keep=1)
+    assert removed and unity.table_history("unity", "default", "tt") == [hist[-1]]
+
+    from local_lakehouse_spark.exceptions import DoesNotExistError
+
+    with pytest.raises(DoesNotExistError):
+        unity.read_table("unity", "default", "tt", version=99)
+
+
+def test_time_travel_single_file_csv(unity, tmp_path):
+    """Snapshot versioning also covers single-FILE table rewrites."""
+    spark = unity._require_spark()
+    loc = str(tmp_path / "sf.csv")
+    df1 = spark.createDataFrame([(1, "a")], "id int, s string")
+    df2 = spark.createDataFrame([(2, "b")], "id int, s string")
+    unity.create_as_table(
+        df1, "unity", "default", "sfcsv", file_type="csv",
+        location=f"file://{loc}",
+    )
+    unity.write_table(df2, "unity", "default", "sfcsv", mode="overwrite")
+    assert unity.table_history("unity", "default", "sfcsv") == [1]
+    old = unity.read_table("unity", "default", "sfcsv", version=1)
+    assert [(r.id, r.s) for r in old.collect()] == [(1, "a")]
+    cur = unity.read_table("unity", "default", "sfcsv")
+    assert [(r.id, r.s) for r in cur.collect()] == [(2, "b")]
