@@ -421,6 +421,7 @@ class LakehouseClient:
     _NAME_RE = re.compile(
         r'(?<![\w.])([A-Za-z_][\w$]*|"[^"]+")\.([A-Za-z_][\w$]*|"[^"]+")\.'
         r'([A-Za-z_][\w$]*|"[^"]+")(?![\w.])'
+        r"(?:\s+(?i:VERSION\s+AS\s+OF)\s+(\d+))?"
     )
     # single-quoted SQL string literal, '' = escaped quote
     _STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
@@ -489,13 +490,18 @@ class LakehouseClient:
             return spark.createDataFrame([], "rows string")
 
         def repl(m: re.Match) -> str:
-            cat, sch, tbl = (p.strip('"') for p in m.groups())
+            cat, sch, tbl = (p.strip('"') for p in m.groups()[:3])
+            version = int(m.group(4)) if m.group(4) else None
             try:
                 table = self.get_table(cat, sch, tbl)
             except DoesNotExistError:
                 return m.group(0)
-            view = f"__llh_{cat}_{sch}_{tbl}"
-            _io.read_table(spark, table).createOrReplaceTempView(view)
+            view = f"__llh_{cat}_{sch}_{tbl}" + (
+                f"_v{version}" if version is not None else ""
+            )
+            _io.read_table(spark, table, version=version).createOrReplaceTempView(
+                view
+            )
             return view
 
         # Rewrite only OUTSIDE single-quoted string literals — a

@@ -393,3 +393,29 @@ def test_time_travel_single_file_csv(unity, tmp_path):
     assert [(r.id, r.s) for r in old.collect()] == [(1, "a")]
     cur = unity.read_table("unity", "default", "sfcsv")
     assert [(r.id, r.s) for r in cur.collect()] == [(2, "b")]
+
+
+def test_sql_version_as_of(unity, tmp_path):
+    """Delta-style `VERSION AS OF n` time travel in client.sql."""
+    spark = unity._require_spark()
+    loc = f"file://{tmp_path}/vt"
+    unity.create_as_table(
+        spark.range(0, 3).selectExpr("id", "'old' AS tag"),
+        "unity", "default", "vt", location=loc,
+    )
+    unity.write_table(
+        spark.range(0, 4).selectExpr("id", "'new' AS tag"),
+        "unity", "default", "vt", mode="overwrite",
+    )
+    cur = unity.sql("SELECT COUNT(*) AS n FROM unity.default.vt").first()
+    old = unity.sql(
+        "SELECT COUNT(*) AS n FROM unity.default.vt VERSION AS OF 1"
+    ).first()
+    assert (cur.n, old.n) == (4, 3)
+    both = unity.sql(
+        "SELECT a.tag AS cur_tag, b.tag AS old_tag "
+        "FROM unity.default.vt a "
+        "JOIN unity.default.vt VERSION AS OF 1 b ON a.id = b.id "
+        "LIMIT 1"
+    ).first()
+    assert (both.cur_tag, both.old_tag) == ("new", "old")
