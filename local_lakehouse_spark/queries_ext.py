@@ -857,6 +857,56 @@ FROM qv ORDER BY id
 """
 
 
+def _stage_events(sf: str) -> str:
+    """Expose the single events parquet file through a symlinked
+    staging dir (file-source streams need a directory; testdata is
+    read-only)."""
+    import hashlib
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "llh_stream_" + hashlib.md5(sf.encode()).hexdigest()[:8],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    return stage
+
+
+def x32(spark, sf):
+    """Stream-stream interval join (conversion attribution), replayed
+    with availableNow; append-mode inner join emits matches as both
+    sides arrive — the batch SQL twin is the oracle."""
+    import hashlib
+
+    from .streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    stage = _stage_events(sf)
+    joined = streaming_interval_join(
+        read_events_stream(spark, stage), read_events_stream(spark, stage)
+    )
+    name = "x32_sink_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    run_stream_to_memory(joined, name, complete=False)
+    return spark.table(name).orderBy("id_a", "id_b")
+
+
+X32_SQL = """
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOURS
+ORDER BY id_a, id_b
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -889,4 +939,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x29_pii_redact": QuerySpec(x29, X29_SQL),
     "x30_cap_per_group": QuerySpec(x30, X30_SQL),
     "x31_quantize_embeddings": QuerySpec(x31, X31_SQL),
+    "x32_streaming_interval_join": QuerySpec(x32, X32_SQL),
 }

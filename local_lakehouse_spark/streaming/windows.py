@@ -403,3 +403,52 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    within: str = "24 hours",
+    watermark: str = "25 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval bound:
+    (id_a, id_b, user_id) pairs where a ``type_b`` event follows the
+    same user's ``type_a`` event within ``within`` — the conversion /
+    attribution join of an event pipeline.
+
+    The watermark plus the two-sided time constraint is what makes
+    this runnable forever: each side's buffered state is evictable
+    once the other side's watermark passes ts + within, so state is
+    bounded by (watermark horizon × arrival rate), not by stream
+    length. Both inputs must be separate streaming readers of the
+    source (a self-joined single reader would share one watermark
+    column).
+    """
+    a = (
+        left.filter(F.col("event_type") == type_a)
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("user_id").alias("user_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", watermark)
+    )
+    b = (
+        right.filter(F.col("event_type") == type_b)
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", watermark)
+    )
+    return a.join(
+        b,
+        F.expr(
+            "user_a = user_b AND ts_b > ts_a "
+            f"AND ts_b <= ts_a + interval {within}"
+        ),
+        "inner",
+    ).select("id_a", "id_b", F.col("user_a").alias("user_id"))

@@ -175,3 +175,48 @@ def test_streaming_rollup_incremental_batches(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (availableNow replay) must equal
+    the batch range join over the same events."""
+    import pyspark.sql.functions as F
+
+    from local_lakehouse_spark.queries import events_table
+    from local_lakehouse_spark.queries_ext import _stage_events
+    from local_lakehouse_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stage = _stage_events(sf)
+    joined = streaming_interval_join(
+        read_events_stream(spark, stage),
+        read_events_stream(spark, stage),
+        within="48 hours",
+        watermark="49 hours",
+    )
+    run_stream_to_memory(joined, "ivj_sink", complete=False)
+    got = sorted(
+        (r.id_a, r.id_b, r.user_id) for r in spark.table("ivj_sink").collect()
+    )
+
+    ev = events_table(spark, sf)
+    a = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS id_a", "user_id AS u", "ts AS ts_a"
+    )
+    b = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS id_b", "user_id AS v", "ts AS ts_b"
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.u)
+        for r in a.join(
+            b,
+            F.expr(
+                "u = v AND ts_b > ts_a AND ts_b <= ts_a + interval 48 hours"
+            ),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
