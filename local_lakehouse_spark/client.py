@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import io as _io
 from .exceptions import (
+    ConstraintViolationError,
     DoesNotExistError,
     SQLEngineSetupError,
     UnsupportedOperationError,
@@ -211,6 +212,120 @@ class LakehouseClient:
             schema_evolution=SchemaEvolution.OVERWRITE,
         )
 
+    # -- Constraints & statistics (beyond the reference) --------------------
+
+    CONSTRAINT_PREFIX = "llh.constraint."
+    STATS_PROPERTY = "llh.stats"
+
+    @staticmethod
+    def _violations(df: DataFrame, predicate: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        # SQL CHECK semantics: a row passes when the predicate is TRUE
+        # or NULL; only FALSE is a violation.
+        return df.filter(~F.coalesce(F.expr(predicate), F.lit(True)))
+
+    def _check_constraints(self, df: DataFrame, tbl: Table) -> None:
+        for key, predicate in tbl.properties.items():
+            if not key.startswith(self.CONSTRAINT_PREFIX):
+                continue
+            bad = self._violations(df, predicate).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"write to {tbl.full_name} violates CHECK constraint "
+                    f"{key.removeprefix(self.CONSTRAINT_PREFIX)!r} "
+                    f"({predicate}); example row: {bad[0].asDict()}"
+                )
+
+    def add_table_constraint(
+        self, catalog: str, schema: str, name: str,
+        constraint_name: str, predicate: str,
+    ) -> Table:
+        """Delta-style CHECK constraint for ANY format: stored as a
+        table property, validated against existing data now and
+        against every future write by the write matrix. The existing-
+        data scan and per-write check are each one distributed filter
+        with an early-out limit(1) — the same cost Delta pays."""
+        tbl = self.get_table(catalog, schema, name)
+        current = _io.read_table(self._require_spark(), tbl)
+        bad = self._violations(current, predicate).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"existing data in {tbl.full_name} violates {predicate!r}; "
+                f"example row: {bad[0].asDict()}"
+            )
+        tbl.properties[self.CONSTRAINT_PREFIX + constraint_name] = predicate
+        return self.update_table(tbl)
+
+    def drop_table_constraint(
+        self, catalog: str, schema: str, name: str, constraint_name: str
+    ) -> Table:
+        tbl = self.get_table(catalog, schema, name)
+        tbl.properties.pop(self.CONSTRAINT_PREFIX + constraint_name, None)
+        return self.update_table(tbl)
+
+    def table_constraints(
+        self, catalog: str, schema: str, name: str
+    ) -> dict[str, str]:
+        tbl = self.get_table(catalog, schema, name)
+        return {
+            k.removeprefix(self.CONSTRAINT_PREFIX): v
+            for k, v in tbl.properties.items()
+            if k.startswith(self.CONSTRAINT_PREFIX)
+        }
+
+    def analyze_table(
+        self, catalog: str, schema: str, name: str, with_ndv: bool = True
+    ) -> dict:
+        """ANALYZE TABLE analog: one aggregation pass computes row
+        count and per-column null count / min / max / approx NDV
+        (HLL-based — mergeable, bounded memory at any scale), stored
+        as a table property for planners and humans. Nested/binary
+        columns get null counts only (not orderable)."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        tbl = self.get_table(catalog, schema, name)
+        df = _io.read_table(self._require_spark(), tbl)
+        plain = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, (c, dt) in enumerate(plain):
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+            if not dt.startswith(("array", "map", "struct", "binary")):
+                aggs.append(F.min(F.col(c)).alias(f"__mn_{i}"))
+                aggs.append(F.max(F.col(c)).alias(f"__mx_{i}"))
+                if with_ndv:
+                    aggs.append(
+                        F.approx_count_distinct(F.col(c)).alias(f"__nd_{i}")
+                    )
+        row = df.agg(*aggs).first().asDict()
+        stats: dict = {"row_count": row["__rows"], "columns": {}}
+        for i, (c, dt) in enumerate(plain):
+            col_stats = {"null_count": row["__rows"] - row[f"__nn_{i}"]}
+            if f"__mn_{i}" in row:
+                col_stats["min"] = row[f"__mn_{i}"]
+                col_stats["max"] = row[f"__mx_{i}"]
+            if f"__nd_{i}" in row:
+                col_stats["approx_ndv"] = row[f"__nd_{i}"]
+            stats["columns"][c] = col_stats
+        tbl.properties[self.STATS_PROPERTY] = json.dumps(stats, default=str)
+        self.update_table(tbl)
+        return stats
+
+    def table_stats(
+        self, catalog: str, schema: str, name: str
+    ) -> Optional[dict]:
+        """Stats recorded by the last analyze_table run, or None."""
+        import json
+
+        tbl = self.get_table(catalog, schema, name)
+        raw = tbl.properties.get(self.STATS_PROPERTY)
+        return json.loads(raw) if raw else None
+
     def vacuum_table(
         self, catalog: str, schema: str, name: str, keep: int = 0
     ) -> list[int]:
@@ -244,6 +359,7 @@ class LakehouseClient:
         mode = to_write_mode(mode)
         schema_evolution = to_schema_evolution(schema_evolution)
         tbl = self.get_table(catalog, schema, name)
+        self._check_constraints(df, tbl)
         new_cols = _io.write_table(
             self._require_spark(),
             df,

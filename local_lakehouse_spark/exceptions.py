@@ -35,3 +35,8 @@ class SQLEngineSetupError(LakehouseError):
 # Backwards-compatible alias mirroring the reference's name
 # (/root/reference/uchelper/exceptions.py:24-28).
 DuckDBConnectionSetupError = SQLEngineSetupError
+
+
+class ConstraintViolationError(LakehouseError):
+    """A write would violate a table CHECK constraint (beyond the
+    reference — Delta-style governance for any format)."""

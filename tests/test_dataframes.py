@@ -419,3 +419,65 @@ def test_sql_version_as_of(unity, tmp_path):
         "LIMIT 1"
     ).first()
     assert (both.cur_tag, both.old_tag) == ("new", "old")
+
+
+def test_check_constraints(unity, tmp_path):
+    """Delta-style CHECK constraints gate every write-matrix path."""
+    from local_lakehouse_spark.exceptions import ConstraintViolationError
+
+    spark = unity._require_spark()
+    good = spark.range(1, 6).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS price")
+    unity.create_as_table(
+        good, "unity", "default", "ct", location=f"file://{tmp_path}/ct"
+    )
+    unity.add_table_constraint(
+        "unity", "default", "ct", "positive_price", "price > 0"
+    )
+    assert unity.table_constraints("unity", "default", "ct") == {
+        "positive_price": "price > 0"
+    }
+
+    bad = spark.range(1, 3).selectExpr("id", "CAST(-1 AS DOUBLE) AS price")
+    with pytest.raises(ConstraintViolationError):
+        unity.write_table(bad, "unity", "default", "ct", mode="overwrite")
+    # table untouched by the rejected write
+    assert unity.read_table("unity", "default", "ct").count() == 5
+
+    # NULL predicate result is NOT a violation (SQL CHECK semantics)
+    with_null = spark.range(10, 12).selectExpr(
+        "id", "CAST(NULL AS DOUBLE) AS price"
+    )
+    unity.write_table(with_null, "unity", "default", "ct", mode="append")
+    assert unity.read_table("unity", "default", "ct").count() == 7
+
+    # adding a constraint the existing data violates is rejected
+    with pytest.raises(ConstraintViolationError):
+        unity.add_table_constraint(
+            "unity", "default", "ct", "small_id", "id < 10"
+        )
+
+    unity.drop_table_constraint("unity", "default", "ct", "positive_price")
+    unity.write_table(bad, "unity", "default", "ct", mode="overwrite")
+    assert unity.read_table("unity", "default", "ct").count() == 2
+
+
+def test_analyze_table_stats(unity, tmp_path):
+    spark = unity._require_spark()
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "b", 9.5), (4, None, 2.0)],
+        "id long, s string, v double",
+    )
+    unity.create_as_table(
+        df, "unity", "default", "st", location=f"file://{tmp_path}/st"
+    )
+    stats = unity.analyze_table("unity", "default", "st")
+    assert stats["row_count"] == 4
+    assert stats["columns"]["s"]["null_count"] == 1
+    assert stats["columns"]["v"]["null_count"] == 1
+    assert stats["columns"]["id"]["min"] == 1
+    assert stats["columns"]["id"]["max"] == 4
+    assert stats["columns"]["s"]["approx_ndv"] == 2
+    # persisted through the metastore round-trip
+    again = unity.table_stats("unity", "default", "st")
+    assert again["row_count"] == 4
+    assert again["columns"]["id"]["max"] == 4
