@@ -1,0 +1,79 @@
+"""Connected components over an edge list — the clustering step that
+turns pairwise near-duplicate MATCHES (x02/x03/x04/x14) into
+duplicate GROUPS, so a dedup pipeline can keep exactly one document
+per cluster instead of reasoning about overlapping pairs.
+
+Algorithm: HashMin label propagation, expressed as DataFrame joins —
+every vertex repeatedly adopts the minimum label in its closed
+neighborhood until a fixpoint. Each round is two hash joins + one
+aggregation (all keyed on vertex id), and the number of rounds is the
+graph diameter. Near-dup graphs are overwhelmingly tiny star/clique
+clusters (diameter ≤ ~3), so this converges in a handful of rounds;
+for adversarial long-chain graphs the O(log n)-round alternating
+large-star/small-star scheme (Kiveris et al., "Connected Components
+in MapReduce and Beyond") is the drop-in upgrade.
+
+Iterative-plan hygiene: every round materializes via
+``localCheckpoint`` — without it the lineage doubles per round and
+Catalyst planning time explodes; with it each round's shuffle state
+is the only thing carried forward. The convergence check rides the
+same job that materializes the round (count of changed labels), so
+each round is exactly one Spark job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``; ``component`` is
+    the minimum vertex id reachable from ``id``. Undirected.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(id, keep_id) for every document that appears in a near-dup
+    pair: ``keep_id`` is the cluster representative (minimum id), so
+    ``id != keep_id`` rows are the ones a dedup pass drops. Composes
+    with any pairwise matcher (ngram_jaccard_pairs, minhash_lsh_pairs,
+    embedding_near_dup_pairs...).
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.select("id", F.col("component").alias("keep_id"))

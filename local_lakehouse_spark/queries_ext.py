@@ -907,6 +907,41 @@ ORDER BY id_a, id_b
 """
 
 
+def x33(spark, sf):
+    """Near-dup clustering: x02's pairwise matches → connected
+    components → (id, keep_id) cluster assignment. The oracle replays
+    the same pair derivation and closes it transitively with a
+    recursive CTE."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+    return dedup_clusters(pairs).orderBy("id")
+
+
+X33_SQL = rf"""
+WITH RECURSIVE {_SHINGLES_CTE},
+ ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+ sizes AS (SELECT id, len(shingles) AS sz FROM sh),
+ pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+           GROUP BY 1, 2),
+ match AS (SELECT id_a, id_b FROM pairs
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE common / (sa.sz + sb.sz - common) >= 0.8),
+ edges AS (SELECT id_a AS u, id_b AS v FROM match
+           UNION ALL SELECT id_b, id_a FROM match),
+ reach(u, r) AS (
+   SELECT DISTINCT u, u FROM edges
+   UNION
+   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+SELECT u AS id, MIN(r) AS keep_id FROM reach GROUP BY u ORDER BY id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -940,4 +975,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x30_cap_per_group": QuerySpec(x30, X30_SQL),
     "x31_quantize_embeddings": QuerySpec(x31, X31_SQL),
     "x32_streaming_interval_join": QuerySpec(x32, X32_SQL),
+    "x33_dedup_clusters": QuerySpec(x33, X33_SQL),
 }

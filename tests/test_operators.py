@@ -414,3 +414,28 @@ def test_quantize_embeddings_roundtrip(spark):
         assert abs(qi * out[1].scale - orig) <= out[1].scale / 2 + 1e-12
     # all-zero vector: scale 1, q all zero (no div-by-zero)
     assert out[2].scale == 1.0 and out[2].q == [0, 0, 0, 0]
+
+
+def test_connected_components(spark):
+    from local_lakehouse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 10)],
+        "a long, b long",
+    )
+    out = {
+        r.id: r.component
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10}
+
+
+def test_dedup_clusters_from_pairs(docs):
+    from local_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+    from local_lakehouse_spark.operators.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    out = {r.id: r.keep_id for r in dedup_clusters(pairs).collect()}
+    # docs 1, 2 (near), 4 (exact dup of 1) cluster together; 3 is alone
+    assert out[1] == 1 and out[2] == 1 and out[4] == 1
+    assert 3 not in out  # no pair -> not in the cluster map
