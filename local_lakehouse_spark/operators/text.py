@@ -319,3 +319,61 @@ def fingerprint(
         lambda acc, c: (acc * F.lit(FP_MUL) + c) % F.lit(FP_MOD),
     )
     return df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+
+def bm25_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) — Okapi BM25 relevance of each document for a bag
+    of query terms, the ranking primitive of corpus search / quality
+    mining ("find docs most about X").
+
+    Scale shape: one explode → two keyed aggregations. Doc lengths
+    and term frequencies shuffle on doc id; document frequencies
+    reduce to |terms| rows and the corpus stats to ONE row — both
+    broadcast back, so the per-doc scoring join is map-side. Uses the
+    +1 idf variant (always positive, Lucene's choice).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    doclen = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        words.filter(F.col("w").isin(terms))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(doclen, "id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "w")
+        .select(
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return scored.groupBy("id").agg(r4(F.sum("term_score")).alias("score"))

@@ -942,6 +942,42 @@ SELECT u AS id, MIN(r) AS keep_id FROM reach GROUP BY u ORDER BY id
 """
 
 
+def x34(spark, sf):
+    from .operators.text import bm25_score
+
+    return bm25_score(
+        t(spark, sf, "documents"), "doc_id", "text",
+        terms=["spark", "table", "query"],
+    ).orderBy("id")
+
+
+# Constants injected via repr() so both engines fold the identical
+# doubles (k1+1 etc. are folded Python-side in the Spark expression).
+_BM25_K1, _BM25_B = 1.2, 0.75
+X34_SQL = f"""
+WITH words AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
+ doclen AS (SELECT id, COUNT(*) AS dl FROM words GROUP BY id),
+ stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM doclen),
+ tf AS (SELECT id, w, COUNT(*) AS tf FROM words
+        WHERE w IN ('spark', 'table', 'query') GROUP BY id, w),
+ dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+ idf AS (SELECT w, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         FROM dfreq CROSS JOIN stats),
+ scored AS (
+   SELECT tf.id,
+          idf.idf * (tf.tf * {_BM25_K1 + 1!r})
+            / (tf.tf + {_BM25_K1!r} * ({1 - _BM25_B!r} + {_BM25_B!r} * doclen.dl / stats.avgdl))
+            AS term_score
+   FROM tf
+   JOIN doclen ON tf.id = doclen.id
+   CROSS JOIN stats
+   JOIN idf ON tf.w = idf.w)
+SELECT id, FLOOR((SUM(term_score)) * 10000 + 0.5) / 10000 AS score
+FROM scored GROUP BY id ORDER BY id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -976,4 +1012,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x31_quantize_embeddings": QuerySpec(x31, X31_SQL),
     "x32_streaming_interval_join": QuerySpec(x32, X32_SQL),
     "x33_dedup_clusters": QuerySpec(x33, X33_SQL),
+    "x34_bm25_relevance": QuerySpec(x34, X34_SQL),
 }

@@ -439,3 +439,19 @@ def test_dedup_clusters_from_pairs(docs):
     # docs 1, 2 (near), 4 (exact dup of 1) cluster together; 3 is alone
     assert out[1] == 1 and out[2] == 1 and out[4] == 1
     assert 3 not in out  # no pair -> not in the cluster map
+
+
+def test_bm25_ranking(spark):
+    from local_lakehouse_spark.operators.text import bm25_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark fast engine"),
+            (2, "spark is one word here only padding padding padding"),
+            (3, "nothing relevant at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.score for r in bm25_score(df, "doc_id", "text", ["spark"]).collect()}
+    assert 3 not in out  # no term hit -> no score row
+    assert out[1] > out[2] > 0  # tf and length normalization both bite
