@@ -1244,6 +1244,76 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q45(spark, sf):
+    """UNPIVOT (wide → long): melt the per-status count columns back
+    into rows with Spark's native ``unpivot``; the oracle is the
+    portable UNION ALL expansion."""
+    wide = (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["n_f", "n_o", "n_p"],
+            variableColumnName="status",
+            valueColumnName="cnt",
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+Q45_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+         COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+         COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, 'n_f' AS status, n_f AS cnt FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_o' AS status, n_o AS cnt FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_p' AS status, n_p AS cnt FROM wide
+ORDER BY o_orderpriority, status
+"""
+
+
+def q46(spark, sf):
+    """GROUPING SETS with GROUPING() indicator columns — the general
+    multi-aggregation Spark plans as a single Expand + hash agg, not
+    one pass per set."""
+    _register(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+Q46_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio,
+         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1293,4 +1363,6 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q42_tpch_q18_having_join": QuerySpec(q42, Q42_SQL),
     "q43_tpch_q4_exists": QuerySpec(q43, Q43_SQL),
     "q44_tpch_q6_scan_agg": QuerySpec(q44, Q44_SQL),
+    "q45_unpivot": QuerySpec(q45, Q45_SQL),
+    "q46_grouping_sets": QuerySpec(q46, Q46_SQL),
 }
