@@ -147,5 +147,39 @@ chunks.orderBy("id", "start").show(5)
 vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 print("Embeddings int8-quantized for the ANN index (4x smaller):")
 quantize_embeddings(vecs, "vec_id", "embedding").show(3)
+print("-" * 50)
+
+# ---------------------------------------------------------------
+# Governance + time travel (beyond the reference): CHECK
+# constraints gate every write; full rewrites retire snapshots you
+# can query with VERSION AS OF and restore.
+# ---------------------------------------------------------------
+from local_lakehouse_spark.exceptions import ConstraintViolationError  # noqa: E402
+
+gt = spark.range(1, 6).selectExpr("id", "CAST(id * 10 AS DOUBLE) AS price")
+client.create_as_table(
+    gt, "unity", "default", "gov", location=f"file://{TUTORIAL_DIR}/gov"
+)
+client.add_table_constraint("unity", "default", "gov", "pos_price", "price > 0")
+try:
+    client.write_table(
+        spark.range(1, 3).selectExpr("id", "CAST(-5 AS DOUBLE) AS price"),
+        "unity", "default", "gov", mode="overwrite",
+    )
+except ConstraintViolationError as exc:
+    print(f"CHECK constraint rejected the bad write: {exc}")
+
+client.write_table(
+    spark.range(1, 4).selectExpr("id", "CAST(id AS DOUBLE) AS price"),
+    "unity", "default", "gov", mode="overwrite",
+)
+print("history:", client.table_history("unity", "default", "gov"))
+print("current vs version 1 via SQL time travel:")
+client.sql(
+    "SELECT cur.n AS current_rows, old.n AS v1_rows FROM "
+    "(SELECT COUNT(*) AS n FROM unity.default.gov) cur, "
+    "(SELECT COUNT(*) AS n FROM unity.default.gov VERSION AS OF 1) old"
+).show()
+print("column stats:", client.analyze_table("unity", "default", "gov")["columns"]["price"])
 
 spark.stop()
