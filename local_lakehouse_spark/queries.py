@@ -1314,6 +1314,34 @@ ORDER BY g_status, g_prio,
 """
 
 
+def q47(spark, sf):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    (top-N-per-group in its modern SQL form; Catalyst decorrelates
+    into a ranked window join rather than re-running the subquery
+    per row)."""
+    _register(spark, sf, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        ORDER BY o_orderkey, l.l_linenumber
+        """
+    )
+
+
+Q47_SQL = """
+SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders JOIN LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem
+  WHERE l_orderkey = o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l ON TRUE
+ORDER BY o_orderkey, l.l_linenumber
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1365,4 +1393,5 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q44_tpch_q6_scan_agg": QuerySpec(q44, Q44_SQL),
     "q45_unpivot": QuerySpec(q45, Q45_SQL),
     "q46_grouping_sets": QuerySpec(q46, Q46_SQL),
+    "q47_lateral_topn": QuerySpec(q47, Q47_SQL),
 }
