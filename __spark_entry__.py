@@ -24,7 +24,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from local_lakehouse_spark.queries import QUERY_SPECS as _CORE
 from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
-QUERY_SPECS = {**_CORE, **_EXT}
+_ALL = {**_CORE, **_EXT}
+
+# Ordered so a count-capped correctness run still covers the entries
+# that round 1's artifact never reached (it stopped at 50): the
+# x-series extensions and the two round-1 failures come first; the
+# driver-green q-series follows. Harmless if the driver runs all 81.
+_PRIORITY = (
+    [n for n in _ALL if n.startswith("x") and n not in ("x01_dedup_exact", "x02_dedup_ngram_jaccard", "x03_dedup_minhash_lsh")]
+    + ["q05_null_coalesce", "q32_json_extract"]
+    + ["x01_dedup_exact", "x02_dedup_ngram_jaccard", "x03_dedup_minhash_lsh"]
+)
+QUERY_SPECS = {
+    **{n: _ALL[n] for n in _PRIORITY},
+    **{n: s for n, s in _ALL.items() if n not in _PRIORITY},
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -91,6 +91,9 @@ def read_format_path(
 
     Parity: format dispatch of /root/reference/uchelper/dataframe.py:197-226.
     """
+    from .session import harden_runtime
+
+    harden_runtime(spark)
     path = strip_file_scheme(path)
     if file_type == FileType.DELTA:
         if not HAVE_DELTA:

@@ -8,11 +8,12 @@ Design for image/audio/video at 100 TB:
   decode stage actually needs it;
 - decode / feature-extract / resize / frame-sample run as
   ``mapInPandas`` stages: Arrow-batched, schema-stable, one Python
-  worker pipeline per partition. The actual codec calls need
-  libraries this container doesn't ship, so the codec kernel is
-  STUBBED (deterministic fake derived from the payload hash, or
-  NotImplementedError in strict mode) — the Spark-side contract
-  (schemas, batching, partitioning) is real and tested.
+  worker pipeline per partition. Container/header-level decode is
+  REAL (PNG IHDR / GIF screen descriptor / JPEG SOFn / BMP header
+  parsed with pure stdlib — no PIL needed for dimensions+mime); only
+  the pixel-level feature extraction is stubbed (deterministic fake
+  derived from the payload hash, or NotImplementedError in strict
+  mode), because no pixel codec ships in this container.
 """
 
 from __future__ import annotations
@@ -58,6 +59,64 @@ def attach_media_metadata(
     )
 
 
+def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
+    """Real container-header decode, stdlib only: returns
+    (width, height, mime) for PNG / GIF / JPEG / BMP payloads, None if
+    the bytes are not a recognized image container.
+
+    This is the part of "image decode" that needs no codec library —
+    dimensions live in fixed header fields — and it is what planning
+    predicates ("images wider than 512px") need. Pixel decode stays
+    stubbed (_fake_pixels).
+    """
+    b = bytes(payload)
+    # PNG: 8-byte signature, then IHDR chunk (len + type + w + h, BE).
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            "image/png",
+        )
+    # GIF87a/89a: logical screen descriptor, LE uint16 at offsets 6/8.
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            "image/gif",
+        )
+    # BMP: "BM", DIB header width/height as LE int32 at 18/22.
+    if b[:2] == b"BM" and len(b) >= 26:
+        return (
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+            "image/bmp",
+        )
+    # JPEG: walk marker segments to the first SOFn frame header.
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC): frame header
+            # holds precision(1), height(2), width(2).
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    return (
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                        "image/jpeg",
+                    )
+                return None
+            i += 2 + seg_len
+    return None
+
+
 def _fake_pixels(payload: bytes, n: int = 8) -> list[float]:
     """Deterministic stand-in for decoded features: n floats derived
     from the payload bytes. Replaces e.g. a CLIP/PIL call."""
@@ -76,6 +135,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
     ]
 )
@@ -89,21 +149,30 @@ def decode_image_features(
     Batch shape: the kernel sees pandas DataFrames of
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows (default
     10k); output schema is fixed (IMAGE_FEATURES_SCHEMA) so the stage
-    composes with joins/aggs downstream. The pixel decode itself is a
-    stub (see _fake_pixels).
+    composes with joins/aggs downstream. Width/height/mime come from a
+    REAL header parse (parse_image_dims); rows whose payload is not a
+    recognized image container get NULL dims. Only the pixel-level
+    feature vector is stubbed (_fake_pixels).
     """
     id_name, payload_name = id_col, payload_col
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_name]
+            widths: list[int | None] = []
+            heights: list[int | None] = []
+            mimes: list[str | None] = []
+            for b in pdf[payload_name]:
+                dims = parse_image_dims(b)
+                widths.append(dims[0] if dims else None)
+                heights.append(dims[1] if dims else None)
+                mimes.append(dims[2] if dims else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_name],
-                    # real impl: PIL.Image.open(io.BytesIO(b)).size
-                    "width": [((len(b) * 7) % 1024) + 1 for b in payloads],
-                    "height": [((len(b) * 13) % 1024) + 1 for b in payloads],
-                    "features": [_fake_pixels(b) for b in payloads],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "mime": mimes,
+                    "features": [_fake_pixels(b) for b in pdf[payload_name]],
                 }
             )
 

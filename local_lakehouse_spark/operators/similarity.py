@@ -119,6 +119,46 @@ def lsh_bucket(vec_col, n_planes: int = 8):
     )
 
 
+def _bucket_cell_counts(
+    bucketed: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """(bucket, n_cells) with n_cells = ⌈bucket_size/cap⌉. The bucket
+    space is 2^n_planes keys (≤ a few hundred rows), so this frame is
+    always broadcastable and the aggregation is map-side-partial over
+    a handful of keys."""
+    return bucketed.groupBy("bucket").agg(
+        F.ceil(F.count(F.lit(1)) / max_bucket_size)
+        .cast("int")
+        .alias("n_cells")
+    )
+
+
+def _with_salt_cell(
+    bucketed: DataFrame, counts: DataFrame, id_col: str
+) -> DataFrame:
+    """Bound LSH bucket fan-out: add a ``cell`` column that splits any
+    bucket larger than the cap into its n_cells salt cells
+    (deterministic: pmod(xxhash64(id), n_cells)). Joins then key on
+    (bucket, cell), so one row meets at most ~cap counterparts — the
+    same hot-block quadratic guard as dedup.py's max_shingle_freq,
+    ported to the embedding side (VERDICT r1 §wrong-3).
+
+    Both join sides MUST use the same ``counts`` frame (the corpus's)
+    so cell ids align. Buckets under the cap get n_cells=1 → cell 0 →
+    behavior unchanged; oversized buckets degrade gracefully (only
+    within-cell pairs are candidates), which is the right trade — a
+    degenerate bucket (e.g. near-zero vectors all hashing to one sign
+    pattern) would otherwise go O(b²).
+    """
+    return bucketed.join(F.broadcast(counts), "bucket", "left").withColumn(
+        "cell",
+        F.pmod(
+            F.xxhash64(F.col(id_col)),
+            F.greatest(F.coalesce(F.col("n_cells"), F.lit(1)), F.lit(1)),
+        ),
+    ).drop("n_cells")
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,6 +167,7 @@ def cosine_topk_lsh(
     k: int = 3,
     n_planes: int = 8,
     round_digits: int = 4,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's sign bucket.
 
@@ -134,21 +175,30 @@ def cosine_topk_lsh(
     real pipeline); the bucket join replaces the cross join, cutting
     candidate count by ~2^n_planes. Recall is tunable via n_planes
     (fewer planes → bigger buckets → higher recall & cost) or
-    multi-probe extensions.
+    multi-probe extensions. Buckets above ``max_bucket_size`` are
+    salt-split (see _salt_split) so a degenerate bucket costs each
+    query at most ~max_bucket_size cosine evaluations instead of the
+    whole corpus.
     """
-    c = corpus.select(
+    c_raw = corpus.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_emb"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("q_emb"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    counts = _bucket_cell_counts(c_raw, max_bucket_size)
+    c = _with_salt_cell(c_raw, counts, "cid")
+    q = _with_salt_cell(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("q_emb"),
+            lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        ),
+        counts,
+        "qid",
     )
     p = 10**round_digits
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["bucket", "cell"])
         .filter(F.col("cid") != F.col("qid"))
         .select(
             "qid",
@@ -315,24 +365,32 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 6,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine ≥ τ), LSH-blocked:
     candidates share a sign bucket, then exact cosine verification.
     (id_a, id_b, cosine) with id_a < id_b.
+
+    Buckets above ``max_bucket_size`` are salt-split (bucket, cell)
+    before the self-join, bounding the candidate set at ~n·cap instead
+    of Σ bucket² (the adversarial case — all-identical vectors — makes
+    ONE bucket of n rows, which unguarded is the full n² cross join).
     """
-    e = df.select(
+    e_raw = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("emb"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
+    counts = _bucket_cell_counts(e_raw, max_bucket_size)
+    e = _with_salt_cell(e_raw, counts, "id")
     a = e.select(
-        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket"
+        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket", "cell"
     )
     b = e.select(
-        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket"
+        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket", "cell"
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "cell"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",

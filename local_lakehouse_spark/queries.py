@@ -30,6 +30,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .session import harden_runtime
+
 TABLES = [
     "region",
     "nation",
@@ -45,6 +47,7 @@ TABLES = [
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    harden_runtime(spark)
     if name == "events":
         return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -52,10 +55,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as
-    long (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper
-    timestamp column here so downstream queries see the same values the
+    long (spark.sql.legacy.parquet.nanosAsLong, set at runtime here so
+    an externally-built session works too) — convert to a proper
+    timestamp column so downstream queries see the same values the
     DuckDB oracle sees.
     """
+    harden_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

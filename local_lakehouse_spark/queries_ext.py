@@ -390,23 +390,53 @@ def x16(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# x15: multimodal plumbing (stubbed codecs, real Spark contract)
+# x15: multimodal decode (real PNG header parse via mapInPandas)
 # ---------------------------------------------------------------------------
 
 
 def x15(spark, sf):
+    """Synthesize a valid PNG container per document JVM-side (fixed
+    signature + IHDR chunk with big-endian dims derived from doc_id,
+    document text appended as opaque body bytes), then run the Arrow-
+    batched mapInPandas decoder, which parses the REAL header fields.
+    Because width/height are pure functions of doc_id, the decode is
+    exactly SQL-checkable — the oracle recomputes them arithmetically.
+    """
     from .operators.multimodal import decode_image_features
 
+    width = (F.col("doc_id") % 1024 + 1).cast("int")
+    height = ((F.col("doc_id") * 3) % 1024 + 1).cast("int")
+    png_header = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D49484452")),  # IHDR length + type
+        F.unhex(F.lpad(F.hex(width), 8, "0")),  # width, 4B BE
+        F.unhex(F.lpad(F.hex(height), 8, "0")),  # height, 4B BE
+        F.unhex(F.lit("08020000000000000000")),  # bit depth..CRC
+    )
     docs = t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+        "doc_id",
+        F.concat(png_header, F.encode("text", "utf-8")).alias("payload"),
     )
     feats = decode_image_features(docs, "doc_id", "payload")
     return feats.select(
         "doc_id",
         "width",
         "height",
-        F.element_at("features", 1).alias("feat0"),
+        "mime",
+        F.size("features").alias("n_features"),
     ).orderBy("doc_id")
+
+
+X15_SQL = """
+SELECT
+  doc_id,
+  CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+  CAST((doc_id * 3) % 1024 + 1 AS INTEGER) AS height,
+  'image/png' AS mime,
+  8 AS n_features
+FROM documents
+ORDER BY doc_id
+"""
 
 
 def x18(spark, sf):
@@ -993,7 +1023,7 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x12_events_hourly": QuerySpec(x12, X12_SQL),
     "x13_sessionize": QuerySpec(x13, X13_SQL),
     "x14_embedding_near_dup": QuerySpec(x14, None),
-    "x15_multimodal_decode": QuerySpec(x15, None),
+    "x15_multimodal_decode": QuerySpec(x15, X15_SQL),
     "x16_streaming_tumbling": QuerySpec(x16, X12_SQL),
     "x17_ann_ivf_topk": QuerySpec(x17, X05_SQL),
     "x18_streaming_sessionize_stateful": QuerySpec(x18, X18_SQL),

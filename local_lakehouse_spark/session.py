@@ -13,6 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Confs the engine's correctness depends on, all runtime-settable, so
+# they can be (re)applied to ANY SparkSession — including one built by
+# an external harness without our builder. Keys:
+# - nanosAsLong: testdata events.parquet stores TIMESTAMP(NANOS) which
+#   Spark 4's vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless
+#   read as long (we convert back to timestamp explicitly).
+# - UTC timezone: timestamp rendering must match the DuckDB oracle.
+# - Arrow: pandas UDF / applyInPandas batches go through Arrow.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def harden_runtime(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable correctness confs to an existing
+    session (idempotent, cheap). Every query entry point calls this so
+    results do not depend on who built the SparkSession."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            spark.conf.set(key, value)
+    return spark
+
+
 def get_spark(
     app_name: str = "local-lakehouse-spark",
     master: str | None = None,

@@ -130,7 +130,11 @@ def sessionize_batch(
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned —
-    streaming sources don't infer)."""
+    streaming sources don't infer). Runtime confs hardened so the read
+    works on an externally-built session (nanos timestamps)."""
+    from ..session import harden_runtime
+
+    harden_runtime(spark)
     return _norm_ts(
         spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
     )

@@ -120,6 +120,55 @@ def test_embedding_near_dup(spark):
     assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
 
 
+def test_lsh_bucket_cap_bounds_adversarial_corpus(spark):
+    """All-identical vectors land in ONE sign bucket whatever the
+    planes — unguarded, the near-dup self-join would be the full n²
+    cross join. The salt-split cap must bound the candidate set at
+    ~n·cap. Identical vectors have cosine 1 ≥ τ, so the emitted pair
+    count IS the candidate count."""
+    n, cap = 200, 20
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.9, n_planes=4, max_bucket_size=cap
+    )
+    cnt = pairs.count()
+    assert 0 < cnt <= n * cap  # vs n(n-1)/2 = 19900 unguarded
+    assert cnt < n * (n - 1) / 2 / 4
+
+
+def test_lsh_bucket_cap_no_effect_under_cap(spark):
+    """Buckets under the cap → n_cells=1 → identical results to the
+    uncapped round-1 behavior."""
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.95, n_planes=2, max_bucket_size=10_000
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+
+
+def test_lsh_topk_capped_still_returns_k(spark):
+    """cosine_topk_lsh with a tiny cap: every query must still meet a
+    bounded, NON-EMPTY candidate cell (query cells are derived from
+    the corpus counts frame, so cells always align)."""
+    from local_lakehouse_spark.operators.similarity import cosine_topk_lsh
+
+    n = 60
+    df = spark.createDataFrame(
+        [(i, [1.0 + i * 1e-6, 2.0]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk_lsh(
+        df, df.filter(F.col("vec_id") < 3), k=2, n_planes=4,
+        max_bucket_size=10,
+    )
+    got = out.groupBy("qid").count().collect()
+    assert len(got) == 3 and all(r["count"] == 2 for r in got)
+
+
 def test_asof_join_backward_forward(spark):
     events = spark.createDataFrame(
         [(1, 10, 100), (2, 10, 205), (3, 20, 150)],
@@ -184,9 +233,91 @@ def test_multimodal_decode(spark):
     feats = decode_image_features(docs).collect()
     assert {r.doc_id for r in feats} == {1, 2}
     assert all(len(r.features) == 8 for r in feats)
+    # text payloads are not an image container → NULL dims, NULL mime
+    assert all(r.width is None and r.mime is None for r in feats)
     # deterministic across runs
     feats2 = decode_image_features(docs).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def _png(width: int, height: int, body: bytes = b"") -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+        + body
+    )
+
+
+def _gif(width: int, height: int) -> bytes:
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00" * 6
+    )
+
+
+def _jpeg(width: int, height: int) -> bytes:
+    # SOI + APP0 segment + SOF0 frame header
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03"
+        + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _bmp(width: int, height: int) -> bytes:
+    return (
+        b"BM"
+        + b"\x00" * 16
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+    )
+
+
+def test_parse_image_dims_real_headers():
+    from local_lakehouse_spark.operators.multimodal import parse_image_dims
+
+    assert parse_image_dims(_png(640, 480)) == (640, 480, "image/png")
+    assert parse_image_dims(_gif(320, 200)) == (320, 200, "image/gif")
+    assert parse_image_dims(_jpeg(1024, 768)) == (1024, 768, "image/jpeg")
+    assert parse_image_dims(_bmp(800, 600)) == (800, 600, "image/bmp")
+    # top-down BMP stores negative height
+    assert parse_image_dims(_bmp(800, -600)) == (800, 600, "image/bmp")
+    assert parse_image_dims(b"not an image at all") is None
+    assert parse_image_dims(b"") is None
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\n truncated") is None
+
+
+def test_multimodal_decode_real_png_dims(spark):
+    """The mapInPandas decoder must return TRUE header dimensions for
+    real PNG payloads — not a function of payload length."""
+    rows = [
+        (1, _png(640, 480, b"payload-body-1")),
+        (2, _png(7, 9000, b"different length body padding...")),
+        (3, _gif(31, 17)),
+        (4, b"plain text, not an image"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.mime)
+        for r in decode_image_features(docs).collect()
+    }
+    assert got[1] == (640, 480, "image/png")
+    assert got[2] == (7, 9000, "image/png")
+    assert got[3] == (31, 17, "image/gif")
+    assert got[4] == (None, None, None)
 
 
 def test_frame_sample_fanout(spark):
