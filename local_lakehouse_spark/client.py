@@ -204,13 +204,23 @@ class LakehouseClient:
     ) -> None:
         """Make a retained snapshot the current table contents. The
         pre-restore contents are themselves retired as a new snapshot
-        first, so a restore is always reversible."""
+        first, so a restore is always reversible.
+
+        Always a FULL rewrite — the OVERWRITE write matrix would take
+        the dynamic-partition-overwrite branch for partitioned tables
+        and leave partitions added after the snapshot in place, making
+        the restore incomplete (ADVICE r1). Layout is preserved
+        (single-file tables restore to a single file)."""
+        tbl = self.get_table(catalog, schema, name)
         df = self.read_table(catalog, schema, name, version=version)
-        self.write_table(
-            df, catalog, schema, name,
-            mode=WriteMode.OVERWRITE,
-            schema_evolution=SchemaEvolution.OVERWRITE,
-        )
+        self._check_constraints(df, tbl)
+        path = tbl.storage_location.removeprefix("file://")
+        fmt = _io._FORMAT_NAME[tbl.file_type]
+        part_cols = [c.name for c in tbl.partition_columns()]
+        if not part_cols and _io._is_single_file(path):
+            _io._write_single_file(df, fmt, path)
+        else:
+            _io._rewrite_table_dir(df, fmt, path, partition_by=part_cols or None)
 
     # -- Constraints & statistics (beyond the reference) --------------------
 
@@ -526,10 +536,13 @@ class LakehouseClient:
         source_alias: str = "s",
         target_alias: str = "t",
     ):
-        """Parity: client.py:401-427. Returns a chainable merger."""
+        """Parity: client.py:401-427. Returns a chainable merger. The
+        merged result passes the same CHECK-constraint gate as
+        write_table before committing (ADVICE r1)."""
         tbl = self.get_table(catalog, schema, name)
         return _merge_table(
-            self._require_spark(), tbl, df, condition, source_alias, target_alias
+            self._require_spark(), tbl, df, condition, source_alias, target_alias,
+            validate=lambda result: self._check_constraints(result, tbl),
         )
 
     # -- SQL -----------------------------------------------------------------

@@ -40,3 +40,10 @@ DuckDBConnectionSetupError = SQLEngineSetupError
 class ConstraintViolationError(LakehouseError):
     """A write would violate a table CHECK constraint (beyond the
     reference — Delta-style governance for any format)."""
+
+
+class MergeAmbiguityError(LakehouseError):
+    """Multiple source rows matched one target row in a MERGE with
+    matched-clauses — the update/delete would be nondeterministic.
+    Mirrors Delta/delta-rs's multiple-source-rows-matched error so the
+    PARQUET merge path keeps DELTA semantics."""

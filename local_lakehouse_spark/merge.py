@@ -22,13 +22,21 @@ driver-side row handling anywhere.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .exceptions import UnsupportedOperationError
-from .io import HAVE_DELTA, _rewrite_table_dir, read_table, strip_file_scheme
+from .exceptions import MergeAmbiguityError, UnsupportedOperationError
+from .io import (
+    HAVE_DELTA,
+    _is_single_file,
+    _rewrite_table_dir,
+    _write_single_file,
+    read_table,
+    strip_file_scheme,
+)
 from .models import FileType, Table
 
 
@@ -59,6 +67,7 @@ class SparkMerger:
         condition: str,
         source_alias: str = "s",
         target_alias: str = "t",
+        validate: Optional[Callable[[DataFrame], None]] = None,
     ) -> None:
         self._spark = spark
         self._table = table
@@ -66,6 +75,10 @@ class SparkMerger:
         self._condition = condition
         self._s = source_alias
         self._t = target_alias
+        # Pre-commit hook over the merged result plan; the client wires
+        # its CHECK-constraint validation here so MERGE cannot commit
+        # rows that write_table would reject (ADVICE r1).
+        self._validate = validate
         # Each clause: (kind, updates|None, predicate|None)
         self._matched: list[tuple[str, Optional[dict], Optional[str]]] = []
         self._not_matched: list[tuple[str, Optional[dict], Optional[str]]] = []
@@ -133,21 +146,34 @@ class SparkMerger:
         # Matched rows: first clause whose predicate holds wins
         # (delta-rs evaluates clauses in order; we implement the common
         # single-clause-per-class case plus ordered predicates).
-        matched = joined.filter(t_present & s_present)
-        remaining = matched
-        for kind, updates, predicate in self._matched:
-            subset = remaining.filter(F.expr(predicate)) if predicate else remaining
-            if kind == "update_all":
-                branches.append(subset.select(*proj(s)))
-            elif kind == "update":
-                branches.append(subset.select(*apply_updates(updates or {})))
-            elif kind == "delete":
-                pass  # drop
-            if predicate:
-                remaining = remaining.filter(~F.expr(predicate) | F.expr(predicate).isNull())
-            else:
-                remaining = remaining.limit(0)
-        branches.append(remaining.select(*proj(t)))  # untouched matched rows
+        if self._matched:
+            # 1:1 guaranteed here: execute() raises MergeAmbiguityError
+            # when a target row has multiple source matches and matched
+            # clauses exist, so joined matched rows don't fan out.
+            matched = joined.filter(t_present & s_present)
+            remaining = matched
+            for kind, updates, predicate in self._matched:
+                subset = remaining.filter(F.expr(predicate)) if predicate else remaining
+                if kind == "update_all":
+                    branches.append(subset.select(*proj(s)))
+                elif kind == "update":
+                    branches.append(subset.select(*apply_updates(updates or {})))
+                elif kind == "delete":
+                    pass  # drop
+                if predicate:
+                    remaining = remaining.filter(~F.expr(predicate) | F.expr(predicate).isNull())
+                else:
+                    remaining = remaining.limit(0)
+            branches.append(remaining.select(*proj(t)))  # untouched matched rows
+        else:
+            # No matched clauses → matched target rows pass through
+            # unchanged. Use a semi-join (one row per target row) so a
+            # target row matched by SEVERAL source rows — legal without
+            # matched clauses — is not duplicated by the outer join.
+            branches.append(
+                tgt.join(src, F.expr(self._condition), "left_semi")
+                .select(*proj(t))
+            )
 
         # Source-only rows (not matched by target): insert clauses.
         src_only = joined.filter(s_present & ~t_present)
@@ -192,12 +218,47 @@ class SparkMerger:
             out = out.unionByName(b)
         return out
 
+    def _check_ambiguous_matches(self) -> None:
+        """Delta-parity guard: if any target row is matched by more
+        than one source row while matched-clauses exist, the
+        update/delete is nondeterministic — raise instead of silently
+        duplicating the target row (ADVICE r1). One existence-check
+        join with an early-out limit(1); the target row identity is a
+        plan-local monotonic id (never persisted)."""
+        target = read_table(self._spark, self._table).withColumn(
+            "__t_id", F.monotonically_increasing_id()
+        )
+        dup = (
+            target.alias(self._t)
+            .join(self._source.alias(self._s), F.expr(self._condition), "inner")
+            .groupBy("__t_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise MergeAmbiguityError(
+                f"MERGE into {self._table.full_name}: {int(dup[0]['__n'])} "
+                "source rows matched a single target row under condition "
+                f"{self._condition!r}; matched-clause updates/deletes would "
+                "be nondeterministic (Delta raises the same error)"
+            )
+
     def execute(self) -> None:
-        """Materialize the merge and commit atomically."""
+        """Materialize the merge and commit atomically, preserving the
+        table's storage layout (single file stays single file)."""
+        if self._matched:
+            self._check_ambiguous_matches()
         result = self._result_plan()
+        if self._validate is not None:
+            self._validate(result)
         path = strip_file_scheme(self._table.storage_location or "")
         part_cols = [c.name for c in self._table.partition_columns()]
-        _rewrite_table_dir(result, "parquet", path, partition_by=part_cols or None)
+        if not part_cols and _is_single_file(path):
+            _write_single_file(result, "parquet", path)
+        else:
+            _rewrite_table_dir(result, "parquet", path, partition_by=part_cols or None)
 
 
 def merge_table(
@@ -207,11 +268,17 @@ def merge_table(
     condition: Optional[str] = None,
     source_alias: str = "s",
     target_alias: str = "t",
+    validate: Optional[Callable[[DataFrame], None]] = None,
 ):
     """Entry point, parity /root/reference/uchelper/client.py:401-427:
     DELTA/PARQUET-only, exact schema match required, condition defaults
     to AND-equality over stored default merge columns, aliases default
     s/t. Returns a chainable merger.
+
+    ``validate`` runs over the merged result plan before the PARQUET
+    commit (the client passes its CHECK-constraint gate). The DELTA
+    path returns delta-spark's own merger, which enforces Delta's
+    native constraints itself.
     """
     from .types_map import check_schemas_equal, spark_schema_to_uc_columns
 
@@ -240,4 +307,7 @@ def merge_table(
             .alias(target_alias)
             .merge(source.alias(source_alias), condition)
         )
-    return SparkMerger(spark, table, source, condition, source_alias, target_alias)
+    return SparkMerger(
+        spark, table, source, condition, source_alias, target_alias,
+        validate=validate,
+    )

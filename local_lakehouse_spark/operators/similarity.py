@@ -15,7 +15,7 @@ pairs from shared buckets, exact cosine verification.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,7 +112,7 @@ def _hyperplane_sign(vec_col, plane: int, dim: int):
     ).cast("int")
 
 
-def lsh_bucket(vec_col, n_planes: int = 8):
+def lsh_bucket(vec_col: Column, n_planes: int = 8) -> Column:
     """Pack n_planes hyperplane signs into an int bucket id."""
     return sum(
         _hyperplane_sign(vec_col, p, 0) * F.lit(2**p) for p in range(n_planes)

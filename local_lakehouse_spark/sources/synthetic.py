@@ -44,6 +44,7 @@ import random
 from dataclasses import dataclass
 from typing import Iterable, Iterator, List
 
+from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -141,7 +142,7 @@ class SyntheticDocsDataSource(DataSource):
         return SyntheticDocsReader(dict(self.options))
 
 
-def register_sources(spark) -> None:
+def register_sources(spark: SparkSession) -> None:
     """Register all custom sources on a session (idempotent)."""
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticEventsDataSource)

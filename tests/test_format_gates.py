@@ -1,0 +1,136 @@
+"""DELTA / AVRO format gates.
+
+The environment ships neither delta-spark nor the spark-avro jar
+(reference parity requires both formats —
+/root/reference/uchelper/dataframe.py:197-226,414-425). These tests
+lock in graceful degradation: precise UnsupportedOperationError on
+every dispatch path today, and each positive branch auto-activates if
+the package ever appears (the skips key on availability, not on an
+assumption).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from local_lakehouse_spark import UnsupportedOperationError
+from local_lakehouse_spark.io import HAVE_DELTA, read_format_path
+from local_lakehouse_spark.models import FileType
+
+from conftest import SF_DIR
+
+
+def _have_avro(spark) -> bool:
+    try:
+        spark.read.format("avro").load(f"{SF_DIR}/region.parquet")
+        return True
+    except Exception as exc:
+        # jar missing → FAILED_FIND_DATA_SOURCE / ClassNotFound;
+        # anything else (e.g. wrong-format parse error) means the
+        # source EXISTS.
+        return "Failed to find" not in str(exc) and "ClassNotFound" not in str(exc)
+
+
+# -- AVRO --------------------------------------------------------------------
+
+
+def test_avro_read_gate(spark, tmp_path):
+    if _have_avro(spark):
+        pytest.skip("spark-avro available — positive path covered below")
+    with pytest.raises(UnsupportedOperationError, match="AVRO"):
+        read_format_path(spark, FileType.AVRO, str(tmp_path / "x.avro"))
+
+
+def test_avro_write_gate(unity, random_df, tmp_path):
+    spark = unity._require_spark()
+    df = random_df(3)
+    loc = f"file://{tmp_path}/t.avro"
+    if _have_avro(spark):
+        unity.create_as_table(
+            df, "unity", "default", "av", file_type="avro", location=loc
+        )
+        back = unity.read_table("unity", "default", "av")
+        assert back.count() == 3
+    else:
+        with pytest.raises(Exception) as exc_info:
+            unity.create_as_table(
+                df, "unity", "default", "av", file_type="avro", location=loc
+            )
+        # CTAS rolls the catalog entry back on a failed write
+        from local_lakehouse_spark.exceptions import DoesNotExistError
+
+        with pytest.raises(DoesNotExistError):
+            unity.get_table("unity", "default", "av")
+        assert exc_info.value is not None
+
+
+def test_avro_roundtrip_if_available(unity, random_df, tmp_path):
+    """Positive AVRO path — runs only when the jar exists."""
+    spark = unity._require_spark()
+    if not _have_avro(spark):
+        pytest.skip("spark-avro jar not installed")
+    df = random_df(5)
+    unity.create_as_table(
+        df, "unity", "default", "av2", file_type="avro",
+        location=f"file://{tmp_path}/t2.avro",
+    )
+    assert unity.read_table("unity", "default", "av2").count() == 5
+
+
+# -- DELTA -------------------------------------------------------------------
+
+
+def test_delta_read_gate(spark, tmp_path):
+    if HAVE_DELTA:
+        pytest.skip("delta-spark available — positive path covered below")
+    with pytest.raises(UnsupportedOperationError, match="delta-spark"):
+        read_format_path(spark, FileType.DELTA, str(tmp_path / "d"))
+
+
+def test_delta_write_and_helpers_gate(unity, random_df, tmp_path):
+    df = random_df(3)
+    loc = f"file://{tmp_path}/d"
+    if HAVE_DELTA:
+        unity.create_as_table(
+            df, "unity", "default", "dt", file_type="delta", location=loc
+        )
+        assert unity.read_table("unity", "default", "dt").count() == 3
+        assert unity.get_delta_table("unity", "default", "dt") is not None
+        unity.sync_delta_properties("unity", "default", "dt")
+    else:
+        with pytest.raises(UnsupportedOperationError):
+            unity.create_as_table(
+                df, "unity", "default", "dt", file_type="delta", location=loc
+            )
+
+
+def test_delta_table_helper_requires_delta_format(unity, random_df, tmp_path):
+    """get_delta_table on a non-DELTA table raises regardless of the
+    package (parity /root/reference/uchelper/client.py:323-330)."""
+    unity.create_as_table(
+        random_df(2), "unity", "default", "pq",
+        location=f"file://{tmp_path}/pq",
+    )
+    with pytest.raises(UnsupportedOperationError, match="not a DELTA"):
+        unity.get_delta_table("unity", "default", "pq")
+
+
+def test_delta_merge_gate(unity, random_df, tmp_path):
+    """MERGE on a DELTA-typed table needs delta-spark; the error comes
+    from the merge entry, not a crash deeper in."""
+    if HAVE_DELTA:
+        pytest.skip("delta-spark available")
+    from local_lakehouse_spark.merge import merge_table
+    from local_lakehouse_spark.models import Column, DataType, Table, TableType
+
+    tbl = Table(
+        name="d", catalog_name="unity", schema_name="default",
+        table_type=TableType.EXTERNAL, file_type=FileType.DELTA,
+        columns=[
+            Column(name="id", data_type=DataType.LONG, position=0, nullable=False),
+        ],
+        storage_location=f"file://{tmp_path}/d",
+    )
+    src = unity._require_spark().range(1).selectExpr("id")
+    with pytest.raises(UnsupportedOperationError, match="delta"):
+        merge_table(unity._require_spark(), tbl, src, condition="s.id = t.id")

@@ -106,3 +106,70 @@ def test_merge_custom_condition(target, spark):
         .execute()
     )
     assert _rows(target) == [(1, "a", 10), (2, "b", 777), (3, "c", 30)]
+
+
+def test_merge_ambiguous_source_rows_raises(target, spark):
+    """Two source rows matching one target row + matched clause →
+    MergeAmbiguityError (Delta parity), and the target is untouched."""
+    from local_lakehouse_spark.exceptions import MergeAmbiguityError
+
+    src = spark.createDataFrame(
+        [(1, "dup1", 100), (1, "dup2", 200), (4, "d", 40)], schema=SCHEMA
+    )
+    with pytest.raises(MergeAmbiguityError):
+        (
+            target.merge_table(src, "unity", "default", "t")
+            .when_matched_update_all()
+            .execute()
+        )
+    assert _rows(target) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_merge_ambiguous_ok_for_insert_only(target, spark):
+    """Without matched clauses, duplicate source matches are legal
+    (delta semantics: ambiguity only matters for update/delete)."""
+    src = spark.createDataFrame(
+        [(1, "dup1", 100), (1, "dup2", 200), (4, "d", 40)], schema=SCHEMA
+    )
+    (
+        target.merge_table(src, "unity", "default", "t")
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert _rows(target) == [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+
+
+def test_merge_enforces_check_constraints(target, spark):
+    """A MERGE may not commit rows a write_table would reject."""
+    from local_lakehouse_spark.exceptions import ConstraintViolationError
+
+    target.add_table_constraint("unity", "default", "t", "n_nonneg", "n >= 0")
+    src = spark.createDataFrame([(2, "bad", -5)], schema=SCHEMA)
+    with pytest.raises(ConstraintViolationError):
+        (
+            target.merge_table(src, "unity", "default", "t")
+            .when_matched_update_all()
+            .execute()
+        )
+    assert _rows(target) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_merge_preserves_single_file_layout(unity, spark, tmp_path):
+    """MERGE on a single-file parquet table must not silently convert
+    it into a directory (observable by external readers)."""
+    import os
+
+    loc = str(tmp_path / "sf.parquet")
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], schema=SCHEMA)
+    unity.create_as_table(df, "unity", "default", "sf", location=loc)
+    assert os.path.isfile(loc)
+    src = spark.createDataFrame([(2, "B", 200), (3, "c", 30)], schema=SCHEMA)
+    (
+        unity.merge_table(src, "unity", "default", "sf", condition="s.id = t.id")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert os.path.isfile(loc), "single-file table became a directory"
+    got = sorted(tuple(r) for r in unity.read_table("unity", "default", "sf").collect())
+    assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30)]
