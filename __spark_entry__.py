@@ -26,14 +26,39 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
 _ALL = {**_CORE, **_EXT}
 
-# Ordered so a count-capped correctness run still covers the entries
-# that round 1's artifact never reached (it stopped at 50): the
-# x-series extensions and the two round-1 failures come first; the
-# driver-green q-series follows. Harmless if the driver runs all 81.
+# Ordered so a count-capped (50) correctness run covers the rows that
+# lack a SAME-ROUND green in the newest artifact. Round 2 ran the
+# x-series + q01–q15 and carried q16–q47 on round-1 evidence, so this
+# round flips the order: q16–q47 first, then the five event-time ops
+# fixed this round (x13/x16/x18/x25/x32), then the highest-value
+# extensions. q01–q15 (green in BOTH r1 and r2, untouched since) and
+# the remaining r2-green x-series absorb the cap overflow. Harmless
+# if the driver runs all 81.
+_FIXED_THIS_ROUND = [
+    "x13_sessionize",
+    "x16_streaming_tumbling",
+    "x18_streaming_sessionize_stateful",
+    "x25_streaming_rollup_table",
+    "x32_streaming_interval_join",
+]
 _PRIORITY = (
-    [n for n in _ALL if n.startswith("x") and n not in ("x01_dedup_exact", "x02_dedup_ngram_jaccard", "x03_dedup_minhash_lsh")]
-    + ["q05_null_coalesce", "q32_json_extract"]
-    + ["x01_dedup_exact", "x02_dedup_ngram_jaccard", "x03_dedup_minhash_lsh"]
+    [n for n in _ALL if n.startswith("q") and n >= "q16"]
+    + _FIXED_THIS_ROUND
+    + [
+        "x12_events_hourly",  # batch twin of the fixed streaming ops
+        "x11_asof_join",
+        "x01_dedup_exact",
+        "x02_dedup_ngram_jaccard",
+        "x05_ann_cosine_topk",
+        "x17_ann_ivf_topk",
+        "x15_multimodal_decode",
+        "x21_streaming_dedup",
+        "x23_pandas_udf_scalar",
+        "x24_apply_in_pandas_norm",
+        "x26_chunk_documents",
+        "x33_dedup_clusters",
+        "x34_bm25_relevance",
+    ]
 )
 QUERY_SPECS = {
     **{n: _ALL[n] for n in _PRIORITY},

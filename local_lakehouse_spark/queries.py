@@ -30,7 +30,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .session import harden_runtime
+from .session import harden_runtime, normalize_events_ts
 
 TABLES = [
     "region",
@@ -54,19 +54,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as
-    long (spark.sql.legacy.parquet.nanosAsLong, set at runtime here so
-    an externally-built session works too) — convert to a proper
-    timestamp column so downstream queries see the same values the
-    DuckDB oracle sees.
+    """events.parquet's ts physical type has varied across driver
+    rounds (TIMESTAMP(NANOS) read as int64 under nanosAsLong;
+    TIMESTAMP(MICROS, NTZ) read as timestamp_ntz natively) —
+    session.normalize_events_ts handles every case unit-aware, so
+    downstream queries always see a proper TimestampType column with
+    the same values the DuckDB oracle sees.
     """
     harden_runtime(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    return df
+    return normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
 
 
 @dataclass

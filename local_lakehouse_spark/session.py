@@ -10,15 +10,17 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 # Confs the engine's correctness depends on, all runtime-settable, so
 # they can be (re)applied to ANY SparkSession — including one built by
 # an external harness without our builder. Keys:
-# - nanosAsLong: testdata events.parquet stores TIMESTAMP(NANOS) which
-#   Spark 4's vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless
-#   read as long (we convert back to timestamp explicitly).
+# - nanosAsLong: if events.parquet stores TIMESTAMP(NANOS) (it has in
+#   some driver rounds), Spark 4's vectorized reader rejects the read
+#   (PARQUET_TYPE_ILLEGAL) unless the column is surfaced as long;
+#   normalize_events_ts converts it back to a proper timestamp.
+#   Harmless when the fixture stores MICROS (the conf never fires).
 # - UTC timezone: timestamp rendering must match the DuckDB oracle.
 # - Arrow: pandas UDF / applyInPandas batches go through Arrow.
 _RUNTIME_CONFS = {
@@ -41,6 +43,56 @@ def harden_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Magnitude thresholds that disambiguate the unit of an int64 epoch
+# value. Geometric midpoints between adjacent units: any instant
+# between ~1973 and ~5100 lands unambiguously in exactly one band
+# (seconds ≈ 1.7e9, millis ≈ 1.7e12, micros ≈ 1.7e15, nanos ≈ 1.7e18
+# for 2024).
+_NANOS_MIN = 100_000_000_000_000_000  # 1e17
+_MICROS_MIN = 100_000_000_000_000  # 1e14
+_MILLIS_MIN = 100_000_000_000  # 1e11
+
+
+def normalize_events_ts(df: "DataFrame", col: str = "ts") -> "DataFrame":
+    """Unit-aware event-time normalization → TimestampType.
+
+    The driver's events.parquet has stored ``ts`` differently across
+    rounds: TIMESTAMP(NANOS) (round 1 — Spark surfaces it as int64
+    *nanoseconds* under spark.sql.legacy.parquet.nanosAsLong) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 3 — Spark reads
+    timestamp_ntz natively). Round 2 broke by hard-coding one unit, so
+    this branches on what was actually read:
+
+    - ``timestamp``      → already correct, untouched.
+    - ``timestamp_ntz``  → wall-clock micros; the session timezone is
+      pinned UTC (harden_runtime), so a plain cast preserves both the
+      wall-clock AND the instant.
+    - ``bigint``         → epoch integer of *some* unit. The unit is
+      decided per-row by magnitude (see thresholds above) — a pure
+      JVM CASE expression, no extra job, whole-stage codegen, and it
+      keeps working if the fixture flips unit again. Nanos use
+      integer DIV (no double round-trip → no precision loss at 1e18).
+
+    Scale: a withColumn over the scan — pipelined into the first
+    stage, no shuffle, no driver work.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dt == "bigint":
+        c = f"`{col}`"
+        micros = (
+            f"CASE WHEN abs({c}) >= {_NANOS_MIN}L THEN {c} DIV 1000 "
+            f"WHEN abs({c}) >= {_MICROS_MIN}L THEN {c} "
+            f"WHEN abs({c}) >= {_MILLIS_MIN}L THEN {c} * 1000 "
+            f"ELSE {c} * 1000000 END"
+        )
+        return df.withColumn(col, F.expr(f"timestamp_micros({micros})"))
+    return df
+
+
 def get_spark(
     app_name: str = "local-lakehouse-spark",
     master: str | None = None,
@@ -60,9 +112,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Deterministic timestamps vs the DuckDB oracle (BASELINE.md).
         .config("spark.sql.session.timeZone", "UTC")
-        # The driver's events.parquet stores TIMESTAMP(NANOS), which the
-        # vectorized reader rejects; read as long and convert explicitly
-        # (queries.events_table does the nanos→timestamp conversion).
+        # If the driver's events.parquet stores TIMESTAMP(NANOS) (some
+        # rounds do), the vectorized reader rejects it; read as long and
+        # convert explicitly (normalize_events_ts). No-op for MICROS.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any pandas UDF / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -22,10 +22,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Fallback pinned schema for the file-source stream (streaming sources
+# can't infer). ts is pinned as int64 epoch: both a TIMESTAMP(NANOS)
+# column under nanosAsLong and a TIMESTAMP(MICROS) column coerced to
+# long surface through it, and _norm_ts disambiguates the unit by
+# magnitude. read_events_stream prefers deriving the exact schema from
+# the parquet footer (batch read) so no coercion happens at all.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.LongType()),  # int64 epoch, unit auto-detected
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -35,11 +41,12 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _norm_ts(df: DataFrame) -> DataFrame:
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    return df
+    """Unit-aware ts → TimestampType (see session.normalize_events_ts:
+    handles bigint of any epoch unit by magnitude, timestamp_ntz by
+    cast under the pinned-UTC session, timestamp untouched)."""
+    from ..session import normalize_events_ts
+
+    return normalize_events_ts(df)
 
 
 # ---------------------------------------------------------------------------
@@ -130,14 +137,20 @@ def sessionize_batch(
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned —
-    streaming sources don't infer). Runtime confs hardened so the read
-    works on an externally-built session (nanos timestamps)."""
+    streaming sources don't infer). The pinned schema is derived from
+    the parquet footer via a driver-side batch read (metadata only, no
+    scan), so the stream sees exactly the types batch queries see —
+    whatever unit/type the fixture stores ts in — and _norm_ts
+    converts unit-aware. Falls back to EVENTS_SCHEMA if the footer
+    probe fails (e.g. empty dir before the first file lands)."""
     from ..session import harden_runtime
 
     harden_runtime(spark)
-    return _norm_ts(
-        spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    )
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        schema = EVENTS_SCHEMA
+    return _norm_ts(spark.readStream.schema(schema).parquet(path))
 
 
 def streaming_tumbling_agg(
@@ -240,8 +253,16 @@ def streaming_sessionize_stateful(
 
         # floored-second gap arithmetic — identical to the batch
         # twin's CAST(ts AS LONG) (x13) so session boundaries match.
+        # The Arrow batch may arrive tz-aware or naive and at ns or us
+        # resolution depending on Spark/pandas versions; numpy's
+        # datetime64[s] cast floors to whole seconds either way.
         pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
-        ts_s = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        ts_col = pd.to_datetime(pdf["ts"])
+        if ts_col.dt.tz is not None:
+            ts_col = ts_col.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts_s = (
+            ts_col.to_numpy().astype("datetime64[s]").astype("int64").tolist()
+        )
         ev = pdf["event_id"].tolist()
 
         if state.exists:

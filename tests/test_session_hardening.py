@@ -44,11 +44,93 @@ def bare_session(spark):
     return s
 
 
-def test_bare_session_rejects_nanos_read(bare_session):
-    """Precondition: without the conf the raw read really fails —
-    otherwise this whole module tests nothing."""
-    with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):
-        bare_session.read.parquet(f"{SF_DIR}/events.parquet").schema
+def _events_ts_unit() -> str:
+    """The fixture's ts physical unit, read from the parquet footer —
+    the driver has regenerated events.parquet with different units
+    across rounds (NANOS in round 1, MICROS-NTZ in round 3)."""
+    import pyarrow.parquet as pq
+
+    lt = pq.ParquetFile(f"{SF_DIR}/events.parquet").metadata.schema.column(
+        1
+    ).logical_type
+    return str(lt)
+
+
+def test_bare_session_read_matches_fixture_unit(bare_session):
+    """Unit-conditional premise: a NANOS fixture must be rejected by a
+    bare session (that's what harden_runtime's nanosAsLong exists
+    for); a MICROS fixture reads natively as a (ntz) timestamp. Either
+    way events_table must normalize to a proper 'timestamp' column —
+    asserted in test_events_table_on_bare_session."""
+    unit = _events_ts_unit()
+    if "nanoseconds" in unit:
+        with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):
+            bare_session.read.parquet(f"{SF_DIR}/events.parquet").schema
+    else:
+        dt = dict(
+            bare_session.read.parquet(f"{SF_DIR}/events.parquet").dtypes
+        )["ts"]
+        assert dt in ("timestamp", "timestamp_ntz")
+
+
+def test_nanos_fixture_roundtrip(spark, tmp_path):
+    """Keep real TIMESTAMP(NANOS) coverage even while the driver's
+    fixture stores MICROS: write a genuine nanos parquet, verify the
+    hardened read surfaces int64 nanos, and that normalize_events_ts
+    recovers the exact micros instants (integer DIV — no double
+    round-trip precision loss at 1e18)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from local_lakehouse_spark.session import normalize_events_ts
+
+    micros = [1704067207_179575, 1706659032_194062, 1704153600_000001]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        }
+    )
+    path = str(tmp_path / "nanos.parquet")
+    pq.write_table(tbl, path, store_schema=False)
+    col = pq.ParquetFile(path).metadata.schema.column(1).logical_type
+    assert "nanoseconds" in str(col), "fixture did not store NANOS"
+
+    df = harden_runtime(spark).read.parquet(path)
+    assert dict(df.dtypes)["ts"] == "bigint"  # nanosAsLong surfaced it
+    out = normalize_events_ts(df)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    got = {
+        r.event_id: r.us
+        for r in out.selectExpr("event_id", "unix_micros(ts) AS us").collect()
+    }
+    assert got == {1: micros[0], 2: micros[1], 3: micros[2]}
+
+
+def test_int64_unit_ladder(spark):
+    """normalize_events_ts must map int64 epochs of every unit
+    (s/ms/us/ns) onto the same instant — the guard against the
+    round-2 failure class (fixture unit flip ⇒ silently wrong
+    timeline, in either direction)."""
+    from local_lakehouse_spark.session import normalize_events_ts
+
+    us = 1704067207_179575  # 2024-01-01T00:00:07.179575
+    rows = [
+        ("s", us // 1_000_000, us // 1_000_000 * 1_000_000),
+        ("ms", us // 1000, us // 1000 * 1000),
+        ("us", us, us),
+        ("ns", us * 1000, us),
+    ]
+    df = spark.createDataFrame(
+        [(u, v) for u, v, _ in rows], "unit string, ts long"
+    )
+    got = {
+        r.unit: r.us
+        for r in normalize_events_ts(df)
+        .selectExpr("unit", "unix_micros(ts) AS us")
+        .collect()
+    }
+    assert got == {u: want for u, _, want in rows}
 
 
 def test_q05_on_bare_session(bare_session, spark):

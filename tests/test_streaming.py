@@ -30,6 +30,39 @@ def events_stage():
     return stage
 
 
+def test_normalized_ts_matches_file_epoch_range(spark, events_stage):
+    """Independent input-conversion check: the batch-vs-stream
+    comparisons below share _norm_ts, so a conversion bug (the round-2
+    micros÷1000 timeline collapse) would cancel out there. Pin the
+    normalized min/max ts to the literal epoch range read straight
+    from the parquet file by pyarrow — this test FAILS if a wrong
+    unit factor is ever (re)introduced, in either direction."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ts = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["ts"]
+    ).column("ts").to_pylist()
+    # naive wall-clock datetimes (file is NTZ or nanos — either way
+    # pyarrow yields naive datetimes at micros precision, which is
+    # exactly what a UTC-pinned Spark session collects)
+    want_min, want_max = min(ts), max(ts)
+
+    batch = events_table(spark, SF_DIR)
+    got_min, got_max = batch.agg(F.min("ts"), F.max("ts")).first()
+    assert (got_min, got_max) == (want_min, want_max)
+
+    stream = read_events_stream(spark, events_stage)
+    run_stream_to_memory(
+        stream.groupBy().agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx")
+        ),
+        "t_ts_range",
+    )
+    r = spark.table("t_ts_range").first()
+    assert (r.mn, r.mx) == (want_min, want_max)
+
+
 def test_streaming_tumbling_matches_batch(spark, events_stage):
     batch = tumbling_agg(events_table(spark, SF_DIR), "1 hour").collect()
     stream = read_events_stream(spark, events_stage)
