@@ -224,6 +224,93 @@ def test_partition_filters_overwrite(unity, random_df, tmp_path):
     assert ids == [0, 2, 4, 6, 8, 500, 501]
 
 
+@pytest.mark.parametrize("partitioned", [True, False])
+def test_replace_where_reference_sequence(unity, spark, tmp_path, partitioned):
+    """Exact data/predicate sequence of the reference's
+    test_replace_where (tests/test_dataframes.py:840-994), run
+    parquet-natively: sequential selective overwrites, the second with
+    a compound non-partition predicate (id > 4 AND length(str_col) > 3)
+    — pins the delta replaceWhere semantics the sandbox can't execute
+    through delta-spark (no jar, no network; see
+    tests/test_format_gates.py)."""
+    schema = "id long, str_col string, float_col double"
+    df1 = spark.createDataFrame(
+        [
+            (0, "asd", 0.1), (1, "foo", 1.2), (2, "bar", 3.4),
+            (3, "baz", 99.99), (4, "tmp", 123.321), (5, "mic check 123", -12.32),
+        ],
+        schema,
+    )
+    df2 = spark.createDataFrame(
+        [(0, "asddd", 0.1), (0, "foo", 11.2), (0, "bar", 1.1), (0, "baz", 2.2)],
+        schema,
+    )
+    df3 = spark.createDataFrame([(6, "hiiiii", 0.1), (7, "mommmm", 11.2)], schema)
+
+    unity.create_as_table(
+        df1, "unity", "default", "t", location=_loc(tmp_path, "t"),
+        partition_cols=["id"] if partitioned else None,
+    )
+    unity.write_table(
+        df2, "unity", "default", "t", mode="overwrite", replace_where="id = 0"
+    )
+    back = rows_set(unity.read_table("unity", "default", "t"))
+    assert back == rows_set(df2.unionByName(df1.filter("id <> 0")))
+
+    unity.write_table(
+        df3, "unity", "default", "t", mode="overwrite",
+        replace_where="id > 4 AND length(str_col) > 3",
+    )
+    back = rows_set(unity.read_table("unity", "default", "t"))
+    # id=5 ('mic check 123', len>3) replaced; ids 1-4 kept; id=0 rows kept
+    want = rows_set(
+        df3.unionByName(df2).unionByName(df1.filter("id BETWEEN 1 AND 4"))
+    )
+    assert back == want
+
+
+def test_partition_filters_reference_sequence(unity, spark, tmp_path):
+    """Exact sequence of the reference's test_partition_filters
+    (tests/test_dataframes.py:997-1114): two-column partitioning,
+    then a '=' filter overwrite and a multi-clause ('>' + '!=')
+    filter overwrite — only matching partitions are replaced."""
+    schema = "id long, str_col string, float_col double"
+    df1 = spark.createDataFrame(
+        [
+            (0, "asd", 0.1), (0, "asd", 1.2), (0, "foo", 3.4),
+            (1, "asd", 99.99), (1, "foo", 123.321), (2, "baz", -12.32),
+        ],
+        schema,
+    )
+    df2 = spark.createDataFrame(
+        [(0, "asddd", 0.1), (0, "foo", 11.2), (0, "bar", 1.1), (0, "baz", 2.2)],
+        schema,
+    )
+    df3 = spark.createDataFrame([(6, "hiiiii", 0.1), (7, "mommmm", 11.2)], schema)
+
+    unity.create_as_table(
+        df1, "unity", "default", "t", location=_loc(tmp_path, "t"),
+        partition_cols=["id", "str_col"],
+    )
+    unity.write_table(
+        df2, "unity", "default", "t", mode="overwrite",
+        partition_filters=[("id", "=", 0)],
+    )
+    back = rows_set(unity.read_table("unity", "default", "t"))
+    assert back == rows_set(df2.unionByName(df1.filter("id <> 0")))
+
+    unity.write_table(
+        df3, "unity", "default", "t", mode="overwrite",
+        partition_filters=[("id", ">", 0), ("str_col", "!=", "asd")],
+    )
+    back = rows_set(unity.read_table("unity", "default", "t"))
+    # (1,'foo') and (2,'baz') partitions replaced; (1,'asd') kept
+    want = rows_set(
+        df3.unionByName(df2).unionByName(df1.filter("id = 1 AND str_col = 'asd'"))
+    )
+    assert back == want
+
+
 def test_partition_filters_nonpartition_col_rejected(unity, random_df, tmp_path):
     df = random_df(4).withColumn("part", (F.col("id") % 2).cast("int"))
     unity.create_as_table(

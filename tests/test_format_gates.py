@@ -7,6 +7,23 @@ lock in graceful degradation: precise UnsupportedOperationError on
 every dispatch path today, and each positive branch auto-activates if
 the package ever appears (the skips key on availability, not on an
 assumption).
+
+Vendored-activation attempt (round 3), documented so the finding is
+reproducible:
+  - no connector jars anywhere on disk: ``find / -name '*delta*jar'``
+    and ``... -name 'spark-avro*'`` return nothing (pyspark/jars has
+    only avro-1.12.1 core, NOT the spark-avro DataSource);
+  - no python package: ``importlib.util.find_spec('delta')`` → None;
+  - no ivy cache: ``~/.ivy2`` absent;
+  - no network: DNS resolution of repo1.maven.org fails (Errno -2),
+    so ``spark.jars.packages`` cannot fetch and pip cannot install.
+Activation is therefore impossible in-sandbox. The delta-specific
+*semantics* (replaceWhere, partition_filters, schema modes, MERGE,
+time travel) are instead pinned parquet-natively by
+tests/test_dataframes.py (test_replace_where_reference_sequence,
+test_partition_filters_reference_sequence, the evolution matrix) and
+tests/test_merge.py, mirroring the reference's delta test scenarios
+row-for-row.
 """
 
 from __future__ import annotations
