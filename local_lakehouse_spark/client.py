@@ -24,6 +24,7 @@ from typing import Optional, Union
 from pyspark.sql import DataFrame, SparkSession
 
 from . import io as _io
+from . import sqlnames as _sqlnames
 from .exceptions import (
     ConstraintViolationError,
     DoesNotExistError,
@@ -547,28 +548,29 @@ class LakehouseClient:
 
     # -- SQL -----------------------------------------------------------------
 
-    _NAME_RE = re.compile(
-        r'(?<![\w.])([A-Za-z_][\w$]*|"[^"]+")\.([A-Za-z_][\w$]*|"[^"]+")\.'
-        r'([A-Za-z_][\w$]*|"[^"]+")(?![\w.])'
-        r"(?:\s+(?i:VERSION\s+AS\s+OF)\s+(\d+))?"
-    )
-    # single-quoted SQL string literal, '' = escaped quote
-    _STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
-
+    _IDENT = r'("[^"]+"|`[^`]+`|\w+)'
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+"
-        r'("?\w+"?)\.("?\w+"?)\.("?\w+"?)\s+'
-        r"(SELECT|VALUES|WITH)\b(.*)$",
+        r"^INSERT\s+(INTO|OVERWRITE)\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s+"
+        + r"(SELECT|VALUES|WITH)\b(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
     _CTAS_RE = re.compile(
-        r"^\s*CREATE\s+TABLE\s+"
-        r'("?\w+"?)\.("?\w+"?)\.("?\w+"?)\s+'
-        r"(?:USING\s+(\w+)\s+)?"
-        r"(?:LOCATION\s+'([^']+)'\s+)?"
-        r"AS\s+(.*)$",
+        r"^CREATE\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s+"
+        + r"(?:USING\s+(\w+)\s+)?"
+        + r"(?:LOCATION\s+'([^']+)'\s+)?"
+        + r"AS\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    @staticmethod
+    def _unquote_name(part: str) -> str:
+        if part[:1] == '"' and part[-1:] == '"':
+            return part[1:-1].replace('""', '"')
+        if part[:1] == "`" and part[-1:] == "`":
+            return part[1:-1].replace("``", "`")
+        return part
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL referencing ``catalog.schema.table`` names.
@@ -579,6 +581,11 @@ class LakehouseClient:
         Spark to resolve (error parity with the reference where DuckDB
         raises on unknown tables). Parity: client.py:537-544.
 
+        The rewrite is tokenizer-based (sqlnames.py): names inside
+        string literals, line/block comments, and quoted identifiers
+        are never touched, and ``a.b.c.d`` chains are left intact.
+        Both ANSI double-quote and Spark backtick quoting work.
+
         Beyond the reference (whose SQL surface is read-only,
         README.md:29-31): ``INSERT INTO|OVERWRITE c.s.t SELECT ...``
         and ``CREATE TABLE c.s.t [USING fmt] [LOCATION '...'] AS
@@ -588,59 +595,50 @@ class LakehouseClient:
         write.
         """
         spark = self._require_spark()
+        stmt = _sqlnames.strip_leading_trivia(query)
 
-        m = self._INSERT_RE.match(query)
+        m = self._INSERT_RE.match(stmt)
         if m:
             verb, cat, sch, tbl, kw, rest = m.groups()
             df = self.sql(kw + rest)
             self.write_table(
                 df,
-                cat.strip('"'),
-                sch.strip('"'),
-                tbl.strip('"'),
+                self._unquote_name(cat),
+                self._unquote_name(sch),
+                self._unquote_name(tbl),
                 mode=WriteMode.APPEND
                 if verb.upper() == "INTO"
                 else WriteMode.OVERWRITE,
                 schema_evolution=SchemaEvolution.STRICT,
             )
             return spark.createDataFrame([], "rows string")
-        m = self._CTAS_RE.match(query)
+        m = self._CTAS_RE.match(stmt)
         if m:
             cat, sch, tbl, fmt, loc, select = m.groups()
             df = self.sql(select)
             self.create_as_table(
                 df,
-                cat.strip('"'),
-                sch.strip('"'),
-                tbl.strip('"'),
+                self._unquote_name(cat),
+                self._unquote_name(sch),
+                self._unquote_name(tbl),
                 file_type=(fmt or "parquet").upper(),
                 location=loc,
             )
             return spark.createDataFrame([], "rows string")
 
-        def repl(m: re.Match) -> str:
-            cat, sch, tbl = (p.strip('"') for p in m.groups()[:3])
-            version = int(m.group(4)) if m.group(4) else None
+        def resolve(
+            cat: str, sch: str, tbl: str, version: Optional[int]
+        ) -> Optional[str]:
             try:
                 table = self.get_table(cat, sch, tbl)
             except DoesNotExistError:
-                return m.group(0)
-            view = f"__llh_{cat}_{sch}_{tbl}" + (
-                f"_v{version}" if version is not None else ""
-            )
+                return None
+            view = "__llh_" + "_".join(
+                re.sub(r"\W", "_", p) for p in (cat, sch, tbl)
+            ) + (f"_v{version}" if version is not None else "")
             _io.read_table(spark, table, version=version).createOrReplaceTempView(
                 view
             )
             return view
 
-        # Rewrite only OUTSIDE single-quoted string literals — a
-        # dotted name inside a literal is data, not a table reference
-        # (parity: the reference hands the text verbatim to DuckDB).
-        parts: list[str] = []
-        last = 0
-        for m in self._STRING_LIT_RE.finditer(query):
-            parts.append(self._NAME_RE.sub(repl, query[last : m.start()]))
-            parts.append(m.group(0))
-            last = m.end()
-        parts.append(self._NAME_RE.sub(repl, query[last:]))
-        return spark.sql("".join(parts))
+        return spark.sql(_sqlnames.rewrite_three_part_names(query, resolve))

@@ -23,16 +23,32 @@ each round is exactly one Spark job.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+    on_unconverged: str = "warn",
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; ``component`` is
     the minimum vertex id reachable from ``id``. Undirected.
+
+    HashMin label propagation converges in O(graph diameter)
+    iterations — near-dup graphs are star-like (diameter ≤ ~3), so
+    ``max_iter=20`` leaves wide headroom there. For general graphs a
+    long path can exhaust ``max_iter`` with labels still moving;
+    ``on_unconverged`` controls what happens then: ``"warn"``
+    (default) emits a warning and returns the partial labels,
+    ``"raise"`` raises RuntimeError, ``"ignore"`` returns silently.
     """
+    if on_unconverged not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_unconverged={on_unconverged!r}")
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -42,6 +58,7 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels.id)
@@ -63,6 +80,16 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    if changed != 0 and on_unconverged != "ignore":
+        msg = (
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); returned "
+            "components may be split — raise max_iter for graphs with "
+            "diameter > max_iter"
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("component"))
 
 

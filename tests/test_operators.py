@@ -561,6 +561,39 @@ def test_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10}
 
 
+def test_connected_components_unconverged_paths(spark):
+    """A path graph longer than max_iter cannot converge (VERDICT r2
+    stretch item): default warns, 'raise' raises, and enough
+    iterations converge silently to the single min label."""
+    import warnings as _w
+
+    from local_lakehouse_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = connected_components(path, "a", "b", max_iter=3).collect()
+    assert len(out) == 13
+    assert any("did not converge" in str(c.message) for c in caught)
+    # partial labels: the far end of the path can't have reached 0 yet
+    labels = {r.id: r.component for r in out}
+    assert labels[12] != 0
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, "a", "b", max_iter=3, on_unconverged="raise")
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        done = connected_components(path, "a", "b", max_iter=20).collect()
+    assert not any("did not converge" in str(c.message) for c in caught)
+    assert {r.component for r in done} == {0}
+
+    with pytest.raises(ValueError):
+        connected_components(path, "a", "b", on_unconverged="nope")
+
+
 def test_dedup_clusters_from_pairs(docs):
     from local_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
     from local_lakehouse_spark.operators.graph import dedup_clusters

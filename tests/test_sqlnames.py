@@ -1,0 +1,171 @@
+"""Tokenizer-based 3-part-name rewriting: the cases a raw regex
+pass gets wrong (VERDICT r2 "What's missing" #3 / next-round #7).
+
+Pure-python tests for sqlnames plus end-to-end client.sql tests for
+comments, quoted identifiers, backticks, and 4-part chains."""
+
+import pytest
+
+from local_lakehouse_spark.sqlnames import (
+    rewrite_three_part_names,
+    strip_leading_trivia,
+    tokenize,
+)
+
+
+def _resolver(known):
+    def resolve(cat, sch, tbl, version):
+        if (cat, sch, tbl) in known:
+            v = f"_v{version}" if version is not None else ""
+            return f"VIEW_{cat}_{sch}_{tbl}{v}"
+        return None
+    return resolve
+
+
+KNOWN = {("unity", "default", "t")}
+
+
+class TestTokenizer:
+    def test_lossless(self):
+        q = "SELECT 'a''b', \"c\"\"d\", `e``f` -- x\n/* y */ FROM t.u.v"
+        assert "".join(t.text for t in tokenize(q)) == q
+
+    def test_comment_kinds(self):
+        kinds = [t.kind for t in tokenize("-- line\n/* block\nstill */ x")]
+        assert kinds == ["comment", "ws", "comment", "ws", "word"]
+
+    def test_unterminated_string_degrades(self):
+        # opening quote lexes as punct; no crash, no swallowing
+        toks = tokenize("SELECT ' FROM a.b.c")
+        assert "".join(t.text for t in toks) == "SELECT ' FROM a.b.c"
+
+
+class TestRewrite:
+    def test_basic(self):
+        out = rewrite_three_part_names(
+            "SELECT * FROM unity.default.t", _resolver(KNOWN)
+        )
+        assert out == "SELECT * FROM VIEW_unity_default_t"
+
+    def test_unknown_left_alone(self):
+        q = "SELECT * FROM other.db.t"
+        assert rewrite_three_part_names(q, _resolver(KNOWN)) == q
+
+    def test_name_inside_line_comment_untouched(self):
+        q = "SELECT 1 -- see unity.default.t for details\nFROM x"
+        assert rewrite_three_part_names(q, _resolver(KNOWN)) == q
+
+    def test_name_inside_block_comment_untouched(self):
+        q = "SELECT 1 /* unity.default.t */ FROM x"
+        assert rewrite_three_part_names(q, _resolver(KNOWN)) == q
+
+    def test_name_inside_string_untouched(self):
+        q = "SELECT 'unity.default.t' AS s"
+        assert rewrite_three_part_names(q, _resolver(KNOWN)) == q
+
+    def test_comment_with_apostrophe_does_not_break_masking(self):
+        # the r2 regex design choked here: "don't" opened a phantom
+        # string literal that swallowed the real table reference
+        q = "SELECT * -- don't touch\nFROM unity.default.t"
+        out = rewrite_three_part_names(q, _resolver(KNOWN))
+        assert "VIEW_unity_default_t" in out
+        assert "-- don't touch" in out
+
+    def test_four_part_chain_untouched(self):
+        q = "SELECT unity.default.t.col FROM x"
+        assert rewrite_three_part_names(q, _resolver(KNOWN)) == q
+
+    def test_quoted_identifiers(self):
+        known = {("my cat", "sch", "tbl")}
+        q = 'SELECT * FROM "my cat".sch.tbl'
+        out = rewrite_three_part_names(q, _resolver(known))
+        assert out == "SELECT * FROM VIEW_my cat_sch_tbl"
+
+    def test_backtick_identifiers(self):
+        q = "SELECT * FROM `unity`.`default`.`t`"
+        out = rewrite_three_part_names(q, _resolver(KNOWN))
+        assert out == "SELECT * FROM VIEW_unity_default_t"
+
+    def test_dots_inside_quotes_not_separators(self):
+        # `a.b` is ONE identifier; a.b.c must not be assembled from it
+        q = 'SELECT * FROM "unity.default".t'
+        assert rewrite_three_part_names(q, _resolver(KNOWN)) == q
+
+    def test_whitespace_and_comments_around_dots(self):
+        q = "SELECT * FROM unity . default/*x*/. t"
+        out = rewrite_three_part_names(q, _resolver(KNOWN))
+        assert out == "SELECT * FROM VIEW_unity_default_t"
+
+    def test_version_as_of(self):
+        q = "SELECT * FROM unity.default.t VERSION AS OF 3"
+        out = rewrite_three_part_names(q, _resolver(KNOWN))
+        assert out == "SELECT * FROM VIEW_unity_default_t_v3"
+
+    def test_two_part_untouched(self):
+        q = "SELECT * FROM default.t"
+        assert rewrite_three_part_names(q, _resolver(KNOWN)) == q
+
+    def test_multiple_references(self):
+        q = "SELECT * FROM unity.default.t a JOIN unity.default.t b ON a.x = b.x"
+        out = rewrite_three_part_names(q, _resolver(KNOWN))
+        assert out.count("VIEW_unity_default_t") == 2
+        assert "a.x = b.x" in out
+
+
+def test_strip_leading_trivia():
+    assert strip_leading_trivia("  -- c\n /* b */ INSERT INTO x") == "INSERT INTO x"
+    assert strip_leading_trivia("SELECT 1") == "SELECT 1"
+    assert strip_leading_trivia(" -- only\n") == ""
+
+
+class TestClientSql:
+    @pytest.fixture()
+    def with_lineitem(self, unity):
+        unity.register_as_table(
+            "unity", "default", "lineitem", "parquet",
+            "/root/testdata/sf0.001/lineitem.parquet",
+        )
+        return unity
+
+    def test_commented_name_not_registered(self, with_lineitem):
+        out = with_lineitem.sql(
+            "SELECT COUNT(*) AS n -- counts unity.default.lineitem\n"
+            "FROM unity.default.lineitem"
+        ).collect()
+        assert out[0].n == 6000
+
+    def test_apostrophe_comment_then_reference(self, with_lineitem):
+        out = with_lineitem.sql(
+            "SELECT COUNT(*) AS n -- don't break here\n"
+            "FROM unity.default.lineitem"
+        ).collect()
+        assert out[0].n == 6000
+
+    def test_backtick_reference(self, with_lineitem):
+        out = with_lineitem.sql(
+            "SELECT COUNT(*) AS n FROM `unity`.`default`.`lineitem`"
+        ).collect()
+        assert out[0].n == 6000
+
+    def test_string_literal_with_dotted_name(self, with_lineitem):
+        out = with_lineitem.sql(
+            "SELECT 'unity.default.lineitem' AS s, COUNT(*) AS n "
+            "FROM unity.default.lineitem"
+        ).collect()
+        assert out[0].s == "unity.default.lineitem"
+        assert out[0].n == 6000
+
+    def test_insert_with_leading_comment(self, with_lineitem, tmp_path):
+        unity = with_lineitem
+        unity.sql(
+            "CREATE TABLE unity.default.li2 USING parquet "
+            f"LOCATION '{tmp_path}/li2' "
+            "AS SELECT l_orderkey, l_quantity FROM unity.default.lineitem LIMIT 10"
+        )
+        unity.sql(
+            "-- append a few more\n"
+            "INSERT INTO unity.default.li2 "
+            "SELECT l_orderkey, l_quantity FROM unity.default.lineitem LIMIT 5"
+        )
+        n = unity.sql("SELECT COUNT(*) AS n FROM unity.default.li2").collect()[0].n
+        assert n == 15
