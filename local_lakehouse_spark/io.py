@@ -56,6 +56,27 @@ except ImportError:  # pragma: no cover
     DeltaTable = None  # type: ignore
     HAVE_DELTA = False
 
+# None = not probed yet; the JVM spark-avro source is preferred when
+# its jar is on the classpath (block-splittable scans), with the
+# pure-Python container codec (sources/avro_py.py) as the fallback.
+_JVM_AVRO: Optional[bool] = None
+
+
+def _have_jvm_avro(spark: SparkSession) -> bool:
+    global _JVM_AVRO
+    if _JVM_AVRO is None:
+        try:
+            spark.read.format("avro").load("/__nonexistent_avro_probe__")
+            _JVM_AVRO = True  # pragma: no cover - jar present
+        except Exception as exc:
+            # source exists but path doesn't → PATH_NOT_FOUND;
+            # source missing → FAILED_FIND_DATA_SOURCE/ClassNotFound
+            msg = str(exc)
+            _JVM_AVRO = (
+                "Failed to find" not in msg and "ClassNotFound" not in msg
+            )
+    return _JVM_AVRO
+
 
 def strip_file_scheme(path: str) -> str:
     """Parity: /root/reference/uchelper/dataframe.py:194-196."""
@@ -137,12 +158,14 @@ def read_format_path(
     if file_type == FileType.TEXT:
         return spark.read.text(path)
     if file_type == FileType.AVRO:
-        try:
+        if _have_jvm_avro(spark):  # pragma: no cover - jar not in sandbox
             return spark.read.format("avro").load(path)
-        except Exception as exc:
-            raise UnsupportedOperationError(
-                f"AVRO format requires the spark-avro package: {exc}"
-            ) from exc
+        from .sources import avro_py
+
+        return avro_py.read_avro(
+            spark, path,
+            schema=uc_columns_to_spark_schema(columns) if columns else None,
+        )
     raise UnsupportedOperationError(f"Unsupported file type {file_type}")
 
 
@@ -547,7 +570,22 @@ def _write_flat(
         check_schemas_equal(df_cols, table.columns)
     fmt = _FORMAT_NAME[ft]
     options = {"header": "true"} if ft == FileType.CSV else {}
-    if _is_single_file(path):
+    if ft == FileType.AVRO and not _have_jvm_avro(spark):
+        from .sources import avro_py
+
+        if _is_single_file(path):
+            # materialize to a temp name FIRST (df may read the current
+            # file), then retire the old version and swap in the new
+            tmp = path + f".__avro_{uuid.uuid4().hex}"
+            avro_py.write_avro_single(df, tmp)
+            if os.path.exists(path):
+                _retire_version(path, path)
+            os.replace(tmp, path)
+        else:
+            tmp = path + f".__rw_{uuid.uuid4().hex}"
+            avro_py.write_avro_dir(df, tmp)
+            _atomic_swap_dir(tmp, path)
+    elif _is_single_file(path):
         _write_single_file(df, fmt, path, **options)
     else:
         _rewrite_table_dir(df, fmt, path, **options)

@@ -1,0 +1,154 @@
+"""Pure-Python Avro object-container codec (sources/avro_py.py).
+
+Mirrors the reference's avro coverage
+(/root/reference/tests/test_dataframes.py:20-28 parametrizes the
+write→read roundtrip over avro) — previously error-gated here because
+the spark-avro jar is absent; now executable via the public container
+spec. Includes self-roundtrip, null/typed-column fidelity, nested
+types, both codecs, corruption detection, and client-level
+create/read/overwrite with snapshot retirement."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from local_lakehouse_spark.sources import avro_py
+from tests.conftest import rows_set
+
+
+NESTED_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("b", T.BooleanType(), True),
+    T.StructField("i", T.IntegerType(), True),
+    T.StructField("f", T.FloatType(), True),
+    T.StructField("d", T.DoubleType(), True),
+    T.StructField("s", T.StringType(), True),
+    T.StructField("bin", T.BinaryType(), True),
+    T.StructField("dt", T.DateType(), True),
+    T.StructField("ts", T.TimestampNTZType(), True),
+    T.StructField("dec", T.DecimalType(12, 4), True),
+    T.StructField("arr", T.ArrayType(T.LongType()), True),
+    T.StructField("m", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField(
+        "st",
+        T.StructType([
+            T.StructField("x", T.LongType(), True),
+            T.StructField("y", T.StringType(), True),
+        ]),
+        True,
+    ),
+])
+
+NESTED_ROWS = [
+    (
+        1, True, 42, 1.5, 2.25, "hello", b"\x00\xff", datetime.date(2024, 3, 1),
+        datetime.datetime(2024, 3, 1, 12, 30, 45, 123456), Decimal("1234.5678"),
+        [1, 2, 3], {"k1": "v1", "k2": "v2"}, Row(x=7, y="nested"),
+    ),
+    (2, None, None, None, None, None, None, None, None, None, None, None, None),
+    (
+        3, False, -(2**31), -0.5, 1e300, "", b"", datetime.date(1969, 12, 31),
+        datetime.datetime(1969, 12, 31, 23, 59, 59), Decimal("-0.0001"),
+        [], {}, Row(x=None, y=None),
+    ),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_all_types(spark, tmp_path, codec):
+    df = spark.createDataFrame(NESTED_ROWS, NESTED_SCHEMA)
+    path = str(tmp_path / "t.avro")
+    avro_py.write_avro_single(df, path, codec=codec)
+    back = avro_py.read_avro(spark, path)
+    # nullability is preserved exactly: nullable fields go through
+    # ["null", T] unions, non-nullable fields are bare types
+    assert back.schema == NESTED_SCHEMA
+    assert rows_set(back) == rows_set(df)
+
+
+def test_empty_table_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([], "a long, b string")
+    path = str(tmp_path / "empty.avro")
+    avro_py.write_avro_single(df, path)
+    back = avro_py.read_avro(spark, path)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["a", "b"]
+
+
+def test_dir_write_is_distributed_and_readable(spark, tmp_path):
+    import os
+
+    df = spark.range(0, 1000, numPartitions=8).selectExpr(
+        "id", "CAST(id AS STRING) AS s"
+    )
+    dest = str(tmp_path / "dirtable")
+    avro_py.write_avro_dir(df, dest)
+    parts = [f for f in os.listdir(dest) if f.endswith(".avro")]
+    assert len(parts) == 8  # one container per partition, no shuffle
+    back = avro_py.read_avro(spark, dest)
+    assert back.count() == 1000
+    assert rows_set(back) == rows_set(df)
+
+
+def test_corrupt_sync_marker_detected(spark, tmp_path):
+    df = spark.range(10)
+    path = str(tmp_path / "c.avro")
+    avro_py.write_avro_single(df, path)
+    raw = bytearray(open(path, "rb").read())
+    raw[-1] ^= 0xFF  # flip a bit in the trailing sync marker
+    with pytest.raises(ValueError, match="sync marker"):
+        avro_py.read_container(bytes(raw))
+
+
+def test_block_streaming_multiple_blocks(spark, tmp_path):
+    # force multiple container blocks to exercise block framing
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "long"},
+    ]}
+    path = str(tmp_path / "blocks.avro")
+    n = avro_py.write_container(
+        path, schema, iter([(i,) for i in range(10000)]), block_rows=512
+    )
+    assert n == 10000
+    _, rows = avro_py.read_container(open(path, "rb").read())
+    assert rows == [(i,) for i in range(10000)]
+
+
+# -- client-level: the reference's avro table lifecycle ----------------------
+
+
+def test_client_avro_create_read_overwrite(unity, random_df, tmp_path):
+    df = random_df(12)
+    loc = f"file://{tmp_path}/t.avro"
+    unity.create_as_table(
+        df, "unity", "default", "av", file_type="avro", location=loc
+    )
+    back = unity.read_table("unity", "default", "av")
+    assert rows_set(back) == rows_set(df)
+
+    # overwrite reads-from-self safely (temp-then-swap ordering)
+    df2 = random_df(5, seed=7)
+    unity.write_table(df2, "unity", "default", "av", mode="overwrite")
+    assert rows_set(unity.read_table("unity", "default", "av")) == rows_set(df2)
+
+    # previous version retired as a snapshot (time travel parity with
+    # the parquet paths)
+    old = unity.read_table("unity", "default", "av", version=1)
+    assert rows_set(old) == rows_set(df)
+
+
+def test_client_avro_append_rejected(unity, random_df, tmp_path):
+    from local_lakehouse_spark import UnsupportedOperationError
+
+    df = random_df(3)
+    unity.create_as_table(
+        df, "unity", "default", "av3", file_type="avro",
+        location=f"file://{tmp_path}/t3.avro",
+    )
+    with pytest.raises(UnsupportedOperationError, match="APPEND"):
+        unity.write_table(df, "unity", "default", "av3", mode="append")

@@ -1,12 +1,14 @@
-"""DELTA / AVRO format gates.
+"""DELTA format gates + AVRO fallback-source selection.
 
 The environment ships neither delta-spark nor the spark-avro jar
 (reference parity requires both formats —
-/root/reference/uchelper/dataframe.py:197-226,414-425). These tests
-lock in graceful degradation: precise UnsupportedOperationError on
-every dispatch path today, and each positive branch auto-activates if
-the package ever appears (the skips key on availability, not on an
-assumption).
+/root/reference/uchelper/dataframe.py:197-226,414-425). DELTA remains
+gated: precise UnsupportedOperationError on every dispatch path, with
+each positive branch auto-activating if the package ever appears.
+AVRO is now EXECUTABLE regardless: io.py probes for the JVM source
+(preferred when present — block-splittable scans) and otherwise uses
+the pure-Python object-container codec (sources/avro_py.py,
+tests/test_avro_codec.py); the tests here pin that selection logic.
 
 Vendored-activation attempt (round 3), documented so the finding is
 reproducible:
@@ -49,49 +51,29 @@ def _have_avro(spark) -> bool:
 
 
 # -- AVRO --------------------------------------------------------------------
+# Positive coverage lives in tests/test_avro_codec.py (codec + client
+# lifecycle); here we pin the JVM-vs-python source selection.
 
 
-def test_avro_read_gate(spark, tmp_path):
-    if _have_avro(spark):
-        pytest.skip("spark-avro available — positive path covered below")
-    with pytest.raises(UnsupportedOperationError, match="AVRO"):
-        read_format_path(spark, FileType.AVRO, str(tmp_path / "x.avro"))
+def test_avro_source_selection_matches_probe(spark):
+    from local_lakehouse_spark.io import _have_jvm_avro
+
+    assert _have_jvm_avro(spark) == _have_avro(spark)
 
 
-def test_avro_write_gate(unity, random_df, tmp_path):
-    spark = unity._require_spark()
+def test_avro_always_executable(unity, random_df, tmp_path):
+    """AVRO works with or without the jar — no gate anymore."""
     df = random_df(3)
-    loc = f"file://{tmp_path}/t.avro"
-    if _have_avro(spark):
-        unity.create_as_table(
-            df, "unity", "default", "av", file_type="avro", location=loc
-        )
-        back = unity.read_table("unity", "default", "av")
-        assert back.count() == 3
-    else:
-        with pytest.raises(Exception) as exc_info:
-            unity.create_as_table(
-                df, "unity", "default", "av", file_type="avro", location=loc
-            )
-        # CTAS rolls the catalog entry back on a failed write
-        from local_lakehouse_spark.exceptions import DoesNotExistError
-
-        with pytest.raises(DoesNotExistError):
-            unity.get_table("unity", "default", "av")
-        assert exc_info.value is not None
-
-
-def test_avro_roundtrip_if_available(unity, random_df, tmp_path):
-    """Positive AVRO path — runs only when the jar exists."""
-    spark = unity._require_spark()
-    if not _have_avro(spark):
-        pytest.skip("spark-avro jar not installed")
-    df = random_df(5)
     unity.create_as_table(
-        df, "unity", "default", "av2", file_type="avro",
-        location=f"file://{tmp_path}/t2.avro",
+        df, "unity", "default", "av_gate", file_type="avro",
+        location=f"file://{tmp_path}/t.avro",
     )
-    assert unity.read_table("unity", "default", "av2").count() == 5
+    assert unity.read_table("unity", "default", "av_gate").count() == 3
+
+
+def test_avro_missing_file_raises_not_found(spark, tmp_path):
+    with pytest.raises(Exception, match="[Nn]o.*[Aa]vro|PATH_NOT_FOUND"):
+        read_format_path(spark, FileType.AVRO, str(tmp_path / "x.avro"))
 
 
 # -- DELTA -------------------------------------------------------------------
