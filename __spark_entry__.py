@@ -27,14 +27,16 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 _ALL = {**_CORE, **_EXT}
 
 # Ordered so a count-capped (50) correctness run covers the rows that
-# lack a SAME-ROUND green in the newest artifact. Round 2 ran the
-# x-series + q01–q15 and carried q16–q47 on round-1 evidence, so this
-# round flips the order: q16–q47 first, then the five event-time ops
-# fixed this round (x13/x16/x18/x25/x32), then the highest-value
-# extensions. q01–q15 (green in BOTH r1 and r2, untouched since) and
-# the remaining r2-green x-series absorb the cap overflow. Harmless
-# if the driver runs all 81.
-_FIXED_THIS_ROUND = [
+# lack a SAME-ROUND green in the newest artifact. Changed THIS round:
+# x03 (now exact-verified → oracle added), x04 (md5 hash mode → full
+# SQL twin added), and the five event-time ops fixed after the r2
+# verdict. Then q16–q47 (carried on round-1 evidence through r2),
+# then the highest-value extensions. q01–q15 (green in BOTH r1 and
+# r2, untouched since) and the remaining r2-green x-series absorb the
+# cap overflow. Harmless if the driver runs all 81.
+_CHANGED_THIS_ROUND = [
+    "x03_dedup_minhash_lsh",
+    "x04_dedup_simhash",
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",
@@ -42,8 +44,8 @@ _FIXED_THIS_ROUND = [
     "x32_streaming_interval_join",
 ]
 _PRIORITY = (
-    [n for n in _ALL if n.startswith("q") and n >= "q16"]
-    + _FIXED_THIS_ROUND
+    _CHANGED_THIS_ROUND
+    + [n for n in _ALL if n.startswith("q") and n >= "q16"]
     + [
         "x12_events_hourly",  # batch twin of the fixed streaming ops
         "x11_asof_join",
@@ -53,8 +55,6 @@ _PRIORITY = (
         "x17_ann_ivf_topk",
         "x15_multimodal_decode",
         "x21_streaming_dedup",
-        "x23_pandas_udf_scalar",
-        "x24_apply_in_pandas_norm",
         "x26_chunk_documents",
         "x33_dedup_clusters",
         "x34_bm25_relevance",

@@ -16,7 +16,7 @@ codegen — no Python UDFs), designed for the 100 TB case:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -340,22 +340,147 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    candidate_threshold: float = 0.5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Production-shape MinHash dedup: LSH generates candidates
+    sub-quadratically, then each candidate is verified with the EXACT
+    n-gram Jaccard — so the output is exact-thresholded pairs, reached
+    without ever forming the quadratic pair space.
+
+    (id_a, id_b, common, size_a, size_b, jaccard) for exact jaccard ≥
+    ``threshold``, matching ``ngram_jaccard_pairs`` output — which is
+    what makes this oracle-checkable: a SQL twin computes the same
+    exact answer, and any LSH recall miss (banding too coarse for the
+    threshold) shows up as a row-count mismatch. With r=k/bands=4 rows
+    per band, P(candidate | jac=0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.97 per pair;
+    keep ``threshold`` well above the banding target τ≈0.5 so misses
+    are vanishingly rare.
+
+    Scale: candidate verification joins shingles only for candidate
+    ids — the shuffle is |candidates| × avg shingles, not |corpus|².
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, n, k, bands, candidate_threshold
+    ).select("id_a", "id_b")
+    # Verify by joining the (small) candidate set back to the raw
+    # texts — AQE broadcasts `cand`, so the big side is scanned once
+    # with NO extra shuffle — and computing both shingle sets inline
+    # as array expressions: exact jaccard = |∩| / |∪| per pair.
+    def _sh_arr(text: Column) -> Column:
+        w = F.split(text, r"\s+")
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        arr = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        )
+        return F.array_distinct(
+            F.when(F.size(w) >= n, arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    paired = (
+        cand.join(
+            df.select(
+                F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+            ),
+            "id_a",
+        )
+        .join(
+            df.select(
+                F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+            ),
+            "id_b",
+        )
+        # materialize each shingle array ONCE (lambda-scope CSE note
+        # on `shingles` applies here too)
+        .select(
+            "id_a",
+            "id_b",
+            _sh_arr(F.col("__ta")).alias("__sa"),
+            _sh_arr(F.col("__tb")).alias("__sb"),
+        )
+    )
+    common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    size_a = F.size(F.col("__sa"))
+    size_b = F.size(F.col("__sb"))
+    scored = paired.select(
+        "id_a",
+        "id_b",
+        common.alias("common"),
+        size_a.alias("size_a"),
+        size_b.alias("size_b"),
+    )
+    jac = F.col("common") / (
+        F.col("size_a") + F.col("size_b") - F.col("common")
+    )
+    return scored.filter(jac >= threshold).select(
+        "id_a",
+        "id_b",
+        "common",
+        "size_a",
+        "size_b",
+        (F.floor(jac * 1000 + F.lit(0.5)) / 1000).alias("jaccard"),
+    )
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, n_bits: int = 48
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 48,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) — per-token hash bits majority-voted into an
     n_bits fingerprint (bit set iff more token hashes have that bit
     set than not). n_bits ≤ 62 keeps the packed value positive in a
     BIGINT. One shuffle; n_bits conditional sums in a single agg.
+
+    ``hash_mode``: ``"xxhash64"`` (default, fastest — one JVM hash per
+    token) or ``"md5"`` — bits taken from the little-endian uint64 of
+    md5 digest bytes 8..15, which DuckDB exposes verbatim as
+    ``md5_number_lower``, so an independent engine can recompute the
+    identical fingerprints (the x04 oracle). md5 mode supports
+    n_bits ≤ 64.
     """
-    toks = tokenize(df, id_col, text_col).withColumn(
-        "h", F.xxhash64(F.col("word"))
-    )
+    toks = tokenize(df, id_col, text_col)
+    if hash_mode == "md5":
+        if n_bits > 64:
+            raise ValueError("md5 hash_mode supports at most 64 bits")
+        hx = F.md5(F.col("word"))
+        # LE byte j of the lower-half uint64 = digest byte 8+j = hex
+        # chars 17+2j..18+2j (1-indexed); bit i = bit (i%8) of byte i//8
+        nbytes = (n_bits + 7) // 8
+        toks = toks.select(
+            "id",
+            *[
+                F.conv(F.substring(hx, 17 + 2 * j, 2), 16, 10)
+                .cast("int")
+                .alias(f"byte{j}")
+                for j in range(nbytes)
+            ],
+        )
+
+        def bit(i: int):
+            return F.shiftright(F.col(f"byte{i // 8}"), i % 8).bitwiseAND(
+                F.lit(1)
+            )
+
+    else:
+        toks = toks.withColumn("h", F.xxhash64(F.col("word")))
+
+        def bit(i: int):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(n_bits)
     ]
     per_doc = toks.groupBy("id").agg(*votes)
@@ -373,6 +498,7 @@ def simhash_pairs(
     n_bits: int = 48,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -381,7 +507,9 @@ def simhash_pairs(
     > max_hamming. Exact Hamming via bit_count(xor) afterwards.
     """
     assert bands > max_hamming, "need bands > max_hamming for recall"
-    fp = simhash_fingerprints(df, id_col, text_col, n_bits).cache()
+    fp = simhash_fingerprints(
+        df, id_col, text_col, n_bits, hash_mode=hash_mode
+    ).cache()
     bw = n_bits // bands
     band_rows = fp.select(
         "id",

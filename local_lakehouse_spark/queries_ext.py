@@ -3,11 +3,16 @@
 event-time windowing, multimodal plumbing.
 
 Same contract as queries.py: Spark implementation + DuckDB oracle SQL
-with identical column names/types. Operators whose Spark side depends
-on xxhash64 (MinHash, SimHash, LSH buckets) have no SQL twin → no
-oracle (driver records the weaker rows-only check); everything else is
+with identical column names/types. Almost everything is
 oracle-checked, including the streaming pipeline (validated against
-the batch SQL answer via the availableNow trigger).
+the batch SQL answer via the availableNow trigger) and the hash-based
+dedup family: x03 verifies LSH candidates with the exact jaccard (so
+an exact SQL twin is a true oracle) and x04 runs SimHash in md5 mode
+(DuckDB's md5_number_lower reproduces the identical fingerprints).
+Rows-only by design: x06 (xxhash LSH buckets, approximate by
+construction), x14 (sign-LSH blocking, genuinely partial recall at
+cos 0.4 — measured 7/59 at sf0.01), x22 (DataSketches HLL ≠ DuckDB's
+HLL implementation; accuracy asserted ±2% in tests instead).
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from .operators.asof import asof_join
 from .operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_verified_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -94,18 +100,90 @@ FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b
 
 
 def x03(spark, sf):
-    # xxhash64-based → no SQL twin; deterministic across runs though.
-    return minhash_lsh_pairs(
+    """MinHash-LSH candidates + exact-Jaccard verification: the
+    production dedup shape (sub-quadratic candidate generation, exact
+    thresholding). Because the final filter is the EXACT jaccard, the
+    SQL twin below is a true oracle — it computes the same answer the
+    quadratic way, and any banding recall miss (a ≥0.8 pair LSH never
+    surfaced) would show up as a row-count mismatch.
+    """
+    return minhash_lsh_verified_pairs(
         t(spark, sf, "documents"), "doc_id", "text", n=3, k=32, bands=8,
-        threshold=0.5,
+        candidate_threshold=0.5, threshold=0.8,
     ).orderBy("id_a", "id_b")
+
+
+# Same logical answer as X02 (exact pairs ≥ 0.8), reached via the LSH
+# candidate path — identical oracle formulation.
+X03_SQL = f"""
+WITH {_SHINGLES_CTE},
+ ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+ sizes AS (SELECT id, len(shingles) AS sz FROM sh),
+ pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+           GROUP BY 1, 2),
+ j AS (SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+              common / (sa.sz + sb.sz - common) AS jac
+       FROM pairs
+       JOIN sizes sa ON sa.id = id_a
+       JOIN sizes sb ON sb.id = id_b)
+SELECT id_a, id_b, common, size_a, size_b,
+       FLOOR(jac * 1000 + 0.5) / 1000 AS jaccard
+FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b
+"""
 
 
 def x04(spark, sf):
+    """SimHash near-dup candidates in the md5 hash mode: DuckDB's
+    ``md5_number_lower`` is exactly the little-endian uint64 of md5
+    digest bytes 8..15 that the Spark side reads per byte, so the
+    oracle recomputes the ENTIRE pipeline — fingerprints, banding,
+    Hamming filter — in an independent engine and must match bit for
+    bit. (The xxhash64 default mode is the faster production path;
+    same algorithm, different hash primitive.)
+    """
     return simhash_pairs(
         t(spark, sf, "documents"), "doc_id", "text", n_bits=48, max_hamming=3,
-        bands=4,
+        bands=4, hash_mode="md5",
     ).orderBy("id_a", "id_b")
+
+
+X04_SQL = r"""
+WITH toks AS (
+  SELECT id, w
+  FROM (SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+bits AS (
+  SELECT id, b.range AS bit,
+         SUM(CASE WHEN (md5_number_lower(w) >> b.range) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM toks, range(48) b
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << bit)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY id
+),
+bands AS (
+  SELECT id, simhash, b.range AS band,
+         (simhash >> CAST(b.range * 12 AS INT)) & 4095 AS bucket
+  FROM fp, range(4) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1011,8 +1089,8 @@ FROM scored GROUP BY id ORDER BY id
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
-    "x03_dedup_minhash_lsh": QuerySpec(x03, None),
-    "x04_dedup_simhash": QuerySpec(x04, None),
+    "x03_dedup_minhash_lsh": QuerySpec(x03, X03_SQL),
+    "x04_dedup_simhash": QuerySpec(x04, X04_SQL),
     "x05_ann_cosine_topk": QuerySpec(x05, X05_SQL),
     "x06_ann_lsh_topk": QuerySpec(x06, None),
     "x07_language_id": QuerySpec(x07, X07_SQL),

@@ -100,6 +100,55 @@ def test_simhash(docs):
     assert (1, 3) not in pairs
 
 
+def test_minhash_verified_equals_exact(docs):
+    """LSH-candidates + exact verify must equal the exact quadratic
+    answer when banding recall holds (the basis of the x03 oracle)."""
+    from local_lakehouse_spark.operators.dedup import (
+        minhash_lsh_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b, r.common, r.size_a, r.size_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b, r.common, r.size_a, r.size_b, r.jaccard)
+        for r in minhash_lsh_verified_pairs(
+            docs, "doc_id", "text", n=3, k=32, bands=8,
+            candidate_threshold=0.2, threshold=0.5,
+        ).collect()
+    }
+    assert verified == exact
+
+
+def test_simhash_md5_mode_matches_reference_hash(spark):
+    """md5 hash_mode reads the little-endian uint64 of digest bytes
+    8..15 per byte; pin it against hashlib so the DuckDB oracle's
+    md5_number_lower equivalence can never silently drift."""
+    import hashlib
+
+    from local_lakehouse_spark.operators.dedup import simhash_fingerprints
+
+    words = ["alpha", "beta", "alpha"]  # duplicate word: weighted vote
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = simhash_fingerprints(
+        df, "doc_id", "text", n_bits=48, hash_mode="md5"
+    ).collect()[0].simhash
+
+    def le_lower(w: str) -> int:
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+
+    expected = 0
+    for i in range(48):
+        vote = sum(1 if (le_lower(w) >> i) & 1 else -1 for w in words)
+        if vote > 0:
+            expected |= 1 << i
+    assert got == expected
+
+
 def test_cosine_topk(spark):
     rows = [
         (0, [1.0, 0.0]),
