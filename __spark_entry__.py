@@ -37,6 +37,7 @@ _ALL = {**_CORE, **_EXT}
 _CHANGED_THIS_ROUND = [
     "x03_dedup_minhash_lsh",
     "x04_dedup_simhash",
+    "x35_audio_features",  # new this round (real WAV decode)
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",
@@ -57,7 +58,6 @@ _PRIORITY = (
         "x21_streaming_dedup",
         "x26_chunk_documents",
         "x33_dedup_clusters",
-        "x34_bm25_relevance",
     ]
 )
 QUERY_SPECS = {

@@ -1086,6 +1086,61 @@ FROM scored GROUP BY id ORDER BY id
 """
 
 
+def x35(spark, sf):
+    """REAL audio decode end-to-end: synthesize a valid PCM16 WAV per
+    document JVM-side (RIFF/fmt/data chunks as constant hex + a
+    square wave whose amplitude is a pure function of doc_id, built
+    with string repeat → one unhex), then run the Arrow-batched
+    mapInPandas decoder, which parses the actual RIFF container and
+    computes RMS / zero-crossings from the actual samples. Every
+    output value is arithmetically derivable from doc_id, so the
+    oracle recomputes them in closed form: a square wave of amplitude
+    A has RMS exactly A, and 20 periods of ++++---- have 39 sign
+    transitions. tests/test_operators.py pins the JVM-synthesized
+    bytes against encode_wav to keep the two in lockstep.
+    """
+    from .operators.multimodal import audio_features
+
+    # 16 kHz mono PCM16, 20 periods of an 8-sample square wave.
+    # Constant header: RIFF size 356, fmt(PCM,1ch,16000Hz,2B align,
+    # 16bps), data size 320 — all little-endian.
+    header_hex = (
+        "52494646" "64010000" "57415645"          # RIFF  356  WAVE
+        "666D7420" "10000000"                       # fmt   16
+        "0100" "0100" "803E0000" "007D0000" "0200" "1000"
+        "64617461" "40010000"                       # data  320
+    )
+    amp = (F.col("doc_id") % 100 + 1).cast("int")
+
+    def le16(v):  # int16 value column -> little-endian hex (4 chars)
+        h = F.lpad(F.hex(v), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    period_hex = F.concat(
+        F.repeat(le16(amp), 4), F.repeat(le16(F.lit(65536) - amp), 4)
+    )
+    payload = F.unhex(
+        F.concat(F.lit(header_hex), F.repeat(period_hex, 20))
+    )
+    docs = t(spark, sf, "documents").select(
+        "doc_id", payload.alias("payload")
+    )
+    return audio_features(docs, "doc_id", "payload").orderBy("doc_id")
+
+
+X35_SQL = """
+SELECT
+  doc_id,
+  CAST(16000 AS INTEGER) AS sample_rate,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(160 AS BIGINT) AS n_frames,
+  CAST(10.0 AS DOUBLE) AS duration_ms,
+  CAST(doc_id % 100 + 1 AS DOUBLE) AS rms,
+  CAST(39 AS BIGINT) AS zero_crossings
+FROM documents ORDER BY doc_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1121,4 +1176,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x32_streaming_interval_join": QuerySpec(x32, X32_SQL),
     "x33_dedup_clusters": QuerySpec(x33, X33_SQL),
     "x34_bm25_relevance": QuerySpec(x34, X34_SQL),
+    "x35_audio_features": QuerySpec(x35, X35_SQL),
 }

@@ -378,6 +378,162 @@ def test_frame_sample_fanout(spark):
     assert [r.frame_idx for r in frames] == [0, 4, 8, 12]
 
 
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_codec_roundtrip(filter_type, channels):
+    """Real PNG pixel codec: every scanline filter type × gray/RGB/
+    RGBA round-trips bit-exact through encode_png → decode_png_pixels
+    (zlib + unfilter, no PIL)."""
+    import numpy as np
+
+    from local_lakehouse_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7 + filter_type + channels)
+    px = rng.integers(0, 256, size=(13, 9, channels), dtype=np.uint8)
+    payload = encode_png(px, filter_type=filter_type)
+    back = decode_png_pixels(payload)
+    assert back is not None
+    assert np.array_equal(back, px)
+
+
+def test_png_decode_rejects_non_decodable():
+    from local_lakehouse_spark.operators.multimodal import decode_png_pixels
+
+    assert decode_png_pixels(b"not a png") is None
+    # valid signature + IHDR but garbage IDAT → None, not a crash
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + (2).to_bytes(4, "big")
+        + (2).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x04IDAT"
+        + b"junk"
+        + b"\x00\x00\x00\x00"
+    )
+    assert decode_png_pixels(bad) is None
+
+
+def test_resize_block_mean():
+    import numpy as np
+
+    from local_lakehouse_spark.operators.multimodal import resize_block_mean
+
+    # 4x4 quadrant image -> 2x2 exact block means
+    px = np.zeros((4, 4, 1), dtype=np.uint8)
+    px[:2, :2] = 10
+    px[:2, 2:] = 20
+    px[2:, :2] = 30
+    px[2:, 2:] = 40
+    out = resize_block_mean(px, 2, 2)
+    assert out[:, :, 0].tolist() == [[10, 20], [30, 40]]
+    # non-divisor output size still covers the full image
+    assert resize_block_mean(px, 3, 3).shape == (3, 3, 1)
+
+
+def test_image_features_real_for_png(spark):
+    """A decodable PNG payload yields REAL per-channel mean/std
+    features; a constant-color image pins them exactly."""
+    import numpy as np
+
+    from local_lakehouse_spark.operators.multimodal import encode_png
+
+    px = np.full((6, 5, 3), 255, dtype=np.uint8)
+    px[:, :, 1] = 0  # magenta: R=255, G=0, B=255
+    docs = spark.createDataFrame(
+        [(1, bytearray(encode_png(px)))], "doc_id long, payload binary"
+    )
+    row = decode_image_features(docs).collect()[0]
+    assert (row.width, row.height, row.mime) == (5, 6, "image/png")
+    # [mean_R, std_R, mean_G, std_G, mean_B, std_B, pad, pad]
+    assert row.features[0] == pytest.approx(1.0)
+    assert row.features[1] == pytest.approx(0.0)
+    assert row.features[2] == pytest.approx(0.0)
+    assert row.features[4] == pytest.approx(1.0)
+    assert row.features[6] == 0.0 and row.features[7] == 0.0
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from local_lakehouse_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=(500, 2), dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=44100)
+    rate, channels, back = decode_wav(payload)
+    assert (rate, channels) == (44100, 2)
+    assert np.array_equal(back, samples)
+    assert decode_wav(b"RIFFxxxxNOPE") is None
+
+
+def test_audio_features_real_decode(spark):
+    """audio_features computes RMS/ZCR from the actual PCM samples —
+    pinned against closed-form values for a square wave."""
+    import numpy as np
+
+    from local_lakehouse_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    amp = 1000
+    wave = np.tile(
+        np.array([amp] * 4 + [-amp] * 4, dtype=np.int16), 20
+    )  # 160 frames
+    docs = spark.createDataFrame(
+        [(1, bytearray(encode_wav(wave, 16000))), (2, b"not audio")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_features(docs).collect()}
+    good = rows[1]
+    assert (good.sample_rate, good.channels, good.n_frames) == (16000, 1, 160)
+    assert good.duration_ms == pytest.approx(10.0)
+    assert good.rms == pytest.approx(float(amp))
+    assert good.zero_crossings == 39
+    assert rows[2].sample_rate is None and rows[2].rms is None
+
+
+def test_x35_jvm_wav_synthesis_matches_encoder(spark):
+    """The JVM-side hex-built WAV in x35 must be byte-identical to
+    encode_wav for the same square wave — keeps the arithmetic oracle
+    honest against the real codec."""
+    import numpy as np
+
+    from local_lakehouse_spark.operators.multimodal import encode_wav
+    from local_lakehouse_spark.queries_ext import x35  # noqa: F401 (import check)
+    from pyspark.sql import functions as FF
+
+    doc_id = 37
+    amp = doc_id % 100 + 1
+    header_hex = (
+        "52494646" "64010000" "57415645"
+        "666D7420" "10000000"
+        "0100" "0100" "803E0000" "007D0000" "0200" "1000"
+        "64617461" "40010000"
+    )
+
+    def le16(v):
+        h = FF.lpad(FF.hex(v), 4, "0")
+        return FF.concat(FF.substring(h, 3, 2), FF.substring(h, 1, 2))
+
+    a = FF.lit(amp)
+    period = FF.concat(F.repeat(le16(a), 4), F.repeat(le16(FF.lit(65536) - a), 4))
+    payload = FF.unhex(FF.concat(FF.lit(header_hex), FF.repeat(period, 20)))
+    jvm_bytes = bytes(
+        spark.range(1).select(payload.alias("p")).collect()[0].p
+    )
+    wave = np.tile(np.array([amp] * 4 + [-amp] * 4, dtype=np.int16), 20)
+    assert jvm_bytes == encode_wav(wave, 16000)
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     """nprobe == n_centroids probes every cell → exactly brute force."""
     from local_lakehouse_spark.operators.similarity import cosine_topk_ivf
