@@ -46,7 +46,10 @@ _CHANGED_THIS_ROUND = [
 ]
 _PRIORITY = (
     _CHANGED_THIS_ROUND
-    + [n for n in _ALL if n.startswith("q") and n >= "q16"]
+    # new this round: the remaining TPC-H classics q48–q61
+    + [n for n in _ALL if n.startswith("q") and n >= "q48"]
+    # carried on r1 evidence through r2 — re-verify as cap allows
+    + [n for n in _ALL if n.startswith("q") and "q16" <= n < "q48"]
     + [
         "x12_events_hourly",  # batch twin of the fixed streaming ops
         "x11_asof_join",

@@ -25,6 +25,7 @@ Design for image/audio/video at 100 TB:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -229,7 +230,7 @@ def decode_png_pixels(payload: bytes):
     return out.reshape(height, width, ch)
 
 
-def encode_png(pixels, filter_type: int = 0) -> bytes:
+def encode_png(pixels: Any, filter_type: int = 0) -> bytes:
     """Minimal PNG writer for 8-bit gray/RGB/RGBA ndarrays (one
     filter type for all scanlines — the decoder handles all five, so
     tests parametrize over them). Real zlib stream, real CRCs: any
@@ -293,7 +294,7 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
     )
 
 
-def resize_block_mean(pixels, out_h: int, out_w: int):
+def resize_block_mean(pixels: Any, out_h: int, out_w: int) -> Any:
     """Box-filter downsample of an (H, W, C) uint8 array to
     (out_h, out_w, C) — the "resize" stage of the pipeline, pure
     numpy. Uses integral-image block averaging so any output size
@@ -313,7 +314,7 @@ def resize_block_mean(pixels, out_h: int, out_w: int):
     return out
 
 
-def image_pixel_features(pixels) -> list[float]:
+def image_pixel_features(pixels: Any) -> list[float]:
     """REAL feature vector from decoded pixels: per-channel mean and
     std over [0,1], padded/truncated to 8 floats (schema-stable with
     the _fake_pixels stub path)."""
@@ -371,7 +372,7 @@ def decode_wav(payload: bytes):
     return rate, channels, samples
 
 
-def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+def encode_wav(samples: Any, sample_rate: int = 16000) -> bytes:
     """Minimal PCM16 WAV writer (n_frames, channels) — test fixture
     generator; output opens in any audio tool."""
     import struct

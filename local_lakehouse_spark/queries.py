@@ -1346,6 +1346,727 @@ ORDER BY o_orderkey, l.l_linenumber
 
 
 # ---------------------------------------------------------------------------
+# q48–q61: the remaining TPC-H classics (Q2,Q7,Q8,Q9,Q11,Q13,Q14,Q15,
+# Q16,Q17,Q19,Q20,Q21,Q22). The testdata schema is TPC-H-reduced — no
+# partsupp table, no l_commitdate/l_receiptdate/l_shipmode, no
+# c_phone — so queries whose literal form needs those columns are
+# ADAPTED to the same operator shape (correlated min, decorrelated
+# EXISTS chains, scalar-subquery thresholds, disjunctive pushdown,
+# distribution joins); each docstring states the substitution.
+# Revenue sums that feed EQUALITY comparisons are computed in DECIMAL
+# (exact in both engines); threshold comparisons on identical doubles
+# are engine-stable because both sides evaluate the same literals.
+# ---------------------------------------------------------------------------
+
+# exact decimal revenue: price and (1-discount) are 2-decimal values,
+# so the cast is exact and the product/sum are associative in both
+# engines (no double-sum order sensitivity)
+_DEC_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+
+
+def _dec_rev():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+
+
+def q48(spark, sf):
+    """TPC-H Q2 shape (min-cost supplier): correlated MIN subquery
+    selecting the supplier(s) achieving the minimum unit price per
+    part. partsupp does not exist, so ps_supplycost becomes the
+    observed unit price l_extendedprice/l_quantity over lineitem,
+    restricted to EUROPE suppliers on both the outer and inner side
+    (the classic's region correlation). Decorrelated Spark-side as a
+    per-part window MIN — no re-scan, one shuffle on partkey.
+    """
+    region = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    nation = t(spark, sf, "nation")
+    supplier = t(spark, sf, "supplier")
+    part = t(spark, sf, "part").filter(
+        (F.col("p_size").between(10, 20)) & (F.col("p_type") == "SMALL")
+    )
+    li = (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        li.withColumn("min_unit", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_unit"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            _r(F.col("unit_price"), 4).alias("unit_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+Q48_SQL = """
+SELECT DISTINCT p_partkey, s_name, n_name,
+       FLOOR((l_extendedprice / l_quantity) * 10000 + 0.5) / 10000 AS unit_price
+FROM part, lineitem, supplier, nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20 AND p_type = 'SMALL'
+  AND l_extendedprice / l_quantity = (
+    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY p_partkey, s_name LIMIT 100
+"""
+
+
+def q49(spark, sf):
+    """TPC-H Q7 (volume shipping): revenue flow between two nations in
+    both directions, grouped by (supp_nation, cust_nation, year).
+    Both nation dims broadcast; year from l_shipdate (no l_commitdate
+    in schema — Q7 uses shipdate anyway).
+    """
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (
+        F.col("cust_nation") == "NATION_1"
+    )
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q49_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q50(spark, sf):
+    """TPC-H Q8 (national market share): fraction of ASIA-market
+    ECONOMY-part revenue supplied by NATION_3, per order year —
+    conditional-sum over a 7-way join, every dim broadcast.
+    """
+    region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_supp = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    part = t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t(spark, sf, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(t(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _r(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q50_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       FLOOR((SUM(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0.0 END)
+              / SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+         AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q51(spark, sf):
+    """TPC-H Q9 (product-type profit): profit by supplier nation ×
+    order year for parts matching a name pattern. ps_supplycost does
+    not exist; the cost term is the defined proxy
+    0.5 * p_retailprice * l_quantity (documented substitution — the
+    plan shape, a LIKE-filtered 6-way join + two-key agg, is what Q9
+    exercises).
+    """
+    part = t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(t(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_r(F.sum(profit)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q51_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       FLOOR((SUM(l_extendedprice * (1 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity)) * 100 + 0.5) / 100
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q52(spark, sf):
+    """TPC-H Q11 (important stock): per-part value restricted to one
+    region's suppliers, kept only when above a fraction of the total —
+    HAVING against a scalar subquery over the same scope. partsupp
+    value becomes lineitem revenue; DECIMAL sums so the threshold
+    comparison is exact in both engines.
+    """
+    nation = t(spark, sf, "nation")
+    region = t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    scope = (
+        t(spark, sf, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", _dec_rev().alias("rev"))
+    )
+    per_part = scope.groupBy("l_partkey").agg(F.sum("rev").alias("value_dec"))
+    total = scope.agg(F.sum("rev").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.001
+        )
+        .select(
+            "l_partkey", _r(F.col("value_dec").cast("double")).alias("value")
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+        .limit(100)
+    )
+
+
+Q52_SQL = f"""
+WITH scope AS (
+  SELECT l_partkey, {_DEC_REV} AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA')
+SELECT l_partkey,
+       FLOOR(CAST(SUM(rev) AS DOUBLE) * 100 + 0.5) / 100 AS value
+FROM scope
+GROUP BY l_partkey
+HAVING CAST(SUM(rev) AS DOUBLE)
+     > CAST((SELECT SUM(rev) FROM scope) AS DOUBLE) * 0.001
+ORDER BY value DESC, l_partkey LIMIT 100
+"""
+
+
+def q53(spark, sf):
+    """TPC-H Q13 (customer distribution): LEFT join with a join-time
+    predicate (the o_comment NOT LIKE filter becomes an
+    o_orderpriority exclusion), count per customer, then the count of
+    counts — two cascaded aggregations, the second tiny.
+    """
+    orders = t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        t(spark, sf, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q53_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q54(spark, sf):
+    """TPC-H Q14 (promo effect): conditional revenue share of PROMO
+    parts in one month — broadcast part join + single conditional agg.
+    """
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(t(spark, sf, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            _r(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q54_SQL = """
+SELECT FLOOR((100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END)
+              / SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+         AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q55(spark, sf):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the one(s) equal to the MAX — the view + agg-of-agg pattern.
+    Revenue in DECIMAL so the equality against MAX is exact in both
+    engines (double sums are order-sensitive in the last ulp).
+    """
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_dec_rev()).alias("rev_dec"))
+    w = Window.partitionBy()
+    return (
+        per_supp.withColumn("max_rev", F.max("rev_dec").over(w))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(
+            F.broadcast(t(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            _r(F.col("rev_dec").cast("double")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q55_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_DEC_REV}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       FLOOR(CAST(rev_dec AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q56(spark, sf):
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) for a size IN-list, excluding one
+    brand and a NOT IN supplier subquery (the complaints filter
+    becomes s_acctbal < 100). partsupp becomes the observed
+    lineitem part↔supplier pairs.
+    """
+    part = t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36))
+    )
+    bad_supp = t(spark, sf, "supplier").filter(F.col("s_acctbal") < 100)
+    pairs = (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q56_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q57(spark, sf):
+    """TPC-H Q17 (small-quantity revenue): lineitems below 20% of
+    their part's average quantity — correlated scalar AVG,
+    decorrelated to a per-part aggregate join. The container filter
+    becomes brand+type. Quantities are integral, so the AVG is the
+    same double in both engines and the threshold compare is stable.
+    """
+    part = t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
+    )
+    li = t(spark, sf, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(_r(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+Q57_SQL = """
+SELECT FLOOR((SUM(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q58(spark, sf):
+    """TPC-H Q19 (discounted revenue): three OR'd
+    brand/size/quantity conjunct groups — the disjunctive-predicate
+    pushdown test (no l_shipmode/shipinstruct in schema; the
+    remaining triple keeps the shape).
+    """
+    li = t(spark, sf, "lineitem").join(
+        F.broadcast(t(spark, sf, "part")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(5, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(15, 50)
+        )
+    )
+    return li.filter(cond).agg(
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
+
+
+Q58_SQL = """
+SELECT FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 5 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+       AND l_quantity BETWEEN 15 AND 50)
+"""
+
+
+def q59(spark, sf):
+    """TPC-H Q20 (excess inventory): nested IN chain — suppliers in
+    an AFRICA nation whose 1997 shipped quantity of 'small%' parts
+    exceeds a threshold. partsupp/availqty becomes the shipped-qty
+    aggregate; both INs decorrelate to semi joins on the Spark side.
+    """
+    small_parts = t(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    shipped = (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(small_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        t(spark, sf, "supplier")
+        .join(
+            F.broadcast(t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf, "region")).filter(
+                F.col("r_name") == "AFRICA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q59_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AFRICA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey HAVING SUM(l_quantity) > 150)
+ORDER BY s_suppkey
+"""
+
+
+def q60(spark, sf):
+    """TPC-H Q21 (suppliers who kept orders waiting): EXISTS another
+    supplier in the same order + NOT EXISTS another LATE supplier.
+    No l_receiptdate/commitdate — "late" is defined as shipping > 90
+    days after the order date. Spark side: the exists/not-exists pair
+    becomes semi/anti joins against per-order supplier sets.
+    """
+    li = (
+        t(spark, sf, "lineitem")
+        .join(
+            t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+    )
+    late = li.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    # orders with >1 distinct supplier
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    # orders whose LATE suppliers are exactly one
+    one_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(one_late, "l_orderkey", "left_semi")
+        .join(
+            F.broadcast(t(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q60_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+ late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late),
+ multi AS (SELECT l_orderkey FROM li GROUP BY l_orderkey
+           HAVING COUNT(DISTINCT l_suppkey) > 1),
+ one_late AS (SELECT l_orderkey FROM late GROUP BY l_orderkey
+              HAVING COUNT(DISTINCT l_suppkey) = 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM multi)
+  AND l_orderkey IN (SELECT l_orderkey FROM one_late)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def q61(spark, sf):
+    """TPC-H Q22 (global sales opportunity): customers in selected
+    "country codes" (no c_phone — code is c_custkey % 7) with
+    above-average positive balance and no RECENT orders (since
+    2000-01-01; every customer has some order at these row ratios) —
+    scalar AVG subquery + NOT EXISTS anti join + tiny final agg.
+    """
+    codes = ["1", "3", "5"]
+    cust = t(spark, sf, "customer").withColumn(
+        "cntrycode", (F.col("c_custkey") % 7).cast("string")
+    ).filter(F.col("cntrycode").isin(codes))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t(spark, sf, "orders").filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            _r(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q61_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(c_custkey % 7 AS VARCHAR) AS cntrycode
+  FROM customer
+  WHERE CAST(c_custkey % 7 AS VARCHAR) IN ('1', '3', '5'))
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS totacctbal
+FROM cust
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1397,4 +2118,18 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q45_unpivot": QuerySpec(q45, Q45_SQL),
     "q46_grouping_sets": QuerySpec(q46, Q46_SQL),
     "q47_lateral_topn": QuerySpec(q47, Q47_SQL),
+    "q48_tpch_q2_min_cost_supplier": QuerySpec(q48, Q48_SQL),
+    "q49_tpch_q7_volume_shipping": QuerySpec(q49, Q49_SQL),
+    "q50_tpch_q8_market_share": QuerySpec(q50, Q50_SQL),
+    "q51_tpch_q9_product_profit": QuerySpec(q51, Q51_SQL),
+    "q52_tpch_q11_important_stock": QuerySpec(q52, Q52_SQL),
+    "q53_tpch_q13_order_distribution": QuerySpec(q53, Q53_SQL),
+    "q54_tpch_q14_promo_effect": QuerySpec(q54, Q54_SQL),
+    "q55_tpch_q15_top_supplier": QuerySpec(q55, Q55_SQL),
+    "q56_tpch_q16_parts_suppliers": QuerySpec(q56, Q56_SQL),
+    "q57_tpch_q17_small_quantity": QuerySpec(q57, Q57_SQL),
+    "q58_tpch_q19_disjunctive": QuerySpec(q58, Q58_SQL),
+    "q59_tpch_q20_excess_inventory": QuerySpec(q59, Q59_SQL),
+    "q60_tpch_q21_waiting_suppliers": QuerySpec(q60, Q60_SQL),
+    "q61_tpch_q22_sales_opportunity": QuerySpec(q61, Q61_SQL),
 }
