@@ -247,3 +247,30 @@ def test_tpch_q5_broadcasts_every_dim(spark):
     plan = _plan(df)
     assert "SortMergeJoin" not in plan, f"dim join degraded to SMJ:\n{plan}"
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_plan_audit_key_queries(spark):
+    """Static-plan red flags on the heavy TPC-H joins: no cartesian /
+    nested-loop joins outside the allowlist, no row-at-a-time Python
+    UDF stages anywhere (the full-inventory sweep lives in
+    scripts/plan_audit.py; this is the fast regression subset)."""
+    import __spark_entry__ as entry
+    from scripts.plan_audit import audit
+
+    queries = entry.queries()
+    for name in [
+        "q36_tpch_q3_shipping_priority",
+        "q37_tpch_q5_local_supplier",
+        "q48_tpch_q2_min_cost_supplier",
+        "q50_tpch_q8_market_share",
+        "q56_tpch_q16_parts_suppliers",
+        "q60_tpch_q21_waiting_suppliers",
+        "x02_dedup_ngram_jaccard",
+        "x03_dedup_minhash_lsh",
+    ]:
+        df = queries[name](spark, SF_DIR)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert audit(name, plan) == [], f"{name} plan regressed"
