@@ -38,6 +38,7 @@ _CHANGED_THIS_ROUND = [
     "x03_dedup_minhash_lsh",
     "x04_dedup_simhash",
     "x35_audio_features",  # new this round (real WAV decode)
+    "x36_streaming_left_outer_join",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

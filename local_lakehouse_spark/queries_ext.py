@@ -1015,6 +1015,64 @@ ORDER BY id_a, id_b
 """
 
 
+def x36(spark, sf):
+    """Stream-stream LEFT OUTER interval join: matched conversions
+    emit as both sides arrive; unconverted clicks emit (id_b NULL)
+    once the watermark guarantees no purchase can still match. The
+    oracle models the null-emission cutoff exactly: each side's
+    watermark tracks the max event time of its own FILTERED stream
+    (clicks vs purchases), the join uses the minimum of the two, and
+    a left row resolves to NULL only when ts_a + within < wm_final.
+    Rows inside the final watermark tail stay unresolved — that is
+    the correct streaming answer, not an artifact.
+    """
+    import hashlib
+
+    from .streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    stage = _stage_events(sf)
+    joined = streaming_interval_join(
+        read_events_stream(spark, stage),
+        read_events_stream(spark, stage),
+        join_type="left_outer",
+    )
+    name = "x36_sink_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    run_stream_to_memory(joined, name, complete=False)
+    return spark.table(name).orderBy("id_a", "id_b")
+
+
+X36_SQL = """
+WITH wm AS (
+  SELECT LEAST(MAX(ts) FILTER (event_type = 'click'),
+               MAX(ts) FILTER (event_type = 'purchase'))
+         - INTERVAL 25 HOURS AS w
+  FROM events),
+ a AS (SELECT event_id AS id_a, user_id, ts FROM events
+       WHERE event_type = 'click'),
+ b AS (SELECT event_id AS id_b, user_id, ts FROM events
+       WHERE event_type = 'purchase'),
+ matched AS (
+   SELECT a.id_a, b.id_b, a.user_id
+   FROM a JOIN b ON a.user_id = b.user_id
+    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOURS),
+ expired_unmatched AS (
+   SELECT a.id_a, CAST(NULL AS BIGINT) AS id_b, a.user_id
+   FROM a, wm
+   WHERE NOT EXISTS (SELECT 1 FROM b
+                     WHERE b.user_id = a.user_id
+                       AND b.ts > a.ts
+                       AND b.ts <= a.ts + INTERVAL 24 HOURS)
+     AND a.ts + INTERVAL 24 HOURS < wm.w)
+SELECT * FROM matched
+UNION ALL SELECT * FROM expired_unmatched
+ORDER BY id_a, id_b
+"""
+
+
 def x33(spark, sf):
     """Near-dup clustering: x02's pairwise matches → connected
     components → (id, keep_id) cluster assignment. The oracle replays
@@ -1177,4 +1235,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x33_dedup_clusters": QuerySpec(x33, X33_SQL),
     "x34_bm25_relevance": QuerySpec(x34, X34_SQL),
     "x35_audio_features": QuerySpec(x35, X35_SQL),
+    "x36_streaming_left_outer_join": QuerySpec(x36, X36_SQL),
 }

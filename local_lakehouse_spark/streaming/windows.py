@@ -437,11 +437,20 @@ def streaming_interval_join(
     type_b: str = "purchase",
     within: str = "24 hours",
     watermark: str = "25 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER join with an event-time interval bound:
+    """Stream-stream join with an event-time interval bound:
     (id_a, id_b, user_id) pairs where a ``type_b`` event follows the
     same user's ``type_a`` event within ``within`` — the conversion /
     attribution join of an event pipeline.
+
+    ``join_type="inner"`` emits matches as both sides arrive.
+    ``join_type="left_outer"`` additionally emits (id_a, NULL) for a
+    left event once the watermark passes ``ts_a + within`` — i.e. once
+    no matching right event can still arrive — which is the
+    "unconverted clicks" feed. Null rows are therefore delayed by the
+    watermark horizon, and left rows inside the final watermark tail
+    never resolve (batch-replay oracles must model that cutoff).
 
     The watermark plus the two-sided time constraint is what makes
     this runnable forever: each side's buffered state is evictable
@@ -475,5 +484,5 @@ def streaming_interval_join(
             "user_a = user_b AND ts_b > ts_a "
             f"AND ts_b <= ts_a + interval {within}"
         ),
-        "inner",
+        join_type,
     ).select("id_a", "id_b", F.col("user_a").alias("user_id"))

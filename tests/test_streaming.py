@@ -5,6 +5,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from local_lakehouse_spark.queries import events_table
 from local_lakehouse_spark.streaming.windows import (
@@ -253,3 +254,57 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_left_outer_join_null_cutoff(spark):
+    """Left-outer interval join: matches equal the batch join; NULL
+    rows appear exactly for unmatched clicks whose ts_a + within has
+    passed the final watermark — which tracks each side's FILTERED
+    max event time (min of the two sides). Pins the x36 oracle model
+    against the live streaming engine."""
+    from local_lakehouse_spark.queries_ext import _stage_events
+    from local_lakehouse_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stage = _stage_events(sf)
+    joined = streaming_interval_join(
+        read_events_stream(spark, stage),
+        read_events_stream(spark, stage),
+        join_type="left_outer",
+    )
+    run_stream_to_memory(joined, "loj_sink", complete=False)
+    rows = spark.table("loj_sink").collect()
+    got_matched = sorted((r.id_a, r.id_b) for r in rows if r.id_b is not None)
+    got_nulls = sorted(r.id_a for r in rows if r.id_b is None)
+
+    ev = events_table(spark, sf)
+    a = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS id_a", "user_id AS u", "ts AS ts_a"
+    )
+    b = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS id_b", "user_id AS v", "ts AS ts_b"
+    )
+    cond = F.expr("u = v AND ts_b > ts_a AND ts_b <= ts_a + interval 24 hours")
+    want_matched = sorted(
+        (r.id_a, r.id_b) for r in a.join(b, cond).collect()
+    )
+    assert got_matched == want_matched
+
+    wm = (
+        a.agg(F.max("ts_a").alias("ma"))
+        .crossJoin(b.agg(F.max("ts_b").alias("mb")))
+        .selectExpr("least(ma, mb) - interval 25 hours AS w")
+        .collect()[0]
+        .w
+    )
+    want_nulls = sorted(
+        r.id_a
+        for r in a.join(b, cond, "left_anti")
+        .filter(F.expr(f"ts_a + interval 24 hours < timestamp '{wm}'"))
+        .collect()
+    )
+    assert got_nulls == want_nulls and len(got_nulls) > 0
