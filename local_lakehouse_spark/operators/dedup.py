@@ -19,9 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import parallelize_small_scan
+
 
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, word) — whitespace tokenization, JVM-side."""
+    df = parallelize_small_scan(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "word"),
@@ -43,7 +46,7 @@ def shingles(
     # expression referenced inside transform() is re-evaluated per
     # element (no CSE across lambda scopes), which made the inline
     # version ~13× slower.
-    staged = df.select(
+    staged = parallelize_small_scan(df).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), r"\s+").alias("__w")
     )
     w = F.col("__w")
@@ -72,7 +75,7 @@ def shingles_codegen(
     corpus, where the plan derives shingles five times). Prefer
     ``shingles`` when shuffle volume is the binding constraint.
     """
-    toks = df.select(
+    toks = parallelize_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
     ).filter(F.col("w") != "")
