@@ -22,6 +22,7 @@ import re
 from typing import Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import io as _io
 from . import sqlnames as _sqlnames
@@ -222,6 +223,70 @@ class LakehouseClient:
             _io._write_single_file(df, fmt, path)
         else:
             _io._rewrite_table_dir(df, fmt, path, partition_by=part_cols or None)
+
+    def table_changes(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        from_version: int,
+        to_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Row-level change feed between two retained versions (CDC) —
+        Delta Change Data Feed semantics over the snapshot store,
+        beyond the reference. Returns the table's columns plus
+        ``_change_type``.
+
+        With default merge columns set (the table's logical key),
+        changes classify as insert / delete / update_preimage /
+        update_postimage — the Delta CDF vocabulary. Without a key,
+        row-identity is the whole row (multiset diff via exceptAll)
+        and changes are insert/delete only.
+
+        Scale: keyed diff is one full-outer join on the key columns;
+        keyless diff is two exceptAll anti-multiset shuffles. Both are
+        fully distributed — nothing materializes on the driver.
+        ``to_version=None`` means the current contents.
+        """
+        old = self.read_table(catalog, schema, name, version=from_version)
+        new = self.read_table(catalog, schema, name, version=to_version)
+        keys = self.get_table(catalog, schema, name).default_merge_columns()
+        ct = "_change_type"
+        if not keys:
+            ins = new.exceptAll(old).withColumn(ct, F.lit("insert"))
+            dels = old.exceptAll(new).withColumn(ct, F.lit("delete"))
+            return ins.unionByName(dels)
+        cols = new.columns
+        non_keys = [c for c in cols if c not in keys]
+        # explicit presence sentinels — key columns may themselves be
+        # NULL, so key-null is not a valid "row absent" probe
+        o = old.withColumn("__p", F.lit(True)).alias("o")
+        n = new.withColumn("__p", F.lit(True)).alias("n")
+        cond = [o[k].eqNullSafe(n[k]) for k in keys]
+        joined = o.join(n, cond, "full_outer")
+        o_here = o["__p"].isNotNull()
+        n_here = n["__p"].isNotNull()
+        differs = (
+            F.lit(False)
+            if not non_keys
+            else ~F.struct(*[o[c] for c in non_keys]).eqNullSafe(
+                F.struct(*[n[c] for c in non_keys])
+            )
+        )
+        inserts = joined.filter(~o_here & n_here).select(
+            *[n[c] for c in cols], F.lit("insert").alias(ct)
+        )
+        deletes = joined.filter(~n_here & o_here).select(
+            *[o[c] for c in cols], F.lit("delete").alias(ct)
+        )
+        upd = joined.filter(o_here & n_here).filter(differs)
+        pre = upd.select(
+            *[o[c] for c in cols], F.lit("update_preimage").alias(ct)
+        )
+        post = upd.select(
+            *[n[c] for c in cols], F.lit("update_postimage").alias(ct)
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
     # -- Constraints & statistics (beyond the reference) --------------------
 

@@ -606,3 +606,74 @@ def test_analyze_table_stats(unity, tmp_path):
     again = unity.table_stats("unity", "default", "st")
     assert again["row_count"] == 4
     assert again["columns"]["id"]["max"] == 4
+
+
+def test_table_changes_keyed(unity, spark, tmp_path):
+    """CDC between retained versions with a declared key: Delta CDF
+    vocabulary (insert / delete / update_preimage / update_postimage)."""
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    unity.create_as_table(
+        df1, "unity", "default", "cdc",
+        location=f"file://{tmp_path}/cdc",
+    )
+    unity.set_table_default_merge_columns("unity", "default", "cdc", ["id"])
+    # v2: update id=2, delete id=3, insert id=4
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+    )
+    unity.write_table(df2, "unity", "default", "cdc", mode="overwrite")
+
+    changes = {
+        (r.id, r.v, r._change_type)
+        for r in unity.table_changes(
+            "unity", "default", "cdc", from_version=1
+        ).collect()
+    }
+    assert changes == {
+        (4, "d", "insert"),
+        (3, "c", "delete"),
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+    }
+
+
+def test_table_changes_keyless_multiset(unity, spark, tmp_path):
+    """Without a key, identity is the whole row and the diff is a
+    multiset (exceptAll): duplicate cardinality changes surface."""
+    df1 = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id long, v string")
+    unity.create_as_table(
+        df1, "unity", "default", "cdc2",
+        location=f"file://{tmp_path}/cdc2",
+    )
+    df2 = spark.createDataFrame([(1, "a"), (2, "b"), (5, "e")], "id long, v string")
+    unity.write_table(df2, "unity", "default", "cdc2", mode="overwrite")
+    rows = sorted(
+        (r.id, r.v, r._change_type)
+        for r in unity.table_changes(
+            "unity", "default", "cdc2", from_version=1
+        ).collect()
+    )
+    # one copy of (1, a) disappeared; (5, e) appeared
+    assert rows == [(1, "a", "delete"), (5, "e", "insert")]
+
+
+def test_table_changes_between_two_snapshots(unity, spark, tmp_path):
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    unity.create_as_table(
+        df1, "unity", "default", "cdc3",
+        location=f"file://{tmp_path}/cdc3",
+    )
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    unity.write_table(df2, "unity", "default", "cdc3", mode="overwrite")
+    df3 = spark.createDataFrame([(2, "b")], "id long, v string")
+    unity.write_table(df3, "unity", "default", "cdc3", mode="overwrite")
+    # v1 -> v2 (both retained snapshots, to_version explicit)
+    rows = {
+        (r.id, r._change_type)
+        for r in unity.table_changes(
+            "unity", "default", "cdc3", from_version=1, to_version=2
+        ).collect()
+    }
+    assert rows == {(2, "insert")}
