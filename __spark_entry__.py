@@ -39,6 +39,7 @@ _CHANGED_THIS_ROUND = [
     "x04_dedup_simhash",
     "x35_audio_features",  # new this round (real WAV decode)
     "x36_streaming_left_outer_join",  # new this round
+    "x37_histogram_quantiles",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

@@ -15,7 +15,7 @@ accuracy and merge-consistency are asserted in tests instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,58 @@ def merge_sketches(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(agg).orderBy(*group_cols)
     return sketches.agg(agg)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Approximate per-group quantiles from a FIXED-BIN histogram —
+    the mergeable-sketch quantile for bounded domains.
+
+    Each row maps to bin floor((v - lo) / (hi - lo) * n_bins)
+    (clamped), the per-group histogram is one groupBy over (group,
+    bin) then one over (group), and quantile q is reported as the
+    LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q * n). Error is bounded by the bin width ((hi-lo)/n_bins),
+    state per group is at most n_bins longs, and histograms merge by
+    vector addition — so partial aggregation (map-side combine) does
+    most of the work and re-rollups to coarser groupings never
+    rescan. Every step is integer/closed-form arithmetic, which is
+    what makes it ORACLE-CHECKABLE (x37) where rank-based sketches
+    (t-digest, KLL, percentile_approx) are implementation-defined.
+
+    Output: (group_cols..., n_rows, q_<pct> per requested quantile).
+    """
+    span = hi - lo
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - lo) / span * n_bins).cast("int"),
+        ),
+    )
+    hist = (
+        df.select(*group_cols, bin_col.alias("__bin"))
+        .groupBy(*group_cols, "__bin")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__bin")
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+        "__n", F.sum("__cnt").over(Window.partitionBy(*group_cols))
+    )
+    aggs = [F.max("__n").alias("n_rows")]
+    for q in quantiles:
+        rank = F.ceil(F.col("__n") * F.lit(q))
+        edge = F.lit(lo) + F.col("__bin") * F.lit(span / n_bins)
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, edge)).alias(
+                f"q_{int(q * 100)}"
+            )
+        )
+    return cum.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)

@@ -1073,6 +1073,48 @@ ORDER BY id_a, id_b
 """
 
 
+def x37(spark, sf):
+    """Mergeable fixed-bin histogram quantiles (p50/p95/p99 of order
+    totals per status): the bounded-domain quantile sketch whose every
+    step is closed-form arithmetic — so unlike t-digest/KLL/
+    percentile_approx (implementation-defined rank sketches) an
+    independent engine reproduces it exactly. Error ≤ bin width
+    (500 here); histograms merge by vector addition, so map-side
+    combine does most of the work at scale.
+    """
+    from .operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        t(spark, sf, "orders"),
+        ["o_orderstatus"],
+        "o_totalprice",
+        lo=0.0,
+        hi=500_000.0,
+        n_bins=1000,
+    )
+
+
+X37_SQL = """
+WITH b AS (
+  SELECT o_orderstatus,
+         LEAST(999, GREATEST(0,
+           CAST(FLOOR(o_totalprice / 500000.0 * 1000) AS INT))) AS bin
+  FROM orders),
+ h AS (SELECT o_orderstatus, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+ c AS (SELECT o_orderstatus, bin,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus
+                             ORDER BY bin) AS cum,
+              SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+       FROM h)
+SELECT o_orderstatus,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       MIN(CASE WHEN cum >= CEIL(n * 0.5) THEN CAST(bin AS DOUBLE) * 500.0 END) AS q_50,
+       MIN(CASE WHEN cum >= CEIL(n * 0.95) THEN CAST(bin AS DOUBLE) * 500.0 END) AS q_95,
+       MIN(CASE WHEN cum >= CEIL(n * 0.99) THEN CAST(bin AS DOUBLE) * 500.0 END) AS q_99
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 def x33(spark, sf):
     """Near-dup clustering: x02's pairwise matches → connected
     components → (id, keep_id) cluster assignment. The oracle replays
@@ -1236,4 +1278,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x34_bm25_relevance": QuerySpec(x34, X34_SQL),
     "x35_audio_features": QuerySpec(x35, X35_SQL),
     "x36_streaming_left_outer_join": QuerySpec(x36, X36_SQL),
+    "x37_histogram_quantiles": QuerySpec(x37, X37_SQL),
 }

@@ -152,3 +152,74 @@ def test_client_avro_append_rejected(unity, random_df, tmp_path):
     )
     with pytest.raises(UnsupportedOperationError, match="APPEND"):
         unity.write_table(df, "unity", "default", "av3", mode="append")
+
+
+# -- property-based: random values round-trip bit-exact ----------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _value_rows = st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),
+            ),
+            st.one_of(st.none(), st.binary(max_size=30)),
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+                    max_size=5,
+                ),
+            ),
+        ),
+        max_size=30,
+    )
+
+    _SCHEMA = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": ["null", "double"]},
+            {"name": "d", "type": ["null", "bytes"]},
+            {
+                "name": "e",
+                "type": ["null", {"type": "array", "items": ["null", "int"]}],
+            },
+        ],
+    }
+
+    @settings(max_examples=150, deadline=None)
+    @given(rows=_value_rows)
+    def test_container_property_roundtrip(tmp_path_factory, rows):
+        """Any value combination round-trips bit-exact through the
+        container encode/decode (both codecs), including doubled
+        blocks, unicode, negative zigzag extremes, and nested nulls."""
+        import os
+        import tempfile
+
+        from local_lakehouse_spark.sources import avro_py
+
+        fd, path = tempfile.mkstemp(suffix=".avro")
+        os.close(fd)
+        try:
+            for codec in ("null", "deflate"):
+                n = avro_py.write_container(
+                    path, _SCHEMA, iter(rows), codec=codec, block_rows=7
+                )
+                assert n == len(rows)
+                _, back = avro_py.read_container(open(path, "rb").read())
+                assert back == rows
+        finally:
+            os.remove(path)

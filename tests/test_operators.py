@@ -824,3 +824,35 @@ def test_bm25_ranking(spark):
     out = {r.id: r.score for r in bm25_score(df, "doc_id", "text", ["spark"]).collect()}
     assert 3 not in out  # no term hit -> no score row
     assert out[1] > out[2] > 0  # tf and length normalization both bite
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """Fixed-bin histogram quantiles: within one bin width of the
+    exact percentile, and the reported edge is exact closed-form
+    arithmetic (the basis of the x37 oracle)."""
+    from local_lakehouse_spark.operators.sketches import histogram_quantiles
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = {
+        r.o_orderstatus: r
+        for r in histogram_quantiles(
+            orders, ["o_orderstatus"], "o_totalprice",
+            lo=0.0, hi=500_000.0, n_bins=1000,
+        ).collect()
+    }
+    exact = {
+        r.o_orderstatus: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    bin_w = 500_000.0 / 1000
+    for status, row in got.items():
+        assert abs(row.q_50 - exact[status].p50) <= bin_w
+        assert abs(row.q_99 - exact[status].p99) <= bin_w
+    # values land exactly on bin edges (closed-form reproducibility)
+    for row in got.values():
+        assert row.q_50 % bin_w == 0.0
