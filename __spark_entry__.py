@@ -40,6 +40,8 @@ _CHANGED_THIS_ROUND = [
     "x35_audio_features",  # new this round (real WAV decode)
     "x36_streaming_left_outer_join",  # new this round
     "x37_histogram_quantiles",  # new this round
+    "x38_mixture_sample",  # new this round
+    "x39_sequence_packing",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

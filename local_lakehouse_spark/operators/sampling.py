@@ -101,3 +101,60 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic multi-source mixture: draw ~``total_rows`` rows
+    with per-source proportions ``weights`` (the corpus-mixing step of
+    a training-data pipeline — "40% web, 40% code, 20% books").
+
+    Per-source keep-fraction = min(1, target_s / count_s) with
+    target_s = total_rows · w_s / Σw, realized as the same
+    md5-threshold Bernoulli filter as hash_sample — so the selected
+    set is identical across runs, partitionings, and engines, and the
+    whole decision stays a scan-stage predicate after one tiny
+    broadcast join of per-source thresholds. Sources absent from
+    ``weights`` are dropped. Realized counts are Binomial around the
+    target (exact-count variants are what cap_per_group is for).
+    """
+    wsum = sum(weights.values())
+    targets = [(s, total_rows * w / wsum) for s, w in sorted(weights.items())]
+    counts = (
+        df.groupBy(F.col(source_col).alias("__src"))
+        .agg(F.count("*").alias("__n"))
+    )
+    target_col: Column = F.lit(None).cast("double")
+    for s, tgt in targets:
+        target_col = F.when(F.col("__src") == s, F.lit(float(tgt))).otherwise(
+            target_col
+        )
+    # guard the null case explicitly: least() SKIPS nulls, so
+    # least(1.0, NULL) is 1.0 and unweighted sources would pass whole
+    frac = F.when(
+        target_col.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.lit(1.0), target_col / F.col("__n")))
+    # name-based equi-join: `counts` shares lineage with df, so an
+    # expression join on df[source_col] is ambiguous (both sides own
+    # the attribute); joining on the column NAME sidesteps that.
+    thresholds = counts.select(
+        F.col("__src").alias(source_col),
+        F.when(frac >= 1.0, F.lit("g"))
+        .otherwise(
+            F.format_string(
+                "%08x", F.floor(frac * F.lit(float(_SPACE))).cast("long")
+            )
+        )
+        .alias("__thr"),
+    ).filter(F.col("__thr").isNotNull())
+    return (
+        df.join(F.broadcast(thresholds), on=source_col)
+        .filter(_bucket(F.col(id_col), salt) < F.col("__thr"))
+        .drop("__thr")
+    )

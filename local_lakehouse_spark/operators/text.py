@@ -377,3 +377,37 @@ def bm25_score(
     )
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return scored.groupBy("id").agg(r4(F.sum("term_score")).alias("score"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Streaming sequence packing: assign documents (in id order,
+    within each group/shard) to context-window bins of ``budget``
+    tokens — the batch-construction step before LLM training.
+
+    bin = floor(prefix_sum_before_doc / budget): the classic
+    streaming approximation (a bin may overflow by at most one
+    document, no bin splits a document). Closed-form over one window
+    cumsum, so it parallelizes by group, merges trivially, and an
+    independent engine reproduces it exactly. Output adds ``bin``
+    (per-group bin index) and ``bin_prefix`` (tokens before this doc
+    within its bin).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.select(
+        group_col,
+        id_col,
+        tokens_col,
+        F.floor(before / budget).cast("int").alias("bin"),
+        (before % budget).cast("long").alias("bin_prefix"),
+    )

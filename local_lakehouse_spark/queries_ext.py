@@ -1115,6 +1115,84 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def x38(spark, sf):
+    """Deterministic multi-source corpus mixture: ~30 rows at
+    60% src0 / 30% src1 / 10% src2 via per-source md5-threshold
+    Bernoulli filters (keep-fraction = min(1, target/count)). The
+    oracle recomputes counts, thresholds (same hex arithmetic), and
+    the md5 bucket filter — engine-identical row selection.
+    """
+    from .operators.sampling import mixture_sample
+
+    return mixture_sample(
+        t(spark, sf, "documents"),
+        "doc_id",
+        "source",
+        weights={"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        total_rows=30,
+    ).select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+X38_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+ thr AS (
+  SELECT source,
+         CASE WHEN t.target / n >= 1.0 THEN 'g'
+              ELSE lower(lpad(to_hex(CAST(FLOOR(t.target / n * 4294967296.0)
+                                         AS BIGINT)), 8, '0'))
+         END AS thr
+  FROM counts
+  JOIN (VALUES ('src0', 18.0), ('src1', 9.0), ('src2', 3.0))
+       AS t(source, target) USING (source))
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN thr USING (source)
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+ORDER BY d.doc_id
+"""
+
+
+def x39(spark, sf):
+    """Context-window sequence packing: documents packed (in doc_id
+    order per source shard) into 512-token bins via the streaming
+    prefix-sum rule bin = floor(tokens_before / budget) — one window
+    cumsum, parallel by shard, closed-form (oracle-identical).
+    Token count here = whitespace word count, the packing currency.
+    """
+    from .operators.text import pack_sequences
+
+    docs = t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", "source", budget=512
+    ).orderBy("source", "doc_id")
+
+
+X39_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+ c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before
+  FROM toks)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR(before / 512) AS INT) AS bin,
+       CAST(before % 512 AS BIGINT) AS bin_prefix
+FROM c ORDER BY source, doc_id
+"""
+
+
 def x33(spark, sf):
     """Near-dup clustering: x02's pairwise matches → connected
     components → (id, keep_id) cluster assignment. The oracle replays
@@ -1279,4 +1357,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x35_audio_features": QuerySpec(x35, X35_SQL),
     "x36_streaming_left_outer_join": QuerySpec(x36, X36_SQL),
     "x37_histogram_quantiles": QuerySpec(x37, X37_SQL),
+    "x38_mixture_sample": QuerySpec(x38, X38_SQL),
+    "x39_sequence_packing": QuerySpec(x39, X39_SQL),
 }

@@ -856,3 +856,52 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
     # values land exactly on bin edges (closed-form reproducibility)
     for row in got.values():
         assert row.q_50 % bin_w == 0.0
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    """Mixture sampling hits target proportions within Bernoulli
+    noise, is deterministic, drops unweighted sources, and keeps
+    whole sources whose target exceeds their size."""
+    from local_lakehouse_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]  # 1000 per source
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_sample(
+        df, "id", "src", {"s0": 0.5, "s1": 0.25, "s2": 0.25}, total_rows=400
+    )
+    got = {r.src: r.cnt for r in out.groupBy("src").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert "s3" not in got  # unweighted source dropped
+    assert abs(got["s0"] - 200) < 60 and abs(got["s1"] - 100) < 45
+    # deterministic: same selection on rerun
+    ids1 = {r.id for r in out.collect()}
+    ids2 = {r.id for r in mixture_sample(
+        df, "id", "src", {"s0": 0.5, "s1": 0.25, "s2": 0.25}, total_rows=400
+    ).collect()}
+    assert ids1 == ids2
+    # tiny source with target >= size: kept whole ('g' threshold)
+    small = spark.createDataFrame(
+        [(i, "only") for i in range(5)], "id long, src string"
+    )
+    assert mixture_sample(
+        small, "id", "src", {"only": 1.0}, total_rows=100
+    ).count() == 5
+
+
+def test_pack_sequences_streaming_rule(spark):
+    """bin = floor(tokens_before/budget): bins fill in id order, may
+    overflow by at most one document, and never split a document."""
+    from local_lakehouse_spark.operators.text import pack_sequences
+
+    rows = [("a", 1, 300), ("a", 2, 300), ("a", 3, 300), ("a", 4, 50),
+            ("b", 1, 600)]
+    df = spark.createDataFrame(rows, "src string, id long, n long")
+    out = {(r.src, r.id): (r.bin, r.bin_prefix) for r in pack_sequences(
+        df, "id", "n", "src", budget=512).collect()}
+    # a: prefixes 0,300,600,900 -> bins 0,0,1,1
+    assert out[("a", 1)] == (0, 0)
+    assert out[("a", 2)] == (0, 300)
+    assert out[("a", 3)] == (1, 88)   # 600 % 512
+    assert out[("a", 4)] == (1, 388)
+    # group b independent
+    assert out[("b", 1)] == (0, 0)
