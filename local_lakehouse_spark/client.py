@@ -224,6 +224,72 @@ class LakehouseClient:
         else:
             _io._rewrite_table_dir(df, fmt, path, partition_by=part_cols or None)
 
+    def _rewrite_contents(self, tbl: Table, df: DataFrame) -> None:
+        """Layout-preserving full rewrite (same commit path as
+        restore_table): single-file tables stay single files,
+        partitioned directories keep their partition columns."""
+        path = tbl.storage_location.removeprefix("file://")
+        fmt = _io._FORMAT_NAME[tbl.file_type]
+        part_cols = [c.name for c in tbl.partition_columns()]
+        if not part_cols and _io._is_single_file(path):
+            _io._write_single_file(df, fmt, path)
+        else:
+            _io._rewrite_table_dir(df, fmt, path, partition_by=part_cols or None)
+
+    def delete_from(
+        self, catalog: str, schema: str, name: str, predicate: str
+    ) -> int:
+        """Row-level DELETE: rewrite the table without rows matching
+        ``predicate`` (SQL boolean over the table's columns). Returns
+        the number of rows deleted. The previous contents are retired
+        as a snapshot — a delete is always time-travel reversible.
+
+        Scale note: like delta-rs/Delta's copy-on-write DELETE, this
+        is a full distributed rewrite of affected data; partition-
+        pruned predicates on partitioned tables rewrite only what the
+        scan reads into the new layout.
+        """
+        tbl = self.get_table(catalog, schema, name)
+        df = self.read_table(catalog, schema, name)
+        deleted = df.filter(predicate).count()
+        if deleted:
+            self._rewrite_contents(tbl, df.filter(f"NOT ({predicate})"))
+        return deleted
+
+    def update_rows(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        assignments: dict[str, str],
+        predicate: str = "true",
+    ) -> int:
+        """Row-level UPDATE: SET col = <sql expr> for rows matching
+        ``predicate``; other rows pass through unchanged. Returns the
+        number of rows updated. The updated contents pass the same
+        CHECK-constraint gate as write_table; the previous contents
+        are retired as a snapshot.
+        """
+        tbl = self.get_table(catalog, schema, name)
+        df = self.read_table(catalog, schema, name)
+        updated = df.filter(predicate).count()
+        if not updated:
+            return 0
+        cond = F.expr(predicate)
+        out = df.select(
+            *[
+                F.when(cond, F.expr(assignments[c]).cast(df.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        self._check_constraints(out, tbl)
+        self._rewrite_contents(tbl, out)
+        return updated
+
     def table_changes(
         self,
         catalog: str,
@@ -614,6 +680,18 @@ class LakehouseClient:
     # -- SQL -----------------------------------------------------------------
 
     _IDENT = r'("[^"]+"|`[^`]+`|\w+)'
+    _DELETE_RE = re.compile(
+        r"^DELETE\s+FROM\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"(?:\s+WHERE\s+(.*))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UPDATE_RE = re.compile(
+        r"^UPDATE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+SET\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _INSERT_RE = re.compile(
         r"^INSERT\s+(INTO|OVERWRITE)\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s+"
@@ -662,6 +740,37 @@ class LakehouseClient:
         spark = self._require_spark()
         stmt = _sqlnames.strip_leading_trivia(query)
 
+        m = self._DELETE_RE.match(stmt)
+        if m:
+            cat, sch, tbl, pred = m.groups()
+            n = self.delete_from(
+                self._unquote_name(cat),
+                self._unquote_name(sch),
+                self._unquote_name(tbl),
+                pred if pred is not None else "true",
+            )
+            return spark.createDataFrame([(n,)], "rows_affected long")
+        m = self._UPDATE_RE.match(stmt)
+        if m:
+            cat, sch, tbl, tail = m.groups()
+            where_at = _sqlnames.find_top_level_keyword(tail, "WHERE")
+            set_part, pred = (
+                (tail[:where_at], tail[where_at + len("WHERE"):])
+                if where_at >= 0
+                else (tail, "true")
+            )
+            assignments: dict[str, str] = {}
+            for piece in _sqlnames.split_top_level(set_part):
+                col, _, expr = piece.partition("=")
+                assignments[self._unquote_name(col.strip())] = expr.strip()
+            n = self.update_rows(
+                self._unquote_name(cat),
+                self._unquote_name(sch),
+                self._unquote_name(tbl),
+                assignments,
+                pred.strip(),
+            )
+            return spark.createDataFrame([(n,)], "rows_affected long")
         m = self._INSERT_RE.match(stmt)
         if m:
             verb, cat, sch, tbl, kw, rest = m.groups()

@@ -153,6 +153,41 @@ def rewrite_three_part_names(sql: str, resolve: Resolver) -> str:
     return "".join(out)
 
 
+def find_top_level_keyword(sql: str, keyword: str) -> int:
+    """Offset of the first ``keyword`` word token at paren depth 0
+    (outside strings/comments/quotes), or -1. Case-insensitive."""
+    depth = 0
+    for t in tokenize(sql):
+        if t.kind == "punct":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        elif t.kind == "word" and depth == 0 and t.text.upper() == keyword.upper():
+            return t.start
+    return -1
+
+
+def split_top_level(sql: str, sep: str = ",") -> List[str]:
+    """Split on ``sep`` punct tokens at paren depth 0 — commas inside
+    function calls, strings, or comments never split."""
+    depth = 0
+    parts: List[str] = []
+    last = 0
+    for t in tokenize(sql):
+        if t.kind != "punct":
+            continue
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif t.text == sep and depth == 0:
+            parts.append(sql[last : t.start])
+            last = t.end
+    parts.append(sql[last:])
+    return parts
+
+
 def strip_leading_trivia(sql: str) -> str:
     """Drop leading whitespace/comments so statement-verb dispatch
     (INSERT / CREATE TABLE AS) sees the first significant token."""

@@ -169,3 +169,63 @@ class TestClientSql:
         )
         n = unity.sql("SELECT COUNT(*) AS n FROM unity.default.li2").collect()[0].n
         assert n == 15
+
+
+class TestDml:
+    @pytest.fixture()
+    def li_table(self, unity, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "c", 40.0)],
+            "id long, k string, v double",
+        )
+        unity.create_as_table(
+            df, "unity", "default", "dml",
+            location=f"file://{tmp_path}/dml",
+        )
+        return unity
+
+    def test_delete_where(self, li_table):
+        out = li_table.sql(
+            "DELETE FROM unity.default.dml WHERE k = 'a'"
+        ).collect()
+        assert out[0].rows_affected == 2
+        left = li_table.sql(
+            "SELECT id FROM unity.default.dml ORDER BY id"
+        ).collect()
+        assert [r.id for r in left] == [2, 4]
+        # reversible: pre-delete contents retired as a snapshot
+        old = li_table.read_table("unity", "default", "dml", version=1)
+        assert old.count() == 4
+
+    def test_update_set_where(self, li_table):
+        out = li_table.sql(
+            "UPDATE unity.default.dml SET v = v * 2, k = upper(k) "
+            "WHERE id <= 2"
+        ).collect()
+        assert out[0].rows_affected == 2
+        rows = {r.id: (r.k, r.v) for r in li_table.sql(
+            "SELECT * FROM unity.default.dml").collect()}
+        assert rows[1] == ("A", 20.0) and rows[2] == ("B", 40.0)
+        assert rows[3] == ("a", 30.0) and rows[4] == ("c", 40.0)
+
+    def test_update_set_with_function_commas(self, li_table):
+        # comma inside the function call must not split the SET list
+        out = li_table.sql(
+            "UPDATE unity.default.dml "
+            "SET v = round(v + 0.123, 1), k = concat(k, '!') WHERE id = 4"
+        ).collect()
+        assert out[0].rows_affected == 1
+        row = li_table.sql(
+            "SELECT k, v FROM unity.default.dml WHERE id = 4"
+        ).collect()[0]
+        assert (row.k, row.v) == ("c!", 40.1)
+
+    def test_delete_without_where_empties(self, li_table):
+        out = li_table.sql("DELETE FROM unity.default.dml").collect()
+        assert out[0].rows_affected == 4
+        assert li_table.read_table("unity", "default", "dml").count() == 0
+
+    def test_update_type_preserved(self, li_table):
+        li_table.sql("UPDATE unity.default.dml SET v = 7 WHERE id = 1")
+        schema = li_table.read_table("unity", "default", "dml").schema
+        assert schema["v"].dataType.typeName() == "double"
