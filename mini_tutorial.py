@@ -181,5 +181,27 @@ client.sql(
     "(SELECT COUNT(*) AS n FROM unity.default.gov VERSION AS OF 1) old"
 ).show()
 print("column stats:", client.analyze_table("unity", "default", "gov")["columns"]["price"])
+print("-" * 50)
+
+# ---------------------------------------------------------------
+# Round 3: SQL DML, CDC change feed, and executable AVRO (no
+# spark-avro jar needed — pure-Python object-container codec).
+# ---------------------------------------------------------------
+client.sql("UPDATE unity.default.gov SET price = price * 2 WHERE id = 1")
+client.sql("DELETE FROM unity.default.gov WHERE id = 3")
+print("after UPDATE+DELETE:")
+client.sql("SELECT * FROM unity.default.gov ORDER BY id").show()
+
+client.set_table_default_merge_columns("unity", "default", "gov", ["id"])
+print("CDC feed since version 2 (Delta CDF vocabulary):")
+client.table_changes("unity", "default", "gov", from_version=2).show()
+
+av = spark.range(1, 4).selectExpr("id", "CAST(id AS STRING) AS s")
+client.create_as_table(
+    av, "unity", "default", "avdemo", file_type="avro",
+    location=f"file://{TUTORIAL_DIR}/demo.avro",
+)
+print("AVRO table round-trip (python codec):")
+client.sql("SELECT * FROM unity.default.avdemo ORDER BY id").show()
 
 spark.stop()
