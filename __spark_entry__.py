@@ -42,6 +42,7 @@ _CHANGED_THIS_ROUND = [
     "x37_histogram_quantiles",  # new this round
     "x38_mixture_sample",  # new this round
     "x39_sequence_packing",  # new this round
+    "q62_higher_order_fns",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

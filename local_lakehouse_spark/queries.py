@@ -2066,6 +2066,50 @@ GROUP BY cntrycode ORDER BY cntrycode
 """
 
 
+def q62(spark, sf):
+    """Higher-order array functions as first-class query surface:
+    transform / filter / aggregate(reduce) / zip_with / exists over
+    the embedding arrays — all evaluated JVM-side inside the scan
+    stage (no explode, no shuffle until the final agg-free sort).
+    DuckDB's list_* family is the oracle twin.
+    """
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    v = F.col("embedding")
+    squared_l2 = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_pos = F.size(F.filter(v, lambda x: x > 0))
+    alt_dot = F.aggregate(
+        F.zip_with(v, F.reverse(v), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        _r(squared_l2, 4).alias("squared_l2"),
+        n_pos.alias("n_pos"),
+        _r(alt_dot, 4).alias("rev_dot"),
+        F.exists(v, lambda x: x > 2.0).alias("has_gt2"),
+    ).orderBy("vec_id")
+
+
+Q62_SQL = """
+SELECT vec_id,
+       FLOOR((list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             * 10000 + 0.5) / 10000 AS squared_l2,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       FLOOR((list_aggregate(
+                list_transform(list_zip(embedding, list_reverse(embedding)),
+                               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                'sum')) * 10000 + 0.5) / 10000 AS rev_dot,
+       len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_gt2
+FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2132,4 +2176,5 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q59_tpch_q20_excess_inventory": QuerySpec(q59, Q59_SQL),
     "q60_tpch_q21_waiting_suppliers": QuerySpec(q60, Q60_SQL),
     "q61_tpch_q22_sales_opportunity": QuerySpec(q61, Q61_SQL),
+    "q62_higher_order_fns": QuerySpec(q62, Q62_SQL),
 }
