@@ -52,7 +52,7 @@ _CHANGED_THIS_ROUND = [
 _PRIORITY = (
     _CHANGED_THIS_ROUND
     # new this round: the remaining TPC-H classics q48–q61
-    + [n for n in _ALL if n.startswith("q") and n >= "q48"]
+    + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
     # carried on r1 evidence through r2 — re-verify as cap allows
     + [n for n in _ALL if n.startswith("q") and "q16" <= n < "q48"]
     + [
