@@ -43,6 +43,10 @@ _CHANGED_THIS_ROUND = [
     "x38_mixture_sample",  # new this round
     "x39_sequence_packing",  # new this round
     "q62_higher_order_fns",  # new this round
+    "x40_decontaminate",  # new this round
+    "x41_vocab_zipf",  # new this round
+    "x42_tfidf_top_terms",  # new this round
+    "x43_word_rarity",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

@@ -411,3 +411,178 @@ def pack_sequences(
         F.floor(before / budget).cast("int").alias("bin"),
         (before % budget).cast("long").alias("bin_prefix"),
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    benchmark_mod: int = 97,
+) -> DataFrame:
+    """(id, n_hits, contaminated) — benchmark decontamination: flag
+    training documents that share any word ``n``-gram with the
+    held-out benchmark split (here the deterministic split
+    ``id % benchmark_mod == 0``, standing in for an eval set). The
+    n-gram-overlap rule is the standard train/test leakage check of
+    LLM pretraining pipelines (e.g. GPT-3 appendix C uses 13-grams;
+    shorter here because the synthetic docs are short).
+
+    Scale shape: the benchmark side is a tiny fraction of the corpus
+    (1/benchmark_mod), so its distinct n-gram set is broadcast; the
+    training side streams map-side through the hash join — no shuffle
+    of the 100 TB side. Per-doc shingles are pre-deduplicated
+    (``shingles``), so the hit count is the DISTINCT overlapping
+    n-gram count by construction.
+    """
+    from .dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n=n)
+    bench = (
+        sh.filter(F.col("id") % benchmark_mod == 0)
+        .select(F.col("shingle").alias("b_shingle"))
+        .distinct()
+    )
+    train_sh = sh.filter(F.col("id") % benchmark_mod != 0)
+    hits = (
+        train_sh.join(
+            F.broadcast(bench),
+            train_sh["shingle"] == bench["b_shingle"],
+            "inner",
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    train = df.filter(F.col(id_col) % benchmark_mod != 0).select(
+        F.col(id_col).alias("id")
+    )
+    return train.join(hits, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def vocab_stats(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 100
+) -> DataFrame:
+    """(word, cnt, rank, cum_share) — corpus vocabulary statistics:
+    the ``top_k`` most frequent words with rank and cumulative
+    coverage share (the Zipf curve a corpus audit reads).
+
+    Scale shape: one explode → one word-keyed count agg (map-side
+    partials shrink the shuffle to |vocab|), then a distributed
+    TakeOrdered for the top-k — NO global sort and NO vocabulary-wide
+    single-partition window; the running sum runs over only the k
+    surviving rows. cum_share = running(cnt)/total is one exact IEEE
+    division, rounded to 6 decimals.
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("word")).limit(top_k)
+    )  # TakeOrderedAndProject: k rows cross the wire, not the vocab
+    w = Window.orderBy(F.desc("cnt"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+            .alias("rank"),
+            r6(F.sum("cnt").over(w) / F.col("__total")).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, word, tf, doc_freq, score_milli, rk) — top-``k`` TF-IDF
+    terms per document (the "what is this doc about" primitive used
+    for corpus topic audits and keyword mining).
+
+    Uses an integer-scaled idf — ``score_milli = tf * ((N * 1000) DIV
+    doc_freq)`` — monotone in tf and 1/df like ln-idf, but pure
+    integer arithmetic, so the result is bit-identical across engines
+    (ln differs in the last ulp between libm implementations).
+
+    Scale shape: explode → (id, word) count shuffle; doc-frequency
+    agg reduces to |vocab| rows; the tf↔df join shuffles on word
+    (AQE broadcast-demotes when vocab is small); the final top-k is a
+    per-doc window — partitioned by id, never global.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "word",
+            "tf",
+            "doc_freq",
+            (
+                F.col("tf")
+                * F.expr("(__n * 1000) DIV doc_freq").cast("bigint")
+            ).alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score_milli"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("id", "rk")
+    )
+
+
+def word_rarity(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_words, mean_rarity, max_rarity) — unigram rarity
+    scoring: rarity(w) = total_corpus_words DIV corpus_count(w)
+    (integer inverse frequency), aggregated per document as mean and
+    max. A rank-free surprisal proxy for perplexity-style quality
+    filtering: common-word documents score low, documents of rare
+    words score high — with NO global vocabulary sort (the classic
+    rank formulation needs one) and no transcendental functions (an
+    ln-based NLL differs across engines in the last ulp).
+
+    Scale shape: explode → word-count agg (|vocab| rows) → word-keyed
+    join back (AQE broadcasts small vocabs) → per-doc agg. Two
+    shuffles total, both key-shrunk.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    rarity = counts.crossJoin(F.broadcast(total)).select(
+        "word", F.expr("__total DIV cnt").cast("bigint").alias("rarity")
+    )
+    r3 = lambda c: F.floor(c * 1000 + F.lit(0.5)) / 1000  # noqa: E731
+    return (
+        words.join(rarity, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            r3(F.avg("rarity")).alias("mean_rarity"),
+            F.max("rarity").alias("max_rarity"),
+        )
+    )

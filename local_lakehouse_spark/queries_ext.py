@@ -1319,6 +1319,121 @@ FROM documents ORDER BY doc_id
 """
 
 
+def x40(spark, sf):
+    """Benchmark decontamination: training docs sharing any word
+    5-gram with the deterministic benchmark split (doc_id % 97 == 0).
+    Broadcast the tiny benchmark n-gram set; the training side never
+    shuffles (operators/text.decontaminate)."""
+    from .operators.text import decontaminate
+
+    return decontaminate(
+        t(spark, sf, "documents"), "doc_id", "text", n=5, benchmark_mod=97
+    ).orderBy("id")
+
+
+X40_SQL = r"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                       i -> array_to_string(w[i:i+4], ' '))) AS shingles
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+),
+ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ex WHERE id % 97 = 0),
+hits AS (SELECT e.id, COUNT(*) AS n_hits
+         FROM ex e JOIN bench b ON e.s = b.s
+         WHERE e.id % 97 <> 0 GROUP BY e.id)
+SELECT d.doc_id AS id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+ORDER BY id
+"""
+
+
+def x41(spark, sf):
+    """Corpus vocabulary / Zipf statistics: top-100 words with rank
+    and cumulative coverage share (operators/text.vocab_stats —
+    distributed TakeOrdered, no vocab-wide sort)."""
+    from .operators.text import vocab_stats
+
+    return vocab_stats(t(spark, sf, "documents"), "doc_id", "text", top_k=100)
+
+
+X41_SQL = r"""
+WITH words AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+               FROM documents),
+counts AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+total AS (SELECT SUM(cnt) AS t FROM counts),
+top AS (SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+        FROM counts ORDER BY cnt DESC, word LIMIT 100)
+SELECT word, cnt, rank,
+       FLOOR(SUM(cnt) OVER (ORDER BY rank)
+             / (SELECT CAST(t AS BIGINT) FROM total)
+             * 1000000 + 0.5) / 1000000 AS cum_share
+FROM top ORDER BY rank
+"""
+
+
+def x42(spark, sf):
+    """Top-3 TF-IDF terms per document with integer-scaled idf
+    (operators/text.tfidf_top_terms — bit-identical across engines,
+    per-doc windows only)."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(t(spark, sf, "documents"), "doc_id", "text", k=3)
+
+
+X42_SQL = r"""
+WITH words AS (SELECT doc_id AS id,
+                      unnest(string_split_regex(text, '\s+')) AS word
+               FROM documents),
+tf AS (SELECT id, word, COUNT(*) AS tf FROM words GROUP BY id, word),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.word, tf.tf, dfreq.doc_freq,
+         tf.tf * ((SELECT n_docs FROM n) * 1000 // dfreq.doc_freq)
+           AS score_milli
+  FROM tf JOIN dfreq USING (word)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY score_milli DESC, word) AS rk
+  FROM scored)
+SELECT id, word, tf, doc_freq, score_milli, rk
+FROM ranked WHERE rk <= 3 ORDER BY id, rk
+"""
+
+
+def x43(spark, sf):
+    """Unigram rarity scoring — integer inverse-frequency surprisal
+    proxy for perplexity-style quality filtering
+    (operators/text.word_rarity)."""
+    from .operators.text import word_rarity
+
+    return word_rarity(t(spark, sf, "documents"), "doc_id", "text").orderBy(
+        "id"
+    )
+
+
+X43_SQL = r"""
+WITH words AS (SELECT doc_id AS id,
+                      unnest(string_split_regex(text, '\s+')) AS word
+               FROM documents),
+counts AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM counts),
+rarity AS (SELECT word, (SELECT t FROM total) // cnt AS rarity FROM counts)
+SELECT id,
+       COUNT(*) AS n_words,
+       FLOOR(AVG(rarity) * 1000 + 0.5) / 1000 AS mean_rarity,
+       MAX(rarity) AS max_rarity
+FROM words JOIN rarity USING (word)
+GROUP BY id ORDER BY id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1359,4 +1474,8 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x37_histogram_quantiles": QuerySpec(x37, X37_SQL),
     "x38_mixture_sample": QuerySpec(x38, X38_SQL),
     "x39_sequence_packing": QuerySpec(x39, X39_SQL),
+    "x40_decontaminate": QuerySpec(x40, X40_SQL),
+    "x41_vocab_zipf": QuerySpec(x41, X41_SQL),
+    "x42_tfidf_top_terms": QuerySpec(x42, X42_SQL),
+    "x43_word_rarity": QuerySpec(x43, X43_SQL),
 }

@@ -905,3 +905,69 @@ def test_pack_sequences_streaming_rule(spark):
     assert out[("a", 4)] == (1, 388)
     # group b independent
     assert out[("b", 1)] == (0, 0)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Docs sharing a 3-gram with the benchmark split (id % 2 == 0
+    here) are flagged; disjoint docs are kept with zero hits."""
+    from local_lakehouse_spark.operators.text import decontaminate
+
+    rows = [
+        (0, "alpha beta gamma delta"),            # benchmark (id % 2 == 0)
+        (1, "alpha beta gamma epsilon"),          # shares "alpha beta gamma"
+        (3, "zeta eta theta iota kappa"),         # disjoint
+        (5, "x alpha beta gamma delta y"),        # shares two 3-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.n_hits, r.contaminated)
+        for r in decontaminate(df, "doc_id", "text", n=3, benchmark_mod=2).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[3] == (0, False)
+    assert out[5] == (2, True)  # "alpha beta gamma" + "beta gamma delta"
+    assert 0 not in out  # benchmark docs are not emitted
+
+
+def test_vocab_stats_zipf(spark):
+    from local_lakehouse_spark.operators.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    rows = vocab_stats(df, "doc_id", "text", top_k=3).collect()
+    assert [(r.word, r.cnt, r.rank) for r in rows] == [
+        ("a", 4, 1),
+        ("b", 3, 2),
+        ("c", 1, 3),
+    ]
+    # cumulative shares over total=9 words: 4/9, 7/9
+    assert abs(rows[0].cum_share - 0.444444) < 1e-6
+    assert abs(rows[1].cum_share - 0.777778) < 1e-6
+
+
+def test_tfidf_top_terms_integer_idf(spark):
+    from local_lakehouse_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish"), (3, "fish fish fish")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r.id: (r.word, r.tf, r.doc_freq, r.score_milli) for r in out}
+    # idf_milli: cat -> 3000//1 = 3000, dog -> 3000//2 = 1500
+    assert top[1] == ("cat", 2, 1, 6000)
+    assert top[3] == ("fish", 3, 2, 4500)
+
+
+def test_word_rarity_inverse_frequency(spark):
+    from local_lakehouse_spark.operators.text import word_rarity
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a rare")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in word_rarity(df, "doc_id", "text").collect()}
+    # total=5 words; rarity(a) = 5 // 4 = 1, rarity(rare) = 5 // 1 = 5
+    assert out[1].mean_rarity == 1.0 and out[1].max_rarity == 1
+    assert out[2].mean_rarity == 3.0 and out[2].max_rarity == 5
+    assert out[2].n_words == 2
