@@ -148,8 +148,13 @@ class LakehouseClient:
                 f"Table {tbl.full_name} is not a DELTA table"
             )
         if not _io.HAVE_DELTA:
-            raise UnsupportedOperationError(
-                "delta-spark package is not installed"
+            # Pure-Python Delta log facade (sources/delta_py.py):
+            # toDF/history/detail/vacuum over the real _delta_log.
+            from .sources.delta_py import PyDeltaTable
+
+            return PyDeltaTable(
+                self._require_spark(),
+                _io.strip_file_scheme(tbl.storage_location or ""),
             )
         from delta.tables import DeltaTable  # type: ignore
 

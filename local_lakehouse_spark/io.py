@@ -5,11 +5,14 @@ scan_table, write_table, merge_table). The reference delegates to
 Polars/delta-rs; here every path is a Spark DataFrame read/write so
 Catalyst handles pushdown, pruning, and partition discovery.
 
-Delta specifics: this container has no ``delta-spark`` package, so the
-reference's Delta-only row-level operations (MERGE, replaceWhere,
-schema-evolving append) are ALSO implemented natively over Parquet
-tables using an atomic directory-swap rewrite. When ``delta-spark``
-is importable the Delta paths use it directly.
+Delta specifics: this container has no ``delta-spark`` package, so
+DELTA tables run through a pure-Python implementation of the public
+Delta transaction-log protocol (sources/delta_py.py — JSON commits,
+add/remove replay, per-file stats, native time travel). When
+``delta-spark`` is importable the Delta paths use it directly. The
+Delta-only row-level operations (MERGE, replaceWhere, schema-evolving
+append) are ALSO implemented natively over Parquet tables using an
+atomic directory-swap rewrite.
 
 Scale notes (100 TB design):
 - Reads are plain ``spark.read`` → full predicate pushdown + partition
@@ -117,12 +120,11 @@ def read_format_path(
     harden_runtime(spark)
     path = strip_file_scheme(path)
     if file_type == FileType.DELTA:
-        if not HAVE_DELTA:
-            raise UnsupportedOperationError(
-                "DELTA format requires the delta-spark package, which is "
-                "not installed in this environment"
-            )
-        return spark.read.format("delta").load(path)
+        if HAVE_DELTA:  # pragma: no cover - jar not in sandbox
+            return spark.read.format("delta").load(path)
+        from .sources import delta_py
+
+        return delta_py.read_delta(spark, path)
     if file_type == FileType.PARQUET:
         df = spark.read.parquet(path)
         # Pin hive-partition column types from the catalog instead of
@@ -188,6 +190,16 @@ def read_table(
             f"Table {table.full_name} has no storage location"
         )
     location = table.storage_location
+    if table.file_type == FileType.DELTA and not HAVE_DELTA:
+        # Python Delta log: time travel is native log replay, not the
+        # snapshot store (sources/delta_py.py).
+        from .session import harden_runtime
+        from .sources import delta_py
+
+        harden_runtime(spark)
+        return delta_py.read_delta(
+            spark, strip_file_scheme(location), version=version
+        )
     if version is not None:
         location = "file://" + snapshot_path(
             location.removeprefix("file://"), version
@@ -459,16 +471,30 @@ def write_table(
 def _write_delta(
     spark, df, table, mode, schema_evolution, replace_where, df_cols
 ) -> Optional[list[Column]]:
-    """Native Delta path (delta-spark present). Parity dataframe.py:305-354."""
-    if not HAVE_DELTA:
-        raise UnsupportedOperationError(
-            "DELTA format requires the delta-spark package, which is not "
-            "installed; use PARQUET tables (same row-level ops supported)"
-        )
+    """Native Delta path. Parity dataframe.py:305-354. Prefers the
+    delta-spark JVM source when importable; otherwise runs the same
+    (mode × evolution × replaceWhere) matrix through the pure-Python
+    transaction log (sources/delta_py.py — public PROTOCOL.md subset),
+    so DELTA tables are executable in-sandbox end-to-end."""
     path = strip_file_scheme(table.storage_location or "")
     part_cols = [c.name for c in table.partition_columns()]
     if schema_evolution == SchemaEvolution.STRICT:
         check_schemas_equal(df_cols, table.columns)
+    if not HAVE_DELTA:
+        from .sources import delta_py
+
+        snap = delta_py.write_delta(
+            spark,
+            df,
+            path,
+            mode=mode.value.lower(),
+            partition_by=part_cols or None,
+            replace_where=replace_where,
+            merge_schema=schema_evolution == SchemaEvolution.MERGE,
+            overwrite_schema=schema_evolution == SchemaEvolution.OVERWRITE,
+        )
+        new_cols = spark_schema_to_uc_columns(snap.schema, part_cols or None)
+        return None if schemas_equal(new_cols, table.columns) else new_cols
     writer = df.write.format("delta").mode(mode.value.lower())
     if schema_evolution == SchemaEvolution.MERGE:
         writer = writer.option("mergeSchema", "true")

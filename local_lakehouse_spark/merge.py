@@ -255,7 +255,17 @@ class SparkMerger:
             self._validate(result)
         path = strip_file_scheme(self._table.storage_location or "")
         part_cols = [c.name for c in self._table.partition_columns()]
-        if not part_cols and _is_single_file(path):
+        if self._table.file_type == FileType.DELTA:
+            # Python Delta path: the rewritten table commits as a new
+            # log version (remove old files + add new) — MERGE shows
+            # up in history and is time-travelable, like DeltaTable.merge.
+            from .sources.delta_py import write_delta
+
+            write_delta(
+                self._spark, result, path,
+                mode="overwrite", partition_by=part_cols or None,
+            )
+        elif not part_cols and _is_single_file(path):
             _write_single_file(result, "parquet", path)
         else:
             _rewrite_table_dir(result, "parquet", path, partition_by=part_cols or None)
@@ -294,11 +304,7 @@ def merge_table(
     if condition is None:
         condition = default_merge_condition(table, source_alias, target_alias)
 
-    if table.file_type == FileType.DELTA:
-        if not HAVE_DELTA:
-            raise UnsupportedOperationError(
-                "DELTA merge requires the delta-spark package"
-            )
+    if table.file_type == FileType.DELTA and HAVE_DELTA:
         from delta.tables import DeltaTable  # type: ignore
 
         path = strip_file_scheme(table.storage_location or "")

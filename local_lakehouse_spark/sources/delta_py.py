@@ -1,0 +1,551 @@
+"""Minimal pure-Python Delta Lake transaction log.
+
+The sandbox has no ``delta-spark`` jar and no network, but the Delta
+transaction-log format is a public specification (delta-io PROTOCOL.md),
+so the DELTA storage format can still be executed end-to-end: parquet
+data files plus an ordered log of JSON commit files under
+``_delta_log/``, each holding one action per line. This module
+implements the subset the reference exercises
+(/root/reference/uchelper/dataframe.py:197-204, 305-354 via delta-rs):
+
+- actions: ``protocol`` (reader 1 / writer 2), ``metaData`` (schema as
+  Spark schema JSON — the format Delta itself uses), ``add`` (with
+  partitionValues, size, per-file stats), ``remove``, ``commitInfo``;
+- commits: put-if-absent creation of ``{version:020}.json`` (O_EXCL —
+  the protocol's atomicity requirement; a lost race raises instead of
+  corrupting history);
+- snapshots: log replay to any retained version → native time travel
+  (``versionAsOf`` analog), plus ``history()`` from commitInfo rows;
+- writes: append / overwrite / replaceWhere / mergeSchema /
+  overwriteSchema over Spark-written parquet part files moved into the
+  table directory (hive partition dirs preserved, partitionValues
+  recorded per file);
+- stats: numRecords + per-column min/max/nullCount aggregated from the
+  parquet footers at write time, powering ``candidate_files`` file
+  skipping (the Delta data-skipping read path).
+
+NOT implemented (documented limits, not silent gaps): checkpoints
+(replay reads every commit — fine for in-sandbox table sizes; the
+``_last_checkpoint`` fast path is a pure optimization), deletion
+vectors, column mapping, and multi-writer retry (single-process
+sandbox; a conflict raises ``ConcurrentModificationError``). When
+``delta-spark`` is importable, io.py prefers it and this module is
+never used.
+
+Scale notes: data files are written DISTRIBUTED by Spark (the move
+into place is a per-file rename, metadata cost only); reads hand
+Spark the full file list + schema so scan parallelism, predicate
+pushdown, and partition-dir derivation (``basePath``) all behave
+exactly as a native Delta scan would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..exceptions import AlreadyExistsError, DoesNotExistError
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+class ConcurrentModificationError(AlreadyExistsError):
+    """Another writer committed this version first (put-if-absent lost)."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def is_delta_table(path: str) -> bool:
+    return os.path.isdir(_log_dir(path))
+
+
+@dataclass
+class Snapshot:
+    version: int
+    metadata: dict
+    protocol: dict
+    adds: dict = field(default_factory=dict)  # rel path -> add action
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.metadata["schemaString"]))
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return list(self.metadata.get("partitionColumns") or [])
+
+    @property
+    def configuration(self) -> dict:
+        return dict(self.metadata.get("configuration") or {})
+
+    def files(self, base: str) -> list[str]:
+        return [os.path.join(base, unquote(p)) for p in sorted(self.adds)]
+
+
+class DeltaLog:
+    """Reader/writer over one table's ``_delta_log`` directory."""
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.log_dir = _log_dir(self.path)
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(n[:-5])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def snapshot(self, version: Optional[int] = None) -> Snapshot:
+        vs = self.versions()
+        if not vs:
+            raise DoesNotExistError(f"{self.path} is not a Delta table")
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            raise DoesNotExistError(
+                f"version {version} of {self.path} does not exist "
+                f"(have {vs[0]}..{vs[-1]})"
+            )
+        meta: dict = {}
+        proto: dict = dict(PROTOCOL)
+        adds: dict = {}
+        for v in vs:
+            if v > version:
+                break
+            fname = os.path.join(self.log_dir, f"{v:020d}.json")
+            with open(fname) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        meta = action["metaData"]
+                    elif "protocol" in action:
+                        proto = action["protocol"]
+                    elif "add" in action:
+                        adds[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        adds.pop(action["remove"]["path"], None)
+        return Snapshot(version=version, metadata=meta, protocol=proto, adds=adds)
+
+    def commit(self, version: int, actions: list[dict]) -> None:
+        """Put-if-absent commit — the protocol's single atomicity
+        primitive. O_EXCL guarantees exactly one writer wins a
+        version; the loser sees the file exists and must re-read."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        fname = os.path.join(self.log_dir, f"{version:020d}.json")
+        try:
+            fd = os.open(fname, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"version {version} of {self.path} was committed concurrently"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+    def history(self) -> list[dict]:
+        """commitInfo row per version, newest first (DeltaTable.history)."""
+        out = []
+        for v in self.versions():
+            fname = os.path.join(self.log_dir, f"{v:020d}.json")
+            info = {}
+            with open(fname) as f:
+                for line in f:
+                    action = json.loads(line) if line.strip() else {}
+                    if "commitInfo" in action:
+                        info = action["commitInfo"]
+                        break
+            out.append({"version": v, **info})
+        return sorted(out, key=lambda r: -r["version"])
+
+
+# ---------------------------------------------------------------------------
+# Stats (parquet footer -> Delta per-file stats JSON)
+# ---------------------------------------------------------------------------
+
+_STATS_SKIP = (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+
+
+def _json_stat(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _file_stats(abs_path: str) -> str:
+    """numRecords + min/max/nullCount per top-level atomic column,
+    aggregated across row groups, serialized as the ``stats`` JSON
+    string of the add action."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (top-level only)
+                continue
+            try:
+                st = col.statistics
+            except Exception:  # pyarrow: no stats support for the type
+                continue
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            try:
+                # pyarrow can't decode min/max for some logical types
+                # (e.g. INTERVAL); skip the column, keep numRecords.
+                if not st.has_min_max:
+                    continue
+                lo, hi = _json_stat(st.min), _json_stat(st.max)
+            except Exception:
+                continue
+            if lo is not None:
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+            if hi is not None:
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        separators=(",", ":"),
+        default=str,
+    )
+
+
+def candidate_files(
+    snap: Snapshot, col: str, op: str, value: object
+) -> list[str]:
+    """Stats-based file skipping: relative paths of files whose
+    [min, max] range for ``col`` can satisfy ``col <op> value``
+    (ops: = < <= > >=). Files without stats for the column are kept
+    (skipping must never drop a possible match). Partition columns
+    are pruned from partitionValues exactly."""
+    out = []
+    part_cols = snap.partition_columns
+    for rel, add in sorted(snap.adds.items()):
+        if col in part_cols:
+            pv = add.get("partitionValues", {}).get(col)
+            if pv is None:
+                out.append(rel)
+                continue
+            keep = {
+                "=": str(value) == pv,
+                "<": pv < str(value),
+                "<=": pv <= str(value),
+                ">": pv > str(value),
+                ">=": pv >= str(value),
+            }.get(op, True)
+            if keep:
+                out.append(rel)
+            continue
+        stats = json.loads(add.get("stats") or "{}")
+        lo = (stats.get("minValues") or {}).get(col)
+        hi = (stats.get("maxValues") or {}).get(col)
+        if lo is None or hi is None:
+            out.append(rel)
+            continue
+        keep = {
+            "=": lo <= value <= hi,
+            "<": lo < value,
+            "<=": lo <= value,
+            ">": hi > value,
+            ">=": hi >= value,
+        }.get(op, True)
+        if keep:
+            out.append(rel)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Read / write
+# ---------------------------------------------------------------------------
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: Optional[int] = None,
+    schema: Optional[T.StructType] = None,
+) -> DataFrame:
+    """Snapshot → DataFrame: full file list + log schema handed to the
+    parquet scan; ``basePath`` re-derives hive partition columns, and
+    files written before a mergeSchema evolution surface the missing
+    columns as NULL (Spark's explicit-schema parquet semantics —
+    exactly Delta's)."""
+    snap = DeltaLog(path).snapshot(version)
+    schema = schema or snap.schema
+    files = snap.files(path)
+    if not files:
+        return spark.createDataFrame([], schema)
+    df = spark.read.option("basePath", path).schema(schema).parquet(*files)
+    # Spark appends dir-derived partition columns after the data
+    # columns; restore the log schema's declared order.
+    return df.select(*[f.name for f in schema.fields])
+
+
+def _move_parts(tmp: str, path: str) -> list[tuple[str, dict]]:
+    """Move Spark-written part files from ``tmp`` into the table dir,
+    preserving partition subdirs; returns (rel_path, partitionValues)
+    per data file. Renames only — no data copied."""
+    out = []
+    for root, _dirs, names in os.walk(tmp):
+        for name in names:
+            if not name.endswith(".parquet") or name.startswith("."):
+                continue
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, tmp)
+            parts = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    parts[k] = unquote(v)
+            dest = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(src, dest)
+            out.append((rel.replace(os.sep, "/"), parts))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _add_action(path: str, rel: str, parts: dict) -> dict:
+    abs_path = os.path.join(path, rel)
+    return {
+        "add": {
+            "path": quote(rel, safe="/="),
+            "partitionValues": {k: str(v) for k, v in parts.items()},
+            "size": os.path.getsize(abs_path),
+            "modificationTime": int(os.path.getmtime(abs_path) * 1000),
+            "dataChange": True,
+            "stats": _file_stats(abs_path),
+        }
+    }
+
+
+def _meta_action(schema: T.StructType, partition_by: list[str], meta_id: str, configuration: Optional[dict] = None) -> dict:
+    return {
+        "metaData": {
+            "id": meta_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": list(partition_by or []),
+            "configuration": dict(configuration or {}),
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+    replace_where: Optional[str] = None,
+    merge_schema: bool = False,
+    overwrite_schema: bool = False,
+) -> Snapshot:
+    """Transactional write with delta-spark's option matrix
+    (mode × mergeSchema × overwriteSchema × replaceWhere). The data
+    files are written by Spark (distributed) into a temp dir, moved
+    into place (renames), and become visible only when the commit
+    file lands — readers replaying the log never see a partial write.
+    """
+    from pyspark.sql import functions as F
+
+    log = DeltaLog(path)
+    vs = log.versions()
+    snap = log.snapshot() if vs else None
+    actions: list[dict] = []
+
+    if snap is not None:
+        partition_by = snap.partition_columns  # layout is table-owned
+        if replace_where is not None:
+            # Rewrite = rows NOT matching the predicate + new rows.
+            # File-granular removal (keep untouched files) would need
+            # per-file predicate evaluation; the full rewrite is the
+            # same answer with simpler invariants.
+            pred = F.expr(replace_where)
+            kept = read_delta(spark, path).filter(~pred | pred.isNull())
+            df = kept.unionByName(df)
+            mode = "overwrite"
+        schema = snap.schema
+        if overwrite_schema:
+            schema = df.schema
+            if mode != "overwrite":
+                raise ValueError("overwriteSchema requires overwrite mode")
+        elif merge_schema:
+            old_names = {f.name for f in schema.fields}
+            schema = T.StructType(
+                list(schema.fields)
+                + [f for f in df.schema.fields if f.name not in old_names]
+            )
+        if {f.name for f in df.schema.fields} - {f.name for f in schema.fields}:
+            raise ValueError(
+                "DataFrame has columns not in the table schema "
+                "(pass merge_schema=True to evolve)"
+            )
+        meta_changed = schema.json() != snap.schema.json()
+        meta_id = snap.metadata.get("id", str(uuid.uuid4()))
+        version = snap.version + 1
+        if meta_changed:
+            actions.append(
+                _meta_action(schema, partition_by, meta_id, snap.configuration)
+            )
+    else:
+        schema = df.schema
+        version = 0
+        actions.append({"protocol": dict(PROTOCOL)})
+        actions.append(_meta_action(schema, partition_by or [], str(uuid.uuid4())))
+
+    # Write data files distributed, then move into the table dir.
+    tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    os.makedirs(path, exist_ok=True)
+    moved = _move_parts(tmp, path)
+    if mode == "overwrite" and snap is not None:
+        for rel in sorted(snap.adds):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(_add_action(path, rel, parts) for rel, parts in moved)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": mode.upper(),
+                    "partitionBy": json.dumps(partition_by or []),
+                    **(
+                        {"predicate": replace_where}
+                        if replace_where is not None
+                        else {}
+                    ),
+                },
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    log.commit(version, actions)
+    return log.snapshot(version)
+
+
+def vacuum(path: str, retain_hours: float = 168.0) -> list[str]:
+    """Delete data files no longer referenced by the CURRENT snapshot
+    and older than the retention window (DeltaTable.vacuum). Returns
+    deleted relative paths. Time travel to versions whose files were
+    vacuumed stops working — exactly Delta's documented trade-off."""
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    live = {os.path.normpath(unquote(p)) for p in snap.adds}
+    cutoff = time.time() - retain_hours * 3600
+    deleted = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            abs_p = os.path.join(root, name)
+            rel = os.path.normpath(os.path.relpath(abs_p, path))
+            if rel in live:
+                continue
+            if os.path.getmtime(abs_p) <= cutoff:
+                os.unlink(abs_p)
+                deleted.append(rel)
+    return deleted
+
+
+class PyDeltaTable:
+    """delta-spark ``DeltaTable``-shaped facade over the Python log
+    (the subset the reference exercises: toDF/history/detail/vacuum —
+    /root/reference/uchelper/client.py:323-330, mini_tutorial.py)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._spark = spark
+        self._path = path
+        self._log = DeltaLog(path)
+
+    def toDF(self) -> DataFrame:
+        return read_delta(self._spark, self._path)
+
+    def history(self) -> DataFrame:
+        rows = self._log.history()
+        return self._spark.createDataFrame(
+            [
+                (
+                    r["version"],
+                    r.get("operation"),
+                    json.dumps(r.get("operationParameters", {})),
+                )
+                for r in rows
+            ],
+            "version long, operation string, operationParameters string",
+        )
+
+    def detail(self) -> DataFrame:
+        snap = self._log.snapshot()
+        return self._spark.createDataFrame(
+            [
+                (
+                    snap.metadata.get("id"),
+                    "delta",
+                    self._path,
+                    snap.partition_columns,
+                    len(snap.adds),
+                    sum(a.get("size", 0) for a in snap.adds.values()),
+                    snap.configuration,
+                )
+            ],
+            "id string, format string, location string, "
+            "partitionColumns array<string>, numFiles long, "
+            "sizeInBytes long, properties map<string,string>",
+        )
+
+    def vacuum(self, retentionHours: float = 168.0) -> None:
+        vacuum(self._path, retentionHours)
+
+    @property
+    def version(self) -> int:
+        return self._log.snapshot().version

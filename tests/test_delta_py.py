@@ -1,0 +1,150 @@
+"""Protocol-level tests for the pure-Python Delta transaction log
+(sources/delta_py.py): commit atomicity, log replay, remove
+semantics, schema evolution, stats-based file skipping, vacuum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from local_lakehouse_spark.sources import delta_py
+from local_lakehouse_spark.sources.delta_py import (
+    ConcurrentModificationError,
+    DeltaLog,
+    candidate_files,
+    read_delta,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "t")
+
+
+def test_version0_has_protocol_and_metadata(spark, tbl):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_delta(spark, df, tbl)
+    log_file = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(log_file) if l.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert "add" in kinds and "commitInfo" in kinds
+    meta = actions[1]["metaData"]
+    # schemaString is Spark schema JSON — the format Delta itself uses
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+
+
+def test_put_if_absent_commit_conflict(spark, tbl):
+    df = spark.createDataFrame([(1,)], "id long")
+    write_delta(spark, df, tbl)
+    log = DeltaLog(tbl)
+    with pytest.raises(ConcurrentModificationError):
+        log.commit(0, [{"commitInfo": {}}])
+
+
+def test_overwrite_emits_removes_and_replay_drops_files(spark, tbl):
+    write_delta(spark, spark.range(4).selectExpr("id"), tbl)
+    n0 = len(DeltaLog(tbl).snapshot().adds)
+    write_delta(spark, spark.range(2).selectExpr("id"), tbl, mode="overwrite")
+    snap = DeltaLog(tbl).snapshot()
+    assert read_delta(spark, tbl).count() == 2
+    # all v0 files removed from the live set, still present for time travel
+    assert len(DeltaLog(tbl).snapshot(0).adds) == n0
+    assert read_delta(spark, tbl, version=0).count() == 4
+    assert all(p in os.listdir(tbl) or "/" in p for p in snap.adds)
+
+
+def test_schema_order_and_partition_values(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "p1", 2.0), (2, "p2", 3.0)], "id long, part string, v double"
+    )
+    write_delta(spark, df, tbl, partition_by=["part"])
+    out = read_delta(spark, tbl)
+    assert out.columns == ["id", "part", "v"]  # log order, not dir-append order
+    snap = DeltaLog(tbl).snapshot()
+    pvals = {a["partitionValues"]["part"] for a in snap.adds.values()}
+    assert pvals == {"p1", "p2"}
+    assert snap.partition_columns == ["part"]
+
+
+def test_merge_schema_backfills_null(spark, tbl):
+    write_delta(spark, spark.createDataFrame([(1,)], "id long"), tbl)
+    df2 = spark.createDataFrame([(2, "x")], "id long, extra string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(spark, df2, tbl, mode="append")
+    write_delta(spark, df2, tbl, mode="append", merge_schema=True)
+    rows = {(r.id, r.extra) for r in read_delta(spark, tbl).collect()}
+    assert rows == {(1, None), (2, "x")}
+
+
+def test_overwrite_schema_replaces_metadata(spark, tbl):
+    write_delta(spark, spark.createDataFrame([(1, "a")], "id long, s string"), tbl)
+    new = spark.createDataFrame([(9.5,)], "only double")
+    write_delta(spark, new, tbl, mode="overwrite", overwrite_schema=True)
+    out = read_delta(spark, tbl)
+    assert out.columns == ["only"]
+    assert out.collect()[0]["only"] == 9.5
+
+
+def test_stats_file_skipping(spark, tbl):
+    # 4 files with disjoint id ranges -> equality predicate keeps 1
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 10).selectExpr("id").coalesce(1)
+        write_delta(spark, df, tbl, mode="append")
+    snap = DeltaLog(tbl).snapshot()
+    assert len(snap.adds) == 4
+    assert len(candidate_files(snap, "id", "=", 205)) == 1
+    assert len(candidate_files(snap, "id", ">", 150)) == 2
+    assert len(candidate_files(snap, "id", "<=", 5)) == 1
+    # stats carry numRecords
+    stats = json.loads(next(iter(snap.adds.values()))["stats"])
+    assert stats["numRecords"] == 10
+
+
+def test_partition_skipping(spark, tbl):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], "id long, p long"
+    )
+    write_delta(spark, df, tbl, partition_by=["p"])
+    snap = DeltaLog(tbl).snapshot()
+    cand = candidate_files(snap, "p", "=", 1)
+    assert 0 < len(cand) < len(snap.adds)
+    assert all("p=1" in c for c in cand)
+
+
+def test_vacuum_removes_only_unreferenced_old_files(spark, tbl):
+    write_delta(spark, spark.range(4).selectExpr("id"), tbl)
+    write_delta(spark, spark.range(2).selectExpr("id"), tbl, mode="overwrite")
+    # retain 0 hours -> v0's replaced files are deletable
+    deleted = delta_py.vacuum(tbl, retain_hours=0)
+    assert deleted  # something was vacuumed
+    assert read_delta(spark, tbl).count() == 2  # live snapshot intact
+    with pytest.raises(Exception):  # time travel to vacuumed version breaks
+        read_delta(spark, tbl, version=0).count()
+
+
+def test_empty_table_reads_empty_with_schema(spark, tbl):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_delta(spark, df, tbl)
+    write_delta(
+        spark,
+        spark.createDataFrame([], "id long, s string"),
+        tbl,
+        mode="overwrite",
+    )
+    out = read_delta(spark, tbl)
+    assert out.count() == 0
+    assert out.columns == ["id", "s"]
+
+
+def test_history_newest_first(spark, tbl):
+    write_delta(spark, spark.range(1).selectExpr("id"), tbl)
+    write_delta(spark, spark.range(1).selectExpr("id"), tbl, mode="append")
+    h = DeltaLog(tbl).history()
+    assert [r["version"] for r in h] == [1, 0]
+    assert h[0]["operation"] == "WRITE"
+    assert json.loads(h[0]["operationParameters"]["partitionBy"]) == []
