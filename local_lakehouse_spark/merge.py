@@ -264,6 +264,7 @@ class SparkMerger:
             write_delta(
                 self._spark, result, path,
                 mode="overwrite", partition_by=part_cols or None,
+                operation="MERGE",
             )
         elif not part_cols and _is_single_file(path):
             _write_single_file(result, "parquet", path)

@@ -57,6 +57,9 @@ from ..exceptions import AlreadyExistsError, DoesNotExistError
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Auto-checkpoint cadence (delta-spark's default is also 10).
+CHECKPOINT_INTERVAL = 10
+
 
 class ConcurrentModificationError(AlreadyExistsError):
     """Another writer committed this version first (put-if-absent lost)."""
@@ -109,6 +112,16 @@ class DeltaLog:
             if n.endswith(".json") and n[:-5].isdigit()
         )
 
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        suffix = ".checkpoint.parquet"
+        return sorted(
+            int(n[: -len(suffix)])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(suffix) and n[: -len(suffix)].isdigit()
+        )
+
     def snapshot(self, version: Optional[int] = None) -> Snapshot:
         vs = self.versions()
         if not vs:
@@ -123,9 +136,47 @@ class DeltaLog:
         meta: dict = {}
         proto: dict = dict(PROTOCOL)
         adds: dict = {}
+        # Start from the newest checkpoint at/below the target version
+        # (bounded replay — the log-scale path: O(commits since
+        # checkpoint), not O(table history)).
+        start_after = -1
+        cps = [c for c in self.checkpoints() if c <= version]
+        if cps:
+            cp = cps[-1]
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(
+                os.path.join(self.log_dir, f"{cp:020d}.checkpoint.parquet")
+            )
+            def demap(v):  # pyarrow map columns surface as (k, v) tuples
+                if isinstance(v, list) and all(
+                    isinstance(x, tuple) and len(x) == 2 for x in v
+                ):
+                    return dict(v)
+                return v
+
+            for row in table.to_pylist():
+                if row.get("metaData"):
+                    meta = {
+                        k: demap(v)
+                        for k, v in row["metaData"].items()
+                        if v is not None
+                    }
+                elif row.get("protocol"):
+                    proto = row["protocol"]
+                elif row.get("add"):
+                    a = {
+                        k: demap(v)
+                        for k, v in row["add"].items()
+                        if v is not None
+                    }
+                    adds[a["path"]] = a
+            start_after = cp
         for v in vs:
             if v > version:
                 break
+            if v <= start_after:
+                continue
             fname = os.path.join(self.log_dir, f"{v:020d}.json")
             with open(fname) as f:
                 for line in f:
@@ -157,6 +208,61 @@ class DeltaLog:
         with os.fdopen(fd, "w") as f:
             for a in actions:
                 f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+    def write_checkpoint(self, version: Optional[int] = None) -> str:
+        """Materialize the snapshot state (protocol + metaData + live
+        adds) as ``{v:020}.checkpoint.parquet`` and point
+        ``_last_checkpoint`` at it. Replays after this version start
+        from the checkpoint instead of commit 0 — at a commit-heavy
+        table this is the difference between O(1) and O(history)
+        snapshot construction. JSON commits are retained, so time
+        travel to pre-checkpoint versions still works."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot(version)
+        str_map = pa.map_(pa.string(), pa.string())
+        proto_t = pa.struct(
+            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        )
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", str_map),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", str_map),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ]
+        )
+        schema = pa.schema(
+            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+        )
+        meta = dict(snap.metadata)
+        meta["format"] = {"provider": meta.get("format", {}).get("provider", "parquet")}
+        rows: list[dict] = [
+            {"protocol": snap.protocol, "metaData": None, "add": None},
+            {"protocol": None, "metaData": meta, "add": None},
+        ]
+        for a in snap.adds.values():
+            rows.append({"protocol": None, "metaData": None, "add": a})
+        fname = os.path.join(
+            self.log_dir, f"{snap.version:020d}.checkpoint.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), fname)
+        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
+            json.dump({"version": snap.version, "size": len(rows)}, f)
+        return fname
 
     def history(self) -> list[dict]:
         """commitInfo row per version, newest first (DeltaTable.history)."""
@@ -299,14 +405,32 @@ def read_delta(
     path: str,
     version: Optional[int] = None,
     schema: Optional[T.StructType] = None,
+    filters: Optional[list[tuple]] = None,
 ) -> DataFrame:
     """Snapshot → DataFrame: full file list + log schema handed to the
     parquet scan; ``basePath`` re-derives hive partition columns, and
     files written before a mergeSchema evolution surface the missing
     columns as NULL (Spark's explicit-schema parquet semantics —
-    exactly Delta's)."""
+    exactly Delta's).
+
+    ``filters``: optional ``[(col, op, value), ...]`` conjunction used
+    for stats-based data skipping — files whose min/max range (or
+    partition value) cannot satisfy every filter never enter the scan
+    plan. This is log-metadata pruning on TOP of Spark's own
+    partition pruning / predicate pushdown (the caller still applies
+    the row-level filter)."""
     snap = DeltaLog(path).snapshot(version)
     schema = schema or snap.schema
+    if filters:
+        keep = set(snap.adds)
+        for col, op, value in filters:
+            keep &= set(candidate_files(snap, col, op, value))
+        snap = Snapshot(
+            version=snap.version,
+            metadata=snap.metadata,
+            protocol=snap.protocol,
+            adds={p: a for p, a in snap.adds.items() if p in keep},
+        )
     files = snap.files(path)
     if not files:
         return spark.createDataFrame([], schema)
@@ -376,6 +500,7 @@ def write_delta(
     replace_where: Optional[str] = None,
     merge_schema: bool = False,
     overwrite_schema: bool = False,
+    operation: str = "WRITE",
 ) -> Snapshot:
     """Transactional write with delta-spark's option matrix
     (mode × mergeSchema × overwriteSchema × replaceWhere). The data
@@ -454,7 +579,7 @@ def write_delta(
         {
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),
-                "operation": "WRITE",
+                "operation": operation,
                 "operationParameters": {
                     "mode": mode.upper(),
                     "partitionBy": json.dumps(partition_by or []),
@@ -469,6 +594,8 @@ def write_delta(
         }
     )
     log.commit(version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        log.write_checkpoint(version)
     return log.snapshot(version)
 
 

@@ -203,5 +203,40 @@ client.create_as_table(
 )
 print("AVRO table round-trip (python codec):")
 client.sql("SELECT * FROM unity.default.avdemo ORDER BY id").show()
+print("-" * 50)
+
+# ---------------------------------------------------------------
+# Round 3: executable DELTA — a pure-Python implementation of the
+# public Delta transaction-log protocol (sources/delta_py.py), so
+# the reference's primary format runs end-to-end without the
+# delta-spark jar: real _delta_log JSON commits, log-replay time
+# travel, MERGE as a commit, history, per-file stats.
+# ---------------------------------------------------------------
+dl = spark.createDataFrame(
+    [(1, "a", 10.0), (2, "b", 20.0)], "id long, k string, v double"
+)
+client.create_as_table(
+    dl, "unity", "default", "dl", file_type="delta",
+    location=f"file://{TUTORIAL_DIR}/dl",
+)
+client.write_table(
+    spark.createDataFrame([(3, "c", 30.0)], "id long, k string, v double"),
+    "unity", "default", "dl", mode="append",
+)
+(
+    client.merge_table(
+        spark.createDataFrame([(2, "B", 99.0)], "id long, k string, v double"),
+        "unity", "default", "dl", condition="s.id = t.id",
+    )
+    .when_matched_update_all()
+    .when_not_matched_insert_all()
+    .execute()
+)
+print("DELTA table after CTAS + append + MERGE (3 log versions):")
+client.read_table("unity", "default", "dl").orderBy("id").show()
+print("version 0 via log-replay time travel:")
+client.read_table("unity", "default", "dl", version=0).orderBy("id").show()
+print("Delta history (commitInfo rows):")
+client.get_delta_table("unity", "default", "dl").history().show(truncate=False)
 
 spark.stop()

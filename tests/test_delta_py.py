@@ -148,3 +148,67 @@ def test_history_newest_first(spark, tbl):
     assert [r["version"] for r in h] == [1, 0]
     assert h[0]["operation"] == "WRITE"
     assert json.loads(h[0]["operationParameters"]["partitionBy"]) == []
+
+
+def test_checkpoint_roundtrip_and_bounded_replay(spark, tbl):
+    """A checkpoint reproduces the exact snapshot (protocol, metaData,
+    live adds incl. stats/partitionValues) and later snapshots replay
+    only the commits after it."""
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], "id long, p long"
+    )
+    write_delta(spark, df, tbl, partition_by=["p"])
+    write_delta(
+        spark,
+        spark.createDataFrame([(10, 0)], "id long, p long"),
+        tbl,
+        mode="append",
+    )
+    log = DeltaLog(tbl)
+    before = log.snapshot()
+    log.write_checkpoint()
+    assert log.checkpoints() == [1]
+    after = log.snapshot()  # now replays from the checkpoint
+    assert after.adds == before.adds
+    assert after.schema == before.schema
+    assert after.partition_columns == before.partition_columns
+    # commits after the checkpoint layer on top
+    write_delta(
+        spark,
+        spark.createDataFrame([(11, 1)], "id long, p long"),
+        tbl,
+        mode="append",
+    )
+    assert read_delta(spark, tbl).count() == 8
+    # time travel BEFORE the checkpoint still replays raw JSON commits
+    assert read_delta(spark, tbl, version=0).count() == 6
+
+
+def test_auto_checkpoint_every_interval(spark, tbl):
+    for i in range(delta_py.CHECKPOINT_INTERVAL + 1):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i,)], "id long"),
+            tbl,
+            mode="append",
+        )
+    log = DeltaLog(tbl)
+    assert log.checkpoints() == [delta_py.CHECKPOINT_INTERVAL]
+    assert os.path.exists(os.path.join(tbl, "_delta_log", "_last_checkpoint"))
+    assert read_delta(spark, tbl).count() == delta_py.CHECKPOINT_INTERVAL + 1
+
+
+def test_read_filters_skip_files(spark, tbl):
+    """read_delta(filters=) keeps only files whose stats can satisfy
+    the conjunction — the scan plan contains fewer input files."""
+    for lo in (0, 100, 200):
+        write_delta(
+            spark,
+            spark.range(lo, lo + 10).selectExpr("id").coalesce(1),
+            tbl,
+            mode="append",
+        )
+    pruned = read_delta(spark, tbl, filters=[("id", ">=", 100), ("id", "<", 110)])
+    assert pruned.inputFiles() != []
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("id >= 100 AND id < 110").count() == 10
