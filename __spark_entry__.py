@@ -47,6 +47,10 @@ _CHANGED_THIS_ROUND = [
     "x41_vocab_zipf",  # new this round
     "x42_tfidf_top_terms",  # new this round
     "x43_word_rarity",  # new this round
+    "x44_funnel_stages",  # new this round
+    "x45_cohort_retention",  # new this round
+    "q63_time_range_frame",  # new this round
+    "q64_argmax_aggregation",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

@@ -1,0 +1,91 @@
+"""Event-pipeline batch analytics: ordered funnels and cohort
+retention — the product-analytics operators a training-data/event
+platform runs next to its windowed aggregates (no reference analog;
+the reference has no events surface at all — SURVEY §2.C note).
+
+Both are pure DataFrame compositions (JVM expressions only) with
+exact DuckDB SQL twins, declared as queries x44/x45.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame, stages: list[str]
+) -> DataFrame:
+    """(stage, stage_idx, n_users) — ordered conversion funnel: a user
+    reaches stage k only with an event of type ``stages[k]`` STRICTLY
+    AFTER their stage-(k-1) event (earliest-qualifying timestamps,
+    the standard product-funnel semantics).
+
+    Scale shape: one aggregation per stage, each over the
+    stage-filtered (tiny) slice of the stream, joined user-keyed to
+    the previous stage's reach — k small shuffles of |users| rows,
+    never a self-join of the event stream. The per-stage reach
+    DataFrames shrink monotonically, so later joins broadcast.
+    """
+    reach = None  # (user_id, stage_ts) of the previous stage
+    counts = []
+    for idx, stage in enumerate(stages):
+        cur = events.filter(F.col("event_type") == stage)
+        if reach is None:
+            cur = cur.groupBy("user_id").agg(F.min("ts").alias("stage_ts"))
+        else:
+            cur = (
+                cur.join(reach.withColumnRenamed("stage_ts", "prev_ts"), "user_id")
+                .filter(F.col("ts") > F.col("prev_ts"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("stage_ts"))
+            )
+        reach = cur
+        counts.append(
+            cur.agg(
+                F.lit(stage).alias("stage"),
+                F.lit(idx).cast("int").alias("stage_idx"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("stage_idx")
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users) — weekly cohort retention:
+    users grouped by the week of their FIRST event; for each later
+    week, how many of them were active. The retention triangle every
+    growth dashboard draws.
+
+    Scale shape: first-event agg (one user-keyed shuffle), joined
+    back to the distinct (user, week) activity set (second shuffle),
+    then a small (cohort, offset)-keyed count. The activity set is
+    already deduplicated before the join, so the join input is
+    |users × active-weeks|, not |events|.
+    """
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+        )
+        .distinct()
+    )
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -2110,6 +2110,82 @@ FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
 """
 
 
+def q63(spark, sf):
+    """Time-RANGE window frames (RANGE BETWEEN n PRECEDING over an
+    epoch-seconds ordering): per event, count + sum of the same
+    user's events in the trailing hour — the rolling-rate primitive.
+    The sum runs over pre-rounded integer cents so the frame total is
+    order-independent and bit-exact vs the oracle (a double sum's
+    value depends on addition order within tie groups). Frame
+    membership is key-based (RANGE, not ROWS), so ties in the
+    ordering key are handled identically by construction.
+    """
+    e = events_table(spark, sf).withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    ).withColumn(
+        "value_c", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        (F.sum("value_c").over(w) / 100).alias("sum_1h"),
+    ).orderBy("event_id")
+
+
+Q63_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS cnt_1h,
+       (SUM(value_c) OVER w) / 100 AS sum_1h
+FROM (SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def q64(spark, sf):
+    """MAX_BY / MIN_BY (argmax aggregation) — last/first event per
+    (user, type) by a collision-free bigint ordering key
+    (micros-since-epoch-start scaled + event_id), so the argmax is
+    deterministic even under timestamp ties and DuckDB's scalar-key
+    arg_max/arg_min reproduces it exactly."""
+    e = events_table(spark, sf)
+    key = (
+        F.unix_micros(F.col("ts")) - F.lit(1704067200000000)
+    ) * 100000 + F.col("event_id")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.min_by("event_id", key).alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+Q64_SQL = """
+SELECT user_id, event_type,
+       arg_max(event_id, (epoch_us(ts) - 1704067200000000) * 100000
+                         + event_id) AS last_event_id,
+       arg_min(event_id, (epoch_us(ts) - 1704067200000000) * 100000
+                         + event_id) AS first_event_id,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2177,4 +2253,6 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q60_tpch_q21_waiting_suppliers": QuerySpec(q60, Q60_SQL),
     "q61_tpch_q22_sales_opportunity": QuerySpec(q61, Q61_SQL),
     "q62_higher_order_fns": QuerySpec(q62, Q62_SQL),
+    "q63_time_range_frame": QuerySpec(q63, Q63_SQL),
+    "q64_argmax_aggregation": QuerySpec(q64, Q64_SQL),
 }

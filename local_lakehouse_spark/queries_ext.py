@@ -1434,6 +1434,56 @@ GROUP BY id ORDER BY id
 """
 
 
+def x44(spark, sf):
+    """Ordered conversion funnel signup → click → purchase over the
+    events stream (operators/funnel.funnel_stages — per-stage
+    user-keyed aggs, no event-stream self-join)."""
+    from .operators.funnel import funnel_stages
+
+    return funnel_stages(
+        events_table(spark, sf), ["signup", "click", "purchase"]
+    )
+
+
+X44_SQL = """
+WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s1 AS (SELECT e.user_id, MIN(ts) AS t1 FROM events e JOIN s0 USING (user_id)
+       WHERE event_type = 'click' AND ts > t0 GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id)
+SELECT 'signup' AS stage, 0 AS stage_idx,
+       (SELECT COUNT(*) FROM s0) AS n_users
+UNION ALL
+SELECT 'click', 1, (SELECT COUNT(*) FROM s1)
+UNION ALL
+SELECT 'purchase', 2, (SELECT COUNT(*) FROM s2)
+ORDER BY stage_idx
+"""
+
+
+def x45(spark, sf):
+    """Weekly cohort retention triangle over the events stream
+    (operators/funnel.cohort_retention)."""
+    from .operators.funnel import cohort_retention
+
+    return cohort_retention(events_table(spark, sf))
+
+
+X45_SQL = """
+WITH first AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+               FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        FROM events)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort_week, act_week) // 7 AS INT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1478,4 +1528,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x41_vocab_zipf": QuerySpec(x41, X41_SQL),
     "x42_tfidf_top_terms": QuerySpec(x42, X42_SQL),
     "x43_word_rarity": QuerySpec(x43, X43_SQL),
+    "x44_funnel_stages": QuerySpec(x44, X44_SQL),
+    "x45_cohort_retention": QuerySpec(x45, X45_SQL),
 }

@@ -971,3 +971,48 @@ def test_word_rarity_inverse_frequency(spark):
     assert out[1].mean_rarity == 1.0 and out[1].max_rarity == 1
     assert out[2].mean_rarity == 3.0 and out[2].max_rarity == 5
     assert out[2].n_words == 2
+
+
+def test_funnel_stages_strict_ordering(spark):
+    """A stage counts only events strictly after the user's previous
+    stage: user 1 converts fully, user 2's purchase precedes their
+    click so it doesn't count, user 3 never clicks."""
+    from local_lakehouse_spark.operators.funnel import funnel_stages
+
+    rows = [
+        (1, 1, "signup"), (2, 1, "click"), (3, 1, "purchase"),
+        (4, 2, "signup"), (5, 2, "purchase"), (6, 2, "click"),
+        (7, 3, "signup"),
+        (8, 4, "click"),  # clicked but never signed up
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, float(i)) for i, u, t in rows],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60))
+    out = {r.stage: r.n_users for r in funnel_stages(
+        df, ["signup", "click", "purchase"]).collect()}
+    assert out == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    """Users are assigned to the week of their first event; later
+    activity lands in the right week_offset bucket."""
+    from local_lakehouse_spark.operators.funnel import cohort_retention
+
+    # 2024-01-01 is a Monday. user 1: active wk0 and wk1; user 2: wk1 only
+    rows = [
+        (1, 1, "2024-01-02 10:00:00"),
+        (2, 1, "2024-01-09 10:00:00"),
+        (3, 2, "2024-01-10 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ts, "view", 0.0) for i, u, ts in rows],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in cohort_retention(df).collect()}
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
