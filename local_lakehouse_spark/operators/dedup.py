@@ -168,12 +168,13 @@ def ngram_jaccard_pairs(
     # (measured ~2× on the bench corpus). The pair-gen lambda is
     # interpreted, but it runs on post-filter rows only (shared
     # shingles), with tiny arrays.
-    # (A row-side array variant of the sizes branch — avoiding the
-    # second stream derivation — measured 3× SLOWER here: the
-    # interpreted transform runs inside the scan stage, and a single
-    # parquet file means one input partition, so it serializes on one
-    # core. The window derivation shuffles first and parallelizes.)
-    sh = shingles_codegen(df, id_col, text_col, n)
+    # Shingle derivation: the row-side array form (`shingles`). The
+    # LEAD-window form (`shingles_codegen`) won 2× when the scan was a
+    # single serial partition, but since parallelize_small_scan
+    # redistributes the scan the lambda form's zero-shuffle derivation
+    # wins instead — re-measured this round at sf0.1: 1.36 s vs
+    # 2.30 s steady-state for the full pair pipeline.
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
     buckets = (
