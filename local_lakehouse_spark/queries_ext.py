@@ -1434,6 +1434,38 @@ GROUP BY id ORDER BY id
 """
 
 
+def x46(spark, sf):
+    """Streaming rollup maintained as a DELTA table: per-micro-batch
+    replaceWhere commits through the python Delta log (snapshot
+    isolation + per-batch history). Reading the maintained table back
+    must equal the batch aggregate — x12's SQL oracle, like x25."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.delta_py import read_delta
+    from .streaming.windows import (
+        read_events_stream,
+        streaming_rollup_to_delta,
+    )
+
+    h = hashlib.md5(sf.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), "llh_stream_" + h)
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    out = os.path.join(tempfile.gettempdir(), "llh_delta_rollup_" + h)
+    shutil.rmtree(out, ignore_errors=True)
+    streaming_rollup_to_delta(read_events_stream(spark, stage), out)
+    return (
+        read_delta(spark, out)
+        .select("win_start", "event_type", "cnt", "sum_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
 def x44(spark, sf):
     """Ordered conversion funnel signup → click → purchase over the
     events stream (operators/funnel.funnel_stages — per-stage
@@ -1530,4 +1562,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x43_word_rarity": QuerySpec(x43, X43_SQL),
     "x44_funnel_stages": QuerySpec(x44, X44_SQL),
     "x45_cohort_retention": QuerySpec(x45, X45_SQL),
+    "x46_streaming_rollup_delta": QuerySpec(x46, X12_SQL),
 }

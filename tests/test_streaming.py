@@ -308,3 +308,81 @@ def test_streaming_left_outer_join_null_cutoff(spark):
         .collect()
     )
     assert got_nulls == want_nulls and len(got_nulls) > 0
+
+
+def test_streaming_rollup_to_delta_matches_batch(spark, events_stage, tmp_path):
+    """The delta-sink rollup equals the batch tumbling aggregate, and
+    every micro-batch shows up as a Delta log commit (ACID sink:
+    readers see whole batches only)."""
+    from local_lakehouse_spark.sources.delta_py import DeltaLog, read_delta
+    from local_lakehouse_spark.streaming.windows import (
+        read_events_stream,
+        streaming_rollup_to_delta,
+        tumbling_agg,
+    )
+
+    out = str(tmp_path / "delta_rollup")
+    streaming_rollup_to_delta(read_events_stream(spark, events_stage), out)
+    got = sorted(
+        (str(r.win_start), r.event_type, r.cnt, r.sum_value)
+        for r in read_delta(spark, out).collect()
+    )
+    want = sorted(
+        (str(r.win_start), r.event_type, r.cnt, r.sum_value)
+        for r in tumbling_agg(
+            spark.read.parquet(events_stage)
+        ).collect()
+    )
+    assert got == want
+    log = DeltaLog(out)
+    assert log.versions()  # at least one commit
+    ops = [h["operation"] for h in log.history()]
+    assert all(op == "WRITE" for op in ops)
+
+
+def test_streaming_rollup_delta_incremental_batches(spark, tmp_path):
+    """Delta-sink rollup across MULTIPLE micro-batches: each batch is
+    one atomic replaceWhere commit; later batches amend windows
+    already written without clobbering untouched windows, and the
+    commit history has one version per non-empty batch."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.queries import events_table
+    from local_lakehouse_spark.sources.delta_py import DeltaLog, read_delta
+    from local_lakehouse_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        _norm_ts,
+        streaming_rollup_to_delta,
+        tumbling_agg,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stage = str(tmp_path / "stage")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{stage}/a"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{stage}/b"
+    )
+    stream = _norm_ts(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    out = str(tmp_path / "delta_rollup")
+    streaming_rollup_to_delta(stream, out)
+
+    got = sorted(
+        tuple(r)
+        for r in read_delta(spark, out)
+        .select("win_start", "event_type", "cnt", "sum_value")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in tumbling_agg(events_table(spark, SF_DIR), "1 hour")
+        .collect()
+    )
+    assert got == want
+    assert len(DeltaLog(out).versions()) >= 2  # one commit per batch
