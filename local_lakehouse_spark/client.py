@@ -703,6 +703,13 @@ class LakehouseClient:
         + r"(SELECT|VALUES|WITH)\b(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
+    _MERGE_RE = re.compile(
+        r"^MERGE\s+INTO\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+        + r"\s+USING\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _CTAS_RE = re.compile(
         r"^CREATE\s+TABLE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s+"
@@ -735,12 +742,14 @@ class LakehouseClient:
         Both ANSI double-quote and Spark backtick quoting work.
 
         Beyond the reference (whose SQL surface is read-only,
-        README.md:29-31): ``INSERT INTO|OVERWRITE c.s.t SELECT ...``
-        and ``CREATE TABLE c.s.t [USING fmt] [LOCATION '...'] AS
-        SELECT ...`` route through the governed write matrix
-        (write_table / create_as_table) — same schema checks, same
-        metastore bookkeeping as the DataFrame API, never a raw path
-        write.
+        README.md:29-31): ``INSERT INTO|OVERWRITE c.s.t SELECT ...``,
+        ``CREATE TABLE c.s.t [USING fmt] [LOCATION '...'] AS
+        SELECT ...``, ``DELETE FROM``, ``UPDATE ... SET``, and the
+        full ``MERGE INTO ... USING ... ON ... WHEN ...`` statement
+        (_compile_merge) route through the governed write matrix
+        (write_table / create_as_table / merge_table) — same schema
+        checks, same constraint gate, same metastore bookkeeping as
+        the DataFrame API, never a raw path write.
         """
         spark = self._require_spark()
         stmt = _sqlnames.strip_leading_trivia(query)
@@ -791,6 +800,9 @@ class LakehouseClient:
                 schema_evolution=SchemaEvolution.STRICT,
             )
             return spark.createDataFrame([], "rows string")
+        m = self._MERGE_RE.match(stmt)
+        if m:
+            return self._compile_merge(m)
         m = self._CTAS_RE.match(stmt)
         if m:
             cat, sch, tbl, fmt, loc, select = m.groups()
@@ -821,3 +833,184 @@ class LakehouseClient:
             return view
 
         return spark.sql(_sqlnames.rewrite_three_part_names(query, resolve))
+
+    def _compile_merge(self, m: "re.Match[str]") -> DataFrame:
+        """Compile ``MERGE INTO c.s.t [AS] t USING <src> [AS] s ON
+        <cond> WHEN ... THEN ...`` to the chainable merger (Delta SQL
+        MERGE surface over merge_table — same clause semantics,
+        ambiguity guard, and constraint gate as the DataFrame API).
+
+        Supported clauses (each with optional ``AND <pred>``):
+        WHEN MATCHED THEN UPDATE SET * | UPDATE SET c=e,... | DELETE;
+        WHEN NOT MATCHED [BY TARGET] THEN INSERT * |
+        INSERT (cols) VALUES (exprs);
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ... | DELETE.
+        The source is a three-part table name or a parenthesized
+        subquery (resolved through this same sql() pipeline).
+        """
+        spark = self._require_spark()
+        cat, sch, tbl, t_alias, tail = m.groups()
+
+        on_at = _sqlnames.find_top_level_keyword(tail, "ON")
+        if on_at < 0:
+            raise UnsupportedOperationError("MERGE INTO requires ON <condition>")
+        source_txt = tail[:on_at].strip()
+        rest = tail[on_at + 2:]
+        whens = _sqlnames.find_all_top_level_keyword(rest, "WHEN")
+        if not whens:
+            raise UnsupportedOperationError(
+                "MERGE INTO requires at least one WHEN clause"
+            )
+        condition = rest[: whens[0]].strip()
+
+        s_alias = "s"
+        if source_txt.startswith("("):
+            depth, end = 0, -1
+            for t in _sqlnames.tokenize(source_txt):
+                if t.kind == "punct":
+                    if t.text == "(":
+                        depth += 1
+                    elif t.text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            end = t.end
+                            break
+            if end < 0:
+                raise UnsupportedOperationError("Unbalanced MERGE source subquery")
+            src_df = self.sql(source_txt[1 : end - 1])
+            alias_txt = source_txt[end:].strip()
+        else:
+            mm = re.match(
+                rf"^{self._IDENT}\.{self._IDENT}\.{self._IDENT}(.*)$",
+                source_txt,
+                re.DOTALL,
+            )
+            if not mm:
+                raise UnsupportedOperationError(
+                    f"Unsupported MERGE source: {source_txt!r}"
+                )
+            sc, ss, st, alias_txt = mm.groups()
+            src_df = self.read_table(
+                self._unquote_name(sc),
+                self._unquote_name(ss),
+                self._unquote_name(st),
+            )
+            alias_txt = alias_txt.strip()
+        if alias_txt:
+            am = re.match(r"^(?:AS\s+)?(\w+)$", alias_txt, re.IGNORECASE)
+            if not am:
+                raise UnsupportedOperationError(
+                    f"Unsupported MERGE source alias: {alias_txt!r}"
+                )
+            s_alias = am.group(1)
+
+        t_alias = t_alias or "t"
+        merger = self.merge_table(
+            src_df,
+            self._unquote_name(cat),
+            self._unquote_name(sch),
+            self._unquote_name(tbl),
+            condition=condition,
+            source_alias=s_alias,
+            target_alias=t_alias,
+        )
+
+        def parse_assignments(rhs: str) -> dict[str, str]:
+            out: dict[str, str] = {}
+            for piece in _sqlnames.split_top_level(rhs):
+                col, _, expr = piece.partition("=")
+                col = self._unquote_name(col.strip())
+                # a `t.col` target is the column itself
+                if col.lower().startswith(t_alias.lower() + "."):
+                    col = col[len(t_alias) + 1 :]
+                out[col] = expr.strip()
+            return out
+
+        for i, start in enumerate(whens):
+            endp = whens[i + 1] if i + 1 < len(whens) else len(rest)
+            body = rest[start:endp].strip()[len("WHEN"):].strip()
+            then_at = _sqlnames.find_top_level_keyword(body, "THEN")
+            if then_at < 0:
+                raise UnsupportedOperationError(f"WHEN without THEN in: {body!r}")
+            head, action = body[:then_at].strip(), body[then_at + 4 :].strip()
+            hm = re.match(
+                r"^(MATCHED|NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+                r"|NOT\s+MATCHED\s+BY\s+SOURCE)"
+                r"(?:\s+AND\s+(.*))?$",
+                head,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not hm:
+                raise UnsupportedOperationError(f"Bad WHEN head: {head!r}")
+            kind = re.sub(r"\s+", " ", hm.group(1).upper()).replace(
+                " BY TARGET", ""
+            )
+            pred = hm.group(2).strip() if hm.group(2) else None
+            au = action.upper()
+            if kind == "MATCHED":
+                if au.startswith("UPDATE"):
+                    um = re.match(
+                        r"^UPDATE\s+SET\s+(.*)$", action, re.IGNORECASE | re.DOTALL
+                    )
+                    rhs = um.group(1).strip() if um else ""
+                    if rhs == "*":
+                        merger.when_matched_update_all(predicate=pred)
+                    else:
+                        merger.when_matched_update(
+                            parse_assignments(rhs), predicate=pred
+                        )
+                elif au == "DELETE":
+                    merger.when_matched_delete(predicate=pred)
+                else:
+                    raise UnsupportedOperationError(
+                        f"Unsupported MATCHED action: {action!r}"
+                    )
+            elif kind == "NOT MATCHED":
+                if au == "INSERT *":
+                    merger.when_not_matched_insert_all(predicate=pred)
+                elif au.startswith("INSERT"):
+                    im = re.match(
+                        r"^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)$",
+                        action,
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if not im:
+                        raise UnsupportedOperationError(
+                            f"Unsupported INSERT form: {action!r}"
+                        )
+                    cols = [
+                        self._unquote_name(c.strip())
+                        for c in _sqlnames.split_top_level(im.group(1))
+                    ]
+                    vals = [
+                        v.strip()
+                        for v in _sqlnames.split_top_level(im.group(2))
+                    ]
+                    if len(cols) != len(vals):
+                        raise UnsupportedOperationError(
+                            "INSERT column/value count mismatch"
+                        )
+                    merger.when_not_matched_insert(
+                        dict(zip(cols, vals)), predicate=pred
+                    )
+                else:
+                    raise UnsupportedOperationError(
+                        f"Unsupported NOT MATCHED action: {action!r}"
+                    )
+            else:  # NOT MATCHED BY SOURCE
+                if au.startswith("UPDATE"):
+                    um = re.match(
+                        r"^UPDATE\s+SET\s+(.*)$", action, re.IGNORECASE | re.DOTALL
+                    )
+                    merger.when_not_matched_by_source_update(
+                        parse_assignments(um.group(1).strip() if um else ""),
+                        predicate=pred,
+                    )
+                elif au == "DELETE":
+                    merger.when_not_matched_by_source_delete(predicate=pred)
+                else:
+                    raise UnsupportedOperationError(
+                        f"Unsupported NOT MATCHED BY SOURCE action: {action!r}"
+                    )
+        merger.execute()
+        return spark.createDataFrame([], "rows string")

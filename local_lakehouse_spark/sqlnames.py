@@ -195,3 +195,22 @@ def strip_leading_trivia(sql: str) -> str:
         if t.kind not in ("ws", "comment"):
             return sql[t.start:]
     return ""
+
+
+def find_all_top_level_keyword(sql: str, keyword: str) -> List[int]:
+    """All offsets of ``keyword`` word tokens at paren depth 0
+    (outside strings/comments/quotes). Case-insensitive."""
+    depth = 0
+    out: List[int] = []
+    for t in tokenize(sql):
+        if t.kind == "punct":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        elif (
+            t.kind == "word" and depth == 0
+            and t.text.upper() == keyword.upper()
+        ):
+            out.append(t.start)
+    return out

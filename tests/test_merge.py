@@ -173,3 +173,86 @@ def test_merge_preserves_single_file_layout(unity, spark, tmp_path):
     assert os.path.isfile(loc), "single-file table became a directory"
     got = sorted(tuple(r) for r in unity.read_table("unity", "default", "sf").collect())
     assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30)]
+
+
+# -- SQL MERGE INTO surface --------------------------------------------------
+
+
+def _mk(unity, spark, tmp_path, name, rows, schema="id long, k string, v double"):
+    df = spark.createDataFrame(rows, schema)
+    unity.create_as_table(df, "unity", "default", name,
+                          location=f"file://{tmp_path}/{name}")
+    return df
+
+
+def test_sql_merge_update_all_insert_all(unity, spark, tmp_path):
+    _mk(unity, spark, tmp_path, "mt", [(1, "a", 10.0), (2, "b", 20.0)])
+    _mk(unity, spark, tmp_path, "ms", [(2, "B", 99.0), (3, "c", 30.0)])
+    unity.sql(
+        "MERGE INTO unity.default.mt AS t USING unity.default.ms AS s "
+        "ON s.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    out = {(r.id, r.k, r.v) for r in unity.read_table("unity", "default", "mt").collect()}
+    assert out == {(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0)}
+
+
+def test_sql_merge_subquery_source_and_predicates(unity, spark, tmp_path):
+    _mk(unity, spark, tmp_path, "mt2", [(1, "a", 10.0), (2, "b", 20.0)])
+    _mk(unity, spark, tmp_path, "ms2", [(2, "B", 5.0), (9, "z", 1.0)])
+    unity.sql(
+        "MERGE INTO unity.default.mt2 t "
+        "USING (SELECT id, k, v * 10 AS v FROM unity.default.ms2) s "
+        "ON s.id = t.id "
+        "WHEN MATCHED AND s.v > 40 THEN UPDATE SET v = s.v, k = concat(t.k, '!') "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    out = {(r.id, r.k, r.v) for r in unity.read_table("unity", "default", "mt2").collect()}
+    # id1 deleted (not matched by source); id2 updated (50 > 40)
+    assert out == {(2, "b!", 50.0)}
+
+
+def test_sql_merge_insert_columns_values_and_delete(unity, spark, tmp_path):
+    _mk(unity, spark, tmp_path, "mt3", [(1, "a", 10.0), (2, "b", 20.0)])
+    _mk(unity, spark, tmp_path, "ms3", [(2, "x", 0.0), (5, "e", 50.0)])
+    unity.sql(
+        "MERGE INTO unity.default.mt3 t USING unity.default.ms3 s ON s.id = t.id "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (s.id, upper(s.k), s.v + 0.5)"
+    )
+    out = {(r.id, r.k, r.v) for r in unity.read_table("unity", "default", "mt3").collect()}
+    assert out == {(1, "a", 10.0), (5, "E", 50.5)}
+
+
+def test_sql_merge_requires_on_and_when(unity, spark, tmp_path):
+    import pytest as _pytest
+
+    from local_lakehouse_spark import UnsupportedOperationError
+
+    _mk(unity, spark, tmp_path, "mt4", [(1, "a", 10.0)])
+    _mk(unity, spark, tmp_path, "ms4", [(1, "a", 10.0)])
+    with _pytest.raises(UnsupportedOperationError, match="ON"):
+        unity.sql("MERGE INTO unity.default.mt4 t USING unity.default.ms4 s "
+                  "WHEN MATCHED THEN DELETE")
+    with _pytest.raises(UnsupportedOperationError, match="WHEN"):
+        unity.sql("MERGE INTO unity.default.mt4 t USING unity.default.ms4 s "
+                  "ON s.id = t.id")
+
+
+def test_sql_merge_on_delta_table_commits_version(unity, spark, tmp_path):
+    """SQL MERGE over a DELTA-format table lands as a log commit."""
+    from local_lakehouse_spark.sources.delta_py import DeltaLog
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, k string, v double")
+    unity.create_as_table(df, "unity", "default", "dmt", file_type="delta",
+                          location=f"file://{tmp_path}/dmt")
+    _mk(unity, spark, tmp_path, "dms", [(1, "A", 2.0), (2, "b", 3.0)])
+    unity.sql(
+        "MERGE INTO unity.default.dmt t USING unity.default.dms s ON s.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    out = {(r.id, r.k) for r in unity.read_table("unity", "default", "dmt").collect()}
+    assert out == {(1, "A"), (2, "b")}
+    h = DeltaLog(str(tmp_path / "dmt")).history()
+    assert h[0]["operation"] == "MERGE"
