@@ -52,6 +52,8 @@ _CHANGED_THIS_ROUND = [
     "q63_time_range_frame",  # new this round
     "q64_argmax_aggregation",  # new this round
     "x46_streaming_rollup_delta",  # new this round
+    "x47_inverted_index",  # new this round
+    "x48_bigram_lm",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

@@ -586,3 +586,93 @@ def word_rarity(
             F.max("rarity").alias("max_rarity"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 1,
+    min_df: int = 2,
+    max_df: int = 10000,
+) -> DataFrame:
+    """(term, doc_freq, postings) — materialized inverted index:
+    sorted posting list (doc ids) per term, the search-index build
+    step of corpus tooling (and literally the dedup blocker's data
+    structure, exposed as a queryable table). ``ngram`` > 1 indexes
+    word n-gram shingles instead of single words. Terms outside
+    [min_df, max_df] document frequency are dropped: singletons index
+    nothing, stop-terms blow up posting lists (the same hot-key guard
+    the dedup path uses).
+
+    Scale shape: explode → per-doc distinct (map-side) → ONE
+    term-keyed shuffle building the posting array; posting lists are
+    bounded by max_df so no reducer key can run away.
+    """
+    if ngram > 1:
+        from .dedup import shingles
+
+        terms = shingles(df, id_col, text_col, n=ngram).select(
+            "id", F.col("shingle").alias("term")
+        )
+    else:
+        terms = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(_words(F.col(text_col)))).alias(
+                "term"
+            ),
+        )
+    return (
+        terms.groupBy("term")
+        .agg(F.sort_array(F.collect_list("id")).alias("postings"))
+        .withColumn("doc_freq", F.size("postings").cast("bigint"))
+        .filter(
+            (F.col("doc_freq") >= min_df) & (F.col("doc_freq") <= max_df)
+        )
+        .select("term", "doc_freq", "postings")
+        .orderBy("term")
+    )
+
+
+def bigram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """(w1, w2, pair_count, w1_count, cond_milli) — corpus bigram
+    language-model table: count(w1 w2), count(w1 *), and the
+    integer-scaled conditional P(w2|w1) ≈ pair_count * 1000 DIV
+    w1_count. The n-gram-LM training step of a data pipeline
+    (fluency scoring, next-word features) in exact integer arithmetic
+    so an independent engine reproduces it bit-for-bit.
+
+    Scale shape: adjacent pairs come from a row-side zip of the word
+    array with its tail — zero shuffle until the pair-count agg; the
+    w1 marginal reuses the pair counts (sum per w1), so the corpus is
+    tokenized once.
+    """
+    w = _words(F.col(text_col))
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    marg = pc.groupBy("w1").agg(F.sum("pair_count").alias("w1_count"))
+    return (
+        pc.join(marg, "w1")
+        .filter(F.col("pair_count") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "w1_count",
+            F.expr("(pair_count * 1000) DIV w1_count").alias("cond_milli"),
+        )
+        .orderBy("w1", "w2")
+    )

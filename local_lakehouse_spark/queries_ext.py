@@ -1516,6 +1516,55 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def x47(spark, sf):
+    """Inverted-index materialization over document 3-gram shingles
+    (operators/text.inverted_index, ngram=3) — the dedup blocker's
+    posting lists as a queryable table; doc-frequency band [2, 50]
+    (singletons index nothing, hot shingles are the skew guard)."""
+    from .operators.text import inverted_index
+
+    docs = t(spark, sf, "documents")
+    return inverted_index(docs, "doc_id", "text", ngram=3, min_df=2, max_df=50)
+
+
+X47_SQL = f"""
+WITH {_SHINGLES_CTE},
+terms AS (SELECT id, unnest(shingles) AS term FROM sh),
+idx AS (SELECT term,
+               list_sort(list(id)) AS postings,
+               COUNT(*) AS doc_freq
+        FROM terms GROUP BY term)
+SELECT term, doc_freq, postings
+FROM idx WHERE doc_freq BETWEEN 2 AND 50
+ORDER BY term
+"""
+
+
+def x48(spark, sf):
+    """Corpus bigram LM table with integer-scaled conditionals
+    (operators/text.bigram_lm)."""
+    from .operators.text import bigram_lm
+
+    return bigram_lm(t(spark, sf, "documents"), "doc_id", "text", min_count=5)
+
+
+X48_SQL = r"""
+WITH w AS (SELECT string_split_regex(text, '\s+') AS ws FROM documents),
+pairs AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, unnest(range(1, greatest(len(ws), 1))) AS r(i)
+),
+pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM pairs GROUP BY w1, w2),
+marg AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS w1_count
+         FROM pc GROUP BY w1)
+SELECT w1, w2, pair_count, w1_count,
+       (pair_count * 1000) // w1_count AS cond_milli
+FROM pc JOIN marg USING (w1)
+WHERE pair_count >= 5
+ORDER BY w1, w2
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1563,4 +1612,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x44_funnel_stages": QuerySpec(x44, X44_SQL),
     "x45_cohort_retention": QuerySpec(x45, X45_SQL),
     "x46_streaming_rollup_delta": QuerySpec(x46, X12_SQL),
+    "x47_inverted_index": QuerySpec(x47, X47_SQL),
+    "x48_bigram_lm": QuerySpec(x48, X48_SQL),
 }

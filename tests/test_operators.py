@@ -1016,3 +1016,32 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_inverted_index_bands_and_postings(spark):
+    from local_lakehouse_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "b c"), (4, "d")],
+        "doc_id long, text string",
+    )
+    out = {r.term: (r.doc_freq, r.postings) for r in inverted_index(
+        df, "doc_id", "text", min_df=2, max_df=10).collect()}
+    # 'a' and 'd' are singletons -> dropped; postings sorted
+    assert out == {"b": (3, [1, 2, 3]), "c": (2, [2, 3])}
+
+
+def test_bigram_lm_conditionals(spark):
+    from local_lakehouse_spark.operators.text import bigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "to be")],
+        "doc_id long, text string",
+    )
+    out = {(r.w1, r.w2): (r.pair_count, r.w1_count, r.cond_milli)
+           for r in bigram_lm(df, "doc_id", "text", min_count=1).collect()}
+    # 'to be' occurs 3x; 'to' is followed only by 'be' -> P=1.0
+    assert out[("to", "be")] == (3, 3, 1000)
+    # 'be or' 1 of 1 transitions out of 'be' (final 'be's end documents)
+    assert out[("be", "or")] == (1, 1, 1000)
+    assert out[("or", "not")] == (1, 1, 1000)
