@@ -103,3 +103,33 @@ def test_roundtrip_property(spark, tmp_path_factory, fmt, data):
     got = _canon([tuple(r) for r in back.select(*cols).collect()])
     want = _canon([tuple(r) for r in df.select(*cols).collect()])
     assert got == want
+
+
+@given(data=frames())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_delta_roundtrip_property(spark, tmp_path_factory, data):
+    """Arbitrary schema + values round-trip through the pure-Python
+    Delta log, and an overwrite leaves version 0 readable (time
+    travel holds under arbitrary schemas too)."""
+    from local_lakehouse_spark.sources.delta_py import read_delta, write_delta
+
+    schema, rows = data
+    tmp = tmp_path_factory.mktemp("dprop")
+    path = str(tmp / "t")
+    df = spark.createDataFrame(rows, schema)
+    write_delta(spark, df, path)
+    got = _canon([tuple(r) for r in read_delta(spark, path).collect()])
+    want = _canon([tuple(r) for r in df.collect()])
+    assert got == want
+    # overwrite with half the rows; v0 must still replay fully
+    write_delta(
+        spark, df.limit(max(1, len(rows) // 2)), path, mode="overwrite"
+    )
+    v0 = _canon(
+        [tuple(r) for r in read_delta(spark, path, version=0).collect()]
+    )
+    assert v0 == want
