@@ -54,6 +54,7 @@ _CHANGED_THIS_ROUND = [
     "x46_streaming_rollup_delta",  # new this round
     "x47_inverted_index",  # new this round
     "x48_bigram_lm",  # new this round
+    "x49_corpus_pipeline",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

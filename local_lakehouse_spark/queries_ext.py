@@ -1565,6 +1565,106 @@ ORDER BY w1, w2
 """
 
 
+def x49(spark, sf):
+    """The END-TO-END pretraining-data pipeline as ONE declarative
+    plan: admission (language + quality + exact dedup, = x20) →
+    context chunking with overlap (= x26) → per-chunk token counting
+    (whitespace currency, = x39) → per-source-shard packing into
+    512-token bins (= x39's prefix-sum rule). Every stage is a
+    DataFrame composition, so Catalyst sees the WHOLE pipeline and
+    pipelines the admission filters into the chunker's scan — the
+    "one job, no intermediate materialization" property a 100 TB run
+    needs. Output: (source, id, chunk_id, n_tokens, bin, bin_prefix).
+    """
+    from .operators.text import (
+        chunk_documents,
+        corpus_filter,
+        pack_sequences,
+    )
+
+    docs = t(spark, sf, "documents")
+    admitted = corpus_filter(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id")
+    )
+    adm_docs = docs.join(admitted, "doc_id")
+    chunks = chunk_documents(adm_docs, "doc_id", "text", 120, 90)
+    with_tok = chunks.select(
+        "id",
+        "chunk_id",
+        F.size(
+            F.filter(F.split(F.col("chunk"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+        (F.col("id") * 1000 + F.col("chunk_id")).alias("seq"),
+    ).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return (
+        pack_sequences(with_tok, "seq", "n_tokens", "source", budget=512)
+        .join(with_tok.select("seq", "id", "chunk_id"), "seq")
+        .select("source", "id", "chunk_id", "n_tokens", "bin", "bin_prefix")
+        .orderBy("source", "id", "chunk_id")
+    )
+
+
+X49_SQL = rf"""
+WITH f AS (SELECT doc_id AS id, text, LENGTH(text) AS n_chars,
+                  string_split_regex(text, '\s+') AS w
+           FROM documents),
+ h AS (SELECT id,
+   CAST(len(list_intersect(w, ['the','and','of','to','a'])) AS INT) AS h_en,
+   CAST(len(list_intersect(w, ['der','die','das','und','nicht'])) AS INT) AS h_de,
+   CAST(len(list_intersect(w, ['le','la','et','les','des'])) AS INT) AS h_fr,
+   CAST(len(list_intersect(w, ['el','la','que','de','y'])) AS INT) AS h_es
+ FROM f),
+ lang AS (
+  SELECT id,
+    CASE WHEN {_G} <= 0 THEN 'und'
+         WHEN h_de = {_G} THEN 'de'
+         WHEN h_en = {_G} THEN 'en'
+         WHEN h_es = {_G} THEN 'es'
+         WHEN h_fr = {_G} THEN 'fr' END AS lang_pred
+  FROM h),
+ qual AS (
+  SELECT id,
+         CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 THEN 0.5 ELSE 0.0 END
+          + CASE WHEN (n_chars - (len(w) - 1)) / len(w) >= 3
+                  AND (n_chars - (len(w) - 1)) / len(w) <= 12 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN len(list_filter(w, x -> list_contains(
+                    ['the','a','of','to','and','in','is','it'], x))) / len(w) >= 0.01
+                  AND len(list_filter(w, x -> list_contains(
+                    ['the','a','of','to','and','in','is','it'], x))) / len(w) <= 0.5
+                 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS score
+  FROM f),
+ firsts AS (SELECT MIN(id) AS id FROM f GROUP BY text),
+ admitted AS (
+  SELECT l.id FROM lang l JOIN qual q ON l.id = q.id
+  WHERE l.id IN (SELECT id FROM firsts)
+    AND l.lang_pred IN ('en') AND q.score >= 0.75),
+ starts AS (
+  SELECT d.doc_id AS id, d.source, d.text,
+         unnest(range(1, length(d.text) + 1, 90)) AS start
+  FROM documents d JOIN admitted a ON a.id = d.doc_id),
+ chunks AS (
+  SELECT id, source,
+         CAST((start - 1) // 90 AS INT) AS chunk_id,
+         CAST(len(list_filter(string_split_regex(
+             substring(text, start, 120), '\s+'),
+             x -> x <> '')) AS BIGINT) AS n_tokens,
+         id * 1000 + CAST((start - 1) // 90 AS INT) AS seq
+  FROM starts),
+ packed AS (
+  SELECT source, id, chunk_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before
+  FROM chunks)
+SELECT source, id, chunk_id, n_tokens,
+       CAST(FLOOR(before / 512) AS INT) AS bin,
+       CAST(before % 512 AS BIGINT) AS bin_prefix
+FROM packed ORDER BY source, id, chunk_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1614,4 +1714,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x46_streaming_rollup_delta": QuerySpec(x46, X12_SQL),
     "x47_inverted_index": QuerySpec(x47, X47_SQL),
     "x48_bigram_lm": QuerySpec(x48, X48_SQL),
+    "x49_corpus_pipeline": QuerySpec(x49, X49_SQL),
 }
