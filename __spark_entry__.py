@@ -55,6 +55,7 @@ _CHANGED_THIS_ROUND = [
     "x47_inverted_index",  # new this round
     "x48_bigram_lm",  # new this round
     "x49_corpus_pipeline",  # new this round
+    "x50_stateful_running_totals",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

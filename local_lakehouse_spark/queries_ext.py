@@ -1665,6 +1665,39 @@ FROM packed ORDER BY source, id, chunk_id
 """
 
 
+def x50(spark, sf):
+    """Per-user running totals via Spark 4's
+    ``transformWithStateInPandas`` (typed ValueState + TTL). After
+    availableNow replay, the LAST emission per user (max n_events via
+    max_by) must equal the plain batch GROUP BY — integer-cents state
+    makes the sum order-independent."""
+    from .streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_running_totals,
+    )
+
+    stage = _stage_events(sf)
+    out = streaming_running_totals(read_events_stream(spark, stage))
+    run_stream_to_memory(out, "x50_running", mode="update")
+    rows = spark.table("x50_running")
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+X50_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100 AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1715,4 +1748,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x47_inverted_index": QuerySpec(x47, X47_SQL),
     "x48_bigram_lm": QuerySpec(x48, X48_SQL),
     "x49_corpus_pipeline": QuerySpec(x49, X49_SQL),
+    "x50_stateful_running_totals": QuerySpec(x50, X50_SQL),
 }

@@ -308,6 +308,136 @@ def streaming_sessionize_stateful(
     )
 
 
+RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _have_tws() -> bool:
+    """transformWithStateInPandas needs the protobuf wire protocol for
+    its state server; absent in this sandbox (no google.protobuf), so
+    the operator auto-selects the applyInPandasWithState kernel and
+    upgrades to the new API when the dependency appears."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_running_totals(
+    stream: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """Per-user running totals — the feature-store "running profile"
+    pattern. Each micro-batch emits the key's updated cumulative
+    (count, sum).
+
+    Two kernels with an identical output contract:
+    - ``transformWithStateInPandas`` (Spark 4's arbitrary-stateful
+      API: typed ValueState + per-state TTL) when its protobuf
+      dependency is importable;
+    - ``applyInPandasWithState`` (GroupState) otherwise — the
+      in-sandbox path (TTL not supported there; documented drop).
+
+    Determinism: the sum accumulates integer cents (floor(v*100+.5))
+    in state and divides once at emission, so the result is exact
+    regardless of addition order — batch-replay equals the plain
+    GROUP BY oracle bit-for-bit.
+
+    Scale: state is one fixed-width row per user (Spark's state store
+    handles distribution/checkpointing); TTL evicts idle keys.
+    """
+    import math
+
+    import pandas as pd
+
+    if not _have_tws():
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+
+        def kernel(key, pdf_iter, state: GroupState):
+            if state.exists:
+                n, cents = state.get
+            else:
+                n, cents = 0, 0
+            for pdf in pdf_iter:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 100 + 0.5).apply(math.floor).sum()
+                )
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [cents / 100],
+                }
+            )
+
+        return (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                kernel,
+                outputStructType=RUNNING_OUT_SCHEMA,
+                stateStructType="n BIGINT, cents BIGINT",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (  # pragma: no cover
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):  # pragma: no cover - protobuf-gated
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                "n BIGINT, cents BIGINT",
+                ttlDurationMs=state_ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                n, cents = self._state.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 100 + 0.5).apply(math.floor).sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [cents / 100],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (  # pragma: no cover - protobuf-gated
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=RUNNING_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: list[str],
@@ -504,15 +634,19 @@ def streaming_rollup_to_delta(
 
 
 def run_stream_to_memory(
-    streaming_df: DataFrame, table_name: str, complete: bool = True
+    streaming_df: DataFrame,
+    table_name: str,
+    complete: bool = True,
+    mode: str | None = None,
 ) -> None:
     """Execute a streaming query with the availableNow trigger into an
     in-memory sink (test/validation path: replays all files, then
-    stops)."""
+    stops). ``mode`` overrides the complete/append toggle (e.g.
+    "update" for applyInPandasWithState update-mode operators)."""
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete" if complete else "append")
+        .outputMode(mode or ("complete" if complete else "append"))
         .trigger(availableNow=True)
         .start()
     )

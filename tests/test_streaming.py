@@ -386,3 +386,44 @@ def test_streaming_rollup_delta_incremental_batches(spark, tmp_path):
     )
     assert got == want
     assert len(DeltaLog(out).versions()) >= 2  # one commit per batch
+
+
+def test_streaming_running_totals_matches_batch(spark, events_stage):
+    """Per-user running totals (stateful kernel, integer-cents state)
+    — final emission per user equals the batch GROUP BY exactly."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_running_totals,
+    )
+
+    out = streaming_running_totals(read_events_stream(spark, events_stage))
+    run_stream_to_memory(out, "t_running", mode="update")
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in spark.table("t_running")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .collect()
+    }
+    ev = spark.read.parquet(events_stage)
+    want = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                )
+                / 100
+            ).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
