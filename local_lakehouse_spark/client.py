@@ -204,7 +204,12 @@ class LakehouseClient:
         commit log buys — DELTA tables use delta-spark's own time
         travel)."""
         tbl = self.get_table(catalog, schema, name)
-        return _io.snapshot_versions(tbl.storage_location.removeprefix("file://"))
+        path = tbl.storage_location.removeprefix("file://")
+        if tbl.file_type == FileType.DELTA and not _io.HAVE_DELTA:
+            from .sources.delta_py import DeltaLog
+
+            return DeltaLog(path).versions()
+        return _io.snapshot_versions(path)
 
     def restore_table(
         self, catalog: str, schema: str, name: str, version: int
@@ -222,12 +227,51 @@ class LakehouseClient:
         df = self.read_table(catalog, schema, name, version=version)
         self._check_constraints(df, tbl)
         path = tbl.storage_location.removeprefix("file://")
+        if tbl.file_type == FileType.DELTA and not _io.HAVE_DELTA:
+            # Delta RESTORE is a metadata-only commit (files re-added
+            # by reference) — no data rewrite at all.
+            from .sources import delta_py
+
+            delta_py.restore(self._require_spark(), path, version)
+            return
         fmt = _io._FORMAT_NAME[tbl.file_type]
         part_cols = [c.name for c in tbl.partition_columns()]
         if not part_cols and _io._is_single_file(path):
             _io._write_single_file(df, fmt, path)
         else:
             _io._rewrite_table_dir(df, fmt, path, partition_by=part_cols or None)
+
+    def convert_table_to_delta(
+        self, catalog: str, schema: str, name: str
+    ) -> Table:
+        """CONVERT TO DELTA: register a PARQUET directory table's
+        existing files as Delta version 0 (metadata-only — no data
+        rewritten) and flip the catalog file_type. Reversible only by
+        deleting ``_delta_log``; partition layout is preserved."""
+        from .sources import delta_py
+
+        tbl = self.get_table(catalog, schema, name)
+        if tbl.file_type == FileType.DELTA:
+            raise UnsupportedOperationError(
+                f"Table {tbl.full_name} is already DELTA"
+            )
+        if tbl.file_type != FileType.PARQUET:
+            raise UnsupportedOperationError(
+                "CONVERT TO DELTA supports PARQUET tables only, not "
+                f"{tbl.file_type.value}"
+            )
+        path = _io.strip_file_scheme(tbl.storage_location or "")
+        if _io._is_single_file(path):
+            raise UnsupportedOperationError(
+                "CONVERT TO DELTA requires a directory table"
+            )
+        part_cols = [c.name for c in tbl.partition_columns()]
+        delta_py.convert_to_delta(
+            self._require_spark(), path, partition_by=part_cols or None
+        )
+        return self.metastore.set_table_file_type(
+            catalog, schema, name, FileType.DELTA
+        )
 
     def _rewrite_contents(self, tbl: Table, df: DataFrame) -> None:
         """Layout-preserving full rewrite (same commit path as

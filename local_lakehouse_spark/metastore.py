@@ -26,6 +26,7 @@ from .exceptions import AlreadyExistsError, DoesNotExistError
 from .models import (
     DEFAULT_MERGE_COLUMNS_PROPERTY,
     Catalog,
+    FileType,
     Schema,
     Table,
 )
@@ -302,6 +303,25 @@ class Metastore:
                     "properties": table.properties,
                     "updated_at": _now(),
                 }
+            )
+            state["tables"][key] = json.loads(updated.model_dump_json())
+            self._dump(state)
+            return updated
+
+    def set_table_file_type(
+        self, catalog: str, schema: str, table: str, file_type: "FileType"
+    ) -> Table:
+        """Flip a table's storage format in place (CONVERT TO DELTA
+        path — beyond the reference; UC's update endpoint only covers
+        comment/properties, uc_api_wrapper.py:445-467)."""
+        with self._lock:
+            state = self._load()
+            key = f"{catalog}.{schema}.{table}"
+            if key not in state["tables"]:
+                raise DoesNotExistError(f"Table {key} does not exist")
+            old = Table.model_validate(state["tables"][key])
+            updated = old.model_copy(
+                update={"file_type": file_type, "updated_at": _now()}
             )
             state["tables"][key] = json.loads(updated.model_dump_json())
             self._dump(state)

@@ -22,11 +22,16 @@ implements the subset the reference exercises
   recorded per file);
 - stats: numRecords + per-column min/max/nullCount aggregated from the
   parquet footers at write time, powering ``candidate_files`` file
-  skipping (the Delta data-skipping read path).
+  skipping (the Delta data-skipping read path);
+- checkpoints: every CHECKPOINT_INTERVAL commits the snapshot state is
+  materialized as ``{v:020}.checkpoint.parquet`` (+ ``_last_checkpoint``)
+  and replay resumes from the newest checkpoint — O(commits since
+  checkpoint), not O(history);
+- maintenance: ``vacuum`` (unreferenced-file GC with retention),
+  ``convert_to_delta`` (register existing parquet in place), and
+  ``restore`` (metadata-only RESTORE TO VERSION AS OF commit).
 
-NOT implemented (documented limits, not silent gaps): checkpoints
-(replay reads every commit — fine for in-sandbox table sizes; the
-``_last_checkpoint`` fast path is a pure optimization), deletion
+NOT implemented (documented limits, not silent gaps): deletion
 vectors, column mapping, and multi-writer retry (single-process
 sandbox; a conflict raises ``ConcurrentModificationError``). When
 ``delta-spark`` is importable, io.py prefers it and this module is
@@ -676,3 +681,113 @@ class PyDeltaTable:
     @property
     def version(self) -> int:
         return self._log.snapshot().version
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_by: Optional[list[str]] = None,
+) -> Snapshot:
+    """CONVERT TO DELTA: register an existing parquet directory as a
+    Delta table WITHOUT rewriting any data — version 0 lists the
+    files already on disk (with footer stats), exactly Delta's
+    in-place conversion. Partition columns are taken from hive dirs
+    when present (``partition_by`` overrides the inferred order).
+
+    Scale: metadata-only — one footer read per file for stats, one
+    commit; the data files never move.
+    """
+    if is_delta_table(path):
+        raise AlreadyExistsError(f"{path} is already a Delta table")
+    schema = spark.read.parquet(path).schema
+    files: list[tuple[str, dict]] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in names:
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), path)
+            parts = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    parts[k] = unquote(v)
+            files.append((rel.replace(os.sep, "/"), parts))
+    if partition_by is None:
+        # preserve directory nesting order of the first partitioned file
+        partition_by = []
+        for rel, parts in files:
+            if parts:
+                partition_by = [
+                    seg.partition("=")[0]
+                    for seg in rel.split("/")[:-1]
+                    if "=" in seg
+                ]
+                break
+    log = DeltaLog(path)
+    actions: list[dict] = [
+        {"protocol": dict(PROTOCOL)},
+        _meta_action(schema, partition_by, str(uuid.uuid4())),
+    ]
+    actions.extend(_add_action(path, rel, parts) for rel, parts in files)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": len(files),
+                    "partitionBy": json.dumps(partition_by or []),
+                },
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    log.commit(0, actions)
+    return log.snapshot(0)
+
+
+def restore(spark: SparkSession, path: str, version: int) -> Snapshot:
+    """RESTORE TABLE ... VERSION AS OF: commit a new version whose
+    live file set (and schema) is exactly the target version's — a
+    metadata-only operation (no data rewrite, files are re-added by
+    reference), reversible because the pre-restore version stays in
+    the log. Fails if the target's files were vacuumed.
+    """
+    log = DeltaLog(path)
+    cur = log.snapshot()
+    tgt = log.snapshot(version)
+    for rel in tgt.adds:
+        if not os.path.exists(os.path.join(path, unquote(rel))):
+            raise DoesNotExistError(
+                f"cannot restore {path} to version {version}: data file "
+                f"{rel} was vacuumed"
+            )
+    actions: list[dict] = []
+    if tgt.metadata.get("schemaString") != cur.metadata.get("schemaString"):
+        actions.append({"metaData": tgt.metadata})
+    now_ms = int(time.time() * 1000)
+    for rel in sorted(set(cur.adds) - set(tgt.adds)):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in sorted(set(tgt.adds) - set(cur.adds)):
+        actions.append({"add": tgt.adds[rel]})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    log.commit(cur.version + 1, actions)
+    return log.snapshot(cur.version + 1)

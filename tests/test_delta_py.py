@@ -212,3 +212,54 @@ def test_read_filters_skip_files(spark, tbl):
     assert pruned.inputFiles() != []
     assert len(pruned.inputFiles()) == 1
     assert pruned.filter("id >= 100 AND id < 110").count() == 10
+
+
+def test_convert_to_delta_registers_existing_files(spark, tmp_path):
+    """CONVERT TO DELTA: existing partitioned parquet becomes Delta
+    version 0 without moving a single data file."""
+    import os as _os
+
+    p = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(8)], "id long, p long, v double"
+    )
+    df.write.partitionBy("p").parquet(p)
+    before = sorted(
+        _os.path.join(r, n)
+        for r, _, ns in _os.walk(p) for n in ns if n.endswith(".parquet")
+    )
+    snap = delta_py.convert_to_delta(spark, p)
+    after = sorted(
+        _os.path.join(r, n)
+        for r, _, ns in _os.walk(p) for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert before == after  # no data file moved
+    assert snap.partition_columns == ["p"]
+    assert DeltaLog(p).history()[0]["operation"] == "CONVERT"
+    got = {(r.id, r.p, r.v) for r in read_delta(spark, p).collect()}
+    assert got == {(i, i % 2, float(i)) for i in range(8)}
+    with pytest.raises(Exception, match="already"):
+        delta_py.convert_to_delta(spark, p)
+
+
+def test_restore_is_metadata_only_commit(spark, tbl):
+    """RESTORE re-lists the target version's files in a NEW commit —
+    no data rewrite, the pre-restore version stays in the log."""
+    write_delta(spark, spark.range(4).selectExpr("id"), tbl)
+    write_delta(spark, spark.range(100, 102).selectExpr("id"), tbl,
+                mode="overwrite")
+    snap = delta_py.restore(spark, tbl, 0)
+    assert snap.version == 2
+    assert {r.id for r in read_delta(spark, tbl).collect()} == {0, 1, 2, 3}
+    # pre-restore version still time-travelable (restore is reversible)
+    assert {r.id for r in read_delta(spark, tbl, version=1).collect()} == {100, 101}
+    assert DeltaLog(tbl).history()[0]["operation"] == "RESTORE"
+
+
+def test_restore_after_vacuum_raises(spark, tbl):
+    write_delta(spark, spark.range(3).selectExpr("id"), tbl)
+    write_delta(spark, spark.range(1).selectExpr("id"), tbl, mode="overwrite")
+    delta_py.vacuum(tbl, retain_hours=0)
+    with pytest.raises(Exception, match="vacuumed"):
+        delta_py.restore(spark, tbl, 0)

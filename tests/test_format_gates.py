@@ -185,3 +185,21 @@ def test_delta_replace_where(unity, spark, tmp_path):
         (r.id, r.k) for r in unity.read_table("unity", "default", "drw").collect()
     }
     assert out == {(9, "x"), (2, "y")}
+
+
+def test_client_convert_to_delta_and_restore(unity, spark, tmp_path):
+    """Client-level CONVERT TO DELTA + Delta RESTORE round trip."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    unity.create_as_table(
+        df, "unity", "default", "cv", location=f"file://{tmp_path}/cv"
+    )
+    tbl = unity.convert_table_to_delta("unity", "default", "cv")
+    assert tbl.file_type.value == "DELTA"
+    assert unity.read_table("unity", "default", "cv").count() == 2
+    unity.write_table(
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        "unity", "default", "cv", mode="append",
+    )
+    assert unity.table_history("unity", "default", "cv") == [0, 1]
+    unity.restore_table("unity", "default", "cv", version=0)
+    assert unity.read_table("unity", "default", "cv").count() == 2
