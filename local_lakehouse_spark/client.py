@@ -762,6 +762,34 @@ class LakehouseClient:
         + r"AS\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
+    _RESTORE_RE = re.compile(
+        r"^RESTORE\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+        re.IGNORECASE,
+    )
+    _CONVERT_RE = re.compile(
+        r"^CONVERT\s+TO\s+DELTA\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s*$",
+        re.IGNORECASE,
+    )
+    _VACUUM_RE = re.compile(
+        r"^VACUUM\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$",
+        re.IGNORECASE,
+    )
+    _HISTORY_RE = re.compile(
+        r"^DESCRIBE\s+HISTORY\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s*$",
+        re.IGNORECASE,
+    )
+    _OPTIMIZE_RE = re.compile(
+        r"^OPTIMIZE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*$",
+        re.IGNORECASE,
+    )
 
     @staticmethod
     def _unquote_name(part: str) -> str:
@@ -847,6 +875,67 @@ class LakehouseClient:
         m = self._MERGE_RE.match(stmt)
         if m:
             return self._compile_merge(m)
+        m = self._RESTORE_RE.match(stmt)
+        if m:
+            cat, sch, tbl, ver = (self._unquote_name(g) for g in m.groups())
+            self.restore_table(cat, sch, tbl, version=int(ver))
+            return spark.createDataFrame([], "rows string")
+        m = self._CONVERT_RE.match(stmt)
+        if m:
+            cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
+            self.convert_table_to_delta(cat, sch, tbl)
+            return spark.createDataFrame([], "rows string")
+        m = self._VACUUM_RE.match(stmt)
+        if m:
+            cat, sch, tbl, hours = m.groups()
+            table = self.get_table(
+                self._unquote_name(cat),
+                self._unquote_name(sch),
+                self._unquote_name(tbl),
+            )
+            path = _io.strip_file_scheme(table.storage_location or "")
+            if table.file_type == FileType.DELTA and not _io.HAVE_DELTA:
+                from .sources import delta_py
+
+                deleted = delta_py.vacuum(
+                    path, retain_hours=float(hours) if hours else 168.0
+                )
+                return spark.createDataFrame(
+                    [(len(deleted),)], "files_deleted long"
+                )
+            removed = self.vacuum_table(
+                self._unquote_name(cat),
+                self._unquote_name(sch),
+                self._unquote_name(tbl),
+            )
+            return spark.createDataFrame(
+                [(len(removed),)], "versions_removed long"
+            )
+        m = self._HISTORY_RE.match(stmt)
+        if m:
+            cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
+            table = self.get_table(cat, sch, tbl)
+            if table.file_type == FileType.DELTA:
+                return self.get_delta_table(cat, sch, tbl).history()
+            return spark.createDataFrame(
+                [(v,) for v in self.table_history(cat, sch, tbl)],
+                "version long",
+            )
+        m = self._OPTIMIZE_RE.match(stmt)
+        if m:
+            cat, sch, tbl, zcols = m.groups()
+            z = (
+                [self._unquote_name(c.strip()) for c in zcols.split(",")]
+                if zcols
+                else None
+            )
+            n = self.optimize_table(
+                self._unquote_name(cat),
+                self._unquote_name(sch),
+                self._unquote_name(tbl),
+                zorder_by=z,
+            )
+            return spark.createDataFrame([(n,)], "target_files long")
         m = self._CTAS_RE.match(stmt)
         if m:
             cat, sch, tbl, fmt, loc, select = m.groups()

@@ -229,3 +229,49 @@ class TestDml:
         li_table.sql("UPDATE unity.default.dml SET v = 7 WHERE id = 1")
         schema = li_table.read_table("unity", "default", "dml").schema
         assert schema["v"].dataType.typeName() == "double"
+
+
+# -- Delta-utility SQL statements -------------------------------------------
+
+
+def test_sql_restore_and_describe_history(unity, spark, tmp_path):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    unity.create_as_table(
+        df, "unity", "default", "ds", file_type="delta",
+        location=f"file://{tmp_path}/ds",
+    )
+    unity.write_table(
+        spark.createDataFrame([(3,)], "id long"),
+        "unity", "default", "ds", mode="append",
+    )
+    h = unity.sql("DESCRIBE HISTORY unity.default.ds")
+    assert h.count() == 2
+    unity.sql("RESTORE TABLE unity.default.ds TO VERSION AS OF 0")
+    assert unity.read_table("unity", "default", "ds").count() == 2
+
+
+def test_sql_convert_and_vacuum(unity, spark, tmp_path):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    unity.create_as_table(
+        df, "unity", "default", "cvt", location=f"file://{tmp_path}/cvt"
+    )
+    unity.sql("CONVERT TO DELTA unity.default.cvt")
+    assert unity.get_table("unity", "default", "cvt").file_type.value == "DELTA"
+    # overwrite then vacuum with 0-hour retention drops the old files
+    unity.write_table(df, "unity", "default", "cvt", mode="overwrite",)
+    out = unity.sql("VACUUM unity.default.cvt RETAIN 0 HOURS").collect()
+    assert out[0]["files_deleted"] >= 1
+    assert unity.read_table("unity", "default", "cvt").count() == 2
+
+
+def test_sql_optimize_zorder(unity, spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "id % 10 AS a", "id % 7 AS b")
+    unity.create_as_table(
+        df.repartition(8), "unity", "default", "opt",
+        location=f"file://{tmp_path}/opt",
+    )
+    out = unity.sql(
+        "OPTIMIZE unity.default.opt ZORDER BY (a, b)"
+    ).collect()
+    assert out[0]["target_files"] >= 1
+    assert unity.read_table("unity", "default", "opt").count() == 100
