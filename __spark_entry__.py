@@ -56,6 +56,7 @@ _CHANGED_THIS_ROUND = [
     "x48_bigram_lm",  # new this round
     "x49_corpus_pipeline",  # new this round
     "x50_stateful_running_totals",  # new this round
+    "x51_groupwise_regression",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

@@ -89,3 +89,48 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def groupwise_regression(
+    events: DataFrame,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """(group, n, slope, intercept, corr) — per-group least-squares
+    trend of event value over time (day index), computed purely from
+    the five decomposable sums (n, Σx, Σy, Σxy, Σx²[, Σy²]) — the
+    aggregate-only formulation that scales: one map-side-combined
+    shuffle per group, no iteration, no driver math.
+
+    Determinism: x = whole days since the epoch floor, y = integer
+    cents, so every sum is EXACT int64 arithmetic; the closed-form
+    slope/intercept/corr are then a fixed sequence of IEEE ops over
+    identical integers in any engine. Rounded to 6 decimals.
+    """
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    staged = events.select(
+        F.col(group_col).alias("grp"), x.alias("x"), y.alias("y")
+    )
+    agg = staged.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = (F.col("sxy") * n - sx * sy).cast("double")
+    var_x = (F.col("sxx") * n - sx * sx).cast("double")
+    var_y = (F.col("syy") * n - sy * sy).cast("double")
+    slope = cov_n / var_x
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        r6(slope).alias("slope"),
+        r6((sy.cast("double") - slope * sx.cast("double")) / n.cast("double")).alias(
+            "intercept"
+        ),
+        r6(cov_n / F.sqrt(var_x * var_y)).alias("corr"),
+    ).orderBy(group_col)

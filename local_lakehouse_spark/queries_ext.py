@@ -1698,6 +1698,45 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def x51(spark, sf):
+    """Per-event-type least-squares trend + correlation from the five
+    decomposable sums (operators/funnel.groupwise_regression) —
+    aggregate-only distributed regression, exact-integer inputs."""
+    from .operators.funnel import groupwise_regression
+
+    return groupwise_regression(events_table(spark, sf), "event_type")
+
+
+X51_SQL = """
+WITH staged AS (
+  SELECT event_type AS grp,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+agg AS (
+  SELECT grp, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM staged GROUP BY grp)
+SELECT grp AS event_type, n,
+       FLOOR((CAST(sxy * n - sx * sy AS DOUBLE)
+              / CAST(sxx * n - sx * sx AS DOUBLE)) * 1000000 + 0.5)
+         / 1000000 AS slope,
+       FLOOR(((CAST(sy AS DOUBLE)
+               - (CAST(sxy * n - sx * sy AS DOUBLE)
+                  / CAST(sxx * n - sx * sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS intercept,
+       FLOOR((CAST(sxy * n - sx * sy AS DOUBLE)
+              / SQRT(CAST(sxx * n - sx * sx AS DOUBLE)
+                     * CAST(syy * n - sy * sy AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS corr
+FROM agg ORDER BY event_type
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1749,4 +1788,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x48_bigram_lm": QuerySpec(x48, X48_SQL),
     "x49_corpus_pipeline": QuerySpec(x49, X49_SQL),
     "x50_stateful_running_totals": QuerySpec(x50, X50_SQL),
+    "x51_groupwise_regression": QuerySpec(x51, X51_SQL),
 }

@@ -1045,3 +1045,22 @@ def test_bigram_lm_conditionals(spark):
     # 'be or' 1 of 1 transitions out of 'be' (final 'be's end documents)
     assert out[("be", "or")] == (1, 1, 1000)
     assert out[("or", "not")] == (1, 1, 1000)
+
+
+def test_groupwise_regression_exact_line(spark):
+    """Points on an exact line recover slope/intercept with corr=1."""
+    from local_lakehouse_spark.operators.funnel import groupwise_regression
+
+    rows = []
+    for d in range(5):  # y = 2.00 * x + 1.00 (in value units)
+        rows.append((d, "a", f"2024-01-{d+1:02d} 12:00:00", 2.0 * d + 1.0))
+    df = spark.createDataFrame(
+        [(i, g, ts, v) for i, (d, g, ts, v) in enumerate(rows)],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = groupwise_regression(df, "event_type").collect()[0]
+    # cents scale: slope 200 cents/day, intercept 100 cents
+    assert out.slope == 200.0
+    assert out.intercept == 100.0
+    assert out.corr == 1.0
+    assert out.n == 5
