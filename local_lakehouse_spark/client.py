@@ -790,6 +790,11 @@ class LakehouseClient:
         + r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*$",
         re.IGNORECASE,
     )
+    _SHOW_RE = re.compile(
+        r"^SHOW\s+(CATALOGS|SCHEMAS|TABLES)"
+        + rf"(?:\s+IN\s+{_IDENT}(?:\.{_IDENT})?)?\s*$",
+        re.IGNORECASE,
+    )
 
     @staticmethod
     def _unquote_name(part: str) -> str:
@@ -936,6 +941,34 @@ class LakehouseClient:
                 zorder_by=z,
             )
             return spark.createDataFrame([(n,)], "target_files long")
+        m = self._SHOW_RE.match(stmt)
+        if m:
+            kind, a, b = m.groups()
+            kind = kind.upper()
+            if kind == "CATALOGS":
+                rows = [(c.name,) for c in self.list_catalogs()]
+                return spark.createDataFrame(rows, "catalog string")
+            if kind == "SCHEMAS":
+                if a is None:
+                    raise UnsupportedOperationError(
+                        "SHOW SCHEMAS requires IN <catalog>"
+                    )
+                rows = [
+                    (s.name,)
+                    for s in self.list_schemas(self._unquote_name(a))
+                ]
+                return spark.createDataFrame(rows, "schema string")
+            if a is None or b is None:
+                raise UnsupportedOperationError(
+                    "SHOW TABLES requires IN <catalog>.<schema>"
+                )
+            rows = [
+                (t.name,)
+                for t in self.list_tables(
+                    self._unquote_name(a), self._unquote_name(b)
+                )
+            ]
+            return spark.createDataFrame(rows, "table string")
         m = self._CTAS_RE.match(stmt)
         if m:
             cat, sch, tbl, fmt, loc, select = m.groups()

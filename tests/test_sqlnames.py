@@ -275,3 +275,16 @@ def test_sql_optimize_zorder(unity, spark, tmp_path):
     ).collect()
     assert out[0]["target_files"] >= 1
     assert unity.read_table("unity", "default", "opt").count() == 100
+
+
+def test_sql_show_statements(unity, spark, tmp_path):
+    unity.create_as_table(
+        spark.createDataFrame([(1,)], "id long"),
+        "unity", "default", "shw", location=f"file://{tmp_path}/shw",
+    )
+    cats = {r.catalog for r in unity.sql("SHOW CATALOGS").collect()}
+    assert "unity" in cats
+    schemas = {r.schema for r in unity.sql("SHOW SCHEMAS IN unity").collect()}
+    assert "default" in schemas
+    tables = {r.table for r in unity.sql("SHOW TABLES IN unity.default").collect()}
+    assert "shw" in tables
