@@ -237,6 +237,11 @@ client.read_table("unity", "default", "dl").orderBy("id").show()
 print("version 0 via log-replay time travel:")
 client.read_table("unity", "default", "dl", version=0).orderBy("id").show()
 print("Delta history (commitInfo rows):")
-client.get_delta_table("unity", "default", "dl").history().show(truncate=False)
+client.sql("DESCRIBE HISTORY unity.default.dl").show(truncate=False)
+client.sql("RESTORE TABLE unity.default.dl TO VERSION AS OF 0")
+print("after SQL RESTORE to version 0:")
+client.read_table("unity", "default", "dl").orderBy("id").show()
+print("catalog via SQL:",
+      [r.table for r in client.sql("SHOW TABLES IN unity.default").collect()])
 
 spark.stop()
