@@ -57,6 +57,8 @@ _CHANGED_THIS_ROUND = [
     "x49_corpus_pipeline",  # new this round
     "x50_stateful_running_totals",  # new this round
     "x51_groupwise_regression",  # new this round
+    "x52_salted_aggregation",  # new this round
+    "x53_salted_join",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

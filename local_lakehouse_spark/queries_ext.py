@@ -1737,6 +1737,66 @@ FROM agg ORDER BY event_type
 """
 
 
+def x52(spark, sf):
+    """Two-phase SALTED aggregation over the (skew-prone) lineitem
+    return-flag key — result must be identical to a direct GROUP BY
+    (operators/skew.salted_agg), which is exactly what the oracle
+    checks. The declared-query form puts the skew machinery itself
+    under the correctness gate."""
+    from .operators.skew import salted_agg
+
+    li = t(spark, sf, "lineitem")
+    out = salted_agg(
+        li,
+        "l_returnflag",
+        "l_orderkey",
+        {
+            "n_items": "count(l_quantity)",
+            "sum_qty": "sum(l_quantity)",
+            "max_price": "max(l_extendedprice)",
+            "min_disc": "min(l_discount)",
+        },
+        n_salts=8,
+    )
+    return out.orderBy("l_returnflag")
+
+
+X52_SQL = """
+SELECT l_returnflag,
+       COUNT(l_quantity) AS n_items,
+       SUM(l_quantity) AS sum_qty,
+       MAX(l_extendedprice) AS max_price,
+       MIN(l_discount) AS min_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def x53(spark, sf):
+    """SALTED equi-join (left side salted, dim side replicated) of
+    orders↔customer — must equal the plain inner join row-for-row
+    (operators/skew.salted_join); the oracle is the plain join."""
+    from .operators.skew import salted_join
+
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return (
+        salted_join(orders, cust, "o_custkey", "o_orderkey", n_salts=8)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+X53_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name
+FROM orders JOIN customer ON c_custkey = o_custkey
+ORDER BY o_orderkey
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1789,4 +1849,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x49_corpus_pipeline": QuerySpec(x49, X49_SQL),
     "x50_stateful_running_totals": QuerySpec(x50, X50_SQL),
     "x51_groupwise_regression": QuerySpec(x51, X51_SQL),
+    "x52_salted_aggregation": QuerySpec(x52, X52_SQL),
+    "x53_salted_join": QuerySpec(x53, X53_SQL),
 }
