@@ -51,6 +51,7 @@ _CHANGED_THIS_ROUND = [
     "x45_cohort_retention",  # new this round
     "q63_time_range_frame",  # new this round
     "q64_argmax_aggregation",  # new this round
+    "q65_multiset_ops",  # new this round
     "x46_streaming_rollup_delta",  # new this round
     "x47_inverted_index",  # new this round
     "x48_bigram_lm",  # new this round

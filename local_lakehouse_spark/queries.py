@@ -2186,6 +2186,46 @@ ORDER BY user_id, event_type
 """
 
 
+def q65(spark, sf):
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL
+    (intersectAll / exceptAll): duplicate-preserving semantics that
+    q24's distinct INTERSECT/EXCEPT cannot express (multiplicity =
+    min / difference of per-side counts). Aggregated to per-key
+    multiplicities for a stable comparable output."""
+    li = t(spark, sf, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select("l_suppkey")
+    b = li.filter(F.col("l_extendedprice") < 20000).select("l_suppkey")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return ia.unionByName(ea).select("op", "l_suppkey", "cnt").orderBy(
+        "op", "l_suppkey"
+    )
+
+
+Q65_SQL = """
+WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),
+ b AS (SELECT l_suppkey FROM lineitem WHERE l_extendedprice < 20000),
+ ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+ ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+SELECT 'intersect_all' AS op, l_suppkey, COUNT(*) AS cnt
+FROM ia GROUP BY l_suppkey
+UNION ALL
+SELECT 'except_all' AS op, l_suppkey, COUNT(*) AS cnt
+FROM ea GROUP BY l_suppkey
+ORDER BY op, l_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2255,4 +2295,5 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q62_higher_order_fns": QuerySpec(q62, Q62_SQL),
     "q63_time_range_frame": QuerySpec(q63, Q63_SQL),
     "q64_argmax_aggregation": QuerySpec(q64, Q64_SQL),
+    "q65_multiset_ops": QuerySpec(q65, Q65_SQL),
 }
