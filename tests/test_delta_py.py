@@ -263,3 +263,18 @@ def test_restore_after_vacuum_raises(spark, tbl):
     delta_py.vacuum(tbl, retain_hours=0)
     with pytest.raises(Exception, match="vacuumed"):
         delta_py.restore(spark, tbl, 0)
+
+
+def test_partition_values_with_special_chars(spark, tbl):
+    """Partition values containing spaces/URL-escaped chars round-trip
+    through the log (Spark escapes them in dir names; partitionValues
+    stores the unescaped value)."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c%2Fd"), (3, "plain")], "id long, p string"
+    )
+    write_delta(spark, df, tbl, partition_by=["p"])
+    snap = DeltaLog(tbl).snapshot()
+    vals = {a["partitionValues"]["p"] for a in snap.adds.values()}
+    assert vals == {"a b", "c%2Fd", "plain"}
+    got = {(r.id, r.p) for r in read_delta(spark, tbl).collect()}
+    assert got == {(1, "a b"), (2, "c%2Fd"), (3, "plain")}
