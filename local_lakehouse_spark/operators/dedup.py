@@ -265,6 +265,11 @@ def minhash_signatures(
     # means the exchange carries one (id, k longs) row per doc —
     # measured ~4× faster than computing k array_min transforms
     # row-side (higher-order lambdas are interpreted, not codegen'd).
+    # (Exploding the raw shingle STRINGS and hashing post-explode —
+    # "keep xxhash64 in codegen" — measured 20× SLOWER at sf0.1:
+    # Catalyst collapses the projection into the generator, so the
+    # whole shingle-array lambda re-evaluates per exploded element.
+    # Same trap as the size(shingles) filter note above.)
     ex = sh.select(
         "id",
         F.explode(
