@@ -784,6 +784,11 @@ class LakehouseClient:
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s*$",
         re.IGNORECASE,
     )
+    _DETAIL_RE = re.compile(
+        r"^DESCRIBE\s+DETAIL\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s*$",
+        re.IGNORECASE,
+    )
     _OPTIMIZE_RE = re.compile(
         r"^OPTIMIZE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
@@ -925,6 +930,36 @@ class LakehouseClient:
             return spark.createDataFrame(
                 [(v,) for v in self.table_history(cat, sch, tbl)],
                 "version long",
+            )
+        m = self._DETAIL_RE.match(stmt)
+        if m:
+            cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
+            table = self.get_table(cat, sch, tbl)
+            if table.file_type == FileType.DELTA:
+                return self.get_delta_table(cat, sch, tbl).detail()
+            import glob as _glob
+
+            path = _io.strip_file_scheme(table.storage_location or "")
+            files = (
+                _glob.glob(f"{path}/**/*.parquet", recursive=True)
+                if os.path.isdir(path)
+                else [path]
+            )
+            return spark.createDataFrame(
+                [
+                    (
+                        table.table_id,
+                        table.file_type.value.lower(),
+                        table.storage_location,
+                        [c.name for c in table.partition_columns()],
+                        len(files),
+                        sum(os.path.getsize(f) for f in files),
+                        table.properties,
+                    )
+                ],
+                "id string, format string, location string, "
+                "partitionColumns array<string>, numFiles long, "
+                "sizeInBytes long, properties map<string,string>",
             )
         m = self._OPTIMIZE_RE.match(stmt)
         if m:

@@ -278,3 +278,34 @@ def test_partition_values_with_special_chars(spark, tbl):
     assert vals == {"a b", "c%2Fd", "plain"}
     got = {(r.id, r.p) for r in read_delta(spark, tbl).collect()}
     assert got == {(1, "a b"), (2, "c%2Fd"), (3, "plain")}
+
+
+def test_concurrent_appends_one_wins(spark, tbl):
+    """ACID under a simulated writer race: both writers compute the
+    same next version; the put-if-absent commit lets exactly one win,
+    the loser raises, and the table replays consistently."""
+    write_delta(spark, spark.range(2).selectExpr("id"), tbl)
+    log = DeltaLog(tbl)
+    v = log.versions()[-1] + 1
+    ok = log.commit(v, [{"commitInfo": {"operation": "WRITE"}}])
+    assert ok is None
+    with pytest.raises(ConcurrentModificationError):
+        log.commit(v, [{"commitInfo": {"operation": "WRITE"}}])
+    # the losing writer retries at the next version and succeeds
+    log.commit(v + 1, [{"commitInfo": {"operation": "WRITE"}}])
+    assert log.versions() == [0, 1, 2]
+    assert read_delta(spark, tbl).count() == 2  # data intact
+
+
+def test_time_travel_across_schema_change(spark, tbl):
+    """Each version reads with ITS OWN schema from the log replay."""
+    write_delta(spark, spark.createDataFrame([(1, "a")], "id long, s string"), tbl)
+    write_delta(
+        spark,
+        spark.createDataFrame([(2.5,)], "only double"),
+        tbl,
+        mode="overwrite",
+        overwrite_schema=True,
+    )
+    assert read_delta(spark, tbl, version=0).columns == ["id", "s"]
+    assert read_delta(spark, tbl, version=1).columns == ["only"]

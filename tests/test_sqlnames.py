@@ -288,3 +288,22 @@ def test_sql_show_statements(unity, spark, tmp_path):
     assert "default" in schemas
     tables = {r.table for r in unity.sql("SHOW TABLES IN unity.default").collect()}
     assert "shw" in tables
+
+
+def test_sql_describe_detail(unity, spark, tmp_path):
+    # parquet table
+    unity.create_as_table(
+        spark.createDataFrame([(1,), (2,)], "id long"),
+        "unity", "default", "dd", location=f"file://{tmp_path}/dd",
+    )
+    row = unity.sql("DESCRIBE DETAIL unity.default.dd").collect()[0]
+    assert row["format"] == "parquet" and row["numFiles"] >= 1
+    assert row["sizeInBytes"] > 0
+    # delta table
+    unity.create_as_table(
+        spark.createDataFrame([(1,)], "id long"),
+        "unity", "default", "dd2", file_type="delta",
+        location=f"file://{tmp_path}/dd2",
+    )
+    row = unity.sql("DESCRIBE DETAIL unity.default.dd2").collect()[0]
+    assert row["format"] == "delta" and row["numFiles"] >= 1
