@@ -60,6 +60,7 @@ _CHANGED_THIS_ROUND = [
     "x51_groupwise_regression",  # new this round
     "x52_salted_aggregation",  # new this round
     "x53_salted_join",  # new this round
+    "x54_data_quality_report",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

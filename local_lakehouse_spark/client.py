@@ -241,6 +241,49 @@ class LakehouseClient:
         else:
             _io._rewrite_table_dir(df, fmt, path, partition_by=part_cols or None)
 
+    def validate_table(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        expectations: dict[str, str],
+    ) -> DataFrame:
+        """Data-quality expectations report (the Delta Live Tables
+        expectations pattern, beyond the reference): evaluate named
+        SQL predicates over the table in ONE pass and return
+        (expectation, n_pass, n_fail, pass_ratio) per predicate.
+
+        Scale: a single scan with conditional-sum aggregates — no
+        per-expectation jobs, no shuffle beyond the final 1-row agg.
+        NULL predicate results count as failures (SQL three-valued
+        logic would otherwise silently drop them).
+        """
+        df = self.read_table(catalog, schema, name)
+        aggs = []
+        for ename, pred in expectations.items():
+            ok = F.when(F.expr(pred), 1).otherwise(0)
+            aggs.append(F.sum(ok).alias(f"__p_{ename}"))
+            aggs.append(F.count(F.lit(1)).alias(f"__n_{ename}"))
+        row = df.agg(*aggs)
+        spark = self._require_spark()
+        out = []
+        r = row.collect()[0]
+        for ename in expectations:
+            n_pass = int(r[f"__p_{ename}"] or 0)
+            total = int(r[f"__n_{ename}"] or 0)
+            out.append(
+                (
+                    ename,
+                    n_pass,
+                    total - n_pass,
+                    (n_pass / total) if total else 1.0,
+                )
+            )
+        return spark.createDataFrame(
+            out,
+            "expectation string, n_pass long, n_fail long, pass_ratio double",
+        )
+
     def convert_table_to_delta(
         self, catalog: str, schema: str, name: str
     ) -> Table:

@@ -1797,6 +1797,65 @@ ORDER BY o_orderkey
 """
 
 
+_X54_EXPECTATIONS = {
+    "qty_positive": "l_quantity > 0",
+    "price_positive": "l_extendedprice > 0",
+    "discount_in_range": "l_discount BETWEEN 0 AND 0.1",
+    "tax_in_range": "l_tax BETWEEN 0 AND 0.08",
+}
+
+
+def x54(spark, sf):
+    """Data-quality expectations report (DLT-expectations analog):
+    named SQL predicates evaluated in ONE pass as conditional sums,
+    unpivoted to (expectation, n_pass, n_fail) — the validation step
+    every ingestion pipeline runs before admitting a batch. Fully
+    distributed (stack over a 1-row aggregate; no driver collect)."""
+    li = t(spark, sf, "lineitem")
+    aggs = []
+    for ename, pred in _X54_EXPECTATIONS.items():
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"p_{ename}")
+        )
+    row = li.agg(F.count(F.lit(1)).alias("total"), *aggs)
+    stack_args = ", ".join(
+        f"'{ename}', p_{ename}" for ename in _X54_EXPECTATIONS
+    )
+    return (
+        row.selectExpr(
+            "total",
+            f"stack({len(_X54_EXPECTATIONS)}, {stack_args}) "
+            "AS (expectation, n_pass)",
+        )
+        .select(
+            "expectation",
+            "n_pass",
+            (F.col("total") - F.col("n_pass")).alias("n_fail"),
+        )
+        .orderBy("expectation")
+    )
+
+
+X54_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS total,
+    SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS p_qty_positive,
+    SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS p_price_positive,
+    SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END)
+      AS p_discount_in_range,
+    SUM(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 1 ELSE 0 END)
+      AS p_tax_in_range
+  FROM lineitem)
+SELECT expectation, n_pass, total - n_pass AS n_fail
+FROM (
+  SELECT total, 'qty_positive' AS expectation, p_qty_positive AS n_pass FROM agg
+  UNION ALL SELECT total, 'price_positive', p_price_positive FROM agg
+  UNION ALL SELECT total, 'discount_in_range', p_discount_in_range FROM agg
+  UNION ALL SELECT total, 'tax_in_range', p_tax_in_range FROM agg)
+ORDER BY expectation
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1851,4 +1910,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x51_groupwise_regression": QuerySpec(x51, X51_SQL),
     "x52_salted_aggregation": QuerySpec(x52, X52_SQL),
     "x53_salted_join": QuerySpec(x53, X53_SQL),
+    "x54_data_quality_report": QuerySpec(x54, X54_SQL),
 }

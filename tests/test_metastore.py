@@ -146,3 +146,23 @@ def test_catalog_rename_cascades(store):
     store.update_catalog("c1", Catalog(name="cx"))
     assert store.get_schema("cx", "s1").catalog_name == "cx"
     assert store.get_table("cx", "s1", "t").catalog_name == "cx"
+
+
+def test_validate_table_expectations(unity, spark, tmp_path):
+    """validate_table: one-pass expectations report; NULL predicate
+    results count as failures."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, v double"
+    )
+    unity.create_as_table(
+        df, "unity", "default", "vt", location=f"file://{tmp_path}/vt"
+    )
+    out = {
+        r.expectation: (r.n_pass, r.n_fail)
+        for r in unity.validate_table(
+            "unity", "default", "vt",
+            {"v_positive": "v > 0", "id_known": "id IS NOT NULL"},
+        ).collect()
+    }
+    assert out["v_positive"] == (1, 2)  # -5 fails, NULL fails
+    assert out["id_known"] == (3, 0)
