@@ -460,6 +460,7 @@ def streaming_rollup_to_table(
     out_path: str,
     width: str = "1 hour",
     watermark: str = "2 hours",
+    checkpoint_location: str | None = None,
 ) -> None:
     """Continuously-maintained rollup table (the hypertable-rollup /
     materialized-aggregate pattern): a watermarked tumbling aggregate
@@ -535,12 +536,13 @@ def streaming_rollup_to_table(
             )
             batch.unpersist()
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = agg.writeStream.outputMode("update").foreachBatch(upsert)
+    if checkpoint_location:
+        # Real recovery semantics: with a durable checkpoint the next
+        # run resumes from the recorded source offsets and processes
+        # only NEW files — restart-safe incremental maintenance.
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
 
 
@@ -549,6 +551,7 @@ def streaming_rollup_to_delta(
     out_path: str,
     width: str = "1 hour",
     watermark: str = "2 hours",
+    checkpoint_location: str | None = None,
 ) -> None:
     """Continuously-maintained rollup as a DELTA table: the same
     watermarked UPDATE-mode aggregate as ``streaming_rollup_to_table``,
@@ -624,12 +627,13 @@ def streaming_rollup_to_delta(
         finally:
             batch.unpersist()
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = agg.writeStream.outputMode("update").foreachBatch(upsert)
+    if checkpoint_location:
+        # Real recovery semantics: with a durable checkpoint the next
+        # run resumes from the recorded source offsets and processes
+        # only NEW files — restart-safe incremental maintenance.
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
 
 

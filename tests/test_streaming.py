@@ -427,3 +427,62 @@ def test_streaming_running_totals_matches_batch(spark, events_stage):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_rollup_checkpoint_recovery(spark, tmp_path):
+    """Restart-safety: with a durable checkpoint, a second run of the
+    same rollup query resumes from recorded offsets and processes
+    ONLY files that arrived since — the delta log grows by exactly
+    the new batches and the table equals the full batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.queries import events_table
+    from local_lakehouse_spark.sources.delta_py import DeltaLog, read_delta
+    from local_lakehouse_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        _norm_ts,
+        streaming_rollup_to_delta,
+        tumbling_agg,
+    )
+
+    # time-ordered arrival (the realistic case): the restart's
+    # checkpoint-restored WATERMARK drops anything older than
+    # max(seen)-2h, so the second file must hold the LATER half —
+    # splitting by id parity here would (correctly) lose old events.
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")  # raw ts type
+    cut = "2024-01-15 00:00:00"
+    stage = str(tmp_path / "stage")
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{stage}/a")
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return _norm_ts(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+
+    streaming_rollup_to_delta(stream(), out, checkpoint_location=ckpt)
+    v_after_first = DeltaLog(out).versions()[-1]
+
+    # the later half arrives; the SAME query restarts from the checkpoint
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{stage}/b")
+    streaming_rollup_to_delta(stream(), out, checkpoint_location=ckpt)
+    versions = DeltaLog(out).versions()
+    assert versions[-1] > v_after_first  # new commits appended
+    # and a THIRD run with nothing new commits nothing
+    streaming_rollup_to_delta(stream(), out, checkpoint_location=ckpt)
+    assert DeltaLog(out).versions() == versions
+
+    got = sorted(
+        tuple(r)
+        for r in read_delta(spark, out)
+        .select("win_start", "event_type", "cnt", "sum_value")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in tumbling_agg(events_table(spark, SF_DIR), "1 hour").collect()
+    )
+    assert got == want
