@@ -61,6 +61,9 @@ _CHANGED_THIS_ROUND = [
     "x52_salted_aggregation",  # new this round
     "x53_salted_join",  # new this round
     "x54_data_quality_report",  # new this round
+    "x55_stream_static_enrich",  # new this round
+    "x56_contamination_matrix",  # new this round
+    "x57_embedding_audit",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

@@ -1856,6 +1856,136 @@ ORDER BY expectation
 """
 
 
+def x55(spark, sf):
+    """Stream-STATIC enrichment join — the remaining streaming join
+    shape (stream-stream is x32/x36): the events stream joined to a
+    static dimension (customer), no watermark needed on the static
+    side, dimension broadcast per micro-batch. Oracle = the batch
+    join. Output aggregated per (mktsegment, event_type) so the
+    result is stable under batch boundaries."""
+    from .streaming.windows import read_events_stream, run_stream_to_memory
+
+    stage = _stage_events(sf)
+    stream = read_events_stream(spark, stage)
+    dim = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")  # stream-static join
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                )
+                / 100
+            ).alias("sum_value"),
+        )
+    )
+    run_stream_to_memory(enriched, "x55_enriched", complete=True)
+    return (
+        spark.table("x55_enriched")
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+X55_SQL = """
+SELECT c_mktsegment, event_type, COUNT(*) AS cnt,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100 AS sum_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+
+def x56(spark, sf):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word 3-grams they share — the corpus-governance
+    audit behind decontamination (x40). Reuses the inverted-index
+    shape: shingle → distinct source list → pairs map-side; never a
+    doc-level cross join."""
+    from .operators.dedup import shingles
+
+    docs = t(spark, sf, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    per_src = sh.join(src, "id").select("source", "shingle").distinct()
+    a = per_src.select(F.col("source").alias("src_a"), "shingle")
+    b = per_src.select(F.col("source").alias("src_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+X56_SQL = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+per_src AS (SELECT DISTINCT d.source, e.s
+            FROM ex e JOIN documents d ON d.doc_id = e.id)
+SELECT a.source AS src_a, b.source AS src_b,
+       COUNT(*) AS shared_ngrams
+FROM per_src a JOIN per_src b ON a.s = b.s AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
+def x57(spark, sf):
+    """Embedding corpus audit: per id-bucket vector count, dimension
+    consistency, L2-norm stats, and non-finite detection — the sanity
+    gate before an ANN index build. Norm² is an exact IEEE
+    sum-of-squares via aggregate() so the oracle matches."""
+    emb = t(spark, sf, "embeddings")
+    v = F.col("embedding")
+    norm2 = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        emb.select(
+            (F.col("vec_id") % 10).alias("bucket"),
+            F.size(v).alias("dim"),
+            norm2.alias("n2"),
+            F.exists(v, lambda x: x.isNull() | F.isnan(x)).alias("bad"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("dim").alias("n_dims"),
+            F.min("dim").alias("dim_min"),
+            r4(F.min("n2")).alias("norm2_min"),
+            r4(F.max("n2")).alias("norm2_max"),
+            F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_bad"),
+        )
+        .orderBy("bucket")
+    )
+
+
+X57_SQL = """
+WITH per AS (
+  SELECT vec_id % 10 AS bucket,
+         len(embedding) AS dim,
+         list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS n2,
+         len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0 AS bad
+  FROM embeddings)
+SELECT bucket, COUNT(*) AS n_vectors,
+       COUNT(DISTINCT dim) AS n_dims,
+       MIN(dim) AS dim_min,
+       FLOOR(MIN(n2) * 10000 + 0.5) / 10000 AS norm2_min,
+       FLOOR(MAX(n2) * 10000 + 0.5) / 10000 AS norm2_max,
+       SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_bad
+FROM per GROUP BY bucket ORDER BY bucket
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -1911,4 +2041,7 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x52_salted_aggregation": QuerySpec(x52, X52_SQL),
     "x53_salted_join": QuerySpec(x53, X53_SQL),
     "x54_data_quality_report": QuerySpec(x54, X54_SQL),
+    "x55_stream_static_enrich": QuerySpec(x55, X55_SQL),
+    "x56_contamination_matrix": QuerySpec(x56, X56_SQL),
+    "x57_embedding_audit": QuerySpec(x57, X57_SQL),
 }
