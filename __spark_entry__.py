@@ -52,6 +52,7 @@ _CHANGED_THIS_ROUND = [
     "q63_time_range_frame",  # new this round
     "q64_argmax_aggregation",  # new this round
     "q65_multiset_ops",  # new this round
+    "q66_recursive_cte",  # new this round
     "x46_streaming_rollup_delta",  # new this round
     "x47_inverted_index",  # new this round
     "x48_bigram_lm",  # new this round

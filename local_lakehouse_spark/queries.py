@@ -2226,6 +2226,44 @@ ORDER BY op, l_suppkey
 """
 
 
+def q66(spark, sf):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): traverse a binary
+    hierarchy imposed on nation (parent = (key-1) DIV 2) from the
+    root, emitting each node's depth — the org-chart / BOM traversal
+    shape that previously required iterative DataFrame loops
+    (operators/graph.py). Runs verbatim through spark.sql; DuckDB's
+    recursive CTE is the oracle."""
+    t(spark, sf, "nation").createOrReplaceTempView("__q66_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT n_nationkey AS node, CAST(0 AS INT) AS depth
+          FROM __q66_nation WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey, t.depth + 1
+          FROM __q66_nation n JOIN tree t
+            ON (n.n_nationkey - 1) DIV 2 = t.node
+          WHERE n.n_nationkey > 0
+        )
+        SELECT node, depth FROM tree ORDER BY node
+        """
+    )
+
+
+Q66_SQL = """
+WITH RECURSIVE tree AS (
+  SELECT n_nationkey AS node, CAST(0 AS INT) AS depth
+  FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT n.n_nationkey, t.depth + 1
+  FROM nation n JOIN tree t
+    ON (n.n_nationkey - 1) // 2 = t.node
+  WHERE n.n_nationkey > 0
+)
+SELECT node, depth FROM tree ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2296,4 +2334,5 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q63_time_range_frame": QuerySpec(q63, Q63_SQL),
     "q64_argmax_aggregation": QuerySpec(q64, Q64_SQL),
     "q65_multiset_ops": QuerySpec(q65, Q65_SQL),
+    "q66_recursive_cte": QuerySpec(q66, Q66_SQL),
 }
