@@ -65,6 +65,7 @@ _CHANGED_THIS_ROUND = [
     "x55_stream_static_enrich",  # new this round
     "x56_contamination_matrix",  # new this round
     "x57_embedding_audit",  # new this round
+    "x58_sliding_window",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

@@ -1986,6 +1986,26 @@ FROM per GROUP BY bucket ORDER BY bucket
 """
 
 
+def x58(spark, sf):
+    """Sliding event-time windows (2 h width / 1 h slide — each event
+    lands in exactly two windows; streaming/windows.sliding_agg). The
+    oracle expands each event into its two window starts explicitly,
+    which is the semantic definition Spark's window() implements."""
+    from .streaming.windows import sliding_agg
+
+    return sliding_agg(events_table(spark, sf), "2 hours", "1 hour")
+
+
+X58_SQL = """
+WITH starts AS (
+  SELECT date_trunc('hour', ts) AS win_start FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+SELECT win_start, COUNT(*) AS cnt
+FROM starts GROUP BY win_start ORDER BY win_start
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2044,4 +2064,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x55_stream_static_enrich": QuerySpec(x55, X55_SQL),
     "x56_contamination_matrix": QuerySpec(x56, X56_SQL),
     "x57_embedding_audit": QuerySpec(x57, X57_SQL),
+    "x58_sliding_window": QuerySpec(x58, X58_SQL),
 }
