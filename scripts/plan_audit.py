@@ -46,6 +46,9 @@ ALLOW_NESTED_LOOP = {
     "x28_stratified_sample",  # per-stratum rate lookup (tiny)
     "x30_cap_per_group",
     "x34_bm25_relevance",  # 1-row corpus stats (avgdl, n_docs) broadcast
+    "x41_vocab_zipf",      # 1-row total-words scalar broadcast
+    "x42_tfidf_top_terms",  # 1-row n_docs scalar broadcast
+    "x43_word_rarity",     # 1-row total-words scalar broadcast
 }
 
 
