@@ -66,6 +66,7 @@ _CHANGED_THIS_ROUND = [
     "x56_contamination_matrix",  # new this round
     "x57_embedding_audit",  # new this round
     "x58_sliding_window",  # new this round
+    "x59_count_min_sketch",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
     "x18_streaming_sessionize_stateful",

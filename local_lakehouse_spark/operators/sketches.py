@@ -15,7 +15,7 @@ accuracy and merge-consistency are asserted in tests instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,70 @@ def histogram_quantiles(
             )
         )
     return cum.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)
+
+
+def _md5_u48(col: Column) -> Column:
+    """48-bit little-endian integer from md5 digest bytes 8..13 —
+    the low 6 bytes of DuckDB's ``md5_number_lower`` (= uint64 of
+    digest bytes 8..15), so both engines derive the IDENTICAL value:
+    Spark composes it from hex chars, DuckDB masks the builtin.
+    48 bits keeps every intermediate in signed-BIGINT range."""
+    hx = F.md5(col)
+    val = F.lit(0).cast("bigint")
+    for j in range(6):  # LE byte j = hex chars 17+2j..18+2j (1-based)
+        byte = F.conv(F.substring(hx, 17 + 2 * j, 2), 16, 10).cast("bigint")
+        val = val + byte * F.lit(1 << (8 * j))
+    return val
+
+
+def count_min_sketch(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(seed, bucket, cnt) — the d×w count-min counter matrix over a
+    stream of items: row ``seed`` holds counts hashed by
+    md5(seed|item) % width. MERGEABLE by construction (union two
+    sketches and sum cnt per (seed, bucket)) and bounded at d×w rows
+    regardless of input size — the heavy-hitter / frequency-estimate
+    sketch of a 100 TB pipeline, next to HLL (distinct) and the
+    fixed-bin histogram (quantiles).
+
+    Scale shape: one explode (×depth) → one (seed, bucket)-keyed agg
+    with map-side partials; the shuffle carries at most d×w rows per
+    partition.
+    """
+    seeded = df.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed"),
+    )
+    bucket = _md5_u48(
+        F.concat_ws("|", F.col("seed").cast("string"), F.col("item"))
+    ) % width
+    return (
+        seeded.select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, queries: DataFrame, item_col: str,
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """(item, est) — CMS point estimate: min over the d rows of the
+    matching bucket count (0 when a bucket is empty). Overestimates
+    only (collisions add, never subtract): est ≥ true count, with
+    error ≤ 2N/w at 1-e^-d confidence — asserted in tests."""
+    q = queries.select(F.col(item_col).cast("string").alias("item")).distinct()
+    seeded = q.select(
+        "item",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed"),
+    )
+    bucket = _md5_u48(
+        F.concat_ws("|", F.col("seed").cast("string"), F.col("item"))
+    ) % width
+    probes = seeded.select("item", "seed", bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

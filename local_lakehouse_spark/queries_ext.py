@@ -2006,6 +2006,52 @@ FROM starts GROUP BY win_start ORDER BY win_start
 """
 
 
+def x59(spark, sf):
+    """Count-min sketch frequency estimates for the language-marker
+    words over the exploded document token stream — the heavy-hitter
+    sketch (operators/sketches.count_min_sketch/cms_estimate). The
+    md5-derived bucket hash is engine-reproducible, so the oracle
+    recomputes the ENTIRE d×w matrix and the min-probe estimates
+    bit-for-bit (true oracle for a sketch — like x04's md5 SimHash).
+    """
+    from .operators.sketches import cms_estimate, count_min_sketch
+
+    words = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    )
+    sketch = count_min_sketch(words, "word", depth=4, width=256)
+    queries = spark.createDataFrame(
+        [("the",), ("and",), ("data",), ("spark",), ("query",)],
+        "word string",
+    )
+    return cms_estimate(sketch, queries, "word", depth=4, width=256).orderBy(
+        "item"
+    )
+
+
+X59_SQL = r"""
+WITH words AS (SELECT unnest(string_split_regex(text, '\s+')) AS item
+               FROM documents),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+matrix AS (
+  SELECT seed,
+         (md5_number_lower(seed || '|' || item) & 281474976710655) % 256
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM words, seeds GROUP BY 1, 2),
+q AS (SELECT unnest(['the', 'and', 'data', 'spark', 'query']) AS item),
+probes AS (
+  SELECT q.item, s.seed,
+         (md5_number_lower(s.seed || '|' || q.item) & 281474976710655) % 256
+           AS bucket
+  FROM q, seeds s)
+SELECT p.item, MIN(COALESCE(m.cnt, 0)) AS est
+FROM probes p LEFT JOIN matrix m
+  ON m.seed = p.seed AND m.bucket = p.bucket
+GROUP BY p.item ORDER BY p.item
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2065,4 +2111,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x56_contamination_matrix": QuerySpec(x56, X56_SQL),
     "x57_embedding_audit": QuerySpec(x57, X57_SQL),
     "x58_sliding_window": QuerySpec(x58, X58_SQL),
+    "x59_count_min_sketch": QuerySpec(x59, X59_SQL),
 }

@@ -1064,3 +1064,33 @@ def test_groupwise_regression_exact_line(spark):
     assert out.intercept == 100.0
     assert out.corr == 1.0
     assert out.n == 5
+
+
+def test_count_min_sketch_overestimates_and_merges(spark):
+    """CMS: estimates never undercount; two sketches merged by
+    summing (seed, bucket) counts equal the sketch of the union."""
+    from local_lakehouse_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 5 + [("z",)] * 1, "w string"
+    )
+    b = spark.createDataFrame([("x",)] * 30 + [("q",)] * 7, "w string")
+    q = spark.createDataFrame([("x",), ("y",), ("z",), ("q",), ("absent",)],
+                              "w string")
+    union_sketch = count_min_sketch(a.unionAll(b), "w")
+    est = {r.item: r.est for r in cms_estimate(union_sketch, q, "w").collect()}
+    true = {"x": 80, "y": 5, "z": 1, "q": 7, "absent": 0}
+    for k, t_ in true.items():
+        assert est[k] >= t_  # never undercounts
+        assert est[k] <= t_ + 2 * 93 / 256 * 4 + 1  # loose CMS bound
+    # mergeability: sum of per-part sketches == sketch of the union
+    merged = (
+        count_min_sketch(a, "w").unionByName(count_min_sketch(b, "w"))
+        .groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    m1 = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
+    m2 = {(r.seed, r.bucket): r.cnt for r in union_sketch.collect()}
+    assert m1 == m2
