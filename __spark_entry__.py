@@ -65,7 +65,6 @@ _CHANGED_THIS_ROUND = [
     "x55_stream_static_enrich",  # new this round
     "x56_contamination_matrix",  # new this round
     "x57_embedding_audit",  # new this round
-    "x58_sliding_window",  # new this round
     "x59_count_min_sketch",  # new this round
     "x13_sessionize",
     "x16_streaming_tumbling",
@@ -77,6 +76,10 @@ _PRIORITY = (
     _CHANGED_THIS_ROUND
     # new this round: the remaining TPC-H classics q48–q61
     + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
+    # x58 (sliding windows) yields its cap slot to the TPC-H block: it
+    # is pytest-covered, never red, and its algebra is the simplest of
+    # the new entries — first in line beyond the 50-query cap.
+    + ["x58_sliding_window"]
     # carried on r1 evidence through r2 — re-verify as cap allows
     + [n for n in _ALL if n.startswith("q") and "q16" <= n < "q48"]
     + [
