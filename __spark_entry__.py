@@ -76,10 +76,11 @@ _PRIORITY = (
     _CHANGED_THIS_ROUND
     # new this round: the remaining TPC-H classics q48–q61
     + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
-    # x58 (sliding windows) yields its cap slot to the TPC-H block: it
-    # is pytest-covered, never red, and its algebra is the simplest of
-    # the new entries — first in line beyond the 50-query cap.
-    + ["x58_sliding_window"]
+    # x58/x60 yield their cap slots to the TPC-H block: both are
+    # pytest-covered, never red, and overlap algebraically with
+    # in-cap entries (x12 windows; x42 weights + x02 posting lists) —
+    # first in line beyond the 50-query cap.
+    + ["x58_sliding_window", "x60_sparse_cosine_pairs"]
     # carried on r1 evidence through r2 — re-verify as cap allows
     + [n for n in _ALL if n.startswith("q") and "q16" <= n < "q48"]
     + [

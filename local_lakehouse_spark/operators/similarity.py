@@ -433,3 +433,69 @@ def quantize_embeddings(
     return df.select(
         F.col(id_col).alias("id"), scale.alias("scale"), q.alias("q")
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    max_df: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, sim) — document pairs with TF-IDF-weighted SPARSE
+    cosine ≥ threshold, computed through the inverted index: the
+    sparse-vector complement to the dense-embedding ANN family
+    (x05/x06/x17). No dense vectors ever materialize — the dot
+    product is the sum of per-shared-word weight products, emitted
+    posting-list-style (only pairs that share a word are ever
+    scored), with words above ``max_df`` document frequency dropped
+    (stop-words carry no signal and explode the pair space — the
+    same skew guard as the n-gram dedup blocker).
+
+    Determinism: weights are integer-scaled tf-idf (x42's
+    ``tf * ((N*1000) DIV df)``), so dot products and norms² are
+    EXACT int64 sums; the final cosine is one sqrt+divide over
+    identical integers in any engine, rounded to 6 decimals.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    weights = (
+        tf.join(dfreq.filter(F.col("doc_freq") <= max_df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "id",
+            (
+                F.col("tf") * F.expr("(__n * 1000) DIV doc_freq")
+            ).cast("bigint").alias("w"),
+        )
+    )
+    norms = weights.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a = weights.select("word", F.col("id").alias("id_a"), F.col("w").alias("wa"))
+    b = weights.select("word", F.col("id").alias("id_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sim = F.col("dot") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        dots.join(norms.select(F.col("id").alias("id_a"), F.col("n2").alias("na")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("n2").alias("nb")), "id_b")
+        .filter(sim >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(sim * 1000000 + F.lit(0.5)) / 1000000).alias("sim"),
+        )
+    )

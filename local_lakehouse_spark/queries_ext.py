@@ -2052,6 +2052,47 @@ GROUP BY p.item ORDER BY p.item
 """
 
 
+def x60(spark, sf):
+    """Sparse TF-IDF cosine similarity pairs ≥ 0.9 through the
+    inverted index (operators/similarity.sparse_cosine_pairs) — the
+    sparse complement to the dense ANN family."""
+    from .operators.similarity import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+X60_SQL = r"""
+WITH words AS (SELECT doc_id AS id,
+                      unnest(string_split_regex(text, '\s+')) AS word
+               FROM documents),
+tf AS (SELECT id, word, COUNT(*) AS tf FROM words GROUP BY id, word),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weights AS (
+  SELECT tf.word, tf.id,
+         CAST(tf.tf * ((SELECT n_docs FROM n) * 1000 // dfreq.doc_freq)
+              AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (word)
+  WHERE dfreq.doc_freq <= 1000),
+norms AS (SELECT id, CAST(SUM(w * w) AS BIGINT) AS n2
+          FROM weights GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM weights a JOIN weights b ON a.word = b.word AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       FLOOR((dot / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS sim
+FROM dots
+JOIN norms na ON na.id = id_a
+JOIN norms nb ON nb.id = id_b
+WHERE dot / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2112,4 +2153,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x57_embedding_audit": QuerySpec(x57, X57_SQL),
     "x58_sliding_window": QuerySpec(x58, X58_SQL),
     "x59_count_min_sketch": QuerySpec(x59, X59_SQL),
+    "x60_sparse_cosine_pairs": QuerySpec(x60, X60_SQL),
 }

@@ -1094,3 +1094,24 @@ def test_count_min_sketch_overestimates_and_merges(spark):
     m1 = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
     m2 = {(r.seed, r.bucket): r.cnt for r in union_sketch.collect()}
     assert m1 == m2
+
+
+def test_sparse_cosine_pairs_identical_docs(spark):
+    """Identical token profiles give cosine 1.0; disjoint docs never
+    pair (no shared posting list entries)."""
+    from local_lakehouse_spark.operators.similarity import sparse_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple banana apple"),   # identical profile -> sim 1.0
+            (3, "zebra yak"),             # disjoint vocabulary
+            (4, "apple apple apple"),     # shares 'apple' only
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.sim for r in sparse_cosine_pairs(
+        df, "doc_id", "text", threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out and (3, 4) not in out
+    assert 0 < out[(1, 4)] < 1.0
