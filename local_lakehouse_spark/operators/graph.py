@@ -3,15 +3,16 @@ turns pairwise near-duplicate MATCHES (x02/x03/x04/x14) into
 duplicate GROUPS, so a dedup pipeline can keep exactly one document
 per cluster instead of reasoning about overlapping pairs.
 
-Algorithm: HashMin label propagation, expressed as DataFrame joins —
-every vertex repeatedly adopts the minimum label in its closed
-neighborhood until a fixpoint. Each round is two hash joins + one
-aggregation (all keyed on vertex id), and the number of rounds is the
-graph diameter. Near-dup graphs are overwhelmingly tiny star/clique
-clusters (diameter ≤ ~3), so this converges in a handful of rounds;
-for adversarial long-chain graphs the O(log n)-round alternating
-large-star/small-star scheme (Kiveris et al., "Connected Components
-in MapReduce and Beyond") is the drop-in upgrade.
+Algorithm: HashMin label propagation with POINTER DOUBLING, expressed
+as DataFrame joins — every vertex adopts the minimum label in its
+closed neighborhood, then additionally the label OF its label, so
+label chains halve each round and convergence is O(log diameter)
+(the round-complexity class of Kiveris et al.'s large-star/small-star
+"Connected Components in MapReduce and Beyond", at the cost of one
+extra label-keyed join per round). Near-dup graphs are overwhelmingly
+tiny star/clique clusters (diameter ≤ ~3) and close in a handful of
+rounds either way; the doubling is what keeps adversarial long-chain
+graphs from exhausting max_iter.
 
 Iterative-plan hygiene: every round materializes via
 ``localCheckpoint`` — without it the lineage doubles per round and
@@ -35,17 +36,25 @@ def connected_components(
     dst: str,
     max_iter: int = 20,
     on_unconverged: str = "warn",
+    accelerate: bool = True,
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; ``component`` is
     the minimum vertex id reachable from ``id``. Undirected.
 
-    HashMin label propagation converges in O(graph diameter)
-    iterations — near-dup graphs are star-like (diameter ≤ ~3), so
-    ``max_iter=20`` leaves wide headroom there. For general graphs a
-    long path can exhaust ``max_iter`` with labels still moving;
-    ``on_unconverged`` controls what happens then: ``"warn"``
-    (default) emits a warning and returns the partial labels,
-    ``"raise"`` raises RuntimeError, ``"ignore"`` returns silently.
+    HashMin label propagation; with ``accelerate`` (default) each
+    round also applies one POINTER-DOUBLING step — label(u) ←
+    label(label(u)) — so label chains halve every round and
+    convergence is O(log diameter) instead of O(diameter): a
+    1000-hop path closes in ~10 rounds, not 1000 (the same
+    round-complexity class as the alternating large-star/small-star
+    scheme of Kiveris et al., with one extra label-keyed join per
+    round as the price). Near-dup graphs are star-like (diameter
+    ≤ ~3) and converge in a handful of rounds either way.
+
+    ``on_unconverged`` controls the ``max_iter``-exhausted case:
+    ``"warn"`` (default) emits a warning and returns the partial
+    labels, ``"raise"`` raises RuntimeError, ``"ignore"`` returns
+    silently.
     """
     if on_unconverged not in ("warn", "raise", "ignore"):
         raise ValueError(f"on_unconverged={on_unconverged!r}")
@@ -65,14 +74,41 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.u, "left")
-            .select(
+        new_labels = labels.join(
+            nbr_min, labels.id == nbr_min.u, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        if accelerate:
+            # Pointer doubling: adopt the label OF my label. Labels
+            # always point at smaller ids (least() above), so chains
+            # only shorten; one label-keyed self-join per round.
+            parent = new_labels.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            new_labels = new_labels.join(
+                parent, new_labels.label == parent.p_id, "left"
+            ).select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("p_label"), F.col("label")),
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        new_labels = (
+            new_labels.join(
+                labels.select(
+                    F.col("id").alias("o_id"), F.col("label").alias("o_label")
+                ),
+                F.col("id") == F.col("o_id"),
+            )
+            .select(
+                "id",
+                "label",
+                (F.col("label") != F.col("o_label")).alias("__changed"),
             )
             .localCheckpoint()
         )

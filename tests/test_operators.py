@@ -779,7 +779,9 @@ def test_connected_components_unconverged_paths(spark):
     )
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
-        out = connected_components(path, "a", "b", max_iter=3).collect()
+        out = connected_components(
+            path, "a", "b", max_iter=3, accelerate=False
+        ).collect()
     assert len(out) == 13
     assert any("did not converge" in str(c.message) for c in caught)
     # partial labels: the far end of the path can't have reached 0 yet
@@ -787,7 +789,10 @@ def test_connected_components_unconverged_paths(spark):
     assert labels[12] != 0
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path, "a", "b", max_iter=3, on_unconverged="raise")
+        connected_components(
+            path, "a", "b", max_iter=3, on_unconverged="raise",
+            accelerate=False,
+        )
 
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
@@ -1115,3 +1120,21 @@ def test_sparse_cosine_pairs_identical_docs(spark):
     assert out[(1, 2)] == 1.0
     assert (1, 3) not in out and (2, 3) not in out and (3, 4) not in out
     assert 0 < out[(1, 4)] < 1.0
+
+
+def test_connected_components_pointer_doubling_long_path(spark):
+    """A 60-node path converges well within 20 rounds with pointer
+    doubling (O(log d)); plain HashMin would need 60 rounds."""
+    import warnings as _warnings
+
+    from local_lakehouse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a long, b long"
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any non-convergence warning fails
+        out = connected_components(edges, "a", "b", max_iter=20)
+        comp = {r.id: r.component for r in out.collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 61
