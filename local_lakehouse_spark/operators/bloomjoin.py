@@ -1,0 +1,121 @@
+"""Bloom-filter join pruning: drop non-matching fact rows BEFORE the
+shuffle.
+
+The dominant cost of a selective fact⋈dim join at 100 TB is shuffling
+fact rows that will never find a partner. Spark's runtime row-level
+bloom rewrite (``spark.sql.optimizer.runtime.bloomFilter.enabled``)
+covers some shapes; this operator is the explicit, plan-level variant
+that works on any Spark and makes the mechanics inspectable:
+
+1. The dim side's join keys are folded into a Bloom filter —
+   ``m_bits`` bits as an ``array<bigint>`` of ``m_bits/64`` words,
+   built with a distributed bit_or aggregate (map-side partial
+   aggregation collapses each partition to one array before the
+   1-row shuffle).
+2. The single-row filter is broadcast (``m_bits/8`` bytes — a 1 MiB
+   filter covers ~1.4 M keys at 1% fp with k=7) and every fact row
+   probes k positions with a scan-stage JVM expression — no Python,
+   no shuffle, whole-stage codegen.
+3. Rows passing the probe proceed to the EXACT join, which removes
+   the false positives. The composition is therefore semantically
+   identical to the plain join — the Bloom stage only changes how
+   many rows reach the exchange.
+
+All hashes are ``xxhash64(key, seed)``: deterministic across runs,
+partitionings, and cluster sizes (driver hash-compare safe).
+
+Sizing: fp ≈ (1 - e^(-k·n/m))^k. At the default m=2^20, k=7 the
+filter holds ~100k keys under 1% fp; callers with bigger dims pass a
+bigger ``m_bits`` (the build cost is one pass over dim keys either
+way). The win is (1 - selectivity) · fact-shuffle-bytes; at a 1000-
+executor scale that routinely outweighs the broadcast by orders of
+magnitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_bloom(dim: DataFrame, key: str, m_bits: int, k: int) -> DataFrame:
+    """1-row DataFrame ``(bloom: array<bigint>)`` — the filter words.
+
+    Each key sets k bits; bit i lives in word ``pos div 64`` at
+    ``pos mod 64``. The per-(word) bit_or aggregate is decomposable,
+    so Spark's hash aggregate combines map-side and the shuffle moves
+    at most ``m_bits/64`` rows total.
+    """
+    n_words = m_bits // 64
+    positions = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = positions.select(
+        (F.col("pos") / 64).cast("int").alias("w"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")
+        ).alias("bit"),
+    ).groupBy("w").agg(F.bit_or("bit").alias("mask"))
+    # Dense array with zero words for unset slots: element_at is then
+    # a plain O(1) index, and the broadcast payload is fixed-size.
+    return words.select(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("mask")))
+        ).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("bigint")
+            ),
+        ).alias("bloom")
+    )
+
+
+def bloom_probe(col: Column, bloom: Column, m_bits: int, k: int) -> Column:
+    """Boolean scan-stage expression: all k bits set for ``col``."""
+    checks = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bloom, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+        )
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """``fact.join(dim, on)`` with a broadcast Bloom pre-filter on the
+    fact side — identical result, far fewer rows into the exchange.
+
+    The probe is a crossJoin with the broadcast 1-row filter followed
+    by a codegen'd bit test, so it pipelines into the fact scan. The
+    exact join afterwards clears false positives (and AQE will still
+    broadcast the dim side when it fits).
+    """
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    bloom = build_bloom(dim, on, m_bits, k)
+    pruned = (
+        fact.crossJoin(F.broadcast(bloom))
+        .filter(bloom_probe(F.col(on), F.col("bloom"), m_bits, k))
+        .drop("bloom")
+    )
+    return pruned.join(dim, on)

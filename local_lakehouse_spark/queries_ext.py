@@ -2093,6 +2093,53 @@ ORDER BY id_a, id_b
 """
 
 
+def x61(spark, sf):
+    """Bloom-prefiltered fact⋈dim join + revenue rollup
+    (operators/bloomjoin.bloom_prefilter_join): the dim side's keys
+    fold into a broadcast Bloom filter that prunes fact rows in the
+    scan stage, BEFORE the join exchange — the result is provably
+    identical to the plain join, so the plain join IS the oracle.
+
+    Revenue is summed in integer ten-thousandths (per-row FLOOR
+    rounding, identical double arithmetic in both engines) so the
+    aggregate is order-independent and hash-exact.
+    """
+    from .operators.bloomjoin import bloom_prefilter_join
+
+    fact = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        t(spark, sf, "part")
+        .filter(F.col("p_size") <= 2)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    joined = bloom_prefilter_join(fact, dim, "l_partkey", m_bits=1 << 20, k=7)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents).alias("revenue_e4"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+X61_SQL = r"""
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 2
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2154,4 +2201,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x58_sliding_window": QuerySpec(x58, X58_SQL),
     "x59_count_min_sketch": QuerySpec(x59, X59_SQL),
     "x60_sparse_cosine_pairs": QuerySpec(x60, X60_SQL),
+    "x61_bloom_join": QuerySpec(x61, X61_SQL),
 }

@@ -1138,3 +1138,46 @@ def test_connected_components_pointer_doubling_long_path(spark):
         comp = {r.id: r.component for r in out.collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 61
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    """Bloom pruning + exact join ≡ plain join, even when the filter
+    is deliberately tiny (64 bits for 40 keys → false positives all
+    but guaranteed — the exact join must clear every one)."""
+    from local_lakehouse_spark.operators.bloomjoin import (
+        bloom_prefilter_join,
+        build_bloom,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i % 200, i) for i in range(2000)], "k long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(i * 5, f"d{i}") for i in range(40)], "k long, name string"
+    )
+    for m_bits in (64, 1 << 16):
+        got = bloom_prefilter_join(fact, dim, "k", m_bits=m_bits, k=3)
+        plain = fact.join(dim, "k")
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+    # no false negatives ever: every true key passes the probe
+    bloom = build_bloom(dim, "k", 1 << 16, 7)
+    passed = (
+        fact.join(dim.select("k"), "k")
+        .crossJoin(F.broadcast(bloom))
+        .filter(~bloom_probe(F.col("k"), F.col("bloom"), 1 << 16, 7))
+        .count()
+    )
+    assert passed == 0
+
+
+def test_bloom_join_rejects_bad_m_bits(spark):
+    import pytest as _pytest
+
+    from local_lakehouse_spark.operators.bloomjoin import bloom_prefilter_join
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        bloom_prefilter_join(df, df, "k", m_bits=100)
