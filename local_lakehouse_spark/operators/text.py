@@ -676,3 +676,90 @@ def bigram_lm(
         )
         .orderBy("w1", "w2")
     )
+
+
+def bpe_merge_steps(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first
+    ``n_merges`` merge rules over the corpus.
+
+    The textbook algorithm (Sennrich et al. 2016, public): start from
+    characters, repeatedly (1) count adjacent token pairs corpus-wide,
+    (2) merge the most frequent pair everywhere. Counting runs on the
+    WORD-FREQUENCY table, not raw tokens — the classic optimization
+    that makes each round O(|vocab|), not O(|corpus|).
+
+    Distribution shape per round: one groupBy over vocab for pair
+    counts (map-side combined), a driver fetch of ONE winning pair
+    (16 bytes — the same bounded-scalar pattern as x33's convergence
+    check), then a scan-stage higher-order ``aggregate`` fold that
+    applies the merge greedily left-to-right inside each word. No
+    Python UDFs, no unbounded collect; ``n_merges`` linear rounds.
+
+    The fold encodes greedy non-overlap exactly: walking tokens
+    left-to-right, when the accumulator's last token is ``a`` and the
+    next is ``b`` they merge, and the merged token cannot serve as
+    the ``a`` of an immediately following occurrence (so pair (l,l)
+    on "h e l l o" yields "h e ll o", and (a,a) on "a a a" yields
+    "aa a") — byte-identical to the reference algorithm and to the
+    DuckDB ``list_reduce`` twin.
+
+    Ties break on (count DESC, pair-string ASC): deterministic across
+    engines for the ASCII corpus.
+
+    Returns ``(step, lhs, rhs, merged, pair_count)`` — the learned
+    merge table, which IS the artifact a tokenizer trainer persists.
+    """
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    toks = vocab.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("tk"), "cnt"
+    )
+
+    rules: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        ta = F.split(F.col("tk"), " ")
+        pairs = F.transform(
+            F.slice(ta, 2, F.size(ta) - 1),
+            lambda x, i: F.concat(
+                F.element_at(ta, i + 1), F.lit(" "), x
+            ),
+        )
+        best = (
+            toks.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, pair_count = best[0]["pair"], int(best[0]["pair_count"])
+        a, b = pair.split(" ", 1)
+        rules.append((step, a, b, a + b, pair_count))
+
+        tail_len = len(a) + 1
+        toks = toks.select(
+            F.aggregate(
+                F.slice(ta, 2, F.size(ta) - 1),
+                F.element_at(ta, 1),
+                lambda acc, x: F.when(
+                    (x == F.lit(b))
+                    & (
+                        (acc == F.lit(a))
+                        | (F.substring(acc, -tail_len, tail_len) == F.lit(" " + a))
+                    ),
+                    F.concat(acc, x),
+                ).otherwise(F.concat(acc, F.lit(" "), x)),
+            ).alias("tk"),
+            "cnt",
+        )
+
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )

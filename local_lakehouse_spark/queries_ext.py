@@ -2140,6 +2140,61 @@ ORDER BY p_brand
 """
 
 
+def x62(spark, sf):
+    """First 3 BPE merge rules learned over the corpus
+    (operators/text.bpe_merge_steps) — distributed tokenizer
+    training. The oracle unrolls the identical 3 rounds in DuckDB
+    CTEs with a captured-column list_reduce as the merge fold."""
+    from .operators.text import bpe_merge_steps
+
+    return bpe_merge_steps(t(spark, sf, "documents"), "text", 3).orderBy("step")
+
+
+# One BPE round as a pair of CTEs: pN = corpus-wide pair counts from
+# vN-1, bN = the winning pair, vN = vN-1 with the merge applied by a
+# greedy left-to-right fold (same non-overlap rule as the Spark
+# aggregate() lambda).
+def _bpe_round(i: int) -> str:
+    p, b, v_in = f"p{i}", f"b{i}", f"v{i-1}"
+    return f"""
+{p} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT unnest(list_transform(list_zip(ws[1:len(ws) - 1], ws[2:]),
+                                 z -> z[1] || ' ' || z[2])) AS pair, cnt
+    FROM (SELECT string_split(tk, ' ') AS ws, cnt FROM {v_in}))
+  GROUP BY pair),
+{b} AS (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b,
+         pair_count
+  FROM {p} ORDER BY pair_count DESC, pair ASC LIMIT 1),
+v{i} AS (
+  SELECT list_reduce(string_split(tk, ' '),
+           (acc, x) -> CASE WHEN x = {b}.b AND (acc = {b}.a OR
+                              right(acc, length({b}.a) + 1) = ' ' || {b}.a)
+                       THEN acc || x ELSE acc || ' ' || x END) AS tk, cnt
+  FROM {v_in}, {b})"""
+
+
+X62_SQL = (
+    r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+v0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS tk, COUNT(*) AS cnt
+  FROM words WHERE w <> '' GROUP BY 1),"""
+    + ",".join(_bpe_round(i) for i in (1, 2, 3))
+    + """
+SELECT * FROM (
+  SELECT 1 AS step, a AS lhs, b AS rhs, a || b AS merged, pair_count FROM b1
+  UNION ALL
+  SELECT 2, a, b, a || b, pair_count FROM b2
+  UNION ALL
+  SELECT 3, a, b, a || b, pair_count FROM b3)
+ORDER BY step
+"""
+)
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2202,4 +2257,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x59_count_min_sketch": QuerySpec(x59, X59_SQL),
     "x60_sparse_cosine_pairs": QuerySpec(x60, X60_SQL),
     "x61_bloom_join": QuerySpec(x61, X61_SQL),
+    "x62_bpe_merges": QuerySpec(x62, X62_SQL),
 }

@@ -1181,3 +1181,30 @@ def test_bloom_join_rejects_bad_m_bits(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         bloom_prefilter_join(df, df, "k", m_bits=100)
+
+
+def test_bpe_merge_steps_matches_textbook_algorithm(spark):
+    """Greedy non-overlap semantics: (l,l) on 'hello' merges once;
+    (a,a) on 'aaa' yields 'aa a'; multi-round merges build on prior
+    merged tokens."""
+    from local_lakehouse_spark.operators.text import bpe_merge_steps
+
+    docs = spark.createDataFrame(
+        [("hello hello help hero",), ("hello aaa",)], "text string"
+    )
+    rules = [tuple(r) for r in bpe_merge_steps(docs, "text", 4).collect()]
+    assert rules == [
+        (1, "h", "e", "he", 5),
+        (2, "he", "l", "hel", 4),
+        (3, "hel", "l", "hell", 3),
+        (4, "hell", "o", "hello", 3),
+    ]
+
+
+def test_bpe_merge_steps_exhausts_gracefully(spark):
+    """Asking for more merges than pairs exist stops early."""
+    from local_lakehouse_spark.operators.text import bpe_merge_steps
+
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    rules = [tuple(r) for r in bpe_merge_steps(docs, "text", 5).collect()]
+    assert rules == [(1, "a", "b", "ab", 2)]
