@@ -158,3 +158,38 @@ def mixture_sample(
         .filter(_bucket(F.col(id_col), salt) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep k
+    rows with inclusion probability proportional to ``weight_col``
+    (importance-weighted corpus selection — e.g. sample documents
+    ∝ length or quality score, reproducibly).
+
+    A-ES exponential ranking (Efraimidis & Spirakis 2006, public):
+    each row draws u ∈ (0,1] and ranks by u^(1/w); the top-k ranks
+    form an exact weighted sample without replacement. We rank by the
+    monotone-equivalent ln(u)/w (no pow), with u derived from the
+    48-bit md5 integer — the same engine-portable uniform the sketch
+    family uses — so every run, partitioning, and engine draws the
+    SAME sample.
+
+    Scale: the ranking key is a scan-stage expression; top-k is
+    Spark's distributed TakeOrdered (per-partition heaps → merge of k
+    candidates per partition), never a full sort.
+    """
+    from .sketches import _md5_u48
+
+    u = (
+        _md5_u48(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+        + 1
+    ) / F.lit(float(1 << 48))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__aes_key", key)
+        .orderBy(F.desc("__aes_key"), F.col(id_col))
+        .limit(k)
+        .drop("__aes_key")
+    )

@@ -2195,6 +2195,31 @@ ORDER BY step
 )
 
 
+def x63(spark, sf):
+    """Length-weighted deterministic document sample
+    (operators/sampling.weighted_sample_topk): inclusion probability
+    ∝ n_chars, reproducible across engines via the shared 48-bit md5
+    uniform. The oracle ranks by the identical ln(u)/w key."""
+    from .operators.sampling import weighted_sample_topk
+
+    docs = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=100).orderBy(
+        "doc_id"
+    )
+
+
+X63_SQL = r"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ln(((md5_number_lower('|' || CAST(doc_id AS VARCHAR))
+              & 281474976710655) + 1) / 281474976710656.0)
+           / CAST(n_chars AS DOUBLE) AS aes_key
+  FROM documents
+  ORDER BY aes_key DESC, doc_id LIMIT 100)
+ORDER BY doc_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2258,4 +2283,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x60_sparse_cosine_pairs": QuerySpec(x60, X60_SQL),
     "x61_bloom_join": QuerySpec(x61, X61_SQL),
     "x62_bpe_merges": QuerySpec(x62, X62_SQL),
+    "x63_weighted_sample": QuerySpec(x63, X63_SQL),
 }

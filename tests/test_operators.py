@@ -1208,3 +1208,26 @@ def test_bpe_merge_steps_exhausts_gracefully(spark):
     docs = spark.createDataFrame([("ab ab",)], "text string")
     rules = [tuple(r) for r in bpe_merge_steps(docs, "text", 5).collect()]
     assert rules == [(1, "a", "b", "ab", 2)]
+
+
+def test_weighted_sample_topk_favors_heavy_weights(spark):
+    """A-ES: 100 heavy (w=200) vs 900 light (w=1) items — the top-100
+    sample must be dominated by heavy items, and be deterministic."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, F.lit(200.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    s1 = sorted(r.id for r in weighted_sample_topk(df, "id", "w", 100).collect())
+    s2 = sorted(r.id for r in weighted_sample_topk(df, "id", "w", 100).collect())
+    assert s1 == s2
+    heavy = sum(1 for i in s1 if i < 100)
+    assert heavy > 70  # E[heavy] ≈ 95; light-only dominance impossible
+    # different salt → different sample
+    s3 = sorted(
+        r.id for r in weighted_sample_topk(df, "id", "w", 100, salt="2").collect()
+    )
+    assert s3 != s1
