@@ -2220,6 +2220,29 @@ ORDER BY doc_id
 """
 
 
+def x64(spark, sf):
+    """Pareto frontier over parts — cheapest price vs largest size
+    (operators/pareto.pareto_frontier_2d): prefix-max scan instead of
+    the oracle's quadratic NOT EXISTS self-join."""
+    from .operators.pareto import pareto_frontier_2d
+
+    parts = t(spark, sf, "part").select("p_partkey", "p_retailprice", "p_size")
+    return pareto_frontier_2d(parts, "p_retailprice", "p_size").orderBy(
+        "p_partkey"
+    )
+
+
+X64_SQL = r"""
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+ORDER BY p_partkey
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2284,4 +2307,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x61_bloom_join": QuerySpec(x61, X61_SQL),
     "x62_bpe_merges": QuerySpec(x62, X62_SQL),
     "x63_weighted_sample": QuerySpec(x63, X63_SQL),
+    "x64_pareto_frontier": QuerySpec(x64, X64_SQL),
 }

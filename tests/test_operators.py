@@ -1231,3 +1231,32 @@ def test_weighted_sample_topk_favors_heavy_weights(spark):
         r.id for r in weighted_sample_topk(df, "id", "w", 100, salt="2").collect()
     )
     assert s3 != s1
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Randomized frontier vs the quadratic dominance definition,
+    including duplicate (price, size) points (both must survive)."""
+    import random
+
+    from local_lakehouse_spark.operators.pareto import pareto_frontier_2d
+
+    random.seed(11)
+    rows = [(i, float(random.randint(0, 30)), random.randint(0, 40))
+            for i in range(300)]
+    rows += [(1000, 5.0, 35), (1001, 5.0, 35)]  # exact duplicates
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(r.id for r in pareto_frontier_2d(df, "price", "size").collect())
+    ref = sorted(
+        i for (i, p, s) in rows
+        if not any(q[1] <= p and q[2] >= s and (q[1] < p or q[2] > s)
+                   for q in rows)
+    )
+    assert got == ref
+    # shuffle-join path gives the same frontier
+    got2 = sorted(
+        r.id
+        for r in pareto_frontier_2d(
+            df, "price", "size", broadcast_domain=False
+        ).collect()
+    )
+    assert got2 == ref
