@@ -2264,6 +2264,37 @@ SELECT node, depth FROM tree ORDER BY node
 """
 
 
+def q67(spark, sf):
+    """CUBE: all 2^n grouping combinations in ONE Expand + hash agg
+    pass — completes the multi-aggregation family with q19 (ROLLUP)
+    and q46 (GROUPING SETS)."""
+    _register(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+Q67_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio,
+         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2335,4 +2366,5 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q64_argmax_aggregation": QuerySpec(q64, Q64_SQL),
     "q65_multiset_ops": QuerySpec(q65, Q65_SQL),
     "q66_recursive_cte": QuerySpec(q66, Q66_SQL),
+    "q67_cube": QuerySpec(q67, Q67_SQL),
 }

@@ -1207,8 +1207,9 @@ def x33(spark, sf):
     return dedup_clusters(pairs).orderBy("id")
 
 
-X33_SQL = rf"""
-WITH RECURSIVE {_SHINGLES_CTE},
+# Transitive closure of x02's 0.8-Jaccard matches — shared by x33
+# (cluster assignment) and x65 (survivor selection).
+_REACH_CTES = rf"""{_SHINGLES_CTE},
  ex AS (SELECT id, unnest(shingles) AS s FROM sh),
  sizes AS (SELECT id, len(shingles) AS sz FROM sh),
  pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
@@ -1223,7 +1224,10 @@ WITH RECURSIVE {_SHINGLES_CTE},
  reach(u, r) AS (
    SELECT DISTINCT u, u FROM edges
    UNION
-   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)"""
+
+X33_SQL = rf"""
+WITH RECURSIVE {_REACH_CTES}
 SELECT u AS id, MIN(r) AS keep_id FROM reach GROUP BY u ORDER BY id
 """
 
@@ -2243,6 +2247,56 @@ ORDER BY p_partkey
 """
 
 
+def x65(spark, sf):
+    """End-to-end dedup with survivor selection: x02 matches →
+    connected components → every document assigned a cluster
+    (singletons are their own cluster) → per-cluster canonical doc =
+    longest text, ties to the smallest doc_id. The `keep` column IS
+    the dedup decision a corpus build applies.
+
+    Scale shape: the clustering reuses the sub-quadratic blocked pair
+    generation + pointer-doubling components; survivor choice is one
+    window over cluster_id (single shuffle)."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import dedup_clusters
+
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+    clusters = dedup_clusters(pairs)
+    assign = docs.join(
+        clusters, docs["doc_id"] == clusters["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("keep_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        assign.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id")
+    )
+
+
+X65_SQL = rf"""
+WITH RECURSIVE {_REACH_CTES},
+ comp AS (SELECT u AS id, MIN(r) AS keep_id FROM reach GROUP BY u),
+ assign AS (
+   SELECT d.doc_id, COALESCE(c.keep_id, d.doc_id) AS cluster_id, d.n_chars
+   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+ ranked AS (
+   SELECT doc_id, cluster_id,
+          ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id) AS rn
+   FROM assign)
+SELECT doc_id, cluster_id, rn = 1 AS keep FROM ranked ORDER BY doc_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2308,4 +2362,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x62_bpe_merges": QuerySpec(x62, X62_SQL),
     "x63_weighted_sample": QuerySpec(x63, X63_SQL),
     "x64_pareto_frontier": QuerySpec(x64, X64_SQL),
+    "x65_dedup_survivors": QuerySpec(x65, X65_SQL),
 }
