@@ -140,3 +140,60 @@ def dedup_clusters(
     """
     comp = connected_components(pairs, id_a, id_b)
     return comp.select("id", F.col("component").alias("keep_id"))
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank (Page et al. 1999) in FIXED-POINT integer arithmetic:
+    ranks are integers in units of 1/``scale``, every step is bigint
+    DIV / multiply / sum — so the result is bit-identical across
+    engines, partitionings, and summation orders (double-based
+    PageRank sums floats in nondeterministic order and can never be
+    hash-compared). The recurrence per iteration:
+
+        contrib(u) = r(u) DIV outdeg(u)
+        r'(v)      = BASE + (damping_pct · Σ_{u→v} contrib(u)) DIV 100
+        BASE       = ((100 - damping_pct) · (scale DIV N)) DIV 100
+
+    Truncation loses < 1/scale per op — at the default 1e-12 units it
+    is far below any ranking-relevant difference.
+
+    Distribution: each iteration is ONE shuffle join (ranks ⋈ edges
+    on src — ranks is the small side and AQE broadcasts it for
+    dimension-sized graphs) + one groupBy(dst) sum with map-side
+    combine. Ranks materialize per round via localCheckpoint, the
+    same iterative-plan hygiene as connected_components. Nodes are
+    derived from edge endpoints; callers pass a symmetrized edge
+    list for undirected graphs (no dangling mass handling — every
+    node then has outdeg ≥ 1).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = nodes.count()
+    base = ((100 - damping_pct) * (scale // n)) // 100
+
+    ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"])
+            .select("node", F.expr("r DIV outdeg").alias("c"))
+        )
+        ranks = (
+            e.join(contrib, e["src"] == contrib["node"])
+            .groupBy(e["dst"].alias("node"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * sum(c)) DIV 100")
+                ).alias("r")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

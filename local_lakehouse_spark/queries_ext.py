@@ -2297,6 +2297,70 @@ SELECT doc_id, cluster_id, rn = 1 AS keep FROM ranked ORDER BY doc_id
 """
 
 
+def x66(spark, sf):
+    """PageRank over the part co-occurrence graph (parts sharing an
+    order — the market-basket graph), 5 fixed-point iterations
+    (operators/graph.pagerank_fixedpoint). Integer units of 1e-12
+    make every engine compute bit-identical ranks; the oracle unrolls
+    the same 5 iterations in CTEs."""
+    from .operators.graph import pagerank_fixedpoint
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    pr = pagerank_fixedpoint(edges, n_iter=5)
+    return (
+        pr.orderBy(F.desc("r"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("part_id"), F.col("r").alias("rank_e12"))
+        .orderBy(F.desc("rank_e12"), F.asc("part_id"))
+    )
+
+
+_PR_SCALE = 10**12
+
+
+def _pr_round(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+r{i} AS (
+  SELECT e.dst AS node,
+         (SELECT (15 * ({_PR_SCALE} // n)) // 100 FROM stats)
+           + (85 * SUM(r.r // o.od)) // 100 AS r
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst)"""
+
+
+X66_SQL = (
+    f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+stats AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+r0 AS (SELECT node, {_PR_SCALE} // n AS r
+       FROM (SELECT DISTINCT src AS node FROM edges), stats),"""
+    + ",".join(_pr_round(i) for i in (1, 2, 3, 4, 5))
+    + """
+SELECT node AS part_id, CAST(r AS BIGINT) AS rank_e12
+FROM r5 ORDER BY rank_e12 DESC, part_id LIMIT 20
+"""
+)
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2363,4 +2427,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x63_weighted_sample": QuerySpec(x63, X63_SQL),
     "x64_pareto_frontier": QuerySpec(x64, X64_SQL),
     "x65_dedup_survivors": QuerySpec(x65, X65_SQL),
+    "x66_pagerank": QuerySpec(x66, X66_SQL),
 }

@@ -1260,3 +1260,20 @@ def test_pareto_frontier_matches_bruteforce(spark):
         ).collect()
     )
     assert got2 == ref
+
+
+def test_pagerank_fixedpoint_star_and_symmetry(spark):
+    """On a symmetric star the hub outranks every leaf and all
+    leaves tie exactly (integer arithmetic — no float jitter); total
+    mass stays ≈ scale (truncation only shrinks it)."""
+    from local_lakehouse_spark.operators.graph import pagerank_fixedpoint
+
+    hub, leaves = 0, [1, 2, 3, 4, 5]
+    edges = [(hub, l) for l in leaves] + [(l, hub) for l in leaves]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.r for r in pagerank_fixedpoint(e, n_iter=10).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4, 5}
+    assert all(ranks[hub] > ranks[l] for l in leaves)
+    assert len({ranks[l] for l in leaves}) == 1
+    total = sum(ranks.values())
+    assert 0.99 * 10**12 < total <= 10**12
