@@ -48,6 +48,8 @@ _CHANGED_THIS_ROUND = [
     "x63_weighted_sample",  # new this round
     "x64_pareto_frontier",  # new this round
     "x65_dedup_survivors",  # new this round
+    "x66_pagerank",  # new this round
+    "x67_pmi_collocations",  # new this round
     "x35_audio_features",  # new this round (real WAV decode)
     "x36_streaming_left_outer_join",  # new this round
     "x37_histogram_quantiles",  # new this round
@@ -57,7 +59,6 @@ _CHANGED_THIS_ROUND = [
     "x40_decontaminate",  # new this round
     "x41_vocab_zipf",  # new this round
     "x42_tfidf_top_terms",  # new this round
-    "x43_word_rarity",  # new this round
     "x44_funnel_stages",  # new this round
     "x45_cohort_retention",  # new this round
     "q63_time_range_frame",  # new this round
@@ -70,7 +71,6 @@ _CHANGED_THIS_ROUND = [
     "x50_stateful_running_totals",  # new this round
     "x51_groupwise_regression",  # new this round
     "x54_data_quality_report",  # new this round
-    "x56_contamination_matrix",  # new this round
     "x57_embedding_audit",  # new this round
     "x59_count_min_sketch",  # new this round
 ]
@@ -80,6 +80,8 @@ _PRIORITY = (
     + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
     # first in line beyond the 50-query cap (see ordering note above)
     + [
+        "x43_word_rarity",
+        "x56_contamination_matrix",
         "x03_dedup_minhash_lsh",
         "x04_dedup_simhash",
         "x46_streaming_rollup_delta",

@@ -763,3 +763,66 @@ def bpe_merge_steps(
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990): PMI(a,b) = ln( c(ab)·W / (c(a)·c(b)) ) with W the
+    corpus word count — the phrase-mining step that finds multiword
+    units ("new york") worth treating as single tokens.
+
+    Determinism: counts are exact integers; the PMI itself is ONE
+    double expression per surviving bigram (ratio → ln → floor-round
+    to 1e-4) — no accumulation of floats, so both engines produce the
+    identical value (the same contract BM25/x34 relies on).
+
+    Scale shape: bigrams from a row-side zip (zero shuffle), one
+    pair-count agg, one unigram agg, two joins on word keys (the
+    unigram side is vocabulary-sized; AQE broadcasts it when small),
+    then distributed TakeOrdered for the top-k.
+    """
+    w = _words(F.col(text_col))
+    words = df.select(F.explode(w).alias("wd"))
+    uni = words.groupBy("wd").agg(F.count(F.lit(1)).alias("cnt"))
+    total = words.count()
+
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    scored = (
+        pc.join(uni.select(F.col("wd").alias("w1"), F.col("cnt").alias("c1")), "w1")
+        .join(uni.select(F.col("wd").alias("w2"), F.col("cnt").alias("c2")), "w2")
+        .withColumn(
+            "pmi_e4",
+            F.floor(
+                F.log(
+                    F.col("pair_count").cast("double")
+                    * F.lit(float(total))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                )
+                * 10000
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_e4"), "w1", "w2")
+        .limit(k)
+        .select("w1", "w2", "pair_count", "pmi_e4")
+    )

@@ -2361,6 +2361,42 @@ FROM r5 ORDER BY rank_e12 DESC, part_id LIMIT 20
 )
 
 
+def x67(spark, sf):
+    """Top-30 PMI collocations (operators/text.pmi_collocations) —
+    phrase mining for tokenizer/vocab decisions. Exact integer counts
+    + one ln per bigram, floor-rounded to 1e-4 (the x34/BM25 exact-
+    double contract)."""
+    from .operators.text import pmi_collocations
+
+    return pmi_collocations(
+        t(spark, sf, "documents"), "text", min_count=5, k=30
+    ).orderBy(F.desc("pmi_e4"), "w1", "w2")
+
+
+X67_SQL = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS wd FROM documents),
+uni AS (SELECT wd, COUNT(*) AS cnt FROM words GROUP BY wd),
+tot AS (SELECT COUNT(*) AS w FROM words),
+pairs AS (
+  SELECT p[1] AS w1, p[2] AS w2 FROM (
+    SELECT unnest(list_transform(list_zip(ws[1:len(ws) - 1], ws[2:]),
+                                 z -> [z[1], z[2]])) AS p
+    FROM (SELECT string_split_regex(text, '\s+') AS ws FROM documents))),
+pc AS (
+  SELECT w1, w2, COUNT(*) AS pair_count
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+scored AS (
+  SELECT w1, w2, pair_count,
+         CAST(FLOOR(ln(pair_count * (SELECT w FROM tot)
+                       / (u1.cnt * u2.cnt)) * 10000 + 0.5) AS BIGINT)
+           AS pmi_e4
+  FROM pc JOIN uni u1 ON u1.wd = w1 JOIN uni u2 ON u2.wd = w2)
+SELECT w1, w2, pair_count, pmi_e4
+FROM scored ORDER BY pmi_e4 DESC, w1, w2 LIMIT 30
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2428,4 +2464,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x64_pareto_frontier": QuerySpec(x64, X64_SQL),
     "x65_dedup_survivors": QuerySpec(x65, X65_SQL),
     "x66_pagerank": QuerySpec(x66, X66_SQL),
+    "x67_pmi_collocations": QuerySpec(x67, X67_SQL),
 }

@@ -1277,3 +1277,17 @@ def test_pagerank_fixedpoint_star_and_symmetry(spark):
     assert len({ranks[l] for l in leaves}) == 1
     total = sum(ranks.values())
     assert 0.99 * 10**12 < total <= 10**12
+
+
+def test_pmi_collocations_finds_planted_phrase(spark):
+    """A bigram that always co-occurs ('new york') outranks frequent
+    independent words."""
+    from local_lakehouse_spark.operators.text import pmi_collocations
+
+    rows = [("new york is big and the the the the is is and big",)] * 5
+    df = spark.createDataFrame(rows, "text string")
+    out = pmi_collocations(df, "text", min_count=5, k=5).collect()
+    assert out, "no collocations found"
+    top = out[0]
+    assert (top.w1, top.w2) == ("new", "york")
+    assert top.pair_count == 5
