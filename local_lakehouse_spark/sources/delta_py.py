@@ -31,11 +31,16 @@ implements the subset the reference exercises
   ``convert_to_delta`` (register existing parquet in place), and
   ``restore`` (metadata-only RESTORE TO VERSION AS OF commit).
 
+- concurrency: put-if-absent version files + optimistic retry for
+  BLIND APPENDS (an append that read no table data commutes with any
+  concurrent data commit, so the loser re-reads the log and retries
+  at the next version — the protocol's conflict-resolution model);
+  read-dependent writes (overwrite, replaceWhere) and concurrent
+  schema changes raise ``ConcurrentModificationError``.
+
 NOT implemented (documented limits, not silent gaps): deletion
-vectors, column mapping, and multi-writer retry (single-process
-sandbox; a conflict raises ``ConcurrentModificationError``). When
-``delta-spark`` is importable, io.py prefers it and this module is
-never used.
+vectors and column mapping. When ``delta-spark`` is importable,
+io.py prefers it and this module is never used.
 
 Scale notes: data files are written DISTRIBUTED by Spark (the move
 into place is a per-file rename, metadata cost only); reads hand
@@ -598,7 +603,39 @@ def write_delta(
             }
         }
     )
-    log.commit(version, actions)
+    # Optimistic concurrency (the protocol's conflict-resolution
+    # model): losing a version race re-reads the log and decides by
+    # operation semantics. A BLIND APPEND (no reads of table data: no
+    # overwrite, no replaceWhere, no schema change) commutes with any
+    # concurrent data commit, so it retries with the next version —
+    # this is exactly how delta writers let N appenders make progress.
+    # Read-dependent writes (overwrite/replaceWhere based on OUR base
+    # snapshot) and metadata changes must surface the conflict.
+    blind_append = (
+        mode == "append"
+        and snap is not None
+        and replace_where is None
+        and not meta_changed
+    )
+    for _attempt in range(64):
+        try:
+            log.commit(version, actions)
+            break
+        except ConcurrentModificationError:
+            if not blind_append:
+                raise
+            newest = log.snapshot()
+            if newest.schema.json() != snap.schema.json() or (
+                newest.metadata.get("id") != meta_id
+            ):
+                # concurrent schema evolution / table replacement —
+                # the append's target no longer exists as written
+                raise
+            version = newest.version + 1
+    else:
+        raise ConcurrentModificationError(
+            f"append to {path} lost {64} version races; giving up"
+        )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return log.snapshot(version)

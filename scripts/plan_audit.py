@@ -49,6 +49,8 @@ ALLOW_NESTED_LOOP = {
     "x41_vocab_zipf",      # 1-row total-words scalar broadcast
     "x42_tfidf_top_terms",  # 1-row n_docs scalar broadcast
     "x43_word_rarity",     # 1-row total-words scalar broadcast
+    "x60_sparse_cosine_pairs",  # 1-row n_docs scalar broadcast (idf)
+    "x61_bloom_join",      # 1-row Bloom bit-array broadcast IS the op
 }
 
 

@@ -309,3 +309,83 @@ def test_time_travel_across_schema_change(spark, tbl):
     )
     assert read_delta(spark, tbl, version=0).columns == ["id", "s"]
     assert read_delta(spark, tbl, version=1).columns == ["only"]
+
+
+def test_blind_append_retries_past_version_race(spark, tbl, monkeypatch):
+    """Optimistic concurrency: a blind append that loses the version
+    race re-reads the log and commits at the next version — both
+    writers' rows land. Deterministic race: the first commit attempt
+    is preceded by an injected competing append."""
+    write_delta(spark, spark.range(3).selectExpr("id"), tbl)
+
+    real_commit = DeltaLog.commit
+    injected = {"done": False}
+
+    def racing_commit(self, version, actions):
+        if not injected["done"]:
+            injected["done"] = True
+            # a competing writer lands the same version first
+            real_commit(self, version, [
+                {"commitInfo": {"operation": "WRITE",
+                                "engineInfo": "competing-writer"}}
+            ])
+        return real_commit(self, version, actions)
+
+    monkeypatch.setattr(DeltaLog, "commit", racing_commit)
+    write_delta(
+        spark, spark.range(100, 102).selectExpr("id"), tbl, mode="append"
+    )
+    monkeypatch.undo()
+
+    log = DeltaLog(tbl)
+    assert log.versions() == [0, 1, 2]  # base, competitor, retried append
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [0, 1, 2, 100, 101]
+
+
+def test_overwrite_does_not_retry_past_conflict(spark, tbl, monkeypatch):
+    """Read-dependent writes must surface the conflict, not retry."""
+    write_delta(spark, spark.range(3).selectExpr("id"), tbl)
+
+    real_commit = DeltaLog.commit
+    injected = {"done": False}
+
+    def racing_commit(self, version, actions):
+        if not injected["done"]:
+            injected["done"] = True
+            real_commit(self, version, [
+                {"commitInfo": {"operation": "WRITE"}}
+            ])
+        return real_commit(self, version, actions)
+
+    monkeypatch.setattr(DeltaLog, "commit", racing_commit)
+    with pytest.raises(ConcurrentModificationError):
+        write_delta(
+            spark, spark.range(5).selectExpr("id"), tbl, mode="overwrite"
+        )
+
+
+def test_concurrent_appends_from_threads(spark, tbl):
+    """Two real appends racing from threads: whatever the
+    interleaving, both succeed (at worst via retry) and every row
+    lands exactly once."""
+    import threading
+
+    write_delta(spark, spark.range(1).selectExpr("id"), tbl)
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def appender(lo):
+        try:
+            df = spark.range(lo, lo + 2).selectExpr("id")
+            barrier.wait()
+            write_delta(spark, df, tbl, mode="append")
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors.append(exc)
+
+    ts = [threading.Thread(target=appender, args=(lo,)) for lo in (10, 20)]
+    [th.start() for th in ts]
+    [th.join() for th in ts]
+    assert not errors
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [0, 10, 11, 20, 21]
