@@ -51,6 +51,10 @@ EXTENDED = [
     "x49_corpus_pipeline",
     "q63_time_range_frame",
     "x51_groupwise_regression",
+    "x61_bloom_join",
+    "x62_bpe_merges",
+    "x64_pareto_frontier",
+    "x66_pagerank",
 ]
 
 
