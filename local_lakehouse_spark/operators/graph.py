@@ -173,7 +173,13 @@ def pagerank_fixedpoint(
     list for undirected graphs (no dangling mass handling — every
     node then has outdeg ≥ 1).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list ONCE — it is referenced by outdeg,
+    # the node count, and every iteration's join; without this the
+    # (possibly expensive) upstream edge derivation re-executes per
+    # round.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = e.select(F.col("src").alias("node")).distinct()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     n = nodes.count()
@@ -194,6 +200,12 @@ def pagerank_fixedpoint(
                     + F.expr(f"({damping_pct} * sum(c)) DIV 100")
                 ).alias("r")
             )
-            .localCheckpoint(eager=False)
         )
+        # No per-round checkpoint: each round's output feeds exactly
+        # the next round, so lineage stays LINEAR in n_iter (unlike
+        # connected_components' doubling) and one job pipelines the
+        # whole recurrence. Checkpoint per round only when n_iter is
+        # large enough for planning time to bite.
+        if n_iter > 8:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
