@@ -63,19 +63,22 @@ def build_bloom(dim: DataFrame, key: str, m_bits: int, k: int) -> DataFrame:
             "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")
         ).alias("bit"),
     ).groupBy("w").agg(F.bit_or("bit").alias("mask"))
-    # Dense array with zero words for unset slots: element_at is then
-    # a plain O(1) index, and the broadcast payload is fixed-size.
-    return words.select(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("w"), F.col("mask")))
-        ).alias("m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("bigint")
-            ),
-        ).alias("bloom")
+    # Dense array with zero words for unset slots: element_at on the
+    # probe side is then a plain O(1) index and the broadcast payload
+    # is fixed-size. Built by joining a range frame to the sparse
+    # masks and sorting ONCE — never by per-index lookups into a map
+    # column (Spark map element_at is a linear scan, which would make
+    # this stage O(n_words²)).
+    idx = dim.sparkSession.range(n_words).select(
+        F.col("id").cast("int").alias("w")
+    )
+    dense = idx.join(words, "w", "left").select(
+        F.struct(
+            F.col("w"), F.coalesce("mask", F.lit(0).cast("bigint")).alias("mask")
+        ).alias("s")
+    )
+    return dense.agg(F.array_sort(F.collect_list("s")).alias("ss")).select(
+        F.transform(F.col("ss"), lambda s: s["mask"]).alias("bloom")
     )
 
 

@@ -716,9 +716,13 @@ def bpe_merge_steps(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
     vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    # One corpus scan total: the word-frequency table materializes
+    # once and every round's pair-count job starts from it (the fold
+    # chains re-evaluate per round, but over |vocab| rows, not the
+    # corpus).
     toks = vocab.select(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("tk"), "cnt"
-    )
+    ).localCheckpoint(eager=False)
 
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
