@@ -50,6 +50,7 @@ _CHANGED_THIS_ROUND = [
     "x65_dedup_survivors",  # new this round
     "x66_pagerank",  # new this round
     "x67_pmi_collocations",  # new this round
+    "x68_repeated_spans",  # new this round
     "x35_audio_features",  # new this round (real WAV decode)
     "x36_streaming_left_outer_join",  # new this round
     "x37_histogram_quantiles",  # new this round
@@ -71,7 +72,6 @@ _CHANGED_THIS_ROUND = [
     "x50_stateful_running_totals",  # new this round
     "x51_groupwise_regression",  # new this round
     "x54_data_quality_report",  # new this round
-    "x57_embedding_audit",  # new this round
     "x59_count_min_sketch",  # new this round
 ]
 _PRIORITY = (
@@ -80,6 +80,7 @@ _PRIORITY = (
     + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
     # first in line beyond the 50-query cap (see ordering note above)
     + [
+        "x57_embedding_audit",
         "x43_word_rarity",
         "x56_contamination_matrix",
         "x03_dedup_minhash_lsh",

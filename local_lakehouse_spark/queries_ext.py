@@ -2397,6 +2397,65 @@ FROM scored ORDER BY pmi_e4 DESC, w1, w2 LIMIT 30
 """
 
 
+_SPAN_K = 40  # span length in chars — the "verbatim memorization" unit
+
+
+def x68(spark, sf):
+    """Repeated-substring spans: every length-40 character window
+    that appears verbatim in ≥2 distinct documents (the exact-
+    substring duplication signal of public dedup literature — spans
+    a model would memorize). Sliding windows come from a scan-stage
+    sequence+transform (no shuffle until the span agg).
+
+    Scale note: grouping keys here are the raw 40-char spans so the
+    DuckDB oracle is exact; a 100 TB run would group on xxhash64 of
+    the span first and verify collisions, halving shuffle bytes —
+    same shape, cheaper keys (the x01 pattern).
+    """
+    k = _SPAN_K
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0] — short
+    # texts must yield no spans at all
+    starts = F.when(
+        F.length("text") >= k,
+        F.sequence(F.lit(1), F.length("text") - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts, lambda i: F.substring(F.col("text"), i, k))
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
+        .limit(50)
+    )
+
+
+X68_SQL = rf"""
+WITH spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(text) - {_SPAN_K - 1}, 0) + 1),
+                               i -> substr(text, CAST(i AS INT), {_SPAN_K})))
+           AS span
+  FROM documents)
+SELECT span,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM spans
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span
+LIMIT 50
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2465,4 +2524,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x65_dedup_survivors": QuerySpec(x65, X65_SQL),
     "x66_pagerank": QuerySpec(x66, X66_SQL),
     "x67_pmi_collocations": QuerySpec(x67, X67_SQL),
+    "x68_repeated_spans": QuerySpec(x68, X68_SQL),
 }
