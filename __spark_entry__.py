@@ -51,10 +51,11 @@ _CHANGED_THIS_ROUND = [
     "x66_pagerank",  # new this round
     "x67_pmi_collocations",  # new this round
     "x68_repeated_spans",  # new this round
+    "x69_lm_doc_score",  # new this round
+    "q68_filter_clause",  # new this round
     "x35_audio_features",  # new this round (real WAV decode)
     "x36_streaming_left_outer_join",  # new this round
     "x37_histogram_quantiles",  # new this round
-    "x38_mixture_sample",  # new this round
     "x39_sequence_packing",  # new this round
     "q62_higher_order_fns",  # new this round
     "x40_decontaminate",  # new this round
@@ -71,7 +72,6 @@ _CHANGED_THIS_ROUND = [
     "x49_corpus_pipeline",  # new this round
     "x50_stateful_running_totals",  # new this round
     "x51_groupwise_regression",  # new this round
-    "x54_data_quality_report",  # new this round
     "x59_count_min_sketch",  # new this round
 ]
 _PRIORITY = (
@@ -80,6 +80,8 @@ _PRIORITY = (
     + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
     # first in line beyond the 50-query cap (see ordering note above)
     + [
+        "x38_mixture_sample",
+        "x54_data_quality_report",
         "x57_embedding_audit",
         "x43_word_rarity",
         "x56_contamination_matrix",

@@ -2295,6 +2295,38 @@ ORDER BY g_status, g_prio,
 """
 
 
+def q68(spark, sf):
+    """Aggregate FILTER clause (SQL:2003): per-group conditional
+    aggregates without CASE scaffolding, in one hash-agg pass.
+    Money sums in integer cents (order-independent)."""
+    _register(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                 FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_cents
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+Q68_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS urgent_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2367,4 +2399,5 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q65_multiset_ops": QuerySpec(q65, Q65_SQL),
     "q66_recursive_cte": QuerySpec(q66, Q66_SQL),
     "q67_cube": QuerySpec(q67, Q67_SQL),
+    "q68_filter_clause": QuerySpec(q68, Q68_SQL),
 }

@@ -2456,6 +2456,66 @@ LIMIT 50
 """
 
 
+def x69(spark, sf):
+    """KenLM-style LM quality scoring (the CCNet filtering pattern,
+    public): train the corpus bigram LM (= x48 with min_count=1),
+    then score every document by its mean bigram conditional — docs
+    full of improbable transitions score low and get filtered. All
+    integer milli-units (DIV), so the oracle is exact.
+
+    Scale shape: the LM table is vocab²-bounded (≪ corpus);
+    doc-bigram scoring is one join against it (AQE broadcasts small
+    LMs) + one per-doc agg."""
+    from .operators.text import bigram_lm
+
+    docs = t(spark, sf, "documents")
+    lm = bigram_lm(docs, "doc_id", "text", min_count=1).select(
+        "w1", "w2", "cond_milli"
+    )
+    w = F.split(F.col("text"), r"\s+")
+    doc_pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    return (
+        doc_pairs.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(sum(cond_milli) DIV count(1) AS BIGINT)").alias(
+                "lm_score_milli"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+X69_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+pairs AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, unnest(range(1, greatest(len(ws), 1))) AS r(i)),
+pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM pairs GROUP BY w1, w2),
+marg AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS w1_count
+         FROM pc GROUP BY w1),
+lm AS (SELECT w1, w2, (pair_count * 1000) // w1_count AS cond_milli
+       FROM pc JOIN marg USING (w1))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(cond_milli) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS lm_score_milli
+FROM pairs JOIN lm USING (w1, w2)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2525,4 +2585,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x66_pagerank": QuerySpec(x66, X66_SQL),
     "x67_pmi_collocations": QuerySpec(x67, X67_SQL),
     "x68_repeated_spans": QuerySpec(x68, X68_SQL),
+    "x69_lm_doc_score": QuerySpec(x69, X69_SQL),
 }
