@@ -1,5 +1,10 @@
 """Local mirror of the driver's correctness gate.
 
+With ``--json PATH`` also writes a machine-readable per-query record
+(status ok/skip-oracle/fail, rows, seconds) — committed as
+CORRECTNESS_LOCAL_r{N}.json so rounds have full-inventory evidence
+beyond the driver's 50-query cap.
+
 Runs every entry in __spark_entry__.queries() at the given sf dir,
 runs the matching oracle_sql() through DuckDB on the same parquet
 views, and compares row count, sorted column names, and the full
@@ -39,8 +44,15 @@ def canon(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entry
 
@@ -66,9 +78,14 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
+            results[name] = {"status": "fail", "error": f"spark: {exc}"[:500]}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
+            results[name] = {
+                "status": "rows-only", "rows": len(s_rows),
+                "secs": round(time.time() - t0, 2),
+            }
             print(f"skip-oracle {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -77,6 +94,7 @@ def main() -> int:
             d_rows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
+            results[name] = {"status": "fail", "error": f"duckdb: {exc}"[:500]}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
 
@@ -94,11 +112,32 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diffs}")
         if problems:
             failures.append(name)
+            results[name] = {"status": "fail", "error": "; ".join(problems)[:500]}
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
+            results[name] = {
+                "status": "ok", "rows": len(s_rows),
+                "secs": round(time.time() - t0, 2),
+            }
             print(f"ok    {name}: rows={len(s_rows)} ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json as _json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "n_rows_only": sum(
+                1 for r in results.values() if r["status"] == "rows-only"
+            ),
+            "n_fail": len(failures),
+            "queries": results,
+        }
+        with open(json_path, "w") as jf:
+            _json.dump(summary, jf, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 

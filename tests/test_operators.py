@@ -1291,3 +1291,28 @@ def test_pmi_collocations_finds_planted_phrase(spark):
     top = out[0]
     assert (top.w1, top.w2) == ("new", "york")
     assert top.pair_count == 5
+
+
+def test_bloom_join_empty_dim(spark):
+    """An empty dim side yields an empty join, not an error — the
+    all-zero filter rejects every probe."""
+    from local_lakehouse_spark.operators.bloomjoin import bloom_prefilter_join
+
+    fact = spark.range(100).withColumnRenamed("id", "k")
+    dim = fact.filter("k < 0").withColumn("name", fact["k"].cast("string"))
+    assert bloom_prefilter_join(fact, dim, "k", m_bits=1 << 10, k=3).count() == 0
+
+
+def test_repeated_spans_short_text_guard(spark):
+    """Texts shorter than the span length yield NO spans (the
+    sequence(1, 0) descending-range trap)."""
+    from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "short", "en", "s", 5), (2, "short", "en", "s", 5)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = EXT_QUERY_SPECS["x68_repeated_spans"].fn(spark, d)
+        assert out.count() == 0
