@@ -53,6 +53,7 @@ _CHANGED_THIS_ROUND = [
     "x68_repeated_spans",  # new this round
     "x69_lm_doc_score",  # new this round
     "q68_filter_clause",  # new this round
+    "x70_contiguous_ids",  # new this round
     "x35_audio_features",  # new this round (real WAV decode)
     "x36_streaming_left_outer_join",  # new this round
     "x37_histogram_quantiles",  # new this round
@@ -62,7 +63,6 @@ _CHANGED_THIS_ROUND = [
     "x41_vocab_zipf",  # new this round
     "x42_tfidf_top_terms",  # new this round
     "x44_funnel_stages",  # new this round
-    "x45_cohort_retention",  # new this round
     "q63_time_range_frame",  # new this round
     "q64_argmax_aggregation",  # new this round
     "q65_multiset_ops",  # new this round
@@ -80,6 +80,7 @@ _PRIORITY = (
     + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
     # first in line beyond the 50-query cap (see ordering note above)
     + [
+        "x45_cohort_retention",
         "x38_mixture_sample",
         "x54_data_quality_report",
         "x57_embedding_audit",

@@ -193,3 +193,43 @@ def weighted_sample_topk(
         .limit(k)
         .drop("__aes_key")
     )
+
+
+def contiguous_ids(
+    df: DataFrame, order_col: str, out_col: str = "row_id"
+) -> DataFrame:
+    """Contiguous 1..N ids in ``order_col`` order WITHOUT a global
+    single-task sort — the sample-numbering / sharding step of a
+    training-data build (example ids, shard offsets).
+
+    The naive ``row_number() OVER (ORDER BY ...)`` funnels the whole
+    table through ONE partition. This is the scalable classic
+    instead: range-partition by the order column, rank locally per
+    partition, then add broadcast per-partition offsets (a prefix sum
+    over #partitions counts — the only single-task step, sized
+    O(partitions)). Same two-phase scan as operators/pareto.py.
+
+    Ties in ``order_col`` break by the column's partition-internal
+    sort stability; pass a unique key (the usual case: doc_id) for a
+    fully deterministic assignment.
+    """
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    d = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(order_col)
+    d = d.withColumn("__local_rn", F.row_number().over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__offset")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local_rn") + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__local_rn", "__offset")
+    )

@@ -2516,6 +2516,25 @@ ORDER BY doc_id
 """
 
 
+def x70(spark, sf):
+    """Contiguous training-sample ids over the admitted corpus
+    (operators/sampling.contiguous_ids): 1..N in doc_id order via
+    range-partition + local rank + broadcast offsets — no global
+    single-task sort. Oracle: plain ROW_NUMBER() OVER (ORDER BY)."""
+    from .operators.sampling import contiguous_ids
+
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    return contiguous_ids(docs, "doc_id").orderBy("doc_id")
+
+
+X70_SQL = r"""
+SELECT doc_id, source,
+       ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
+FROM documents
+ORDER BY doc_id
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2586,4 +2605,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x67_pmi_collocations": QuerySpec(x67, X67_SQL),
     "x68_repeated_spans": QuerySpec(x68, X68_SQL),
     "x69_lm_doc_score": QuerySpec(x69, X69_SQL),
+    "x70_contiguous_ids": QuerySpec(x70, X70_SQL),
 }

@@ -1316,3 +1316,20 @@ def test_repeated_spans_short_text_guard(spark):
         ).write.parquet(os.path.join(d, "documents.parquet"))
         out = EXT_QUERY_SPECS["x68_repeated_spans"].fn(spark, d)
         assert out.count() == 0
+
+
+def test_contiguous_ids_dense_and_ordered(spark):
+    """ids are exactly 1..N and monotone in the order column, across
+    an input with many partitions and a skewed distribution."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.operators.sampling import contiguous_ids
+
+    df = spark.range(0, 997, 1, 13).select(
+        (F.col("id") * 7919 % 2000).alias("k"), F.col("id").alias("payload")
+    ).distinct()
+    n = df.count()
+    out = contiguous_ids(df, "k").orderBy("k").collect()
+    assert [r.row_id for r in out] == list(range(1, n + 1))
+    ks = [r.k for r in out]
+    assert ks == sorted(ks)
