@@ -133,3 +133,69 @@ def test_delta_roundtrip_property(spark, tmp_path_factory, data):
         [tuple(r) for r in read_delta(spark, path, version=0).collect()]
     )
     assert v0 == want
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning vs an independent pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(texts: list[str], n: int) -> list[tuple]:
+    """Direct transcription of the textbook algorithm (symbol lists,
+    greedy left-to-right merge) — deliberately NOT the fold used by
+    the Spark implementation, so agreement is meaningful."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(w)] += 1
+    rules = []
+    for step in range(1, n + 1):
+        pc: Counter = Counter()
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += c
+        if not pc:
+            break
+        m = max(pc.values())
+        a, b = min(
+            (p for p, c in pc.items() if c == m),
+            key=lambda p: p[0] + " " + p[1],  # ORDER BY pair-string ASC
+        )
+        rules.append((step, a, b, a + b, m))
+        new_vocab: Counter = Counter()
+        for toks, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return rules
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_matches_independent_reference(spark, texts):
+    from local_lakehouse_spark.operators.text import bpe_merge_steps
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in bpe_merge_steps(df, "text", 3).collect()]
+    assert got == _ref_bpe(texts, 3)
