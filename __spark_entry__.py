@@ -80,6 +80,7 @@ _PRIORITY = (
     + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
     # first in line beyond the 50-query cap (see ordering note above)
     + [
+        "x71_embedding_outliers",
         "x45_cohort_retention",
         "x38_mixture_sample",
         "x54_data_quality_report",

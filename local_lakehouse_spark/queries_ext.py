@@ -2535,6 +2535,61 @@ ORDER BY doc_id
 """
 
 
+def x71(spark, sf):
+    """Embedding outlier detection: per-label integer-quantized
+    centroid (milli-unit FLOOR per element, micro-unit integer mean)
+    → L1 distance per vector → global top-20 outliers. The corrupt-
+    embedding audit that runs before ANN indexing; everything bigint,
+    so the oracle is exact.
+
+    Scale shape: posexplode to (vec, dim) rows in the scan stage, one
+    (label, dim) centroid agg (map-side combined, output = labels ×
+    dims rows — tiny, broadcast back), one per-vector agg, then
+    distributed TakeOrdered."""
+    emb = t(spark, sf, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("v").cast("double") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.expr("CAST(sum(q) * 1000 AS BIGINT) DIV count(1)").alias("c_micro")
+    )
+    return (
+        dims.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.abs(F.col("q") * 1000 - F.col("c_micro"))).alias("l1_micro"))
+        .orderBy(F.desc("l1_micro"), "vec_id")
+        .limit(20)
+    )
+
+
+X71_SQL = r"""
+WITH dims AS (
+  SELECT vec_id, label, CAST(i AS INT) AS d,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+cent AS (
+  SELECT label, d,
+         CAST(CAST(SUM(q) * 1000 AS BIGINT) // COUNT(*) AS BIGINT) AS c_micro
+  FROM dims GROUP BY label, d)
+SELECT vec_id, label,
+       CAST(SUM(abs(q * 1000 - c_micro)) AS BIGINT) AS l1_micro
+FROM dims JOIN cent USING (label, d)
+GROUP BY vec_id, label
+ORDER BY l1_micro DESC, vec_id
+LIMIT 20
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2606,4 +2661,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x68_repeated_spans": QuerySpec(x68, X68_SQL),
     "x69_lm_doc_score": QuerySpec(x69, X69_SQL),
     "x70_contiguous_ids": QuerySpec(x70, X70_SQL),
+    "x71_embedding_outliers": QuerySpec(x71, X71_SQL),
 }
