@@ -81,6 +81,7 @@ _PRIORITY = (
     # first in line beyond the 50-query cap (see ordering note above)
     + [
         "x71_embedding_outliers",
+        "x72_gapfill_locf",
         "x45_cohort_retention",
         "x38_mixture_sample",
         "x54_data_quality_report",

@@ -2590,6 +2590,38 @@ LIMIT 20
 """
 
 
+def x72(spark, sf):
+    """Daily gap-fill + LOCF per user over events
+    (operators/timeseries.gapfill_daily_locf) — the continuous-frame
+    regularization a feature store needs. Integer-cents sums; per-key
+    scaffold bounded by each key's own active range."""
+    from .operators.timeseries import gapfill_daily_locf
+
+    return gapfill_daily_locf(events_table(spark, sf)).orderBy("key", "day")
+
+
+X72_SQL = r"""
+WITH daily AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY 1, 2),
+scaffold AS (
+  SELECT key,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY key))
+SELECT s.key, s.day,
+       d.day_cents IS NOT NULL AS observed,
+       d.day_cents,
+       last_value(d.day_cents IGNORE NULLS)
+         OVER (PARTITION BY s.key ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_cents
+FROM scaffold s LEFT JOIN daily d ON d.key = s.key AND d.day = s.day
+ORDER BY s.key, s.day
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2662,4 +2694,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x69_lm_doc_score": QuerySpec(x69, X69_SQL),
     "x70_contiguous_ids": QuerySpec(x70, X70_SQL),
     "x71_embedding_outliers": QuerySpec(x71, X71_SQL),
+    "x72_gapfill_locf": QuerySpec(x72, X72_SQL),
 }

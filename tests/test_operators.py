@@ -1333,3 +1333,29 @@ def test_contiguous_ids_dense_and_ordered(spark):
     assert [r.row_id for r in out] == list(range(1, n + 1))
     ks = [r.k for r in out]
     assert ks == sorted(ks)
+
+
+def test_gapfill_daily_locf_semantics(spark):
+    """Gap days exist with observed=false and carry the previous
+    total; pre-first-observation has no rows outside the range."""
+    from local_lakehouse_spark.operators.timeseries import gapfill_daily_locf
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.00),
+            (1, "2024-01-01 11:00:00", 2.50),
+            (1, "2024-01-04 09:00:00", 4.00),
+            (2, "2024-02-10 00:00:00", 9.99),
+        ],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {
+        (r.key, str(r.day)): (r.observed, r.day_cents, r.filled_cents)
+        for r in gapfill_daily_locf(ev).collect()
+    }
+    assert out[(1, "2024-01-01")] == (True, 350, 350)
+    assert out[(1, "2024-01-02")] == (False, None, 350)
+    assert out[(1, "2024-01-03")] == (False, None, 350)
+    assert out[(1, "2024-01-04")] == (True, 400, 400)
+    assert out[(2, "2024-02-10")] == (True, 999, 999)
+    assert len(out) == 5  # no rows outside each key's active range
