@@ -71,3 +71,64 @@ def gapfill_daily_locf(
             F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
         )
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """(key, day, ewma): exponentially weighted moving average of the
+    daily totals per key — the smoothing/anomaly-baseline op.
+
+    EWMA is a SEQUENTIAL recurrence (y_t = α·x_t + (1-α)·y_{t-1}), so
+    it cannot be a plain window aggregate. Distributed shape: daily
+    totals shuffle once on key, each key's (bounded) series is folded
+    in-row — ``array_sort(collect_list(...))`` then one higher-order
+    ``aggregate`` that appends α·x + (1-α)·prev step by step. The
+    fold's operation order is deterministic (sorted by day), so the
+    doubles are bit-identical to the DuckDB recursive-CTE twin that
+    runs the same recurrence.
+
+    Per-key series length is bounded by the calendar range (days), so
+    the in-row array is small even when the raw event count is not —
+    the groupBy(key, day) pre-aggregation is what guarantees that.
+    """
+    day = F.col(ts_col).cast("date")
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        events.select(F.col(key_col).alias("key"), day.alias("day"), cents.alias("c"))
+        .groupBy("key", "day")
+        .agg(F.sum("c").alias("c"))
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("day"), F.col("c")))
+    )
+    series = daily.groupBy("key").agg(arr.alias("a"))
+    ew = F.aggregate(
+        F.slice(F.col("a"), 2, F.size("a") - 1),
+        F.array(
+            F.struct(
+                F.element_at("a", 1)["day"].alias("day"),
+                F.element_at("a", 1)["c"].cast("double").alias("ewma"),
+            )
+        ),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    (
+                        F.lit(alpha) * x["c"].cast("double")
+                        + F.lit(1 - alpha) * F.element_at(acc, -1)["ewma"]
+                    ).alias("ewma"),
+                )
+            ),
+        ),
+    )
+    return (
+        series.select("key", F.explode(ew).alias("e"))
+        .select("key", F.col("e.day").alias("day"), F.col("e.ewma").alias("ewma"))
+    )

@@ -2622,6 +2622,45 @@ ORDER BY s.key, s.day
 """
 
 
+_EWMA_ALPHA = 0.3
+
+
+def x73(spark, sf):
+    """Per-user EWMA of daily spend (operators/timeseries.ewma_daily):
+    a sequential recurrence computed as an ordered in-row fold — the
+    oracle replays the identical recurrence with a recursive CTE, and
+    because both walk days in sorted order with the same double
+    coefficients, the floats match bit-for-bit."""
+    from .operators.timeseries import ewma_daily
+
+    return ewma_daily(events_table(spark, sf), alpha=_EWMA_ALPHA).orderBy(
+        "key", "day"
+    )
+
+
+# Coefficients injected via repr() so DuckDB parses the exact doubles
+# Python handed to Spark (DuckDB numeric literals are DECIMAL-typed,
+# which would otherwise round-trip differently).
+X73_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT key, day, c,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY day) AS rn
+  FROM daily),
+ew AS (
+  SELECT key, day, rn, CAST(c AS DOUBLE) AS ewma FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.key, i.day, i.rn,
+         CAST({_EWMA_ALPHA!r} AS DOUBLE) * CAST(i.c AS DOUBLE)
+           + CAST({1 - _EWMA_ALPHA!r} AS DOUBLE) * e.ewma
+  FROM idx i JOIN ew e ON i.key = e.key AND i.rn = e.rn + 1)
+SELECT key, day, ewma FROM ew ORDER BY key, day
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2695,4 +2734,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x70_contiguous_ids": QuerySpec(x70, X70_SQL),
     "x71_embedding_outliers": QuerySpec(x71, X71_SQL),
     "x72_gapfill_locf": QuerySpec(x72, X72_SQL),
+    "x73_ewma_daily": QuerySpec(x73, X73_SQL),
 }

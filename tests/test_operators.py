@@ -1359,3 +1359,22 @@ def test_gapfill_daily_locf_semantics(spark):
     assert out[(1, "2024-01-04")] == (True, 400, 400)
     assert out[(2, "2024-02-10")] == (True, 999, 999)
     assert len(out) == 5  # no rows outside each key's active range
+
+
+def test_ewma_daily_recurrence(spark):
+    """EWMA series equals the hand-computed recurrence with sorted
+    days, independent of input row order."""
+    from local_lakehouse_spark.operators.timeseries import ewma_daily
+
+    ev = spark.createDataFrame(
+        [  # deliberately out of order
+            (1, "2024-01-03 01:00:00", 3.00),
+            (1, "2024-01-01 01:00:00", 1.00),
+            (1, "2024-01-02 01:00:00", 2.00),
+        ],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {str(r.day): r.ewma for r in ewma_daily(ev, alpha=0.5).collect()}
+    assert out["2024-01-01"] == 100.0
+    assert out["2024-01-02"] == 0.5 * 200 + 0.5 * 100.0
+    assert out["2024-01-03"] == 0.5 * 300 + 0.5 * (0.5 * 200 + 0.5 * 100.0)
