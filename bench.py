@@ -62,7 +62,7 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> None:
+def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -78,34 +78,44 @@ def main() -> None:
     # Warmup: spin up executor threads + codegen on a small query.
     materialize(qs["q06_distinct"](spark, sf_dir))
 
+    # A single failing query must NOT suppress the whole bench line
+    # (round-2 lesson: a crashed run leaves no number at all). Failed
+    # queries are listed explicitly and the exit code stays nonzero.
     times: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            materialize(qs[name](spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            failed[name] = str(exc).split("\n")[0][:200]
 
     ext: dict[str, float] = {}
     for name in EXTENDED:
         if name not in qs:
             continue
         t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        ext[name] = round(time.perf_counter() - t0, 3)
+        try:
+            materialize(qs[name](spark, sf_dir))
+            ext[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            failed[name] = str(exc).split("\n")[0][:200]
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "extended": ext,
-                "sf": sf_num,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total if not any(n in failed for n in HEADLINE) else None,
+        "unit": "sec",
+        "queries": times,
+        "extended": ext,
+        "sf": sf_num,
+    }
+    if failed:
+        out["failed"] = failed  # value=None above marks the total invalid
+    print(json.dumps(out))
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
