@@ -83,6 +83,7 @@ _PRIORITY = (
         "x71_embedding_outliers",
         "x72_gapfill_locf",
         "x73_ewma_daily",
+        "x74_ab_ztest",
         "x45_cohort_retention",
         "x38_mixture_sample",
         "x54_data_quality_report",

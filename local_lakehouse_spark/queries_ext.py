@@ -2661,6 +2661,92 @@ SELECT key, day, ewma FROM ew ORDER BY key, day
 """
 
 
+def x74(spark, sf):
+    """Experiment readout: two-proportion z-test on purchase
+    conversion between variants (hash-split on user_id — the
+    deterministic assignment an experimentation platform uses).
+    Counts are exact integers; the z statistic is ONE closed-form
+    double expression (sqrt), floor-rounded to 1e-4 — the x34/x67
+    exact-double contract. Scale: two aggregates over a user-keyed
+    rollup, output is one row."""
+    ev = events_table(spark, sf)
+    # "converted" = heavy purchaser (>= 15 purchase events): a split
+    # metric that is non-degenerate on the fixture (raw "any
+    # purchase" saturates at ~100%, making z undefined)
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 15
+        ).cast("int").alias("converted")
+    )
+    per_variant = (
+        users.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("conv"),
+        )
+    )
+    a = per_variant.filter("variant = 0").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = per_variant.filter("variant = 1").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    z = (
+        a.crossJoin(b)
+        .withColumn("p_a", F.col("conv_a") / F.col("n_a"))
+        .withColumn("p_b", F.col("conv_b") / F.col("n_b"))
+        .withColumn(
+            "p_pool",
+            (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")),
+        )
+        .withColumn(
+            "z_e4",
+            F.when(
+                (F.col("p_pool") > 0) & (F.col("p_pool") < 1),
+                F.floor(
+                    (F.col("p_a") - F.col("p_b"))
+                    / F.sqrt(
+                        F.col("p_pool")
+                        * (1 - F.col("p_pool"))
+                        * (1 / F.col("n_a") + 1 / F.col("n_b"))
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            ),
+        )
+    )
+    return z.select("n_a", "conv_a", "n_b", "conv_b", "z_e4")
+
+
+X74_SQL = r"""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 15 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id),
+pv AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM users GROUP BY 1),
+ab AS (
+  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+  FROM (SELECT n, conv FROM pv WHERE variant = 0) a,
+       (SELECT n, conv FROM pv WHERE variant = 1) b)
+SELECT n_a, conv_a, n_b, conv_b,
+       CASE WHEN (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+            THEN CAST(FLOOR(
+              (conv_a / n_a - conv_b / n_b)
+              / sqrt( ((conv_a + conv_b) / (n_a + n_b))
+                      * (1 - (conv_a + conv_b) / (n_a + n_b))
+                      * (1 / n_a + 1 / n_b) )
+              * 10000 + 0.5) AS BIGINT)
+       END AS z_e4
+FROM ab
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2735,4 +2821,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x71_embedding_outliers": QuerySpec(x71, X71_SQL),
     "x72_gapfill_locf": QuerySpec(x72, X72_SQL),
     "x73_ewma_daily": QuerySpec(x73, X73_SQL),
+    "x74_ab_ztest": QuerySpec(x74, X74_SQL),
 }
