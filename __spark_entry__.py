@@ -84,6 +84,8 @@ _PRIORITY = (
         "x72_gapfill_locf",
         "x73_ewma_daily",
         "x74_ab_ztest",
+        "x75_psi_drift",
+        "x76_train_val_test",
         "x45_cohort_retention",
         "x38_mixture_sample",
         "x54_data_quality_report",

@@ -2747,6 +2747,116 @@ FROM ab
 """
 
 
+def x75(spark, sf):
+    """Distribution drift between corpus sources: Population
+    Stability Index over document-length deciles (the data-drift
+    monitor an ingestion pipeline alarms on). Bucket shares are exact
+    integer ratios; PSI sums 10 floor-rounded ln terms per source
+    pair — deterministic (each term is a single closed-form double,
+    the x34/x67 contract; zero-count buckets are Laplace-smoothed by
+    +1 so ln never sees 0)."""
+    docs = t(spark, sf, "documents").select("source", "n_chars")
+    bucket = F.least(F.lit(9), (F.col("n_chars") / 60).cast("int")).alias("b")
+    counts = docs.select("source", bucket).groupBy("source", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    # smoothed share per (source, bucket) over the full 0..9 range
+    grid = (
+        tot.crossJoin(spark.range(10).select(F.col("id").cast("int").alias("b")))
+        .join(counts, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            ((F.coalesce("c", F.lit(0)) + 1) / (F.col("n") + 10)).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), "b", F.col("p").alias("p_a")
+    )
+    bb = grid.select(
+        F.col("source").alias("src_b"), "b", F.col("p").alias("p_b")
+    )
+    terms = (
+        a.join(bb, "b")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.floor(
+                (F.col("p_a") - F.col("p_b"))
+                * F.log(F.col("p_a") / F.col("p_b"))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint").alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("src_a", "src_b")
+        .agg(F.sum("t").alias("psi_e6"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+X75_SQL = r"""
+WITH counts AS (
+  SELECT source, LEAST(9, CAST(n_chars // 60 AS INT)) AS b, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source),
+grid AS (
+  SELECT t.source, CAST(r.b AS INT) AS b,
+         (COALESCE(c.c, 0) + 1) / (t.n + 10) AS p
+  FROM tot t
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS b) r
+  LEFT JOIN counts c ON c.source = t.source AND c.b = r.b),
+terms AS (
+  SELECT a.source AS src_a, b2.source AS src_b,
+         CAST(FLOOR((a.p - b2.p) * ln(a.p / b2.p) * 1000000 + 0.5) AS BIGINT)
+           AS t
+  FROM grid a JOIN grid b2 ON a.b = b2.b AND a.source < b2.source)
+SELECT src_a, src_b, CAST(SUM(t) AS BIGINT) AS psi_e6
+FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
+def x76(spark, sf):
+    """Deterministic stratified train/val/test assignment (80/10/10
+    WITHIN each source): the md5-threshold machinery of
+    operators/sampling as a 3-way split — reproducible on any
+    cluster, any engine, and nested (the 10% val set is stable as the
+    corpus grows). Returns per-(source, split) counts as the
+    auditable artifact."""
+    from .operators.sampling import _bucket
+
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    frac = _bucket(F.col("doc_id"), "split")  # 8-hex-char md5 bucket
+    split = (
+        F.when(frac < F.lit(format(int(0.8 * 16**8), "08x")), F.lit("train"))
+        .when(frac < F.lit(format(int(0.9 * 16**8), "08x")), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+X76_SQL = rf"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{format(int(0.8 * 16**8), "08x")}' THEN 'train'
+              WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{format(int(0.9 * 16**8), "08x")}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, COUNT(*) AS n_docs
+FROM assigned GROUP BY source, split ORDER BY source, split
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2822,4 +2932,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x72_gapfill_locf": QuerySpec(x72, X72_SQL),
     "x73_ewma_daily": QuerySpec(x73, X73_SQL),
     "x74_ab_ztest": QuerySpec(x74, X74_SQL),
+    "x75_psi_drift": QuerySpec(x75, X75_SQL),
+    "x76_train_val_test": QuerySpec(x76, X76_SQL),
 }
