@@ -86,6 +86,8 @@ _PRIORITY = (
         "x74_ab_ztest",
         "x75_psi_drift",
         "x76_train_val_test",
+        "x77_event_transitions",
+        "x78_conversion_latency",
         "x45_cohort_retention",
         "x38_mixture_sample",
         "x54_data_quality_report",

@@ -2857,6 +2857,98 @@ FROM assigned GROUP BY source, split ORDER BY source, split
 """
 
 
+def x77(spark, sf):
+    """First-order event transition matrix: P(next event type |
+    current) per user journey, integer milli-units — the Markov-chain
+    readout of product analytics (and the event-stream sibling of
+    x48's text bigram LM). One user-keyed window for LEAD, one pair
+    agg."""
+    ev = events_table(spark, sf).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(marg, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr("(n * 1000) DIV n_from").alias("p_milli"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+X77_SQL = r"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+marg AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+         FROM pairs GROUP BY from_type)
+SELECT from_type, to_type, n, n_from, (n * 1000) // n_from AS p_milli
+FROM pairs JOIN marg USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+def x78(spark, sf):
+    """Conversion-latency distribution: per-user first signup →
+    first purchase delay, exact p50/p90 in seconds (q33's exact-
+    percentile contract). The time-to-convert readout downstream of
+    x44's funnel."""
+    ev = events_table(spark, sf)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t1"),
+    )
+    # microsecond-exact latency (unix_micros ↔ DuckDB epoch_us —
+    # integer in both engines; second-level truncation/rounding rules
+    # differ between engines, microseconds don't)
+    lat = firsts.filter(
+        F.col("t0").isNotNull() & F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    ).select(
+        (F.unix_micros("t1") - F.unix_micros("t0")).alias("us")
+    )
+    r2 = F.floor(F.expr("percentile(us, 0.5)") * 100 + F.lit(0.5)) / 100
+    p90 = F.floor(F.expr("percentile(us, 0.9)") * 100 + F.lit(0.5)) / 100
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        r2.alias("p50_us"),
+        p90.alias("p90_us"),
+    )
+
+
+X78_SQL = r"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t1
+  FROM events GROUP BY user_id),
+lat AS (
+  SELECT epoch_us(t1) - epoch_us(t0) AS us
+  FROM firsts
+  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0)
+SELECT COUNT(*) AS n_converted,
+       FLOOR(quantile_cont(us, 0.5) * 100 + 0.5) / 100 AS p50_us,
+       FLOOR(quantile_cont(us, 0.9) * 100 + 0.5) / 100 AS p90_us
+FROM lat
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -2934,4 +3026,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x74_ab_ztest": QuerySpec(x74, X74_SQL),
     "x75_psi_drift": QuerySpec(x75, X75_SQL),
     "x76_train_val_test": QuerySpec(x76, X76_SQL),
+    "x77_event_transitions": QuerySpec(x77, X77_SQL),
+    "x78_conversion_latency": QuerySpec(x78, X78_SQL),
 }
