@@ -1,6 +1,9 @@
 """Extension query inventory: training-data-pipeline operators
-(x-series) — dedup, similarity search, text analysis, as-of join,
-event-time windowing, multimodal plumbing.
+(x-series) — dedup + survivor selection, similarity search, text
+analysis (incl. BPE training, PMI mining, LM scoring), as-of /
+bloom / salted joins, event-time windowing and streaming, graph
+(components, PageRank), time-series (gap-fill, LOCF, EWMA),
+sampling/splits, drift + experiment readouts, multimodal plumbing.
 
 Same contract as queries.py: Spark implementation + DuckDB oracle SQL
 with identical column names/types. Almost everything is
