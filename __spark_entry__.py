@@ -88,6 +88,7 @@ _PRIORITY = (
         "x76_train_val_test",
         "x77_event_transitions",
         "x78_conversion_latency",
+        "x79_incremental_dedup",
         "x45_cohort_retention",
         "x38_mixture_sample",
         "x54_data_quality_report",

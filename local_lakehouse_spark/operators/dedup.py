@@ -142,6 +142,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int = 1000,
+    min_new_id: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard: (id_a, id_b,
     common, size_a, size_b, jaccard) with id_a < id_b, jaccard ≥ τ.
@@ -184,11 +185,19 @@ def ngram_jaccard_pairs(
         .select(F.array_sort("ids").alias("ids"))
     )
     k = F.size(F.col("ids"))
+    def _partners(i):
+        tail = F.slice(F.col("ids"), i + F.lit(2), k - i - F.lit(1))
+        if min_new_id is None:
+            return tail
+        # incremental: drop old partners (ids sorted → the higher id
+        # of every emitted pair is the partner)
+        return F.filter(tail, lambda b: b >= F.lit(min_new_id))
+
     pair_arrays = F.flatten(
         F.transform(
             F.col("ids"),
             lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), k - i - F.lit(1)),
+                _partners(i),
                 lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
             ),
         )

@@ -2952,6 +2952,42 @@ FROM lat
 """
 
 
+def x79(spark, sf):
+    """Incremental dedup: match the NEW batch (top 20% of doc_id)
+    against the whole corpus without ever generating settled old×old
+    pairs (ngram_jaccard_pairs(min_new_id=...) pushes the batch
+    filter inside the posting-list expansion). The daily-ingest
+    shape: per-run cost O(new × overlap), not O(corpus²)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = (int(max_id) * 4) // 5
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, min_new_id=thr
+    ).orderBy("id_a", "id_b")
+
+
+X79_SQL = f"""
+WITH {_SHINGLES_CTE},
+ ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+ sizes AS (SELECT id, len(shingles) AS sz FROM sh),
+ thr AS (SELECT (MAX(doc_id) * 4) // 5 AS v FROM documents),
+ pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+           WHERE b.id >= (SELECT v FROM thr)
+           GROUP BY 1, 2),
+ j AS (SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+              common / (sa.sz + sb.sz - common) AS jac
+       FROM pairs
+       JOIN sizes sa ON sa.id = id_a
+       JOIN sizes sb ON sb.id = id_b)
+SELECT id_a, id_b, common, size_a, size_b,
+       FLOOR(jac * 1000 + 0.5) / 1000 AS jaccard
+FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -3031,4 +3067,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x76_train_val_test": QuerySpec(x76, X76_SQL),
     "x77_event_transitions": QuerySpec(x77, X77_SQL),
     "x78_conversion_latency": QuerySpec(x78, X78_SQL),
+    "x79_incremental_dedup": QuerySpec(x79, X79_SQL),
 }

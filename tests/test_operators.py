@@ -1378,3 +1378,21 @@ def test_ewma_daily_recurrence(spark):
     assert out["2024-01-01"] == 100.0
     assert out["2024-01-02"] == 0.5 * 200 + 0.5 * 100.0
     assert out["2024-01-03"] == 0.5 * 300 + 0.5 * (0.5 * 200 + 0.5 * 100.0)
+
+
+def test_incremental_dedup_equals_filtered_full(spark):
+    """min_new_id pair pruning is lossless: incremental pairs equal
+    the full pair set restricted to pairs touching the new batch."""
+    from local_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    thr = 40
+    inc = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, min_new_id=thr
+    )
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).filter(
+        f"id_b >= {thr}"
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+    assert inc.count() > 0  # non-vacuous
