@@ -89,6 +89,7 @@ _PRIORITY = (
         "x77_event_transitions",
         "x78_conversion_latency",
         "x79_incremental_dedup",
+        "x80_retrieval_pipeline",
         "x45_cohort_retention",
         "x38_mixture_sample",
         "x54_data_quality_report",

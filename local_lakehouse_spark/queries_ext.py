@@ -2988,6 +2988,102 @@ FROM j WHERE jac >= 0.8 ORDER BY id_a, id_b
 """
 
 
+def x80(spark, sf):
+    """End-to-end retrieval pipeline: candidate generation (exact
+    top-20 — stands in for the IVF path, which x17 proves equivalent
+    at full probe) → result diversification: drop any candidate
+    whose cosine to a HIGHER-ranked candidate is ≥ 0.95 (declarative
+    anti-join suppression — the search-dedup step) → final top-5 per
+    query. All cosines rounded 1e-4 before comparison so both
+    engines apply the identical rule."""
+    emb = t(spark, sf, "embeddings")
+    cand = cosine_topk_bruteforce(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 3), k=20
+    )
+    e = emb.select("vec_id", "embedding")
+    pairs = (
+        cand.alias("a")
+        .join(cand.alias("b"), "qid")
+        .filter(F.col("a.rank") < F.col("b.rank"))
+        .join(
+            e.select(F.col("vec_id").alias("a_cid"), F.col("embedding").alias("ea")),
+            F.col("a.cid") == F.col("a_cid"),
+        )
+        .join(
+            e.select(F.col("vec_id").alias("b_cid"), F.col("embedding").alias("eb")),
+            F.col("b.cid") == F.col("b_cid"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = F.floor(dot / F.sqrt(norm("ea") * norm("eb")) * 10000 + F.lit(0.5)) / 10000
+    suppressed = (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.95)
+        .select("qid", F.col("b.cid").alias("cid"))
+        .distinct()
+    )
+    survivors = cand.join(suppressed, ["qid", "cid"], "left_anti")
+    w = Window.partitionBy("qid").orderBy("rank")
+    return (
+        survivors.withColumn("final_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("final_rank") <= 5)
+        .select("qid", "cid", "cosine", "final_rank")
+        .orderBy("qid", "final_rank")
+    )
+
+
+X80_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 3),
+ c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+ un AS (SELECT qid, cid, unnest(qe) AS qv, unnest(ce) AS cv
+        FROM c, q WHERE cid <> qid),
+ d AS (SELECT qid, cid,
+              SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot,
+              SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq,
+              SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS nc
+       FROM un GROUP BY qid, cid),
+ scored AS (SELECT qid, cid,
+                   FLOOR(dot / SQRT(nq * nc) * 10000 + 0.5) / 10000 AS cosine
+            FROM d),
+ cand AS (SELECT qid, cid, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, cid) AS INT) AS rank
+          FROM scored QUALIFY rank <= 20),
+ cp AS (SELECT a.qid, a.cid AS a_cid, b.cid AS b_cid,
+               unnest(ea.embedding) AS av, unnest(eb.embedding) AS bv
+        FROM cand a
+        JOIN cand b ON a.qid = b.qid AND a.rank < b.rank
+        JOIN embeddings ea ON ea.vec_id = a.cid
+        JOIN embeddings eb ON eb.vec_id = b.cid),
+ cd AS (SELECT qid, a_cid, b_cid,
+               SUM(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE)) AS dot,
+               SUM(CAST(av AS DOUBLE) * CAST(av AS DOUBLE)) AS na,
+               SUM(CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE)) AS nb
+        FROM cp GROUP BY 1, 2, 3),
+ sup AS (SELECT DISTINCT qid, b_cid AS cid FROM cd
+         WHERE FLOOR(dot / SQRT(na * nb) * 10000 + 0.5) / 10000 >= 0.95),
+ surv AS (SELECT c2.qid, c2.cid, c2.cosine, c2.rank
+          FROM cand c2 LEFT JOIN sup
+            ON sup.qid = c2.qid AND sup.cid = c2.cid
+          WHERE sup.cid IS NULL)
+SELECT qid, cid, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rank) AS INT)
+         AS final_rank
+FROM surv QUALIFY final_rank <= 5
+ORDER BY qid, final_rank
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -3068,4 +3164,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x77_event_transitions": QuerySpec(x77, X77_SQL),
     "x78_conversion_latency": QuerySpec(x78, X78_SQL),
     "x79_incremental_dedup": QuerySpec(x79, X79_SQL),
+    "x80_retrieval_pipeline": QuerySpec(x80, X80_SQL),
 }
