@@ -26,89 +26,70 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
 _ALL = {**_CORE, **_EXT}
 
-# Ordered so a count-capped (50) correctness run covers the rows that
-# lack a SAME-ROUND green in the newest artifact: first the five
-# event-time ops fixed after the r2 verdict, then everything NEW in
-# round 3 (x35–x65, q62–q67, and the q48–q61 TPC-H block via the
-# comprehension below). Deliberately pushed past the cap, in order:
-# ops whose oracle/answer is algebraically identical to an in-cap
-# entry and that carry pytest evidence (x03/x04 — r2-verified rows-
-# only, oracles verified locally at 3 SFs; x46 ≡ x25's oracle;
-# x52/x53 ≡ plain GROUP BY/join; x55/x58/x60 — family twins of
-# in-cap entries), then q16–q47 (r1-green, untouched), then q01–q15.
-# Harmless if the driver runs everything.
-_CHANGED_THIS_ROUND = [
-    "x13_sessionize",
-    "x16_streaming_tumbling",
-    "x18_streaming_sessionize_stateful",
-    "x25_streaming_rollup_table",
-    "x32_streaming_interval_join",
-    "x61_bloom_join",  # new this round
-    "x62_bpe_merges",  # new this round
-    "x63_weighted_sample",  # new this round
-    "x64_pareto_frontier",  # new this round
-    "x65_dedup_survivors",  # new this round
-    "x66_pagerank",  # new this round
-    "x67_pmi_collocations",  # new this round
-    "x68_repeated_spans",  # new this round
-    "x69_lm_doc_score",  # new this round
-    "q68_filter_clause",  # new this round
-    "x70_contiguous_ids",  # new this round
-    "x35_audio_features",  # new this round (real WAV decode)
-    "x36_streaming_left_outer_join",  # new this round
-    "x37_histogram_quantiles",  # new this round
-    "x39_sequence_packing",  # new this round
-    "q62_higher_order_fns",  # new this round
-    "x40_decontaminate",  # new this round
-    "x41_vocab_zipf",  # new this round
-    "x42_tfidf_top_terms",  # new this round
-    "x44_funnel_stages",  # new this round
-    "q63_time_range_frame",  # new this round
-    "q64_argmax_aggregation",  # new this round
-    "q65_multiset_ops",  # new this round
-    "q66_recursive_cte",  # new this round
-    "x47_inverted_index",  # new this round
-    "x48_bigram_lm",  # new this round
-    "x49_corpus_pipeline",  # new this round
-    "x50_stateful_running_totals",  # new this round
-    "x51_groupwise_regression",  # new this round
-    "x59_count_min_sketch",  # new this round
+# Ordered so a count-capped (50) correctness run covers every row
+# that has NEVER carried a driver-green stamp (union of
+# CORRECTNESS_r01..r03): x47 (r3 red — array column fixed this
+# round), then x71–x80 + the r3 tail the cap cut off, then this
+# round's new queries. Everything past the cap has a driver green
+# from r1/r2/r3 AND a same-round local green in
+# CORRECTNESS_LOCAL_r04.json. Harmless if the driver runs everything.
+_NEVER_DRIVER_VERIFIED = [
+    "x47_inverted_index",  # r3 FAIL: array col unhashable — fixed
+    "x71_embedding_outliers",
+    "x72_gapfill_locf",
+    "x73_ewma_daily",
+    "x74_ab_ztest",
+    "x75_psi_drift",
+    "x76_train_val_test",
+    "x77_event_transitions",
+    "x78_conversion_latency",
+    "x79_incremental_dedup",
+    "x80_retrieval_pipeline",
+    "x45_cohort_retention",
+    "x38_mixture_sample",
+    "x54_data_quality_report",
+    "x57_embedding_audit",
+    "x43_word_rarity",
+    "x56_contamination_matrix",
+    "x03_dedup_minhash_lsh",
+    "x04_dedup_simhash",
+    "x46_streaming_rollup_delta",
+    "x52_salted_aggregation",
+    "x53_salted_join",
+    "x55_stream_static_enrich",
+    "x58_sliding_window",
+    "x60_sparse_cosine_pairs",
+    "x06_ann_lsh_topk",  # rows-only by design
+    "x14_embedding_near_dup",  # rows-only by design
+    "x22_approx_distinct_hll",  # rows-only by design
+]
+# New in round 4 — must also sit inside the 50-slot cap.
+_NEW_THIS_ROUND = [
+    n
+    for n in _ALL
+    if (n.startswith("x") and n >= "x81") or (n.startswith("q") and n >= "q69")
 ]
 _PRIORITY = (
-    _CHANGED_THIS_ROUND
-    # new this round: the remaining TPC-H classics q48–q61 + q67 CUBE
-    + [n for n in _ALL if n.startswith("q") and n >= "q48" and n not in _CHANGED_THIS_ROUND]
-    # first in line beyond the 50-query cap (see ordering note above)
+    _NEVER_DRIVER_VERIFIED
+    + _NEW_THIS_ROUND
+    # spare in-cap slots: rows touched by this round's ADVICE fixes
+    # (bloom internal column, pagerank node set, A-ES weight guard)
     + [
-        "x71_embedding_outliers",
-        "x72_gapfill_locf",
-        "x73_ewma_daily",
-        "x74_ab_ztest",
-        "x75_psi_drift",
-        "x76_train_val_test",
-        "x77_event_transitions",
-        "x78_conversion_latency",
-        "x79_incremental_dedup",
-        "x80_retrieval_pipeline",
-        "x45_cohort_retention",
-        "x38_mixture_sample",
-        "x54_data_quality_report",
-        "x57_embedding_audit",
-        "x43_word_rarity",
-        "x56_contamination_matrix",
-        "x03_dedup_minhash_lsh",
-        "x04_dedup_simhash",
-        "x46_streaming_rollup_delta",
-        "x52_salted_aggregation",
-        "x53_salted_join",
-        "x55_stream_static_enrich",
-        "x58_sliding_window",
-        "x60_sparse_cosine_pairs",
+        "x61_bloom_join",
+        "x66_pagerank",
+        "x63_weighted_sample",
     ]
-    # carried on r1 evidence through r2 — re-verify as cap allows
+    # r1-evidence rows next in line beyond the cap, oldest stamps
+    # first
     + [n for n in _ALL if n.startswith("q") and "q16" <= n < "q48"]
+    + [n for n in _ALL if n.startswith("q") and n >= "q48" and n < "q69"]
     + [
-        "x12_events_hourly",  # batch twin of the fixed streaming ops
+        "x13_sessionize",
+        "x16_streaming_tumbling",
+        "x18_streaming_sessionize_stateful",
+        "x25_streaming_rollup_table",
+        "x32_streaming_interval_join",
+        "x12_events_hourly",
         "x11_asof_join",
         "x01_dedup_exact",
         "x02_dedup_ngram_jaccard",

@@ -37,9 +37,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Internal broadcast-filter column — '__'-prefixed (the repo's
+# convention for synthetic columns, cf. pareto.py/sampling.py) so a
+# fact table with its own 'bloom' column can't collide with it.
+_BLOOM_COL = "__bloom_filter"
+
 
 def build_bloom(dim: DataFrame, key: str, m_bits: int, k: int) -> DataFrame:
-    """1-row DataFrame ``(bloom: array<bigint>)`` — the filter words.
+    """1-row DataFrame ``(__bloom_filter: array<bigint>)`` — the
+    filter words.
 
     Each key sets k bits; bit i lives in word ``pos div 64`` at
     ``pos mod 64``. The per-(word) bit_or aggregate is decomposable,
@@ -78,7 +84,7 @@ def build_bloom(dim: DataFrame, key: str, m_bits: int, k: int) -> DataFrame:
         ).alias("s")
     )
     return dense.agg(F.array_sort(F.collect_list("s")).alias("ss")).select(
-        F.transform(F.col("ss"), lambda s: s["mask"]).alias("bloom")
+        F.transform(F.col("ss"), lambda s: s["mask"]).alias(_BLOOM_COL)
     )
 
 
@@ -115,10 +121,15 @@ def bloom_prefilter_join(
     """
     if m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if _BLOOM_COL in fact.columns:
+        raise ValueError(
+            f"fact side already has a {_BLOOM_COL!r} column "
+            "(reserved internal name)"
+        )
     bloom = build_bloom(dim, on, m_bits, k)
     pruned = (
         fact.crossJoin(F.broadcast(bloom))
-        .filter(bloom_probe(F.col(on), F.col("bloom"), m_bits, k))
-        .drop("bloom")
+        .filter(bloom_probe(F.col(on), F.col(_BLOOM_COL), m_bits, k))
+        .drop(_BLOOM_COL)
     )
     return pruned.join(dim, on)

@@ -167,11 +167,19 @@ def pagerank_fixedpoint(
     Distribution: each iteration is ONE shuffle join (ranks ⋈ edges
     on src — ranks is the small side and AQE broadcasts it for
     dimension-sized graphs) + one groupBy(dst) sum with map-side
-    combine. Ranks materialize per round via localCheckpoint, the
-    same iterative-plan hygiene as connected_components. Nodes are
-    derived from edge endpoints; callers pass a symmetrized edge
-    list for undirected graphs (no dangling mass handling — every
-    node then has outdeg ≥ 1).
+    combine, then a left join back to the node frame so nodes with
+    no inbound edges keep their base-rank row instead of vanishing.
+
+    Nodes are src ∪ dst of the edge list, so directed input is a
+    first-class citizen: a node with zero out-edges (dangling) has
+    its rank mass redistributed uniformly each round — the standard
+    dangling-node correction (D DIV N added to every node's incoming
+    sum, D = Σ dangling ranks via a 1-row aggregate broadcast back).
+    For symmetrized input every node has outdeg ≥ 1 and an in-edge,
+    D = 0, and the recurrence is identical to the plain formulation
+    (x66's oracle answer is unchanged). The dangling aggregate is
+    skipped entirely when the graph has no dangling nodes (one
+    upfront anti-join count).
     """
     # Materialize the edge list ONCE — it is referenced by outdeg,
     # the node count, and every iteration's join; without this the
@@ -180,26 +188,51 @@ def pagerank_fixedpoint(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     n = nodes.count()
+    n_dangling = nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "left_anti"
+    ).count()
     base = ((100 - damping_pct) * (scale // n)) // 100
 
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
     for _ in range(n_iter):
-        contrib = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"])
-            .select("node", F.expr("r DIV outdeg").alias("c"))
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "r", "outdeg")
+        contrib = with_deg.filter(F.col("outdeg").isNotNull()).select(
+            "node", F.expr("r DIV outdeg").alias("c")
         )
-        ranks = (
+        incoming = (
             e.join(contrib, e["src"] == contrib["node"])
             .groupBy(e["dst"].alias("node"))
-            .agg(
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * sum(c)) DIV 100")
-                ).alias("r")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = nodes.join(incoming, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0).cast("bigint")).alias("s")
+        )
+        if n_dangling:
+            # Uniform share of the dangling mass, same fixed-point
+            # units; 1-row aggregate broadcast onto every node row.
+            dang = (
+                with_deg.filter(F.col("outdeg").isNull())
+                .agg(F.sum("r").alias("__d"))
+                .select(F.coalesce("__d", F.lit(0).cast("bigint")).alias("__d"))
             )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dang)).select(
+                "node", F.expr(f"s + (__d DIV {n})").alias("s")
+            )
+        ranks = new_ranks.select(
+            "node",
+            (
+                F.lit(base) + F.expr(f"({damping_pct} * s) DIV 100")
+            ).alias("r"),
         )
         # No per-round checkpoint: each round's output feeds exactly
         # the next round, so lineage stays LINEAR in n_iter (unlike

@@ -179,14 +179,33 @@ def weighted_sample_topk(
     Scale: the ranking key is a scan-stage expression; top-k is
     Spark's distributed TakeOrdered (per-partition heaps → merge of k
     candidates per partition), never a full sort.
+
+    A-ES requires strictly positive weights: NULL / zero / negative
+    weights would yield NULL, +inf, or sign-flipped ranking keys that
+    silently win or lose the sample, so such rows raise instead
+    (mirroring the m_bits validation in bloomjoin.py).
     """
     from .sketches import _md5_u48
 
+    w = F.col(weight_col).cast("double")
     u = (
         _md5_u48(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
         + 1
     ) / F.lit(float(1 << 48))
-    key = F.log(u) / F.col(weight_col).cast("double")
+    # raise_error is lazy inside when(): evaluated only on bad rows.
+    checked_w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample_topk: {weight_col} must be > 0 "
+                    "and non-NULL, got "
+                ),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(w)
+    key = F.log(u) / checked_w
     return (
         df.withColumn("__aes_key", key)
         .orderBy(F.desc("__aes_key"), F.col(id_col))

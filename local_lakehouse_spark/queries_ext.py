@@ -1527,18 +1527,29 @@ def x47(spark, sf):
     """Inverted-index materialization over document 3-gram shingles
     (operators/text.inverted_index, ngram=3) — the dedup blocker's
     posting lists as a queryable table; doc-frequency band [2, 50]
-    (singletons index nothing, hot shingles are the skew guard)."""
+    (singletons index nothing, hot shingles are the skew guard).
+
+    The posting list is serialized to a CSV string for the oracle
+    compare: the driver's canonicalizer sorts/hashes result columns
+    through pandas, which cannot hash array cells (r3 red row)."""
     from .operators.text import inverted_index
 
     docs = t(spark, sf, "documents")
-    return inverted_index(docs, "doc_id", "text", ngram=3, min_df=2, max_df=50)
+    idx = inverted_index(docs, "doc_id", "text", ngram=3, min_df=2, max_df=50)
+    return idx.select(
+        "term",
+        "doc_freq",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings"
+        ),
+    )
 
 
 X47_SQL = f"""
 WITH {_SHINGLES_CTE},
 terms AS (SELECT id, unnest(shingles) AS term FROM sh),
 idx AS (SELECT term,
-               list_sort(list(id)) AS postings,
+               array_to_string(list_sort(list(id)), ',') AS postings,
                COUNT(*) AS doc_freq
         FROM terms GROUP BY term)
 SELECT term, doc_freq, postings

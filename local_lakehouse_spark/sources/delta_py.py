@@ -205,19 +205,38 @@ class DeltaLog:
 
     def commit(self, version: int, actions: list[dict]) -> None:
         """Put-if-absent commit — the protocol's single atomicity
-        primitive. O_EXCL guarantees exactly one writer wins a
-        version; the loser sees the file exists and must re-read."""
+        primitive. The actions are written to a temp file first
+        (flushed + fsynced), then PUBLISHED atomically with
+        ``os.link(tmp, fname)``: hard-link creation both fails with
+        EEXIST when another writer won the version race AND makes the
+        complete content visible in one metadata operation, so a
+        concurrent ``snapshot()`` (including the blind-append retry
+        path right after losing a race) can never read an empty or
+        torn commit, and a writer crash mid-write leaves only an
+        unclaimed temp file — never a claimed, corrupt version."""
         os.makedirs(self.log_dir, exist_ok=True)
         fname = os.path.join(self.log_dir, f"{version:020d}.json")
+        tmp = os.path.join(
+            self.log_dir, f".{version:020d}.{uuid.uuid4().hex}.json.tmp"
+        )
         try:
-            fd = os.open(fname, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise ConcurrentModificationError(
-                f"version {version} of {self.path} was committed concurrently"
-            ) from None
-        with os.fdopen(fd, "w") as f:
-            for a in actions:
-                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+            with open(tmp, "w") as f:
+                for a in actions:
+                    f.write(json.dumps(a, separators=(",", ":")) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, fname)
+            except FileExistsError:
+                raise ConcurrentModificationError(
+                    f"version {version} of {self.path} was committed "
+                    "concurrently"
+                ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def write_checkpoint(self, version: Optional[int] = None) -> str:
         """Materialize the snapshot state (protocol + metaData + live

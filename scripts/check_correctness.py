@@ -43,6 +43,20 @@ def canon(rows, columns):
     return out
 
 
+def driver_hashable(rows):
+    """Driver-fidelity guard: the driver canonicalizes through
+    pandas sort_values, which factorizes object columns into a
+    hash table — a list/ndarray/dict cell crashes it (r3: x47 red
+    with 'unhashable type: numpy.ndarray' despite a green local
+    run, because local canon() stringifies). Reject such results
+    here so the mismatch can never recur."""
+    for r in rows:
+        for v in r:
+            if isinstance(v, (list, dict, set)):
+                return False
+    return True
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_path = None
@@ -80,6 +94,15 @@ def main() -> int:
             failures.append(name)
             results[name] = {"status": "fail", "error": f"spark: {exc}"[:500]}
             print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if not driver_hashable(s_rows):
+            failures.append(name)
+            results[name] = {
+                "status": "fail",
+                "error": "result has list/dict cells — driver canonicalizer "
+                "cannot hash them (serialize to string)",
+            }
+            print(f"FAIL  {name}: unhashable (list/dict) cells in result")
             continue
         if name not in oracles:
             results[name] = {

@@ -389,3 +389,31 @@ def test_concurrent_appends_from_threads(spark, tbl):
     assert not errors
     got = sorted(r.id for r in read_delta(spark, tbl).collect())
     assert got == [0, 10, 11, 20, 21]
+
+
+def test_commit_publishes_atomically_and_ignores_tmp(spark, tbl):
+    """The commit file appears with its COMPLETE content (published
+    via os.link of a fully-written temp file) and stray temp files —
+    e.g. from a writer that crashed mid-write — are invisible to
+    versions()/snapshot() and never block the version slot."""
+    df = spark.range(3).withColumnRenamed("id", "v")
+    delta_py.write_delta(spark, df, tbl)
+    log = delta_py.DeltaLog(tbl)
+    # simulate a crashed writer: torn temp file for the NEXT version
+    torn = os.path.join(
+        log.log_dir, f".{1:020d}.deadbeef.json.tmp"
+    )
+    with open(torn, "w") as f:
+        f.write('{"add":{"path":"par')  # torn JSON
+    assert log.versions() == [0]  # tmp not listed
+    snap = log.snapshot()  # replay unaffected
+    assert snap.version == 0
+    # the version slot is NOT claimed: a real commit still lands at 1
+    delta_py.write_delta(spark, df, tbl, mode="append")
+    assert log.versions() == [0, 1]
+    # and every published commit line parses (no torn content ever)
+    for v in log.versions():
+        with open(os.path.join(log.log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                if line.strip():
+                    json.loads(line)

@@ -1167,7 +1167,7 @@ def test_bloom_prefilter_join_equals_plain_join(spark):
     passed = (
         fact.join(dim.select("k"), "k")
         .crossJoin(F.broadcast(bloom))
-        .filter(~bloom_probe(F.col("k"), F.col("bloom"), 1 << 16, 7))
+        .filter(~bloom_probe(F.col("k"), F.col("__bloom_filter"), 1 << 16, 7))
         .count()
     )
     assert passed == 0
@@ -1396,3 +1396,85 @@ def test_incremental_dedup_equals_filtered_full(spark):
     assert inc.exceptAll(full).count() == 0
     assert full.exceptAll(inc).count() == 0
     assert inc.count() > 0  # non-vacuous
+
+
+def test_bloom_join_fact_with_bloom_column(spark):
+    """The broadcast filter uses an internal '__bloom_filter' name, so
+    a fact table with its OWN 'bloom' column joins fine and keeps it."""
+    from local_lakehouse_spark.operators.bloomjoin import bloom_prefilter_join
+
+    fact = spark.createDataFrame(
+        [(i % 10, f"b{i}") for i in range(100)], "k long, bloom string"
+    )
+    dim = spark.createDataFrame([(2, "x"), (7, "y")], "k long, name string")
+    got = bloom_prefilter_join(fact, dim, "k")
+    assert "bloom" in got.columns
+    assert got.count() == fact.join(dim, "k").count() == 20
+
+
+def test_bloom_join_rejects_reserved_column(spark):
+    import pytest as _pytest
+
+    from local_lakehouse_spark.operators.bloomjoin import bloom_prefilter_join
+
+    fact = spark.createDataFrame(
+        [(1, 0)], "k long, __bloom_filter long"
+    )
+    dim = spark.range(1).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="__bloom_filter"):
+        bloom_prefilter_join(fact, dim, "k")
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """A-ES needs strictly positive weights: NULL / 0 / negative rows
+    raise instead of silently mis-ranking."""
+    import pytest as _pytest
+
+    from local_lakehouse_spark.operators.sampling import weighted_sample_topk
+
+    for bad in (0.0, -1.0, None):
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, bad)], "id long, w double"
+        )
+        with _pytest.raises(Exception, match="must be > 0"):
+            weighted_sample_topk(df, "id", "w", k=2).collect()
+    # all-positive still works
+    ok = spark.createDataFrame([(1, 5.0), (2, 1.0)], "id long, w double")
+    assert weighted_sample_topk(ok, "id", "w", k=1).count() == 1
+
+
+def test_pagerank_directed_keeps_all_nodes_and_mass(spark):
+    """Directed, NON-symmetrized input: source-only and sink-only
+    nodes stay in the output (src ∪ dst node set), and the dangling
+    correction conserves total rank mass ≈ scale."""
+    from local_lakehouse_spark.operators.graph import pagerank_fixedpoint
+
+    # 0→1, 0→2, 1→2: node 2 is dangling (no out-edges), node 0 has no
+    # in-edges. Both must appear in the output.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    out = {r.node: r.r for r in pagerank_fixedpoint(edges, n_iter=10).collect()}
+    assert set(out) == {0, 1, 2}
+    scale = 10**12
+    total = sum(out.values())
+    # integer truncation loses < a few units per op per round
+    assert abs(total - scale) < 1000
+    # sink node accumulates the most rank, pure source the least
+    assert out[2] > out[1] > out[0]
+
+
+def test_pagerank_symmetric_unchanged_by_dangling_path(spark):
+    """For symmetrized edges (x66's shape) the dangling branch is
+    skipped and ranks match the plain recurrence computed by hand."""
+    from local_lakehouse_spark.operators.graph import pagerank_fixedpoint
+
+    # undirected pair 0—1: symmetric, ranks stay uniform
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    out = {r.node: r.r for r in pagerank_fixedpoint(edges, n_iter=3).collect()}
+    scale = 10**12
+    base = (15 * (scale // 2)) // 100
+    r = scale // 2
+    for _ in range(3):
+        r = base + (85 * r) // 100
+    assert out == {0: r, 1: r}
