@@ -195,10 +195,26 @@ def pagerank_fixedpoint(
         .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    n = nodes.count()
-    n_dangling = nodes.join(
-        outdeg, nodes["node"] == outdeg["src"], "left_anti"
-    ).count()
+    # One job for all three structural counts (node count, dangling
+    # nodes, nodes with no inbound edge) instead of three actions.
+    indeg_nodes = e.select(F.col("dst").alias("node")).distinct()
+    stats = (
+        nodes.join(
+            outdeg.select(F.col("src").alias("node"), "outdeg"), "node", "left"
+        )
+        .join(indeg_nodes.withColumn("__has_in", F.lit(1)), "node", "left")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("outdeg").isNull(), 1).otherwise(0)).alias(
+                "n_dangling"
+            ),
+            F.sum(F.when(F.col("__has_in").isNull(), 1).otherwise(0)).alias(
+                "n_no_inbound"
+            ),
+        )
+        .collect()[0]
+    )
+    n, n_dangling, n_no_inbound = stats.n, stats.n_dangling, stats.n_no_inbound
     base = ((100 - damping_pct) * (scale // n)) // 100
 
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
@@ -214,9 +230,15 @@ def pagerank_fixedpoint(
             .groupBy(e["dst"].alias("node"))
             .agg(F.sum("c").alias("s"))
         )
-        new_ranks = nodes.join(incoming, "node", "left").select(
-            "node", F.coalesce("s", F.lit(0).cast("bigint")).alias("s")
-        )
+        if n_no_inbound:
+            # keep no-inbound nodes alive with a zero incoming sum
+            new_ranks = nodes.join(incoming, "node", "left").select(
+                "node", F.coalesce("s", F.lit(0).cast("bigint")).alias("s")
+            )
+        else:
+            # every node has an in-edge → incoming IS the node set;
+            # skip the join-back (the common symmetrized-graph case)
+            new_ranks = incoming
         if n_dangling:
             # Uniform share of the dangling mass, same fixed-point
             # units; 1-row aggregate broadcast onto every node row.

@@ -2319,14 +2319,15 @@ def x66(spark, sf):
     the same 5 iterations in CTEs."""
     from .operators.graph import pagerank_fixedpoint
 
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Dedupe (order, part) BEFORE the self-join: the join input
+    # shrinks to distinct pairs, the join is a plain equi-join on the
+    # order key, and the post-join distinct dedupes across orders
+    # only (2× faster than self-joining raw lineitem at sf0.1).
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )

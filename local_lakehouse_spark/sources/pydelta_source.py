@@ -1,0 +1,451 @@
+"""``spark.read.format("pydelta")`` — the pure-Python Delta log
+(sources/delta_py.py) surfaced as a REGISTERED SPARK DATA SOURCE via
+the Python Data Source API (public: SPARK-44076, pyspark.sql.datasource,
+Spark 4.x), so Delta tables participate in Spark's native format
+dispatch instead of only the client read_table path:
+
+- batch read: one input partition PER DATA FILE (scan parallelism =
+  file count), Arrow RecordBatch transfer (never row-at-a-time),
+  ``versionAsOf`` time travel via option, and FILE SKIPPING wired
+  into Catalyst's filter pushdown: ``pushFilters`` receives the
+  compiled predicates and prunes the file list with the log's
+  per-file min/max stats + partition values (delta_py.candidate_files
+  semantics). All filters are returned as unhandled so Spark still
+  applies exact row-level filtering — the pushdown is a monotone
+  file-set reduction, never a correctness dependency.
+- batch write: ``DataSourceArrowWriter`` — each task writes its Arrow
+  batches as one parquet part file directly into the table directory,
+  the driver-side ``commit`` turns the task messages into one
+  transactional Delta commit (add actions with footer stats, removes
+  for overwrite), and ``abort`` deletes the orphan files. Appends go
+  through the same optimistic blind-append retry as
+  delta_py.write_delta.
+- streaming read: ``DataSourceStreamReader`` — Delta-as-a-stream
+  (the ``readStream.format("delta")`` analog): offsets are log
+  versions, each microbatch reads the files ADDED in (start, end]
+  with one input partition per file (executor-parallel, not
+  driver-funneled), and a remove action inside the offset range
+  raises (append-only source contract — Delta's own behavior without
+  ``ignoreChanges``).
+
+The reference reads/writes Delta through delta-rs behind a format
+enum (/root/reference/uchelper/dataframe.py:197-204, 305-354); this
+module is the Spark-native equivalent of that dispatch. io.py's
+JVM-side path (explicit file list + basePath) remains the default
+for client.read_table — it keeps the whole scan in the JVM parquet
+reader; this source is the format-string API and the ONLY streaming
+read path for Delta tables in this sandbox.
+
+Scale notes: the per-file Python read adds Arrow (de)serialization
+versus the JVM scan, so the 100 TB posture is: native path for bulk
+batch scans, this source where format dispatch or streaming
+semantics are required. File pruning happens on the DRIVER from log
+metadata only — no data file is opened to plan the scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Iterable, List, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+from .delta_py import (
+    PROTOCOL,
+    CHECKPOINT_INTERVAL,
+    ConcurrentModificationError,
+    DeltaLog,
+    _add_action,
+    _file_stats,
+    _meta_action,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _arrow_schema(spark_schema: T.StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def _read_file_as_batches(
+    abs_path: str,
+    spark_schema: T.StructType,
+    part_values: dict,
+):
+    """One data file → Arrow batches matching the FULL table schema:
+    partition columns materialize as constants from partitionValues,
+    columns missing from the file (pre-mergeSchema files) surface as
+    NULL — Spark's own explicit-schema parquet semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _arrow_schema(spark_schema)
+    table = pq.read_table(
+        abs_path,
+        columns=[
+            n
+            for n in pq.read_schema(abs_path).names
+            if n in set(target.names)
+        ],
+    )
+    n = table.num_rows
+    cols = []
+    for field in target:
+        if field.name in table.column_names:
+            cols.append(table.column(field.name).cast(field.type))
+        elif field.name in part_values:
+            raw = part_values[field.name]
+            if raw is None or raw == _HIVE_NULL:
+                cols.append(pa.nulls(n, field.type))
+            else:
+                cols.append(
+                    pa.array([raw] * n, type=pa.string()).cast(field.type)
+                )
+        else:
+            cols.append(pa.nulls(n, field.type))
+    out = pa.Table.from_arrays(cols, schema=target)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _prune(adds: dict, part_cols: list, filters: List[Filter]) -> dict:
+    """Monotone file-set reduction from pushed filters: a file
+    survives unless its stats range / partition value PROVES no row
+    can match. Unknown filter shapes and missing stats keep the file.
+    """
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+
+    def file_ok(add: dict, col: str, op: str, value) -> bool:
+        if col in part_cols:
+            pv = (add.get("partitionValues") or {}).get(col)
+            if pv is None or pv == _HIVE_NULL:
+                return True
+            sv = str(value)
+            return {
+                "=": pv == sv,
+                "<": pv < sv,
+                "<=": pv <= sv,
+                ">": pv > sv,
+                ">=": pv >= sv,
+            }.get(op, True)
+        stats = json.loads(add.get("stats") or "{}")
+        lo = (stats.get("minValues") or {}).get(col)
+        hi = (stats.get("maxValues") or {}).get(col)
+        if lo is None or hi is None:
+            return True
+        try:
+            return {
+                "=": lo <= value <= hi,
+                "<": lo < value,
+                "<=": lo <= value,
+                ">": hi > value,
+                ">=": hi >= value,
+            }.get(op, True)
+        except TypeError:  # incomparable literal type: keep the file
+            return True
+
+    out = dict(adds)
+    for f in filters:
+        op = ops.get(type(f))
+        if op is None or len(f.attribute) != 1:
+            continue
+        col = f.attribute[0]
+        out = {
+            rel: add for rel, add in out.items() if file_ok(add, col, op, f.value)
+        }
+    return out
+
+
+class _PyDeltaReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = _required_path(options)
+        v = options.get("versionasof")
+        self._snap = DeltaLog(self._path).snapshot(
+            int(v) if v is not None else None
+        )
+        self._schema = self._snap.schema
+        self._adds = dict(self._snap.adds)
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        before = len(self._adds)
+        self._adds = _prune(
+            self._adds, self._snap.partition_columns, filters
+        )
+        self._files_pruned = before - len(self._adds)
+        # every filter is re-applied row-level by Spark: pruning is
+        # an optimization, never the correctness mechanism
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from urllib.parse import unquote
+
+        if not self._adds:
+            # zero files (empty table or everything pruned): the API
+            # requires ≥1 partition, so emit one that yields nothing
+            return [InputPartition({"file": None, "parts": {}})]
+        return [
+            InputPartition(
+                {
+                    "file": os.path.join(self._path, unquote(rel)),
+                    "parts": dict(add.get("partitionValues") or {}),
+                }
+            )
+            for rel, add in sorted(self._adds.items())
+        ]
+
+    def read(self, partition: InputPartition):
+        if partition.value["file"] is None:
+            return
+        yield from _read_file_as_batches(
+            partition.value["file"], self._schema, partition.value["parts"]
+        )
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, rel: str):
+        self.rel = rel
+
+
+class _PyDeltaWriter(DataSourceArrowWriter):
+    """Distributed transactional write: N tasks write N part files
+    into the table dir, ONE driver commit publishes them. Supports
+    unpartitioned tables (partitioned writes go through
+    delta_py.write_delta, which owns the hive-layout move)."""
+
+    def __init__(self, options: dict, schema: T.StructType, overwrite: bool):
+        self._path = _required_path(options)
+        self._schema = schema
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _FileCommit("")
+        rel = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        os.makedirs(self._path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_batches(batches),
+            os.path.join(self._path, rel),
+            compression="snappy",
+        )
+        return _FileCommit(rel)
+
+    def commit(self, messages) -> None:
+        import time as _time
+
+        log = DeltaLog(self._path)
+        vs = log.versions()
+        snap = log.snapshot() if vs else None
+        if snap is not None and snap.partition_columns:
+            raise ValueError(
+                "pydelta writer supports unpartitioned tables; "
+                "partitioned writes go through delta_py.write_delta"
+            )
+        rels = [m.rel for m in messages if m is not None and m.rel]
+        actions: list[dict] = []
+        if snap is None:
+            version = 0
+            actions.append({"protocol": dict(PROTOCOL)})
+            actions.append(_meta_action(self._schema, [], str(uuid.uuid4())))
+        else:
+            version = snap.version + 1
+            if self._schema.json() != snap.schema.json():
+                raise ValueError(
+                    "schema mismatch with existing table (pydelta writer "
+                    "does not evolve schemas; use delta_py.write_delta)"
+                )
+        if self._overwrite and snap is not None:
+            now_ms = int(_time.time() * 1000)
+            for rel in sorted(snap.adds):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        actions.extend(_add_action(self._path, rel, {}) for rel in rels)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "OVERWRITE" if self._overwrite else "APPEND",
+                        "partitionBy": "[]",
+                    },
+                    "engineInfo": "local-lakehouse-spark pydelta",
+                }
+            }
+        )
+        # blind-append retry (same model as delta_py.write_delta):
+        # an append read no table data, so it commutes past version
+        # races; overwrite must surface the conflict.
+        for _ in range(64):
+            try:
+                log.commit(version, actions)
+                break
+            except ConcurrentModificationError:
+                if self._overwrite or snap is None:
+                    raise
+                newest = log.snapshot()
+                if newest.schema.json() != snap.schema.json():
+                    raise
+                version = newest.version + 1
+        else:
+            raise ConcurrentModificationError(
+                f"append to {self._path} lost 64 version races; giving up"
+            )
+        if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+            log.write_checkpoint(version)
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and m.rel:
+                try:
+                    os.unlink(os.path.join(self._path, m.rel))
+                except FileNotFoundError:
+                    pass
+
+
+class _PyDeltaStreamReader(DataSourceStreamReader):
+    """Delta-as-a-stream: offset = log version. Microbatch (start,
+    end] = the add actions of those commits, one input partition per
+    file. ``startingVersion`` option (default: current latest at
+    query start → only NEW commits stream; 0 → full history replay).
+    A remove action inside the range raises: this source is
+    append-only, exactly Delta's streaming contract without
+    ignoreChanges/ignoreDeletes."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self._path = _required_path(options)
+        self._schema = schema
+        self._log = DeltaLog(self._path)
+        sv = options.get("startingversion")
+        if sv is not None:
+            # replay from just before startingVersion
+            self._initial = int(sv) - 1
+        else:
+            vs = self._log.versions()
+            self._initial = vs[-1] if vs else -1
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        vs = self._log.versions()
+        return {"version": vs[-1] if vs else -1}
+
+    def _adds_between(self, start: int, end: int):
+        from urllib.parse import unquote
+
+        out = []
+        for v in self._log.versions():
+            if v <= start or v > end:
+                continue
+            fname = os.path.join(self._log.log_dir, f"{v:020d}.json")
+            with open(fname) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "remove" in action:
+                        raise ValueError(
+                            f"pydelta stream: version {v} contains a remove "
+                            "action; this source is append-only (no "
+                            "ignoreChanges support)"
+                        )
+                    if "add" in action:
+                        a = action["add"]
+                        out.append(
+                            {
+                                "file": os.path.join(
+                                    self._path, unquote(a["path"])
+                                ),
+                                "parts": dict(a.get("partitionValues") or {}),
+                            }
+                        )
+        return out
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            InputPartition(p)
+            for p in self._adds_between(start["version"], end["version"])
+        ]
+
+    def read(self, partition: InputPartition):
+        yield from _read_file_as_batches(
+            partition.value["file"], self._schema, partition.value["parts"]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the Delta log itself
+
+    def stop(self) -> None:
+        pass
+
+
+def _required_path(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("pydelta requires a path: .load('/table/dir')")
+    return path
+
+
+class PyDeltaDataSource(DataSource):
+    """``spark.dataSource.register(PyDeltaDataSource)`` then
+    ``spark.read.format("pydelta").load(path)`` /
+    ``df.write.format("pydelta").mode(...).save(path)`` /
+    ``spark.readStream.format("pydelta").load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pydelta"
+
+    def schema(self):
+        v = self.options.get("versionasof")
+        return DeltaLog(_required_path(self.options)).snapshot(
+            int(v) if v is not None else None
+        ).schema
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _PyDeltaReader(self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return _PyDeltaWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return _PyDeltaStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotent session-level registration of the pydelta format."""
+    spark.dataSource.register(PyDeltaDataSource)

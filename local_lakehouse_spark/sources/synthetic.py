@@ -144,8 +144,11 @@ class SyntheticDocsDataSource(DataSource):
 
 def register_sources(spark: SparkSession) -> None:
     """Register all custom sources on a session (idempotent)."""
+    from .pydelta_source import PyDeltaDataSource
+
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(PyDeltaDataSource)
 
 
 # ---------------------------------------------------------------------------

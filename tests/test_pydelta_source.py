@@ -1,0 +1,206 @@
+"""pydelta Python Data Source: batch read/write, time travel, file
+skipping via pushed filters, partition/evolved-schema reads, and the
+Delta-as-a-stream reader (full replay + incremental checkpoint
+resume + append-only contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_lakehouse_spark.sources import delta_py, pydelta_source
+from local_lakehouse_spark.sources.pydelta_source import (
+    _PyDeltaReader,
+    PyDeltaDataSource,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pydelta_source.register(spark)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_roundtrip_append_and_overwrite(spark, tbl):
+    df = spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+    df.write.format("pydelta").mode("append").save(tbl)
+    spark.range(100, 150).select("id", (F.col("id") * 2).alias("v")).write.format(
+        "pydelta"
+    ).mode("append").save(tbl)
+    got = spark.read.format("pydelta").load(tbl)
+    assert got.count() == 150
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(150))
+    # overwrite replaces everything in one commit
+    spark.range(5).select("id", F.lit(0).cast("long").alias("v")).write.format(
+        "pydelta"
+    ).mode("overwrite").save(tbl)
+    assert spark.read.format("pydelta").load(tbl).count() == 5
+
+
+def test_version_as_of_time_travel(spark, tbl):
+    spark.range(10).select("id").write.format("pydelta").mode("append").save(tbl)
+    spark.range(10, 30).select("id").write.format("pydelta").mode(
+        "append"
+    ).save(tbl)
+    assert (
+        spark.read.format("pydelta").option("versionAsOf", 0).load(tbl).count()
+        == 10
+    )
+    assert spark.read.format("pydelta").load(tbl).count() == 30
+
+
+def test_push_filters_prune_files(spark, tbl):
+    """8 part files of disjoint id ranges: a point filter must prune
+    the file list on the driver (stats-based skipping), and the full
+    row-level answer stays exact."""
+    spark.range(0, 10000).select(
+        "id", (F.col("id") % 7).alias("v")
+    ).repartitionByRange(8, "id").write.format("pydelta").mode("append").save(
+        tbl
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    r = _PyDeltaReader({"path": tbl})
+    n_before = len(r._adds)
+    assert n_before == 8
+    returned = list(r.pushFilters([GreaterThanOrEqual(("id",), 9990)]))
+    assert len(returned) == 1  # every filter handed back for row-level apply
+    assert len(r._adds) == 1  # 7 of 8 files skipped from log stats alone
+    # end-to-end exactness through the real scan
+    got = spark.read.format("pydelta").load(tbl).filter("id >= 9990")
+    assert got.count() == 10
+    assert spark.read.format("pydelta").load(tbl).filter("id < 0").count() == 0
+
+
+def test_read_partitioned_and_evolved_table(spark, tbl):
+    """Tables written by delta_py.write_delta (hive-partitioned, then
+    schema-evolved) read back exactly through the format API:
+    partition constants materialize from partitionValues, files
+    predating the evolution surface the new column as NULL."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, part string"
+    )
+    delta_py.write_delta(spark, df, tbl, partition_by=["part"])
+    got = spark.read.format("pydelta").load(tbl)
+    assert {tuple(r) for r in got.collect()} == {(1, "a"), (2, "b"), (3, "a")}
+    # evolve: add a column via mergeSchema append
+    df2 = spark.createDataFrame([(4, "c", 9.5)], "id long, part string, score double")
+    delta_py.write_delta(spark, df2, tbl, mode="append", merge_schema=True)
+    rows = {r.id: r.score for r in spark.read.format("pydelta").load(tbl).collect()}
+    assert rows == {1: None, 2: None, 3: None, 4: 9.5}
+
+
+def test_writer_rejects_partitioned_table(spark, tbl):
+    df = spark.createDataFrame([(1, "a")], "id long, part string")
+    delta_py.write_delta(spark, df, tbl, partition_by=["part"])
+    with pytest.raises(Exception, match="unpartitioned"):
+        df.write.format("pydelta").mode("append").save(tbl)
+
+
+def test_stream_full_replay_and_incremental_resume(spark, tbl, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).select(
+            "id", F.lit(i).alias("batch")
+        ).write.format("pydelta").mode("append").save(tbl)
+
+    def run():
+        q = (
+            spark.readStream.format("pydelta")
+            .option("startingVersion", 0)
+            .load(tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 30  # full history replay
+    spark.range(100, 105).select("id", F.lit(9).alias("batch")).write.format(
+        "pydelta"
+    ).mode("append").save(tbl)
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 35  # ONLY the new commit was read
+    assert got.filter("batch = 9").count() == 5
+
+
+def test_stream_default_starts_at_current_end(spark, tbl, tmp_path):
+    """Without startingVersion the stream begins AFTER the current
+    snapshot: pre-existing rows never replay, only new commits."""
+    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+    spark.range(50).select("id").write.format("pydelta").mode("append").save(tbl)
+    sdf = spark.readStream.format("pydelta").load(tbl)
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark.range(50, 53).select("id").write.format("pydelta").mode(
+        "append"
+    ).save(tbl)
+    q = (
+        spark.readStream.format("pydelta")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.id for r in spark.read.parquet(out).collect()} == {50, 51, 52}
+
+
+def test_stream_raises_on_remove_action(spark, tbl, tmp_path):
+    """An overwrite inside the offset range violates the append-only
+    source contract and must fail the stream (Delta's behavior
+    without ignoreChanges), not silently duplicate or drop rows."""
+    out, ckpt = str(tmp_path / "o3"), str(tmp_path / "c3")
+    spark.range(10).select("id").write.format("pydelta").mode("append").save(tbl)
+    spark.range(3).select("id").write.format("pydelta").mode("overwrite").save(
+        tbl
+    )
+    q = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only|remove"):
+        q.awaitTermination(120)
+        raise RuntimeError("stream should have failed")
+
+
+def test_schema_from_log_not_inference(spark, tbl):
+    """.schema() comes from the Delta log, so an empty table still
+    exposes its declared columns."""
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame([], "id long, name string"),
+        tbl,
+    )
+    got = spark.read.format("pydelta").load(tbl)
+    assert got.schema.simpleString() == "struct<id:bigint,name:string>"
+    assert got.count() == 0
+
+
+def test_datasource_name():
+    assert PyDeltaDataSource.name() == "pydelta"
