@@ -55,6 +55,12 @@ EXTENDED = [
     "x62_bpe_merges",
     "x64_pareto_frontier",
     "x66_pagerank",
+    # round 4 additions
+    "q69_numeric_range_frame",
+    "x81_cdc_chunk_dedup",
+    "x82_temperature_mixture",
+    "x88_label_silhouette",
+    "x89_delta_stream_rollup",
 ]
 
 

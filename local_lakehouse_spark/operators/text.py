@@ -830,3 +830,80 @@ def pmi_collocations(
         .limit(k)
         .select("w1", "w2", "pair_count", "pmi_e4")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    mask: int = 16,
+) -> DataFrame:
+    """(id, chunk_id, chunk, n_words) — CONTENT-DEFINED CHUNKING at
+    word granularity: a chunk boundary falls after word *i* whenever
+    the rolling hash of the trailing ``window`` words satisfies
+    ``h % mask == 0`` (expected chunk length ≈ ``mask`` words). The
+    Rabin-fingerprint idea behind storage dedup (LBFS, Muthitacharoen
+    et al. SOSP'01), applied to text: because boundaries depend only
+    on LOCAL content, inserting a sentence into a document shifts at
+    most the surrounding chunk — every other chunk hashes identically
+    and dedups against the unmodified copy, which fixed-size
+    chunking cannot do.
+
+    The hash is the engine-portable 48-bit md5 integer
+    (sketches._md5_u48), so an external SQL engine reproduces the
+    exact boundaries.
+
+    Scale shape: split → posexplode in the scan stage, ONE window
+    pass per doc (lag chain + running boundary count — Spark
+    evaluates all three window expressions in a single WindowExec),
+    one (id, chunk_id) agg with ordered reassembly. No UDF, no
+    shuffle beyond the doc-keyed window + agg.
+    """
+    from pyspark.sql import Window as W
+
+    from .sketches import _md5_u48
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(_words(F.col(text_col)), lambda x: x != "")
+        ).alias("i", "w"),
+    )
+    byid = W.partitionBy("id").orderBy("i")
+    gram = F.concat_ws(
+        " ", *[F.lag("w", window - 1 - j).over(byid) for j in range(window)]
+    )
+    flagged = words.select(
+        "id",
+        "i",
+        "w",
+        (
+            (F.col("i") >= window - 1)
+            & (_md5_u48(gram) % mask == 0)
+        ).cast("int").alias("boundary"),
+    )
+    chunked = flagged.select(
+        "id",
+        "i",
+        "w",
+        F.coalesce(
+            F.sum("boundary").over(
+                byid.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )

@@ -2327,6 +2327,161 @@ ORDER BY o_orderstatus
 """
 
 
+def q69(spark, sf):
+    """VALUE-based window frame (RANGE BETWEEN n PRECEDING on a
+    numeric ordering key, not row offsets): for each order, how many
+    orders of the same priority fall within $1000 below its total
+    price, and their combined value. Money in integer cents so both
+    the ordering key and the sum are exact; RANGE frames include
+    peers, so tied prices get identical (deterministic) answers."""
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rangeBetween(-100000, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            F.count(F.lit(1)).over(w).alias("n_band"),
+            F.sum("cents").over(w).alias("band_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q69_SQL = """
+SELECT o_orderkey, o_orderpriority, cents,
+       COUNT(*) OVER w AS n_band,
+       CAST(SUM(cents) OVER w AS BIGINT) AS band_cents
+FROM (SELECT o_orderkey, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+             RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
+def q70(spark, sf):
+    """regexp_extract_all + explode: pull every ≥5-letter lowercase
+    word out of the documents and rank the 40 most frequent — the
+    regex-vectorized token mining shape (all JVM, no UDF)."""
+    docs = t(spark, sf, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]{5,}"), F.lit(0))
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(40)
+    )
+
+
+Q70_SQL = """
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS word
+      FROM documents)
+GROUP BY word ORDER BY cnt DESC, word LIMIT 40
+"""
+
+
+def q71(spark, sf):
+    """last_value IGNORE NULLS (LOCF inside a plain window, the SQL
+    idiom under every forward-fill): every third event's value is
+    masked to NULL, then carried forward per user in (ts, event_id)
+    order. Integer cents end-to-end."""
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        ).alias("obs_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "obs_cents",
+        F.last("obs_cents", ignorenulls=True).over(w).alias("filled_cents"),
+    ).orderBy("event_id")
+
+
+Q71_SQL = """
+SELECT event_id, user_id, obs_cents,
+       last_value(obs_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 <> 0
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END
+               AS obs_cents
+      FROM events)
+ORDER BY event_id
+"""
+
+
+def q72(spark, sf):
+    """NULL-safe operator family: <=> (IS NOT DISTINCT FROM), NULLIF
+    guarding an integer division (try-arithmetic shape), and NVL2
+    3-way branching — the defensive-SQL idioms, on exact integers."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    li = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ext_cents"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("disc_cents"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("tax_cents"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("disc_cents <=> tax_cents").alias("disc_eq_tax"),
+        F.expr("ext_cents div nullif(disc_cents, 0)").alias("per_disc_unit"),
+        F.expr(
+            "nvl2(nullif(disc_cents, 0), 'discounted', 'full-price')"
+        ).alias("price_class"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+Q72_SQL = """
+SELECT l_orderkey, l_linenumber,
+       disc_cents IS NOT DISTINCT FROM tax_cents AS disc_eq_tax,
+       ext_cents // NULLIF(disc_cents, 0) AS per_disc_unit,
+       CASE WHEN NULLIF(disc_cents, 0) IS NOT NULL
+            THEN 'discounted' ELSE 'full-price' END AS price_class
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS ext_cents,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_cents,
+             CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tax_cents
+      FROM lineitem WHERE l_orderkey % 100 = 0)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2400,4 +2555,8 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q66_recursive_cte": QuerySpec(q66, Q66_SQL),
     "q67_cube": QuerySpec(q67, Q67_SQL),
     "q68_filter_clause": QuerySpec(q68, Q68_SQL),
+    "q69_numeric_range_frame": QuerySpec(q69, Q69_SQL),
+    "q70_regexp_extract_all": QuerySpec(q70, Q70_SQL),
+    "q71_ignore_nulls_locf": QuerySpec(q71, Q71_SQL),
+    "q72_null_safe_ops": QuerySpec(q72, Q72_SQL),
 }

@@ -3096,6 +3096,486 @@ ORDER BY qid, final_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# x81–x89: round-4 additions — CDC chunk dedup, temperature mixture,
+# robust outliers, sketch accuracy audit, packing/shard audits,
+# cluster demography, label separation, Delta-as-a-stream rollup
+# ---------------------------------------------------------------------------
+
+
+def x81(spark, sf):
+    """Content-defined chunking (operators/text.cdc_chunks, rolling
+    md5 over 4-word windows, mask 16) + cross-document chunk-level
+    dedup: the repeated chunks with their document reach — the
+    storage-dedup move (LBFS) applied to corpus text, catching
+    SHARED PASSAGES exact-dedup misses because boundaries realign
+    after edits."""
+    from .operators.text import cdc_chunks
+
+    chunks = cdc_chunks(
+        t(spark, sf, "documents"), "doc_id", "text", window=4, mask=16
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.desc("n_occ"), F.desc("n_docs"), "chunk")
+        .limit(50)
+    )
+
+
+X81_SQL = r"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents),
+words AS (
+  SELECT id, i - 1 AS i, ws[i] AS w, ws, len(ws) AS n
+  FROM w, unnest(range(1, greatest(len(ws), 1) + 1)) AS r(i)),
+flagged AS (
+  SELECT id, i, w,
+         CASE WHEN i >= 3 AND
+             (md5_number_lower(array_to_string(ws[i - 2 : i + 1], ' '))
+              & 281474976710655) % 16 = 0
+         THEN 1 ELSE 0 END AS boundary
+  FROM words),
+chunked AS (
+  SELECT id, i, w,
+         CAST(COALESCE(SUM(boundary) OVER (
+           PARTITION BY id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS chunk_id
+  FROM flagged),
+chunks AS (
+  SELECT id, chunk_id, string_agg(w, ' ' ORDER BY i) AS chunk
+  FROM chunked GROUP BY id, chunk_id)
+SELECT chunk, COUNT(DISTINCT id) AS n_docs, COUNT(*) AS n_occ
+FROM chunks GROUP BY chunk
+HAVING COUNT(*) > 1
+ORDER BY n_occ DESC, n_docs DESC, chunk
+LIMIT 50
+"""
+
+
+def x82(spark, sf):
+    """Temperature-scaled mixture resampling (T=2): per-source
+    acceptance rate √(c_min/c_s) flattens the source distribution
+    toward uniform — the multilingual/pretraining rebalancing move
+    (e.g. mT5's temperature sampling), as ONE declarative plan.
+    T=2 is chosen so the power is ``sqrt``, which IEEE 754 requires
+    correctly rounded — both engines compute the bit-identical rate,
+    and the md5-derived uniform makes acceptance reproducible."""
+    docs = t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c_s"))
+    counts = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("c_s").alias("c_min")))
+    ).select(
+        "source",
+        "c_s",
+        F.sqrt(F.col("c_min").cast("double") / F.col("c_s")).alias("rate"),
+    )
+    from .operators.sketches import _md5_u48
+
+    u = (
+        _md5_u48(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(float(1 << 48))
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+X82_SQL = """
+WITH counts AS (SELECT source, COUNT(*) AS c_s FROM documents GROUP BY source),
+rates AS (
+  SELECT source, c_s,
+         SQRT(CAST((SELECT MIN(c_s) FROM counts) AS DOUBLE) / c_s) AS rate
+  FROM counts)
+SELECT doc_id, source, lang
+FROM documents JOIN rates USING (source)
+WHERE (((md5_number_lower('mix|' || CAST(doc_id AS VARCHAR))
+         & 281474976710655) + 1) / 281474976710656.0) < rate
+ORDER BY doc_id
+"""
+
+
+def x83(spark, sf):
+    """Robust per-group outlier detection: median + MAD (median
+    absolute deviation) per event_type over integer cents — the
+    heavy-tail-safe alternative to mean/stddev z-scores for metric
+    monitoring. All medians land on exact .0/.5/.25 doubles (integer
+    inputs), so both engines agree bit-for-bit."""
+    ev = events_table(spark, sf).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "c", "med", F.abs(F.col("c") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med_cents"),
+            F.first("mad").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X83_SQL = """
+WITH ev AS (SELECT event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events),
+med AS (SELECT event_type, median(c) AS med FROM ev GROUP BY event_type),
+dev AS (SELECT ev.event_type, c, med, abs(c - med) AS ad
+        FROM ev JOIN med USING (event_type)),
+mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_type, COUNT(*) AS n,
+       ANY_VALUE(d.med) AS med_cents,
+       ANY_VALUE(m.mad) AS mad_cents,
+       CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+def x84(spark, sf):
+    """Sketch accuracy audit: x59's count-min estimates joined back
+    to the EXACT counts — per item the guaranteed-one-sided error
+    (est ≥ exact always; collisions only add). The
+    trust-but-measure step before a sketch replaces exact counting
+    in a pipeline."""
+    from .operators.sketches import cms_estimate, count_min_sketch
+
+    words = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    )
+    items = ["the", "and", "data", "spark", "query"]
+    sketch = count_min_sketch(words, "word", depth=4, width=256)
+    queries = spark.createDataFrame([(w,) for w in items], "word string")
+    est = cms_estimate(sketch, queries, "word", depth=4, width=256)
+    exact = (
+        words.filter(F.col("word").isin(items))
+        .groupBy(F.col("word").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "item", "left")
+        .select(
+            "item",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            "est",
+            (F.col("est") - F.coalesce("exact", F.lit(0))).alias("overcount"),
+        )
+        .orderBy("item")
+    )
+
+
+X84_SQL = r"""
+WITH words AS (SELECT unnest(string_split_regex(text, '\s+')) AS item
+               FROM documents),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+matrix AS (
+  SELECT seed,
+         (md5_number_lower(seed || '|' || item) & 281474976710655) % 256
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM words, seeds GROUP BY 1, 2),
+q AS (SELECT unnest(['the', 'and', 'data', 'spark', 'query']) AS item),
+probes AS (
+  SELECT q.item, s.seed,
+         (md5_number_lower(s.seed || '|' || q.item) & 281474976710655) % 256
+           AS bucket
+  FROM q, seeds s),
+est AS (
+  SELECT p.item, MIN(COALESCE(m.cnt, 0)) AS est
+  FROM probes p LEFT JOIN matrix m
+    ON m.seed = p.seed AND m.bucket = p.bucket
+  GROUP BY p.item),
+exact AS (
+  SELECT item, COUNT(*) AS exact FROM words
+  WHERE item IN ('the', 'and', 'data', 'spark', 'query') GROUP BY item)
+SELECT e.item, COALESCE(x.exact, 0) AS exact, e.est,
+       e.est - COALESCE(x.exact, 0) AS overcount
+FROM est e LEFT JOIN exact x USING (item)
+ORDER BY e.item
+"""
+
+
+def x85(spark, sf):
+    """Packing-efficiency audit over x39's 512-token bins: per
+    (source, bin) the doc count, token load, and fill ratio in milli
+    units — the shard-utilization readout that tells a training-data
+    build whether its packing wastes context-window budget."""
+    from .operators.text import pack_sequences
+
+    docs = t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", "source", budget=512)
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .withColumn(
+            "fill_milli", F.expr("bin_tokens * 1000 DIV 512")
+        )
+        .orderBy("source", "bin")
+    )
+
+
+X85_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+ c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS before
+  FROM toks)
+SELECT source, CAST(FLOOR(before / 512) AS INT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) * 1000 // 512 AS fill_milli
+FROM c GROUP BY source, bin ORDER BY source, bin
+"""
+
+
+def x86(spark, sf):
+    """Cluster demography: x33's near-dup connected components
+    reduced to a size histogram (how many clusters of 2, of 3, ...)
+    — the one-look summary of how duplication is distributed, which
+    decides dedup strategy (mass tail of pairs vs a few megaclusters)."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+    clusters = dedup_clusters(pairs)
+    return (
+        clusters.groupBy("keep_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+X86_SQL = rf"""
+WITH RECURSIVE {_REACH_CTES},
+comp AS (SELECT u AS id, MIN(r) AS keep_id FROM reach GROUP BY u),
+csizes AS (SELECT keep_id, COUNT(*) AS cluster_size
+           FROM comp GROUP BY keep_id)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def x87(spark, sf):
+    """Output-shard assignment audit: hash documents into 32 shards
+    (engine-portable md5 bucket), report per-shard row/char load and
+    the skew ratio versus the uniform share in milli units — the
+    pre-write check that a sharded corpus export balances."""
+    from .operators.sketches import _md5_u48
+
+    docs = t(spark, sf, "documents")
+    shards = docs.select(
+        (_md5_u48(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+         % 32).alias("shard"),
+        "n_chars",
+    )
+    total = shards.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    return (
+        shards.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "chars",
+            F.expr("n_docs * 32 * 1000 DIV total").alias("load_milli"),
+        )
+        .orderBy("shard")
+    )
+
+
+X87_SQL = """
+WITH shards AS (
+  SELECT (md5_number_lower('shard|' || CAST(doc_id AS VARCHAR))
+          & 281474976710655) % 32 AS shard,
+         n_chars
+  FROM documents),
+tot AS (SELECT COUNT(*) AS total FROM shards)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       COUNT(*) * 32 * 1000 // (SELECT total FROM tot) AS load_milli
+FROM shards GROUP BY shard ORDER BY shard
+"""
+
+
+def x88(spark, sf):
+    """Label separation audit (silhouette-lite) over the embedding
+    table: per label the mean L1 distance to the OWN centroid vs the
+    nearest OTHER centroid, ratio in milli units — the
+    cluster-quality readout before trusting labels for stratified
+    sampling or IVF cells. Same integer-quantized centroid
+    arithmetic as x71, so the oracle is exact."""
+    emb = t(spark, sf, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("v").cast("double") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.expr("CAST(sum(q) * 1000 AS BIGINT) DIV count(1)").alias("c_micro")
+    )
+    # L1 of every vector to EVERY centroid: one (d)-keyed join, then
+    # per (vec, clabel) sum — labels are few, so the fan-out is the
+    # label count, not a pair blow-up.
+    alldist = (
+        dims.join(
+            F.broadcast(
+                cent.select(
+                    F.col("label").alias("clabel"), "d", "c_micro"
+                )
+            ),
+            "d",
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.abs(F.col("q") * 1000 - F.col("c_micro"))).alias("l1"))
+    )
+    own = alldist.filter(F.col("label") == F.col("clabel")).groupBy(
+        "label"
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr("CAST(sum(l1) AS BIGINT) DIV count(1)").alias("intra_micro"),
+    )
+    other = (
+        alldist.filter(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("l1").alias("nearest_other"))
+        .groupBy("label")
+        .agg(
+            F.expr("CAST(sum(nearest_other) AS BIGINT) DIV count(1)").alias(
+                "inter_micro"
+            )
+        )
+    )
+    return (
+        own.join(other, "label")
+        .select(
+            "label",
+            "n_vecs",
+            "intra_micro",
+            "inter_micro",
+            F.expr("intra_micro * 1000 DIV inter_micro").alias("ratio_milli"),
+        )
+        .orderBy("label")
+    )
+
+
+X88_SQL = r"""
+WITH dims AS (
+  SELECT vec_id, label, CAST(i AS INT) AS d,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+cent AS (
+  SELECT label AS clabel, d,
+         CAST(CAST(SUM(q) * 1000 AS BIGINT) // COUNT(*) AS BIGINT) AS c_micro
+  FROM dims GROUP BY label, d),
+alldist AS (
+  SELECT vec_id, label, clabel,
+         CAST(SUM(abs(q * 1000 - c_micro)) AS BIGINT) AS l1
+  FROM dims JOIN cent USING (d)
+  GROUP BY vec_id, label, clabel),
+own AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         CAST(SUM(l1) AS BIGINT) // COUNT(*) AS intra_micro
+  FROM alldist WHERE label = clabel GROUP BY label),
+nearest AS (
+  SELECT vec_id, label, MIN(l1) AS nearest_other
+  FROM alldist WHERE label <> clabel GROUP BY vec_id, label),
+oth AS (
+  SELECT label,
+         CAST(SUM(nearest_other) AS BIGINT) // COUNT(*) AS inter_micro
+  FROM nearest GROUP BY label)
+SELECT label, n_vecs, intra_micro, inter_micro,
+       intra_micro * 1000 // inter_micro AS ratio_milli
+FROM own JOIN oth USING (label)
+ORDER BY label
+"""
+
+
+def x89(spark, sf):
+    """Delta-as-a-stream end to end: events are committed once to a
+    pydelta table (sources/pydelta_source — the Python DataSource
+    registered as ``format("pydelta")``), then REPLAYED through
+    ``readStream`` with log versions as offsets into the watermarked
+    tumbling aggregation. Must equal the batch hourly rollup (x12's
+    oracle) — proving the custom streaming source delivers exactly
+    the committed rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py, pydelta_source
+    from .streaming.windows import run_stream_to_memory, streaming_tumbling_agg
+
+    pydelta_source.register(spark)
+    key = hashlib.md5(sf.encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_pydelta_ev_{key}")
+    if not delta_py.is_delta_table(tbl):
+        delta_py.write_delta(
+            spark, events_table(spark, sf), tbl, mode="overwrite"
+        )
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(tbl)
+    )
+    name = f"x89_sink_{key}"
+    run_stream_to_memory(streaming_tumbling_agg(stream), name)
+    return spark.table(name).orderBy("win_start", "event_type")
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -3177,4 +3657,13 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x78_conversion_latency": QuerySpec(x78, X78_SQL),
     "x79_incremental_dedup": QuerySpec(x79, X79_SQL),
     "x80_retrieval_pipeline": QuerySpec(x80, X80_SQL),
+    "x81_cdc_chunk_dedup": QuerySpec(x81, X81_SQL),
+    "x82_temperature_mixture": QuerySpec(x82, X82_SQL),
+    "x83_robust_outliers_mad": QuerySpec(x83, X83_SQL),
+    "x84_cms_error_audit": QuerySpec(x84, X84_SQL),
+    "x85_packing_audit": QuerySpec(x85, X85_SQL),
+    "x86_cluster_size_histogram": QuerySpec(x86, X86_SQL),
+    "x87_shard_skew_audit": QuerySpec(x87, X87_SQL),
+    "x88_label_silhouette": QuerySpec(x88, X88_SQL),
+    "x89_delta_stream_rollup": QuerySpec(x89, X12_SQL),
 }

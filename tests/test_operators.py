@@ -1478,3 +1478,42 @@ def test_pagerank_symmetric_unchanged_by_dangling_path(spark):
     for _ in range(3):
         r = base + (85 * r) // 100
     assert out == {0: r, 1: r}
+
+
+def test_cdc_chunks_boundaries_are_content_local(spark):
+    """The CDC property: inserting a sentence mid-document only
+    perturbs chunks around the edit — chunks far from it re-align
+    and hash identically (what fixed-size chunking cannot do)."""
+    from local_lakehouse_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"w{i % 97}tok{i % 13}" for i in range(400))
+    words = base.split()
+    edited = " ".join(words[:200] + ["INSERTED", "NEW", "SENTENCE"] + words[200:])
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(docs, "doc_id", "text").collect()
+    c1 = {r.chunk for r in chunks if r.id == 1}
+    c2 = {r.chunk for r in chunks if r.id == 2}
+    shared = c1 & c2
+    # most chunks survive the edit verbatim
+    assert len(shared) >= len(c1) * 0.6, (len(shared), len(c1))
+    # chunk reassembly is lossless: concatenating chunks in chunk_id
+    # order reproduces the original text
+    ordered = sorted(
+        [r for r in chunks if r.id == 1], key=lambda r: r.chunk_id
+    )
+    assert " ".join(r.chunk for r in ordered) == base
+
+
+def test_cdc_chunks_expected_length(spark):
+    """mask=16 gives ~16-word average chunks on hash-uniform text."""
+    from local_lakehouse_spark.operators.text import cdc_chunks
+
+    text = " ".join(f"t{i}" for i in range(3000))  # all-distinct words
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = cdc_chunks(docs, "doc_id", "text", window=4, mask=16)
+    sizes = [r.n_words for r in out.collect()]
+    assert sum(sizes) == 3000
+    avg = sum(sizes) / len(sizes)
+    assert 8 <= avg <= 32, avg  # 2x tolerance around the expected 16
