@@ -3576,6 +3576,282 @@ def x89(spark, sf):
     return spark.table(name).orderBy("win_start", "event_type")
 
 
+def x90(spark, sf):
+    """Blocked fuzzy record linkage: a deterministically corrupted
+    copy of every customer name (one character deleted, position
+    md5-derived) is matched back to the clean register by BLOCKING on
+    the stable suffix (the deletion never touches the last 5 chars,
+    so right-5 is an exact, nearly-unique block key) and VERIFYING
+    candidates with Levenshtein distance — the equi-join-bounded
+    shape of entity resolution at scale (never all-pairs; the edit
+    distance runs only inside blocks). Both engines implement the
+    classic DP Levenshtein, so the oracle is exact."""
+    cust = t(spark, sf, "customer").select("c_custkey", "c_name")
+    # deletion position = (md5 digest byte 8 of 'corrupt|<key>') % 4
+    # + 10 (1-based) — always inside the digit run, never in the
+    # right-5 block key. DuckDB twin: md5_number_lower & 255 is the
+    # same digest byte.
+    pos_sql = (
+        "CAST(((conv(substring(md5(concat('corrupt|', "
+        "CAST(c_custkey AS STRING))), 17, 2), 16, 10) % 4) + 10) AS INT)"
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr(
+            f"concat(substring(c_name, 1, {pos_sql} - 1), "
+            f"substring(c_name, {pos_sql} + 1))"
+        ).alias("dirty_name"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_id"), F.col("c_name").alias("clean_name")
+    )
+    cand = dirty.withColumn(
+        "bk", F.substring(F.col("dirty_name"), -5, 5)
+    ).join(
+        clean.withColumn("bk", F.substring(F.col("clean_name"), -5, 5)),
+        "bk",
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("dirty_name"), F.col("clean_name"))
+        )
+        .filter(F.col("dist") <= 1)
+        .select("dirty_id", "clean_id", "dist")
+        .orderBy("dirty_id", "clean_id")
+    )
+
+
+X90_SQL = """
+WITH pos AS (
+  SELECT c_custkey, c_name,
+         CAST(((md5_number_lower('corrupt|' || CAST(c_custkey AS VARCHAR))
+                & 255) % 4) + 10 AS INT) AS p
+  FROM customer),
+dirty AS (
+  SELECT c_custkey AS dirty_id,
+         substring(c_name, 1, p - 1) || substring(c_name, p + 1)
+           AS dirty_name
+  FROM pos),
+clean AS (SELECT c_custkey AS clean_id, c_name AS clean_name FROM customer),
+cand AS (
+  SELECT dirty_id, dirty_name, clean_id, clean_name
+  FROM dirty JOIN clean
+    ON right(dirty_name, 5) = right(clean_name, 5))
+SELECT dirty_id, clean_id,
+       CAST(levenshtein(dirty_name, clean_name) AS INT) AS dist
+FROM cand WHERE levenshtein(dirty_name, clean_name) <= 1
+ORDER BY dirty_id, clean_id
+"""
+
+
+def x91(spark, sf):
+    """Referential-integrity audit across the star schema: for each
+    FK edge, row count, NULL-key count, and orphan count (anti-join
+    against the parent) — the data-quality gate a lakehouse runs
+    before publishing a snapshot. Anti-joins broadcast the parent key
+    set, so each audit row costs one scan of the child."""
+    li = t(spark, sf, "lineitem")
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer")
+    supp = t(spark, sf, "supplier")
+    nation = t(spark, sf, "nation")
+
+    def audit(child, fk, parent, pk, label):
+        # one scan of the child: left-join the (broadcast, distinct)
+        # parent key set, then classify every row in a single agg —
+        # no driver-side counting, the whole audit is ONE lazy plan
+        probe = child.select(F.col(fk).alias("fk")).join(
+            F.broadcast(
+                parent.select(F.col(pk).alias("fk"), F.lit(1).alias("__hit"))
+                .distinct()
+            ),
+            "fk",
+            "left",
+        )
+        return probe.agg(
+            F.lit(label).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_fk"),
+            F.sum(
+                F.when(
+                    F.col("fk").isNotNull() & F.col("__hit").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+
+    edges = [
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        audit(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        audit(supp, "s_nationkey", nation, "n_nationkey", "supplier->nation"),
+        audit(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk_edge")
+
+
+X91_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS n_null_fk,
+         COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           AS n_orphans
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders->customer', COUNT(*),
+         COUNT(*) FILTER (WHERE o_custkey IS NULL),
+         COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+  FROM orders
+  UNION ALL
+  SELECT 'supplier->nation', COUNT(*),
+         COUNT(*) FILTER (WHERE s_nationkey IS NULL),
+         COUNT(*) FILTER (WHERE s_nationkey IS NOT NULL
+           AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+  FROM supplier
+  UNION ALL
+  SELECT 'customer->nation', COUNT(*),
+         COUNT(*) FILTER (WHERE c_nationkey IS NULL),
+         COUNT(*) FILTER (WHERE c_nationkey IS NOT NULL
+           AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+  FROM customer
+) ORDER BY fk_edge
+"""
+
+
+def x92(spark, sf):
+    """SCD Type-2 interval build from the event stream
+    (gaps-and-islands): per user, consecutive runs of the same
+    event_type collapse into validity intervals [valid_from,
+    valid_to) with an is_current flag — how a lakehouse derives a
+    slowly-changing dimension from raw change events. One window
+    pass (change flag → running segment id) + one segment agg."""
+    ev = events_table(spark, sf).select("user_id", "event_id", "ts", "event_type")
+    byuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(byuser).isNull()
+            | (F.lag("event_type").over(byuser) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    seg = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg")
+        .over(byuser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("segment"),
+    )
+    mx = seg.groupBy("user_id").agg(F.max("segment").alias("last_seg"))
+    return (
+        seg.groupBy("user_id", "segment")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+        )
+        .join(mx, "user_id")
+        .select(
+            "user_id",
+            "segment",
+            "event_type",
+            "n_events",
+            "valid_from",
+            "valid_to",
+            (F.col("segment") == F.col("last_seg")).alias("is_current"),
+        )
+        .orderBy("user_id", "segment")
+    )
+
+
+X92_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS segment
+  FROM flagged),
+iv AS (
+  SELECT user_id, segment,
+         ANY_VALUE(event_type) AS event_type,
+         COUNT(*) AS n_events,
+         MIN(ts) AS valid_from, MAX(ts) AS valid_to
+  FROM seg GROUP BY user_id, segment),
+mx AS (SELECT user_id, MAX(segment) AS last_seg FROM iv GROUP BY user_id)
+SELECT iv.user_id, segment, event_type, n_events, valid_from, valid_to,
+       segment = last_seg AS is_current
+FROM iv JOIN mx USING (user_id)
+ORDER BY user_id, segment
+"""
+
+
+def x93(spark, sf):
+    """Last-touch attribution: every purchase is credited to the most
+    recent NON-purchase event of the same user before it ('direct'
+    when none exists), then purchases roll up by channel — the
+    marketing-attribution readout, expressed as one IGNORE NULLS
+    window walk over the user timeline (no self-join)."""
+    ev = events_table(spark, sf).select("user_id", "event_id", "ts", "event_type")
+    byuser = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.select(
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(byuser)
+        .alias("touch"),
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        attributed.select(
+            F.coalesce("touch", F.lit("direct")).alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+X93_SQL = """
+WITH attributed AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events)
+SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases
+FROM attributed WHERE event_type = 'purchase'
+GROUP BY channel ORDER BY channel
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -3666,4 +3942,8 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x87_shard_skew_audit": QuerySpec(x87, X87_SQL),
     "x88_label_silhouette": QuerySpec(x88, X88_SQL),
     "x89_delta_stream_rollup": QuerySpec(x89, X12_SQL),
+    "x90_fuzzy_record_linkage": QuerySpec(x90, X90_SQL),
+    "x91_referential_integrity": QuerySpec(x91, X91_SQL),
+    "x92_scd2_intervals": QuerySpec(x92, X92_SQL),
+    "x93_lasttouch_attribution": QuerySpec(x93, X93_SQL),
 }

@@ -54,6 +54,8 @@ ALLOW_NESTED_LOOP = {
     "x74_ab_ztest",        # crossJoin of two 1-row variant summaries
     "x75_psi_drift",       # per-source totals × 10-bucket literal grid
     "x80_retrieval_pipeline",  # brute-force candidate stage (= x05)
+    "x82_temperature_mixture",  # 1-row min(c_s) broadcast onto rates
+    "x87_shard_skew_audit",     # 1-row corpus total broadcast onto shards
 }
 
 
