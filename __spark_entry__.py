@@ -72,12 +72,14 @@ _NEW_THIS_ROUND = [
 _PRIORITY = (
     _NEVER_DRIVER_VERIFIED
     + _NEW_THIS_ROUND
-    # spare in-cap slots: rows touched by this round's ADVICE fixes
-    # (bloom internal column, pagerank node set, A-ES weight guard)
+    # spare in-cap slots: rows whose implementation changed this
+    # round (ADVICE fixes: bloom internal column, pagerank node set,
+    # A-ES weight guard; q34 rewritten to the two-phase scalable rank)
     + [
         "x61_bloom_join",
         "x66_pagerank",
         "x63_weighted_sample",
+        "q34_ntile_distribution",
     ]
     # r1-evidence rows next in line beyond the cap, oldest stamps
     # first

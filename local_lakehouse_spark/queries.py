@@ -849,20 +849,69 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 def q34(spark, sf):
     """Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST
-    over per-customer spend."""
+    over per-customer spend — computed WITHOUT a global single-
+    partition window. A naive ``Window.orderBy(...)`` funnels every
+    row through one task (WindowExec warns exactly about this); here
+    the total order comes from the two-phase scalable rank (range-
+    partition → local row_number → broadcast partition-count offsets,
+    the contiguous_ids pattern), and NTILE/PERCENT_RANK/CUME_DIST are
+    their closed-form functions of (rank, n): SQL NTILE hands the
+    first n%k tiles one extra row; percent_rank=(r-1)/(n-1);
+    cume_dist=r/n (the (spend, custkey) order is total, so rank =
+    row_number and ties don't arise)."""
     spend = (
         t(spark, sf, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("spend"))
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    parts = max(spark.sparkContext.defaultParallelism, 1)
+    d = spend.repartitionByRange(
+        parts, F.desc("spend"), F.asc("o_custkey")
+    ).withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.desc("spend"), F.asc("o_custkey")
+    )
+    d = d.withColumn("__lrn", F.row_number().over(w_local))
+    # O(#partitions) rows — the only global window, input is tiny
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+        )
+        .select("__pid", "__offset")
+    )
+    total = d.groupBy().agg(F.count(F.lit(1)).alias("__total"))
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    ranked = (
+        d.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__rn", (F.col("__lrn") + F.col("__offset")).cast("bigint"))
+    )
+    # SQL NTILE(10): the first n%10 tiles hold ceil(n/10) rows, the
+    # rest floor(n/10) — closed form in integer DIV on (rank, n)
+    decile = F.expr(
+        "CAST(CASE WHEN __rn <= (__total % 10) * (__total DIV 10 + 1) "
+        "THEN (__rn - 1) DIV (__total DIV 10 + 1) "
+        "ELSE (__total % 10) + "
+        "     (__rn - (__total % 10) * (__total DIV 10 + 1) - 1) "
+        "     DIV (__total DIV 10) "
+        "END + 1 AS INT)"
+    )
     return (
-        spend.select(
+        ranked.select(
             "o_custkey",
-            F.ntile(10).over(w).alias("decile"),
-            r4(F.percent_rank().over(w)).alias("pct_rank"),
-            r4(F.cume_dist().over(w)).alias("cume"),
+            decile.alias("decile"),
+            r4(
+                F.when(F.col("__total") == 1, F.lit(0.0)).otherwise(
+                    (F.col("__rn") - 1)
+                    / (F.col("__total") - 1).cast("double")
+                )
+            ).alias("pct_rank"),
+            r4(
+                F.col("__rn") / F.col("__total").cast("double")
+            ).alias("cume"),
         )
         .orderBy("o_custkey")
     )
