@@ -48,13 +48,17 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from typing import Iterable, List, Sequence
+from typing import TYPE_CHECKING, Iterable, List, Sequence
 
 from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -413,6 +417,129 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
         pass
 
 
+class _PyDeltaStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK: every microbatch commits one Delta version
+    carrying a ``txn`` action ``{appId, version=batchId}`` — the
+    protocol's transaction identifier. On restart, a replayed
+    microbatch whose batchId is ≤ the appId's last committed version
+    is SKIPPED (its freshly written part files are deleted), which is
+    exactly how Delta's own streaming sink achieves idempotent
+    exactly-once appends on top of an at-least-once engine. Set
+    ``.option("txnAppId", ...)`` to scope idempotency per query
+    (default "pydelta-stream")."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self._path = _required_path(options)
+        self._schema = schema
+        self._app = options.get("txnappid", "pydelta-stream")
+
+    # executors: identical part-file write as the batch arrow writer
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _FileCommit("")
+        rel = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        os.makedirs(self._path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_batches(batches),
+            os.path.join(self._path, rel),
+            compression="snappy",
+        )
+        return _FileCommit(rel)
+
+    def _last_txn_version(self, log: DeltaLog) -> int:
+        last = -1
+        for v in log.versions():
+            fname = os.path.join(log.log_dir, f"{v:020d}.json")
+            with open(fname) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    txn = action.get("txn")
+                    if txn and txn.get("appId") == self._app:
+                        last = max(last, int(txn.get("version", -1)))
+        return last
+
+    def commit(self, messages, batchId: int) -> None:
+        import time as _time
+
+        log = DeltaLog(self._path)
+        vs = log.versions()
+        snap = log.snapshot() if vs else None
+        rels = [m.rel for m in messages if m is not None and m.rel]
+        if snap is not None and batchId <= self._last_txn_version(log):
+            # replayed microbatch after restart: already committed —
+            # drop the duplicate files, commit nothing
+            for rel in rels:
+                try:
+                    os.unlink(os.path.join(self._path, rel))
+                except FileNotFoundError:
+                    pass
+            return
+        actions: list[dict] = []
+        if snap is None:
+            version = 0
+            actions.append({"protocol": dict(PROTOCOL)})
+            actions.append(_meta_action(self._schema, [], str(uuid.uuid4())))
+        else:
+            if snap.partition_columns:
+                raise ValueError(
+                    "pydelta stream sink supports unpartitioned tables"
+                )
+            version = snap.version + 1
+        actions.append(
+            {"txn": {"appId": self._app, "version": int(batchId)}}
+        )
+        actions.extend(_add_action(self._path, rel, {}) for rel in rels)
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "STREAMING UPDATE",
+                    "operationParameters": {
+                        "outputMode": "Append",
+                        "epochId": int(batchId),
+                    },
+                    "engineInfo": "local-lakehouse-spark pydelta",
+                }
+            }
+        )
+        # blind-append retry past concurrent writers (batch appends or
+        # other streams); the txn check re-runs after losing a race
+        for _ in range(64):
+            try:
+                log.commit(version, actions)
+                break
+            except ConcurrentModificationError:
+                newest = log.snapshot()
+                if batchId <= self._last_txn_version(log):
+                    for rel in rels:
+                        try:
+                            os.unlink(os.path.join(self._path, rel))
+                        except FileNotFoundError:
+                            pass
+                    return
+                version = newest.version + 1
+        else:
+            raise ConcurrentModificationError(
+                f"stream append to {self._path} lost 64 version races"
+            )
+        if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+            log.write_checkpoint(version)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and m.rel:
+                try:
+                    os.unlink(os.path.join(self._path, m.rel))
+                except FileNotFoundError:
+                    pass
+
+
 def _required_path(options: dict) -> str:
     path = options.get("path")
     if not path:
@@ -445,7 +572,14 @@ class PyDeltaDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return _PyDeltaStreamReader(self.options, schema)
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "pydelta stream sink is append-only (outputMode append)"
+            )
+        return _PyDeltaStreamWriter(self.options, schema)
 
-def register(spark) -> None:
+
+def register(spark: "SparkSession") -> None:
     """Idempotent session-level registration of the pydelta format."""
     spark.dataSource.register(PyDeltaDataSource)

@@ -204,3 +204,68 @@ def test_schema_from_log_not_inference(spark, tbl):
 
 def test_datasource_name():
     assert PyDeltaDataSource.name() == "pydelta"
+
+
+def test_stream_sink_roundtrip_and_idempotent_replay(spark, tbl, tmp_path):
+    """readStream(pydelta) → writeStream(pydelta): each microbatch
+    lands as ONE Delta version carrying a txn marker; re-running the
+    whole stream with a FRESH checkpoint (engine-side at-least-once
+    replay) commits nothing new — the txn appId/batchId check skips
+    replayed microbatches, Delta's own exactly-once sink mechanism."""
+    src, dst = tbl, str(tmp_path / "dst")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).select(
+            "id", F.lit(i).alias("b")
+        ).write.format("pydelta").mode("append").save(src)
+
+    def run(ckpt):
+        q = (
+            spark.readStream.format("pydelta")
+            .option("startingVersion", 0)
+            .load(src)
+            .writeStream.format("pydelta")
+            .option("path", dst)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .option("txnAppId", "test-q")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert spark.read.format("pydelta").load(dst).count() == 30
+    run("ck2")  # fresh checkpoint: full replay must be a no-op
+    assert spark.read.format("pydelta").load(dst).count() == 30
+    # incremental continuation via the original checkpoint
+    spark.range(100, 105).select("id", F.lit(9).alias("b")).write.format(
+        "pydelta"
+    ).mode("append").save(src)
+    run("ck1")
+    got = spark.read.format("pydelta").load(dst)
+    assert got.count() == 35
+    assert got.filter("b = 9").count() == 5
+    # exactly one committed version per non-skipped microbatch
+    from local_lakehouse_spark.sources.delta_py import DeltaLog
+
+    assert len(DeltaLog(dst).versions()) == 2
+
+
+def test_stream_sink_rejects_overwrite_mode(spark, tbl, tmp_path):
+    spark.range(5).select("id").write.format("pydelta").mode("append").save(tbl)
+    sdf = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(tbl)
+    )
+    q = (
+        sdf.groupBy().count()
+        .writeStream.format("pydelta")
+        .option("path", str(tmp_path / "d2"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only|truncate|Complete"):
+        q.awaitTermination(120)
+        raise RuntimeError("complete-mode sink write should have failed")
