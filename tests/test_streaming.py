@@ -486,3 +486,139 @@ def test_streaming_rollup_checkpoint_recovery(spark, tmp_path):
         for r in tumbling_agg(events_table(spark, SF_DIR), "1 hour").collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (state v2): logic unit-tested against a
+# stubbed handle; the end-to-end streaming path auto-activates when
+# google.protobuf (the state protocol's dependency) is installed.
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def exists(self):
+        return self._v is not None
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def _run_milestones(batches, step):
+    import pandas as pd
+
+    from local_lakehouse_spark.streaming.stateful import MilestoneProcessor
+
+    proc = MilestoneProcessor(step)
+    proc.init(_FakeHandle())
+    out = []
+    for batch in batches:
+        for pdf in proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"x": range(batch)})]), None
+        ):
+            out.extend(
+                (int(r.user_id), int(r.milestone)) for r in pdf.itertuples()
+            )
+    return out
+
+
+def test_milestone_processor_crossings_exact():
+    """Rungs fire exactly at multiples of step, once each, regardless
+    of how rows are split across microbatches."""
+    assert _run_milestones([25], 10) == [(7, 10), (7, 20)]
+    assert _run_milestones([5, 5], 10) == [(7, 10)]  # crossing at batch edge
+    assert _run_milestones([9, 1], 10) == [(7, 10)]
+    assert _run_milestones([10], 10) == [(7, 10)]  # exact hit
+    assert _run_milestones([3, 3, 3], 10) == []  # never crosses
+
+
+def test_milestone_processor_batching_invariance():
+    """Any partition of the same row count yields the same rungs —
+    the property that makes the batch SQL twin a true oracle."""
+    import itertools
+
+    want = _run_milestones([47], 10)
+    for split in [[1] * 47, [10, 10, 10, 10, 7], [46, 1], [23, 24]]:
+        assert _run_milestones(split, 10) == want
+
+
+def test_milestone_rejects_bad_step():
+    import pytest as _pytest
+
+    from local_lakehouse_spark.streaming.stateful import MilestoneProcessor
+
+    with _pytest.raises(ValueError):
+        MilestoneProcessor(0)
+
+
+def test_stateful_milestones_gate_or_run(spark):
+    """Without protobuf the operator raises a CLEAR ImportError up
+    front; with it, the full streaming path runs and must equal the
+    batch rung derivation (auto-activating positive branch)."""
+    import pytest as _pytest
+
+    from local_lakehouse_spark.streaming.stateful import (
+        stateful_milestones,
+        transform_with_state_available,
+    )
+    from local_lakehouse_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    if not transform_with_state_available():
+        with _pytest.raises(ImportError, match="protobuf"):
+            stateful_milestones(
+                spark.readStream.format("rate").load().selectExpr(
+                    "value AS user_id"
+                )
+            )
+        return
+    import hashlib
+    import os
+    import tempfile
+
+    sf = "/root/testdata/sf0.001"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "tws_gate_" + hashlib.md5(sf.encode()).hexdigest()[:8],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf}/events.parquet", link)
+    out = stateful_milestones(read_events_stream(spark, stage), step=10)
+    run_stream_to_memory(out, "tws_gate_sink", complete=False)
+    got = {
+        (r.user_id, r.milestone)
+        for r in spark.table("tws_gate_sink").collect()
+    }
+    from pyspark.sql import functions as F
+
+    counts = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .count()
+    )
+    want = {
+        (r.user_id, m)
+        for r in counts.collect()
+        for m in range(10, int(r["count"]) + 1, 10)
+    }
+    assert got == want
