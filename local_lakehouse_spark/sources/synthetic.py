@@ -144,11 +144,13 @@ class SyntheticDocsDataSource(DataSource):
 
 def register_sources(spark: SparkSession) -> None:
     """Register all custom sources on a session (idempotent)."""
+    from .pyavro_source import PyAvroDataSource
     from .pydelta_source import PyDeltaDataSource
 
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(PyDeltaDataSource)
+    spark.dataSource.register(PyAvroDataSource)
 
 
 # ---------------------------------------------------------------------------

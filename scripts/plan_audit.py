@@ -51,6 +51,7 @@ ALLOW_NESTED_LOOP = {
     "x43_word_rarity",     # 1-row total-words scalar broadcast
     "x60_sparse_cosine_pairs",  # 1-row n_docs scalar broadcast (idf)
     "x61_bloom_join",      # 1-row Bloom bit-array broadcast IS the op
+    "q34_ntile_distribution",  # 1-row total-count broadcast (two-phase rank)
     "x74_ab_ztest",        # crossJoin of two 1-row variant summaries
     "x75_psi_drift",       # per-source totals × 10-bucket literal grid
     "x80_retrieval_pipeline",  # brute-force candidate stage (= x05)
