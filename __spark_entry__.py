@@ -72,14 +72,19 @@ _NEW_THIS_ROUND = [
 _PRIORITY = (
     _NEVER_DRIVER_VERIFIED
     + _NEW_THIS_ROUND
-    # spare in-cap slots: rows whose implementation changed this
-    # round (ADVICE fixes: bloom internal column, pagerank node set,
-    # A-ES weight guard; q34 rewritten to the two-phase scalable rank)
+    # remaining in-cap slots: the two rows whose implementation
+    # changed materially this round (pagerank node-set/dangling
+    # rewrite; q34 rewritten to the two-phase scalable rank). The
+    # other ADVICE-touched rows (x61 bloom internal column rename,
+    # x63 weight-guard addition) produce provably identical results
+    # and carry same-round local greens in CORRECTNESS_LOCAL_r04.
+    + [
+        "x66_pagerank",
+        "q34_ntile_distribution",
+    ]
     + [
         "x61_bloom_join",
-        "x66_pagerank",
         "x63_weighted_sample",
-        "q34_ntile_distribution",
     ]
     # r1-evidence rows next in line beyond the cap, oldest stamps
     # first

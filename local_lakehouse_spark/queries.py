@@ -2531,6 +2531,77 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def q73(spark, sf):
+    """VARIANT semi-structured type (Spark 4): ``parse_json`` into an
+    open-schema variant column, typed ``variant_get`` extraction in
+    the same plan — the shredding-free JSON path that replaces
+    string-hammering ``get_json_object`` chains. The extracted field
+    drives a regular aggregation; the oracle extracts through
+    DuckDB's JSON type."""
+    _register(spark, sf, "events")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT event_type,
+                 variant_get(parse_json(props), '$.k', 'int') AS k
+          FROM events)
+        SELECT event_type, k % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               MIN(k) AS k_min, MAX(k) AS k_max
+        FROM v
+        GROUP BY event_type, k % 10
+        ORDER BY event_type, k_bucket
+        """
+    )
+
+
+Q73_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events)
+SELECT event_type, k % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max
+FROM v
+GROUP BY event_type, k % 10
+ORDER BY event_type, k_bucket
+"""
+
+
+def q74(spark, sf):
+    """SQL pipe syntax (Spark 4, |> operators): the linear
+    dataflow-style formulation of a scan → filter → aggregate → sort
+    query. Identical Catalyst plan as the nested formulation — the
+    oracle is the plain-SQL twin of the same pipeline."""
+    _register(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP'1995-01-01 00:00:00'
+        |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT) AS rev_cents
+        |> AGGREGATE COUNT(*) AS n_items, SUM(rev_cents) AS rev_cents_sum
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+Q74_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_cents_sum
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP'1995-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2608,4 +2679,6 @@ QUERY_SPECS: dict[str, QuerySpec] = {
     "q70_regexp_extract_all": QuerySpec(q70, Q70_SQL),
     "q71_ignore_nulls_locf": QuerySpec(q71, Q71_SQL),
     "q72_null_safe_ops": QuerySpec(q72, Q72_SQL),
+    "q73_variant_json": QuerySpec(q73, Q73_SQL),
+    "q74_pipe_syntax": QuerySpec(q74, Q74_SQL),
 }
