@@ -149,6 +149,7 @@ def pagerank_fixedpoint(
     n_iter: int = 5,
     damping_pct: int = 85,
     scale: int = 10**12,
+    dedupe_edges: bool = False,
 ) -> DataFrame:
     """PageRank (Page et al. 1999) in FIXED-POINT integer arithmetic:
     ranks are integers in units of 1/``scale``, every step is bigint
@@ -184,10 +185,23 @@ def pagerank_fixedpoint(
     # Materialize the edge list ONCE — it is referenced by outdeg,
     # the node count, and every iteration's join; without this the
     # (possibly expensive) upstream edge derivation re-executes per
-    # round.
+    # round. HASH-PARTITION it by dst at the same time: the per-round
+    # contrib join is a broadcast (ranks is node-sized), which
+    # preserves e's partitioning, so every round's groupBy(dst)
+    # aggregate reuses it with NO exchange — one upfront shuffle
+    # replaces n_iter shuffles of the full edge list.
+    sess = edges.sparkSession
+    n_part = max(int(sess.conf.get("spark.sql.shuffle.partitions")), 1)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    ).repartition(n_part, "dst")
+    if dedupe_edges:
+        # rides the SAME dst shuffle: hashpartitioning(dst) satisfies
+        # the (src, dst) clustered distribution dropDuplicates needs,
+        # so callers with possibly-duplicated pairs skip their own
+        # full-edge distinct exchange entirely
+        e = e.dropDuplicates(["src", "dst"])
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -2320,9 +2320,11 @@ def x66(spark, sf):
     from .operators.graph import pagerank_fixedpoint
 
     # Dedupe (order, part) BEFORE the self-join: the join input
-    # shrinks to distinct pairs, the join is a plain equi-join on the
-    # order key, and the post-join distinct dedupes across orders
-    # only (2× faster than self-joining raw lineitem at sf0.1).
+    # shrinks to distinct pairs and the join is a plain equi-join on
+    # the order key. Cross-order pair dedup is delegated to
+    # pagerank_fixedpoint(dedupe_edges=True), which folds it into the
+    # dst-repartition shuffle it performs anyway — one full-edge
+    # exchange instead of two.
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
     edges = (
         li.alias("a")
@@ -2331,9 +2333,8 @@ def x66(spark, sf):
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
-        .distinct()
     )
-    pr = pagerank_fixedpoint(edges, n_iter=5)
+    pr = pagerank_fixedpoint(edges, n_iter=5, dedupe_edges=True)
     return (
         pr.orderBy(F.desc("r"), F.asc("node"))
         .limit(20)
