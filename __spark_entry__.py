@@ -79,8 +79,8 @@ _PRIORITY = (
     # x63 weight-guard addition) produce provably identical results
     # and carry same-round local greens in CORRECTNESS_LOCAL_r04.
     + [
-        "x66_pagerank",
         "q34_ntile_distribution",
+        "x66_pagerank",
     ]
     + [
         "x61_bloom_join",

@@ -142,6 +142,75 @@ def dedup_clusters(
     return comp.select("id", F.col("component").alias("keep_id"))
 
 
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst", top_k: int = 20
+) -> DataFrame:
+    """(id, n_triangles) for the ``top_k`` vertices by triangle
+    participation — the clustering-coefficient numerator, computed
+    with the DEGREE-ORDERED ORIENTATION trick (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+    each undirected edge is directed from its (degree, id)-smaller
+    endpoint to the larger, so every triangle is counted exactly once
+    as a wedge u→v, u→w (v<w in orientation order) closed by edge
+    v→w, and per-vertex out-degree — hence the wedge blow-up — is
+    bounded by O(√m) instead of the max raw degree. This is the
+    standard defense against the hub-wedge explosion that kills naive
+    triangle joins at scale.
+
+    Input may be directed/duplicated; it is symmetrized + deduped
+    first. Two self-joins on 8-byte keys, wedge side generated
+    map-side from the oriented lists.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orientation key (degree, id) totally orders vertices
+    keyed = (
+        sym.join(deg.withColumnRenamed("u", "x").withColumnRenamed("d", "du"),
+                 F.col("u") == F.col("x"))
+        .drop("x")
+        .join(deg.withColumnRenamed("u", "y").withColumnRenamed("d", "dv"),
+              F.col("v") == F.col("y"))
+        .drop("y")
+    )
+    oriented = keyed.filter(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(b, F.col("a.u") == F.col("b.u")).filter(
+        F.col("a.v") < F.col("b.v")
+    ).select(
+        F.col("a.u").alias("w_u"),
+        F.col("a.v").alias("w_v"),
+        F.col("b.v").alias("w_w"),
+    )
+    # wedge endpoints satisfy w_v < w_w (id order), and ``und`` holds
+    # every undirected edge as (min, max) — so the closing-edge probe
+    # is a plain two-key equi-join (hash join), independent of which
+    # way the degree orientation pointed the closing edge
+    closer = und.select(F.col("u").alias("c_a"), F.col("v").alias("c_b"))
+    tri = wedges.join(
+        closer,
+        (F.col("w_v") == F.col("c_a")) & (F.col("w_w") == F.col("c_b")),
+    ).select("w_u", "w_v", "w_w")
+    per_vertex = (
+        tri.select(F.explode(F.array("w_u", "w_v", "w_w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_vertex.orderBy(F.desc("n_triangles"), "id").limit(top_k)
+    )
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     src: str = "src",

@@ -3853,6 +3853,112 @@ GROUP BY channel ORDER BY channel
 """
 
 
+def x94(spark, sf):
+    """Triangle participation over the part co-occurrence graph via
+    DEGREE-ORDERED orientation (operators/graph.triangle_counts,
+    Suri & Vassilvitskii WWW'11) — wedge fan-out bounded by O(√m)
+    per vertex, the canonical defense against the hub explosion that
+    kills naive triangle joins. Top-20 parts by triangle count."""
+    from .operators.graph import triangle_counts
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return triangle_counts(edges, top_k=20).withColumnRenamed("id", "part_id")
+
+
+X94_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b USING (l_orderkey)
+          WHERE a.l_partkey < b.l_partkey),
+und AS (SELECT DISTINCT u, v FROM pairs),
+sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+oriented AS (
+  SELECT s.u, s.v FROM sym s
+  JOIN deg da ON da.u = s.u
+  JOIN deg db ON db.u = s.v
+  WHERE da.d < db.d OR (da.d = db.d AND s.u < s.v)),
+wedges AS (
+  SELECT a.u AS w_u, a.v AS w_v, b.v AS w_w
+  FROM oriented a JOIN oriented b ON a.u = b.u AND a.v < b.v),
+tri AS (
+  SELECT w_u, w_v, w_w FROM wedges
+  JOIN und ON w_v = und.u AND w_w = und.v),
+pv AS (
+  SELECT id, COUNT(*) AS n_triangles
+  FROM (SELECT unnest([w_u, w_v, w_w]) AS id FROM tri)
+  GROUP BY id)
+SELECT id AS part_id, n_triangles
+FROM pv ORDER BY n_triangles DESC, part_id LIMIT 20
+"""
+
+
+def x95(spark, sf):
+    """Epoch-mixture plan for a token budget: given per-source token
+    counts (n_chars DIV 4 proxy), allocate a global budget B = total
+    corpus tokens across sources ∝ √c_s (temperature-2 flattening,
+    IEEE-exact sqrt then FLOOR → all integer arithmetic after) and
+    report per-source repeat factors in milli-epochs, capped at 3
+    epochs — the 'how many times does each source repeat in the run'
+    table a pretraining data plan is built from."""
+    docs = t(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.expr("CAST(sum(n_chars) DIV 4 AS BIGINT)").alias("tokens")
+    )
+    w = per_src.select(
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("bigint").alias(
+            "w"
+        ),
+    )
+    totals = w.agg(
+        F.sum("tokens").alias("budget"), F.sum("w").alias("w_total")
+    )
+    return (
+        w.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "tokens",
+            "w",
+            F.expr(
+                "LEAST(3000, (budget * w * 1000) DIV (w_total * tokens))"
+            ).alias("epochs_milli"),
+        )
+        .withColumn(
+            "planned_tokens", F.expr("(tokens * epochs_milli) DIV 1000")
+        )
+        .orderBy("source")
+    )
+
+
+X95_SQL = """
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) // 4 AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+w AS (SELECT source, tokens,
+             CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+      FROM per_src),
+totals AS (SELECT CAST(SUM(tokens) AS BIGINT) AS budget,
+                  CAST(SUM(w) AS BIGINT) AS w_total FROM w)
+SELECT source, tokens, w,
+       LEAST(3000, (budget * w * 1000) // (w_total * tokens))
+         AS epochs_milli,
+       (tokens * LEAST(3000, (budget * w * 1000) // (w_total * tokens)))
+         // 1000 AS planned_tokens
+FROM w CROSS JOIN totals
+ORDER BY source
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -3947,4 +4053,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x91_referential_integrity": QuerySpec(x91, X91_SQL),
     "x92_scd2_intervals": QuerySpec(x92, X92_SQL),
     "x93_lasttouch_attribution": QuerySpec(x93, X93_SQL),
+    "x94_triangle_counts": QuerySpec(x94, X94_SQL),
+    "x95_epoch_mixture_plan": QuerySpec(x95, X95_SQL),
 }

@@ -57,6 +57,7 @@ ALLOW_NESTED_LOOP = {
     "x80_retrieval_pipeline",  # brute-force candidate stage (= x05)
     "x82_temperature_mixture",  # 1-row min(c_s) broadcast onto rates
     "x87_shard_skew_audit",     # 1-row corpus total broadcast onto shards
+    "x95_epoch_mixture_plan",   # 1-row budget/weight totals broadcast
 }
 
 
