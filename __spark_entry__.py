@@ -72,17 +72,15 @@ _NEW_THIS_ROUND = [
 _PRIORITY = (
     _NEVER_DRIVER_VERIFIED
     + _NEW_THIS_ROUND
-    # remaining in-cap slots: the two rows whose implementation
-    # changed materially this round (pagerank node-set/dangling
-    # rewrite; q34 rewritten to the two-phase scalable rank). The
-    # other ADVICE-touched rows (x61 bloom internal column rename,
-    # x63 weight-guard addition) produce provably identical results
-    # and carry same-round local greens in CORRECTNESS_LOCAL_r04.
+    # first past the cap (the 22 round-4 queries fill it exactly):
+    # rows whose implementation changed this round but whose answers
+    # are oracle-identical and carry BOTH a prior driver green
+    # (r1/r3) and a same-round local green in CORRECTNESS_LOCAL_r04
+    # (q34 two-phase rank rewrite; x66/pagerank shuffle fusion; x61
+    # bloom internal rename; x63 weight guard).
     + [
         "q34_ntile_distribution",
         "x66_pagerank",
-    ]
-    + [
         "x61_bloom_join",
         "x63_weighted_sample",
     ]

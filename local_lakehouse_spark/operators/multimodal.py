@@ -575,3 +575,71 @@ def frame_sample(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+
+
+FRAME_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+
+def frame_sample_decoded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """Container-aware frame sampling with REAL per-frame header
+    decode: the payload is a concatenation of image frames (the
+    MJPEG idea — a 'video' that is just stacked still frames, a
+    public format family); the kernel SPLITS the byte stream on the
+    PNG signature, runs the real IHDR parse (parse_image_dims) on
+    every retained frame, and emits one row per sampled frame — the
+    fan-out mapInPandas shape of an ffmpeg frame sampler, with the
+    codec step being an actual public-spec header decode instead of
+    a byte-window stub. Arrow-batched; output rows ≠ input rows.
+    """
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, mimes = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                # frame boundaries = PNG signature offsets
+                offs = []
+                pos = raw.find(sig)
+                while pos != -1:
+                    offs.append(pos)
+                    pos = raw.find(sig, pos + 1)
+                for fi, start in enumerate(offs):
+                    if fi % every_n:
+                        continue
+                    end = offs[fi + 1] if fi + 1 < len(offs) else len(raw)
+                    parsed = parse_image_dims(raw[start:end])
+                    if parsed is None:
+                        continue
+                    w, h, mime = parsed
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    mimes.append(mime)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "mime": mimes,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, FRAME_DECODE_SCHEMA
+    )

@@ -3959,6 +3959,66 @@ ORDER BY source
 """
 
 
+def x96(spark, sf):
+    """Video-as-stacked-frames sampling with REAL per-frame decode:
+    each document gets a synthetic multi-frame container (doc_id%5+1
+    concatenated valid PNG frames, dims pure functions of (doc_id,
+    frame index) — the MJPEG shape), and
+    operators/multimodal.frame_sample_decoded splits the byte stream
+    on the PNG signature and runs the genuine IHDR header parse on
+    every 2nd frame. Because dims are arithmetic in (doc_id, j), the
+    whole fan-out decode is SQL-checkable — the frame-sampler
+    plumbing (binary container → per-frame rows) exercised end to
+    end, like x15 for stills."""
+    from .operators.multimodal import frame_sample_decoded
+
+    j = F.col("j")
+    width = (F.col("doc_id") * 7 + j * 13) % 512 + 1
+    height = (F.col("doc_id") * 3 + j * 11) % 512 + 1
+    frame = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),
+        F.unhex(F.lit("0000000D49484452")),
+        F.unhex(F.lpad(F.hex(width.cast("int")), 8, "0")),
+        F.unhex(F.lpad(F.hex(height.cast("int")), 8, "0")),
+        F.unhex(F.lit("08020000000000000000")),
+    )
+    docs = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 5).cast("int"))
+            ).alias("j"),
+        )
+        .select("doc_id", "j", frame.alias("frame"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("j", "frame"))
+                ),
+                F.lit(b""),
+                lambda acc, s: F.concat(acc, s["frame"]),
+            ).alias("payload")
+        )
+    )
+    return frame_sample_decoded(docs, "doc_id", "payload", every_n=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+X96_SQL = """
+SELECT doc_id,
+       CAST(j AS INT) AS frame_idx,
+       CAST((doc_id * 7 + j * 13) % 512 + 1 AS INT) AS width,
+       CAST((doc_id * 3 + j * 11) % 512 + 1 AS INT) AS height,
+       'image/png' AS mime
+FROM documents, unnest(range(0, (doc_id % 5) + 1)) AS r(j)
+WHERE j % 2 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -4055,4 +4115,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x93_lasttouch_attribution": QuerySpec(x93, X93_SQL),
     "x94_triangle_counts": QuerySpec(x94, X94_SQL),
     "x95_epoch_mixture_plan": QuerySpec(x95, X95_SQL),
+    "x96_video_frame_sample": QuerySpec(x96, X96_SQL),
 }

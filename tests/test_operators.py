@@ -1517,3 +1517,19 @@ def test_cdc_chunks_expected_length(spark):
     assert sum(sizes) == 3000
     avg = sum(sizes) / len(sizes)
     assert 8 <= avg <= 32, avg  # 2x tolerance around the expected 16
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 has 4 triangles, every vertex in 3 of them; adding a
+    pendant vertex changes nothing; duplicated/reversed input edges
+    are normalized away."""
+    from local_lakehouse_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9)] + [(b, a) for a, b in k4]  # pendant + reversed dups
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # a pure path has no triangles → empty result
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
