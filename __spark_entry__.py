@@ -61,8 +61,12 @@ _NEVER_DRIVER_VERIFIED = [
     "x60_sparse_cosine_pairs",
     "x06_ann_lsh_topk",  # rows-only by design
     "x14_embedding_near_dup",  # rows-only by design
-    "x22_approx_distinct_hll",  # rows-only by design
 ]
+# x22 (rows-only by design, HLL accuracy pytest-asserted ±2%) is the
+# one never-stamped row pushed just past the cap: the 23 round-4
+# queries + the 27 rows above fill all 50 slots, and a rows-only
+# stamp carries the least marginal information of any candidate.
+_FIRST_PAST_CAP = ["x22_approx_distinct_hll"]
 # New in round 4 — must also sit inside the 50-slot cap.
 _NEW_THIS_ROUND = [
     n
@@ -72,6 +76,7 @@ _NEW_THIS_ROUND = [
 _PRIORITY = (
     _NEVER_DRIVER_VERIFIED
     + _NEW_THIS_ROUND
+    + _FIRST_PAST_CAP
     # first past the cap (the 22 round-4 queries fill it exactly):
     # rows whose implementation changed this round but whose answers
     # are oracle-identical and carry BOTH a prior driver green

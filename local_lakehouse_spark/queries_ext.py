@@ -4019,6 +4019,126 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# Poisson(1) inverse-CDF thresholds (cumulative pmf, repr-injected so
+# both engines fold the identical doubles) — the Poisson bootstrap
+# weight of a row in replica b is the count of thresholds below its
+# md5 uniform (capped at 6).
+_POIS1_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+_BOOT_B = 100  # replicas
+
+
+def _pois_w(u):
+    """Spark column: Poisson(1) draw from a uniform via the
+    threshold ladder (0..6)."""
+    w = F.lit(0)
+    for thr in _POIS1_CUM:
+        w = w + (u >= F.lit(thr)).cast("int")
+    return w
+
+
+def x97(spark, sf):
+    """Bootstrap confidence intervals for the per-event-type mean
+    value, via the POISSON BOOTSTRAP (Chamandy et al., 'Estimating
+    Uncertainty for Massive Data Streams' — the resampling scheme
+    that works in one distributed pass because each row draws an
+    independent Poisson(1) replica weight instead of requiring a
+    global n-out-of-n sample). 100 replicas, weights from md5
+    uniforms through a repr-injected inverse-CDF ladder, means in
+    integer milli-cents (exact DIV), CI = exact p5/p95 of the
+    replica means. Everything deterministic → the oracle replays the
+    identical resampling."""
+    ev = events_table(spark, sf).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    from .operators.sketches import _md5_u48
+
+    reps = ev.select(
+        "event_type",
+        "c",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("b"),
+        "event_id",
+    )
+    u = (
+        _md5_u48(
+            F.concat_ws("|", F.lit("boot"), F.col("b"), F.col("event_id"))
+        )
+        + 1
+    ) / F.lit(float(1 << 48))
+    weighted = reps.select(
+        "event_type", "b", "c", _pois_w(u).cast("bigint").alias("w")
+    )
+    means = (
+        weighted.groupBy("event_type", "b")
+        .agg(
+            F.expr(
+                "CAST(sum(w * c) * 1000 AS BIGINT) DIV "
+                "greatest(sum(w), CAST(1 AS BIGINT))"
+            ).alias("mean_milli")
+        )
+    )
+    return (
+        means.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_replicas"),
+            # FLOOR before the int cast: DuckDB CAST(double AS BIGINT)
+            # rounds while Spark truncates — floor-first is identical
+            F.expr(
+                "CAST(FLOOR(percentile(mean_milli, 0.05)) AS BIGINT)"
+            ).alias("ci_lo_milli"),
+            F.expr(
+                "CAST(FLOOR(percentile(mean_milli, 0.95)) AS BIGINT)"
+            ).alias("ci_hi_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_POIS_SQL_LADDER = " + ".join(
+    f"CASE WHEN u >= {thr!r} THEN 1 ELSE 0 END" for thr in _POIS1_CUM
+)
+
+X97_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+reps AS (
+  SELECT event_type, c, CAST(b AS INT) AS b, event_id
+  FROM ev, unnest(range(0, {_BOOT_B})) AS r(b)),
+uni AS (
+  SELECT event_type, b, c,
+         (((md5_number_lower('boot' || '|' || CAST(b AS VARCHAR) || '|'
+                             || CAST(event_id AS VARCHAR))
+            & 281474976710655) + 1) / 281474976710656.0) AS u
+  FROM reps),
+weighted AS (
+  SELECT event_type, b, c, CAST({_POIS_SQL_LADDER} AS BIGINT) AS w
+  FROM uni),
+means AS (
+  SELECT event_type, b,
+         CAST(SUM(w * c) * 1000 AS BIGINT)
+           // GREATEST(CAST(SUM(w) AS BIGINT), 1) AS mean_milli
+  FROM weighted GROUP BY event_type, b)
+SELECT event_type, COUNT(*) AS n_replicas,
+       CAST(FLOOR(quantile_cont(mean_milli, 0.05)) AS BIGINT)
+         AS ci_lo_milli,
+       CAST(FLOOR(quantile_cont(mean_milli, 0.95)) AS BIGINT)
+         AS ci_hi_milli
+FROM means GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -4116,4 +4236,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x94_triangle_counts": QuerySpec(x94, X94_SQL),
     "x95_epoch_mixture_plan": QuerySpec(x95, X95_SQL),
     "x96_video_frame_sample": QuerySpec(x96, X96_SQL),
+    "x97_bootstrap_ci": QuerySpec(x97, X97_SQL),
 }
