@@ -59,14 +59,14 @@ _NEVER_DRIVER_VERIFIED = [
     "x55_stream_static_enrich",
     "x58_sliding_window",
     "x60_sparse_cosine_pairs",
-    "x06_ann_lsh_topk",  # rows-only by design
     "x14_embedding_near_dup",  # rows-only by design
 ]
-# x22 (rows-only by design, HLL accuracy pytest-asserted ±2%) is the
-# one never-stamped row pushed just past the cap: the 23 round-4
-# queries + the 27 rows above fill all 50 slots, and a rows-only
-# stamp carries the least marginal information of any candidate.
-_FIRST_PAST_CAP = ["x22_approx_distinct_hll"]
+# The 24 round-4 queries + the 26 rows above fill all 50 slots; the
+# two never-stamped rows pushed just past the cap are the rows-only-
+# by-design pair (x06 xxhash LSH buckets, x22 HLL — both accuracy-
+# asserted in pytest), whose driver stamp would carry the least
+# marginal information of any candidate.
+_FIRST_PAST_CAP = ["x06_ann_lsh_topk", "x22_approx_distinct_hll"]
 # New in round 4 — must also sit inside the 50-slot cap.
 _NEW_THIS_ROUND = [
     n

@@ -4019,6 +4019,59 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def x98(spark, sf):
+    """Time-decayed popularity: per event_type, the half-life-decayed
+    engagement score at the corpus's max timestamp — the freshness
+    weighting every recommendation/trending pipeline applies. The
+    decay is EXACT integer arithmetic: weight = 1e6 DIV 2^(age_days
+    DIV 30) (30-day half-life in whole steps), so the score is an
+    order-independent bigint sum — no float exp(), which engines
+    round differently, and no summation-order sensitivity."""
+    ev = events_table(spark, sf).select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    aged = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "c",
+        F.expr(
+            "CAST(1000000 AS BIGINT) DIV "
+            "CAST(pow(2, CAST(datediff(ref_ts, ts) AS INT) DIV 30) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w_micro").alias("weight_micro_sum"),
+            F.sum(F.col("c") * F.col("w_micro")).alias("decayed_score_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X98_SQL = """
+WITH ev AS (
+  SELECT event_type, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+aged AS (
+  SELECT event_type, c,
+         CAST(1000000 AS BIGINT)
+           // CAST(POW(2, CAST(date_diff('day', CAST(ts AS DATE),
+                                CAST(ref_ts AS DATE)) AS INT) // 30)
+                   AS BIGINT) AS w_micro
+  FROM ev CROSS JOIN ref)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(w_micro) AS BIGINT) AS weight_micro_sum,
+       CAST(SUM(c * w_micro) AS BIGINT) AS decayed_score_micro
+FROM aged GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Poisson(1) inverse-CDF thresholds (cumulative pmf, repr-injected so
 # both engines fold the identical doubles) — the Poisson bootstrap
 # weight of a row in replica b is the count of thresholds below its
@@ -4237,4 +4290,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x95_epoch_mixture_plan": QuerySpec(x95, X95_SQL),
     "x96_video_frame_sample": QuerySpec(x96, X96_SQL),
     "x97_bootstrap_ci": QuerySpec(x97, X97_SQL),
+    "x98_decayed_popularity": QuerySpec(x98, X98_SQL),
 }
