@@ -4019,6 +4019,69 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def x99(spark, sf):
+    """Shuffle-free co-located fact⋈fact join via BUCKETED layout
+    (operators/bucketing): lineitem and orders are written ONCE as
+    catalog tables bucketed 8× by the order key (the write-time
+    shuffle), then the revenue-by-status join plans with ZERO
+    Exchange on either side — the layout move that amortizes the
+    dominant fact-join cost at 100 TB. Tables are cached per scale
+    factor; the oracle is the plain join."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.bucketing import bucketed_join, write_bucketed
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"llh_bucketed_{key}")
+    lt, ot = f"llh_li_b_{key}", f"llh_or_b_{key}"
+    for name, tbl, cols in (
+        ("lineitem", lt, ["l_orderkey", "l_extendedprice", "l_discount"]),
+        ("orders", ot, ["o_orderkey", "o_orderstatus"]),
+    ):
+        if not spark.catalog.tableExists(tbl):
+            df = t(spark, sf, name).select(*cols)
+            write_bucketed(
+                df,
+                tbl,
+                [cols[0]],
+                n_buckets=8,
+                path=os.path.join(base, name),
+                sort_cols=[cols[0]],
+            )
+    joined = bucketed_join(
+        spark,
+        lt,
+        ot,
+        on=spark.table(lt)["l_orderkey"] == spark.table(ot)["o_orderkey"],
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("rev_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+X99_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def x98(spark, sf):
     """Time-decayed popularity: per event_type, the half-life-decayed
     engagement score at the corpus's max timestamp — the freshness
@@ -4291,4 +4354,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x96_video_frame_sample": QuerySpec(x96, X96_SQL),
     "x97_bootstrap_ci": QuerySpec(x97, X97_SQL),
     "x98_decayed_popularity": QuerySpec(x98, X98_SQL),
+    "x99_bucketed_join": QuerySpec(x99, X99_SQL),
 }
