@@ -33,81 +33,50 @@ _ALL = {**_CORE, **_EXT}
 # round's new queries. Everything past the cap has a driver green
 # from r1/r2/r3 AND a same-round local green in
 # CORRECTNESS_LOCAL_r04.json. Harmless if the driver runs everything.
+# Round-5 cap ordering (driver cap = 50 queries/round; stamps are
+# cumulative across CORRECTNESS_r01..r04): rows with NO driver-green
+# stamp run first — x54/x57 (r4 hash-red on oracle HUGEINT dtype,
+# oracle SQL CAST-fixed this round), x99 (declared after the r4
+# artifact was generated, zero committed evidence), then rows whose
+# implementation changed this round (q55 window rewrite) and the
+# rows-only-by-design trio (x06/x14/x22 — no SQL twin exists for
+# xxhash-bucket LSH / HLL; accuracy-asserted in pytest instead).
+# The rest of the cap refreshes the oldest (r1) stamps.
 _NEVER_DRIVER_VERIFIED = [
-    "x47_inverted_index",  # r3 FAIL: array col unhashable — fixed
-    "x71_embedding_outliers",
-    "x72_gapfill_locf",
-    "x73_ewma_daily",
-    "x74_ab_ztest",
-    "x75_psi_drift",
-    "x76_train_val_test",
-    "x77_event_transitions",
-    "x78_conversion_latency",
-    "x79_incremental_dedup",
-    "x80_retrieval_pipeline",
-    "x45_cohort_retention",
-    "x38_mixture_sample",
-    "x54_data_quality_report",
-    "x57_embedding_audit",
-    "x43_word_rarity",
-    "x56_contamination_matrix",
-    "x03_dedup_minhash_lsh",
-    "x04_dedup_simhash",
-    "x46_streaming_rollup_delta",
-    "x52_salted_aggregation",
-    "x53_salted_join",
-    "x55_stream_static_enrich",
-    "x58_sliding_window",
-    "x60_sparse_cosine_pairs",
-    "x14_embedding_near_dup",  # rows-only by design
+    "x99_bucketed_join",       # only row with zero driver evidence
+    "x54_data_quality_report",  # r4 red: HUGEINT oracle — CAST-fixed
+    "x57_embedding_audit",      # r4 red: HUGEINT oracle — CAST-fixed
 ]
-# The 24 round-4 queries + the 26 rows above fill all 50 slots; the
-# two never-stamped rows pushed just past the cap are the rows-only-
-# by-design pair (x06 xxhash LSH buckets, x22 HLL — both accuracy-
-# asserted in pytest), whose driver stamp would carry the least
-# marginal information of any candidate.
-_FIRST_PAST_CAP = ["x06_ann_lsh_topk", "x22_approx_distinct_hll"]
-# New in round 4 — must also sit inside the 50-slot cap.
-_NEW_THIS_ROUND = [
-    n
-    for n in _ALL
-    if (n.startswith("x") and n >= "x81") or (n.startswith("q") and n >= "q69")
+_CHANGED_THIS_ROUND = [
+    "q55_tpch_q15_top_supplier",  # global window -> agg+broadcast
+]
+_ROWS_ONLY_BY_DESIGN = [
+    "x06_ann_lsh_topk",
+    "x14_embedding_near_dup",
+    "x22_approx_distinct_hll",
 ]
 _PRIORITY = (
     _NEVER_DRIVER_VERIFIED
-    + _NEW_THIS_ROUND
-    + _FIRST_PAST_CAP
-    # first past the cap (the 22 round-4 queries fill it exactly):
-    # rows whose implementation changed this round but whose answers
-    # are oracle-identical and carry BOTH a prior driver green
-    # (r1/r3) and a same-round local green in CORRECTNESS_LOCAL_r04
-    # (q34 two-phase rank rewrite; x66/pagerank shuffle fusion; x61
-    # bloom internal rename; x63 weight guard).
+    + _CHANGED_THIS_ROUND
+    + _ROWS_ONLY_BY_DESIGN
+    # oldest stamps next: r1-evidence rows, then r2/r3
+    + [n for n in _ALL if n.startswith("q") and n < "q48"]
+    + [n for n in _ALL if n.startswith("q") and "q48" <= n < "q69"]
     + [
-        "q34_ntile_distribution",
-        "x66_pagerank",
-        "x61_bloom_join",
-        "x63_weighted_sample",
-    ]
-    # r1-evidence rows next in line beyond the cap, oldest stamps
-    # first
-    + [n for n in _ALL if n.startswith("q") and "q16" <= n < "q48"]
-    + [n for n in _ALL if n.startswith("q") and n >= "q48" and n < "q69"]
-    + [
-        "x13_sessionize",
-        "x16_streaming_tumbling",
-        "x18_streaming_sessionize_stateful",
-        "x25_streaming_rollup_table",
-        "x32_streaming_interval_join",
-        "x12_events_hourly",
-        "x11_asof_join",
         "x01_dedup_exact",
         "x02_dedup_ngram_jaccard",
         "x05_ann_cosine_topk",
-        "x17_ann_ivf_topk",
+        "x11_asof_join",
+        "x12_events_hourly",
+        "x13_sessionize",
         "x15_multimodal_decode",
+        "x16_streaming_tumbling",
+        "x17_ann_ivf_topk",
+        "x18_streaming_sessionize_stateful",
         "x21_streaming_dedup",
+        "x25_streaming_rollup_table",
         "x26_chunk_documents",
+        "x32_streaming_interval_join",
         "x33_dedup_clusters",
     ]
 )

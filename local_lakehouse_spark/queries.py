@@ -1788,9 +1788,12 @@ def q55(spark, sf):
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     per_supp = li.groupBy("l_suppkey").agg(F.sum(_dec_rev()).alias("rev_dec"))
-    w = Window.partitionBy()
+    # Scalar max via agg + 1-row broadcast crossJoin (the q52/q61
+    # pattern) — an unpartitioned Window would funnel every supplier
+    # row through a single WindowExec task at scale.
+    max_rev = per_supp.agg(F.max("rev_dec").alias("max_rev"))
     return (
-        per_supp.withColumn("max_rev", F.max("rev_dec").over(w))
+        per_supp.crossJoin(F.broadcast(max_rev))
         .filter(F.col("rev_dec") == F.col("max_rev"))
         .join(
             F.broadcast(t(spark, sf, "supplier")),

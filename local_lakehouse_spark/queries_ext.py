@@ -1857,14 +1857,16 @@ def x54(spark, sf):
 X54_SQL = """
 WITH agg AS (
   SELECT COUNT(*) AS total,
-    SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS p_qty_positive,
-    SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS p_price_positive,
-    SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END)
-      AS p_discount_in_range,
-    SUM(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 1 ELSE 0 END)
-      AS p_tax_in_range
+    CAST(SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p_qty_positive,
+    CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p_price_positive,
+    CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS p_discount_in_range,
+    CAST(SUM(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 1 ELSE 0 END)
+      AS BIGINT) AS p_tax_in_range
   FROM lineitem)
-SELECT expectation, n_pass, total - n_pass AS n_fail
+SELECT expectation, n_pass, CAST(total - n_pass AS BIGINT) AS n_fail
 FROM (
   SELECT total, 'qty_positive' AS expectation, p_qty_positive AS n_pass FROM agg
   UNION ALL SELECT total, 'price_positive', p_price_positive FROM agg
@@ -1999,7 +2001,7 @@ SELECT bucket, COUNT(*) AS n_vectors,
        MIN(dim) AS dim_min,
        FLOOR(MIN(n2) * 10000 + 0.5) / 10000 AS norm2_min,
        FLOOR(MAX(n2) * 10000 + 0.5) / 10000 AS norm2_max,
-       SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_bad
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
 FROM per GROUP BY bucket ORDER BY bucket
 """
 

@@ -380,6 +380,64 @@ def _file_stats(abs_path: str) -> str:
     )
 
 
+def typed_partition_value(raw: object, dtype: T.DataType | None) -> object:
+    """Parse a Delta partition value (stored as STRING in the log)
+    to the column's declared type so range pruning compares typed
+    values, not strings — lexicographic '10' < '9' would wrongly
+    prune numeric partitions. Returns None when the value cannot be
+    parsed; callers must then KEEP the file (pruning is an
+    optimization, never the correctness mechanism)."""
+    import datetime
+    import decimal
+
+    tn = dtype.typeName() if dtype is not None else "string"
+    try:
+        if tn in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if tn in ("float", "double"):
+            return float(raw)
+        if tn.startswith("decimal"):
+            return decimal.Decimal(str(raw))
+        if tn == "boolean":
+            return raw if isinstance(raw, bool) else str(raw).lower() == "true"
+        if tn == "date":
+            if isinstance(raw, datetime.date) and not isinstance(
+                raw, datetime.datetime
+            ):
+                return raw
+            return datetime.date.fromisoformat(str(raw)[:10])
+        if tn in ("timestamp", "timestamp_ntz"):
+            if isinstance(raw, datetime.datetime):
+                return raw
+            return datetime.datetime.fromisoformat(str(raw).replace(" ", "T"))
+        if tn in ("string", "char", "varchar"):
+            return str(raw)
+    except (ValueError, TypeError, decimal.InvalidOperation):
+        return None
+    return None  # unknown type: never prune on it
+
+
+def partition_keep(
+    pv: str, op: str, value: object, dtype: T.DataType | None
+) -> bool:
+    """Conservative partition test: False only when the TYPED
+    comparison proves the file holds no matching row."""
+    tv_file = typed_partition_value(pv, dtype)
+    tv_lit = typed_partition_value(value, dtype)
+    if tv_file is None or tv_lit is None:
+        return True
+    try:
+        return {
+            "=": tv_file == tv_lit,
+            "<": tv_file < tv_lit,
+            "<=": tv_file <= tv_lit,
+            ">": tv_file > tv_lit,
+            ">=": tv_file >= tv_lit,
+        }.get(op, True)
+    except TypeError:
+        return True
+
+
 def candidate_files(
     snap: Snapshot, col: str, op: str, value: object
 ) -> list[str]:
@@ -390,20 +448,14 @@ def candidate_files(
     are pruned from partitionValues exactly."""
     out = []
     part_cols = snap.partition_columns
+    dtypes = {f.name: f.dataType for f in snap.schema.fields}
     for rel, add in sorted(snap.adds.items()):
         if col in part_cols:
             pv = add.get("partitionValues", {}).get(col)
             if pv is None:
                 out.append(rel)
                 continue
-            keep = {
-                "=": str(value) == pv,
-                "<": pv < str(value),
-                "<=": pv <= str(value),
-                ">": pv > str(value),
-                ">=": pv >= str(value),
-            }.get(op, True)
-            if keep:
+            if partition_keep(pv, op, value, dtypes.get(col)):
                 out.append(rel)
             continue
         stats = json.loads(add.get("stats") or "{}")

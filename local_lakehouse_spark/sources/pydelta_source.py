@@ -75,6 +75,7 @@ from .delta_py import (
     CHECKPOINT_INTERVAL,
     ConcurrentModificationError,
     DeltaLog,
+    partition_keep,
     _add_action,
     _file_stats,
     _meta_action,
@@ -129,10 +130,19 @@ def _read_file_as_batches(
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
-def _prune(adds: dict, part_cols: list, filters: List[Filter]) -> dict:
+def _prune(
+    adds: dict,
+    part_cols: list,
+    filters: List[Filter],
+    schema: "T.StructType | None" = None,
+) -> dict:
     """Monotone file-set reduction from pushed filters: a file
     survives unless its stats range / partition value PROVES no row
     can match. Unknown filter shapes and missing stats keep the file.
+    Partition values (STRING in the log) are parsed to the column's
+    declared type before comparing — lexicographic pv < str(value)
+    would wrongly drop e.g. p='10' for p > 9 ('10' < '9' as strings),
+    and a dropped file is unrecoverable by Spark's row-level filter.
     """
     ops = {
         EqualTo: "=",
@@ -141,20 +151,14 @@ def _prune(adds: dict, part_cols: list, filters: List[Filter]) -> dict:
         LessThan: "<",
         LessThanOrEqual: "<=",
     }
+    dtypes = {f.name: f.dataType for f in schema.fields} if schema else {}
 
     def file_ok(add: dict, col: str, op: str, value) -> bool:
         if col in part_cols:
             pv = (add.get("partitionValues") or {}).get(col)
             if pv is None or pv == _HIVE_NULL:
                 return True
-            sv = str(value)
-            return {
-                "=": pv == sv,
-                "<": pv < sv,
-                "<=": pv <= sv,
-                ">": pv > sv,
-                ">=": pv >= sv,
-            }.get(op, True)
+            return partition_keep(pv, op, value, dtypes.get(col))
         stats = json.loads(add.get("stats") or "{}")
         lo = (stats.get("minValues") or {}).get(col)
         hi = (stats.get("maxValues") or {}).get(col)
@@ -196,7 +200,7 @@ class _PyDeltaReader(DataSourceReader):
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         before = len(self._adds)
         self._adds = _prune(
-            self._adds, self._snap.partition_columns, filters
+            self._adds, self._snap.partition_columns, filters, self._schema
         )
         self._files_pruned = before - len(self._adds)
         # every filter is re-applied row-level by Spark: pruning is

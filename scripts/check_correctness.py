@@ -114,6 +114,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = [d[0] for d in rel.description]
+            d_types = [str(t).upper() for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
@@ -122,6 +123,20 @@ def main() -> int:
             continue
 
         problems = []
+        # Driver-fidelity guard #2 (r4: x54/x57): the driver converts
+        # the oracle result to pandas, where DuckDB HUGEINT/UHUGEINT
+        # (e.g. a bare SUM(CASE...)) becomes float64 and hashes as
+        # 60000.0 against Spark's int64 60000. fetchall() returns a
+        # Python int and hides it, so reject the TYPE here.
+        hugeints = [
+            c for c, t in zip(d_cols, d_types) if "HUGEINT" in t
+        ]
+        if hugeints:
+            problems.append(
+                f"oracle columns {hugeints} are HUGEINT — pandas renders "
+                "them float64 and the driver hash diverges; CAST(... AS "
+                "BIGINT) in the oracle SQL"
+            )
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):

@@ -37,6 +37,7 @@ ALLOW_NESTED_LOOP = {
     "q15_cross_join",        # IS a cross join (5x5x5)
     "q28_scalar_subquery",   # scalar value joined to every row
     "q52_tpch_q11_important_stock",  # scalar total joined broadcast
+    "q55_tpch_q15_top_supplier",  # 1-row max(rev) scalar broadcast
     "q61_tpch_q22_sales_opportunity",  # scalar avg joined broadcast
     "x05_ann_cosine_topk",   # brute-force exact baseline (documented)
     "x06_ann_lsh_topk",      # per-bucket candidate scoring
@@ -58,6 +59,8 @@ ALLOW_NESTED_LOOP = {
     "x82_temperature_mixture",  # 1-row min(c_s) broadcast onto rates
     "x87_shard_skew_audit",     # 1-row corpus total broadcast onto shards
     "x95_epoch_mixture_plan",   # 1-row budget/weight totals broadcast
+    "x97_bootstrap_ci",         # 1-row stats × resample-id literal grid
+    "x98_decayed_popularity",   # 1-row max(ts) reference broadcast
 }
 
 

@@ -269,3 +269,51 @@ def test_stream_sink_rejects_overwrite_mode(spark, tbl, tmp_path):
     with pytest.raises(Exception, match="append-only|truncate|Complete"):
         q.awaitTermination(120)
         raise RuntimeError("complete-mode sink write should have failed")
+
+
+def test_numeric_partition_pruning_is_typed(spark, tbl):
+    """Regression (round-5 ADVICE): partition values live as STRINGS
+    in the Delta log, and a lexicographic compare prunes wrongly on
+    numeric columns ('10' > '9' is False as strings) — p > 9 on an
+    int column partitioned 0..12 returned 0 rows instead of 3. The
+    pushed range filter must compare typed values."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(13)], "p int, v int")
+    delta_py.write_delta(spark, df, tbl, partition_by=["p"])
+    got = spark.read.format("pydelta").load(tbl).filter("p > 9")
+    assert sorted(r.p for r in got.collect()) == [10, 11, 12]
+    # point + range on the other side, and equality, all stay exact
+    assert spark.read.format("pydelta").load(tbl).filter("p < 2").count() == 2
+    assert spark.read.format("pydelta").load(tbl).filter("p = 10").count() == 1
+
+
+def test_typed_partition_value_parsing():
+    """Unit coverage of the shared parser: typed compares for every
+    partitionable type; unparseable values return None (keep-file)."""
+    import datetime
+    from pyspark.sql import types as T
+
+    tpv = delta_py.typed_partition_value
+    assert tpv("10", T.IntegerType()) == 10
+    assert tpv("2.5", T.DoubleType()) == 2.5
+    assert tpv("true", T.BooleanType()) is True
+    assert tpv("2024-03-01", T.DateType()) == datetime.date(2024, 3, 1)
+    assert tpv("2024-03-01 10:00:00", T.TimestampType()) == datetime.datetime(
+        2024, 3, 1, 10
+    )
+    assert tpv("abc", T.StringType()) == "abc"
+    assert tpv("not-a-number", T.IntegerType()) is None  # keep the file
+    # partition_keep is conservative on unparseable values
+    assert delta_py.partition_keep("oops", ">", 9, T.IntegerType()) is True
+    assert delta_py.partition_keep("10", ">", 9, T.IntegerType()) is True
+    assert delta_py.partition_keep("8", ">", 9, T.IntegerType()) is False
+
+
+def test_candidate_files_numeric_partition(spark, tbl):
+    """delta_py.candidate_files had the same latent lexicographic
+    compare — typed now."""
+    df = spark.createDataFrame([(i, i) for i in range(13)], "p int, v int")
+    delta_py.write_delta(spark, df, tbl, partition_by=["p"])
+    snap = delta_py.DeltaLog(tbl).snapshot()
+    assert len(delta_py.candidate_files(snap, "p", ">", 9)) == 3
+    assert len(delta_py.candidate_files(snap, "p", "<=", 1)) == 2
+    assert len(delta_py.candidate_files(snap, "p", "=", 10)) == 1
