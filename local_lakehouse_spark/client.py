@@ -128,8 +128,35 @@ class LakehouseClient:
     def list_tables(self, catalog: str, schema: str) -> list[Table]:
         return self.metastore.list_tables(catalog, schema)
 
-    def update_table(self, table: Table) -> Table:
-        return self.metastore.update_table(table)
+    def update_table(
+        self,
+        catalog_or_table: "str | Table",
+        schema: "str | None" = None,
+        table: "Table | None" = None,
+    ) -> Table:
+        """Update a table's comment/properties.
+
+        Accepts both the native 1-arg form ``update_table(table)``
+        (the Table's own catalog_name/schema_name name the target)
+        and the reference's positional form
+        ``update_table(catalog, schema, table)`` (reference
+        client.py:271-286), where the first two args name the update
+        TARGET and ``table`` carries the new comment/properties — a
+        drop-in caller needs no shim."""
+        if isinstance(catalog_or_table, Table):
+            if schema is not None or table is not None:
+                raise TypeError(
+                    "update_table(table) takes no extra arguments"
+                )
+            return self.metastore.update_table(catalog_or_table)
+        if schema is None or table is None:
+            raise TypeError(
+                "update_table requires (catalog, schema, table) or (table)"
+            )
+        retargeted = table.model_copy(
+            update={"catalog_name": catalog_or_table, "schema_name": schema}
+        )
+        return self.metastore.update_table(retargeted)
 
     def set_table_default_merge_columns(
         self, catalog: str, schema: str, table: str, merge_columns: list[str]

@@ -87,13 +87,31 @@ class _PyAvroReader(DataSourceReader):
         target = to_arrow_schema(self._schema)
         with open(partition.value, "rb") as fh:
             raw = fh.read()
+        # Decode against THIS file's own writer schema and assemble
+        # columns by field NAME: a container appended later may order
+        # its fields differently from the first file (whose header
+        # fixed the read schema) — a positional zip would silently
+        # transpose values into the wrong columns. Fields the file
+        # lacks (pre-evolution writers) surface as NULL, matching the
+        # explicit-schema parquet/pydelta semantics.
+        avro_schema, _, _, _ = read_header(raw)
+        file_names = [f["name"] for f in avro_schema.get("fields", [])]
         _, rows = read_container(raw)
         if not rows:
             return
-        cols = list(zip(*rows))
+        if not set(file_names) & {f.name for f in target}:
+            raise ValueError(
+                f"Avro file {partition.value} shares no fields with the "
+                f"read schema {[f.name for f in target]} (file fields: "
+                f"{file_names})"
+            )
+        by_name = dict(zip(file_names, zip(*rows)))
+        n = len(rows)
         arrays = [
-            pa.array(list(cols[i]), type=field.type)
-            for i, field in enumerate(target)
+            pa.array(list(by_name[field.name]), type=field.type)
+            if field.name in by_name
+            else pa.nulls(n, field.type)
+            for field in target
         ]
         table = pa.Table.from_arrays(arrays, schema=target)
         yield from table.to_batches(max_chunksize=1 << 16)

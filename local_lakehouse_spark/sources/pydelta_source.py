@@ -585,5 +585,14 @@ class PyDeltaDataSource(DataSource):
 
 
 def register(spark: "SparkSession") -> None:
-    """Idempotent session-level registration of the pydelta format."""
+    """Idempotent session-level registration of the pydelta format.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled``: because
+    ``_PyDeltaReader`` implements ``pushFilters``, any session with
+    the conf off fails every ``format('pydelta')`` read with
+    DATA_SOURCE_PUSHDOWN_DISABLED — sessions built by
+    ``session.get_spark`` already set it, but the format must work on
+    arbitrary sessions too (it is a runtime conf, settable post-start).
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PyDeltaDataSource)

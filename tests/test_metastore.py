@@ -166,3 +166,31 @@ def test_validate_table_expectations(unity, spark, tmp_path):
     }
     assert out["v_positive"] == (1, 2)  # -5 fails, NULL fails
     assert out["id_known"] == (3, 0)
+
+
+def test_update_table_reference_positional_form(client):
+    """Signature parity with the reference's update_table(catalog,
+    schema, table) (reference client.py:271-286): the first two args
+    name the update TARGET; `table` carries the new comment and
+    properties. The native 1-arg form keeps working, and mixing the
+    forms raises."""
+    client.create_catalog(Catalog(name="c1"))
+    client.create_schema(Schema(name="s1", catalog_name="c1"))
+    client.create_table(_table())
+
+    # reference form — Table carries stale catalog/schema on purpose
+    carrier = _table(cat="ignored", sch="ignored")
+    carrier.comment = "via-positional"
+    updated = client.update_table("c1", "s1", carrier)
+    assert updated.comment == "via-positional"
+    assert (updated.catalog_name, updated.schema_name) == ("c1", "s1")
+
+    # native form still works
+    got = client.get_table("c1", "s1", "t")
+    got.comment = "via-table"
+    assert client.update_table(got).comment == "via-table"
+
+    with pytest.raises(TypeError):
+        client.update_table(got, "s1")
+    with pytest.raises(TypeError):
+        client.update_table("c1", "s1")

@@ -94,3 +94,63 @@ def test_interop_with_avro_py_reader(spark, tbl):
 
 def test_datasource_name():
     assert PyAvroDataSource.name() == "pyavro"
+
+
+def test_read_aligns_columns_by_name_across_files(spark, tmp_path):
+    """Regression (round-5 ADVICE): each container file decodes
+    against its OWN writer schema; an append whose field order
+    differs from the first file must not transpose values
+    positionally, and a pre-evolution file missing a column
+    surfaces NULL for it."""
+    import os
+
+    from local_lakehouse_spark.sources import avro_py
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d)
+    # file A: (id, name) — this header fixes the read schema
+    avro_py.write_container(
+        os.path.join(d, "a-part-0.avro"),
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+            ],
+        },
+        iter([(1, "a"), (2, "b")]),
+    )
+    # file B: same fields, REVERSED order
+    avro_py.write_container(
+        os.path.join(d, "b-part-1.avro"),
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "name", "type": ["null", "string"]},
+                {"name": "id", "type": "long"},
+            ],
+        },
+        iter([("c", 3)]),
+    )
+    got = {
+        (r.id, r.name)
+        for r in spark.read.format("pyavro").load(d).collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # file C: missing the name column entirely -> NULL
+    avro_py.write_container(
+        os.path.join(d, "c-part-2.avro"),
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "id", "type": "long"}],
+        },
+        iter([(4,)]),
+    )
+    got = {
+        (r.id, r.name)
+        for r in spark.read.format("pyavro").load(d).collect()
+    }
+    assert (4, None) in got and len(got) == 4

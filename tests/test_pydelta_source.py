@@ -317,3 +317,18 @@ def test_candidate_files_numeric_partition(spark, tbl):
     assert len(delta_py.candidate_files(snap, "p", ">", 9)) == 3
     assert len(delta_py.candidate_files(snap, "p", "<=", 1)) == 2
     assert len(delta_py.candidate_files(snap, "p", "=", 10)) == 1
+
+
+def test_register_enables_filter_pushdown_conf(spark):
+    """pushFilters-implementing readers fail with
+    DATA_SOURCE_PUSHDOWN_DISABLED on sessions lacking the conf;
+    register() must establish it rather than rely on session.py."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        pydelta_source.register(spark)
+        assert (
+            spark.conf.get("spark.sql.python.filterPushdown.enabled")
+            == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
