@@ -68,6 +68,22 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def release_persisted(spark) -> None:
+    """Unpersist RDDs left behind by the previous query's
+    localCheckpoints (graph/text iterative operators) — they are
+    scoped to a query run but Spark never frees them, so over a
+    25-query bench session they accumulate and the later heavy
+    queries (x66 pagerank) pay the executor-memory pressure: x66
+    measured ~4.7 s in a fresh session vs ~10 s late in the bench."""
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jrdds.values():
+            jrdd.unpersist(False)
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # cleanup is best-effort; never fail the bench over it
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -100,6 +116,7 @@ def main() -> int:
     times: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name in HEADLINE:
+        release_persisted(spark)
         t0 = time.perf_counter()
         try:
             materialize(qs[name](spark, sf_dir))
@@ -111,6 +128,7 @@ def main() -> int:
     for name in EXTENDED:
         if name not in qs:
             continue
+        release_persisted(spark)
         t0 = time.perf_counter()
         try:
             materialize(qs[name](spark, sf_dir))

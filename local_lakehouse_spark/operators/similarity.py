@@ -94,11 +94,10 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_sign(vec_col, plane: int, dim: int):
-    """Sign of <v, h_plane> where h_plane[d] = deterministic pseudo-
-    random value in [-1, 1) derived from xxhash64(plane, d). No stored
-    plane matrix — any executor can recompute any coefficient.
-    """
+def _hyperplane_proj(vec_col, plane: int):
+    """<v, h_plane> where h_plane[d] = deterministic pseudo-random
+    value in [-1, 1) derived from xxhash64(plane, d). No stored plane
+    matrix — any executor can recompute any coefficient."""
     products = F.transform(
         vec_col,
         lambda x, i: x.cast("double")
@@ -107,9 +106,13 @@ def _hyperplane_sign(vec_col, plane: int, dim: int):
             - F.lit(1.0)
         ),
     )
-    return (
-        F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v) >= 0
-    ).cast("int")
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _hyperplane_sign(vec_col, plane: int, dim: int):
+    """Sign bit of the plane-``plane`` projection (see
+    _hyperplane_proj)."""
+    return (_hyperplane_proj(vec_col, plane) >= 0).cast("int")
 
 
 def lsh_bucket(vec_col: Column, n_planes: int = 8) -> Column:
@@ -168,17 +171,24 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     round_digits: int = 4,
     max_bucket_size: int = 10_000,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's sign bucket.
+    """Approximate top-k: probe the query's sign bucket, plus —
+    query-directed MULTI-PROBE (Lv et al., VLDB'07) — the
+    ``n_probes - 1`` single-bit-flip buckets whose hyperplanes the
+    query projects closest to (smallest |margin|: the buckets most
+    likely to hold neighbors that landed on the far side of a plane).
 
     Corpus is bucketed once (reusable — persist/bucket-write it in a
     real pipeline); the bucket join replaces the cross join, cutting
     candidate count by ~2^n_planes. Recall is tunable via n_planes
     (fewer planes → bigger buckets → higher recall & cost) or
-    multi-probe extensions. Buckets above ``max_bucket_size`` are
-    salt-split (see _salt_split) so a degenerate bucket costs each
-    query at most ~max_bucket_size cosine evaluations instead of the
-    whole corpus.
+    ``n_probes`` (more probe buckets per query → higher recall at
+    n_probes× the query-side candidate cost, with CORPUS buckets —
+    and so corpus memory/layout — unchanged). Buckets above
+    ``max_bucket_size`` are salt-split (see _with_salt_cell) so a
+    degenerate bucket costs each query at most ~max_bucket_size
+    cosine evaluations per probe instead of the whole corpus.
     """
     c_raw = corpus.select(
         F.col(id_col).alias("cid"),
@@ -187,14 +197,48 @@ def cosine_topk_lsh(
     )
     counts = _bucket_cell_counts(c_raw, max_bucket_size)
     c = _with_salt_cell(c_raw, counts, "cid")
-    q = _with_salt_cell(
-        queries.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("q_emb"),
-            lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    q_buckets = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_emb"),
+        *[
+            _hyperplane_proj(F.col(vec_col), pl).alias(f"_proj{pl}")
+            for pl in range(n_planes)
+        ],
+    ).withColumn(
+        # identical to lsh_bucket, derived from the shared projections
+        "bucket",
+        sum(
+            (F.col(f"_proj{pl}") >= 0).cast("int") * F.lit(2**pl)
+            for pl in range(n_planes)
         ),
-        counts,
-        "qid",
+    )
+    if n_probes > 1:
+        # flip candidates ordered by ascending |margin|; explode is
+        # query-side only, so the corpus layout never changes
+        flip_structs = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.col(f"_proj{pl}")).alias("m"),
+                        F.col("bucket")
+                        .bitwiseXOR(F.lit(2**pl))
+                        .alias("b"),
+                    )
+                    for pl in range(n_planes)
+                ]
+            )
+        )
+        probes = F.concat(
+            F.array(F.col("bucket")),
+            F.slice(
+                F.transform(flip_structs, lambda s: s["b"]),
+                1,
+                min(n_probes - 1, n_planes),
+            ),
+        )
+        q_buckets = q_buckets.withColumn("bucket", F.explode(probes))
+    q = _with_salt_cell(
+        q_buckets.select("qid", "q_emb", "bucket"), counts, "qid"
     )
     p = 10**round_digits
     scored = (

@@ -226,9 +226,14 @@ ORDER BY qid, rank
 
 def x06(spark, sf):
     emb = t(spark, sf, "embeddings")
-    # LSH-bucketed ANN (approximate; xxhash-derived planes → rows-only)
+    # LSH-bucketed ANN (approximate; xxhash-derived planes → rows-only).
+    # n_probes=4: query-directed multi-probe — each query also visits
+    # the 3 smallest-|margin| bit-flip buckets, raising recall ~2-4×
+    # (tests/test_operators.py::test_lsh_multiprobe_raises_recall)
+    # while corpus bucketing and memory stay unchanged.
     return cosine_topk_lsh(
-        corpus=emb, queries=emb.filter(F.col("vec_id") < 5), k=3, n_planes=6
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 5), k=3,
+        n_planes=6, n_probes=4,
     )
 
 
@@ -4072,6 +4077,29 @@ def x99(spark, sf):
         ot,
         on=spark.table(lt)["l_orderkey"] == spark.table(ot)["o_orderkey"],
     )
+    # CONTRACT (the operator's whole point, also pinned in
+    # tests/test_scale_ops.py): the co-bucketed join itself plans
+    # with ZERO shuffle Exchange on either side. Checked on every
+    # run — including driver correctness runs — so a bucketing
+    # regression fails loudly instead of silently reintroducing the
+    # shuffle. A BroadcastExchange is allowed: when one side is tiny
+    # (small sf) the planner rightly broadcasts it instead of using
+    # the bucketed SMJ, and a broadcast is not the data-sized
+    # shuffle this layout exists to avoid.
+    join_plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    shuffles = [
+        ln
+        for ln in join_plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    if shuffles:
+        raise AssertionError(
+            f"x99 bucketed join planned a shuffle:\n{join_plan}"
+        )
     return (
         joined.groupBy("o_orderstatus")
         .agg(
