@@ -464,13 +464,19 @@ def candidate_files(
         if lo is None or hi is None:
             out.append(rel)
             continue
-        keep = {
-            "=": lo <= value <= hi,
-            "<": lo < value,
-            "<=": lo <= value,
-            ">": hi > value,
-            ">=": hi >= value,
-        }.get(op, True)
+        try:
+            keep = {
+                "=": lo <= value <= hi,
+                "<": lo < value,
+                "<=": lo <= value,
+                ">": hi > value,
+                ">=": hi >= value,
+            }.get(op, True)
+        except TypeError:
+            # incomparable literal vs JSON-stat type (e.g. datetime
+            # vs ISO string): keep the file — skipping is an
+            # optimization, never the correctness mechanism
+            keep = True
         if keep:
             out.append(rel)
     return out

@@ -417,3 +417,19 @@ def test_commit_publishes_atomically_and_ignores_tmp(spark, tbl):
             for line in f:
                 if line.strip():
                     json.loads(line)
+
+
+def test_candidate_files_incomparable_stats_keep_file(spark, tmp_path):
+    """Stats skipping must KEEP files when the literal's type can't be
+    compared with the JSON stat (e.g. datetime vs ISO string) instead
+    of raising out of read_delta."""
+    import datetime
+
+    from local_lakehouse_spark.sources import delta_py
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "2024-01-01")], "id long, s string")
+    delta_py.write_delta(spark, df, tbl)
+    snap = delta_py.DeltaLog(tbl).snapshot()
+    got = delta_py.candidate_files(snap, "s", ">", datetime.date(2024, 1, 1))
+    assert len(got) == len(snap.adds)  # kept, not crashed
