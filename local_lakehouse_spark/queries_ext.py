@@ -3579,21 +3579,34 @@ def x89(spark, sf):
 
 
 def stage_x89_table(spark, sf: str) -> str:
-    """One-time pydelta staging for x89 (idempotent: keyed by sf,
-    skipped when the table exists). Exposed separately so bench.py
-    can pre-stage OUTSIDE the timed region — x89's bench number
-    should measure the streaming replay, not the setup write."""
+    """One-time pydelta staging for x89 (idempotent: keyed by sf +
+    layout version, skipped when the table exists). Exposed
+    separately so bench.py can pre-stage OUTSIDE the timed region —
+    x89's bench number should measure the streaming replay, not the
+    setup write.
+
+    The staged write is REPARTITIONED to the session's shuffle
+    parallelism: the Python DataSource reader maps one InputPartition
+    per data file (pydelta_source.py), so a single-file table would
+    funnel the entire replay through ONE Python worker — the
+    sf0.1 events source is one parquet file, and replaying it
+    unsplit measured 3× slower than the 32-file layout. The 'v2'
+    key suffix retires previously staged single-file tables."""
     import hashlib
     import os
     import tempfile
 
     from .sources import delta_py
 
-    key = hashlib.md5(sf.encode()).hexdigest()[:8]
+    key = hashlib.md5(f"{sf}|v2".encode()).hexdigest()[:8]
     tbl = os.path.join(tempfile.gettempdir(), f"llh_pydelta_ev_{key}")
     if not delta_py.is_delta_table(tbl):
+        n_files = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
         delta_py.write_delta(
-            spark, events_table(spark, sf), tbl, mode="overwrite"
+            spark,
+            events_table(spark, sf).repartition(n_files),
+            tbl,
+            mode="overwrite",
         )
     return tbl
 
