@@ -46,6 +46,10 @@ _NEVER_DRIVER_VERIFIED = [
     "x99_bucketed_join",       # only row with zero driver evidence
     "x54_data_quality_report",  # r4 red: HUGEINT oracle — CAST-fixed
     "x57_embedding_audit",      # r4 red: HUGEINT oracle — CAST-fixed
+    # new this round — no stamp yet, must sit inside the cap
+    "y01_incremental_rollup",
+    "y02_streaming_cdc_upsert",
+    "y03_zorder_skipping",
 ]
 _CHANGED_THIS_ROUND = [
     "q55_tpch_q15_top_supplier",  # global window -> agg+broadcast

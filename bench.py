@@ -61,6 +61,9 @@ EXTENDED = [
     "x82_temperature_mixture",
     "x88_label_silhouette",
     "x89_delta_stream_rollup",
+    # round 5 additions
+    "y01_incremental_rollup",
+    "y03_zorder_skipping",
 ]
 
 
@@ -110,14 +113,18 @@ def main() -> int:
     # warmup, not replay throughput, so it belongs with the q06
     # JVM/codegen warmup above, not inside x89's timed region.
     try:
-        from local_lakehouse_spark.queries_ext import stage_x89_table
+        from local_lakehouse_spark.queries_ext import (
+            stage_x89_table,
+            stage_y03_table,
+        )
         from local_lakehouse_spark.sources import pydelta_source
 
         pydelta_source.register(spark)
         tbl = stage_x89_table(spark, sf_dir)
         spark.read.format("pydelta").load(tbl).count()
+        stage_y03_table(spark, sf_dir)  # y03: one-time clustering rewrite
     except Exception:
-        pass  # x89 itself will stage (and the failure will surface there)
+        pass  # x89/y03 stage themselves (failures surface there)
 
     # A single failing query must NOT suppress the whole bench line
     # (round-2 lesson: a crashed run leaves no number at all). Failed

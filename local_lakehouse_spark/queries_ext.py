@@ -4312,6 +4312,314 @@ FROM means GROUP BY event_type ORDER BY event_type
 """
 
 
+def y01(spark, sf):
+    """Incremental rollup maintenance via re-aggregatable PARTIAL
+    aggregates: the daily (day, event_type) rollup — including an
+    EXACT distinct-user count — is produced by aggregating two
+    increments of the corpus independently (events before / after a
+    cutoff date) and MERGING the partials, never re-scanning the full
+    corpus. The partials are keyed (day, event_type, user_id): counts
+    and integer-cent sums re-aggregate by summation, and the exact
+    distinct-user count falls out as COUNT(*) over the merged
+    user-keyed partials — the keyed-partial construction that makes
+    COUNT(DISTINCT) incrementally maintainable (a bare distinct count
+    is NOT mergeable; an HLL sketch is mergeable but approximate,
+    x22). At 100 TB the two inputs are yesterday's stored partial
+    table and today's new partition: maintenance cost is
+    O(|rollup| + |delta|), never O(|corpus|), and every step here is
+    a hash aggregate with map-side combine — no windows, no collect.
+    Oracle: the equivalent single-pass GROUP BY over all events."""
+    ev = events_table(spark, sf).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    cutoff = F.lit("2024-01-16").cast("date")
+
+    def partial(df):
+        # keyed partial: one row per (day, type, user) — re-mergeable
+        return df.groupBy("day", "event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("cents").alias("pc")
+        )
+
+    merged = (
+        partial(ev.filter(F.col("day") < cutoff))
+        .unionByName(partial(ev.filter(F.col("day") >= cutoff)))
+        .groupBy("day", "event_type", "user_id")
+        .agg(F.sum("pn").alias("pn"), F.sum("pc").alias("pc"))
+    )
+    return (
+        merged.groupBy("day", "event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pc").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+Y01_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+def y02(spark, sf):
+    """Streaming CDC apply: the committed events log is replayed
+    through the pydelta STREAMING source (sources/pydelta_source) and
+    each microbatch is upserted into a per-user profile table with a
+    newer-wins MERGE — the canonical change-data-capture apply loop
+    (Delta streaming source -> foreachBatch -> MERGE) that keeps a
+    serving table current at scale. The merge is CONFLUENT: the
+    matched-update predicate keeps a row only when the incoming event
+    is strictly newer by (ts, event_id), so the final state is
+    independent of how the replay splits into microbatches. The
+    profile table is seeded with the OLDEST event of every even
+    user_id, so the run exercises both matched-updates (seeded users
+    advance to their latest event) and inserts (odd users appear).
+    Batch-local reduction first (per-user latest via a per-key
+    window), so each MERGE joins |users| rows, not |events|.
+    Oracle: last event per user by (ts, event_id)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from .client import LakehouseClient
+    from .models import Catalog, Schema
+    from .sources import pydelta_source
+
+    pydelta_source.register(spark)
+    key = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"llh_cdc_{key}")
+    os.makedirs(base, exist_ok=True)
+    client = LakehouseClient(
+        metastore_path=os.path.join(base, "ms.json"), spark=spark
+    )
+    for make in (
+        lambda: client.create_catalog(Catalog(name="unity")),
+        lambda: client.create_schema(
+            Schema(name="default", catalog_name="unity")
+        ),
+    ):
+        try:
+            make()
+        except Exception:
+            pass  # idempotent re-run: namespace already exists
+
+    def latest_per_user(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_event_type"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("last_cents"),
+            )
+        )
+
+    # Seed: the OLDEST event of every EVEN user — stale rows the
+    # stream must advance (matched-update path); odd users are absent
+    # and arrive via the insert path. Overwritten per run so the
+    # result never depends on prior runs.
+    ev = events_table(spark, sf)
+    w_old = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    seed = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .withColumn("__rn", F.row_number().over(w_old))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("last_cents"),
+        )
+    )
+    tgt = f"profiles_{key}"
+    try:
+        client.get_table("unity", "default", tgt)
+        exists = True
+    except Exception:
+        exists = False
+    if exists:
+        client.write_table(seed, "unity", "default", tgt, mode="overwrite")
+    else:
+        client.create_as_table(
+            seed,
+            "unity",
+            "default",
+            tgt,
+            file_type="delta",
+            location=os.path.join(base, "profiles"),
+        )
+
+    newer = (
+        "s.last_ts > t.last_ts OR "
+        "(s.last_ts = t.last_ts AND s.last_event_id > t.last_event_id)"
+    )
+
+    def apply_batch(bdf, _bid):
+        (
+            client.merge_table(
+                latest_per_user(bdf),
+                "unity",
+                "default",
+                tgt,
+                condition="s.user_id = t.user_id",
+            )
+            .when_matched_update_all(predicate=newer)
+            .when_not_matched_insert_all()
+            .execute()
+        )
+
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(stage_x89_table(spark, sf))
+    )
+    ckpt = os.path.join(base, f"ckpt_{uuid.uuid4().hex}")
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        client.read_table("unity", "default", tgt)
+        .select(
+            "user_id",
+            "last_event_id",
+            "last_ts",
+            "last_event_type",
+            "last_cents",
+        )
+        .orderBy("user_id")
+    )
+
+
+Y02_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+         event_type AS last_event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS last_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, last_event_id, last_ts, last_event_type, last_cents
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def y03(spark, sf):
+    """Z-order clustered layout (operators/layout.py — Morton-curve
+    bit interleaving, the OPTIMIZE ZORDER BY move) proving FILE
+    SKIPPING on a NON-LEADING dimension: lineitem is staged once as a
+    32-file pydelta table clustered on (l_orderkey, l_partkey), then
+    a range predicate on l_partkey ALONE — the column a linear
+    l_orderkey sort gives ZERO pruning on, since every file then
+    spans the full partkey range — answers after log-stats skipping
+    eliminates most files. CONTRACT (checked on every run, like
+    x99's zero-Exchange assert): the per-file min/max stats must
+    prune >50% of data files for the bottom-decile partkey range; a
+    layout or stats regression fails loudly. At 100 TB this layout is
+    what turns a multi-dimensional scan into a touch of a few files.
+    Oracle: the plain filtered aggregate on raw lineitem."""
+    from .sources import delta_py, pydelta_source
+
+    pydelta_source.register(spark)
+    tbl = stage_y03_table(spark, sf)
+
+    hi = (
+        t(spark, sf, "part").agg(F.max("p_partkey")).collect()[0][0] // 10
+    )
+    snap = delta_py.DeltaLog(tbl).snapshot()
+    cand = set(delta_py.candidate_files(snap, "l_partkey", ">=", 1)) & set(
+        delta_py.candidate_files(snap, "l_partkey", "<=", hi)
+    )
+    if len(snap.adds) >= 8 and len(cand) > len(snap.adds) // 2:
+        raise AssertionError(
+            f"z-order stats pruning regressed: {len(cand)}/"
+            f"{len(snap.adds)} files survive l_partkey <= {hi}"
+        )
+    return (
+        spark.read.format("pydelta")
+        .load(tbl)
+        .filter((F.col("l_partkey") >= 1) & (F.col("l_partkey") <= hi))
+        .groupBy((F.col("l_partkey") % 8).alias("pk_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("rev_cents"),
+        )
+        .orderBy("pk_bucket")
+    )
+
+
+Y03_SQL = """
+SELECT l_partkey % 8 AS pk_bucket, COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+WHERE l_partkey >= 1
+  AND l_partkey <= (SELECT MAX(p_partkey) // 10 FROM part)
+GROUP BY 1 ORDER BY pk_bucket
+"""
+
+
+def stage_y03_table(spark, sf: str) -> str:
+    """One-time Z-order staging for y03 (idempotent, keyed by sf +
+    layout version). Exposed so bench.py can pre-stage OUTSIDE the
+    timed region — y03's number should measure the skip-pruned read,
+    not the one-time clustering rewrite (which at 100 TB is the
+    amortized OPTIMIZE job, not the query path)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.layout import zorder_layout
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|zorder-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_zorder_{key}")
+    if not delta_py.is_delta_table(tbl):
+        li = t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+        )
+        delta_py.write_delta(
+            spark,
+            zorder_layout(li, ["l_orderkey", "l_partkey"], num_files=32),
+            tbl,
+        )
+    return tbl
+
+
 EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x01_dedup_exact": QuerySpec(x01, X01_SQL),
     "x02_dedup_ngram_jaccard": QuerySpec(x02, X02_SQL),
@@ -4412,4 +4720,7 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "x97_bootstrap_ci": QuerySpec(x97, X97_SQL),
     "x98_decayed_popularity": QuerySpec(x98, X98_SQL),
     "x99_bucketed_join": QuerySpec(x99, X99_SQL),
+    "y01_incremental_rollup": QuerySpec(y01, Y01_SQL),
+    "y02_streaming_cdc_upsert": QuerySpec(y02, Y02_SQL),
+    "y03_zorder_skipping": QuerySpec(y03, Y03_SQL),
 }

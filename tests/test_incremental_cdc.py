@@ -1,0 +1,129 @@
+"""Round-5 declared queries: y01 (incremental rollup via
+re-aggregatable partials), y02 (streaming CDC apply via pydelta
+source -> foreachBatch -> newer-wins MERGE), y03 (Z-order layout with
+a file-skipping contract). The maintained/upserted result must equal
+the direct single-pass computation, and the merge must be CONFLUENT —
+the final state independent of how the change stream splits into
+batches."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from local_lakehouse_spark.queries import events_table, t
+from local_lakehouse_spark.queries_ext import y01, y02, y03
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _latest_per_user(ev):
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("last_cents"),
+        )
+    )
+
+
+def test_y01_partial_merge_equals_direct(spark):
+    ev = events_table(spark, SF_DIR).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    direct = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c").alias("sum_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    assert _rows(y01(spark, SF_DIR)) == _rows(direct)
+
+
+def test_y02_final_state_is_latest_per_user(spark):
+    got = y02(spark, SF_DIR)
+    expected = _latest_per_user(events_table(spark, SF_DIR))
+    assert _rows(got) == _rows(expected)
+
+
+def test_newer_wins_merge_is_confluent(spark, unity, tmp_path):
+    """Apply the same change set as ONE merge vs TWO time-split
+    merges (and the two in reverse order): all three final states
+    must be identical — the property that makes the streaming apply
+    correct under any microbatch boundary placement."""
+    ev = events_table(spark, SF_DIR)
+    mid = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    batches = {
+        "all": [ev],
+        "split": [ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid)],
+        "reversed": [
+            ev.filter(F.col("ts") > mid),
+            ev.filter(F.col("ts") <= mid),
+        ],
+    }
+    newer = (
+        "s.last_ts > t.last_ts OR "
+        "(s.last_ts = t.last_ts AND s.last_event_id > t.last_event_id)"
+    )
+    states = {}
+    for name, parts in batches.items():
+        # empty-seeded target: everything arrives through the merge
+        unity.create_as_table(
+            _latest_per_user(ev).limit(0),
+            "unity",
+            "default",
+            f"t_{name}",
+            location=str(tmp_path / name),
+        )
+        for part in parts:
+            (
+                unity.merge_table(
+                    _latest_per_user(part),
+                    "unity",
+                    "default",
+                    f"t_{name}",
+                    condition="s.user_id = t.user_id",
+                )
+                .when_matched_update_all(predicate=newer)
+                .when_not_matched_insert_all()
+                .execute()
+            )
+        states[name] = _rows(unity.read_table("unity", "default", f"t_{name}"))
+    assert states["all"] == states["split"] == states["reversed"]
+    assert states["all"] == _rows(_latest_per_user(ev))
+
+
+def test_y03_zorder_query_equals_direct(spark):
+    """The z-ordered pydelta read (with its built-in >50% pruning
+    contract) returns exactly the plain filtered aggregate."""
+    got = y03(spark, SF_DIR)
+    li = t(spark, SF_DIR, "lineitem")
+    hi = (
+        t(spark, SF_DIR, "part").agg(F.max("p_partkey")).collect()[0][0]
+        // 10
+    )
+    direct = (
+        li.filter((F.col("l_partkey") >= 1) & (F.col("l_partkey") <= hi))
+        .groupBy((F.col("l_partkey") % 8).alias("pk_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("rev_cents"),
+        )
+    )
+    assert _rows(got) == _rows(direct)
