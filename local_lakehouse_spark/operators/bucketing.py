@@ -43,6 +43,35 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def register_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    schema_ddl: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Re-register an EXISTING bucketed dataset (written earlier by
+    ``write_bucketed``, possibly in another session) as a catalog
+    table without rewriting a byte. Spark records the bucket id in
+    each data file's name (the ``_0000N`` suffix ``saveAsTable``
+    emits), so a ``CREATE TABLE ... CLUSTERED BY ... LOCATION``
+    over those files restores the zero-Exchange join path — the
+    catalog is session-scoped but the layout is durable, and at
+    100 TB re-bucketing terabytes because a session restarted would
+    be absurd. Callers that assert the plan contract (x99) fail
+    loudly if the re-registered table ever loses bucket metadata."""
+    sort = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table_name} ({schema_ddl}) "
+        f"USING PARQUET "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort}"
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

@@ -762,7 +762,11 @@ def bpe_merge_steps(
                 ).otherwise(F.concat(acc, F.lit(" "), x)),
             ).alias("tk"),
             "cnt",
-        )
+        # checkpoint each round's token table: round N's pair count
+        # then starts from round N-1's materialized rows instead of
+        # replaying every earlier fold over the original vocab —
+        # O(rounds) fold applications total, not O(rounds²)
+        ).localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count bigint"

@@ -4065,7 +4065,11 @@ def x99(spark, sf):
     import os
     import tempfile
 
-    from .operators.bucketing import bucketed_join, write_bucketed
+    from .operators.bucketing import (
+        bucketed_join,
+        register_bucketed,
+        write_bucketed,
+    )
 
     key = hashlib.md5(sf.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"llh_bucketed_{key}")
@@ -4076,14 +4080,37 @@ def x99(spark, sf):
     ):
         if not spark.catalog.tableExists(tbl):
             df = t(spark, sf, name).select(*cols)
-            write_bucketed(
-                df,
-                tbl,
-                [cols[0]],
-                n_buckets=8,
-                path=os.path.join(base, name),
-                sort_cols=[cols[0]],
-            )
+            path = os.path.join(base, name)
+            if any(
+                f.endswith(".parquet")
+                for f in (
+                    os.listdir(path) if os.path.isdir(path) else []
+                )
+            ):
+                # layout already on disk from an earlier session: the
+                # catalog entry is session-scoped but the bucketed
+                # files are durable — re-register, don't re-shuffle
+                register_bucketed(
+                    spark,
+                    tbl,
+                    path,
+                    ", ".join(
+                        f"{f.name} {f.dataType.simpleString()}"
+                        for f in df.schema.fields
+                    ),
+                    [cols[0]],
+                    n_buckets=8,
+                    sort_cols=[cols[0]],
+                )
+            else:
+                write_bucketed(
+                    df,
+                    tbl,
+                    [cols[0]],
+                    n_buckets=8,
+                    path=path,
+                    sort_cols=[cols[0]],
+                )
     joined = bucketed_join(
         spark,
         lt,

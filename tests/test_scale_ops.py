@@ -274,3 +274,45 @@ def test_plan_audit_key_queries(spark):
         )
         plan = df._jdf.queryExecution().explainString(mode)
         assert audit(name, plan) == [], f"{name} plan regressed"
+
+
+def test_register_bucketed_restores_zero_exchange(spark, tmp_path):
+    """Bucketed FILES are durable; the catalog entry is session-scoped.
+    register_bucketed over files written earlier (here: written, then
+    the catalog entry dropped with the data kept) must restore the
+    shuffle-free join path without rewriting a byte — Spark reads the
+    bucket id back from the _0000N file-name suffix."""
+    from local_lakehouse_spark.operators.bucketing import register_bucketed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    paths = {"rb_li": str(tmp_path / "li"), "rb_or": str(tmp_path / "ord")}
+    write_bucketed(li, "rb_li", ["l_orderkey"], 8, paths["rb_li"],
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders, "rb_or", ["l_orderkey"], 8, paths["rb_or"],
+                   sort_cols=["l_orderkey"])
+    # simulate a new session: catalog entries gone, files kept
+    spark.sql("DROP TABLE rb_li")
+    spark.sql("DROP TABLE rb_or")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        register_bucketed(
+            spark, "rb_li", paths["rb_li"], "l_orderkey bigint, l_quantity double",
+            ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        register_bucketed(
+            spark, "rb_or", paths["rb_or"],
+            "l_orderkey bigint, o_totalprice double",
+            ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "rb_li", "rb_or", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"re-registered join shuffled:\n{plan}"
+        assert joined.count() == li.join(orders, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS rb_li")
+        spark.sql("DROP TABLE IF EXISTS rb_or")
