@@ -50,6 +50,7 @@ _NEVER_DRIVER_VERIFIED = [
     "y01_incremental_rollup",
     "y02_streaming_cdc_upsert",
     "y03_zorder_skipping",
+    "y04_bpe_tokenize",
 ]
 _CHANGED_THIS_ROUND = [
     "q55_tpch_q15_top_supplier",  # global window -> agg+broadcast

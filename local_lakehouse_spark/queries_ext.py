@@ -4620,6 +4620,139 @@ GROUP BY 1 ORDER BY pk_bucket
 """
 
 
+def y04(spark, sf):
+    """Tokenizer APPLY at corpus scale — the second half of the
+    train→apply loop x62's BPE training starts: the 3 learned merge
+    rules are fetched (3 driver rows, the bounded artifact any
+    tokenizer trainer persists), the DISTINCT-WORD vocabulary is
+    tokenized once by replaying the merges as scan-stage higher-order
+    folds (O(|vocab|), the classic word-frequency shortcut — never
+    per-occurrence), and the corpus is tokenized by joining word
+    occurrences to that map (AQE broadcasts the map while it fits;
+    at 100 TB it degrades gracefully to a shuffle join on the word).
+    Output: per-source document/token totals — the table a
+    pretraining data plan is built from. Oracle: the identical
+    vocab-fold chain in DuckDB (x62's list_reduce twin) carried
+    through to per-doc token sums."""
+    from .operators.text import bpe_merge_steps
+
+    docs = t(spark, sf, "documents")
+    rules = bpe_merge_steps(docs, "text", n_merges=3).orderBy("step").collect()
+
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.distinct().select(
+        "w", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("tk")
+    )
+
+    def apply_rule(df, a: str, b: str):
+        tail = len(a) + 1
+        ta = F.split(F.col("tk"), " ")
+        return df.select(
+            "w",
+            F.aggregate(
+                F.slice(ta, 2, F.size(ta) - 1),
+                F.element_at(ta, 1),
+                lambda acc, x: F.when(
+                    (x == F.lit(b))
+                    & (
+                        (acc == F.lit(a))
+                        | (
+                            F.substring(acc, -tail, tail)
+                            == F.lit(" " + a)
+                        )
+                    ),
+                    F.concat(acc, x),
+                ).otherwise(F.concat(acc, F.lit(" "), x)),
+            ).alias("tk"),
+        )
+
+    for r in rules:
+        vocab = apply_rule(vocab, r["lhs"], r["rhs"])
+    vmap = vocab.select("w", F.size(F.split("tk", " ")).alias("n_tok"))
+
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = (
+        doc_words.join(vmap, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("doc_tokens"))
+    )
+    per_doc_full = (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("doc_tokens", F.lit(0)).cast("bigint").alias(
+                "doc_tokens"
+            ),
+        )
+    )
+    return (
+        per_doc_full.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_tokens").alias("total_tokens"),
+            F.max("doc_tokens").alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_round_w(i: int) -> str:
+    """x62's _bpe_round with the ORIGINAL WORD carried through the
+    fold chain, so the final vocab maps w -> tokenized form."""
+    p, b, v_in = f"p{i}", f"b{i}", f"v{i-1}"
+    return f"""
+{p} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT unnest(list_transform(list_zip(ws[1:len(ws) - 1], ws[2:]),
+                                 z -> z[1] || ' ' || z[2])) AS pair, cnt
+    FROM (SELECT string_split(tk, ' ') AS ws, cnt FROM {v_in}))
+  GROUP BY pair),
+{b} AS (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b,
+         pair_count
+  FROM {p} ORDER BY pair_count DESC, pair ASC LIMIT 1),
+v{i} AS (
+  SELECT w, list_reduce(string_split(tk, ' '),
+           (acc, x) -> CASE WHEN x = {b}.b AND (acc = {b}.a OR
+                              right(acc, length({b}.a) + 1) = ' ' || {b}.a)
+                       THEN acc || x ELSE acc || ' ' || x END) AS tk, cnt
+  FROM {v_in}, {b})"""
+
+
+Y04_SQL = (
+    r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+v0 AS (
+  SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS tk,
+         COUNT(*) AS cnt
+  FROM words WHERE w <> '' GROUP BY w),"""
+    + ",".join(_bpe_round_w(i) for i in (1, 2, 3))
+    + """,
+tokcount AS (
+  SELECT w, len(string_split(tk, ' ')) AS n_tok FROM v3),
+docw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, SUM(n_tok) AS doc_tokens
+  FROM docw JOIN tokcount USING (w) WHERE w <> '' GROUP BY doc_id),
+per_doc_full AS (
+  SELECT d.source, CAST(COALESCE(p.doc_tokens, 0) AS BIGINT) AS doc_tokens
+  FROM documents d LEFT JOIN per_doc p USING (doc_id))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(doc_tokens) AS BIGINT) AS max_doc_tokens
+FROM per_doc_full GROUP BY source ORDER BY source
+"""
+)
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -4750,4 +4883,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y01_incremental_rollup": QuerySpec(y01, Y01_SQL),
     "y02_streaming_cdc_upsert": QuerySpec(y02, Y02_SQL),
     "y03_zorder_skipping": QuerySpec(y03, Y03_SQL),
+    "y04_bpe_tokenize": QuerySpec(y04, Y04_SQL),
 }

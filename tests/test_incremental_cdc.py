@@ -127,3 +127,37 @@ def test_y03_zorder_query_equals_direct(spark):
         )
     )
     assert _rows(got) == _rows(direct)
+
+
+def test_y04_tokenize_invariants(spark):
+    """Apply-side sanity: every document is counted exactly once,
+    each merge can only SHRINK a word's token count (3 merges ->
+    total tokens strictly below the character-level token count),
+    and tokens are at least one per non-empty word."""
+    from local_lakehouse_spark.queries_ext import y04
+
+    rows = {r.source: r for r in y04(spark, SF_DIR).collect()}
+    docs = t(spark, SF_DIR, "documents")
+    by_source = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {s: r.n_docs for s, r in rows.items()} == by_source
+    # char-level upper bound: sum of word lengths >= merged tokens;
+    # word count lower bound: >= one token per word
+    bounds = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source")
+        .agg(
+            F.sum(F.length("w")).alias("chars"),
+            F.count(F.lit(1)).alias("words"),
+        )
+        .collect()
+    )
+    for b in bounds:
+        r = rows[b.source]
+        assert b.words <= r.total_tokens < b.chars, (b.source, r)
