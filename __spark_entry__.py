@@ -51,6 +51,8 @@ _NEVER_DRIVER_VERIFIED = [
     "y02_streaming_cdc_upsert",
     "y03_zorder_skipping",
     "y04_bpe_tokenize",
+    "y05_cdc_change_feed",
+    "y06_schema_evolution_read",
 ]
 _CHANGED_THIS_ROUND = [
     "q55_tpch_q15_top_supplier",  # global window -> agg+broadcast

@@ -4753,6 +4753,176 @@ FROM per_doc_full GROUP BY source ORDER BY source
 )
 
 
+def y05(spark, sf):
+    """Row-level CDC CHANGE FEED between two retained Delta versions
+    (client.table_changes — Delta Change Data Feed vocabulary),
+    promoted into the oracle-checked surface: a customer profile
+    table is committed at v_n (stale snapshot: every custkey%10==3
+    row absent) and overwritten at v_n+1 (custkey%10==0 rows deleted,
+    odd custkeys' balance bumped), and the feed between the LAST TWO
+    log versions classifies every row as insert / delete /
+    update_preimage / update_postimage via one keyed full-outer diff
+    — fully distributed, nothing on the driver, unchanged rows never
+    emitted. Versions accumulate across runs (the log is append-only,
+    as in production); the feed over the trailing pair is
+    deterministic every run. Oracle: the same classification derived
+    directly from the customer table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .client import LakehouseClient
+    from .models import Catalog, Schema
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"llh_cdcfeed_{key}")
+    os.makedirs(base, exist_ok=True)
+    client = LakehouseClient(
+        metastore_path=os.path.join(base, "ms.json"), spark=spark
+    )
+    for make in (
+        lambda: client.create_catalog(Catalog(name="unity")),
+        lambda: client.create_schema(
+            Schema(name="default", catalog_name="unity")
+        ),
+    ):
+        try:
+            make()
+        except Exception:
+            pass  # idempotent re-run: namespace already exists
+
+    cust = t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    v_old = cust.filter(F.col("c_custkey") % 10 != 3)
+    v_new = cust.filter(F.col("c_custkey") % 10 != 0).withColumn(
+        "cents", F.col("cents") + (F.col("c_custkey") % 2) * 100
+    )
+
+    tgt = f"cust_feed_{key}"
+    try:
+        client.get_table("unity", "default", tgt)
+        exists = True
+    except Exception:
+        exists = False
+    if exists:
+        client.write_table(v_old, "unity", "default", tgt, mode="overwrite")
+    else:
+        client.create_as_table(
+            v_old,
+            "unity",
+            "default",
+            tgt,
+            file_type="delta",
+            location=os.path.join(base, "feed"),
+        )
+        client.set_table_default_merge_columns(
+            "unity", "default", tgt, ["c_custkey"]
+        )
+    client.write_table(v_new, "unity", "default", tgt, mode="overwrite")
+
+    vs = client.table_history("unity", "default", tgt)
+    return client.table_changes(
+        "unity", "default", tgt, from_version=vs[-2], to_version=vs[-1]
+    ).orderBy("c_custkey", "_change_type")
+
+
+Y05_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_name,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer),
+old AS (SELECT * FROM cust WHERE c_custkey % 10 <> 3),
+new AS (SELECT c_custkey, c_name,
+               CAST(cents + (c_custkey % 2) * 100 AS BIGINT) AS cents
+        FROM cust WHERE c_custkey % 10 <> 0),
+upd AS (SELECT o.c_custkey, o.c_name AS o_name, o.cents AS o_cents,
+               n.c_name AS n_name, n.cents AS n_cents
+        FROM old o JOIN new n USING (c_custkey)
+        WHERE o.c_name <> n.c_name OR o.cents <> n.cents)
+SELECT * FROM (
+  SELECT n.c_custkey, n.c_name, n.cents, 'insert' AS _change_type
+  FROM new n LEFT JOIN old o USING (c_custkey) WHERE o.c_custkey IS NULL
+  UNION ALL
+  SELECT o.c_custkey, o.c_name, o.cents, 'delete'
+  FROM old o LEFT JOIN new n USING (c_custkey) WHERE n.c_custkey IS NULL
+  UNION ALL
+  SELECT c_custkey, o_name, o_cents, 'update_preimage' FROM upd
+  UNION ALL
+  SELECT c_custkey, n_name, n_cents, 'update_postimage' FROM upd)
+ORDER BY c_custkey, _change_type
+"""
+
+
+def y06(spark, sf):
+    """Schema-evolution READ across heterogeneous Delta files,
+    promoted into the oracle-checked surface: commit 1 writes the
+    even-custkey half of a customer ledger with columns (c_custkey,
+    cents); commit 2 APPENDS the odd half with an ADDITIONAL
+    ``segment`` column under mergeSchema, evolving the table schema
+    in the log. A full read must surface the pre-evolution files'
+    missing column as NULL (sources/pydelta_source pads absent
+    columns per file against the LOG schema — Spark's own
+    explicit-schema parquet semantics), so the NULL-segment group is
+    exactly the commit-1 rows. At 100 TB schema evolution is routine
+    and rewriting old files to backfill a column is not an option —
+    correct heterogeneous-file reads are the load-bearing semantics.
+    Oracle: the same grouping derived from the customer table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py, pydelta_source
+
+    pydelta_source.register(spark)
+    key = hashlib.md5(f"{sf}|evolve-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_evolve_{key}")
+    if not delta_py.is_delta_table(tbl):
+        cust = t(spark, sf, "customer").select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        delta_py.write_delta(
+            spark,
+            cust.filter(F.col("c_custkey") % 2 == 0).drop("segment"),
+            tbl,
+            mode="overwrite",
+        )
+        delta_py.write_delta(
+            spark,
+            cust.filter(F.col("c_custkey") % 2 == 1),
+            tbl,
+            mode="append",
+            merge_schema=True,
+        )
+    return (
+        spark.read.format("pydelta")
+        .load(tbl)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy(F.asc_nulls_first("segment"))
+    )
+
+
+Y06_SQL = """
+SELECT CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM customer GROUP BY 1 ORDER BY segment NULLS FIRST
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -4884,4 +5054,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y02_streaming_cdc_upsert": QuerySpec(y02, Y02_SQL),
     "y03_zorder_skipping": QuerySpec(y03, Y03_SQL),
     "y04_bpe_tokenize": QuerySpec(y04, Y04_SQL),
+    "y05_cdc_change_feed": QuerySpec(y05, Y05_SQL),
+    "y06_schema_evolution_read": QuerySpec(y06, Y06_SQL),
 }

@@ -161,3 +161,42 @@ def test_y04_tokenize_invariants(spark):
     for b in bounds:
         r = rows[b.source]
         assert b.words <= r.total_tokens < b.chars, (b.source, r)
+
+
+def test_y05_feed_deterministic_as_versions_accumulate(spark):
+    """The Delta log is append-only: every y05 run commits two more
+    versions, and the feed over the TRAILING pair must be identical
+    run over run — plus the change-type census must match the
+    construction (inserts = custkey%10==3, deletes = %10==0,
+    updates = odd keys present in both versions, pre+post paired)."""
+    from local_lakehouse_spark.queries_ext import y05
+
+    first = _rows(y05(spark, SF_DIR))
+    second = _rows(y05(spark, SF_DIR))
+    assert first == second
+    by_type = {}
+    for row in first:
+        by_type[row[-1]] = by_type.get(row[-1], 0) + 1
+    keys = [
+        r.c_custkey
+        for r in t(spark, SF_DIR, "customer").select("c_custkey").collect()
+    ]
+    assert by_type.get("insert", 0) == sum(1 for k in keys if k % 10 == 3)
+    assert by_type.get("delete", 0) == sum(1 for k in keys if k % 10 == 0)
+    n_upd = sum(1 for k in keys if k % 2 == 1 and k % 10 != 3 and k % 10 != 0)
+    assert by_type.get("update_preimage", 0) == n_upd
+    assert by_type.get("update_postimage", 0) == n_upd
+
+
+def test_y06_null_group_is_pre_evolution_commit(spark):
+    """The NULL-segment group must be EXACTLY the pre-mergeSchema
+    commit (even custkeys): per-file NULL padding against the log
+    schema, not accidental data loss or cross-file bleed."""
+    from local_lakehouse_spark.queries_ext import y06
+
+    rows = {r.segment: r for r in y06(spark, SF_DIR).collect()}
+    cust = t(spark, SF_DIR, "customer")
+    n_even = cust.filter(F.col("c_custkey") % 2 == 0).count()
+    n_all = cust.count()
+    assert rows[None].n_rows == n_even
+    assert sum(r.n_rows for r in rows.values()) == n_all
