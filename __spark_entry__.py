@@ -53,6 +53,7 @@ _NEVER_DRIVER_VERIFIED = [
     "y04_bpe_tokenize",
     "y05_cdc_change_feed",
     "y06_schema_evolution_read",
+    "y07_table_checksum",
 ]
 _CHANGED_THIS_ROUND = [
     "q55_tpch_q15_top_supplier",  # global window -> agg+broadcast

@@ -91,9 +91,14 @@ def main() -> int:
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
+            import traceback
+
             failures.append(name)
             results[name] = {"status": "fail", "error": f"spark: {exc}"[:500]}
             print(f"FAIL  {name}: spark error: {exc}")
+            # full traceback to stderr so intermittent failures are
+            # diagnosable from the sweep log, not just the message
+            traceback.print_exc(file=sys.stderr)
             continue
         if not driver_hashable(s_rows):
             failures.append(name)

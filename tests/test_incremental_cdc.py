@@ -200,3 +200,43 @@ def test_y06_null_group_is_pre_evolution_commit(spark):
     n_all = cust.count()
     assert rows[None].n_rows == n_even
     assert sum(r.n_rows for r in rows.values()) == n_all
+
+
+def test_y07_checksum_is_order_and_partition_invariant(spark):
+    """The checksum must not depend on row order or partitioning —
+    the property that lets two replicas compare without coordinating
+    layout — and identical replicas must produce ZERO diverging
+    shards (the declared query plants a corruption; here we diff a
+    reshuffled copy against itself via the same hash arithmetic)."""
+    from local_lakehouse_spark.operators.sketches import _md5_u48
+
+    o = t(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def checksums(df):
+        canon = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("cents").cast("string"),
+        )
+        h = _md5_u48(canon) % F.lit(4294967296)
+        return df.groupBy((F.col("o_orderkey") % 16).alias("shard")).agg(
+            F.sum(h).alias("checksum")
+        )
+
+    base = {r.shard: r.checksum for r in checksums(o).collect()}
+    shuffled = {
+        r.shard: r.checksum
+        for r in checksums(
+            o.repartition(7, "o_custkey").sortWithinPartitions("cents")
+        ).collect()
+    }
+    assert base == shuffled
