@@ -54,6 +54,7 @@ _NEVER_DRIVER_VERIFIED = [
     "y05_cdc_change_feed",
     "y06_schema_evolution_read",
     "y07_table_checksum",
+    "y08_compaction",
 ]
 _CHANGED_THIS_ROUND = [
     "q55_tpch_q15_top_supplier",  # global window -> agg+broadcast

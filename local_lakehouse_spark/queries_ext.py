@@ -5032,6 +5032,97 @@ ORDER BY shard
 """
 
 
+def y08(spark, sf):
+    """Small-files COMPACTION (client.optimize_table — the OPTIMIZE
+    bin-packing maintenance op) promoted into the checked surface:
+    a lineitem extract is deliberately written as 64 fragments (the
+    small-files problem every streaming/append pipeline accumulates),
+    compacted to a handful of right-sized files with a narrow
+    coalesce (no shuffle), and the query answers from the compacted
+    table. CONTRACT (asserted on every run): compaction strictly
+    reduces the file count to ≤ 8 — at 100 TB per-file open/footer
+    overhead and scheduler pressure scale with file COUNT, so the
+    maintenance op is as load-bearing as any operator. The content is
+    byte-identical either way; the oracle computes the same aggregate
+    from raw lineitem."""
+    import glob as _glob
+    import hashlib
+    import os
+    import tempfile
+
+    from .client import LakehouseClient
+    from .models import Catalog, Schema
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"llh_compact_{key}")
+    os.makedirs(base, exist_ok=True)
+    client = LakehouseClient(
+        metastore_path=os.path.join(base, "ms.json"), spark=spark
+    )
+    for make in (
+        lambda: client.create_catalog(Catalog(name="unity")),
+        lambda: client.create_schema(
+            Schema(name="default", catalog_name="unity")
+        ),
+    ):
+        try:
+            make()
+        except Exception:
+            pass  # idempotent re-run: namespace already exists
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    tgt = f"frag_{key}"
+    fragmented = li.repartition(64)
+    try:
+        client.get_table("unity", "default", tgt)
+        client.write_table(
+            fragmented, "unity", "default", tgt, mode="overwrite"
+        )
+    except Exception:
+        client.create_as_table(
+            fragmented,
+            "unity",
+            "default",
+            tgt,
+            location=os.path.join(base, "frag"),
+        )
+
+    files_before = len(
+        _glob.glob(os.path.join(base, "frag", "**", "*.parquet"),
+                   recursive=True)
+    )
+    files_after = client.optimize_table(
+        "unity", "default", tgt, target_files=4
+    )
+    if files_before > 8 and not (files_after < files_before
+                                 and files_after <= 8):
+        raise AssertionError(
+            f"compaction regressed: {files_before} files -> {files_after}"
+        )
+    return (
+        client.read_table("unity", "default", tgt)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Y08_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -5166,4 +5257,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y05_cdc_change_feed": QuerySpec(y05, Y05_SQL),
     "y06_schema_evolution_read": QuerySpec(y06, Y06_SQL),
     "y07_table_checksum": QuerySpec(y07, Y07_SQL),
+    "y08_compaction": QuerySpec(y08, Y08_SQL),
 }
