@@ -55,6 +55,7 @@ _NEVER_DRIVER_VERIFIED = [
     "y06_schema_evolution_read",
     "y07_table_checksum",
     "y08_compaction",
+    "y09_time_travel_restore",
 ]
 _CHANGED_THIS_ROUND = [
     "q55_tpch_q15_top_supplier",  # global window -> agg+broadcast

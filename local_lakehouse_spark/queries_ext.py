@@ -5123,6 +5123,104 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def y09(spark, sf):
+    """Time-travel RESTORE promoted into the checked surface: an
+    orders extract is committed (content A), overwritten (content B),
+    then RESTORED to the version holding A — for Delta tables a
+    METADATA-ONLY commit that re-adds A's files by reference
+    (delta_py.restore), zero data rewritten, which is why restore is
+    viable at 100 TB where a copy-back is not. The restore retires
+    nothing: a runtime contract asserts the overwritten content B is
+    still readable at its own version AFTER the restore (time travel
+    across a restore boundary). Versions accumulate append-only
+    across runs; the query returns the restored (current) content's
+    aggregate, identical every run. Oracle: the same aggregate over
+    content A derived from orders."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .client import LakehouseClient
+    from .models import Catalog, Schema
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"llh_restore_{key}")
+    os.makedirs(base, exist_ok=True)
+    client = LakehouseClient(
+        metastore_path=os.path.join(base, "ms.json"), spark=spark
+    )
+    for make in (
+        lambda: client.create_catalog(Catalog(name="unity")),
+        lambda: client.create_schema(
+            Schema(name="default", catalog_name="unity")
+        ),
+    ):
+        try:
+            make()
+        except Exception:
+            pass  # idempotent re-run: namespace already exists
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    content_a = o.filter(F.col("o_orderkey") % 4 == 0)
+    content_b = o.filter(F.col("o_orderkey") % 4 == 1)
+
+    tgt = f"tt_{key}"
+    try:
+        client.get_table("unity", "default", tgt)
+        client.write_table(
+            content_a, "unity", "default", tgt, mode="overwrite"
+        )
+    except Exception:
+        client.create_as_table(
+            content_a,
+            "unity",
+            "default",
+            tgt,
+            file_type="delta",
+            location=os.path.join(base, "tt"),
+        )
+    v_a = client.table_history("unity", "default", tgt)[-1]
+    client.write_table(content_b, "unity", "default", tgt, mode="overwrite")
+    v_b = client.table_history("unity", "default", tgt)[-1]
+    client.restore_table("unity", "default", tgt, v_a)
+
+    # CONTRACT: the restore must not retire B — time travel across
+    # the restore boundary still reads the overwritten content.
+    n_b_then = client.read_table(
+        "unity", "default", tgt, version=v_b
+    ).count()
+    n_b_expected = content_b.count()
+    if n_b_then != n_b_expected:
+        raise AssertionError(
+            f"restore retired version {v_b}: rows {n_b_then} != "
+            f"{n_b_expected}"
+        )
+    return (
+        client.read_table("unity", "default", tgt)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Y09_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders WHERE o_orderkey % 4 = 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -5258,4 +5356,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y06_schema_evolution_read": QuerySpec(y06, Y06_SQL),
     "y07_table_checksum": QuerySpec(y07, Y07_SQL),
     "y08_compaction": QuerySpec(y08, Y08_SQL),
+    "y09_time_travel_restore": QuerySpec(y09, Y09_SQL),
 }
