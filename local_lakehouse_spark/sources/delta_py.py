@@ -158,17 +158,27 @@ class DeltaLog:
             table = pq.read_table(
                 os.path.join(self.log_dir, f"{cp:020d}.checkpoint.parquet")
             )
-            def demap(v):  # pyarrow map columns surface as (k, v) tuples
-                if isinstance(v, list) and all(
-                    isinstance(x, tuple) and len(x) == 2 for x in v
-                ):
+            # pyarrow MAP columns surface as lists of (k, v) tuples;
+            # restore dicts BY FIELD NAME, never by value shape — an
+            # EMPTY list satisfies any all()-over-tuples check
+            # vacuously, so shape-based demapping turned a
+            # checkpointed partitionColumns=[] into {}, which then
+            # crashed the NEXT write_checkpoint's Arrow conversion
+            # ("Could not convert {} with type dict ... list type":
+            # needs TWO checkpoint-interval crossings to fire, which
+            # is why it surfaced as an intermittent full-sweep
+            # failure on long-lived tables).
+            _MAP_FIELDS = {"configuration", "partitionValues"}
+
+            def demap(k, v):
+                if k in _MAP_FIELDS and isinstance(v, list):
                     return dict(v)
                 return v
 
             for row in table.to_pylist():
                 if row.get("metaData"):
                     meta = {
-                        k: demap(v)
+                        k: demap(k, v)
                         for k, v in row["metaData"].items()
                         if v is not None
                     }
@@ -176,7 +186,7 @@ class DeltaLog:
                     proto = row["protocol"]
                 elif row.get("add"):
                     a = {
-                        k: demap(v)
+                        k: demap(k, v)
                         for k, v in row["add"].items()
                         if v is not None
                     }
@@ -279,6 +289,11 @@ class DeltaLog:
         )
         meta = dict(snap.metadata)
         meta["format"] = {"provider": meta.get("format", {}).get("provider", "parquet")}
+        # belt-and-braces: coerce through the typed accessors so a
+        # malformed snapshot (e.g. one built by a pre-fix demap) can
+        # never push a wrong-shaped value into the Arrow schema
+        meta["partitionColumns"] = list(snap.partition_columns)
+        meta["configuration"] = dict(snap.configuration)
         rows: list[dict] = [
             {"protocol": snap.protocol, "metaData": None, "add": None},
             {"protocol": None, "metaData": meta, "add": None},

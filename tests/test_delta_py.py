@@ -433,3 +433,32 @@ def test_candidate_files_incomparable_stats_keep_file(spark, tmp_path):
     snap = delta_py.DeltaLog(tbl).snapshot()
     got = delta_py.candidate_files(snap, "s", ">", datetime.date(2024, 1, 1))
     assert len(got) == len(snap.adds)  # kept, not crashed
+
+
+def test_checkpoint_roundtrip_survives_two_intervals(spark, tmp_path):
+    """Regression: a snapshot rebuilt FROM a checkpoint must carry
+    partitionColumns as a LIST — the old shape-based map restoration
+    turned the checkpointed empty list into {}, which crashed the
+    NEXT write_checkpoint ('Could not convert {} with type dict ...
+    list type'). Crossing TWO checkpoint intervals exercises
+    checkpoint-write -> checkpoint-read -> checkpoint-write."""
+    from local_lakehouse_spark.sources.delta_py import (
+        CHECKPOINT_INTERVAL,
+        DeltaLog,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "ckpt2")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    for _ in range(2 * CHECKPOINT_INTERVAL + 1):
+        write_delta(spark, df, tbl, mode="overwrite")
+    log = DeltaLog(tbl)
+    assert len(log.checkpoints()) >= 2
+    snap = log.snapshot()
+    assert isinstance(snap.metadata["partitionColumns"], list)
+    assert snap.partition_columns == []
+    # reads stay correct across both checkpoints + time travel
+    from local_lakehouse_spark.sources.delta_py import read_delta
+
+    assert read_delta(spark, tbl).count() == 1
+    assert read_delta(spark, tbl, version=CHECKPOINT_INTERVAL).count() == 1
