@@ -197,7 +197,11 @@ class LakehouseClient:
         tbl = self.get_table(catalog, schema, name)
         dt = self.get_delta_table(catalog, schema, name)
         config = dt.detail().collect()[0].asDict().get("properties") or {}
-        props = {k: v for k, v in tbl.properties.items() if not k.startswith("delta.")}
+        props = {
+            k: v
+            for k, v in (tbl.properties or {}).items()
+            if not k.startswith("delta.")
+        }
         for k, v in config.items():
             if k.startswith("delta."):
                 props[k] = v
@@ -487,7 +491,7 @@ class LakehouseClient:
         return df.filter(~F.coalesce(F.expr(predicate), F.lit(True)))
 
     def _check_constraints(self, df: DataFrame, tbl: Table) -> None:
-        for key, predicate in tbl.properties.items():
+        for key, predicate in (tbl.properties or {}).items():
             if not key.startswith(self.CONSTRAINT_PREFIX):
                 continue
             bad = self._violations(df, predicate).limit(1).collect()
@@ -515,6 +519,8 @@ class LakehouseClient:
                 f"existing data in {tbl.full_name} violates {predicate!r}; "
                 f"example row: {bad[0].asDict()}"
             )
+        if tbl.properties is None:
+            tbl.properties = {}
         tbl.properties[self.CONSTRAINT_PREFIX + constraint_name] = predicate
         return self.update_table(tbl)
 
@@ -522,7 +528,7 @@ class LakehouseClient:
         self, catalog: str, schema: str, name: str, constraint_name: str
     ) -> Table:
         tbl = self.get_table(catalog, schema, name)
-        tbl.properties.pop(self.CONSTRAINT_PREFIX + constraint_name, None)
+        (tbl.properties or {}).pop(self.CONSTRAINT_PREFIX + constraint_name, None)
         return self.update_table(tbl)
 
     def table_constraints(
@@ -531,7 +537,7 @@ class LakehouseClient:
         tbl = self.get_table(catalog, schema, name)
         return {
             k.removeprefix(self.CONSTRAINT_PREFIX): v
-            for k, v in tbl.properties.items()
+            for k, v in (tbl.properties or {}).items()
             if k.startswith(self.CONSTRAINT_PREFIX)
         }
 
@@ -573,6 +579,8 @@ class LakehouseClient:
             if f"__nd_{i}" in row:
                 col_stats["approx_ndv"] = row[f"__nd_{i}"]
             stats["columns"][c] = col_stats
+        if tbl.properties is None:
+            tbl.properties = {}
         tbl.properties[self.STATS_PROPERTY] = json.dumps(stats, default=str)
         self.update_table(tbl)
         return stats
@@ -584,7 +592,7 @@ class LakehouseClient:
         import json
 
         tbl = self.get_table(catalog, schema, name)
-        raw = tbl.properties.get(self.STATS_PROPERTY)
+        raw = (tbl.properties or {}).get(self.STATS_PROPERTY)
         return json.loads(raw) if raw else None
 
     def vacuum_table(

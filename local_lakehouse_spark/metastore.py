@@ -297,13 +297,16 @@ class Metastore:
             if key not in state["tables"]:
                 raise DoesNotExistError(f"Table {key} does not exist")
             old = Table.model_validate(state["tables"][key])
-            updated = old.model_copy(
-                update={
-                    "comment": table.comment,
-                    "properties": table.properties,
-                    "updated_at": _now(),
-                }
-            )
+            # Reference semantics (uc_api_wrapper.update_table): a None
+            # incoming field leaves the stored value unchanged rather
+            # than clearing it — a drop-in caller passing comment=None
+            # must not wipe an existing comment.
+            patch: dict[str, object] = {"updated_at": _now()}
+            if table.comment is not None:
+                patch["comment"] = table.comment
+            if table.properties is not None:
+                patch["properties"] = table.properties
+            updated = old.model_copy(update=patch)
             state["tables"][key] = json.loads(updated.model_dump_json())
             self._dump(state)
             return updated
@@ -368,5 +371,7 @@ class Metastore:
                     raise DoesNotExistError(
                         f"Column {c} does not exist in table {tbl.full_name}"
                     )
+            if tbl.properties is None:
+                tbl.properties = {}
             tbl.properties[DEFAULT_MERGE_COLUMNS_PROPERTY] = ";".join(merge_columns)
             return self.update_table(tbl)

@@ -155,7 +155,9 @@ class Table(BaseModel):
     columns: list[Column] = Field(default_factory=list)
     storage_location: Optional[str] = None
     comment: Optional[str] = None
-    properties: dict[str, str] = Field(default_factory=dict)
+    # Optional to mirror the reference (models.py:188): None means
+    # "leave unchanged" in update_table, distinct from {} = "clear".
+    properties: Optional[dict[str, str]] = Field(default_factory=dict)
     created_at: Optional[datetime] = None
     updated_at: Optional[datetime] = None
     table_id: Optional[str] = None
@@ -166,10 +168,12 @@ class Table(BaseModel):
 
     def default_merge_columns(self) -> list[str]:
         """Semicolon-joined property, parity models.py:197-214."""
-        raw = self.properties.get(DEFAULT_MERGE_COLUMNS_PROPERTY, "")
+        raw = (self.properties or {}).get(DEFAULT_MERGE_COLUMNS_PROPERTY, "")
         return [c for c in raw.split(";") if c]
 
     def set_default_merge_columns(self, cols: list[str]) -> None:
+        if self.properties is None:
+            self.properties = {}
         self.properties[DEFAULT_MERGE_COLUMNS_PROPERTY] = ";".join(cols)
 
     def partition_columns(self) -> list[Column]:

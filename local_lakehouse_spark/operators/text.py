@@ -724,8 +724,34 @@ def bpe_merge_steps(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("tk"), "cnt"
     ).localCheckpoint(eager=False)
 
+    # Each round's lazy localCheckpoint persists an RDD when the next
+    # action materializes it; once round N is materialized, round
+    # N-1's checkpoint is dead weight. Track the persistent-RDD ids
+    # that appear at each materialization and free the previous
+    # round's, so a library caller (without bench.py's
+    # release_persisted sweep) doesn't accumulate one persisted RDD
+    # per merge round per invocation.
+    sc = spark.sparkContext
+
+    def _persisted_ids() -> set:
+        try:
+            return set(sc._jsc.getPersistentRDDs().keys())
+        except Exception:
+            return set()
+
+    def _unpersist(ids: set) -> None:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in ids:
+                if rid in jmap:
+                    jmap[rid].unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; never fail training over it
+
+    prev_round_ids: set = set()
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
+        before = _persisted_ids()
         ta = F.split(F.col("tk"), " ")
         pairs = F.transform(
             F.slice(ta, 2, F.size(ta) - 1),
@@ -743,6 +769,12 @@ def bpe_merge_steps(
         )
         if not best:
             break
+        # The collect above materialized THIS round's checkpoint;
+        # the previous round's persisted RDD is now unreferenced.
+        new_ids = _persisted_ids() - before
+        if new_ids:
+            _unpersist(prev_round_ids)
+            prev_round_ids = new_ids
         pair, pair_count = best[0]["pair"], int(best[0]["pair_count"])
         a, b = pair.split(" ", 1)
         rules.append((step, a, b, a + b, pair_count))
@@ -768,6 +800,9 @@ def bpe_merge_steps(
         # O(rounds) fold applications total, not O(rounds²)
         ).localCheckpoint(eager=False)
 
+    # The merge table is fully collected into `rules`; nothing the
+    # caller receives depends on the token checkpoints anymore.
+    _unpersist(prev_round_ids)
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )

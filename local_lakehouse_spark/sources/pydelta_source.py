@@ -593,6 +593,22 @@ def register(spark: "SparkSession") -> None:
     DATA_SOURCE_PUSHDOWN_DISABLED — sessions built by
     ``session.get_spark`` already set it, but the format must work on
     arbitrary sessions too (it is a runtime conf, settable post-start).
+
+    The conf is only set when it still holds its false DEFAULT — a
+    session whose user EXPLICITLY set it to false (spark.conf.isModifiable
+    runtime override) keeps their choice and pydelta reads fail with
+    Spark's own clear DATA_SOURCE_PUSHDOWN_DISABLED error, rather than
+    this call silently flipping a deliberate session-wide setting that
+    also governs every other registered Python data source.
     """
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        explicitly_set = bool(
+            spark.sparkContext.getConf().get(key, None) is not None
+            or spark._jsparkSession.sessionState().conf().contains(key)
+        )
+    except Exception:
+        explicitly_set = False
+    if not explicitly_set:
+        spark.conf.set(key, "true")
     spark.dataSource.register(PyDeltaDataSource)

@@ -319,16 +319,21 @@ def test_candidate_files_numeric_partition(spark, tbl):
     assert len(delta_py.candidate_files(snap, "p", "=", 10)) == 1
 
 
-def test_register_enables_filter_pushdown_conf(spark):
-    """pushFilters-implementing readers fail with
-    DATA_SOURCE_PUSHDOWN_DISABLED on sessions lacking the conf;
-    register() must establish it rather than rely on session.py."""
+def test_register_respects_explicit_filter_pushdown_choice(spark):
+    """register() establishes spark.sql.python.filterPushdown.enabled
+    only while it still holds its (false) DEFAULT; a session whose
+    user EXPLICITLY disabled it keeps that choice — the conf is
+    session-wide and governs every registered Python data source, so
+    register() must not silently flip a deliberate setting (ADVICE
+    r5). pydelta reads on such a session then fail with Spark's own
+    DATA_SOURCE_PUSHDOWN_DISABLED, a clear, user-addressable error."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
     try:
         pydelta_source.register(spark)
         assert (
             spark.conf.get("spark.sql.python.filterPushdown.enabled")
-            == "true"
-        )
+            == "false"
+        ), "register() overrode an explicitly-set session conf"
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        pydelta_source.register(spark)
