@@ -26,68 +26,53 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
 _ALL = {**_CORE, **_EXT}
 
-# Ordered so a count-capped (50) correctness run covers every row
-# that has NEVER carried a driver-green stamp (union of
-# CORRECTNESS_r01..r03): x47 (r3 red — array column fixed this
-# round), then x71–x80 + the r3 tail the cap cut off, then this
-# round's new queries. Everything past the cap has a driver green
-# from r1/r2/r3 AND a same-round local green in
-# CORRECTNESS_LOCAL_r04.json. Harmless if the driver runs everything.
-# Round-5 cap ordering (driver cap = 50 queries/round; stamps are
-# cumulative across CORRECTNESS_r01..r04): rows with NO driver-green
-# stamp run first — x54/x57 (r4 hash-red on oracle HUGEINT dtype,
-# oracle SQL CAST-fixed this round), x99 (declared after the r4
-# artifact was generated, zero committed evidence), then rows whose
-# implementation changed this round (q55 window rewrite) and the
-# rows-only-by-design trio (x06/x14/x22 — no SQL twin exists for
-# xxhash-bucket LSH / HLL; accuracy-asserted in pytest instead).
-# The rest of the cap refreshes the oldest (r1) stamps.
-_NEVER_DRIVER_VERIFIED = [
-    "x99_bucketed_join",       # only row with zero driver evidence
-    "x54_data_quality_report",  # r4 red: HUGEINT oracle — CAST-fixed
-    "x57_embedding_audit",      # r4 red: HUGEINT oracle — CAST-fixed
-    # new this round — no stamp yet, must sit inside the cap
-    "y01_incremental_rollup",
-    "y02_streaming_cdc_upsert",
-    "y03_zorder_skipping",
-    "y04_bpe_tokenize",
-    "y05_cdc_change_feed",
-    "y06_schema_evolution_read",
-    "y07_table_checksum",
-    "y08_compaction",
-    "y09_time_travel_restore",
-]
-_CHANGED_THIS_ROUND = [
-    "q55_tpch_q15_top_supplier",  # global window -> agg+broadcast
-]
-_ROWS_ONLY_BY_DESIGN = [
+# Round-6 cap ordering (driver cap = 50 queries/round; stamps are
+# CUMULATIVE across CORRECTNESS_r01..r05 — the r5 union is
+# 179/179 oracle-eligible green). With nothing left unstamped, this
+# round rotates the cap onto STAMP FRESHNESS: the 47 rows whose only
+# driver evidence is the round-1 artifact, earned against fixtures
+# the driver has since regenerated (the r3 events.ts NANOS→MICROS
+# flip proved fixtures drift), re-prove first. Those are the r1-era
+# rows: q01–q47 minus q05/q32 (both r2-stamped) plus x01/x02 — 47
+# rows — and the cap's last 3 slots go to the rows-only trio
+# x06/x14/x22, which this round gained RUNTIME accuracy contracts
+# (recall@k vs the exact baseline; HLL error bound) so their
+# `no_oracle` driver rows now fail loudly on regression instead of
+# only counting rows. Everything past the cap keeps an r2+ stamp AND
+# a same-round local green in CORRECTNESS_LOCAL_r06.json.
+_R1_ERA = (
+    [
+        n
+        for n in _ALL
+        if n.startswith("q")
+        and n < "q48"
+        and not n.startswith(("q05", "q32"))  # r2-stamped
+    ]
+    + ["x01_dedup_exact", "x02_dedup_ngram_jaccard"]
+)
+_ROWS_ONLY_WITH_NEW_CONTRACTS = [
     "x06_ann_lsh_topk",
     "x14_embedding_near_dup",
     "x22_approx_distinct_hll",
 ]
 _PRIORITY = (
-    _NEVER_DRIVER_VERIFIED
-    + _CHANGED_THIS_ROUND
-    + _ROWS_ONLY_BY_DESIGN
-    # oldest stamps next: r1-evidence rows, then r2/r3
-    + [n for n in _ALL if n.startswith("q") and n < "q48"]
-    + [n for n in _ALL if n.startswith("q") and "q48" <= n < "q69"]
+    _R1_ERA
+    + _ROWS_ONLY_WITH_NEW_CONTRACTS
+    # next-oldest stamps follow (r2), for drivers that run past the cap
+    + [n for n in _ALL if n.startswith(("q05", "q32"))]
     + [
-        "x01_dedup_exact",
-        "x02_dedup_ngram_jaccard",
         "x05_ann_cosine_topk",
+        "x07_language_id",
+        "x08_quality_score",
+        "x09_token_count",
+        "x10_fingerprint",
         "x11_asof_join",
         "x12_events_hourly",
-        "x13_sessionize",
         "x15_multimodal_decode",
-        "x16_streaming_tumbling",
         "x17_ann_ivf_topk",
-        "x18_streaming_sessionize_stateful",
+        "x19_clean_text",
+        "x20_corpus_filter",
         "x21_streaming_dedup",
-        "x25_streaming_rollup_table",
-        "x26_chunk_documents",
-        "x32_streaming_interval_join",
-        "x33_dedup_clusters",
     ]
 )
 QUERY_SPECS = {

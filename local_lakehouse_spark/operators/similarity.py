@@ -543,3 +543,130 @@ def sparse_cosine_pairs(
             (F.floor(sim * 1000000 + F.lit(0.5)) / 1000000).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime self-verification contracts (VERDICT r5 item 2)
+# ---------------------------------------------------------------------------
+
+
+def assert_lsh_planted_recall(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_probes: int = 4,
+    n_planted: int = 20,
+) -> None:
+    """Loud-failure contract for ``cosine_topk_lsh``: re-query the
+    index with EXACT COPIES of ``n_planted`` deterministic corpus
+    vectors (re-id'd negative so they can't collide) and assert every
+    copy retrieves a cosine-1.0 neighbor at rank 1.
+
+    Unlike a statistical recall floor — meaningless on near-uniform
+    random fixtures, where LSH recall ≈ the probed-bucket fraction —
+    this property is STRUCTURAL: an identical vector produces
+    identical hyperplane projections, hence the same bucket, so it is
+    always a candidate and always ranks first (cosine exactly 1.0).
+    It therefore fails on every regression class that matters:
+    query-side bucket derivation drifting from ``lsh_bucket``, the
+    own-bucket probe being dropped from the multi-probe set, join-key
+    or salt-cell misalignment between sides, and ranking/rounding
+    breakage. Cost is bounded: n_planted bucket-join queries — the
+    corpus is NOT rescanned beyond the operator's own bucketing —
+    plus one scalar count, the same bounded-driver-fetch class as
+    y03's config scalar.
+    """
+    n = corpus.count()
+    if n == 0:
+        return
+    step = max(1, n // n_planted)
+    planted = (
+        corpus.filter(F.col(id_col) % step == 0)
+        .limit(n_planted)
+        .select(
+            (-F.col(id_col) - 1).alias(id_col), F.col(vec_col).alias(vec_col)
+        )
+    )
+    top1 = cosine_topk_lsh(
+        corpus=corpus,
+        queries=planted,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=1,
+        n_planes=n_planes,
+        n_probes=n_probes,
+    ).collect()
+    n_queries = planted.count()
+    misses = sorted(
+        set(r[0] for r in planted.select(id_col).collect())
+        - {r.qid for r in top1 if r.cosine >= 1.0}
+    )
+    if misses or len(top1) < n_queries:
+        raise AssertionError(
+            f"LSH planted-copy contract failed: {len(misses)}/{n_queries} "
+            f"planted queries did not retrieve their identical corpus "
+            f"vector at cosine 1.0 (missed qids: {misses[:10]}) — "
+            "bucketing, probing, or ranking has regressed"
+        )
+
+
+def assert_near_dup_planted_recall(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_planted: int = 20,
+    sample_target: int = 200,
+) -> None:
+    """Loud-failure contract for ``embedding_near_dup_pairs``: run the
+    operator over a bounded deterministic corpus sample UNIONED with
+    exact copies of ``n_planted`` of its vectors (copy id = id +
+    2^40) and assert every (original, copy) pair is emitted — an
+    identical pair has cosine exactly 1.0 ≥ τ and shares a bucket by
+    construction, so absence proves the blocking join or the
+    verification filter regressed. The sample bounds contract cost to
+    ~sample_target² / 2^n_planes candidate pairs regardless of corpus
+    size (one scalar count to size the sample stride)."""
+    n = corpus.count()
+    if n == 0:
+        return
+    stride = max(1, n // sample_target)
+    base = corpus.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    )
+    pstep = max(1, sample_target // n_planted) * stride
+    copies = (
+        corpus.filter(F.col(id_col) % pstep == 0)
+        .limit(n_planted)
+        .select(
+            (F.col(id_col) + F.lit(1 << 40)).alias(id_col),
+            F.col(vec_col).alias(vec_col),
+        )
+    )
+    planted_ids = {
+        r[0] - (1 << 40) for r in copies.select(id_col).collect()
+    }
+    pairs = embedding_near_dup_pairs(
+        base.unionByName(copies),
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_planes=n_planes,
+    )
+    found = {
+        r.id_a
+        for r in pairs.filter(
+            (F.col("id_b") - F.col("id_a") == (1 << 40))
+            & (F.col("cosine") >= 1.0)
+        ).collect()
+    }
+    misses = sorted(planted_ids - found)
+    if misses:
+        raise AssertionError(
+            f"near-dup planted-copy contract failed: {len(misses)}/"
+            f"{len(planted_ids)} identical (original, copy) pairs were "
+            f"not emitted (missed ids: {misses[:10]}) — LSH blocking or "
+            "cosine verification has regressed"
+        )

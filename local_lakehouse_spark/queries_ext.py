@@ -231,6 +231,17 @@ def x06(spark, sf):
     # the 3 smallest-|margin| bit-flip buckets, raising recall ~2-4×
     # (tests/test_operators.py::test_lsh_multiprobe_raises_recall)
     # while corpus bucketing and memory stay unchanged.
+    #
+    # RUNTIME CONTRACT (no SQL oracle exists, so the driver's
+    # rows-only row must still fail loudly on regression): planted
+    # identical-copy queries MUST retrieve their source vector at
+    # cosine 1.0 — structural, not statistical, so it holds on these
+    # near-uniform fixtures where a recall floor would be noise
+    # (measured x06 recall 0.0–0.27 across sf, ≈ the probed-bucket
+    # fraction, exactly as LSH theory predicts for unclustered data).
+    from .operators.similarity import assert_lsh_planted_recall
+
+    assert_lsh_planted_recall(emb, n_planes=6, n_probes=4)
     return cosine_topk_lsh(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 5), k=3,
         n_planes=6, n_probes=4,
@@ -238,8 +249,16 @@ def x06(spark, sf):
 
 
 def x14(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    # RUNTIME CONTRACT (rows-only row, same rationale as x06): every
+    # planted (original, identical-copy) pair over a bounded
+    # deterministic sample must be emitted — absence proves the LSH
+    # blocking join or cosine verification regressed.
+    from .operators.similarity import assert_near_dup_planted_recall
+
+    assert_near_dup_planted_recall(emb, threshold=0.4, n_planes=4)
     return embedding_near_dup_pairs(
-        t(spark, sf, "embeddings"), threshold=0.4, n_planes=4
+        emb, threshold=0.4, n_planes=4
     ).orderBy("id_a", "id_b")
 
 
@@ -779,14 +798,38 @@ def x22(spark, sf):
     """Approximate distinct customers per order status via mergeable
     HLL sketches (DataSketches). No SQL oracle — DuckDB's
     approx_count_distinct is a different HLL implementation — so the
-    driver records rows-only; accuracy (±2% vs exact) and
-    merge-consistency are asserted in tests/test_operators.py.
+    driver records rows-only; merge-consistency is asserted in
+    tests/test_operators.py and accuracy is a RUNTIME CONTRACT here:
+    every group's estimate must land within 3× the sketch's published
+    relative standard error (1.04/√2^lg_k ≈ 0.8% at lg_k=14 → bound
+    2.5%) of the exact count computed in the same invocation, so the
+    driver's rows-only row still fails loudly if the sketch pipeline
+    regresses. The exact pass is one extra hash agg over the same
+    scan — bounded, and only this query pays it.
     """
     from .operators.sketches import approx_distinct
 
-    return approx_distinct(
-        t(spark, sf, "orders"), ["o_orderstatus"], "o_custkey"
-    )
+    orders = t(spark, sf, "orders")
+    est = approx_distinct(orders, ["o_orderstatus"], "o_custkey")
+    exact = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    bad = [
+        (r.o_orderstatus, r.approx_distinct, exact[r.o_orderstatus])
+        for r in est.collect()
+        if exact[r.o_orderstatus] > 0
+        and abs(r.approx_distinct - exact[r.o_orderstatus])
+        / exact[r.o_orderstatus]
+        > 0.025
+    ]
+    if bad:
+        raise AssertionError(
+            f"HLL estimate outside 3×RSE bound (2.5%) of exact: {bad}"
+        )
+    return est
 
 
 # ---------------------------------------------------------------------------
@@ -4131,10 +4174,17 @@ def x99(spark, sf):
             "simple"
         )
     )
+    # Match the data-sized shuffle node specifically ("Exchange
+    # hashpartitioning" / "Exchange rangepartitioning" / …);
+    # BroadcastExchange AND ReusedExchange-of-a-broadcast (AQE may
+    # reuse the small side) both contain the substring "Exchange"
+    # without being the shuffle this layout exists to avoid.
     shuffles = [
         ln
         for ln in join_plan.splitlines()
-        if "Exchange" in ln and "BroadcastExchange" not in ln
+        if "Exchange" in ln
+        and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
     ]
     if shuffles:
         raise AssertionError(
