@@ -57,3 +57,30 @@ def test_clean_query_would_flag_if_nested_loop():
     assert plan_audit.audit("q16_tpch_q1_agg", "CartesianProduct") == [
         "nested-loop-join"
     ]
+
+
+@pytest.mark.plan_audit
+def test_full_inventory_plan_audit(spark):
+    """The complete audit gate as a pytest target (VERDICT r5 item
+    5): every one of the 182 declared queries' physical plans at
+    sf0.01 must carry zero unexpected scale red-flags — an
+    un-allowlisted nested-loop join or a row-at-a-time Python UDF
+    stage can never reach the driver unflagged. Excluded from the
+    default run via pytest.ini addopts (it re-executes each query
+    function, ~3 min); /verify runs `pytest -m plan_audit`."""
+    qs = entry.queries()
+    flagged, skipped = {}, []
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, "/root/testdata/sf0.01")
+            plan = _plan(spark, df)
+        except Exception as exc:  # streaming queries can't explain pre-start
+            skipped.append((name, str(exc).splitlines()[0][:80]))
+            continue
+        flags = plan_audit.audit(name, plan)
+        if flags:
+            flagged[name] = flags
+    assert not flagged, f"plan audit flags: {flagged}"
+    # the skip list must stay the known pre-start streaming set, not
+    # silently grow to swallow real failures
+    assert len(skipped) <= 12, f"unexpectedly many unexplainable: {skipped}"
