@@ -94,11 +94,16 @@ def _read_file_as_batches(
     abs_path: str,
     spark_schema: T.StructType,
     part_values: dict,
+    deleted=None,
 ):
     """One data file → Arrow batches matching the FULL table schema:
     partition columns materialize as constants from partitionValues,
     columns missing from the file (pre-mergeSchema files) surface as
-    NULL — Spark's own explicit-schema parquet semantics."""
+    NULL — Spark's own explicit-schema parquet semantics.
+
+    ``deleted``: optional sorted int64 array of file row positions a
+    deletion vector marks as removed — those rows are dropped before
+    the batches leave the reader (executor-side, per file)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -111,6 +116,12 @@ def _read_file_as_batches(
             if n in set(target.names)
         ],
     )
+    if deleted is not None and len(deleted):
+        import numpy as np
+
+        mask = np.ones(table.num_rows, dtype=bool)
+        mask[deleted[deleted < table.num_rows]] = False
+        table = table.filter(pa.array(mask))
     n = table.num_rows
     cols = []
     for field in target:
@@ -189,10 +200,16 @@ def _prune(
 
 class _PyDeltaReader(DataSourceReader):
     def __init__(self, options: dict):
+        from .delta_py import FEATURE_DELETION_VECTORS
+
         self._path = _required_path(options)
         v = options.get("versionasof")
+        # batch reads apply deletion vectors per file in read();
+        # column mapping stays refused here (use delta_py.read_delta,
+        # which translates physical names JVM-side)
         self._snap = DeltaLog(self._path).snapshot(
-            int(v) if v is not None else None
+            int(v) if v is not None else None,
+            allow=frozenset({FEATURE_DELETION_VECTORS}),
         )
         self._schema = self._snap.schema
         self._adds = dict(self._snap.adds)
@@ -219,6 +236,8 @@ class _PyDeltaReader(DataSourceReader):
                 {
                     "file": os.path.join(self._path, unquote(rel)),
                     "parts": dict(add.get("partitionValues") or {}),
+                    "dv": add.get("deletionVector"),
+                    "table": self._path,
                 }
             )
             for rel, add in sorted(self._adds.items())
@@ -227,8 +246,18 @@ class _PyDeltaReader(DataSourceReader):
     def read(self, partition: InputPartition):
         if partition.value["file"] is None:
             return
+        deleted = None
+        if partition.value.get("dv"):
+            from .delta_dv import load_dv_indices
+
+            deleted = load_dv_indices(
+                partition.value["dv"], partition.value["table"]
+            )
         yield from _read_file_as_batches(
-            partition.value["file"], self._schema, partition.value["parts"]
+            partition.value["file"],
+            self._schema,
+            partition.value["parts"],
+            deleted=deleted,
         )
 
 
@@ -562,9 +591,14 @@ class PyDeltaDataSource(DataSource):
         return "pydelta"
 
     def schema(self):
+        from .delta_py import BATCH_READ_FEATURES
+
         v = self.options.get("versionasof")
+        # metadata-only: the logical schema is feature-independent;
+        # each reader (batch vs stream) enforces its own capability
         return DeltaLog(_required_path(self.options)).snapshot(
-            int(v) if v is not None else None
+            int(v) if v is not None else None,
+            allow=BATCH_READ_FEATURES,
         ).schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:

@@ -1,0 +1,402 @@
+"""Deletion-vector + column-mapping READ support for the pure-Python
+Delta reader (sources/delta_dv.py + delta_py.py + pydelta_source.py).
+
+Reference parity: the reference reads DV-bearing / column-mapped
+tables through delta-rs (reference uchelper/dataframe.py:198-199);
+round 6 upgrades our round-6-early detect-and-refuse into actual
+batch-read support. Operations that cannot honor the features
+(streaming replay, CDC diffing, physical-name-blind writes) must
+STILL refuse loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from local_lakehouse_spark.exceptions import UnsupportedOperationError
+from local_lakehouse_spark.sources import delta_dv, delta_py
+from local_lakehouse_spark.sources.delta_py import (
+    BATCH_READ_FEATURES,
+    DeltaLog,
+    read_delta,
+    restore,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "t")
+
+
+# ---------------------------------------------------------------------------
+# Codec
+# ---------------------------------------------------------------------------
+
+
+def test_z85_roundtrip_and_alphabet():
+    data = bytes(range(16))
+    enc = delta_dv.z85_encode(data)
+    assert len(enc) == 20
+    assert delta_dv.z85_decode(enc) == data
+    with pytest.raises(ValueError):
+        delta_dv.z85_encode(b"abc")  # not a multiple of 4
+    with pytest.raises(ValueError):
+        delta_dv.z85_decode("~~~~~")  # not in the Z85 alphabet
+
+
+@pytest.mark.parametrize(
+    "indices",
+    [
+        [],
+        [0],
+        [5, 1, 99999],
+        list(range(70000)),  # forces a bitset container
+        [2**33, 2**33 + 5, 7],  # multiple 32-bit bitmaps (64-bit split)
+        [2**32 - 1, 2**32],  # bitmap boundary
+    ],
+)
+def test_roaring_roundtrip(indices):
+    enc = delta_dv.encode_roaring_bitmap_array(indices)
+    out = delta_dv.decode_roaring_bitmap_array(enc)
+    assert list(out) == sorted(set(indices))
+
+
+def test_roaring_run_container_decode():
+    """Foreign writers may emit RUN containers (SERIAL_COOKIE 12347);
+    hand-build one and check the decoder expands it."""
+    import struct
+
+    # one container, key 0, run-flag set, runs [(10, len 4), (100, 0)]
+    cookie = delta_dv._SERIAL_COOKIE | ((1 - 1) << 16)
+    rb = (
+        struct.pack("<I", cookie)
+        + b"\x01"  # run flag bitset for 1 container
+        + struct.pack("<HH", 0, 6 - 1)  # key, cardinality-1
+        + struct.pack("<H", 2)  # n_runs
+        + struct.pack("<HHHH", 10, 4, 100, 0)
+    )
+    blob = struct.pack("<iQ", delta_dv._MAGIC_PORTABLE, 1) + rb
+    out = delta_dv.decode_roaring_bitmap_array(blob)
+    assert list(out) == [10, 11, 12, 13, 14, 100]
+
+
+def test_dv_file_crc_is_checked(tmp_path):
+    d = str(tmp_path)
+    desc = delta_dv.write_dv_file(d, [1, 2, 3])
+    rel = delta_dv.dv_relative_path(desc["pathOrInlineDv"])
+    fpath = os.path.join(d, rel)
+    blob = bytearray(open(fpath, "rb").read())
+    blob[-6] ^= 0xFF  # corrupt a payload byte
+    open(fpath, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="CRC-32"):
+        delta_dv.load_dv_indices(desc, d)
+
+
+def test_dv_cardinality_is_checked(tmp_path):
+    d = str(tmp_path)
+    desc = delta_dv.write_dv_file(d, [1, 2, 3])
+    desc["cardinality"] = 99
+    with pytest.raises(ValueError, match="cardinality"):
+        delta_dv.load_dv_indices(desc, d)
+
+
+# ---------------------------------------------------------------------------
+# Foreign DV tables — batch reads apply the DV
+# ---------------------------------------------------------------------------
+
+_DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
+def _single_file_table(spark, tbl, n=10):
+    """One data file whose row i is (i, letter_i) at file position i."""
+    rows = [(i, chr(ord("a") + i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, s string").coalesce(1)
+    write_delta(spark, df, tbl)
+    snap = DeltaLog(tbl).snapshot()
+    assert len(snap.adds) == 1
+    return next(iter(snap.adds))
+
+
+def _attach_dv(tbl, rel, indices, inline=False):
+    """Simulate a foreign engine's DELETE: same data file re-added
+    with a deletion vector + protocol upgrade."""
+    log = DeltaLog(tbl)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    add = dict(snap.adds[rel])
+    add["deletionVector"] = (
+        delta_dv.inline_dv_descriptor(indices)
+        if inline
+        else delta_dv.write_dv_file(tbl, indices)
+    )
+    log.commit(
+        snap.version + 1, [{"protocol": _DV_PROTOCOL}, {"add": add}]
+    )
+    return snap.version
+
+
+@pytest.mark.parametrize("inline", [False, True])
+def test_read_applies_deletion_vector(spark, tbl, inline):
+    rel = _single_file_table(spark, tbl)
+    pre = _attach_dv(tbl, rel, [1, 3, 7], inline=inline)
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [0, 2, 4, 5, 6, 8, 9]
+    # time travel to before the foreign DELETE sees every row
+    assert read_delta(spark, tbl, version=pre).count() == 10
+
+
+def test_read_mixed_dv_and_plain_files(spark, tbl):
+    _single_file_table(spark, tbl)
+    extra = spark.createDataFrame(
+        [(100, "x"), (101, "y")], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, extra, tbl, mode="append")
+    snap = DeltaLog(tbl).snapshot()
+    rel = next(
+        r
+        for r in snap.adds
+        if json.loads(snap.adds[r]["stats"])["minValues"]["id"] == 0
+    )
+    _attach_dv(tbl, rel, [0, 9])
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8, 100, 101]
+
+
+def test_executor_side_decode_path(spark, tbl, monkeypatch):
+    """Above the broadcast threshold the positions decode in
+    executors (mapInPandas) and the anti-join shuffles — same rows."""
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, [2, 4])
+    monkeypatch.setattr(delta_py, "_DV_BROADCAST_MAX_ROWS", -1)
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [0, 1, 3, 5, 6, 7, 8, 9]
+
+
+def test_append_and_overwrite_on_dv_table(spark, tbl):
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, [0, 1, 2, 3, 4, 5, 6, 7])  # keep 8, 9
+    more = spark.createDataFrame([(50, "z")], "id long, s string")
+    write_delta(spark, more, tbl, mode="append")
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [8, 9, 50]
+    # overwrite removes the DV-bearing adds wholesale
+    write_delta(spark, more, tbl, mode="overwrite")
+    assert [r.id for r in read_delta(spark, tbl).collect()] == [50]
+    assert not DeltaLog(tbl).snapshot().dv_adds
+
+
+def test_replace_where_rewrite_reads_through_dv(spark, tbl):
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, [0])  # id=0 deleted
+    new = spark.createDataFrame([(5, "NEW")], "id long, s string")
+    write_delta(spark, new, tbl, mode="overwrite", replace_where="id = 5")
+    rows = {r.id: r.s for r in read_delta(spark, tbl).collect()}
+    assert 0 not in rows  # the DV-deleted row must NOT resurrect
+    assert rows[5] == "NEW"
+    assert len(rows) == 9
+
+
+def test_restore_across_dv_attach(spark, tbl):
+    """RESTORE to a pre-DELETE version must bring deleted rows back
+    even though the data file PATH never changed — the add action is
+    value-compared, not path-compared."""
+    rel = _single_file_table(spark, tbl)
+    pre = _attach_dv(tbl, rel, [1, 3])
+    assert read_delta(spark, tbl).count() == 8
+    restore(spark, tbl, pre)
+    assert read_delta(spark, tbl).count() == 10
+
+
+def test_checkpoint_preserves_deletion_vector(spark, tbl):
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, [0, 5])
+    log = DeltaLog(tbl)
+    log.write_checkpoint()
+    # replay FROM the checkpoint (no json beyond it): the DV must
+    # round-trip through the parquet checkpoint schema
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    dv = snap.adds[rel].get("deletionVector")
+    assert dv and dv["cardinality"] == 2
+    assert read_delta(spark, tbl).count() == 8
+
+
+def test_dv_capable_but_dv_free_version_reads_everywhere(spark, tbl):
+    """A protocol listing deletionVectors whose snapshot carries NONE
+    reads like a plain table — including on strict paths."""
+    rel = _single_file_table(spark, tbl)
+    log = DeltaLog(tbl)
+    snap = log.snapshot()
+    log.commit(snap.version + 1, [{"protocol": _DV_PROTOCOL}])
+    assert log.snapshot().version == snap.version + 1  # strict path OK
+    assert read_delta(spark, tbl).count() == 10
+
+
+def test_strict_paths_still_refuse_dv_snapshots(spark, tbl):
+    """snapshot() without allow= (streaming replay, CDC diffing, any
+    future caller) keeps the hard refusal on a DV-bearing version."""
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, [1])
+    with pytest.raises(UnsupportedOperationError, match="deletionVectors"):
+        DeltaLog(tbl).snapshot()
+
+
+def test_vacuum_keeps_dv_files(spark, tbl):
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, [1])
+    deleted = delta_py.vacuum(tbl, retain_hours=0.0)
+    assert deleted == []
+    assert read_delta(spark, tbl).count() == 9
+
+
+def test_pydelta_source_applies_dv(spark, tbl):
+    from local_lakehouse_spark.sources import pydelta_source
+
+    pydelta_source.register(spark)
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, [0, 2, 4, 6, 8])
+    got = sorted(
+        r.id for r in spark.read.format("pydelta").load(tbl).collect()
+    )
+    assert got == [1, 3, 5, 7, 9]
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (name/id modes) — batch reads translate physical names
+# ---------------------------------------------------------------------------
+
+
+def _mapped_field(name, dtype, cid, phys):
+    return T.StructField(
+        name,
+        dtype,
+        True,
+        metadata={
+            "delta.columnMapping.id": cid,
+            "delta.columnMapping.physicalName": phys,
+        },
+    )
+
+
+def _make_mapped_table(tbl, partitioned=False):
+    """Hand-build what delta-spark writes under columnMapping.mode=
+    name: physical-named parquet + logical schemaString with mapping
+    metadata. Includes a nested struct (renamed recursively)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inner = T.StructType(
+        [
+            T.StructField(
+                "city",
+                T.StringType(),
+                True,
+                metadata={
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-c3",
+                },
+            )
+        ]
+    )
+    schema = T.StructType(
+        [
+            _mapped_field("id", T.LongType(), 1, "col-c1"),
+            _mapped_field("name", T.StringType(), 2, "col-c2"),
+            _mapped_field("addr", inner, 4, "col-c4"),
+        ]
+    )
+    part_cols: list[str] = []
+    adds = []
+    os.makedirs(tbl, exist_ok=True)
+    phys = pa.table(
+        {
+            "col-c1": pa.array([1, 2, 3], pa.int64()),
+            "col-c2": pa.array(["ann", "bob", "cyd"]),
+            "col-c4": pa.array(
+                [{"col-c3": "rome"}, {"col-c3": "oslo"}, {"col-c3": "kyiv"}],
+                pa.struct([("col-c3", pa.string())]),
+            ),
+        }
+    )
+    if partitioned:
+        # hive layout under the PHYSICAL partition-column name
+        schema = T.StructType(
+            list(schema.fields)
+            + [_mapped_field("region", T.StringType(), 5, "col-c5")]
+        )
+        part_cols = ["col-c5"]
+        rel = "col-c5=eu/part-0.parquet"
+        os.makedirs(os.path.join(tbl, "col-c5=eu"), exist_ok=True)
+        pq.write_table(phys, os.path.join(tbl, rel))
+        adds.append((rel, {"col-c5": "eu"}))
+    else:
+        rel = "part-0.parquet"
+        pq.write_table(phys, os.path.join(tbl, rel))
+        adds.append((rel, {}))
+    log = DeltaLog(tbl)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "mapped-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "5",
+                },
+                "createdTime": 0,
+            }
+        },
+    ]
+    for rel, parts in adds:
+        actions.append(delta_py._add_action(tbl, rel, parts))
+    log.commit(0, actions)
+    return schema
+
+
+def test_column_mapped_read_returns_logical_names(spark, tbl):
+    _make_mapped_table(tbl)
+    df = read_delta(spark, tbl)
+    assert df.columns == ["id", "name", "addr"]
+    rows = {r.id: (r.name, r.addr.city) for r in df.collect()}
+    assert rows == {1: ("ann", "rome"), 2: ("bob", "oslo"), 3: ("cyd", "kyiv")}
+    # nested field name is the LOGICAL one after the positional cast
+    assert df.schema["addr"].dataType.fields[0].name == "city"
+
+
+def test_column_mapped_partitioned_read(spark, tbl):
+    _make_mapped_table(tbl, partitioned=True)
+    df = read_delta(spark, tbl)
+    assert df.columns == ["id", "name", "addr", "region"]
+    assert {r.region for r in df.collect()} == {"eu"}
+
+
+def test_column_mapped_filter_skipping_translates_names(spark, tbl):
+    """read_delta(filters=) prunes by the PHYSICAL stats keys while
+    the caller speaks logical names."""
+    _make_mapped_table(tbl)
+    # no file satisfies id > 100 → zero files enter the scan
+    df = read_delta(spark, tbl, filters=[("id", ">", 100)])
+    assert df.count() == 0
+    df = read_delta(spark, tbl, filters=[("id", "<=", 100)])
+    assert df.count() == 3
+
+
+def test_column_mapped_writes_and_strict_paths_refuse(spark, tbl):
+    _make_mapped_table(tbl)
+    df = read_delta(spark, tbl)
+    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
+        write_delta(spark, df.select("id", "name"), tbl, mode="append")
+    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
+        DeltaLog(tbl).snapshot()

@@ -464,30 +464,18 @@ def test_checkpoint_roundtrip_survives_two_intervals(spark, tmp_path):
     assert read_delta(spark, tbl, version=CHECKPOINT_INTERVAL).count() == 1
 
 
-def test_foreign_reader_features_are_refused(spark, tbl):
-    """VERDICT r5 missing #1: a FOREIGN Delta table demanding reader
-    features we don't implement (deletion vectors, column mapping)
-    must be refused with a clear error — never read wrong (deleted
-    rows resurfacing is silent corruption). The guard sits in
-    snapshot(), the choke point of every read and write path."""
+def test_unknown_reader_features_are_refused(spark, tbl):
+    """A FOREIGN Delta table demanding a reader feature we don't
+    implement must be refused with a clear error — never read wrong.
+    (Deletion vectors and column mapping ARE implemented for batch
+    reads since round 6 — tests/test_delta_dv.py — so the guard now
+    bites on genuinely unknown features like v2Checkpoint.)"""
     from local_lakehouse_spark.exceptions import UnsupportedOperationError
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
     write_delta(spark, df, tbl)
-
-    # simulate delta-rs/delta-spark writing a DV commit to the table
     log = DeltaLog(tbl)
     snap = log.snapshot()
-    rel = next(iter(snap.adds))
-    dv_add = dict(snap.adds[rel])
-    dv_add["path"] = "part-dv-stub.parquet"
-    dv_add["deletionVector"] = {
-        "storageType": "u",
-        "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*k^",
-        "offset": 1,
-        "sizeInBytes": 36,
-        "cardinality": 1,
-    }
     log.commit(
         snap.version + 1,
         [
@@ -495,26 +483,26 @@ def test_foreign_reader_features_are_refused(spark, tbl):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
                 }
             },
-            {"add": dv_add},
         ],
     )
-    with pytest.raises(UnsupportedOperationError, match="deletionVectors"):
+    with pytest.raises(UnsupportedOperationError, match="v2Checkpoint"):
         read_delta(spark, tbl)
-    # append is also refused: writing DV-blind would corrupt semantics
-    with pytest.raises(UnsupportedOperationError, match="deletionVectors"):
+    with pytest.raises(UnsupportedOperationError, match="v2Checkpoint"):
         write_delta(spark, df, tbl, mode="append")
     # PRE-feature history stays readable: time travel to the version
     # before the foreign commit bypasses the refusal
     assert read_delta(spark, tbl, version=snap.version).count() == 2
 
 
-def test_column_mapping_mode_is_refused(spark, tbl):
+def test_column_mapping_writes_are_refused(spark, tbl):
     """Active delta.columnMapping.mode (name/id) binds data by
-    physical names this reader does not translate — refuse."""
+    physical names; batch READS translate them (test_delta_dv.py),
+    but WRITES would drop logical-named parquet into the
+    physical-named layout — still refused."""
     from local_lakehouse_spark.exceptions import UnsupportedOperationError
 
     df = spark.createDataFrame([(1, "a")], "id long, s string")
@@ -531,4 +519,4 @@ def test_column_mapping_mode_is_refused(spark, tbl):
         ],
     )
     with pytest.raises(UnsupportedOperationError, match="columnMapping"):
-        read_delta(spark, tbl)
+        write_delta(spark, df, tbl, mode="append")
