@@ -300,16 +300,28 @@ def pagerank_fixedpoint(
     n, n_dangling, n_no_inbound = stats.n, stats.n_dangling, stats.n_no_inbound
     base = ((100 - damping_pct) * (scale // n)) // 100
 
+    # n is KNOWN driver-side (the stats aggregate above), so the
+    # rank-side broadcast is an explicit, deterministic decision
+    # instead of hoping AQE converts each iteration's SortMergeJoin
+    # at runtime: below the cap (~32 MB of (node, rank) rows) every
+    # per-iteration edges ⋈ contrib is a BroadcastHashJoin that
+    # PRESERVES e's dst-partitioning, so the groupBy(dst) aggregate
+    # runs with no exchange — zero full-edge shuffles per iteration.
+    # Web-scale graphs (n > cap) keep the shuffle join, which is the
+    # right plan when ranks no longer fit in one executor's memory.
+    broadcast_ranks = n <= 2_000_000
+    _b = F.broadcast if broadcast_ranks else (lambda df: df)
+
     ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
     for _ in range(n_iter):
         with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
+            _b(outdeg), ranks["node"] == outdeg["src"], "left"
         ).select("node", "r", "outdeg")
         contrib = with_deg.filter(F.col("outdeg").isNotNull()).select(
             "node", F.expr("r DIV outdeg").alias("c")
         )
         incoming = (
-            e.join(contrib, e["src"] == contrib["node"])
+            e.join(_b(contrib), e["src"] == contrib["node"])
             .groupBy(e["dst"].alias("node"))
             .agg(F.sum("c").alias("s"))
         )
