@@ -1,0 +1,207 @@
+"""10x scale rehearsal (VERDICT r5 #7): prove the scale-machinery
+family's runtime grows ~linearly from sf0.1 to an sf1-SHAPED dataset
+and that no plan degrades (anything -> nested-loop/cartesian is a
+failure; broadcast -> SortMergeJoin is an allowed size-driven flip).
+
+Dataset construction (shape-preserving 10x, written to a scratch
+dir, never into /root/testdata):
+
+- ``documents``: 10 replicas; replica r's text passes through a
+  BIJECTIVE alphabet rotation (``F.translate``, Caesar shift r over
+  a-z/A-Z) — word-level shingle statistics inside each replica are
+  EXACTLY the original corpus's (bijections preserve set sizes,
+  frequencies, and Jaccard), while cross-replica vocabulary overlap
+  drops to ~0, so pair counts scale 10x instead of quadratically.
+  doc_id shifts by r * (max_id + 1).
+- ``lineitem`` / ``orders`` / ``part``: 10 replicas with the join
+  keys (l_orderkey/l_partkey/o_orderkey/p_partkey) shifted into
+  disjoint ranges — ten independent co-occurrence graphs, each
+  structurally identical to the original, so PageRank/bucketed-join
+  work is exactly 10x.
+
+Measurement: per scale, each query runs once UNTIMED (codegen warmup
++ the one-time staging x99/y03 key off the sf-dir path) and once
+timed to a noop sink. Plan join histograms are captured at both
+scales and diffed.
+
+Usage:
+    python scripts/scale_rehearsal.py [--src /root/testdata/sf0.1]
+        [--work /tmp/llh_scale] [--replicas 10] [--out SCALE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from local_lakehouse_spark.session import get_spark
+
+QUERIES = [
+    "x02_dedup_ngram_jaccard",
+    "x03_dedup_minhash_lsh",
+    "x33_dedup_clusters",
+    "x66_pagerank",
+    "x99_bucketed_join",
+    "y03_zorder_skipping",
+]
+
+_ABC = "abcdefghijklmnopqrstuvwxyz"
+
+# Plan regressions: these join operators appearing at 10x where the
+# 1x plan had none mean a quadratic/size-blind strategy slipped in.
+FORBIDDEN_NEW = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _rot(s: str, r: int) -> str:
+    return s[r % 26 :] + s[: r % 26]
+
+
+def _replicate(spark: SparkSession, src: str, dst: str, replicas: int) -> None:
+    shifts = {}
+    for name, key_cols in (
+        ("documents", ["doc_id"]),
+        ("lineitem", ["l_orderkey", "l_partkey"]),
+        ("orders", ["o_orderkey"]),
+        ("part", ["p_partkey"]),
+    ):
+        df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        for c in key_cols:
+            if c not in shifts:
+                shifts[c] = df.agg(F.max(c)).collect()[0][0] + 1
+        parts = []
+        for r in range(replicas):
+            rep = df
+            for c in key_cols:
+                rep = rep.withColumn(c, F.col(c) + F.lit(r * shifts[c]))
+            if name == "documents":
+                rep = rep.withColumn(
+                    "text",
+                    F.translate(
+                        "text",
+                        _ABC + _ABC.upper(),
+                        _rot(_ABC, r) + _rot(_ABC, r).upper(),
+                    ),
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+
+
+def _join_histogram(df: DataFrame) -> dict:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    return {
+        k: plan.count(k)
+        for k in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        )
+        if plan.count(k)
+    }
+
+
+def _materialize(df: DataFrame) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--work", default="/tmp/llh_scale")
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    big = os.path.join(args.work, f"sf_{args.replicas}x")
+    marker = os.path.join(big, "_GENERATED")
+    if not os.path.exists(marker):
+        t0 = time.perf_counter()
+        _replicate(spark, args.src, big, args.replicas)
+        open(marker, "w").write(json.dumps({"src": args.src}))
+        print(f"generated {big} in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    results: dict[str, dict] = {}
+    for scale, sf_dir in (("1x", args.src), (f"{args.replicas}x", big)):
+        for name in QUERIES:
+            _materialize(qs[name](spark, sf_dir))  # warm + one-time staging
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, sf_dir))
+            wall = time.perf_counter() - t0
+            joins = _join_histogram(qs[name](spark, sf_dir))
+            results.setdefault(name, {})[scale] = {
+                "sec": round(wall, 2),
+                "joins": joins,
+            }
+            print(f"{scale:>4} {name}: {wall:.2f}s {joins}", flush=True)
+
+    bad = []
+    lines = [
+        "# SCALE — 10x rehearsal of the scale-machinery family",
+        "",
+        f"`python scripts/scale_rehearsal.py` — {args.replicas}x sf0.1-shaped",
+        "data (bijective-vocabulary document replicas + disjoint-key",
+        "TPC-H replicas; see the script docstring), steady-state timed",
+        "runs (untimed warm/staging pass first), plan join histograms",
+        "diffed. Pass criteria: runtime ratio ≲ linear in data size,",
+        "and no query gains a CartesianProduct/BroadcastNestedLoopJoin",
+        "at 10x that the 1x plan did not have (broadcast->SMJ flips",
+        "are allowed size-driven decisions).",
+        "",
+        "| query | 1x sec | 10x sec | ratio | exponent | 1x joins | 10x joins | plan flip |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    import math
+
+    for name in QUERIES:
+        r1, r10 = results[name]["1x"], results[name][f"{args.replicas}x"]
+        ratio = r10["sec"] / max(r1["sec"], 1e-9)
+        # t ~ N^e  =>  e = log(ratio) / log(replicas); e <= 1 is
+        # linear-or-better (fixed overheads amortizing push it below)
+        exponent = math.log(ratio) / math.log(args.replicas)
+        flips = []
+        for k in FORBIDDEN_NEW:
+            if r10["joins"].get(k, 0) > r1["joins"].get(k, 0):
+                flips.append(k)
+                bad.append(f"{name}: gained {k} at 10x")
+        if ratio > 2.0 * args.replicas:
+            bad.append(
+                f"{name}: superlinear ratio {ratio:.1f}x for "
+                f"{args.replicas}x data"
+            )
+        lines.append(
+            f"| {name} | {r1['sec']} | {r10['sec']} | {ratio:.1f}x "
+            f"| {exponent:.2f} "
+            f"| {json.dumps(r1['joins'])} | {json.dumps(r10['joins'])} "
+            f"| {', '.join(flips) or 'none'} |"
+        )
+    lines += ["", f"Verdict: {'FAIL — ' + '; '.join(bad) if bad else 'PASS'}", ""]
+    out = "\n".join(lines)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
