@@ -4570,32 +4570,25 @@ def y02(spark, sf):
         )
 
     src_tbl = stage_x89_table(spark, sf)
-    for attempt in range(2):
-        stream = (
-            spark.readStream.format("pydelta")
-            .option("startingVersion", 0)
-            .load(src_tbl)
-        )
-        ckpt = os.path.join(base, f"ckpt_{uuid.uuid4().hex}")
-        try:
-            (
-                stream.writeStream.foreachBatch(apply_batch)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
-            )
-            break
-        except Exception:
-            # Streaming jobs are restarted on transient failures in
-            # every production deployment; ONE bounded restart with a
-            # fresh checkpoint is safe here because the newer-wins
-            # merge is CONFLUENT and IDEMPOTENT — replaying already-
-            # applied batches cannot change the final state (and the
-            # oracle compare still gates the result). A second
-            # failure propagates.
-            if attempt == 1:
-                raise
+    # No retry wrapper (VERDICT r5 #6): the intermittent this query
+    # once absorbed was root-caused to the checkpoint round-trip
+    # corrupting empty partitionColumns (fixed + regression-tested in
+    # sources/delta_py.py, b0dec72); after 3+ consecutive clean full
+    # sweeps the bounded restart was removed so any FUTURE
+    # intermittent fails loudly instead of being masked.
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(src_tbl)
+    )
+    ckpt = os.path.join(base, f"ckpt_{uuid.uuid4().hex}")
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
     return (
         client.read_table("unity", "default", tgt)
         .select(
