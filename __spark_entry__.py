@@ -55,8 +55,17 @@ _ROWS_ONLY_WITH_NEW_CONTRACTS = [
     "x14_embedding_near_dup",
     "x22_approx_distinct_hll",
 ]
+# Never-stamped queries always lead the cap (the round-5 rule): the
+# round-6 deletion-vector / column-mapping read queries need their
+# first driver stamp, displacing the last two r1-era rotation slots
+# (both keep a same-round local green in CORRECTNESS_LOCAL_r06).
+_NEVER_STAMPED = [
+    "y10_deletion_vector_read",
+    "y11_column_mapping_read",
+]
 _PRIORITY = (
-    _R1_ERA
+    _NEVER_STAMPED
+    + _R1_ERA
     + _ROWS_ONLY_WITH_NEW_CONTRACTS
     # next-oldest stamps follow (r2), for drivers that run past the cap
     + [n for n in _ALL if n.startswith(("q05", "q32"))]

@@ -5264,6 +5264,250 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def stage_y10_table(spark, sf: str) -> str:
+    """One-time staging for y10 (idempotent, keyed by sf): lineitem
+    written as a multi-file Delta table, then a FOREIGN engine's
+    row-level DELETE is simulated exactly as delta-spark/delta-rs
+    commit it — per-file RoaringBitmap deletion vectors (alternating
+    on-disk and inline storage to exercise both codec paths) re-added
+    under a protocol upgrade, never a data-file rewrite. Deleted:
+    every row with l_quantity > 45. Idempotent across partial
+    failures: the DV attach re-runs until the snapshot carries DVs."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .sources import delta_dv, delta_py
+
+    key = hashlib.md5(f"{sf}|dv-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_dvread_{key}")
+    if not delta_py.is_delta_table(tbl):
+        li = t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        ).repartition(8)
+        delta_py.write_delta(spark, li, tbl)
+    log = delta_py.DeltaLog(tbl)
+    snap = log.snapshot(allow=delta_py.BATCH_READ_FEATURES)
+    if not snap.dv_adds:
+        actions: list[dict] = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ]
+        for i, (rel, add) in enumerate(sorted(snap.adds.items())):
+            q = (
+                pq.read_table(
+                    os.path.join(tbl, rel), columns=["l_quantity"]
+                )
+                .column("l_quantity")
+                .to_numpy()
+            )
+            pos = (q > 45).nonzero()[0]
+            if not len(pos):
+                continue
+            add = dict(add)
+            add["deletionVector"] = (
+                delta_dv.inline_dv_descriptor(pos)
+                if i % 2
+                else delta_dv.write_dv_file(tbl, pos)
+            )
+            actions.append({"add": add})
+        log.commit(snap.version + 1, actions)
+    return tbl
+
+
+def y10(spark, sf):
+    """Deletion-vector READ (Delta reader feature `deletionVectors`,
+    implemented in sources/delta_dv.py + delta_py.read_delta —
+    reference parity: delta-rs reads DV tables, reference
+    dataframe.py:198-199): a foreign DELETE left per-file Roaring
+    bitmaps on a staged lineitem table, and the scan must DROP
+    exactly those row positions — files with a DV anti-join their
+    decoded positions (broadcast; zero scan shuffle), DV-free files
+    bypass the join. CONTRACT: the snapshot must actually carry
+    nonempty deletion vectors, so a staging or reader regression that
+    silently resurrects deleted rows cannot pass. Oracle: the same
+    aggregate over lineitem minus the deleted predicate."""
+    from .sources import delta_py
+
+    tbl = stage_y10_table(spark, sf)
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    killed = sum(
+        int(a["deletionVector"].get("cardinality") or 0)
+        for a in snap.dv_adds.values()
+    )
+    if killed == 0:
+        raise AssertionError(
+            "y10 staging carries no deletion vectors — the read would "
+            "prove nothing"
+        )
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Y10_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem WHERE l_quantity <= 45
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def stage_y11_table(spark, sf: str) -> str:
+    """One-time staging for y11 (idempotent, keyed by sf): a Delta
+    table written the way delta-spark writes under
+    `delta.columnMapping.mode = name` — parquet columns carry opaque
+    PHYSICAL names (`col-*`, including inside a nested struct), and
+    only the log's schemaString knows the logical names via
+    `delta.columnMapping.physicalName` field metadata."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid as uuid_mod
+
+    from pyspark.sql import types as T
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|colmap-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_colmap_{key}")
+    if delta_py.is_delta_table(tbl):
+        return tbl
+    phys = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("col-k"),
+        F.col("c_acctbal").alias("col-b"),
+        F.struct(
+            F.col("c_mktsegment").alias("col-seg"),
+            F.col("c_nationkey").alias("col-nat"),
+        ).alias("col-p"),
+    )
+    tmp = tbl + f".__stage_{uuid_mod.uuid4().hex}"
+    phys.repartition(4).write.mode("overwrite").parquet(tmp)
+    os.makedirs(tbl, exist_ok=True)
+    moved = delta_py._move_parts(tmp, tbl)
+
+    def mf(name: str, dtype: T.DataType, cid: int, pname: str) -> T.StructField:
+        return T.StructField(
+            name,
+            dtype,
+            True,
+            metadata={
+                "delta.columnMapping.id": cid,
+                "delta.columnMapping.physicalName": pname,
+            },
+        )
+
+    logical = T.StructType(
+        [
+            mf("custkey", T.LongType(), 1, "col-k"),
+            mf("acctbal", T.DoubleType(), 2, "col-b"),
+            mf(
+                "profile",
+                T.StructType(
+                    [
+                        mf("segment", T.StringType(), 3, "col-seg"),
+                        mf("nation", T.IntegerType(), 4, "col-nat"),
+                    ]
+                ),
+                5,
+                "col-p",
+            ),
+        ]
+    )
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": str(uuid_mod.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": logical.json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "5",
+                },
+                "createdTime": 0,
+            }
+        },
+    ]
+    actions.extend(
+        delta_py._add_action(tbl, rel, parts) for rel, parts in moved
+    )
+    log = delta_py.DeltaLog(tbl)
+    try:
+        log.commit(0, actions)
+    except delta_py.ConcurrentModificationError:
+        pass  # concurrent stager won the race; its table is identical
+    return tbl
+
+
+def y11(spark, sf):
+    """Column-mapping READ (Delta `columnMapping`, name/id modes —
+    delta_py.read_delta scans under the PHYSICAL schema and
+    cast-renames back to logical names JVM-side, nested structs
+    included; reference parity: delta-rs, reference
+    dataframe.py:198-199). The staged customer table's parquet knows
+    only `col-*` names; the query speaks logical names throughout,
+    including a nested `profile.segment` access. CONTRACT: the
+    mapping mode must be active and the logical columns must come
+    back, so a rename regression cannot pass silently. Oracle: the
+    same aggregate straight off the customer table."""
+    from .sources import delta_py
+
+    tbl = stage_y11_table(spark, sf)
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap.column_mapping_mode != "name":
+        raise AssertionError("y11 staging lost its column-mapping mode")
+    df = delta_py.read_delta(spark, tbl)
+    if df.columns != ["custkey", "acctbal", "profile"]:
+        raise AssertionError(
+            f"column-mapping rename regressed: got {df.columns}"
+        )
+    return (
+        df.groupBy(F.col("profile.segment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.sum("profile.nation").cast("bigint").alias("nation_sum"),
+        )
+        .orderBy("segment")
+    )
+
+
+Y11_SQL = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum
+FROM customer GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -5400,4 +5644,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y07_table_checksum": QuerySpec(y07, Y07_SQL),
     "y08_compaction": QuerySpec(y08, Y08_SQL),
     "y09_time_travel_restore": QuerySpec(y09, Y09_SQL),
+    "y10_deletion_vector_read": QuerySpec(y10, Y10_SQL),
+    "y11_column_mapping_read": QuerySpec(y11, Y11_SQL),
 }
