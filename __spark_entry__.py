@@ -62,6 +62,7 @@ _ROWS_ONLY_WITH_NEW_CONTRACTS = [
 _NEVER_STAMPED = [
     "y10_deletion_vector_read",
     "y11_column_mapping_read",
+    "y12_dv_delete",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

@@ -5508,6 +5508,64 @@ FROM customer GROUP BY c_mktsegment ORDER BY segment
 """
 
 
+def y12(spark, sf):
+    """Row-level DELETE producing deletion vectors — OUR writer this
+    time (delta_py.delete_where, the delta-spark `DELETE FROM` /
+    `DeltaTable.delete` analog): one filtered scan finds matching
+    positions, per-file RoaringBitmaps are built and written IN
+    EXECUTORS (applyInPandas per file), and the commit is
+    remove+re-add of untouched data files under a protocol upgrade —
+    zero data rewritten, which at 100 TB is the whole point.
+    CONTRACTS: after the delete the snapshot must carry nonempty DVs
+    on unchanged file sizes (proving no rewrite happened), and the
+    staged delete is idempotent across runs (re-deleting an
+    already-deleted row is a bitmap union no-op). Oracle: the same
+    aggregate as y10 — the surviving-row set is identical; what
+    differs is WHO produced the bitmaps (y10 reads a simulated
+    foreign engine's, y12 writes and reads its own)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|dvdel-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_dvdelete_{key}")
+    if not delta_py.is_delta_table(tbl):
+        li = t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        ).repartition(8)
+        delta_py.write_delta(spark, li, tbl)
+    pre = {
+        rel: a["size"]
+        for rel, a in delta_py.DeltaLog(tbl)
+        .snapshot(allow=delta_py.BATCH_READ_FEATURES)
+        .adds.items()
+    }
+    snap = delta_py.delete_where(spark, tbl, "l_quantity > 45")
+    if not snap.dv_adds:
+        raise AssertionError("y12 delete produced no deletion vectors")
+    for rel, a in snap.adds.items():
+        if a["size"] != pre.get(rel):
+            raise AssertionError(
+                f"y12 delete rewrote data file {rel} — the no-rewrite "
+                "contract is broken"
+            )
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -5646,4 +5704,7 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y09_time_travel_restore": QuerySpec(y09, Y09_SQL),
     "y10_deletion_vector_read": QuerySpec(y10, Y10_SQL),
     "y11_column_mapping_read": QuerySpec(y11, Y11_SQL),
+    # same oracle as y10 by design: identical surviving-row set,
+    # different bitmap producer (foreign vs our own delete_where)
+    "y12_dv_delete": QuerySpec(y12, Y10_SQL),
 }

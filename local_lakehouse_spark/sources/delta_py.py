@@ -1026,6 +1026,154 @@ def write_delta(
     return log.snapshot(version, allow=_write_allow)
 
 
+def delete_where(
+    spark: SparkSession, path: str, predicate: str
+) -> Snapshot:
+    """DELETE FROM ... WHERE via DELETION VECTORS — delta-spark's
+    modern row-level delete: NO data file is rewritten; each touched
+    file gains (or extends) a RoaringBitmap of deleted row positions
+    (sources/delta_dv.py), committed as remove+re-add of the same
+    path under a protocol upgrade. At 100 TB this is the difference
+    between a metadata-plus-bitmaps commit and rewriting every file
+    a predicate touches.
+
+    Distribution: ONE filtered scan (predicate pushdown applies)
+    carries ``_metadata.file_name/row_index``; per-file bitmaps are
+    built and their DV files written IN EXECUTORS (applyInPandas,
+    one group per file — assumes executors share the table
+    filesystem, true for any shared-store deployment), and the
+    driver only commits descriptor-sized actions. A file whose every
+    row is deleted is removed outright instead of carrying a
+    full-cover DV (delta-spark does the same).
+
+    Existing DVs are unioned in (deleting an already-deleted row is
+    a no-op), and the commit is read-dependent — losing a version
+    race surfaces ConcurrentModificationError rather than retrying
+    blindly."""
+    from pyspark.sql import functions as F
+
+    from . import delta_dv
+
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=frozenset({FEATURE_DELETION_VECTORS}))
+    if not snap.adds:
+        return snap
+    base_to_rel = {
+        os.path.basename(unquote(r)): r for r in snap.adds
+    }
+    if len(base_to_rel) != len(snap.adds):
+        raise UnsupportedOperationError(
+            f"Delta table at {path} has colliding data-file basenames; "
+            "positional delete would mix files"
+        )
+    old_dvs = {
+        os.path.basename(unquote(r)): a.get("deletionVector")
+        for r, a in snap.adds.items()
+    }
+    schema = snap.schema
+    scan = (
+        spark.read.option("basePath", path)
+        .schema(schema)
+        .parquet(*snap.files(path))
+    )
+    hits = scan.filter(F.expr(predicate)).select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+
+    def build(key, pdf):
+        import json as _json
+
+        import numpy as _np
+        import pandas as _pd
+
+        fn = key[0]
+        idx = pdf["row_index"].to_numpy(dtype=_np.int64)
+        old = old_dvs.get(fn)
+        if old is not None:
+            idx = _np.union1d(idx, delta_dv.load_dv_indices(old, path))
+        desc = delta_dv.write_dv_file(path, idx)
+        return _pd.DataFrame(
+            {"file_name": [fn], "descriptor": [_json.dumps(desc)]}
+        )
+
+    built = hits.groupBy("file_name").applyInPandas(
+        build, "file_name string, descriptor string"
+    ).collect()
+    # A file whose DV didn't grow (every matching row already
+    # deleted) needs no action; with nothing grown, no commit at all
+    # — repeated DELETEs of the same predicate are true no-ops.
+    built = [
+        r
+        for r in built
+        if json.loads(r.descriptor)["cardinality"]
+        != int((old_dvs.get(r.file_name) or {}).get("cardinality") or 0)
+    ]
+    if not built:
+        return snap  # predicate matched nothing new: no commit
+    now_ms = int(time.time() * 1000)
+    proto = dict(snap.protocol)
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    actions: list[dict] = []
+    if FEATURE_DELETION_VECTORS not in rf:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        rf | {FEATURE_DELETION_VECTORS}
+                    ),
+                    "writerFeatures": sorted(
+                        wf | {FEATURE_DELETION_VECTORS}
+                    ),
+                }
+            }
+        )
+    for row in sorted(built, key=lambda r: r.file_name):
+        rel = base_to_rel[row.file_name]
+        old_add = snap.adds[rel]
+        desc = json.loads(row.descriptor)
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        try:
+            n_physical = json.loads(old_add.get("stats") or "{}").get(
+                "numRecords"
+            )
+        except ValueError:
+            n_physical = None
+        if n_physical is not None and desc["cardinality"] >= n_physical:
+            continue  # every row deleted: drop the file outright
+        new_add = dict(old_add)
+        new_add["deletionVector"] = desc
+        actions.append({"add": new_add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    version = snap.version + 1
+    log.commit(version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        log.write_checkpoint(version)
+    return log.snapshot(
+        version, allow=frozenset({FEATURE_DELETION_VECTORS})
+    )
+
+
 def vacuum(path: str, retain_hours: float = 168.0) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot
     and older than the retention window (DeltaTable.vacuum). Returns
@@ -1101,6 +1249,11 @@ class PyDeltaTable:
 
     def vacuum(self, retentionHours: float = 168.0) -> None:
         vacuum(self._path, retentionHours)
+
+    def delete(self, condition: str) -> None:
+        """delta-spark ``DeltaTable.delete(condition)``: row-level
+        delete via deletion vectors — no data-file rewrite."""
+        delete_where(self._spark, self._path, condition)
 
     @property
     def version(self) -> int:

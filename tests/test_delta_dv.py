@@ -400,3 +400,83 @@ def test_column_mapped_writes_and_strict_paths_refuse(spark, tbl):
         write_delta(spark, df.select("id", "name"), tbl, mode="append")
     with pytest.raises(UnsupportedOperationError, match="columnMapping"):
         DeltaLog(tbl).snapshot()
+
+# ---------------------------------------------------------------------------
+# delete_where — OUR writer producing deletion vectors (DELETE FROM)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_drops_rows_without_rewrite(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    _single_file_table(spark, tbl)
+    before = {rel: a["size"] for rel, a in DeltaLog(tbl).snapshot().adds.items()}
+    delete_where(spark, tbl, "id % 3 = 0")  # drops 0,3,6,9
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [1, 2, 4, 5, 7, 8]
+    snap = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    # same files, same sizes — nothing was rewritten, only DVs added
+    assert {rel: a["size"] for rel, a in snap.adds.items()} == before
+    assert all(a.get("deletionVector") for a in snap.adds.values())
+    proto = snap.protocol
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+
+
+def test_delete_where_unions_with_existing_dv(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, [0, 1])  # foreign delete of 0,1
+    delete_where(spark, tbl, "id >= 8 OR id = 1")  # ours: 1 (again), 8, 9
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [2, 3, 4, 5, 6, 7]
+    snap = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    assert snap.adds[rel]["deletionVector"]["cardinality"] == 4
+
+
+def test_delete_where_full_file_removes_the_add(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    _single_file_table(spark, tbl)
+    extra = spark.createDataFrame([(100, "x")], "id long, s string").coalesce(1)
+    write_delta(spark, extra, tbl, mode="append")
+    delete_where(spark, tbl, "id < 50")  # wipes the whole first file
+    snap = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    assert len(snap.adds) == 1  # fully-deleted file dropped, not DV'd
+    assert not snap.dv_adds
+    assert [r.id for r in read_delta(spark, tbl).collect()] == [100]
+
+
+def test_delete_where_no_match_commits_nothing(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    _single_file_table(spark, tbl)
+    v = DeltaLog(tbl).snapshot().version
+    out = delete_where(spark, tbl, "id > 1000")
+    assert out.version == v  # no empty commit
+    assert read_delta(spark, tbl).count() == 10
+
+
+def test_delete_then_time_travel_and_restore(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    _single_file_table(spark, tbl)
+    v_pre = DeltaLog(tbl).snapshot().version
+    delete_where(spark, tbl, "id < 5")
+    assert read_delta(spark, tbl).count() == 5
+    assert read_delta(spark, tbl, version=v_pre).count() == 10
+    restore(spark, tbl, v_pre)
+    assert read_delta(spark, tbl).count() == 10
+
+
+def test_pydelta_table_delete_facade(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import PyDeltaTable
+
+    _single_file_table(spark, tbl)
+    dt = PyDeltaTable(spark, tbl)
+    dt.delete("id = 7")
+    assert sorted(r.id for r in dt.toDF().collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9,
+    ]
+    ops = [r.operation for r in dt.history().collect()]
+    assert ops[0] == "DELETE"
