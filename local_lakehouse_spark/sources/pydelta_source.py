@@ -378,14 +378,24 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
     end] = the add actions of those commits, one input partition per
     file. ``startingVersion`` option (default: current latest at
     query start → only NEW commits stream; 0 → full history replay).
-    A remove action inside the range raises: this source is
-    append-only, exactly Delta's streaming contract without
-    ignoreChanges/ignoreDeletes."""
+    A data-CHANGING commit inside the range (remove actions, or a
+    deletion vector landing on a live file) raises — exactly Delta's
+    append-only streaming contract — unless
+    ``.option("skipChangeCommits", "true")`` is set, which skips the
+    whole commit (delta-spark parity). Compaction re-adds
+    (``dataChange=false``) are always skipped: same rows, new
+    packing."""
 
     def __init__(self, options: dict, schema: T.StructType):
         self._path = _required_path(options)
         self._schema = schema
         self._log = DeltaLog(self._path)
+        # delta-spark parity: skipChangeCommits=true silently skips
+        # whole commits that change existing data (removes, deletion
+        # vectors) instead of failing the stream
+        self._skip_change = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
         sv = options.get("startingversion")
         if sv is not None:
             # replay from just before startingVersion
@@ -410,26 +420,43 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
                 continue
             fname = os.path.join(self._log.log_dir, f"{v:020d}.json")
             with open(fname) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    if "remove" in action:
-                        raise ValueError(
-                            f"pydelta stream: version {v} contains a remove "
-                            "action; this source is append-only (no "
-                            "ignoreChanges support)"
-                        )
-                    if "add" in action:
-                        a = action["add"]
-                        out.append(
-                            {
-                                "file": os.path.join(
-                                    self._path, unquote(a["path"])
-                                ),
-                                "parts": dict(a.get("partitionValues") or {}),
-                            }
-                        )
+                actions = [
+                    json.loads(line) for line in f if line.strip()
+                ]
+            # A commit that CHANGES existing data — remove actions,
+            # or a deletion vector attached to an already-live file —
+            # cannot be replayed incrementally (re-emitting the add
+            # would duplicate/resurrect rows). delta-spark's
+            # contract: fail the stream, unless skipChangeCommits
+            # skips the whole commit.
+            removes = any("remove" in a for a in actions)
+            dv = any(
+                (a.get("add") or {}).get("deletionVector")
+                for a in actions
+            )
+            if removes or dv:
+                if self._skip_change:
+                    continue
+                what = "remove" if removes else "deletion-vector"
+                raise ValueError(
+                    f"pydelta stream: version {v} contains a {what} "
+                    "action; this source replays appends only — pass "
+                    ".option('skipChangeCommits', 'true') to skip "
+                    "data-changing commits (delta-spark parity)"
+                )
+            for action in actions:
+                if "add" in action:
+                    a = action["add"]
+                    if a.get("dataChange") is False:
+                        continue  # compaction rewrite: same rows
+                    out.append(
+                        {
+                            "file": os.path.join(
+                                self._path, unquote(a["path"])
+                            ),
+                            "parts": dict(a.get("partitionValues") or {}),
+                        }
+                    )
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:

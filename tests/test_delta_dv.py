@@ -480,3 +480,29 @@ def test_pydelta_table_delete_facade(spark, tbl):
     ]
     ops = [r.operation for r in dt.history().collect()]
     assert ops[0] == "DELETE"
+
+
+def test_table_changes_sees_dv_deletes(spark, tmp_path):
+    """CDC needs no special DV handling: table_changes diffs two
+    DV-aware SNAPSHOT reads, so rows a deletion vector removed
+    between versions surface as `delete` changes automatically."""
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, s string"
+    ).coalesce(1)
+    tbl_path = str(tmp_path / "t")
+    write_delta(spark, df, tbl_path)
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    pre = DeltaLog(tbl_path).snapshot().version
+    delete_where(spark, tbl_path, "id % 2 = 0")
+    ch = client.table_changes("unity", "default", "t", from_version=pre)
+    rows = sorted((r.id, r._change_type) for r in ch.collect())
+    assert rows == [(i, "delete") for i in (0, 2, 4, 6, 8)]

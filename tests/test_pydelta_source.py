@@ -337,3 +337,53 @@ def test_register_respects_explicit_filter_pushdown_choice(spark):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         pydelta_source.register(spark)
+
+
+def test_stream_fails_on_foreign_dv_commit(spark, tbl, tmp_path):
+    """A deletion vector landing on a live file inside the offset
+    range would make an incremental replay re-emit (and resurrect)
+    rows — the stream must fail loudly, pointing at
+    skipChangeCommits."""
+    out, ckpt = str(tmp_path / "o4"), str(tmp_path / "c4")
+    spark.range(10).select("id").write.format("pydelta").mode("append").save(tbl)
+    delta_py.delete_where(spark, tbl, "id < 3")  # remove+re-add w/ DV
+    q = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="skipChangeCommits|remove|deletion-vector"):
+        q.awaitTermination(120)
+        raise RuntimeError("stream should have failed")
+
+
+def test_stream_skip_change_commits(spark, tbl, tmp_path):
+    """.option('skipChangeCommits', 'true') (delta-spark parity)
+    skips the data-changing commit WHOLESALE: appends before and
+    after it stream normally, already-streamed rows are not
+    retracted, and the deleted rows' removal never streams."""
+    out, ckpt = str(tmp_path / "o5"), str(tmp_path / "c5")
+    spark.range(10).select("id").write.format("pydelta").mode("append").save(tbl)
+    delta_py.delete_where(spark, tbl, "id < 3")
+    spark.range(100, 103).select("id").write.format("pydelta").mode(
+        "append"
+    ).save(tbl)
+    q = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .option("skipChangeCommits", "true")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id for r in spark.read.parquet(out).collect()}
+    assert got == set(range(10)) | {100, 101, 102}
