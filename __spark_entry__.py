@@ -63,6 +63,7 @@ _NEVER_STAMPED = [
     "y10_deletion_vector_read",
     "y11_column_mapping_read",
     "y12_dv_delete",
+    "y13_dv_update",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

@@ -5374,6 +5374,79 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def y13(spark, sf):
+    """Row-level UPDATE via deletion vectors (delta_py.update_where,
+    the delta-spark DV-enabled `UPDATE ... SET ... WHERE` /
+    `DeltaTable.update` analog): matched rows are DV-marked in their
+    files and ONLY the rewritten copies append as new files — an
+    update touching 10% of rows writes 10% of the data, not every
+    touched file. The guarded predicate (`... AND l_returnflag <>
+    'X'`) makes re-runs true no-ops: no live row matches after the
+    first commit. CONTRACTS: post-update the original files must all
+    survive with unchanged sizes (plus DVs), proving nothing was
+    rewritten in place. Oracle: the same aggregate with the update
+    expressed as a CASE."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|dvupd-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_dvupdate_{key}")
+    if not delta_py.is_delta_table(tbl):
+        li = t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        ).repartition(8)
+        delta_py.write_delta(spark, li, tbl)
+    pre = {
+        rel: a["size"]
+        for rel, a in delta_py.DeltaLog(tbl)
+        .snapshot(allow=delta_py.BATCH_READ_FEATURES)
+        .adds.items()
+        if not a.get("deletionVector")
+    }
+    snap = delta_py.update_where(
+        spark,
+        tbl,
+        "l_quantity > 45 AND l_returnflag <> 'X'",
+        {"l_returnflag": "'X'"},
+    )
+    for rel, size in pre.items():
+        a = snap.adds.get(rel)
+        if a is None or a["size"] != size:
+            raise AssertionError(
+                f"y13 update rewrote original file {rel} in place — "
+                "the DV no-rewrite contract is broken"
+            )
+    if not snap.dv_adds:
+        raise AssertionError("y13 update produced no deletion vectors")
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Y13_SQL = """
+SELECT CASE WHEN l_quantity > 45 THEN 'X' ELSE l_returnflag END
+         AS l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def stage_y11_table(spark, sf: str) -> str:
     """One-time staging for y11 (idempotent, keyed by sf): a Delta
     table written the way delta-spark writes under
@@ -5707,4 +5780,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     # same oracle as y10 by design: identical surviving-row set,
     # different bitmap producer (foreign vs our own delete_where)
     "y12_dv_delete": QuerySpec(y12, Y10_SQL),
+    "y13_dv_update": QuerySpec(y13, Y13_SQL),
 }

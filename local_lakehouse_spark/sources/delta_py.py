@@ -1026,41 +1026,23 @@ def write_delta(
     return log.snapshot(version, allow=_write_allow)
 
 
-def delete_where(
-    spark: SparkSession, path: str, predicate: str
-) -> Snapshot:
-    """DELETE FROM ... WHERE via DELETION VECTORS — delta-spark's
-    modern row-level delete: NO data file is rewritten; each touched
-    file gains (or extends) a RoaringBitmap of deleted row positions
-    (sources/delta_dv.py), committed as remove+re-add of the same
-    path under a protocol upgrade. At 100 TB this is the difference
-    between a metadata-plus-bitmaps commit and rewriting every file
-    a predicate touches.
-
-    Distribution: ONE filtered scan (predicate pushdown applies)
-    carries ``_metadata.file_name/row_index``; per-file bitmaps are
-    built and their DV files written IN EXECUTORS (applyInPandas,
-    one group per file — assumes executors share the table
-    filesystem, true for any shared-store deployment), and the
-    driver only commits descriptor-sized actions. A file whose every
-    row is deleted is removed outright instead of carrying a
-    full-cover DV (delta-spark does the same).
-
-    Existing DVs are unioned in (deleting an already-deleted row is
-    a no-op), and the commit is read-dependent — losing a version
-    race surfaces ConcurrentModificationError rather than retrying
-    blindly."""
+def _grown_dvs(
+    spark: SparkSession, snap: Snapshot, path: str, predicate: str
+) -> tuple[dict, list]:
+    """Shared machinery of DV-based DELETE/UPDATE: per file touched
+    by ``predicate``, the union of its existing DV and the newly
+    matching positions, as (base_to_rel map, [(file_name,
+    descriptor)]). Bitmaps are built and their DV files written IN
+    EXECUTORS (applyInPandas, one group per file — assumes executors
+    share the table filesystem, true for any shared-store
+    deployment); only descriptor-sized rows reach the driver. Files
+    whose DV did not grow (every matching row already deleted) are
+    filtered out, so a no-op predicate yields an empty list."""
     from pyspark.sql import functions as F
 
     from . import delta_dv
 
-    log = DeltaLog(path)
-    snap = log.snapshot(allow=frozenset({FEATURE_DELETION_VECTORS}))
-    if not snap.adds:
-        return snap
-    base_to_rel = {
-        os.path.basename(unquote(r)): r for r in snap.adds
-    }
+    base_to_rel = {os.path.basename(unquote(r)): r for r in snap.adds}
     if len(base_to_rel) != len(snap.adds):
         raise UnsupportedOperationError(
             f"Delta table at {path} has colliding data-file basenames; "
@@ -1070,10 +1052,9 @@ def delete_where(
         os.path.basename(unquote(r)): a.get("deletionVector")
         for r, a in snap.adds.items()
     }
-    schema = snap.schema
     scan = (
         spark.read.option("basePath", path)
-        .schema(schema)
+        .schema(snap.schema)
         .parquet(*snap.files(path))
     )
     hits = scan.filter(F.expr(predicate)).select(
@@ -1100,19 +1081,22 @@ def delete_where(
     built = hits.groupBy("file_name").applyInPandas(
         build, "file_name string, descriptor string"
     ).collect()
-    # A file whose DV didn't grow (every matching row already
-    # deleted) needs no action; with nothing grown, no commit at all
-    # — repeated DELETEs of the same predicate are true no-ops.
     built = [
         r
         for r in built
         if json.loads(r.descriptor)["cardinality"]
         != int((old_dvs.get(r.file_name) or {}).get("cardinality") or 0)
     ]
-    if not built:
-        return snap  # predicate matched nothing new: no commit
-    now_ms = int(time.time() * 1000)
-    proto = dict(snap.protocol)
+    return base_to_rel, sorted(built, key=lambda r: r.file_name)
+
+
+def _dv_commit_actions(
+    snap: Snapshot, base_to_rel: dict, built: list, now_ms: int
+) -> list[dict]:
+    """Protocol upgrade (if needed) + remove/re-add per DV'd file; a
+    file whose every row is deleted is removed outright instead of
+    carrying a full-cover DV (delta-spark does the same)."""
+    proto = snap.protocol or {}
     rf = set(proto.get("readerFeatures") or [])
     wf = set(proto.get("writerFeatures") or [])
     actions: list[dict] = []
@@ -1131,7 +1115,7 @@ def delete_where(
                 }
             }
         )
-    for row in sorted(built, key=lambda r: r.file_name):
+    for row in built:
         rel = base_to_rel[row.file_name]
         old_add = snap.adds[rel]
         desc = json.loads(row.descriptor)
@@ -1155,11 +1139,106 @@ def delete_where(
         new_add = dict(old_add)
         new_add["deletionVector"] = desc
         actions.append({"add": new_add})
+    return actions
+
+
+def delete_where(
+    spark: SparkSession, path: str, predicate: str
+) -> Snapshot:
+    """DELETE FROM ... WHERE via DELETION VECTORS — delta-spark's
+    modern row-level delete: NO data file is rewritten; each touched
+    file gains (or extends) a RoaringBitmap of deleted row positions
+    (sources/delta_dv.py), committed as remove+re-add of the same
+    path under a protocol upgrade. At 100 TB this is the difference
+    between a metadata-plus-bitmaps commit and rewriting every file
+    a predicate touches.
+
+    Existing DVs are unioned in (deleting an already-deleted row is
+    a no-op — repeated DELETEs of the same predicate commit
+    nothing), and the commit is read-dependent: losing a version
+    race surfaces ConcurrentModificationError rather than retrying
+    blindly."""
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=frozenset({FEATURE_DELETION_VECTORS}))
+    if not snap.adds:
+        return snap
+    base_to_rel, built = _grown_dvs(spark, snap, path, predicate)
+    if not built:
+        return snap  # predicate matched nothing new: no commit
+    now_ms = int(time.time() * 1000)
+    actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)
     actions.append(
         {
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    version = snap.version + 1
+    log.commit(version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        log.write_checkpoint(version)
+    return log.snapshot(
+        version, allow=frozenset({FEATURE_DELETION_VECTORS})
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict,
+) -> Snapshot:
+    """UPDATE ... SET ... WHERE via deletion vectors — delta-spark's
+    DV-enabled UPDATE: matched rows are marked deleted in their
+    files' bitmaps (no rewrite of the untouched rows) and ONLY the
+    matched rows, with ``assignments`` (column -> SQL expression)
+    applied, are written out as new appended files in the same
+    commit. At 100 TB an update touching 0.1% of rows writes 0.1% of
+    the data instead of rewriting every touched file.
+
+    The new rows come from the DV-AWARE live read (read_delta), so
+    rows a previous delete removed can never resurrect as updated
+    copies. Like delete_where, an UPDATE whose predicate matches no
+    live row commits nothing — phrase predicates to exclude already-
+    updated rows (e.g. ``qty > 45 AND flag <> 'X'``) and re-runs are
+    true no-ops."""
+    from pyspark.sql import functions as F
+
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=frozenset({FEATURE_DELETION_VECTORS}))
+    if not snap.adds:
+        return snap
+    unknown = set(assignments) - {f.name for f in snap.schema.fields}
+    if unknown:
+        raise ValueError(
+            f"UPDATE assigns to columns not in the table: {sorted(unknown)}"
+        )
+    base_to_rel, built = _grown_dvs(spark, snap, path, predicate)
+    if not built:
+        return snap
+    # rewritten rows: live matched rows with assignments applied,
+    # appended as new files (Spark writes them distributed)
+    updated = read_delta(spark, path).filter(F.expr(predicate)).withColumns(
+        {col: F.expr(expr) for col, expr in assignments.items()}
+    )
+    tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
+    writer = updated.write.mode("overwrite")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.parquet(tmp)
+    moved = _move_parts(tmp, path)
+    now_ms = int(time.time() * 1000)
+    actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)
+    actions.extend(_add_action(path, rel, parts) for rel, parts in moved)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
                 "operationParameters": {"predicate": predicate},
                 "engineInfo": "local-lakehouse-spark delta_py",
             }
@@ -1254,6 +1333,12 @@ class PyDeltaTable:
         """delta-spark ``DeltaTable.delete(condition)``: row-level
         delete via deletion vectors — no data-file rewrite."""
         delete_where(self._spark, self._path, condition)
+
+    def update(self, condition: str, set: dict) -> None:
+        """delta-spark ``DeltaTable.update(condition, set)``: matched
+        rows DV-deleted in place, rewritten copies appended — only
+        the matched rows are written."""
+        update_where(self._spark, self._path, condition, set)
 
     @property
     def version(self) -> int:

@@ -506,3 +506,87 @@ def test_table_changes_sees_dv_deletes(spark, tmp_path):
     ch = client.table_changes("unity", "default", "t", from_version=pre)
     rows = sorted((r.id, r._change_type) for r in ch.collect())
     assert rows == [(i, "delete") for i in (0, 2, 4, 6, 8)]
+
+
+# ---------------------------------------------------------------------------
+# update_where — DV-enabled UPDATE (mark deleted + append rewrites)
+# ---------------------------------------------------------------------------
+
+
+def test_update_where_rewrites_only_matched_rows(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import update_where
+
+    _single_file_table(spark, tbl)
+    before = set(DeltaLog(tbl).snapshot().adds)
+    update_where(spark, tbl, "id >= 8", {"s": "concat(s, '!')"})
+    rows = {r.id: r.s for r in read_delta(spark, tbl).collect()}
+    assert rows[8] == "i!" and rows[9] == "j!"
+    assert rows[0] == "a" and len(rows) == 10
+    snap = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    # original file still present (DV'd), plus >=1 appended rewrite file
+    assert before < set(snap.adds)
+    assert all(
+        snap.adds[rel].get("deletionVector") for rel in before
+    )
+
+
+def test_update_where_never_resurrects_deleted_rows(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import (
+        delete_where,
+        update_where,
+    )
+
+    _single_file_table(spark, tbl)
+    delete_where(spark, tbl, "id = 9")
+    # predicate also matches the deleted row 9 in the RAW file — the
+    # rewrite must come from the LIVE read, so 9 stays gone
+    update_where(spark, tbl, "id >= 8", {"s": "'UP'"})
+    rows = {r.id: r.s for r in read_delta(spark, tbl).collect()}
+    assert 9 not in rows
+    assert rows[8] == "UP" and len(rows) == 9
+
+
+def test_update_where_is_idempotent_with_guarded_predicate(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import update_where
+
+    _single_file_table(spark, tbl)
+    pred = "id < 3 AND s <> 'X'"
+    update_where(spark, tbl, pred, {"s": "'X'"})
+    v1 = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES).version
+    out = update_where(spark, tbl, pred, {"s": "'X'"})
+    assert out.version == v1  # second run: no live match, no commit
+    rows = {r.id: r.s for r in read_delta(spark, tbl).collect()}
+    assert [rows[i] for i in range(4)] == ["X", "X", "X", "d"]
+
+
+def test_update_where_partitioned_table(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import update_where
+
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", i * 10) for i in range(10)],
+        "id long, par string, v long",
+    )
+    write_delta(spark, df, tbl, partition_by=["par"])
+    update_where(spark, tbl, "id = 4", {"v": "v + 1"})
+    rows = {r.id: (r.par, r.v) for r in read_delta(spark, tbl).collect()}
+    assert rows[4] == ("even", 41)  # partition column survives the append
+    assert rows[6] == ("even", 60)
+    assert len(rows) == 10
+
+
+def test_update_where_unknown_column_raises(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import update_where
+
+    _single_file_table(spark, tbl)
+    with pytest.raises(ValueError, match="not in the table"):
+        update_where(spark, tbl, "id = 1", {"nope": "1"})
+
+
+def test_pydelta_table_update_facade(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import PyDeltaTable
+
+    _single_file_table(spark, tbl)
+    dt = PyDeltaTable(spark, tbl)
+    dt.update("id = 0", {"s": "'zero'"})
+    assert {r.s for r in dt.toDF().filter("id = 0").collect()} == {"zero"}
+    assert [r.operation for r in dt.history().collect()][0] == "UPDATE"

@@ -62,7 +62,7 @@ def test_clean_query_would_flag_if_nested_loop():
 @pytest.mark.plan_audit
 def test_full_inventory_plan_audit(spark):
     """The complete audit gate as a pytest target (VERDICT r5 item
-    5): every one of the declared queries' (185 as of round 6) physical plans at
+    5): every one of the declared queries' (186 as of round 6) physical plans at
     sf0.01 must carry zero unexpected scale red-flags — an
     un-allowlisted nested-loop join or a row-at-a-time Python UDF
     stage can never reach the driver unflagged. Excluded from the
