@@ -244,4 +244,22 @@ client.read_table("unity", "default", "dl").orderBy("id").show()
 print("catalog via SQL:",
       [r.table for r in client.sql("SHOW TABLES IN unity.default").collect()])
 
+# ---------------------------------------------------------------
+# Round 6: row-level DELETE/UPDATE via DELETION VECTORS — matched
+# rows are marked in per-file RoaringBitmaps (sources/delta_dv.py,
+# the public Delta DV format); nothing is rewritten in place, and
+# UPDATE appends only the rewritten rows. Foreign DV-bearing /
+# column-mapped tables (e.g. written by delta-spark or delta-rs)
+# read through the same machinery.
+# ---------------------------------------------------------------
+from local_lakehouse_spark.sources.delta_py import PyDeltaTable
+
+dt = PyDeltaTable(spark, f"{TUTORIAL_DIR}/dl")
+dt.delete("id = 1")                       # DV commit, no rewrite
+dt.update("id = 2", {"v": "v + 0.5"})     # DV + appended rewrite
+print("after DV DELETE(id=1) + UPDATE(id=2, v+=0.5):")
+dt.toDF().orderBy("id").show()
+print("operations in history:",
+      [r.operation for r in dt.history().collect()][:2])
+
 spark.stop()
