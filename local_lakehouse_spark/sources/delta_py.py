@@ -1257,18 +1257,36 @@ def vacuum(path: str, retain_hours: float = 168.0) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot
     and older than the retention window (DeltaTable.vacuum). Returns
     deleted relative paths. Time travel to versions whose files were
-    vacuumed stops working — exactly Delta's documented trade-off."""
+    vacuumed stops working — exactly Delta's documented trade-off.
+
+    Deletion-vector ``.bin`` files are vacuumed by the same rule: a
+    DV not referenced by any live add (superseded by a later DELETE's
+    union bitmap, or its data file removed) is deleted once past the
+    retention window."""
+    from . import delta_dv
+
     log = DeltaLog(path)
-    # metadata-only: live-set computation is name-based; DV .bin
-    # files are never candidates (only *.parquet is ever deleted)
+    # metadata-only: live-set computation is name-based
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
     live = {os.path.normpath(unquote(p)) for p in snap.adds}
+    for a in snap.adds.values():
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            live.add(
+                os.path.normpath(
+                    delta_dv.dv_relative_path(dv["pathOrInlineDv"])
+                )
+            )
     cutoff = time.time() - retain_hours * 3600
     deleted = []
     for root, dirs, names in os.walk(path):
         dirs[:] = [d for d in dirs if d != "_delta_log"]
         for name in names:
-            if not name.endswith(".parquet"):
+            is_data = name.endswith(".parquet")
+            is_dv = name.startswith("deletion_vector_") and name.endswith(
+                ".bin"
+            )
+            if not (is_data or is_dv):
                 continue
             abs_p = os.path.join(root, name)
             rel = os.path.normpath(os.path.relpath(abs_p, path))

@@ -590,3 +590,27 @@ def test_pydelta_table_update_facade(spark, tbl):
     dt.update("id = 0", {"s": "'zero'"})
     assert {r.s for r in dt.toDF().filter("id = 0").collect()} == {"zero"}
     assert [r.operation for r in dt.history().collect()][0] == "UPDATE"
+
+
+def test_vacuum_reclaims_superseded_dv_files(spark, tbl):
+    """A second DELETE supersedes the first DELETE's DV file (union
+    bitmap, new uuid); vacuum keeps the live DV and reclaims the
+    orphan — while never touching live data or live DVs."""
+    from local_lakehouse_spark.sources.delta_py import (
+        delete_where,
+        vacuum,
+    )
+
+    _single_file_table(spark, tbl)
+    delete_where(spark, tbl, "id = 0")
+    delete_where(spark, tbl, "id = 1")  # union DV, new .bin file
+    bins = [
+        n for n in os.listdir(tbl) if n.startswith("deletion_vector_")
+    ]
+    assert len(bins) == 2
+    gone = vacuum(tbl, retain_hours=0.0)
+    assert len(gone) == 1 and gone[0].startswith("deletion_vector_")
+    # reads stay correct: the live DV survived
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == list(
+        range(2, 10)
+    )
