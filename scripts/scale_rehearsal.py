@@ -50,6 +50,10 @@ QUERIES = [
     "x66_pagerank",
     "x99_bucketed_join",
     "y03_zorder_skipping",
+    # round-6 DV machinery: staging runs a real DV DELETE once
+    # (untimed warm pass); the timed number is the DV-aware
+    # anti-join read at each scale
+    "y12_dv_delete",
 ]
 
 _ABC = "abcdefghijklmnopqrstuvwxyz"

@@ -614,3 +614,43 @@ def test_vacuum_reclaims_superseded_dv_files(spark, tbl):
     assert sorted(r.id for r in read_delta(spark, tbl).collect()) == list(
         range(2, 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Property-based codec round-trips (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40),
+        max_size=500,
+    )
+)
+def test_roaring_roundtrip_property(indices):
+    enc = delta_dv.encode_roaring_bitmap_array(indices)
+    assert list(delta_dv.decode_roaring_bitmap_array(enc)) == sorted(
+        set(indices)
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+def test_z85_roundtrip_property(data):
+    assert delta_dv.z85_decode(delta_dv.z85_encode(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sets(
+        st.integers(min_value=0, max_value=200_000), max_size=5000
+    )
+)
+def test_dense_roaring_roundtrip_property(idx_set):
+    """Denser sets cross the array→bitset container boundary."""
+    enc = delta_dv.encode_roaring_bitmap_array(idx_set)
+    assert list(delta_dv.decode_roaring_bitmap_array(enc)) == sorted(idx_set)
