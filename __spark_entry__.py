@@ -64,6 +64,7 @@ _NEVER_STAMPED = [
     "y11_column_mapping_read",
     "y12_dv_delete",
     "y13_dv_update",
+    "y14_dv_purge",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

@@ -362,20 +362,31 @@ class LakehouseClient:
     def delete_from(
         self, catalog: str, schema: str, name: str, predicate: str
     ) -> int:
-        """Row-level DELETE: rewrite the table without rows matching
-        ``predicate`` (SQL boolean over the table's columns). Returns
-        the number of rows deleted. The previous contents are retired
-        as a snapshot — a delete is always time-travel reversible.
+        """Row-level DELETE of rows matching ``predicate`` (SQL
+        boolean over the table's columns). Returns the number of rows
+        deleted. The previous contents stay time-travel reachable.
 
-        Scale note: like delta-rs/Delta's copy-on-write DELETE, this
-        is a full distributed rewrite of affected data; partition-
-        pruned predicates on partitioned tables rewrite only what the
-        scan reads into the new layout.
+        Scale note: DELTA tables take the deletion-vector path
+        (delta_py.delete_where) — a bitmap-per-touched-file commit,
+        zero data rewritten. Other formats do the copy-on-write
+        rewrite; partition-pruned predicates on partitioned tables
+        rewrite only what the scan reads into the new layout.
         """
         tbl = self.get_table(catalog, schema, name)
         df = self.read_table(catalog, schema, name)
         deleted = df.filter(predicate).count()
-        if deleted:
+        if not deleted:
+            return 0
+        if tbl.file_type == FileType.DELTA and not _io.HAVE_DELTA:
+            # DV fast path: bitmap-only commit, zero data rewritten
+            from .sources import delta_py
+
+            delta_py.delete_where(
+                self._require_spark(),
+                _io.strip_file_scheme(tbl.storage_location or ""),
+                predicate,
+            )
+        else:
             self._rewrite_contents(tbl, df.filter(f"NOT ({predicate})"))
         return deleted
 
@@ -391,7 +402,12 @@ class LakehouseClient:
         ``predicate``; other rows pass through unchanged. Returns the
         number of rows updated. The updated contents pass the same
         CHECK-constraint gate as write_table; the previous contents
-        are retired as a snapshot.
+        stay time-travel reachable.
+
+        Scale note: DELTA tables take the deletion-vector path
+        (delta_py.update_where) — matched rows are bitmap-deleted and
+        only their post-images append; an update touching 0.1% of
+        rows writes 0.1% of the data. Other formats rewrite.
         """
         tbl = self.get_table(catalog, schema, name)
         df = self.read_table(catalog, schema, name)
@@ -409,6 +425,25 @@ class LakehouseClient:
                 for c in df.columns
             ]
         )
+        if tbl.file_type == FileType.DELTA and not _io.HAVE_DELTA:
+            # DV fast path: matched rows are bitmap-deleted and only
+            # their post-images append — untouched rows (already
+            # gated at their own write) are never rewritten.
+            from .sources import delta_py
+
+            self._check_constraints(out.filter(predicate), tbl)
+            delta_py.update_where(
+                self._require_spark(),
+                _io.strip_file_scheme(tbl.storage_location or ""),
+                predicate,
+                {
+                    c: f"CAST(({e}) AS "
+                    f"{df.schema[c].dataType.simpleString()})"
+                    for c, e in assignments.items()
+                    if c in df.columns
+                },
+            )
+            return updated
         self._check_constraints(out, tbl)
         self._rewrite_contents(tbl, out)
         return updated
@@ -779,6 +814,38 @@ class LakehouseClient:
         )
         return int(target_files)
 
+    def purge_table(self, catalog: str, schema: str, name: str) -> int:
+        """``REORG TABLE c.s.t APPLY (PURGE)`` — materialize deletion
+        vectors by physically rewriting ONLY the DV-bearing files
+        (delta_py.purge); DV-free files are untouched and the commit
+        is ``dataChange=false`` (invisible to streaming/CDC readers).
+        Returns the number of files purged (0 = no DVs, no commit).
+
+        Completes the row-level lifecycle: ``delete_where``/
+        ``update_where`` keep deletes metadata-speed, purge amortizes
+        the rewrite into maintenance, ``vacuum`` reclaims the
+        superseded data + DV files."""
+        tbl = self.get_table(catalog, schema, name)
+        if tbl.file_type != FileType.DELTA:
+            raise UnsupportedOperationError(
+                "REORG ... APPLY (PURGE) requires a DELTA table"
+            )
+        spark = self._require_spark()
+        path = _io.strip_file_scheme(tbl.storage_location or "")
+        if _io.HAVE_DELTA:
+            spark.sql(f"REORG TABLE delta.`{path}` APPLY (PURGE)")
+            return 0
+        from .sources import delta_py
+
+        purged = len(
+            delta_py.DeltaLog(path)
+            .snapshot(allow=delta_py.BATCH_READ_FEATURES)
+            .dv_adds
+        )
+        if purged:
+            delta_py.purge(spark, path)
+        return purged
+
     @staticmethod
     def _normalize_location(location: str) -> str:
         if location.startswith("file://"):
@@ -871,6 +938,12 @@ class LakehouseClient:
         r"^OPTIMIZE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
         + r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*$",
+        re.IGNORECASE,
+    )
+    _REORG_RE = re.compile(
+        r"^REORG\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+APPLY\s*\(\s*PURGE\s*\)\s*$",
         re.IGNORECASE,
     )
     _SHOW_RE = re.compile(
@@ -1054,6 +1127,11 @@ class LakehouseClient:
                 zorder_by=z,
             )
             return spark.createDataFrame([(n,)], "target_files long")
+        m = self._REORG_RE.match(stmt)
+        if m:
+            cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
+            n = self.purge_table(cat, sch, tbl)
+            return spark.createDataFrame([(n,)], "files_purged long")
         m = self._SHOW_RE.match(stmt)
         if m:
             kind, a, b = m.groups()

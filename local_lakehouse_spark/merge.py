@@ -40,6 +40,13 @@ from .io import (
 from .models import FileType, Table
 
 
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def default_merge_condition(table: Table, source_alias: str, target_alias: str) -> str:
     """AND-equality over the stored default merge columns.
 
@@ -245,28 +252,173 @@ class SparkMerger:
                 "be nondeterministic (Delta raises the same error)"
             )
 
+    def _dv_change_set(
+        self, target: DataFrame
+    ) -> tuple[DataFrame, Optional[DataFrame]]:
+        """Decompose the merge into its ROW-LEVEL change set over a
+        position-bearing target read (read_delta_with_positions):
+        (dead_positions, appended_rows). A target row hit by an
+        update/delete clause contributes its (file, position) to the
+        deletion vectors; updates and inserts contribute their
+        post-image rows to the append. Untouched rows contribute
+        NOTHING — they stay in their files, which is the whole point
+        of a DV merge. Clause ordering/first-match-wins semantics are
+        identical to _result_plan's."""
+        out_cols = [
+            c for c in target.columns if c not in ("__llh_fn", "__llh_ri")
+        ]
+        s, t = self._s, self._t
+        tgt = target.withColumn("__t_present", F.lit(True)).alias(t)
+        src = self._source.withColumn("__s_present", F.lit(True)).alias(s)
+        joined = tgt.join(src, F.expr(self._condition), "full_outer")
+        t_present = F.col(f"{t}.__t_present").isNotNull()
+        s_present = F.col(f"{s}.__s_present").isNotNull()
+        target_types = dict(target.dtypes)
+
+        def proj(prefix: str) -> list:
+            return [F.col(f"{prefix}.{c}").alias(c) for c in out_cols]
+
+        def apply_updates(updates: dict[str, str]) -> list:
+            return [
+                F.expr(updates[c]).alias(c)
+                if c in updates
+                else F.col(f"{t}.{c}").alias(c)
+                for c in out_cols
+            ]
+
+        def pos(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(f"{t}.__llh_fn").alias("file_name"),
+                F.col(f"{t}.__llh_ri").alias("row_index"),
+            )
+
+        dead: list[DataFrame] = []
+        appended: list[DataFrame] = []
+
+        if self._matched:
+            remaining = joined.filter(t_present & s_present)
+            for kind, updates, predicate in self._matched:
+                subset = (
+                    remaining.filter(F.expr(predicate))
+                    if predicate
+                    else remaining
+                )
+                dead.append(pos(subset))  # update rewrites = delete+append
+                if kind == "update_all":
+                    appended.append(subset.select(*proj(s)))
+                elif kind == "update":
+                    appended.append(
+                        subset.select(*apply_updates(updates or {}))
+                    )
+                if predicate:
+                    remaining = remaining.filter(
+                        ~F.expr(predicate) | F.expr(predicate).isNull()
+                    )
+                else:
+                    remaining = remaining.limit(0)
+
+        remaining = joined.filter(s_present & ~t_present)
+        for kind, updates, predicate in self._not_matched:
+            subset = (
+                remaining.filter(F.expr(predicate)) if predicate else remaining
+            )
+            if kind == "insert_all":
+                appended.append(subset.select(*proj(s)))
+            elif kind == "insert":
+                appended.append(
+                    subset.select(
+                        *[
+                            F.expr(updates[c]).alias(c)
+                            if c in (updates or {})
+                            else F.lit(None).cast(target_types[c]).alias(c)
+                            for c in out_cols
+                        ]
+                    )
+                )
+            if predicate:
+                remaining = remaining.filter(
+                    ~F.expr(predicate) | F.expr(predicate).isNull()
+                )
+            else:
+                remaining = remaining.limit(0)
+
+        remaining = joined.filter(t_present & ~s_present)
+        for kind, updates, predicate in self._not_matched_by_source:
+            subset = (
+                remaining.filter(F.expr(predicate)) if predicate else remaining
+            )
+            dead.append(pos(subset))
+            if kind == "update":
+                appended.append(subset.select(*apply_updates(updates or {})))
+            if predicate:
+                remaining = remaining.filter(
+                    ~F.expr(predicate) | F.expr(predicate).isNull()
+                )
+            else:
+                remaining = remaining.limit(0)
+
+        dead_df = (
+            _union_all(dead)
+            if dead
+            else self._spark.createDataFrame(
+                [], "file_name string, row_index bigint"
+            )
+        )
+        return dead_df, _union_all(appended) if appended else None
+
     def execute(self) -> None:
         """Materialize the merge and commit atomically, preserving the
-        table's storage layout (single file stays single file)."""
+        table's storage layout (single file stays single file).
+
+        DELTA tables take the DV path (delta-spark's low-shuffle
+        merge): touched rows are marked dead in their files' deletion
+        vectors and only rewritten/inserted rows append as new files —
+        a merge touching 0.1% of a 100 TB table commits bitmaps plus
+        0.1% of the data, never a table rewrite. PARQUET tables (no
+        log, no DV protocol) keep the full-rewrite commit."""
         if self._matched:
             self._check_ambiguous_matches()
-        result = self._result_plan()
-        if self._validate is not None:
-            self._validate(result)
         path = strip_file_scheme(self._table.storage_location or "")
         part_cols = [c.name for c in self._table.partition_columns()]
         if self._table.file_type == FileType.DELTA:
-            # Python Delta path: the rewritten table commits as a new
-            # log version (remove old files + add new) — MERGE shows
-            # up in history and is time-travelable, like DeltaTable.merge.
-            from .sources.delta_py import write_delta
+            from .sources import delta_py
 
-            write_delta(
+            snap_probe = delta_py.DeltaLog(path).snapshot(
+                allow=delta_py.BATCH_READ_FEATURES
+            )
+            if (
+                snap_probe.adds
+                and snap_probe.column_mapping_mode in ("", "none")
+            ):
+                snap, target = delta_py.read_delta_with_positions(
+                    self._spark, path
+                )
+                dead, appended = self._dv_change_set(target)
+                if self._validate is not None and appended is not None:
+                    # untouched rows passed the gate at their own
+                    # write time; only the new/rewritten rows need it
+                    self._validate(appended)
+                delta_py.apply_row_changes(
+                    self._spark, path, snap, dead, appended,
+                    operation="MERGE",
+                    operation_parameters={"predicate": self._condition},
+                )
+                return
+            # empty table (nothing to DV) — or column-mapped, which
+            # write_delta refuses with the same loud error as before
+            result = self._result_plan()
+            if self._validate is not None:
+                self._validate(result)
+            delta_py.write_delta(
                 self._spark, result, path,
                 mode="overwrite", partition_by=part_cols or None,
                 operation="MERGE",
             )
-        elif not part_cols and _is_single_file(path):
+            return
+        result = self._result_plan()
+        if self._validate is not None:
+            self._validate(result)
+        if not part_cols and _is_single_file(path):
             _write_single_file(result, "parquet", path)
         else:
             _rewrite_table_dir(result, "parquet", path, partition_by=part_cols or None)

@@ -5639,6 +5639,80 @@ def y12(spark, sf):
     )
 
 
+def y14(spark, sf):
+    """REORG TABLE ... APPLY (PURGE) — materializing deletion vectors
+    (delta_py.purge, the delta-spark `REORG ... APPLY (PURGE)`
+    analog): ONLY the DV-bearing files are physically rewritten
+    without their tombstoned rows; DV-free files are untouched, and
+    the commit is dataChange=false (invisible to streaming/CDC). This
+    completes the DV lifecycle the round-6 series builds: y12 DELETE
+    (bitmap-only), y13 UPDATE (bitmap + matched-row append), y14
+    PURGE (amortized physical rewrite), vacuum (reclaim). The staging
+    range-partitions lineitem by l_quantity so the `> 45` delete
+    lands DVs on a strict subset of files — making the
+    untouched-files contract meaningful. CONTRACTS: the delete must
+    DV a strict subset of files; post-purge NO deletion vectors may
+    remain; every DV-free file must survive byte-identical; the head
+    history row must be the REORG commit. Re-runs restore to the
+    DV-free base version first (metadata-only), so the full
+    delete→purge cycle re-executes every time. Oracle: y10's
+    aggregate — the surviving-row set is identical."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|dvpurge-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_dvpurge_{key}")
+    if not delta_py.is_delta_table(tbl):
+        li = t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        ).repartitionByRange(8, "l_quantity")
+        delta_py.write_delta(spark, li, tbl)
+    else:
+        delta_py.restore(spark, tbl, 0)  # DV-free base, metadata-only
+    delta_py.delete_where(spark, tbl, "l_quantity > 45")
+    pre = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if not pre.dv_adds or len(pre.dv_adds) >= len(pre.adds):
+        raise AssertionError(
+            "y14 delete must DV a strict subset of files, got "
+            f"{len(pre.dv_adds)}/{len(pre.adds)}"
+        )
+    untouched = {
+        rel: a["size"]
+        for rel, a in pre.adds.items()
+        if not a.get("deletionVector")
+    }
+    snap = delta_py.purge(spark, tbl)
+    if snap.dv_adds:
+        raise AssertionError("y14 purge left deletion vectors behind")
+    for rel, size in untouched.items():
+        a = snap.adds.get(rel)
+        if a is None or a["size"] != size:
+            raise AssertionError(
+                f"y14 purge rewrote DV-free file {rel} — REORG must "
+                "touch only DV-bearing files"
+            )
+    if delta_py.DeltaLog(tbl).history()[0]["operation"] != "REORG":
+        raise AssertionError("y14 head commit is not the REORG")
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -5781,4 +5855,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     # different bitmap producer (foreign vs our own delete_where)
     "y12_dv_delete": QuerySpec(y12, Y10_SQL),
     "y13_dv_update": QuerySpec(y13, Y13_SQL),
+    "y14_dv_purge": QuerySpec(y14, Y10_SQL),
 }

@@ -1031,15 +1031,35 @@ def _grown_dvs(
 ) -> tuple[dict, list]:
     """Shared machinery of DV-based DELETE/UPDATE: per file touched
     by ``predicate``, the union of its existing DV and the newly
-    matching positions, as (base_to_rel map, [(file_name,
-    descriptor)]). Bitmaps are built and their DV files written IN
-    EXECUTORS (applyInPandas, one group per file — assumes executors
-    share the table filesystem, true for any shared-store
-    deployment); only descriptor-sized rows reach the driver. Files
-    whose DV did not grow (every matching row already deleted) are
-    filtered out, so a no-op predicate yields an empty list."""
+    matching positions. Scans the RAW files (existing DVs are unioned
+    into the bitmap, so re-marking an already-deleted row is a
+    no-op)."""
     from pyspark.sql import functions as F
 
+    scan = (
+        spark.read.option("basePath", path)
+        .schema(snap.schema)
+        .parquet(*snap.files(path))
+    )
+    hits = scan.filter(F.expr(predicate)).select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    return _grown_dvs_from_hits(spark, snap, path, hits)
+
+
+def _grown_dvs_from_hits(
+    spark: SparkSession, snap: Snapshot, path: str, hits: DataFrame
+) -> tuple[dict, list]:
+    """Grow per-file deletion vectors from a (file_name, row_index)
+    DataFrame of newly dead positions: per touched file, the union of
+    its existing DV and the new positions, as (base_to_rel map,
+    [(file_name, descriptor)]). Bitmaps are built and their DV files
+    written IN EXECUTORS (applyInPandas, one group per file — assumes
+    executors share the table filesystem, true for any shared-store
+    deployment); only descriptor-sized rows reach the driver. Files
+    whose DV did not grow (every position already deleted) are
+    filtered out, so a no-op input yields an empty list."""
     from . import delta_dv
 
     base_to_rel = {os.path.basename(unquote(r)): r for r in snap.adds}
@@ -1052,15 +1072,6 @@ def _grown_dvs(
         os.path.basename(unquote(r)): a.get("deletionVector")
         for r, a in snap.adds.items()
     }
-    scan = (
-        spark.read.option("basePath", path)
-        .schema(snap.schema)
-        .parquet(*snap.files(path))
-    )
-    hits = scan.filter(F.expr(predicate)).select(
-        F.col("_metadata.file_name").alias("file_name"),
-        F.col("_metadata.row_index").alias("row_index"),
-    )
 
     def build(key, pdf):
         import json as _json
@@ -1251,6 +1262,217 @@ def update_where(
     return log.snapshot(
         version, allow=frozenset({FEATURE_DELETION_VECTORS})
     )
+
+
+def read_delta_with_positions(
+    spark: SparkSession, path: str
+) -> tuple[Snapshot, DataFrame]:
+    """LIVE rows plus their physical identity — the table's columns
+    followed by ``__llh_fn`` (data-file basename) and ``__llh_ri``
+    (row position in that file). This is the input a positional
+    writer (DV MERGE) needs: existing deletion vectors are already
+    anti-joined out, so positions of dead rows can never be re-used
+    as merge inputs. Column-mapped tables are refused (the write
+    paths are physical-name-blind by design)."""
+    from pyspark.sql import functions as F
+
+    snap = DeltaLog(path).snapshot(
+        allow=frozenset({FEATURE_DELETION_VECTORS})
+    )
+    pos_cols = {
+        "__llh_fn": F.col("_metadata.file_name"),
+        "__llh_ri": F.col("_metadata.row_index"),
+    }
+    if not snap.adds:
+        empty = spark.createDataFrame([], snap.schema).withColumns(
+            {
+                "__llh_fn": F.lit(None).cast("string"),
+                "__llh_ri": F.lit(None).cast("bigint"),
+            }
+        )
+        return snap, empty
+    scan = (
+        spark.read.option("basePath", path)
+        .schema(snap.schema)
+        .parquet(*snap.files(path))
+        .withColumns(pos_cols)
+    )
+    dv_adds = snap.dv_adds
+    if dv_adds:
+        total_card = sum(
+            int(a["deletionVector"].get("cardinality") or 0)
+            for a in dv_adds.values()
+        )
+        deleted = _deleted_positions_df(spark, dv_adds, path, total_card)
+        if total_card <= _DV_BROADCAST_MAX_ROWS:
+            deleted = F.broadcast(deleted)
+        scan = scan.join(
+            deleted,
+            (scan["__llh_fn"] == deleted["file_name"])
+            & (scan["__llh_ri"] == deleted["row_index"]),
+            "left_anti",
+        )
+    return snap, scan.select(
+        *[f.name for f in snap.schema.fields], "__llh_fn", "__llh_ri"
+    )
+
+
+def apply_row_changes(
+    spark: SparkSession,
+    path: str,
+    snap: Snapshot,
+    dead_positions: DataFrame,
+    new_rows: Optional[DataFrame],
+    operation: str,
+    operation_parameters: Optional[dict] = None,
+) -> Snapshot:
+    """Commit a row-level change set in ONE transaction: positions in
+    ``dead_positions`` (file_name, row_index — from
+    read_delta_with_positions) are marked deleted via grown per-file
+    deletion vectors, and ``new_rows`` (if any) append as new files.
+    This is the shared machinery of DV-backed MERGE: a merge touching
+    0.1% of a 100 TB table commits bitmaps for the touched files plus
+    0.1% of the data — never a table rewrite. ``new_rows`` is
+    materialized BEFORE the DV build so both read the pre-change
+    snapshot. Always commits (MERGE parity: a no-op merge still lands
+    a history row)."""
+    base_to_rel, built = _grown_dvs_from_hits(
+        spark, snap, path, dead_positions
+    )
+    moved: list[tuple[str, dict]] = []
+    if new_rows is not None:
+        tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
+        writer = new_rows.write.mode("overwrite")
+        if snap.partition_columns:
+            writer = writer.partitionBy(*snap.partition_columns)
+        writer.parquet(tmp)
+        moved = _move_parts(tmp, path)
+    now_ms = int(time.time() * 1000)
+    actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)
+    for rel, parts in moved:
+        act = _add_action(path, rel, parts)
+        if not json.loads(act["add"]["stats"]).get("numRecords"):
+            os.remove(os.path.join(path, rel))  # skip empty part files
+            continue
+        actions.append(act)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": operation,
+                "operationParameters": dict(operation_parameters or {}),
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    version = snap.version + 1
+    log = DeltaLog(path)
+    log.commit(version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        log.write_checkpoint(version)
+    return log.snapshot(
+        version, allow=frozenset({FEATURE_DELETION_VECTORS})
+    )
+
+
+def purge(spark: SparkSession, path: str) -> Snapshot:
+    """``REORG TABLE ... APPLY (PURGE)`` parity — the final step of
+    the deletion-vector lifecycle: physically rewrite ONLY the data
+    files that carry DVs, dropping their soft-deleted rows; DV-free
+    files are untouched. The commit removes each purged file (whose
+    bitmap a later ``vacuum`` then reclaims) and adds its compacted
+    replacement with ``dataChange=false`` — the logical row set is
+    identical, so the streaming source and the CDC change feed both
+    skip the commit, exactly as delta-spark's REORG does.
+
+    At 100 TB this is why DV deletes stay cheap forever: DELETE is a
+    metadata-plus-bitmap commit (delete_where), and the physical
+    rewrite is amortized into a maintenance job that touches only the
+    files that actually accumulated tombstones. A table with no DVs
+    is a no-op (no commit).
+
+    The rewrite itself is distributed: the DV-bearing files are
+    scanned with the same anti-join read path as read_delta, and
+    Spark writes the survivors; only file-rename metadata crosses the
+    driver."""
+    from pyspark.sql import functions as F
+
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    if snap.column_mapping_mode not in ("", "none"):
+        raise UnsupportedOperationError(
+            "purge of a column-mapped Delta table is not supported "
+            "(the rewrite would need to re-emit physical column names)"
+        )
+    dv_adds = snap.dv_adds
+    if not dv_adds:
+        return snap
+    total_card = sum(
+        int(a["deletionVector"].get("cardinality") or 0)
+        for a in dv_adds.values()
+    )
+    deleted = _deleted_positions_df(spark, dv_adds, path, total_card)
+    if total_card <= _DV_BROADCAST_MAX_ROWS:
+        deleted = F.broadcast(deleted)
+    reader = spark.read.option("basePath", path).schema(snap.schema)
+    dv_scan = reader.parquet(
+        *[os.path.join(path, unquote(p)) for p in sorted(dv_adds)]
+    ).withColumns(
+        {
+            "__dv_fn": F.col("_metadata.file_name"),
+            "__dv_ri": F.col("_metadata.row_index"),
+        }
+    )
+    survivors = (
+        dv_scan.join(
+            deleted,
+            (dv_scan["__dv_fn"] == deleted["file_name"])
+            & (dv_scan["__dv_ri"] == deleted["row_index"]),
+            "left_anti",
+        )
+        .drop("__dv_fn", "__dv_ri")
+        .select(*[f.name for f in snap.schema.fields])
+        .coalesce(max(1, len(dv_adds)))
+    )
+    tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
+    writer = survivors.write.mode("overwrite")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.parquet(tmp)
+    moved = _move_parts(tmp, path)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for rel in sorted(dv_adds)
+    ]
+    for rel, parts in moved:
+        act = _add_action(path, rel, parts)
+        if not json.loads(act["add"]["stats"]).get("numRecords"):
+            os.remove(os.path.join(path, rel))  # fully-deleted input
+            continue
+        act["add"]["dataChange"] = False
+        actions.append(act)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "REORG",
+                "operationParameters": {"applyPurge": "true"},
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    version = snap.version + 1
+    log.commit(version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        log.write_checkpoint(version)
+    return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
 def vacuum(path: str, retain_hours: float = 168.0) -> list[str]:

@@ -262,4 +262,21 @@ dt.toDF().orderBy("id").show()
 print("operations in history:",
       [r.operation for r in dt.history().collect()][:2])
 
+# REORG ... APPLY (PURGE) materializes the bitmaps: ONLY DV-bearing
+# files are rewritten (dataChange=false — streaming/CDC skip it);
+# a later VACUUM reclaims the superseded data + DV files. (The
+# DELETE/UPDATE above left no DVs — a full-cover bitmap drops its
+# file outright — so seed a file and tombstone part of it first.)
+client.write_table(
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "id long, k string, v double"
+    ).coalesce(1),                        # one file holding ids 3+4
+    "unity", "default", "dl", mode="append",
+)
+dt.delete("id = 3")                       # partial DV on that file
+n = client.sql("REORG TABLE unity.default.dl APPLY (PURGE)").collect()
+print("files purged:", n[0].files_purged)
+print("operations in history:",
+      [r.operation for r in dt.history().collect()][:3])
+
 spark.stop()

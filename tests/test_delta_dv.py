@@ -617,6 +617,204 @@ def test_vacuum_reclaims_superseded_dv_files(spark, tbl):
 
 
 # ---------------------------------------------------------------------------
+# purge — REORG TABLE ... APPLY (PURGE): materialize deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def _two_file_table(spark, tbl):
+    """Two data files: ids 0-9 ('a'..'j') and ids 10-19 ('z')."""
+    df1 = spark.createDataFrame(
+        [(i, chr(ord("a") + i)) for i in range(10)], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, df1, tbl)
+    df2 = spark.createDataFrame(
+        [(i, "z") for i in range(10, 20)], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, df2, tbl, mode="append")
+
+
+def test_purge_rewrites_only_dv_files(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import delete_where, purge
+
+    _two_file_table(spark, tbl)
+    delete_where(spark, tbl, "id IN (1, 3)")  # DVs only the first file
+    pre = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    untouched = {
+        rel: a["size"]
+        for rel, a in pre.adds.items()
+        if not a.get("deletionVector")
+    }
+    assert untouched and pre.dv_adds
+    snap = purge(spark, tbl)
+    assert not snap.dv_adds  # every DV materialized away
+    for rel, size in untouched.items():
+        assert snap.adds[rel]["size"] == size  # DV-free file untouched
+    assert set(pre.dv_adds) & set(snap.adds) == set()  # purged replaced
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [
+        i for i in range(20) if i not in (1, 3)
+    ]
+    hist = DeltaLog(tbl).history()
+    assert hist[0]["operation"] == "REORG"
+
+
+def test_purge_without_dvs_is_a_noop(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import purge
+
+    _single_file_table(spark, tbl)
+    v = DeltaLog(tbl).snapshot().version
+    snap = purge(spark, tbl)
+    assert snap.version == v  # no commit
+
+
+def test_purge_commit_is_invisible_to_cdc(spark, tmp_path):
+    """REORG is dataChange=false: the logical row set is identical, so
+    the change feed between pre-purge and post-purge is empty."""
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+    from local_lakehouse_spark.sources.delta_py import delete_where, purge
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, df, tbl_path)
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    delete_where(spark, tbl_path, "id % 2 = 0")
+    pre = DeltaLog(tbl_path).snapshot(allow=BATCH_READ_FEATURES)
+    snap = purge(spark, tbl_path)
+    for a in snap.adds.values():  # every purge-written add is no-change
+        if a["path"] not in pre.adds:
+            assert a.get("dataChange") is False
+    ch = client.table_changes(
+        "unity", "default", "t", from_version=pre.version
+    )
+    assert ch.count() == 0
+
+
+def test_purge_partitioned_table(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import delete_where, purge
+
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", i * 10) for i in range(10)],
+        "id long, par string, v long",
+    )
+    write_delta(spark, df, tbl, partition_by=["par"])
+    delete_where(spark, tbl, "id IN (2, 3)")
+    snap = purge(spark, tbl)
+    assert not snap.dv_adds
+    for a in snap.adds.values():
+        assert a["partitionValues"].get("par") in ("even", "odd")
+    rows = {r.id: (r.par, r.v) for r in read_delta(spark, tbl).collect()}
+    assert set(rows) == {0, 1, 4, 5, 6, 7, 8, 9}
+    assert rows[4] == ("even", 40)
+
+
+def test_purge_drops_fully_deleted_file(spark, tbl):
+    """A foreign full-cover DV (every row deleted) purges to nothing:
+    the file is removed and NO empty replacement is added."""
+    from local_lakehouse_spark.sources.delta_py import purge
+
+    rel = _single_file_table(spark, tbl)
+    _attach_dv(tbl, rel, list(range(10)))
+    snap = purge(spark, tbl)
+    assert snap.adds == {}
+    assert read_delta(spark, tbl).count() == 0
+
+
+def test_purge_refuses_column_mapped_tables(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import purge
+
+    _make_mapped_table(tbl)
+    with pytest.raises(UnsupportedOperationError, match="column-mapped"):
+        purge(spark, tbl)
+
+
+def test_purge_then_vacuum_reclaims_data_and_dv_files(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import (
+        delete_where,
+        purge,
+        vacuum,
+    )
+
+    rel = _single_file_table(spark, tbl)
+    delete_where(spark, tbl, "id < 5")
+    purge(spark, tbl)
+    gone = sorted(vacuum(tbl, retain_hours=0.0))
+    assert rel in gone  # superseded data file reclaimed
+    assert any(g.startswith("deletion_vector_") for g in gone)
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [
+        5, 6, 7, 8, 9,
+    ]
+
+
+def test_sql_reorg_purge_route(spark, tmp_path):
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, df, tbl_path)
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    delete_where(spark, tbl_path, "id > 7")
+    out = client.sql("REORG TABLE unity.default.t APPLY (PURGE)")
+    assert out.collect()[0].files_purged == 1
+    assert not DeltaLog(tbl_path).snapshot(
+        allow=BATCH_READ_FEATURES
+    ).dv_adds
+    # second run: nothing left to purge
+    out = client.sql("REORG TABLE unity.default.t APPLY (PURGE)")
+    assert out.collect()[0].files_purged == 0
+
+
+def test_sql_delete_update_take_dv_path_on_delta(spark, tmp_path):
+    """client.sql DELETE/UPDATE on a DELTA table must commit deletion
+    vectors (zero rewrites), not a copy-on-write rewrite."""
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "id long, v long"
+    ).coalesce(1)
+    write_delta(spark, df, tbl_path)
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    pre = {
+        rel: a["size"] for rel, a in DeltaLog(tbl_path).snapshot().adds.items()
+    }
+    out = client.sql("DELETE FROM unity.default.t WHERE id >= 8")
+    assert out.collect()[0].rows_affected == 2
+    out = client.sql("UPDATE unity.default.t SET v = v + 1 WHERE id = 0")
+    assert out.collect()[0].rows_affected == 1
+    snap = DeltaLog(tbl_path).snapshot(allow=BATCH_READ_FEATURES)
+    assert snap.dv_adds  # DV commits, not rewrites
+    for rel, size in pre.items():
+        assert snap.adds[rel]["size"] == size  # original file untouched
+    rows = {r.id: r.v for r in read_delta(spark, tbl_path).collect()}
+    assert rows[0] == 1 and 8 not in rows and 9 not in rows
+    assert len(rows) == 8
+    ops = [h["operation"] for h in DeltaLog(tbl_path).history()[:2]]
+    assert ops == ["UPDATE", "DELETE"]
+
+
+# ---------------------------------------------------------------------------
 # Property-based codec round-trips (hypothesis)
 # ---------------------------------------------------------------------------
 

@@ -240,6 +240,135 @@ def test_sql_merge_requires_on_and_when(unity, spark, tmp_path):
                   "ON s.id = t.id")
 
 
+# ---------------------------------------------------------------------------
+# DV-backed MERGE on DELTA tables (the low-shuffle merge path)
+# ---------------------------------------------------------------------------
+
+
+def _delta_target(unity, spark, tmp_path, name="dvm", n=10, files=2):
+    from local_lakehouse_spark.sources.delta_py import write_delta
+
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, chr(ord("a") + i), float(i)) for i in range(n)],
+        "id long, k string, v double",
+    ).repartitionByRange(files, "id")
+    write_delta(spark, df, path)
+    unity.register_as_table("unity", "default", name, "DELTA", path)
+    unity.set_table_default_merge_columns("unity", "default", name, ["id"])
+    return path
+
+
+def test_dv_merge_touches_only_matched_files(unity, spark, tmp_path):
+    """A merge hitting rows in ONE of two files must leave every
+    original file byte-identical, DV exactly that file, and append
+    only the rewritten/inserted rows."""
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+        DeltaLog,
+    )
+
+    path = _delta_target(unity, spark, tmp_path)
+    pre = DeltaLog(path).snapshot().adds
+    assert len(pre) == 2
+    src = spark.createDataFrame(
+        [(9, "Z", 99.0), (100, "new", 1.0)], "id long, k string, v double"
+    )
+    (
+        unity.merge_table(src, "unity", "default", "dvm")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    snap = DeltaLog(path).snapshot(allow=BATCH_READ_FEATURES)
+    for rel, a in pre.items():  # no in-place rewrites, ever
+        assert snap.adds[rel]["size"] == a["size"]
+    assert len(snap.dv_adds) == 1  # only the file holding id=9
+    rows = {
+        r.id: (r.k, r.v)
+        for r in unity.read_table("unity", "default", "dvm").collect()
+    }
+    assert rows[9] == ("Z", 99.0) and rows[100] == ("new", 1.0)
+    assert rows[0] == ("a", 0.0) and len(rows) == 11
+    assert DeltaLog(path).history()[0]["operation"] == "MERGE"
+
+
+def test_dv_merge_matched_delete_marks_positions(unity, spark, tmp_path):
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+        DeltaLog,
+    )
+
+    path = _delta_target(unity, spark, tmp_path, name="dvd", n=5, files=1)
+    src = spark.createDataFrame(
+        [(1, "x", 0.0), (2, "x", 0.0)], "id long, k string, v double"
+    )
+    (
+        unity.merge_table(src, "unity", "default", "dvd")
+        .when_matched_delete()
+        .execute()
+    )
+    snap = DeltaLog(path).snapshot(allow=BATCH_READ_FEATURES)
+    assert snap.dv_adds  # delete-only merge: bitmaps, no appends
+    ids = sorted(
+        r.id for r in unity.read_table("unity", "default", "dvd").collect()
+    )
+    assert ids == [0, 3, 4]
+
+
+def test_dv_merge_never_resurrects_deleted_rows(unity, spark, tmp_path):
+    """A row removed by a prior DV DELETE is NOT 'matched' — a merge
+    on its key takes the insert branch (the position-bearing read is
+    DV-aware), and the old tombstone survives."""
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    path = _delta_target(unity, spark, tmp_path, name="dvr", n=5, files=1)
+    delete_where(spark, path, "id = 2")
+    src = spark.createDataFrame(
+        [(2, "reborn", 22.0)], "id long, k string, v double"
+    )
+    (
+        unity.merge_table(src, "unity", "default", "dvr")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    rows = {
+        r.id: (r.k, r.v)
+        for r in unity.read_table("unity", "default", "dvr").collect()
+    }
+    assert rows[2] == ("reborn", 22.0)  # via INSERT, not resurrection
+    assert len(rows) == 5
+
+
+def test_dv_merge_then_purge_and_time_travel(unity, spark, tmp_path):
+    """The DV merge composes with the rest of the lifecycle: purge
+    materializes its bitmaps, and time travel still sees the
+    pre-merge contents."""
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+        DeltaLog,
+        purge,
+        read_delta,
+    )
+
+    path = _delta_target(unity, spark, tmp_path, name="dvp", n=6, files=2)
+    pre_version = DeltaLog(path).snapshot().version
+    src = spark.createDataFrame([(0, "U", 0.5)], "id long, k string, v double")
+    (
+        unity.merge_table(src, "unity", "default", "dvp")
+        .when_matched_update_all()
+        .execute()
+    )
+    snap = purge(spark, path)
+    assert not snap.dv_adds
+    assert {
+        (r.id, r.k) for r in read_delta(spark, path, version=pre_version).collect()
+    } == {(i, chr(ord("a") + i)) for i in range(6)}
+    rows = {r.id: r.k for r in read_delta(spark, path).collect()}
+    assert rows[0] == "U" and len(rows) == 6
+
+
 def test_sql_merge_on_delta_table_commits_version(unity, spark, tmp_path):
     """SQL MERGE over a DELTA-format table lands as a log commit."""
     from local_lakehouse_spark.sources.delta_py import DeltaLog
