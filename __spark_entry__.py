@@ -65,6 +65,7 @@ _NEVER_STAMPED = [
     "y12_dv_delete",
     "y13_dv_update",
     "y14_dv_purge",
+    "y15_delta_optimize",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

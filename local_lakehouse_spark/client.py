@@ -779,11 +779,15 @@ class LakehouseClient:
         operators/layout.py) so min/max file stats prune on every
         listed column, not just a lead sort key.
 
-        Scale note: at 100 TB you run this per partition predicate
-        (compact yesterday's partition), not table-wide; the
-        table-wide form here is the local/unpartitioned case. Uses
-        coalesce (narrow — no shuffle) when shrinking file count
-        without reclustering; zorder_by pays one range shuffle.
+        Scale note: DELTA tables (default compaction, no zorder_by /
+        explicit target_files) take delta_py.compact — true OPTIMIZE
+        bin-packing that rewrites ONLY sub-target files per partition
+        and commits dataChange=false, so the op is O(small files) and
+        invisible to streaming/CDC readers. Other cases rewrite: at
+        100 TB you run those per partition predicate (compact
+        yesterday's partition), not table-wide. Uses coalesce
+        (narrow — no shuffle) when shrinking file count without
+        reclustering; zorder_by pays one range shuffle.
         """
         import glob as _glob
 
@@ -794,6 +798,26 @@ class LakehouseClient:
             )
         spark = self._require_spark()
         path = tbl.storage_location.removeprefix("file://")
+        if (
+            tbl.file_type == FileType.DELTA
+            and not _io.HAVE_DELTA
+            and not zorder_by
+            and target_files is None
+        ):
+            # Real OPTIMIZE bin-packing: rewrite ONLY the small files,
+            # commit dataChange=false (invisible to streaming/CDC),
+            # keep time travel. A full rewrite is the wrong op at
+            # 100 TB; this touches O(small files).
+            from .sources import delta_py
+
+            delta_py.compact(
+                spark, path, target_file_bytes=target_file_bytes
+            )
+            return len(
+                delta_py.DeltaLog(path)
+                .snapshot(allow=delta_py.BATCH_READ_FEATURES)
+                .adds
+            )
         if target_files is None:
             on_disk = sum(
                 os.path.getsize(f)

@@ -5713,6 +5713,98 @@ def y14(spark, sf):
     )
 
 
+def y15(spark, sf):
+    """Delta OPTIMIZE bin-packing (delta_py.compact — the real
+    `OPTIMIZE` maintenance op, unlike y08's parquet-directory
+    rewrite): a lineitem extract is staged as 16 streaming-shaped
+    fragments; compaction rewrites ONLY the sub-target files into one
+    right-sized file per partition group and commits
+    ``dataChange=false`` — streaming/CDC readers skip it and
+    pre-compaction versions stay time-travelable. CONTRACTS: the file
+    count must strictly drop to the bin-packed minimum, the commit's
+    head history row must be OPTIMIZE, every add/remove in it must be
+    dataChange=false (a regression to a data-changing rewrite fails
+    loudly), and time travel to the fragmented version must still see
+    all rows. Re-runs restore to the fragmented base first
+    (metadata-only), so the full cycle re-executes every time.
+    Oracle: the same aggregate off raw lineitem — compaction must
+    never change a single row."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|optimize-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_optimize_{key}")
+    if not delta_py.is_delta_table(tbl):
+        li = t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_returnflag"
+        ).repartition(16)
+        delta_py.write_delta(spark, li, tbl)
+    else:
+        delta_py.restore(spark, tbl, 0)  # fragmented base
+    pre = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    metrics = delta_py.compact(spark, tbl)
+    if metrics["numFilesRemoved"] != len(pre.adds):
+        raise AssertionError(
+            f"y15 expected all {len(pre.adds)} fragments compacted, "
+            f"got {metrics}"
+        )
+    post = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if len(post.adds) >= len(pre.adds):
+        raise AssertionError(
+            f"y15 compaction did not reduce files: "
+            f"{len(pre.adds)} -> {len(post.adds)}"
+        )
+    log = delta_py.DeltaLog(tbl)
+    if log.history()[0]["operation"] != "OPTIMIZE":
+        raise AssertionError("y15 head commit is not OPTIMIZE")
+    commit = os.path.join(
+        tbl, "_delta_log", f"{post.version:020d}.json"
+    )
+    for line in open(commit):
+        a = _json.loads(line)
+        for kind in ("add", "remove"):
+            if kind in a and a[kind].get("dataChange") is not False:
+                raise AssertionError(
+                    "y15 OPTIMIZE commit carries dataChange=true — "
+                    "streaming/CDC would re-emit unchanged rows"
+                )
+    n_frag = delta_py.read_delta(spark, tbl, version=pre.version).count()
+    n_now = delta_py.read_delta(spark, tbl).count()
+    if n_frag != n_now:
+        raise AssertionError(
+            f"y15 compaction changed the row count: {n_frag} -> {n_now}"
+        )
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Y15_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -5856,4 +5948,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y12_dv_delete": QuerySpec(y12, Y10_SQL),
     "y13_dv_update": QuerySpec(y13, Y13_SQL),
     "y14_dv_purge": QuerySpec(y14, Y10_SQL),
+    "y15_delta_optimize": QuerySpec(y15, Y15_SQL),
 }

@@ -1475,6 +1475,112 @@ def purge(spark: SparkSession, path: str) -> Snapshot:
     return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """OPTIMIZE bin-packing, the way delta-spark actually does it:
+    gather the SMALL files (size < target) per partition, rewrite
+    only those groups into right-sized files, and commit
+    remove+add with ``dataChange=false`` — the logical rows are
+    identical, so streaming reads and the CDC change feed skip the
+    commit, and time travel to pre-compaction versions still works.
+    Files already at target size are never touched, which is the
+    difference between an O(small-files) maintenance op and an
+    O(table) rewrite at 100 TB. DV-bearing files are left for
+    ``purge`` (the two maintenance ops compose; delta-spark's
+    OPTIMIZE folds DV materialization in, ours keeps the concerns
+    separate and documented). Returns delta-spark-shaped metrics:
+    ``{"numFilesRemoved": n, "numFilesAdded": m}``.
+
+    Scale note: the rewrite is one distributed job over just the
+    candidate files; per-partition groups land as one file per
+    partition dir (hash-partitioned by the partition columns), which
+    is the right shape for partitions that accumulated streaming
+    micro-files. A no-op (no partition with 2+ small files) commits
+    nothing."""
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    if snap.column_mapping_mode not in ("", "none"):
+        raise UnsupportedOperationError(
+            "compact of a column-mapped Delta table is not supported "
+            "(the rewrite would need to re-emit physical column names)"
+        )
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in snap.adds.items():
+        if a.get("deletionVector"):
+            continue  # purge's job
+        if int(a.get("size") or 0) >= target_file_bytes:
+            continue  # already right-sized
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(rel)
+    groups = {k: rels for k, rels in groups.items() if len(rels) >= 2}
+    if not groups:
+        return {"numFilesRemoved": 0, "numFilesAdded": 0}
+    victims = sorted(r for rels in groups.values() for r in rels)
+    scan = (
+        spark.read.option("basePath", path)
+        .schema(snap.schema)
+        .parquet(*[os.path.join(path, unquote(r)) for r in victims])
+    )
+    total = sum(
+        int(snap.adds[r].get("size") or 0) for r in victims
+    )
+    if snap.partition_columns:
+        out = scan.repartition(len(groups), *snap.partition_columns)
+        writer = out.write.mode("overwrite").partitionBy(
+            *snap.partition_columns
+        )
+    else:
+        bins = max(1, -(-total // target_file_bytes))  # ceil
+        writer = scan.coalesce(bins).write.mode("overwrite")
+    tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
+    writer.parquet(tmp)
+    moved = _move_parts(tmp, path)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for rel in victims
+    ]
+    added = 0
+    for rel, parts in moved:
+        act = _add_action(path, rel, parts)
+        if not json.loads(act["add"]["stats"]).get("numRecords"):
+            os.remove(os.path.join(path, rel))  # empty part file
+            continue
+        act["add"]["dataChange"] = False
+        actions.append(act)
+        added += 1
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_file_bytes)
+                },
+                "operationMetrics": {
+                    "numFilesRemoved": str(len(victims)),
+                    "numFilesAdded": str(added),
+                },
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    version = snap.version + 1
+    log.commit(version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        log.write_checkpoint(version)
+    return {"numFilesRemoved": len(victims), "numFilesAdded": added}
+
+
 def vacuum(path: str, retain_hours: float = 168.0) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot
     and older than the retention window (DeltaTable.vacuum). Returns

@@ -520,3 +520,123 @@ def test_column_mapping_writes_are_refused(spark, tbl):
     )
     with pytest.raises(UnsupportedOperationError, match="columnMapping"):
         write_delta(spark, df, tbl, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# compact — OPTIMIZE bin-packing (dataChange=false, small files only)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_binpacks_only_small_files(spark, tbl):
+    """One big file + four 1-row fragments: compaction must merge
+    exactly the fragments and leave the big file byte-identical."""
+    big = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(500)], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, big, tbl)
+    for i in range(4):
+        frag = spark.createDataFrame(
+            [(1000 + i, "frag")], "id long, s string"
+        ).coalesce(1)
+        write_delta(spark, frag, tbl, mode="append")
+    snap = DeltaLog(tbl).snapshot()
+    sizes = {rel: a["size"] for rel, a in snap.adds.items()}
+    big_rel = max(sizes, key=sizes.get)
+    # threshold between fragment size and the big file's size
+    target = sizes[big_rel]
+    metrics = delta_py.compact(spark, tbl, target_file_bytes=target)
+    assert metrics == {"numFilesRemoved": 4, "numFilesAdded": 1}
+    post = DeltaLog(tbl).snapshot()
+    assert post.adds[big_rel]["size"] == sizes[big_rel]
+    assert len(post.adds) == 2
+    assert read_delta(spark, tbl).count() == 504
+    hist = DeltaLog(tbl).history()
+    assert hist[0]["operation"] == "OPTIMIZE"
+    # dataChange=false everywhere in the commit
+    log_file = os.path.join(
+        tbl, "_delta_log", f"{post.version:020d}.json"
+    )
+    for line in open(log_file):
+        a = json.loads(line)
+        for kind in ("add", "remove"):
+            if kind in a:
+                assert a[kind]["dataChange"] is False
+
+
+def test_compact_is_per_partition_and_time_travelable(spark, tbl):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(10)],
+        "id long, par string",
+    ).repartition(5)
+    write_delta(spark, df, tbl, partition_by=["par"])
+    pre = DeltaLog(tbl).snapshot()
+    pre_version = pre.version
+    metrics = delta_py.compact(spark, tbl)
+    assert metrics["numFilesAdded"] >= 1
+    post = DeltaLog(tbl).snapshot()
+    assert len(post.adds) < len(pre.adds)
+    by_par = {}
+    for a in post.adds.values():
+        by_par.setdefault(a["partitionValues"]["par"], 0)
+        by_par[a["partitionValues"]["par"]] += 1
+    assert by_par == {"even": 1, "odd": 1}
+    assert sorted(
+        r.id for r in read_delta(spark, tbl).collect()
+    ) == list(range(10))
+    # pre-compaction version still reads (files not deleted)
+    assert read_delta(spark, tbl, version=pre_version).count() == 10
+
+
+def test_compact_noop_commits_nothing(spark, tbl):
+    df = spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1)
+    write_delta(spark, df, tbl)
+    v = DeltaLog(tbl).snapshot().version
+    metrics = delta_py.compact(spark, tbl)
+    assert metrics == {"numFilesRemoved": 0, "numFilesAdded": 0}
+    assert DeltaLog(tbl).snapshot().version == v
+
+
+def test_compact_skips_dv_bearing_files(spark, tbl):
+    """Files with deletion vectors belong to purge, not compact —
+    compacting them blindly would resurrect deleted rows."""
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+        delete_where,
+    )
+
+    for i in range(3):
+        frag = spark.createDataFrame(
+            [(10 * i + j, "x") for j in range(3)], "id long, s string"
+        ).coalesce(1)
+        write_delta(
+            spark, frag, tbl, mode="append" if i else "overwrite"
+        )
+    delete_where(spark, tbl, "id = 0")  # DV on the first fragment
+    metrics = delta_py.compact(spark, tbl)
+    assert metrics == {"numFilesRemoved": 2, "numFilesAdded": 1}
+    snap = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    assert len(snap.dv_adds) == 1  # DV'd file untouched
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [
+        1, 2, 10, 11, 12, 20, 21, 22,
+    ]
+
+
+def test_compact_is_invisible_to_cdc(spark, tmp_path):
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(8)], "id long, v long"
+    ).repartition(4)
+    write_delta(spark, df, tbl_path)
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    pre = DeltaLog(tbl_path).snapshot().version
+    assert delta_py.compact(spark, tbl_path)["numFilesRemoved"] >= 2
+    ch = client.table_changes("unity", "default", "t", from_version=pre)
+    assert ch.count() == 0
