@@ -216,15 +216,22 @@ class LakehouseClient:
         schema: str,
         name: str,
         version: Optional[int] = None,
+        timestamp: Optional[object] = None,
     ) -> DataFrame:
         """Parity: client.py:309-314. Lazy Spark DataFrame.
 
         ``version``: time travel — read a retained snapshot (created
         automatically by full rewrites; see ``table_history``).
         Beyond the reference, which has no versioning.
+
+        ``timestamp`` (DELTA, exclusive with version): ``TIMESTAMP AS
+        OF`` — ISO string or epoch ms, resolved to the latest commit
+        at or before that time (Delta's semantics).
         """
         tbl = self.get_table(catalog, schema, name)
-        return _io.read_table(self._require_spark(), tbl, version=version)
+        return _io.read_table(
+            self._require_spark(), tbl, version=version, timestamp=timestamp
+        )
 
     def table_history(self, catalog: str, schema: str, name: str) -> list[int]:
         """Retained snapshot versions (oldest first) for time travel.
@@ -945,7 +952,7 @@ class LakehouseClient:
     _VACUUM_RE = re.compile(
         r"^VACUUM\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
-        + r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$",
+        + r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*$",
         re.IGNORECASE,
     )
     _HISTORY_RE = re.compile(
@@ -963,6 +970,12 @@ class LakehouseClient:
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
         + r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*$",
         re.IGNORECASE,
+    )
+    _TBLPROPS_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+(SET|UNSET)\s+TBLPROPERTIES\s*\((.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
     )
     _REORG_RE = re.compile(
         r"^REORG\s+TABLE\s+"
@@ -1072,7 +1085,7 @@ class LakehouseClient:
             return spark.createDataFrame([], "rows string")
         m = self._VACUUM_RE.match(stmt)
         if m:
-            cat, sch, tbl, hours = m.groups()
+            cat, sch, tbl, hours, dry = m.groups()
             table = self.get_table(
                 self._unquote_name(cat),
                 self._unquote_name(sch),
@@ -1083,10 +1096,21 @@ class LakehouseClient:
                 from .sources import delta_py
 
                 deleted = delta_py.vacuum(
-                    path, retain_hours=float(hours) if hours else 168.0
+                    path,
+                    retain_hours=float(hours) if hours else 168.0,
+                    dry_run=dry is not None,
                 )
+                if dry is not None:
+                    # delta-spark DRY RUN shape: one row per candidate
+                    return spark.createDataFrame(
+                        [(p,) for p in deleted], "path string"
+                    )
                 return spark.createDataFrame(
                     [(len(deleted),)], "files_deleted long"
+                )
+            if dry is not None:
+                raise UnsupportedOperationError(
+                    "VACUUM ... DRY RUN requires a DELTA table"
                 )
             removed = self.vacuum_table(
                 self._unquote_name(cat),
@@ -1156,6 +1180,43 @@ class LakehouseClient:
             cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
             n = self.purge_table(cat, sch, tbl)
             return spark.createDataFrame([(n,)], "files_purged long")
+        m = self._TBLPROPS_RE.match(stmt)
+        if m:
+            cat, sch, tbl, verb, body = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            table = self.get_table(cat, sch, tbl)
+            if table.file_type != FileType.DELTA:
+                raise UnsupportedOperationError(
+                    "ALTER TABLE ... TBLPROPERTIES requires a DELTA table"
+                )
+            path = _io.strip_file_scheme(table.storage_location or "")
+
+            def lit(s: str) -> str:
+                s = s.strip()
+                if s[:1] == "'" and s[-1:] == "'":
+                    return s[1:-1].replace("''", "'")
+                return s
+
+            from .sources import delta_py
+
+            if verb.upper() == "SET":
+                props: dict[str, str] = {}
+                for piece in _sqlnames.split_top_level(body):
+                    k, _, v = piece.partition("=")
+                    props[lit(k)] = lit(v)
+                delta_py.set_properties(path, props)
+            else:
+                delta_py.set_properties(
+                    path,
+                    {},
+                    unset=[
+                        lit(p) for p in _sqlnames.split_top_level(body)
+                    ],
+                )
+            self.sync_delta_properties(cat, sch, tbl)
+            return spark.createDataFrame([], "rows string")
         m = self._SHOW_RE.match(stmt)
         if m:
             kind, a, b = m.groups()
@@ -1199,7 +1260,11 @@ class LakehouseClient:
             return spark.createDataFrame([], "rows string")
 
         def resolve(
-            cat: str, sch: str, tbl: str, version: Optional[int]
+            cat: str,
+            sch: str,
+            tbl: str,
+            version: Optional[int],
+            timestamp: Optional[str] = None,
         ) -> Optional[str]:
             try:
                 table = self.get_table(cat, sch, tbl)
@@ -1207,10 +1272,14 @@ class LakehouseClient:
                 return None
             view = "__llh_" + "_".join(
                 re.sub(r"\W", "_", p) for p in (cat, sch, tbl)
-            ) + (f"_v{version}" if version is not None else "")
-            _io.read_table(spark, table, version=version).createOrReplaceTempView(
-                view
             )
+            if version is not None:
+                view += f"_v{version}"
+            elif timestamp is not None:
+                view += "_t" + re.sub(r"\W", "_", timestamp)
+            _io.read_table(
+                spark, table, version=version, timestamp=timestamp
+            ).createOrReplaceTempView(view)
             return view
 
         return spark.sql(_sqlnames.rewrite_three_part_names(query, resolve))

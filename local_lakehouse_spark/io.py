@@ -172,7 +172,10 @@ def read_format_path(
 
 
 def read_table(
-    spark: SparkSession, table: Table, version: Optional[int] = None
+    spark: SparkSession,
+    table: Table,
+    version: Optional[int] = None,
+    timestamp: Optional[object] = None,
 ) -> DataFrame:
     """Catalog entry → DataFrame. Parity: dataframe.py:191-228.
 
@@ -184,10 +187,18 @@ def read_table(
     current contents — see the snapshot section below. The snapshot
     keeps the table's full layout (incl. hive partition dirs), so the
     same reader dispatch applies.
+
+    ``timestamp`` (DELTA only, exclusive with ``version``): Delta's
+    ``TIMESTAMP AS OF`` — resolves to the latest commit at or before
+    the given ISO string / epoch-ms value via commitInfo timestamps.
     """
     if not table.storage_location:
         raise UnsupportedOperationError(
             f"Table {table.full_name} has no storage location"
+        )
+    if version is not None and timestamp is not None:
+        raise UnsupportedOperationError(
+            "version and timestamp time travel are mutually exclusive"
         )
     location = table.storage_location
     if table.file_type == FileType.DELTA and not HAVE_DELTA:
@@ -198,7 +209,15 @@ def read_table(
 
         harden_runtime(spark)
         return delta_py.read_delta(
-            spark, strip_file_scheme(location), version=version
+            spark,
+            strip_file_scheme(location),
+            version=version,
+            timestamp=timestamp,
+        )
+    if timestamp is not None:
+        raise UnsupportedOperationError(
+            "TIMESTAMP AS OF requires a DELTA table (commit-log "
+            f"timestamps); {table.full_name} is {table.file_type.value}"
         )
     if version is not None:
         location = "file://" + snapshot_path(

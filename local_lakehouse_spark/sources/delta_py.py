@@ -218,6 +218,42 @@ class DeltaLog:
             if n.endswith(suffix) and n[: -len(suffix)].isdigit()
         )
 
+    def commit_timestamp(self, version: int) -> int:
+        """Commit time in epoch ms: the commitInfo timestamp when
+        present, else the commit file's mtime — the two sources
+        Delta's own ``timestampAsOf`` resolution uses."""
+        p = os.path.join(self.log_dir, f"{version:020d}.json")
+        if not os.path.exists(p):
+            raise DoesNotExistError(
+                f"version {version} of {self.path} does not exist"
+            )
+        with open(p) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and isinstance(ci.get("timestamp"), int):
+                    return ci["timestamp"]
+        return int(os.path.getmtime(p) * 1000)
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the LATEST version whose commit
+        time is at or before ``ts_ms`` (Delta's documented semantics);
+        raises if the timestamp predates the table."""
+        best: Optional[int] = None
+        for v in self.versions():
+            if self.commit_timestamp(v) <= ts_ms:
+                best = v
+            else:
+                break
+        if best is None:
+            raise DoesNotExistError(
+                f"no commit of {self.path} at or before epoch-ms "
+                f"{ts_ms} (table created later)"
+            )
+        return best
+
     def snapshot(
         self,
         version: Optional[int] = None,
@@ -716,12 +752,27 @@ def _deleted_positions_df(
     return desc_df.mapInPandas(expand, out_schema)
 
 
+def _ts_ms(value: object) -> int:
+    """Epoch ms from an int/float (already ms) or an ISO-8601 string
+    (naive strings are read as UTC, matching Spark's session default
+    here)."""
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        return int(value)
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(value))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: Optional[int] = None,
     schema: Optional[T.StructType] = None,
     filters: Optional[list[tuple]] = None,
+    timestamp: Optional[object] = None,
 ) -> DataFrame:
     """Snapshot → DataFrame: full file list + log schema handed to the
     parquet scan; ``basePath`` re-derives hive partition columns, and
@@ -752,6 +803,12 @@ def read_delta(
       bypass the join entirely."""
     from pyspark.sql import functions as F
 
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "version and timestamp time travel are mutually exclusive"
+            )
+        version = DeltaLog(path).version_at_timestamp(_ts_ms(timestamp))
     snap = DeltaLog(path).snapshot(version, allow=BATCH_READ_FEATURES)
     log_schema = snap.schema
     mapping = snap.column_mapping_mode not in ("", "none")
@@ -996,6 +1053,7 @@ def write_delta(
     # this is exactly how delta writers let N appenders make progress.
     # Read-dependent writes (overwrite/replaceWhere based on OUR base
     # snapshot) and metadata changes must surface the conflict.
+    _check_append_only(snap, actions, path)
     blind_append = (
         mode == "append"
         and snap is not None
@@ -1024,6 +1082,77 @@ def write_delta(
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return log.snapshot(version, allow=_write_allow)
+
+
+def _check_append_only(
+    snap: Optional[Snapshot], actions: list[dict], path: str
+) -> None:
+    """``delta.appendOnly`` enforcement (the Delta table property): an
+    append-only table refuses any commit that deletes or changes
+    existing data — a ``remove`` with ``dataChange=true`` (DELETE /
+    UPDATE / MERGE / overwrite / replaceWhere). Pure rearrangements
+    (OPTIMIZE / REORG, ``dataChange=false``) stay allowed, matching
+    delta-spark's enforcement."""
+    if snap is None:
+        return
+    if snap.configuration.get("delta.appendOnly", "").lower() != "true":
+        return
+    for a in actions:
+        r = a.get("remove")
+        if r is not None and r.get("dataChange", True):
+            raise UnsupportedOperationError(
+                f"Delta table at {path} is append-only "
+                "(delta.appendOnly=true): DELETE/UPDATE/MERGE/"
+                "overwrite commits are not allowed"
+            )
+
+
+def set_properties(
+    path: str,
+    props: dict,
+    unset: Optional[list[str]] = None,
+) -> Snapshot:
+    """``ALTER TABLE ... SET/UNSET TBLPROPERTIES`` — a metadata-only
+    commit replacing the table configuration (delta-spark's
+    operation name and shape). Properties that change the PHYSICAL
+    contract retroactively are refused: flipping
+    ``delta.columnMapping.mode`` on existing data would re-bind
+    parquet columns without rewriting them."""
+    for k in props:
+        if str(k).startswith("delta.columnMapping"):
+            raise UnsupportedOperationError(
+                "changing delta.columnMapping.* on an existing table "
+                "requires a physical rewrite; not supported"
+            )
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    conf = dict(snap.configuration)
+    conf.update({str(k): str(v) for k, v in props.items()})
+    for k in unset or []:
+        conf.pop(k, None)
+    meta = dict(snap.metadata)
+    meta["configuration"] = conf
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {str(k): str(v) for k, v in props.items()}
+                    )
+                },
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        },
+    ]
+    version = snap.version + 1
+    log.commit(version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        log.write_checkpoint(version)
+    return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
 def _grown_dvs(
@@ -1173,6 +1302,9 @@ def delete_where(
     snap = log.snapshot(allow=frozenset({FEATURE_DELETION_VECTORS}))
     if not snap.adds:
         return snap
+    _check_append_only(
+        snap, [{"remove": {"dataChange": True}}], path
+    )  # fail fast, before any bitmap work
     base_to_rel, built = _grown_dvs(spark, snap, path, predicate)
     if not built:
         return snap  # predicate matched nothing new: no commit
@@ -1228,6 +1360,7 @@ def update_where(
         raise ValueError(
             f"UPDATE assigns to columns not in the table: {sorted(unknown)}"
         )
+    _check_append_only(snap, [{"remove": {"dataChange": True}}], path)
     base_to_rel, built = _grown_dvs(spark, snap, path, predicate)
     if not built:
         return snap
@@ -1349,6 +1482,7 @@ def apply_row_changes(
         moved = _move_parts(tmp, path)
     now_ms = int(time.time() * 1000)
     actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)
+    _check_append_only(snap, actions, path)  # insert-only merges pass
     for rel, parts in moved:
         act = _add_action(path, rel, parts)
         if not json.loads(act["add"]["stats"]).get("numRecords"):
@@ -1581,7 +1715,9 @@ def compact(
     return {"numFilesRemoved": len(victims), "numFilesAdded": added}
 
 
-def vacuum(path: str, retain_hours: float = 168.0) -> list[str]:
+def vacuum(
+    path: str, retain_hours: float = 168.0, dry_run: bool = False
+) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot
     and older than the retention window (DeltaTable.vacuum). Returns
     deleted relative paths. Time travel to versions whose files were
@@ -1590,7 +1726,11 @@ def vacuum(path: str, retain_hours: float = 168.0) -> list[str]:
     Deletion-vector ``.bin`` files are vacuumed by the same rule: a
     DV not referenced by any live add (superseded by a later DELETE's
     union bitmap, or its data file removed) is deleted once past the
-    retention window."""
+    retention window.
+
+    ``dry_run`` (VACUUM ... DRY RUN): list what WOULD be deleted
+    without touching anything — the operational safety valve before
+    an irreversible retention sweep."""
     from . import delta_dv
 
     log = DeltaLog(path)
@@ -1621,7 +1761,8 @@ def vacuum(path: str, retain_hours: float = 168.0) -> list[str]:
             if rel in live:
                 continue
             if os.path.getmtime(abs_p) <= cutoff:
-                os.unlink(abs_p)
+                if not dry_run:
+                    os.unlink(abs_p)
                 deleted.append(rel)
     return deleted
 

@@ -23,7 +23,8 @@ This module lexes the query with a small SQL tokenizer (string
 literals with ``''`` escapes, line and block comments, double-quote
 and backtick quoted identifiers with doubled-quote escapes) and
 rewrites only *maximal* identifier chains of exactly three parts,
-optionally followed by ``VERSION AS OF <n>`` for time travel.
+optionally followed by ``VERSION AS OF <n>`` or ``TIMESTAMP AS OF
+'<ts>'`` for time travel.
 """
 
 from __future__ import annotations
@@ -78,14 +79,19 @@ def unquote(tok: Token) -> str:
     return tok.text
 
 
-# resolve(catalog, schema, table, version) -> replacement text, or
-# None to leave the reference untouched (unknown table: parity with
-# the reference, where DuckDB raises on unknown names at execution).
-Resolver = Callable[[str, str, str, Optional[int]], Optional[str]]
+# resolve(catalog, schema, table, version, timestamp) -> replacement
+# text, or None to leave the reference untouched (unknown table:
+# parity with the reference, where DuckDB raises on unknown names at
+# execution). ``version``/``timestamp`` are mutually exclusive time
+# travel (VERSION AS OF n / TIMESTAMP AS OF 'ts').
+Resolver = Callable[
+    [str, str, str, Optional[int], Optional[str]], Optional[str]
+]
 
 
 def rewrite_three_part_names(sql: str, resolve: Resolver) -> str:
-    """Rewrite every standalone ``cat.sch.tbl [VERSION AS OF n]``.
+    """Rewrite every standalone ``cat.sch.tbl [VERSION AS OF n |
+    TIMESTAMP AS OF 'ts']``.
 
     Chains are matched on *significant* tokens, so whitespace and
     comments are permitted around the dots (``cat . sch/*x*/. tbl``
@@ -125,19 +131,30 @@ def rewrite_three_part_names(sql: str, resolve: Resolver) -> str:
                 break
         if len(chain) == 3:
             cat, sch, tbl = (unquote(tokens[sig[c]]) for c in chain)
-            # optional VERSION AS OF <int> lookahead
+            # optional VERSION AS OF <int> / TIMESTAMP AS OF '<ts>'
             version: Optional[int] = None
+            timestamp: Optional[str] = None
             end_si = chain[-1]
             v1, v2, v3, v4 = (sig_tok(j + k) for k in (1, 2, 3, 4))
-            if (
-                v1 is not None and v1.kind == "word" and v1.text.upper() == "VERSION"
+            as_of = (
+                v1 is not None and v1.kind == "word"
                 and v2 is not None and v2.kind == "word" and v2.text.upper() == "AS"
                 and v3 is not None and v3.kind == "word" and v3.text.upper() == "OF"
-                and v4 is not None and v4.kind == "number" and v4.text.isdigit()
+                and v4 is not None
+            )
+            if (
+                as_of and v1.text.upper() == "VERSION"
+                and v4.kind == "number" and v4.text.isdigit()
             ):
                 version = int(v4.text)
                 end_si = j + 4
-            replacement = resolve(cat, sch, tbl, version)
+            elif (
+                as_of and v1.text.upper() == "TIMESTAMP"
+                and v4.kind == "string"
+            ):
+                timestamp = v4.text[1:-1].replace("''", "'")
+                end_si = j + 4
+            replacement = resolve(cat, sch, tbl, version, timestamp)
             if replacement is not None:
                 first_ti = sig[chain[0]]
                 last_ti = sig[end_si]

@@ -640,3 +640,210 @@ def test_compact_is_invisible_to_cdc(spark, tmp_path):
     assert delta_py.compact(spark, tbl_path)["numFilesRemoved"] >= 2
     ch = client.table_changes("unity", "default", "t", from_version=pre)
     assert ch.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP AS OF, TBLPROPERTIES, appendOnly, VACUUM DRY RUN
+# ---------------------------------------------------------------------------
+
+
+def test_timestamp_as_of_resolution_and_read(spark, tbl):
+    import time as _time
+
+    from local_lakehouse_spark.exceptions import DoesNotExistError
+
+    write_delta(
+        spark, spark.createDataFrame([(1,)], "id long").coalesce(1), tbl
+    )
+    _time.sleep(0.05)  # distinct commit ms
+    write_delta(
+        spark,
+        spark.createDataFrame([(2,)], "id long").coalesce(1),
+        tbl,
+        mode="append",
+    )
+    log = DeltaLog(tbl)
+    t0, t1 = log.commit_timestamp(0), log.commit_timestamp(1)
+    assert t1 > t0
+    assert log.version_at_timestamp(t0) == 0
+    assert log.version_at_timestamp(t1) == 1
+    assert log.version_at_timestamp(t1 + 10_000) == 1  # future → latest
+    assert read_delta(spark, tbl, timestamp=t0).count() == 1
+    assert read_delta(spark, tbl, timestamp=t1).count() == 2
+    # ISO-8601 string form
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t0 / 1000, tz=timezone.utc).isoformat()
+    assert read_delta(spark, tbl, timestamp=iso).count() == 1
+    with pytest.raises(DoesNotExistError, match="at or before"):
+        read_delta(spark, tbl, timestamp=t0 - 60_000)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_delta(spark, tbl, version=0, timestamp=t0)
+
+
+def test_sql_timestamp_as_of(spark, tmp_path):
+    import time as _time
+    from datetime import datetime, timezone
+
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / "t")
+    write_delta(
+        spark, spark.createDataFrame([(1,)], "id long").coalesce(1), tbl_path
+    )
+    _time.sleep(0.05)
+    write_delta(
+        spark,
+        spark.createDataFrame([(2,)], "id long").coalesce(1),
+        tbl_path,
+        mode="append",
+    )
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    t0 = DeltaLog(tbl_path).commit_timestamp(0)
+    iso = datetime.fromtimestamp(t0 / 1000, tz=timezone.utc).isoformat()
+    n = client.sql(
+        f"SELECT COUNT(*) AS n FROM unity.default.t TIMESTAMP AS OF '{iso}'"
+    ).collect()[0].n
+    assert n == 1
+    assert client.sql(
+        "SELECT COUNT(*) AS n FROM unity.default.t"
+    ).collect()[0].n == 2
+    # read_table surface too
+    assert client.read_table(
+        "unity", "default", "t", timestamp=iso
+    ).count() == 1
+
+
+def test_set_unset_properties(spark, tbl):
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+
+    write_delta(
+        spark, spark.createDataFrame([(1,)], "id long").coalesce(1), tbl
+    )
+    snap = delta_py.set_properties(tbl, {"delta.appendOnly": "true"})
+    assert snap.configuration["delta.appendOnly"] == "true"
+    assert DeltaLog(tbl).history()[0]["operation"] == "SET TBLPROPERTIES"
+    snap = delta_py.set_properties(tbl, {}, unset=["delta.appendOnly"])
+    assert "delta.appendOnly" not in snap.configuration
+    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
+        delta_py.set_properties(tbl, {"delta.columnMapping.mode": "name"})
+    # schema survives the metadata-only commits
+    assert read_delta(spark, tbl).count() == 1
+
+
+def test_append_only_blocks_data_changes_allows_appends(spark, tbl):
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+    from local_lakehouse_spark.sources.delta_py import (
+        delete_where,
+        update_where,
+    )
+
+    for i in range(2):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(3)], "id long"
+            ).coalesce(1),
+            tbl,
+            mode="append" if i else "overwrite",
+        )
+    delta_py.set_properties(tbl, {"delta.appendOnly": "true"})
+    # appends still fine
+    write_delta(
+        spark,
+        spark.createDataFrame([(99,)], "id long").coalesce(1),
+        tbl,
+        mode="append",
+    )
+    with pytest.raises(UnsupportedOperationError, match="append-only"):
+        delete_where(spark, tbl, "id = 0")
+    with pytest.raises(UnsupportedOperationError, match="append-only"):
+        update_where(spark, tbl, "id = 0", {"id": "id + 1"})
+    with pytest.raises(UnsupportedOperationError, match="append-only"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(1,)], "id long"),
+            tbl,
+            mode="overwrite",
+        )
+    with pytest.raises(UnsupportedOperationError, match="append-only"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(1,)], "id long"),
+            tbl,
+            mode="append",
+            replace_where="id < 5",
+        )
+    # rearrangements (dataChange=false) stay allowed
+    metrics = delta_py.compact(spark, tbl)
+    assert metrics["numFilesRemoved"] >= 2
+    assert read_delta(spark, tbl).count() == 7
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import delete_where, purge
+
+    write_delta(
+        spark,
+        spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1),
+        tbl,
+    )
+    delete_where(spark, tbl, "id < 2")
+    purge(spark, tbl)  # supersedes the original file + its DV
+    would = delta_py.vacuum(tbl, retain_hours=0.0, dry_run=True)
+    assert would
+    for rel in would:  # nothing actually deleted
+        assert os.path.exists(os.path.join(tbl, rel))
+    gone = delta_py.vacuum(tbl, retain_hours=0.0)
+    assert sorted(gone) == sorted(would)
+    for rel in gone:
+        assert not os.path.exists(os.path.join(tbl, rel))
+
+
+def test_sql_alter_tblproperties_and_vacuum_dry_run(spark, tmp_path):
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+    from local_lakehouse_spark.models import Catalog, Schema
+    from local_lakehouse_spark.sources.delta_py import delete_where, purge
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(i,) for i in range(4)], "id long").coalesce(1),
+        tbl_path,
+    )
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    client.sql(
+        "ALTER TABLE unity.default.t SET TBLPROPERTIES "
+        "('delta.appendOnly' = 'true')"
+    )
+    # synced into the catalog
+    props = client.get_table("unity", "default", "t").properties
+    assert props.get("delta.appendOnly") == "true"
+    with pytest.raises(UnsupportedOperationError, match="append-only"):
+        client.sql("DELETE FROM unity.default.t WHERE id = 0")
+    client.sql(
+        "ALTER TABLE unity.default.t UNSET TBLPROPERTIES "
+        "('delta.appendOnly')"
+    )
+    out = client.sql("DELETE FROM unity.default.t WHERE id = 0")
+    assert out.collect()[0].rows_affected == 1
+    purge(spark, tbl_path)
+    dry = client.sql("VACUUM unity.default.t RETAIN 0 HOURS DRY RUN")
+    paths = [r.path for r in dry.collect()]
+    assert paths and all(
+        os.path.exists(os.path.join(tbl_path, p)) for p in paths
+    )
+    out = client.sql("VACUUM unity.default.t RETAIN 0 HOURS")
+    assert out.collect()[0].files_deleted == len(paths)

@@ -14,15 +14,45 @@ from local_lakehouse_spark.sqlnames import (
 
 
 def _resolver(known):
-    def resolve(cat, sch, tbl, version):
+    def resolve(cat, sch, tbl, version, timestamp=None):
         if (cat, sch, tbl) in known:
             v = f"_v{version}" if version is not None else ""
-            return f"VIEW_{cat}_{sch}_{tbl}{v}"
+            t = f"_ts({timestamp})" if timestamp is not None else ""
+            return f"VIEW_{cat}_{sch}_{tbl}{v}{t}"
         return None
     return resolve
 
 
 KNOWN = {("unity", "default", "t")}
+
+
+class TestTimestampAsOf:
+    def test_timestamp_literal_consumed(self):
+        out = rewrite_three_part_names(
+            "SELECT * FROM unity.default.t TIMESTAMP AS OF "
+            "'2026-01-01T00:00:00+00:00'",
+            _resolver(KNOWN),
+        )
+        assert out == (
+            "SELECT * FROM VIEW_unity_default_t"
+            "_ts(2026-01-01T00:00:00+00:00)"
+        )
+
+    def test_escaped_quote_in_timestamp(self):
+        out = rewrite_three_part_names(
+            "SELECT * FROM unity.default.t TIMESTAMP AS OF 'a''b'",
+            _resolver(KNOWN),
+        )
+        assert out == "SELECT * FROM VIEW_unity_default_t_ts(a'b)"
+
+    def test_timestamp_keyword_without_as_of_left_alone(self):
+        out = rewrite_three_part_names(
+            "SELECT TIMESTAMP '2026-01-01' FROM unity.default.t",
+            _resolver(KNOWN),
+        )
+        assert out == (
+            "SELECT TIMESTAMP '2026-01-01' FROM VIEW_unity_default_t"
+        )
 
 
 class TestTokenizer:
