@@ -66,6 +66,7 @@ _NEVER_STAMPED = [
     "y13_dv_update",
     "y14_dv_purge",
     "y15_delta_optimize",
+    "y16_append_only_governance",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

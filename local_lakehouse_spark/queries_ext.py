@@ -5805,6 +5805,99 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def y16(spark, sf):
+    """Append-only GOVERNED ingestion (`delta.appendOnly` — the Delta
+    table property an audit-log / event-stream table runs with in
+    production): the staged orders extract is marked append-only via
+    a SET TBLPROPERTIES metadata commit, appends keep landing, and
+    every data-changing commit class is REFUSED at the log layer.
+    CONTRACTS (all fail loudly): the property must round-trip through
+    the log; a DV DELETE, a DV UPDATE, and a full overwrite must each
+    raise UnsupportedOperationError; the post-append table must hold
+    exactly base + appended rows. Re-runs restore to the base version
+    (restore is metadata-only and allowed — it is how an append-only
+    table recovers from a bad append) so the cycle re-executes.
+    Oracle: the same aggregate over orders with the appended slice
+    expressed as a UNION ALL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .exceptions import UnsupportedOperationError
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|appendonly-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_appendonly_{key}")
+    base = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not delta_py.is_delta_table(tbl):
+        delta_py.write_delta(spark, base.repartition(4), tbl)
+        delta_py.set_properties(tbl, {"delta.appendOnly": "true"})
+    else:
+        # v1 = the SET TBLPROPERTIES commit; metadata-only restore
+        delta_py.restore(spark, tbl, 1)
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap.configuration.get("delta.appendOnly") != "true":
+        raise AssertionError("y16 staging lost delta.appendOnly")
+    n_base = delta_py.read_delta(spark, tbl).count()
+    appended = base.filter(F.col("o_orderstatus") == "F").limit(0).unionByName(
+        spark.createDataFrame(
+            [(9_000_000_001, "X", 1.0), (9_000_000_002, "X", 2.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+    )
+    delta_py.write_delta(spark, appended.coalesce(1), tbl, mode="append")
+    for attempt, op in (
+        ("DELETE", lambda: delta_py.delete_where(
+            spark, tbl, "o_orderstatus = 'X'")),
+        ("UPDATE", lambda: delta_py.update_where(
+            spark, tbl, "o_orderstatus = 'X'", {"o_totalprice": "0.0"})),
+        ("OVERWRITE", lambda: delta_py.write_delta(
+            spark, appended, tbl, mode="overwrite")),
+    ):
+        try:
+            op()
+        except UnsupportedOperationError:
+            continue
+        raise AssertionError(
+            f"y16 append-only table accepted a {attempt} commit"
+        )
+    n_now = delta_py.read_delta(spark, tbl).count()
+    if n_now != n_base + 2:
+        raise AssertionError(
+            f"y16 expected {n_base}+2 rows after append, got {n_now}"
+        )
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Y16_SQL = """
+WITH t AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  UNION ALL SELECT 'X', 1.0
+  UNION ALL SELECT 'X', 2.0
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -5949,4 +6042,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y13_dv_update": QuerySpec(y13, Y13_SQL),
     "y14_dv_purge": QuerySpec(y14, Y10_SQL),
     "y15_delta_optimize": QuerySpec(y15, Y15_SQL),
+    "y16_append_only_governance": QuerySpec(y16, Y16_SQL),
 }

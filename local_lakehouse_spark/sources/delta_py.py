@@ -1007,6 +1007,17 @@ def write_delta(
         actions.append({"protocol": dict(PROTOCOL)})
         actions.append(_meta_action(schema, partition_by or [], str(uuid.uuid4())))
 
+    # Fail fast on append-only violations BEFORE the distributed data
+    # write (the late _check_append_only below still guards every
+    # other remove source).
+    if (
+        snap is not None
+        and snap.adds
+        and (mode == "overwrite" or replace_where is not None)
+    ):
+        _check_append_only(
+            snap, [{"remove": {"dataChange": True}}], path
+        )
     # Write data files distributed, then move into the table dir.
     tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
