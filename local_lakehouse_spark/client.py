@@ -971,6 +971,18 @@ class LakehouseClient:
         + r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*$",
         re.IGNORECASE,
     )
+    _ADD_CONSTRAINT_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_CONSTRAINT_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
+        re.IGNORECASE,
+    )
     _TBLPROPS_RE = re.compile(
         r"^ALTER\s+TABLE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
@@ -1180,6 +1192,55 @@ class LakehouseClient:
             cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
             n = self.purge_table(cat, sch, tbl)
             return spark.createDataFrame([(n,)], "files_purged long")
+        m = self._ADD_CONSTRAINT_RE.match(stmt)
+        if m:
+            cat, sch, tbl, cname, pred = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            table = self.get_table(cat, sch, tbl)
+            if table.file_type == FileType.DELTA and not _io.HAVE_DELTA:
+                # Delta-native: validate existing data, then commit the
+                # constraint INTO the log (delta.constraints.<name>) so
+                # it travels with the table and binds every writer.
+                current = _io.read_table(spark, table)
+                bad = self._violations(current, pred).limit(1).collect()
+                if bad:
+                    raise ConstraintViolationError(
+                        f"existing data in {table.full_name} violates "
+                        f"CHECK ({pred}); example row: {bad[0].asDict()}"
+                    )
+                from .sources import delta_py
+
+                delta_py.set_properties(
+                    _io.strip_file_scheme(table.storage_location or ""),
+                    {f"delta.constraints.{cname}": pred.strip()},
+                    allow_constraint_keys=True,
+                )
+                self.sync_delta_properties(cat, sch, tbl)
+            else:
+                self.add_table_constraint(cat, sch, tbl, cname, pred.strip())
+            return spark.createDataFrame([], "rows string")
+        m = self._DROP_CONSTRAINT_RE.match(stmt)
+        if m:
+            cat, sch, tbl, cname = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            table = self.get_table(cat, sch, tbl)
+            if table.file_type == FileType.DELTA and not _io.HAVE_DELTA:
+                from .sources import delta_py
+
+                delta_py.set_properties(
+                    _io.strip_file_scheme(table.storage_location or ""),
+                    {},
+                    unset=[f"delta.constraints.{cname}"],
+                    allow_constraint_keys=True,
+                )
+                self.sync_delta_properties(cat, sch, tbl)
+            else:
+                self.drop_table_constraint(cat, sch, tbl, cname)
+            return spark.createDataFrame([], "rows string")
         m = self._TBLPROPS_RE.match(stmt)
         if m:
             cat, sch, tbl, verb, body = m.groups()

@@ -1024,6 +1024,7 @@ def write_delta(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    _enforce_constraints_on_tmp(spark, snap, tmp, path)
     os.makedirs(path, exist_ok=True)
     moved = _move_parts(tmp, path)
     if mode == "overwrite" and snap is not None:
@@ -1095,6 +1096,53 @@ def write_delta(
     return log.snapshot(version, allow=_write_allow)
 
 
+def _check_log_constraints(
+    conf: dict, new_rows: DataFrame, path: str
+) -> None:
+    """``delta.constraints.<name>`` (Delta CHECK constraints, the
+    writerFeature checkConstraints contract) enforced on the NEW rows
+    of a commit — SQL CHECK semantics: only FALSE violates (TRUE and
+    NULL pass). Callers hand the just-written tmp files' scan, so the
+    check is one cheap filter-limit(1) job per constraint over
+    already-materialized parquet, never a recompute of the input
+    plan. Existing rows were checked by the commit that wrote them."""
+    from pyspark.sql import functions as F
+
+    from ..exceptions import ConstraintViolationError
+
+    for k in sorted(conf):
+        if not k.startswith("delta.constraints."):
+            continue
+        pred = conf[k]
+        bad = (
+            new_rows.filter(~F.coalesce(F.expr(pred), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"write to Delta table at {path} violates CHECK "
+                f"constraint {k.removeprefix('delta.constraints.')!r} "
+                f"({pred}); example row: {bad[0].asDict()}"
+            )
+
+
+def _enforce_constraints_on_tmp(
+    spark: SparkSession, snap: Optional[Snapshot], tmp: str, path: str
+) -> None:
+    """Run the CHECK-constraint gate over a commit's just-written tmp
+    files; on violation the tmp dir is cleaned up before the raise so
+    a refused commit leaves nothing behind."""
+    conf = snap.configuration if snap is not None else {}
+    if not any(k.startswith("delta.constraints.") for k in conf):
+        return
+    try:
+        _check_log_constraints(conf, spark.read.parquet(tmp), path)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 def _check_append_only(
     snap: Optional[Snapshot], actions: list[dict], path: str
 ) -> None:
@@ -1122,18 +1170,30 @@ def set_properties(
     path: str,
     props: dict,
     unset: Optional[list[str]] = None,
+    allow_constraint_keys: bool = False,
 ) -> Snapshot:
     """``ALTER TABLE ... SET/UNSET TBLPROPERTIES`` — a metadata-only
     commit replacing the table configuration (delta-spark's
     operation name and shape). Properties that change the PHYSICAL
     contract retroactively are refused: flipping
     ``delta.columnMapping.mode`` on existing data would re-bind
-    parquet columns without rewriting them."""
+    parquet columns without rewriting them, and
+    ``delta.constraints.*`` must go through ADD CONSTRAINT (which
+    validates existing data first) — the same two refusals
+    delta-spark makes."""
     for k in props:
         if str(k).startswith("delta.columnMapping"):
             raise UnsupportedOperationError(
                 "changing delta.columnMapping.* on an existing table "
                 "requires a physical rewrite; not supported"
+            )
+        if (
+            str(k).startswith("delta.constraints.")
+            and not allow_constraint_keys
+        ):
+            raise UnsupportedOperationError(
+                "use ALTER TABLE ... ADD CONSTRAINT to add a CHECK "
+                "constraint (existing data must be validated first)"
             )
     log = DeltaLog(path)
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
@@ -1385,6 +1445,7 @@ def update_where(
     if snap.partition_columns:
         writer = writer.partitionBy(*snap.partition_columns)
     writer.parquet(tmp)
+    _enforce_constraints_on_tmp(spark, snap, tmp, path)
     moved = _move_parts(tmp, path)
     now_ms = int(time.time() * 1000)
     actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)
@@ -1490,6 +1551,7 @@ def apply_row_changes(
         if snap.partition_columns:
             writer = writer.partitionBy(*snap.partition_columns)
         writer.parquet(tmp)
+        _enforce_constraints_on_tmp(spark, snap, tmp, path)
         moved = _move_parts(tmp, path)
     now_ms = int(time.time() * 1000)
     actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)

@@ -54,6 +54,9 @@ QUERIES = [
     # (untimed warm pass); the timed number is the DV-aware
     # anti-join read at each scale
     "y12_dv_delete",
+    # DV UPDATE = bitmap-delete + matched-row append; exercises the
+    # positional writer (applyInPandas per file) end-to-end
+    "y13_dv_update",
 ]
 
 _ABC = "abcdefghijklmnopqrstuvwxyz"

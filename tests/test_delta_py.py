@@ -847,3 +847,115 @@ def test_sql_alter_tblproperties_and_vacuum_dry_run(spark, tmp_path):
     )
     out = client.sql("VACUUM unity.default.t RETAIN 0 HOURS")
     assert out.collect()[0].files_deleted == len(paths)
+
+
+# ---------------------------------------------------------------------------
+# delta.constraints.* — log-level CHECK constraints
+# ---------------------------------------------------------------------------
+
+
+def test_log_constraints_enforced_on_every_write_path(spark, tbl):
+    from local_lakehouse_spark.exceptions import ConstraintViolationError
+    from local_lakehouse_spark.sources.delta_py import (
+        set_properties,
+        update_where,
+    )
+
+    write_delta(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in range(5)], "id long, v long").coalesce(1),
+        tbl,
+    )
+    set_properties(
+        tbl, {"delta.constraints.positive": "v >= 0"},
+        allow_constraint_keys=True,
+    )
+    # append of valid rows: fine
+    write_delta(
+        spark,
+        spark.createDataFrame([(10, 100)], "id long, v long").coalesce(1),
+        tbl,
+        mode="append",
+    )
+    # append of a violating row: refused, nothing committed or left behind
+    v = DeltaLog(tbl).snapshot().version
+    with pytest.raises(ConstraintViolationError, match="positive"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(11, -1)], "id long, v long"),
+            tbl,
+            mode="append",
+        )
+    assert DeltaLog(tbl).snapshot().version == v
+    assert not [
+        n for n in os.listdir(tbl)
+        if n.endswith(".parquet") and "__delta_tmp" in n
+    ]
+    # UPDATE whose post-image violates: refused
+    with pytest.raises(ConstraintViolationError, match="positive"):
+        update_where(spark, tbl, "id = 0", {"v": "-5"})
+    # UPDATE whose post-image passes: fine
+    update_where(spark, tbl, "id = 0", {"v": "5"})
+    rows = {r.id: r.v for r in read_delta(spark, tbl).collect()}
+    assert rows[0] == 5 and rows[10] == 100
+
+
+def test_set_properties_refuses_raw_constraint_keys(spark, tbl):
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+    from local_lakehouse_spark.sources.delta_py import set_properties
+
+    write_delta(
+        spark, spark.createDataFrame([(1,)], "id long").coalesce(1), tbl
+    )
+    with pytest.raises(UnsupportedOperationError, match="ADD CONSTRAINT"):
+        set_properties(tbl, {"delta.constraints.x": "id > 0"})
+
+
+def test_sql_add_drop_constraint_on_delta(spark, tmp_path):
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.exceptions import ConstraintViolationError
+    from local_lakehouse_spark.models import Catalog, Schema
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id long, v double"
+        ).coalesce(1),
+        tbl_path,
+    )
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    # adding a constraint existing data violates: refused
+    with pytest.raises(ConstraintViolationError, match="existing data"):
+        client.sql(
+            "ALTER TABLE unity.default.t ADD CONSTRAINT pos CHECK (v > 0)"
+        )
+    client.sql(
+        "ALTER TABLE unity.default.t ADD CONSTRAINT pos CHECK (v >= 0)"
+    )
+    # constraint lives in the LOG (travels with the table)...
+    conf = DeltaLog(tbl_path).snapshot().configuration
+    assert conf["delta.constraints.pos"] == "v >= 0"
+    # ...and is synced into the catalog
+    props = client.get_table("unity", "default", "t").properties
+    assert props.get("delta.constraints.pos") == "v >= 0"
+    # a violating MERGE-appended row is refused by the log layer
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        client.sql(
+            "INSERT INTO unity.default.t "
+            "SELECT CAST(9 AS BIGINT) AS id, CAST(-1.0 AS DOUBLE) AS v"
+        )
+    client.sql("ALTER TABLE unity.default.t DROP CONSTRAINT pos")
+    assert "delta.constraints.pos" not in DeltaLog(
+        tbl_path
+    ).snapshot().configuration
+    client.sql(
+        "INSERT INTO unity.default.t "
+        "SELECT CAST(9 AS BIGINT) AS id, CAST(-1.0 AS DOUBLE) AS v"
+    )
+    assert client.read_table("unity", "default", "t").count() == 6
