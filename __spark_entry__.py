@@ -67,6 +67,8 @@ _NEVER_STAMPED = [
     "y14_dv_purge",
     "y15_delta_optimize",
     "y16_append_only_governance",
+    "y17_timestamp_as_of",
+    "y18_check_constraints",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

@@ -5898,6 +5898,174 @@ FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def y17(spark, sf):
+    """TIMESTAMP AS OF time travel (Delta's timestampAsOf — resolve
+    the latest commit at or before a wall-clock instant via
+    commitInfo timestamps): the staged table holds a base commit and
+    a later append; the query reads AS OF the base commit's own
+    timestamp and must see ONLY the base rows, then reads AS OF the
+    append's timestamp and must see both. CONTRACTS: the two commit
+    timestamps must be strictly ordered (distinct-ms staging), the
+    as-of-base read must equal the version-0 read exactly, and a
+    timestamp BEFORE the table's creation must raise. Oracle: the
+    base aggregate — the returned frame is the as-of-base read, so a
+    resolution regression (off-by-one version) changes row content
+    and hash-fails."""
+    import hashlib
+    import os
+    import tempfile
+    import time as _time
+
+    from .exceptions import DoesNotExistError
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|tsasof-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_tsasof_{key}")
+    if not delta_py.is_delta_table(tbl):
+        base = t(spark, sf, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        delta_py.write_delta(spark, base.repartition(2), tbl)
+        _time.sleep(0.05)  # distinct commit milliseconds
+        extra = spark.createDataFrame(
+            [(9_000_000_001, 0, 1.0), (9_000_000_002, 1, 2.0)],
+            "s_suppkey long, s_nationkey int, s_acctbal double",
+        )
+        delta_py.write_delta(spark, extra.coalesce(1), tbl, mode="append")
+    log = delta_py.DeltaLog(tbl)
+    t0, t1 = log.commit_timestamp(0), log.commit_timestamp(1)
+    if not t0 < t1:
+        raise AssertionError("y17 staging commits share a millisecond")
+    if log.version_at_timestamp(t0) != 0 or log.version_at_timestamp(t1) != 1:
+        raise AssertionError("y17 timestamp->version resolution broke")
+    n_asof_t1 = delta_py.read_delta(spark, tbl, timestamp=t1).count()
+    n_v1 = delta_py.read_delta(spark, tbl, version=1).count()
+    if n_asof_t1 != n_v1:
+        raise AssertionError(
+            f"y17 AS OF t1 saw {n_asof_t1} rows, version 1 has {n_v1}"
+        )
+    try:
+        delta_py.read_delta(spark, tbl, timestamp=t0 - 60_000)
+    except DoesNotExistError:
+        pass
+    else:
+        raise AssertionError(
+            "y17 pre-creation timestamp did not raise DoesNotExistError"
+        )
+    return (
+        delta_py.read_delta(spark, tbl, timestamp=t0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+Y17_SQL = """
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def y18(spark, sf):
+    """Log-level CHECK constraints (`delta.constraints.*`, the Delta
+    checkConstraints writer contract): ADD CONSTRAINT validates the
+    staged customer extract's existing data and commits the predicate
+    INTO the log metadata; a violating append must be REFUSED by the
+    write path (with its tmp files cleaned up and no version
+    committed) while a valid append lands. CONTRACTS: adding a
+    constraint the data already violates must raise; the constraint
+    must live in the log configuration; the violating append must
+    raise ConstraintViolationError AND leave the version untouched;
+    the valid append must commit. Oracle: customer aggregate plus the
+    one appended row as a UNION ALL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .exceptions import ConstraintViolationError
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|constraints-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_constraints_{key}")
+    if not delta_py.is_delta_table(tbl):
+        base = t(spark, sf, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        delta_py.write_delta(spark, base.repartition(2), tbl)
+        delta_py.set_properties(
+            tbl,
+            {"delta.constraints.known_segment": "c_mktsegment IS NOT NULL"},
+            allow_constraint_keys=True,
+        )
+    else:
+        delta_py.restore(spark, tbl, 1)  # post-constraint base
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if "delta.constraints.known_segment" not in snap.configuration:
+        raise AssertionError("y18 staging lost its CHECK constraint")
+    v = snap.version
+    try:
+        delta_py.write_delta(
+            spark,
+            spark.createDataFrame(
+                [(9_000_000_001, None, 1.0)],
+                "c_custkey long, c_mktsegment string, c_acctbal double",
+            ).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    except ConstraintViolationError:
+        pass
+    else:
+        raise AssertionError("y18 violating append was not refused")
+    if delta_py.DeltaLog(tbl).snapshot().version != v:
+        raise AssertionError("y18 refused append still committed")
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame(
+            [(9_000_000_001, "EXTRA", 1.0)],
+            "c_custkey long, c_mktsegment string, c_acctbal double",
+        ).coalesce(1),
+        tbl,
+        mode="append",
+    )
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Y18_SQL = """
+WITH t AS (
+  SELECT c_mktsegment, c_acctbal FROM customer
+  UNION ALL SELECT 'EXTRA', 1.0
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -6043,4 +6211,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y14_dv_purge": QuerySpec(y14, Y10_SQL),
     "y15_delta_optimize": QuerySpec(y15, Y15_SQL),
     "y16_append_only_governance": QuerySpec(y16, Y16_SQL),
+    "y17_timestamp_as_of": QuerySpec(y17, Y17_SQL),
+    "y18_check_constraints": QuerySpec(y18, Y18_SQL),
 }
