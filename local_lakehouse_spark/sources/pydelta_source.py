@@ -387,9 +387,20 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
     packing."""
 
     def __init__(self, options: dict, schema: T.StructType):
+        from .delta_py import FEATURE_DELETION_VECTORS
+
         self._path = _required_path(options)
         self._schema = schema
         self._log = DeltaLog(self._path)
+        if self._log.versions():
+            # Capability gate: a column-mapped (or unknown-feature)
+            # table would replay raw files whose PHYSICAL column
+            # names don't match the logical schema — silent nulls.
+            # Refuse loudly; DV-bearing snapshots are fine because DV
+            # commits are handled per-commit in _adds_between.
+            self._log.snapshot(
+                allow=frozenset({FEATURE_DELETION_VECTORS})
+            )
         # delta-spark parity: skipChangeCommits=true silently skips
         # whole commits that change existing data (removes, deletion
         # vectors) instead of failing the stream

@@ -401,6 +401,19 @@ def test_column_mapped_writes_and_strict_paths_refuse(spark, tbl):
     with pytest.raises(UnsupportedOperationError, match="columnMapping"):
         DeltaLog(tbl).snapshot()
 
+
+def test_column_mapped_streaming_refused(spark, tbl):
+    """The pydelta stream reader replays RAW parquet files under the
+    logical schema; a column-mapped table would bind nothing (silent
+    nulls). The capability gate must refuse at stream construction."""
+    from local_lakehouse_spark.sources.pydelta_source import (
+        _PyDeltaStreamReader,
+    )
+
+    _make_mapped_table(tbl)
+    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
+        _PyDeltaStreamReader({"path": tbl}, read_delta(spark, tbl).schema)
+
 # ---------------------------------------------------------------------------
 # delete_where — OUR writer producing deletion vectors (DELETE FROM)
 # ---------------------------------------------------------------------------
