@@ -279,4 +279,50 @@ print("files purged:", n[0].files_purged)
 print("operations in history:",
       [r.operation for r in dt.history().collect()][:3])
 
+# ---------------------------------------------------------------
+# Governance: CHECK constraints live IN the Delta log (they travel
+# with the table and bind every writer), and delta.appendOnly locks
+# a table to appends. TIMESTAMP AS OF resolves time travel from
+# commit timestamps.
+# ---------------------------------------------------------------
+from local_lakehouse_spark.exceptions import (
+    ConstraintViolationError,
+    UnsupportedOperationError,
+)
+
+client.sql(
+    "ALTER TABLE unity.default.dl ADD CONSTRAINT positive CHECK (v > 0)"
+)
+try:
+    client.write_table(
+        spark.createDataFrame([(99, "bad", -1.0)],
+                              "id long, k string, v double"),
+        "unity", "default", "dl", mode="append",
+    )
+except ConstraintViolationError as e:
+    print("constraint refused the append:", str(e)[:80], "...")
+
+client.sql("ALTER TABLE unity.default.dl SET TBLPROPERTIES "
+           "('delta.appendOnly' = 'true')")
+try:
+    client.sql("DELETE FROM unity.default.dl WHERE id = 2")
+except UnsupportedOperationError as e:
+    print("append-only refused the delete:", str(e)[:60], "...")
+client.sql("ALTER TABLE unity.default.dl UNSET TBLPROPERTIES "
+           "('delta.appendOnly')")
+
+from datetime import datetime, timezone
+
+from local_lakehouse_spark.sources.delta_py import DeltaLog
+
+t0 = DeltaLog(f"{TUTORIAL_DIR}/dl").commit_timestamp(0)
+iso = datetime.fromtimestamp(t0 / 1000, tz=timezone.utc).isoformat()
+client.sql(
+    f"SELECT COUNT(*) AS rows_then FROM unity.default.dl "
+    f"TIMESTAMP AS OF '{iso}'"
+).show()
+print("vacuum would reclaim:",
+      client.sql("VACUUM unity.default.dl RETAIN 0 HOURS DRY RUN").count(),
+      "files")
+
 spark.stop()
