@@ -474,11 +474,43 @@ class LakehouseClient:
         row-identity is the whole row (multiset diff via exceptAll)
         and changes are insert/delete only.
 
-        Scale: keyed diff is one full-outer join on the key columns;
-        keyless diff is two exceptAll anti-multiset shuffles. Both are
-        fully distributed — nothing materializes on the driver.
-        ``to_version=None`` means the current contents.
+        Scale: DELTA ranges that are PURE APPENDS take the log-replay
+        fast path — the changes ARE the appended files, read directly
+        as inserts (O(new data), Delta CDF's own answer for append
+        commits). Otherwise: keyed diff is one full-outer join on the
+        key columns; keyless diff is two exceptAll anti-multiset
+        shuffles. All fully distributed — nothing materializes on the
+        driver. ``to_version=None`` means the current contents.
         """
+        tbl = self.get_table(catalog, schema, name)
+        if tbl.file_type == FileType.DELTA and not _io.HAVE_DELTA:
+            from urllib.parse import unquote
+
+            from .sources import delta_py
+
+            spark = self._require_spark()
+            path = _io.strip_file_scheme(tbl.storage_location or "")
+            appended = delta_py.appended_files_between(
+                path, from_version, to_version
+            )
+            if appended is not None:
+                snap = delta_py.DeltaLog(path).snapshot(
+                    to_version, allow=delta_py.BATCH_READ_FEATURES
+                )
+                ct_col = F.lit("insert").alias("_change_type")
+                if not appended:
+                    return spark.createDataFrame([], snap.schema).select(
+                        "*", ct_col
+                    )
+                reader = spark.read.option("basePath", path).schema(
+                    snap.schema
+                )
+                df = reader.parquet(
+                    *[os.path.join(path, unquote(p)) for p in appended]
+                )
+                return df.select(
+                    *[f.name for f in snap.schema.fields], ct_col
+                )
         old = self.read_table(catalog, schema, name, version=from_version)
         new = self.read_table(catalog, schema, name, version=to_version)
         keys = self.get_table(catalog, schema, name).default_merge_columns()

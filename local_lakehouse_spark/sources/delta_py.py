@@ -1582,6 +1582,50 @@ def apply_row_changes(
     )
 
 
+def appended_files_between(
+    path: str, start: int, end: Optional[int] = None
+) -> Optional[list[str]]:
+    """CDC fast-path probe: if EVERY commit in ``(start, end]`` only
+    appends data — add actions with ``dataChange=true`` and no
+    deletion vector; ``dataChange=false`` rearrangements
+    (OPTIMIZE/REORG) and metadata-only commits are fine — return the
+    appended relative paths. Any data-changing remove or DV commit
+    returns None (caller falls back to the snapshot diff).
+
+    This is the Delta CDF answer for append-only ranges: the changes
+    ARE the added files, read directly as inserts — O(new data),
+    never two full snapshot reads diffed. At 100 TB the difference
+    between \"scan yesterday's partition\" and \"scan the table
+    twice\"."""
+    log = DeltaLog(path)
+    vs = log.versions()
+    if end is None:
+        end = vs[-1] if vs else -1
+    out: list[str] = []
+    for v in vs:
+        if v <= start or v > end:
+            continue
+        fname = os.path.join(log.log_dir, f"{v:020d}.json")
+        with open(fname) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                r = a.get("remove")
+                if r is not None and r.get("dataChange", True):
+                    return None
+                add = a.get("add")
+                if add is None:
+                    continue
+                if add.get("deletionVector"):
+                    return None
+                if add.get("dataChange") is False:
+                    continue  # compaction/purge re-pack: same rows
+                out.append(add["path"])
+    return out
+
+
 def purge(spark: SparkSession, path: str) -> Snapshot:
     """``REORG TABLE ... APPLY (PURGE)`` parity — the final step of
     the deletion-vector lifecycle: physically rewrite ONLY the data

@@ -959,3 +959,96 @@ def test_sql_add_drop_constraint_on_delta(spark, tmp_path):
         "SELECT CAST(9 AS BIGINT) AS id, CAST(-1.0 AS DOUBLE) AS v"
     )
     assert client.read_table("unity", "default", "t").count() == 6
+
+
+# ---------------------------------------------------------------------------
+# CDC fast path — append-only ranges replay the log, not two snapshots
+# ---------------------------------------------------------------------------
+
+
+def _cdc_client(spark, tmp_path, rows, name="t"):
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / name)
+    write_delta(
+        spark,
+        spark.createDataFrame(rows, "id long, v long").coalesce(1),
+        tbl_path,
+    )
+    client.register_as_table("unity", "default", name, "DELTA", tbl_path)
+    return client, tbl_path
+
+
+def test_cdc_append_only_range_is_joinless_inserts(spark, tmp_path):
+    client, tbl_path = _cdc_client(
+        spark, tmp_path, [(i, i) for i in range(5)]
+    )
+    client.set_table_default_merge_columns("unity", "default", "t", ["id"])
+    pre = DeltaLog(tbl_path).snapshot().version
+    for k in (10, 20):
+        write_delta(
+            spark,
+            spark.createDataFrame([(k, k)], "id long, v long").coalesce(1),
+            tbl_path,
+            mode="append",
+        )
+    ch = client.table_changes("unity", "default", "t", from_version=pre)
+    rows = sorted((r.id, r._change_type) for r in ch.collect())
+    assert rows == [(10, "insert"), (20, "insert")]
+    # fast path: log replay, no snapshot diff join in the plan
+    assert "Join" not in ch._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_cdc_append_only_range_skips_rearrangements(spark, tmp_path):
+    client, tbl_path = _cdc_client(
+        spark, tmp_path, [(i, i) for i in range(4)]
+    )
+    pre = DeltaLog(tbl_path).snapshot().version
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, 9)], "id long, v long").coalesce(1),
+        tbl_path,
+        mode="append",
+    )
+    delta_py.compact(spark, tbl_path)  # dataChange=false commit in range
+    ch = client.table_changes("unity", "default", "t", from_version=pre)
+    assert sorted((r.id, r._change_type) for r in ch.collect()) == [
+        (9, "insert")
+    ]
+
+
+def test_cdc_data_changing_range_falls_back_to_diff(spark, tmp_path):
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    client, tbl_path = _cdc_client(
+        spark, tmp_path, [(i, i) for i in range(5)]
+    )
+    pre = DeltaLog(tbl_path).snapshot().version
+    delete_where(spark, tbl_path, "id = 0")
+    write_delta(
+        spark,
+        spark.createDataFrame([(10, 10)], "id long, v long").coalesce(1),
+        tbl_path,
+        mode="append",
+    )
+    ch = client.table_changes("unity", "default", "t", from_version=pre)
+    assert sorted((r.id, r._change_type) for r in ch.collect()) == [
+        (0, "delete"),
+        (10, "insert"),
+    ]
+
+
+def test_cdc_empty_append_range(spark, tmp_path):
+    client, tbl_path = _cdc_client(
+        spark, tmp_path, [(1, 1)]
+    )
+    v = DeltaLog(tbl_path).snapshot().version
+    ch = client.table_changes("unity", "default", "t", from_version=v)
+    assert ch.count() == 0
+    assert ch.columns == ["id", "v", "_change_type"]
