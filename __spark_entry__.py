@@ -69,6 +69,7 @@ _NEVER_STAMPED = [
     "y16_append_only_governance",
     "y17_timestamp_as_of",
     "y18_check_constraints",
+    "y19_cdc_log_replay",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

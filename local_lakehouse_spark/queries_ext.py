@@ -6066,6 +6066,95 @@ FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def y19(spark, sf):
+    """CDC LOG-REPLAY fast path (client.table_changes over an
+    append-only version range): the change feed between `pre` and
+    head is exactly the two slices appended THIS RUN, read straight
+    from the appended files as inserts — never a two-snapshot diff.
+    CONTRACTS: the optimized plan must be JOINLESS (a fall-back to
+    the keyed full-outer snapshot diff fails loudly — at 100 TB
+    that's the difference between scanning the new data and scanning
+    the table twice), and every change row must be an insert. The
+    staged table GROWS two commits per run while the (pre, head]
+    feed stays constant — which is itself the point: change-feed
+    cost tracks the delta, not the table. Oracle: the two appended
+    slices as a UNION ALL aggregate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .client import LakehouseClient
+    from .models import Catalog, Schema
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|cdcfast-v1".encode()).hexdigest()[:8]
+    base_dir = os.path.join(tempfile.gettempdir(), f"llh_cdcfast_{key}")
+    os.makedirs(base_dir, exist_ok=True)
+    client = LakehouseClient(
+        metastore_path=os.path.join(base_dir, "ms.json"), spark=spark
+    )
+    for make in (
+        lambda: client.create_catalog(Catalog(name="unity")),
+        lambda: client.create_schema(
+            Schema(name="default", catalog_name="unity")
+        ),
+    ):
+        try:
+            make()
+        except Exception:
+            pass  # idempotent namespace
+    tbl = os.path.join(base_dir, "feed")
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not delta_py.is_delta_table(tbl):
+        delta_py.write_delta(
+            spark, orders.filter("o_orderkey % 7 = 0").repartition(2), tbl
+        )
+        client.register_as_table("unity", "default", "feed", "DELTA", tbl)
+        # key columns set: proves the fast path SKIPS the keyed diff
+        client.set_table_default_merge_columns(
+            "unity", "default", "feed", ["o_orderkey"]
+        )
+    pre = delta_py.DeltaLog(tbl).snapshot().version
+    for mod in (3, 5):
+        delta_py.write_delta(
+            spark,
+            orders.filter(f"o_orderkey % 7 = {mod}").coalesce(2),
+            tbl,
+            mode="append",
+        )
+    ch = client.table_changes("unity", "default", "feed", from_version=pre)
+    plan = ch._jdf.queryExecution().optimizedPlan().toString()
+    if "Join" in plan:
+        raise AssertionError(
+            "y19 append-only change feed fell back to the snapshot "
+            "diff — the log-replay fast path regressed"
+        )
+    return (
+        ch.groupBy("_change_type", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("_change_type", "o_orderstatus")
+    )
+
+
+Y19_SQL = """
+SELECT 'insert' AS _change_type, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 7 IN (3, 5)
+GROUP BY o_orderstatus ORDER BY _change_type, o_orderstatus
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -6213,4 +6302,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y16_append_only_governance": QuerySpec(y16, Y16_SQL),
     "y17_timestamp_as_of": QuerySpec(y17, Y17_SQL),
     "y18_check_constraints": QuerySpec(y18, Y18_SQL),
+    "y19_cdc_log_replay": QuerySpec(y19, Y19_SQL),
 }
