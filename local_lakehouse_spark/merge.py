@@ -387,6 +387,19 @@ class SparkMerger:
                 allow=delta_py.BATCH_READ_FEATURES
             )
             if (
+                snap_probe.configuration.get(
+                    "delta.appendOnly", ""
+                ).lower() == "true"
+                and (self._matched or self._not_matched_by_source)
+            ):
+                # fail fast, before the join/DV work: matched and
+                # not-matched-by-source clauses change existing rows
+                raise UnsupportedOperationError(
+                    f"Delta table at {path} is append-only "
+                    "(delta.appendOnly=true): MERGE update/delete "
+                    "clauses are not allowed (insert-only merges are)"
+                )
+            if (
                 snap_probe.adds
                 and snap_probe.column_mapping_mode in ("", "none")
             ):

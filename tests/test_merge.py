@@ -385,3 +385,32 @@ def test_sql_merge_on_delta_table_commits_version(unity, spark, tmp_path):
     assert out == {(1, "A"), (2, "b")}
     h = DeltaLog(str(tmp_path / "dmt")).history()
     assert h[0]["operation"] == "MERGE"
+
+
+def test_dv_merge_respects_append_only(unity, spark, tmp_path):
+    """An append-only table refuses merges with update/delete clauses
+    BEFORE any join or bitmap work; insert-only merges still land."""
+    from local_lakehouse_spark.sources.delta_py import set_properties
+
+    path = _delta_target(unity, spark, tmp_path, name="dvao", n=4, files=1)
+    set_properties(path, {"delta.appendOnly": "true"})
+    src = spark.createDataFrame(
+        [(0, "U", 0.0), (100, "new", 1.0)], "id long, k string, v double"
+    )
+    with pytest.raises(UnsupportedOperationError, match="append-only"):
+        (
+            unity.merge_table(src, "unity", "default", "dvao")
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute()
+        )
+    (
+        unity.merge_table(src, "unity", "default", "dvao")
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    rows = {
+        r.id: r.k
+        for r in unity.read_table("unity", "default", "dvao").collect()
+    }
+    assert rows[100] == "new" and rows[0] == "a" and len(rows) == 5
