@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -1226,6 +1227,52 @@ def set_properties(
     return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
+_CMP_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s*(==|=|<=|>=|<|>)\s*"
+    r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$"
+)
+
+
+def _predicate_conjuncts(predicate: str) -> list[tuple]:
+    """Best-effort parse of a DML predicate into top-level
+    ``col <op> literal`` conjuncts for stats-based file pruning.
+    Anything unparseable (ORs, functions, casts, column-to-column
+    comparisons, unsupported ops) simply contributes no pruning —
+    skipping is an optimization, never the correctness mechanism."""
+    from ..sqlnames import tokenize
+
+    pieces: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for tok in tokenize(predicate):
+        if tok.kind == "punct":
+            if tok.text == "(":
+                depth += 1
+            elif tok.text == ")":
+                depth -= 1
+        if depth == 0 and tok.kind == "word" and tok.text.upper() == "AND":
+            pieces.append("".join(buf))
+            buf = []
+            continue
+        buf.append(tok.text)
+    pieces.append("".join(buf))
+    out: list[tuple] = []
+    for piece in pieces:
+        m = _CMP_RE.match(piece.strip())
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        value: object
+        if lit.startswith("'"):
+            value = lit[1:-1].replace("''", "'")
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        out.append((col, "=" if op == "==" else op, value))
+    return out
+
+
 def _grown_dvs(
     spark: SparkSession, snap: Snapshot, path: str, predicate: str
 ) -> tuple[dict, list]:
@@ -1233,13 +1280,26 @@ def _grown_dvs(
     by ``predicate``, the union of its existing DV and the newly
     matching positions. Scans the RAW files (existing DVs are unioned
     into the bitmap, so re-marking an already-deleted row is a
-    no-op)."""
+    no-op).
+
+    The scan is STATS-PRUNED first: every top-level ``col op
+    literal`` conjunct of the predicate drops files whose min/max
+    range (or partition value) cannot match — at 100 TB a DELETE
+    scoped to yesterday's partition scans yesterday, not the table.
+    Unparseable predicates scan everything (pruning is never the
+    correctness mechanism)."""
     from pyspark.sql import functions as F
 
+    rels = sorted(snap.adds)
+    for col, op, value in _predicate_conjuncts(predicate):
+        keep = set(candidate_files(snap, col, op, value))
+        rels = [r for r in rels if r in keep]
+    if not rels:
+        return {}, []  # no file's range can match: metadata-only no-op
     scan = (
         spark.read.option("basePath", path)
         .schema(snap.schema)
-        .parquet(*snap.files(path))
+        .parquet(*[os.path.join(path, unquote(r)) for r in rels])
     )
     hits = scan.filter(F.expr(predicate)).select(
         F.col("_metadata.file_name").alias("file_name"),

@@ -1052,3 +1052,56 @@ def test_cdc_empty_append_range(spark, tmp_path):
     ch = client.table_changes("unity", "default", "t", from_version=v)
     assert ch.count() == 0
     assert ch.columns == ["id", "v", "_change_type"]
+
+
+# ---------------------------------------------------------------------------
+# DML stats pruning — DELETE/UPDATE scan only candidate files
+# ---------------------------------------------------------------------------
+
+
+def test_predicate_conjuncts_parse():
+    from local_lakehouse_spark.sources.delta_py import _predicate_conjuncts
+
+    assert _predicate_conjuncts("id = 5") == [("id", "=", 5)]
+    assert _predicate_conjuncts("a >= 1.5 AND b = 'x''y'") == [
+        ("a", ">=", 1.5),
+        ("b", "=", "x'y"),
+    ]
+    # only the parseable conjunct prunes; the rest contribute nothing
+    assert _predicate_conjuncts(
+        "id < 3 AND (k = 'a' OR k = 'b') AND length(s) > 2"
+    ) == [("id", "<", 3)]
+    # OR at top level: no conjuncts at all
+    assert _predicate_conjuncts("id = 1 OR id = 2") == []
+    # unsupported op skipped
+    assert _predicate_conjuncts("id != 4 AND v > 7") == [("v", ">", 7)]
+    # AND inside a string literal is not a separator
+    assert _predicate_conjuncts("s = 'x AND y'") == [("s", "=", "x AND y")]
+
+
+def test_delete_where_prunes_files_by_stats(spark, tbl):
+    """A range-partitioned table deleted with a stats-prunable
+    predicate must DV only the file whose range matches — and a
+    predicate matching NO file's range commits nothing without a
+    scan."""
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+        delete_where,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, s string"
+    ).repartitionByRange(4, "id")
+    write_delta(spark, df, tbl)
+    assert len(DeltaLog(tbl).snapshot().adds) == 4
+    snap = delete_where(spark, tbl, "id >= 97")
+    assert len(snap.dv_adds) == 1  # only the top range file
+    # out-of-range predicate: no commit at all
+    v = snap.version
+    snap = delete_where(spark, tbl, "id >= 1000")
+    assert snap.version == v
+    # complex predicates still delete correctly (no over-pruning)
+    snap = delete_where(spark, tbl, "id = 5 OR id = 95")
+    ids = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert 5 not in ids and 95 not in ids and 96 in ids
+    assert len(ids) == 95
