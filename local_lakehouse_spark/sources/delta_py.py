@@ -1097,6 +1097,53 @@ def write_delta(
     return log.snapshot(version, allow=_write_allow)
 
 
+def _commit_dml(
+    log: DeltaLog, base_snap: Snapshot, actions: list[dict]
+) -> int:
+    """Optimistic conflict resolution for row-level / rearrangement
+    commits — the protocol's WriteSerializable matrix: a loser of the
+    put-if-absent version race re-reads the log and re-commits at the
+    next version IFF every intervening commit is DISJOINT — it
+    touched none of the files this commit adds or removes and made no
+    metadata/protocol change. A concurrent blind append commutes with
+    a DELETE/UPDATE/OPTIMIZE of other files (delta-spark allows the
+    same); overlapping files or structural changes surface
+    ConcurrentModificationError because this commit's read is stale.
+    Returns the committed version."""
+    ours = {
+        a[k]["path"]
+        for a in actions
+        for k in ("add", "remove")
+        if k in a
+    }
+    version = base_snap.version + 1
+    for _attempt in range(64):
+        try:
+            log.commit(version, actions)
+            return version
+        except ConcurrentModificationError:
+            newest_v = log.versions()[-1]
+            for v in range(version, newest_v + 1):
+                fname = os.path.join(log.log_dir, f"{v:020d}.json")
+                with open(fname) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if "metaData" in a or "protocol" in a:
+                            raise
+                        p = (a.get("add") or a.get("remove") or {}).get(
+                            "path"
+                        )
+                        if p and p in ours:
+                            raise
+            version = newest_v + 1
+    raise ConcurrentModificationError(
+        f"DML commit to {log.path} lost 64 version races; giving up"
+    )
+
+
 def _check_log_constraints(
     conf: dict, new_rows: DataFrame, path: str
 ) -> None:
@@ -1451,8 +1498,7 @@ def delete_where(
             }
         }
     )
-    version = snap.version + 1
-    log.commit(version, actions)
+    version = _commit_dml(log, snap, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return log.snapshot(
@@ -1520,8 +1566,7 @@ def update_where(
             }
         }
     )
-    version = snap.version + 1
-    log.commit(version, actions)
+    version = _commit_dml(log, snap, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return log.snapshot(
@@ -1632,9 +1677,8 @@ def apply_row_changes(
             }
         }
     )
-    version = snap.version + 1
     log = DeltaLog(path)
-    log.commit(version, actions)
+    version = _commit_dml(log, snap, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return log.snapshot(
@@ -1779,8 +1823,7 @@ def purge(spark: SparkSession, path: str) -> Snapshot:
             }
         }
     )
-    version = snap.version + 1
-    log.commit(version, actions)
+    version = _commit_dml(log, snap, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return log.snapshot(version, allow=BATCH_READ_FEATURES)
@@ -1885,8 +1928,7 @@ def compact(
             }
         }
     )
-    version = snap.version + 1
-    log.commit(version, actions)
+    version = _commit_dml(log, snap, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return {"numFilesRemoved": len(victims), "numFilesAdded": added}

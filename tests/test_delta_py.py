@@ -1105,3 +1105,91 @@ def test_delete_where_prunes_files_by_stats(spark, tbl):
     ids = sorted(r.id for r in read_delta(spark, tbl).collect())
     assert 5 not in ids and 95 not in ids and 96 in ids
     assert len(ids) == 95
+
+
+# ---------------------------------------------------------------------------
+# DML optimistic concurrency — disjoint row-level commits commute
+# ---------------------------------------------------------------------------
+
+
+def _race_once(monkeypatch, compete_actions):
+    """Monkeypatch DeltaLog.commit so the FIRST attempt is preceded by
+    a competing commit landing the same version."""
+    real_commit = DeltaLog.commit
+    state = {"done": False}
+
+    def racing(self, version, actions):
+        if not state["done"]:
+            state["done"] = True
+            real_commit(self, version, compete_actions)
+        return real_commit(self, version, actions)
+
+    monkeypatch.setattr(DeltaLog, "commit", racing)
+    return real_commit
+
+
+def test_dml_delete_retries_past_disjoint_append(spark, tbl, monkeypatch):
+    """A DELETE losing the version race to a blind append of OTHER
+    files retries and lands — WriteSerializable: the two commute."""
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long"
+    ).coalesce(1)
+    write_delta(spark, df, tbl)
+    _race_once(
+        monkeypatch,
+        [
+            {"commitInfo": {"operation": "WRITE",
+                            "engineInfo": "competing-appender"}}
+        ],
+    )
+    snap = delete_where(spark, tbl, "id < 3")
+    monkeypatch.undo()
+    assert snap.version == 2  # base 0, competitor 1, retried delete 2
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == list(
+        range(3, 10)
+    )
+
+
+def test_dml_delete_conflicts_on_overlapping_file(spark, tbl, monkeypatch):
+    """A competitor that touched one of OUR files (same path in its
+    remove/add) must surface ConcurrentModificationError."""
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long"
+    ).coalesce(1)
+    write_delta(spark, df, tbl)
+    rel = next(iter(DeltaLog(tbl).snapshot().adds))
+    _race_once(
+        monkeypatch,
+        [
+            {"remove": {"path": rel, "dataChange": True}},
+            {"commitInfo": {"operation": "DELETE",
+                            "engineInfo": "competing-deleter"}},
+        ],
+    )
+    with pytest.raises(ConcurrentModificationError):
+        delete_where(spark, tbl, "id < 3")
+    monkeypatch.undo()
+
+
+def test_dml_conflicts_on_concurrent_metadata_change(spark, tbl, monkeypatch):
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long"
+    ).coalesce(1)
+    write_delta(spark, df, tbl)
+    meta = dict(DeltaLog(tbl).snapshot().metadata)
+    _race_once(
+        monkeypatch,
+        [
+            {"metaData": meta},
+            {"commitInfo": {"operation": "SET TBLPROPERTIES"}},
+        ],
+    )
+    with pytest.raises(ConcurrentModificationError):
+        delete_where(spark, tbl, "id < 3")
+    monkeypatch.undo()
