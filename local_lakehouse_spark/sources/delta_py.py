@@ -33,14 +33,25 @@ implements the subset the reference exercises
 
 - concurrency: put-if-absent version files + optimistic retry for
   BLIND APPENDS (an append that read no table data commutes with any
-  concurrent data commit, so the loser re-reads the log and retries
-  at the next version — the protocol's conflict-resolution model);
-  read-dependent writes (overwrite, replaceWhere) and concurrent
-  schema changes raise ``ConcurrentModificationError``.
+  concurrent data commit) and for row-level / rearrangement commits
+  past DISJOINT concurrent commits (WriteSerializable's commute
+  rule, ``_commit_dml``); overlapping files, read-dependent
+  overwrites, and concurrent schema changes raise
+  ``ConcurrentModificationError``;
+- row-level surface (round 6): deletion-vector + column-mapping
+  BATCH reads (delta_dv codec), DV ``delete_where``/``update_where``
+  with stats-pruned scans, ``apply_row_changes`` (the DV MERGE
+  backend), ``purge`` (REORG APPLY (PURGE)), ``compact``
+  (dataChange=false OPTIMIZE bin-packing), ``set_properties``
+  (TBLPROPERTIES) with ``delta.appendOnly`` and
+  ``delta.constraints.*`` enforcement, TIMESTAMP AS OF resolution,
+  and an append-only CDC fast-path probe
+  (``appended_files_between``).
 
-NOT implemented (documented limits, not silent gaps): deletion
-vectors and column mapping. When ``delta-spark`` is importable,
-io.py prefers it and this module is never used.
+Remaining documented limits (loud refusals, not silent gaps):
+writes into column-mapped layouts, streaming replay of mapped
+tables, and purge/compact of mapped tables. When ``delta-spark``
+is importable, io.py prefers it and this module is never used.
 
 Scale notes: data files are written DISTRIBUTED by Spark (the move
 into place is a per-file rename, metadata cost only); reads hand
