@@ -1193,3 +1193,39 @@ def test_dml_conflicts_on_concurrent_metadata_change(spark, tbl, monkeypatch):
     with pytest.raises(ConcurrentModificationError):
         delete_where(spark, tbl, "id < 3")
     monkeypatch.undo()
+
+
+def test_concurrent_disjoint_deletes_from_threads(spark, tbl):
+    """Two real threads DV-delete rows living in DIFFERENT files at
+    the same time: whoever loses the version race retries past the
+    other's disjoint commit — both deletes land, no error."""
+    import threading
+
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(100)], "id long, v long"
+    ).repartitionByRange(2, "id")
+    write_delta(spark, df, tbl)
+    assert len(DeltaLog(tbl).snapshot().adds) == 2
+    # land the DV protocol upgrade SERIALLY first: concurrent
+    # protocol changes are a structural conflict by design
+    delete_where(spark, tbl, "id = 50")
+    errors = []
+
+    def run(pred):
+        try:
+            delete_where(spark, tbl, pred)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    # ranges chosen to live entirely in opposite range files
+    t1 = threading.Thread(target=run, args=("id < 5",))
+    t2 = threading.Thread(target=run, args=("id >= 95",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    ids = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert ids == [i for i in range(5, 95) if i != 50]
+    from local_lakehouse_spark.sources.delta_py import BATCH_READ_FEATURES
+
+    assert DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES).version == 3
