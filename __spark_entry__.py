@@ -70,6 +70,7 @@ _NEVER_STAMPED = [
     "y17_timestamp_as_of",
     "y18_check_constraints",
     "y19_cdc_log_replay",
+    "y20_shallow_clone",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

@@ -877,6 +877,35 @@ class LakehouseClient:
         )
         return int(target_files)
 
+    def clone_table(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        src_catalog: str,
+        src_schema: str,
+        src_name: str,
+        location: str,
+    ) -> Table:
+        """``CREATE TABLE c.s.t SHALLOW CLONE c2.s2.t2 LOCATION ...``
+        — a zero-copy metadata-only snapshot of a DELTA table
+        (delta_py.shallow_clone): the clone references the source's
+        files by absolute path and evolves independently (appends, DV
+        deletes, OPTIMIZE, time travel of its own). Registers the
+        clone in the metastore and returns its Table."""
+        src = self.get_table(src_catalog, src_schema, src_name)
+        if src.file_type != FileType.DELTA or _io.HAVE_DELTA:
+            raise UnsupportedOperationError(
+                "SHALLOW CLONE requires a DELTA table (python log)"
+            )
+        from .sources import delta_py
+
+        dest = _io.strip_file_scheme(location)
+        delta_py.shallow_clone(
+            _io.strip_file_scheme(src.storage_location or ""), dest
+        )
+        return self.register_as_table(catalog, schema, name, "DELTA", dest)
+
     def purge_table(self, catalog: str, schema: str, name: str) -> int:
         """``REORG TABLE c.s.t APPLY (PURGE)`` — materialize deletion
         vectors by physically rewriting ONLY the DV-bearing files
@@ -961,6 +990,14 @@ class LakehouseClient:
         + r"(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
         + r"\s+USING\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
+    )
+    _CLONE_RE = re.compile(
+        r"^CREATE\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+SHALLOW\s+CLONE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+LOCATION\s+'([^']+)'\s*$",
+        re.IGNORECASE,
     )
     _CTAS_RE = re.compile(
         r"^CREATE\s+TABLE\s+"
@@ -1338,6 +1375,19 @@ class LakehouseClient:
                 )
             ]
             return spark.createDataFrame(rows, "table string")
+        m = self._CLONE_RE.match(stmt)
+        if m:
+            cat, sch, tbl, scat, ssch, stbl, loc = m.groups()
+            self.clone_table(
+                self._unquote_name(cat),
+                self._unquote_name(sch),
+                self._unquote_name(tbl),
+                self._unquote_name(scat),
+                self._unquote_name(ssch),
+                self._unquote_name(stbl),
+                location=loc,
+            )
+            return spark.createDataFrame([], "rows string")
         m = self._CTAS_RE.match(stmt)
         if m:
             cat, sch, tbl, fmt, loc, select = m.groups()

@@ -6155,6 +6155,70 @@ GROUP BY o_orderstatus ORDER BY _change_type, o_orderstatus
 """
 
 
+def y20(spark, sf):
+    """SHALLOW CLONE (delta_py.shallow_clone / SQL `CREATE TABLE ...
+    SHALLOW CLONE ...`): a zero-copy metadata snapshot — the clone
+    references the source's files by absolute path and then evolves
+    independently (here: a DV DELETE on the clone). CONTRACTS: the
+    clone directory must contain NO parquet (zero data copied); the
+    clone's head history row must be the CLONE (first run) or its own
+    DELETE lineage; and the SOURCE must keep every row after the
+    clone is mutated — a clone that leaks writes into its source
+    fails loudly. Oracle: the part aggregate minus the deleted
+    bracket, read FROM THE CLONE."""
+    import glob as _glob
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|clone-v1".encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"llh_clonesrc_{key}")
+    dest = os.path.join(tempfile.gettempdir(), f"llh_clonedst_{key}")
+    if not delta_py.is_delta_table(src):
+        base = t(spark, sf, "part").select(
+            "p_partkey", "p_brand", "p_retailprice"
+        )
+        delta_py.write_delta(spark, base.repartition(4), src)
+    n_src = delta_py.read_delta(spark, src).count()
+    if not delta_py.is_delta_table(dest):
+        delta_py.shallow_clone(src, dest)
+        if delta_py.DeltaLog(dest).history()[0]["operation"] != "CLONE":
+            raise AssertionError("y20 clone commit missing CLONE op")
+    if _glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True):
+        raise AssertionError(
+            "y20 clone dir contains parquet — SHALLOW CLONE copied data"
+        )
+    delta_py.delete_where(spark, dest, "p_partkey % 10 = 0")
+    if delta_py.read_delta(spark, src).count() != n_src:
+        raise AssertionError(
+            "y20 mutating the clone changed the SOURCE row count"
+        )
+    return (
+        delta_py.read_delta(spark, dest)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Y20_SQL = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM part WHERE p_partkey % 10 <> 0
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -6303,4 +6367,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y17_timestamp_as_of": QuerySpec(y17, Y17_SQL),
     "y18_check_constraints": QuerySpec(y18, Y18_SQL),
     "y19_cdc_log_replay": QuerySpec(y19, Y19_SQL),
+    "y20_shallow_clone": QuerySpec(y20, Y20_SQL),
 }

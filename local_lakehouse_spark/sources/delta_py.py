@@ -843,7 +843,12 @@ def read_delta(
     scan_schema = (
         _physical_type(log_schema) if mapping else out_schema
     )
-    reader = spark.read.option("basePath", path).schema(scan_schema)
+    # basePath exists only to derive hive partition columns from dir
+    # names; unpartitioned scans omit it so absolute add paths
+    # (shallow clones) scan cleanly from outside the table dir.
+    reader = spark.read.schema(scan_schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", path)
 
     dv_adds = snap.dv_adds
     plain = [
@@ -1285,6 +1290,17 @@ def set_properties(
     return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
+def _scan_reader(spark: SparkSession, snap: Snapshot, path: str):
+    """Parquet reader bound to the snapshot schema; ``basePath`` (the
+    hive partition-dir derivation anchor) only when the table is
+    partitioned, so absolute add paths (shallow clones) scan cleanly
+    from outside the table dir."""
+    reader = spark.read.schema(snap.schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", path)
+    return reader
+
+
 _CMP_RE = re.compile(
     r"^([A-Za-z_]\w*)\s*(==|=|<=|>=|<|>)\s*"
     r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$"
@@ -1354,10 +1370,8 @@ def _grown_dvs(
         rels = [r for r in rels if r in keep]
     if not rels:
         return {}, []  # no file's range can match: metadata-only no-op
-    scan = (
-        spark.read.option("basePath", path)
-        .schema(snap.schema)
-        .parquet(*[os.path.join(path, unquote(r)) for r in rels])
+    scan = _scan_reader(spark, snap, path).parquet(
+        *[os.path.join(path, unquote(r)) for r in rels]
     )
     hits = scan.filter(F.expr(predicate)).select(
         F.col("_metadata.file_name").alias("file_name"),
@@ -1613,8 +1627,7 @@ def read_delta_with_positions(
         )
         return snap, empty
     scan = (
-        spark.read.option("basePath", path)
-        .schema(snap.schema)
+        _scan_reader(spark, snap, path)
         .parquet(*snap.files(path))
         .withColumns(pos_cols)
     )
@@ -1780,7 +1793,7 @@ def purge(spark: SparkSession, path: str) -> Snapshot:
     deleted = _deleted_positions_df(spark, dv_adds, path, total_card)
     if total_card <= _DV_BROADCAST_MAX_ROWS:
         deleted = F.broadcast(deleted)
-    reader = spark.read.option("basePath", path).schema(snap.schema)
+    reader = _scan_reader(spark, snap, path)
     dv_scan = reader.parquet(
         *[os.path.join(path, unquote(p)) for p in sorted(dv_adds)]
     ).withColumns(
@@ -1884,10 +1897,8 @@ def compact(
     if not groups:
         return {"numFilesRemoved": 0, "numFilesAdded": 0}
     victims = sorted(r for rels in groups.values() for r in rels)
-    scan = (
-        spark.read.option("basePath", path)
-        .schema(snap.schema)
-        .parquet(*[os.path.join(path, unquote(r)) for r in victims])
+    scan = _scan_reader(spark, snap, path).parquet(
+        *[os.path.join(path, unquote(r)) for r in victims]
     )
     total = sum(
         int(snap.adds[r].get("size") or 0) for r in victims
@@ -1943,6 +1954,79 @@ def compact(
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return {"numFilesRemoved": len(victims), "numFilesAdded": added}
+
+
+def shallow_clone(src: str, dest: str) -> Snapshot:
+    """``CREATE TABLE ... SHALLOW CLONE`` — a METADATA-ONLY copy: the
+    clone's version-0 commit re-adds the source's live files by
+    ABSOLUTE path (the protocol allows absolute ``add`` paths), so no
+    data moves and the clone evolves independently from there — its
+    own appends, DV deletes, OPTIMIZE, constraints, time travel.
+    Source deletion vectors are carried over as ``storageType="p"``
+    (absolute-path) descriptors. Writes to the clone never touch
+    source files, and ``vacuum`` on the clone can only ever reclaim
+    clone-local files (it walks the clone directory). The standard
+    caveat travels too: vacuuming the SOURCE can reclaim files the
+    clone still references — delta-spark documents exactly this.
+    At 100 TB this is the zero-copy dev/test/experiment snapshot."""
+    from . import delta_dv
+
+    src_snap = DeltaLog(src).snapshot(allow=BATCH_READ_FEATURES)
+    if src_snap.partition_columns:
+        raise UnsupportedOperationError(
+            "shallow clone of a hive-partitioned table is not "
+            "supported (partition values would need log-side binding "
+            "instead of directory derivation)"
+        )
+    if is_delta_table(dest):
+        raise AlreadyExistsError(f"{dest} is already a Delta table")
+    os.makedirs(dest, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": dict(src_snap.protocol or PROTOCOL)},
+        _meta_action(
+            src_snap.schema,
+            src_snap.partition_columns,
+            str(uuid.uuid4()),
+            src_snap.configuration,
+        ),
+    ]
+    for rel, a in sorted(src_snap.adds.items()):
+        add = dict(a)
+        raw = unquote(rel)
+        abs_p = (
+            raw
+            if os.path.isabs(raw)
+            else os.path.abspath(os.path.join(src, raw))
+        )
+        add["path"] = quote(abs_p, safe="/=")
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            dv = dict(dv)
+            dv["storageType"] = "p"
+            dv["pathOrInlineDv"] = os.path.abspath(
+                os.path.join(
+                    src, delta_dv.dv_relative_path(dv["pathOrInlineDv"])
+                )
+            )
+            add["deletionVector"] = dv
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src,
+                    "isShallow": "true",
+                },
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    log = DeltaLog(dest)
+    log.commit(0, actions)
+    return log.snapshot(allow=BATCH_READ_FEATURES)
 
 
 def vacuum(

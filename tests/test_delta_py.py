@@ -1229,3 +1229,130 @@ def test_concurrent_disjoint_deletes_from_threads(spark, tbl):
     from local_lakehouse_spark.sources.delta_py import BATCH_READ_FEATURES
 
     assert DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES).version == 3
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE — zero-copy metadata-only table snapshots
+# ---------------------------------------------------------------------------
+
+
+def test_shallow_clone_reads_and_evolves_independently(spark, tmp_path):
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+        delete_where,
+        shallow_clone,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "clone")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, s string"
+    ).repartition(2)
+    write_delta(spark, df, src)
+    src_files = set()
+    for root, _d, names in os.walk(src):
+        src_files |= {os.path.join(root, n) for n in names}
+    snap = shallow_clone(src, dest)
+    # zero copy: no parquet lives in the clone dir
+    assert not [
+        n for n in os.listdir(dest) if n.endswith(".parquet")
+    ]
+    assert sorted(r.id for r in read_delta(spark, dest).collect()) == list(
+        range(20)
+    )
+    assert DeltaLog(dest).history()[0]["operation"] == "CLONE"
+    # clone evolves independently: DV delete + append touch only dest
+    delete_where(spark, dest, "id < 5")
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, "new")], "id long, s string").coalesce(1),
+        dest,
+        mode="append",
+    )
+    assert sorted(r.id for r in read_delta(spark, dest).collect()) == (
+        list(range(5, 20)) + [100]
+    )
+    # source untouched: same files, same rows
+    assert sorted(r.id for r in read_delta(spark, src).collect()) == list(
+        range(20)
+    )
+    for f in src_files:
+        assert os.path.exists(f)
+    # vacuum on the clone can never reclaim source files
+    gone = vacuum(dest, retain_hours=0.0)
+    for f in src_files:
+        assert os.path.exists(f)
+    # and the clone still reads correctly afterwards
+    assert read_delta(spark, dest).count() == 16
+
+
+def test_shallow_clone_carries_source_dvs(spark, tmp_path):
+    """Source deletion vectors translate to absolute-path (p)
+    descriptors; the clone sees the source's LIVE rows."""
+    from local_lakehouse_spark.sources.delta_py import (
+        delete_where,
+        shallow_clone,
+    )
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "clone")
+    df = spark.createDataFrame(
+        [(i,) for i in range(10)], "id long"
+    ).coalesce(1)
+    write_delta(spark, df, src)
+    delete_where(spark, src, "id % 2 = 0")
+    shallow_clone(src, dest)
+    assert sorted(r.id for r in read_delta(spark, dest).collect()) == [
+        1, 3, 5, 7, 9,
+    ]
+
+
+def test_shallow_clone_refuses_partitioned_and_existing(spark, tmp_path):
+    from local_lakehouse_spark.exceptions import (
+        AlreadyExistsError,
+        UnsupportedOperationError,
+    )
+    from local_lakehouse_spark.sources.delta_py import shallow_clone
+
+    part = str(tmp_path / "part")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, p string"),
+        part,
+        partition_by=["p"],
+    )
+    with pytest.raises(UnsupportedOperationError, match="partitioned"):
+        shallow_clone(part, str(tmp_path / "c1"))
+    src = str(tmp_path / "src")
+    write_delta(spark, spark.createDataFrame([(1,)], "id long"), src)
+    dest = str(tmp_path / "c2")
+    shallow_clone(src, dest)
+    with pytest.raises(AlreadyExistsError):
+        shallow_clone(src, dest)
+
+
+def test_sql_shallow_clone_route(spark, tmp_path):
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    src_path = str(tmp_path / "src")
+    write_delta(
+        spark,
+        spark.createDataFrame([(i, i * 2) for i in range(6)], "id long, v long").coalesce(1),
+        src_path,
+    )
+    client.register_as_table("unity", "default", "src", "DELTA", src_path)
+    client.sql(
+        "CREATE TABLE unity.default.snap SHALLOW CLONE unity.default.src "
+        f"LOCATION '{tmp_path}/snap'"
+    )
+    assert client.read_table("unity", "default", "snap").count() == 6
+    client.sql("DELETE FROM unity.default.snap WHERE id = 0")
+    assert client.read_table("unity", "default", "snap").count() == 5
+    assert client.read_table("unity", "default", "src").count() == 6
