@@ -56,9 +56,11 @@ _ROWS_ONLY_WITH_NEW_CONTRACTS = [
     "x22_approx_distinct_hll",
 ]
 # Never-stamped queries always lead the cap (the round-5 rule): the
-# round-6 deletion-vector / column-mapping read queries need their
-# first driver stamp, displacing the last two r1-era rotation slots
-# (both keep a same-round local green in CORRECTNESS_LOCAL_r06).
+# round-6 Delta row-level / governance series (y10-y20: DV reads and
+# DML, PURGE, OPTIMIZE, appendOnly, TIMESTAMP AS OF, constraints,
+# CDC fast path, SHALLOW CLONE) needs first driver stamps; the
+# displaced tail of the r1-era rotation keeps a same-round local
+# green in CORRECTNESS_LOCAL_r06.json and rotates next round.
 _NEVER_STAMPED = [
     "y10_deletion_vector_read",
     "y11_column_mapping_read",
