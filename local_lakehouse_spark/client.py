@@ -250,11 +250,20 @@ class LakehouseClient:
         return _io.snapshot_versions(path)
 
     def restore_table(
-        self, catalog: str, schema: str, name: str, version: int
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        version: Optional[int] = None,
+        timestamp: Optional[object] = None,
     ) -> None:
         """Make a retained snapshot the current table contents. The
         pre-restore contents are themselves retired as a new snapshot
         first, so a restore is always reversible.
+
+        ``timestamp`` (DELTA only, exclusive with version): RESTORE
+        TO TIMESTAMP AS OF — resolved through commitInfo timestamps
+        like read-side time travel.
 
         Always a FULL rewrite — the OVERWRITE write matrix would take
         the dynamic-partition-overwrite branch for partitioned tables
@@ -262,6 +271,21 @@ class LakehouseClient:
         the restore incomplete (ADVICE r1). Layout is preserved
         (single-file tables restore to a single file)."""
         tbl = self.get_table(catalog, schema, name)
+        if (version is None) == (timestamp is None):
+            raise UnsupportedOperationError(
+                "restore_table takes exactly one of version/timestamp"
+            )
+        if timestamp is not None:
+            if tbl.file_type != FileType.DELTA or _io.HAVE_DELTA:
+                raise UnsupportedOperationError(
+                    "RESTORE TO TIMESTAMP requires a DELTA table "
+                    "(python log)"
+                )
+            from .sources import delta_py
+
+            version = delta_py.DeltaLog(
+                _io.strip_file_scheme(tbl.storage_location or "")
+            ).version_at_timestamp(delta_py._ts_ms(timestamp))
         df = self.read_table(catalog, schema, name, version=version)
         self._check_constraints(df, tbl)
         path = tbl.storage_location.removeprefix("file://")
@@ -804,6 +828,7 @@ class LakehouseClient:
         target_files: Optional[int] = None,
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder_by: Optional[list[str]] = None,
+        where: Optional[str] = None,
     ) -> int:
         """Compact a table's small files (the OPTIMIZE / bin-packing
         analog — beyond the reference, which has no maintenance ops).
@@ -846,16 +871,24 @@ class LakehouseClient:
             # Real OPTIMIZE bin-packing: rewrite ONLY the small files,
             # commit dataChange=false (invisible to streaming/CDC),
             # keep time travel. A full rewrite is the wrong op at
-            # 100 TB; this touches O(small files).
+            # 100 TB; this touches O(small files). ``where`` scopes
+            # compaction to matching partitions.
             from .sources import delta_py
 
             delta_py.compact(
-                spark, path, target_file_bytes=target_file_bytes
+                spark, path,
+                target_file_bytes=target_file_bytes,
+                where=where,
             )
             return len(
                 delta_py.DeltaLog(path)
                 .snapshot(allow=delta_py.BATCH_READ_FEATURES)
                 .adds
+            )
+        if where is not None:
+            raise UnsupportedOperationError(
+                "OPTIMIZE ... WHERE requires a DELTA table without "
+                "zorder_by/target_files overrides"
             )
         if target_files is None:
             on_disk = sum(
@@ -1010,7 +1043,7 @@ class LakehouseClient:
     _RESTORE_RE = re.compile(
         r"^RESTORE\s+TABLE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
-        + r"\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+        + r"\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+|'[^']*')\s*$",
         re.IGNORECASE,
     )
     _CONVERT_RE = re.compile(
@@ -1037,8 +1070,9 @@ class LakehouseClient:
     _OPTIMIZE_RE = re.compile(
         r"^OPTIMIZE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"(?:\s+WHERE\s+(.+?))?"
         + r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*$",
-        re.IGNORECASE,
+        re.IGNORECASE | re.DOTALL,
     )
     _ADD_CONSTRAINT_RE = re.compile(
         r"^ALTER\s+TABLE\s+"
@@ -1156,8 +1190,17 @@ class LakehouseClient:
             return self._compile_merge(m)
         m = self._RESTORE_RE.match(stmt)
         if m:
-            cat, sch, tbl, ver = (self._unquote_name(g) for g in m.groups())
-            self.restore_table(cat, sch, tbl, version=int(ver))
+            cat, sch, tbl, kind, lit = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            if kind.upper() == "VERSION":
+                self.restore_table(cat, sch, tbl, version=int(lit))
+            else:
+                self.restore_table(
+                    cat, sch, tbl,
+                    timestamp=lit.strip("'"),
+                )
             return spark.createDataFrame([], "rows string")
         m = self._CONVERT_RE.match(stmt)
         if m:
@@ -1243,7 +1286,7 @@ class LakehouseClient:
             )
         m = self._OPTIMIZE_RE.match(stmt)
         if m:
-            cat, sch, tbl, zcols = m.groups()
+            cat, sch, tbl, where, zcols = m.groups()
             z = (
                 [self._unquote_name(c.strip()) for c in zcols.split(",")]
                 if zcols
@@ -1254,6 +1297,7 @@ class LakehouseClient:
                 self._unquote_name(sch),
                 self._unquote_name(tbl),
                 zorder_by=z,
+                where=where.strip() if where else None,
             )
             return spark.createDataFrame([(n,)], "target_files long")
         m = self._REORG_RE.match(stmt)

@@ -1307,12 +1307,14 @@ _CMP_RE = re.compile(
 )
 
 
-def _predicate_conjuncts(predicate: str) -> list[tuple]:
+def _predicate_conjuncts(predicate: str) -> tuple[list[tuple], bool]:
     """Best-effort parse of a DML predicate into top-level
-    ``col <op> literal`` conjuncts for stats-based file pruning.
-    Anything unparseable (ORs, functions, casts, column-to-column
-    comparisons, unsupported ops) simply contributes no pruning —
-    skipping is an optimization, never the correctness mechanism."""
+    ``col <op> literal`` conjuncts for stats-based file pruning,
+    plus a COMPLETE flag (every top-level piece parsed). Anything
+    unparseable (ORs, functions, casts, column-to-column comparisons,
+    unsupported ops) simply contributes no pruning — skipping is an
+    optimization, never the correctness mechanism. Callers that
+    REQUIRE full coverage (OPTIMIZE ... WHERE) check the flag."""
     from ..sqlnames import tokenize
 
     pieces: list[str] = []
@@ -1331,9 +1333,11 @@ def _predicate_conjuncts(predicate: str) -> list[tuple]:
         buf.append(tok.text)
     pieces.append("".join(buf))
     out: list[tuple] = []
+    complete = True
     for piece in pieces:
         m = _CMP_RE.match(piece.strip())
         if not m:
+            complete = False
             continue
         col, op, lit = m.groups()
         value: object
@@ -1344,7 +1348,7 @@ def _predicate_conjuncts(predicate: str) -> list[tuple]:
         else:
             value = int(lit)
         out.append((col, "=" if op == "==" else op, value))
-    return out
+    return out, complete
 
 
 def _grown_dvs(
@@ -1365,7 +1369,7 @@ def _grown_dvs(
     from pyspark.sql import functions as F
 
     rels = sorted(snap.adds)
-    for col, op, value in _predicate_conjuncts(predicate):
+    for col, op, value in _predicate_conjuncts(predicate)[0]:
         keep = set(candidate_files(snap, col, op, value))
         rels = [r for r in rels if r in keep]
     if not rels:
@@ -1857,6 +1861,7 @@ def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    where: Optional[str] = None,
 ) -> dict:
     """OPTIMIZE bin-packing, the way delta-spark actually does it:
     gather the SMALL files (size < target) per partition, rewrite
@@ -1877,7 +1882,12 @@ def compact(
     partition dir (hash-partitioned by the partition columns), which
     is the right shape for partitions that accumulated streaming
     micro-files. A no-op (no partition with 2+ small files) commits
-    nothing."""
+    nothing.
+
+    ``where``: partition scope — ``OPTIMIZE t WHERE date = '...'``;
+    only AND-ed partition-column comparisons are accepted (the
+    delta-spark contract), and only matching partitions compact. At
+    100 TB you compact yesterday's partition, never the table."""
     log = DeltaLog(path)
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
     if snap.column_mapping_mode not in ("", "none"):
@@ -1885,14 +1895,36 @@ def compact(
             "compact of a column-mapped Delta table is not supported "
             "(the rewrite would need to re-emit physical column names)"
         )
+    conjuncts: list[tuple] = []
+    if where is not None:
+        # OPTIMIZE ... WHERE is PARTITION-scoped by contract
+        # (delta-spark raises the same way): every conjunct must be a
+        # partition-column comparison, fully parsed.
+        conjuncts, complete = _predicate_conjuncts(where)
+        pcols = set(snap.partition_columns)
+        if not complete or not conjuncts or any(
+            c not in pcols for c, _, _ in conjuncts
+        ):
+            raise UnsupportedOperationError(
+                "OPTIMIZE ... WHERE accepts only AND-ed partition-"
+                f"column comparisons over {sorted(pcols)}; got "
+                f"{where!r}"
+            )
+    dtypes = {f.name: f.dataType for f in snap.schema.fields}
     groups: dict[tuple, list[str]] = {}
     for rel, a in snap.adds.items():
         if a.get("deletionVector"):
             continue  # purge's job
         if int(a.get("size") or 0) >= target_file_bytes:
             continue  # already right-sized
-        key = tuple(sorted((a.get("partitionValues") or {}).items()))
-        groups.setdefault(key, []).append(rel)
+        pv = a.get("partitionValues") or {}
+        if conjuncts and not all(
+            pv.get(c) is not None
+            and partition_keep(pv.get(c), op, v, dtypes.get(c))
+            for c, op, v in conjuncts
+        ):
+            continue  # outside the WHERE scope
+        groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
     groups = {k: rels for k, rels in groups.items() if len(rels) >= 2}
     if not groups:
         return {"numFilesRemoved": 0, "numFilesAdded": 0}

@@ -1062,21 +1062,27 @@ def test_cdc_empty_append_range(spark, tmp_path):
 def test_predicate_conjuncts_parse():
     from local_lakehouse_spark.sources.delta_py import _predicate_conjuncts
 
-    assert _predicate_conjuncts("id = 5") == [("id", "=", 5)]
-    assert _predicate_conjuncts("a >= 1.5 AND b = 'x''y'") == [
-        ("a", ">=", 1.5),
-        ("b", "=", "x'y"),
-    ]
+    assert _predicate_conjuncts("id = 5") == ([("id", "=", 5)], True)
+    assert _predicate_conjuncts("a >= 1.5 AND b = 'x''y'") == (
+        [("a", ">=", 1.5), ("b", "=", "x'y")],
+        True,
+    )
     # only the parseable conjunct prunes; the rest contribute nothing
     assert _predicate_conjuncts(
         "id < 3 AND (k = 'a' OR k = 'b') AND length(s) > 2"
-    ) == [("id", "<", 3)]
+    ) == ([("id", "<", 3)], False)
     # OR at top level: no conjuncts at all
-    assert _predicate_conjuncts("id = 1 OR id = 2") == []
-    # unsupported op skipped
-    assert _predicate_conjuncts("id != 4 AND v > 7") == [("v", ">", 7)]
+    assert _predicate_conjuncts("id = 1 OR id = 2") == ([], False)
+    # unsupported op skipped (and marked incomplete)
+    assert _predicate_conjuncts("id != 4 AND v > 7") == (
+        [("v", ">", 7)],
+        False,
+    )
     # AND inside a string literal is not a separator
-    assert _predicate_conjuncts("s = 'x AND y'") == [("s", "=", "x AND y")]
+    assert _predicate_conjuncts("s = 'x AND y'") == (
+        [("s", "=", "x AND y")],
+        True,
+    )
 
 
 def test_delete_where_prunes_files_by_stats(spark, tbl):
@@ -1356,3 +1362,75 @@ def test_sql_shallow_clone_route(spark, tmp_path):
     client.sql("DELETE FROM unity.default.snap WHERE id = 0")
     assert client.read_table("unity", "default", "snap").count() == 5
     assert client.read_table("unity", "default", "src").count() == 6
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ... WHERE (partition-scoped compaction) + RESTORE TO TIMESTAMP
+# ---------------------------------------------------------------------------
+
+
+def test_compact_where_scopes_to_partition(spark, tbl):
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(12)],
+        "id long, par string",
+    ).repartition(6)
+    write_delta(spark, df, tbl, partition_by=["par"])
+    pre = DeltaLog(tbl).snapshot().adds
+    per_par = {}
+    for a in pre.values():
+        k = a["partitionValues"]["par"]
+        per_par[k] = per_par.get(k, 0) + 1
+    assert per_par["even"] >= 2 and per_par["odd"] >= 2
+    metrics = delta_py.compact(spark, tbl, where="par = 'even'")
+    assert metrics["numFilesRemoved"] == per_par["even"]
+    post_par = {}
+    for a in DeltaLog(tbl).snapshot().adds.values():
+        k = a["partitionValues"]["par"]
+        post_par[k] = post_par.get(k, 0) + 1
+    assert post_par["even"] == 1  # compacted
+    assert post_par["odd"] == per_par["odd"]  # untouched
+    assert read_delta(spark, tbl).count() == 12
+    # non-partition predicate refused (the delta-spark contract)
+    with pytest.raises(UnsupportedOperationError, match="partition"):
+        delta_py.compact(spark, tbl, where="id > 3")
+
+
+def test_sql_optimize_where_and_restore_to_timestamp(spark, tmp_path):
+    import time as _time
+    from datetime import datetime, timezone
+
+    from local_lakehouse_spark.client import LakehouseClient
+    from local_lakehouse_spark.models import Catalog, Schema
+
+    client = LakehouseClient(
+        metastore_path=str(tmp_path / "ms.json"), spark=spark
+    )
+    client.create_catalog(Catalog(name="unity"))
+    client.create_schema(Schema(name="default", catalog_name="unity"))
+    tbl_path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(8)], "id long, par string"
+    ).repartition(4)
+    write_delta(spark, df, tbl_path, partition_by=["par"])
+    client.register_as_table("unity", "default", "t", "DELTA", tbl_path)
+    client.sql("OPTIMIZE unity.default.t WHERE par = 'a'")
+    assert DeltaLog(tbl_path).history()[0]["operation"] == "OPTIMIZE"
+    # RESTORE TO TIMESTAMP: append, then restore to the pre-append time
+    t0 = DeltaLog(tbl_path).commit_timestamp(
+        DeltaLog(tbl_path).snapshot().version
+    )
+    _time.sleep(0.05)
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, "a")], "id long, par string").coalesce(1),
+        tbl_path,
+        mode="append",
+    )
+    assert client.read_table("unity", "default", "t").count() == 9
+    iso = datetime.fromtimestamp(t0 / 1000, tz=timezone.utc).isoformat()
+    client.sql(
+        f"RESTORE TABLE unity.default.t TO TIMESTAMP AS OF '{iso}'"
+    )
+    assert client.read_table("unity", "default", "t").count() == 8
