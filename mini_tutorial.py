@@ -325,4 +325,16 @@ print("vacuum would reclaim:",
       client.sql("VACUUM unity.default.dl RETAIN 0 HOURS DRY RUN").count(),
       "files")
 
+# SHALLOW CLONE: a zero-copy metadata snapshot — the clone references
+# the source's files by absolute path and evolves independently.
+client.sql(
+    "CREATE TABLE unity.default.dl_snap SHALLOW CLONE unity.default.dl "
+    f"LOCATION '{TUTORIAL_DIR}/dl_snap'"
+)
+client.sql("DELETE FROM unity.default.dl_snap WHERE id = 4")
+print("clone rows:",
+      client.read_table("unity", "default", "dl_snap").count(),
+      "| source rows:",
+      client.read_table("unity", "default", "dl").count())
+
 spark.stop()
