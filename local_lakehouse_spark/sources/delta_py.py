@@ -954,6 +954,16 @@ def _meta_action(schema: T.StructType, partition_by: list[str], meta_id: str, co
     }
 
 
+def generated_expressions(schema: T.StructType) -> dict:
+    """``delta.generationExpression`` per column, from schema field
+    metadata (the Delta generated-columns writer contract)."""
+    return {
+        f.name: f.metadata["delta.generationExpression"]
+        for f in schema.fields
+        if f.metadata and "delta.generationExpression" in f.metadata
+    }
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -964,12 +974,21 @@ def write_delta(
     merge_schema: bool = False,
     overwrite_schema: bool = False,
     operation: str = "WRITE",
+    generated: Optional[dict] = None,
 ) -> Snapshot:
     """Transactional write with delta-spark's option matrix
     (mode × mergeSchema × overwriteSchema × replaceWhere). The data
     files are written by Spark (distributed) into a temp dir, moved
     into place (renames), and become visible only when the commit
     file lands — readers replaying the log never see a partial write.
+
+    ``generated`` (CREATE only): column -> SQL expression, stored as
+    ``delta.generationExpression`` field metadata (Delta's generated
+    columns). On EVERY later write a missing generated column is
+    computed automatically, and a caller-PROVIDED value must satisfy
+    ``col <=> (expr)`` or the write refuses — the common use is a
+    derived partition key (``date(ts)``) that writers can't get
+    wrong. Requires writer version 4, committed in the protocol.
     """
     from pyspark.sql import functions as F
 
@@ -984,6 +1003,10 @@ def write_delta(
     snap = log.snapshot(allow=_write_allow) if vs else None
     actions: list[dict] = []
 
+    if snap is not None and generated:
+        raise UnsupportedOperationError(
+            "generated columns are declared at table CREATE time"
+        )
     if snap is not None:
         partition_by = snap.partition_columns  # layout is table-owned
         if replace_where is not None:
@@ -1019,11 +1042,58 @@ def write_delta(
                 _meta_action(schema, partition_by, meta_id, snap.configuration)
             )
     else:
-        schema = df.schema
         version = 0
-        actions.append({"protocol": dict(PROTOCOL)})
+        proto = dict(PROTOCOL)
+        if generated:
+            for c, expr in generated.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(expr))
+            df_schema = df.schema
+            schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        metadata={
+                            **(f.metadata or {}),
+                            "delta.generationExpression": generated[f.name],
+                        }
+                        if f.name in generated
+                        else f.metadata,
+                    )
+                    for f in df_schema.fields
+                ]
+            )
+            # generated columns are a writer-version-4 feature
+            proto["minWriterVersion"] = max(4, proto["minWriterVersion"])
+        else:
+            schema = df.schema
+        actions.append({"protocol": proto})
         actions.append(_meta_action(schema, partition_by or [], str(uuid.uuid4())))
 
+    # Generated columns: compute what the caller omitted; refuse what
+    # the caller got wrong (one filter-limit(1) per provided column —
+    # only tables that declared generated columns pay anything).
+    gens = generated_expressions(schema)
+    if gens:
+        from ..exceptions import ConstraintViolationError
+
+        for c, expr in sorted(gens.items()):
+            if c not in df.columns:
+                df = df.withColumn(
+                    c, F.expr(expr).cast(schema[c].dataType)
+                )
+                continue
+            bad = (
+                df.filter(~F.expr(f"{c} <=> ({expr})")).limit(1).collect()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"write to Delta table at {path} violates generated "
+                    f"column {c!r} = ({expr}); example row: "
+                    f"{bad[0].asDict()}"
+                )
     # Fail fast on append-only violations BEFORE the distributed data
     # write (the late _check_append_only below still guards every
     # other remove source).
@@ -1565,6 +1635,12 @@ def update_where(
     if unknown:
         raise ValueError(
             f"UPDATE assigns to columns not in the table: {sorted(unknown)}"
+        )
+    derived = set(assignments) & set(generated_expressions(snap.schema))
+    if derived:
+        raise UnsupportedOperationError(
+            f"UPDATE may not assign generated columns {sorted(derived)} "
+            "(they are derived via delta.generationExpression)"
         )
     _check_append_only(snap, [{"remove": {"dataChange": True}}], path)
     base_to_rel, built = _grown_dvs(spark, snap, path, predicate)

@@ -1434,3 +1434,80 @@ def test_sql_optimize_where_and_restore_to_timestamp(spark, tmp_path):
         f"RESTORE TABLE unity.default.t TO TIMESTAMP AS OF '{iso}'"
     )
     assert client.read_table("unity", "default", "t").count() == 8
+
+
+# ---------------------------------------------------------------------------
+# Generated columns (delta.generationExpression)
+# ---------------------------------------------------------------------------
+
+
+def test_generated_columns_fill_validate_and_partition(spark, tbl):
+    from local_lakehouse_spark.exceptions import ConstraintViolationError
+
+    df = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    write_delta(
+        spark, df, tbl,
+        generated={"bucket": "id % 3"},
+        partition_by=["bucket"],
+    )
+    snap = DeltaLog(tbl).snapshot()
+    assert snap.protocol["minWriterVersion"] >= 4
+    assert snap.schema["bucket"].metadata[
+        "delta.generationExpression"
+    ] == "id % 3"
+    rows = {r.id: r.bucket for r in read_delta(spark, tbl).collect()}
+    assert rows[7] == 1 and len(rows) == 9
+    # append WITHOUT the generated column: computed automatically,
+    # landing in the right partition dir
+    write_delta(
+        spark,
+        spark.createDataFrame([(100,)], "id long"),
+        tbl,
+        mode="append",
+    )
+    assert {
+        r.bucket for r in read_delta(spark, tbl).filter("id = 100").collect()
+    } == {1}
+    # append WITH a correct provided value: fine
+    write_delta(
+        spark,
+        spark.createDataFrame([(101, 2)], "id long, bucket long"),
+        tbl,
+        mode="append",
+    )
+    # append with a WRONG provided value: refused, nothing committed
+    v = DeltaLog(tbl).snapshot().version
+    with pytest.raises(ConstraintViolationError, match="generated"):
+        write_delta(
+            spark,
+            # wrong: 102 % 3 = 0, not 1
+            spark.createDataFrame([(102, 1)], "id long, bucket long"),
+            tbl,
+            mode="append",
+        )
+    assert DeltaLog(tbl).snapshot().version == v
+    assert read_delta(spark, tbl).count() == 11
+
+
+def test_generated_columns_guards(spark, tbl):
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+    from local_lakehouse_spark.sources.delta_py import update_where
+
+    write_delta(
+        spark,
+        spark.createDataFrame([(1,)], "id long"),
+        tbl,
+        generated={"double_id": "id * 2"},
+    )
+    # UPDATE may not assign a derived column
+    with pytest.raises(UnsupportedOperationError, match="generated"):
+        update_where(spark, tbl, "id = 1", {"double_id": "99"})
+    # declaring generated columns post-create is refused
+    with pytest.raises(UnsupportedOperationError, match="CREATE"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(2,)], "id long"),
+            tbl,
+            mode="append",
+            generated={"x": "id"},
+        )
