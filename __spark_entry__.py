@@ -73,6 +73,7 @@ _NEVER_STAMPED = [
     "y18_check_constraints",
     "y19_cdc_log_replay",
     "y20_shallow_clone",
+    "y21_generated_columns",
 ]
 _PRIORITY = (
     _NEVER_STAMPED

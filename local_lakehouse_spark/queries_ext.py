@@ -6219,6 +6219,99 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def y21(spark, sf):
+    """GENERATED COLUMNS (`delta.generationExpression`, writer v4 —
+    the derived-partition-key contract): the staged supplier table
+    declares `bucket = s_suppkey % 4` at CREATE and partitions by it.
+    Appends that OMIT the column get it computed; an append providing
+    a WRONG value must be refused with no version committed.
+    CONTRACTS: the expression round-trips the log metadata, writer
+    version >= 4, the wrong-value append raises
+    ConstraintViolationError and leaves the version untouched, and
+    the valid omitted-column append lands in the right partition.
+    Oracle: the same aggregate with the bucket computed in SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .exceptions import ConstraintViolationError
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|gencol-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_gencol_{key}")
+    if not delta_py.is_delta_table(tbl):
+        # repartition(2) keeps the partitioned write at <=8 files
+        # (supplier is dimension-sized at every SF)
+        base = t(spark, sf, "supplier").select(
+            "s_suppkey", "s_acctbal"
+        ).repartition(2)
+        delta_py.write_delta(
+            spark, base, tbl,
+            generated={"bucket": "s_suppkey % 4"},
+            partition_by=["bucket"],
+        )
+    else:
+        delta_py.restore(spark, tbl, 0)  # back to the staged base
+    snap = delta_py.DeltaLog(tbl).snapshot()
+    if snap.protocol.get("minWriterVersion", 0) < 4:
+        raise AssertionError("y21 table lost writer version 4")
+    if (
+        snap.schema["bucket"].metadata.get("delta.generationExpression")
+        != "s_suppkey % 4"
+    ):
+        raise AssertionError("y21 generation expression lost from the log")
+    v = snap.version
+    try:
+        delta_py.write_delta(
+            spark,
+            spark.createDataFrame(
+                [(9_000_000_001, 1.0, 999)],
+                "s_suppkey long, s_acctbal double, bucket long",
+            ).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    except ConstraintViolationError:
+        pass
+    else:
+        raise AssertionError("y21 wrong generated value was not refused")
+    if delta_py.DeltaLog(tbl).snapshot().version != v:
+        raise AssertionError("y21 refused append still committed")
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame(
+            [(9_000_000_001, 1.0)], "s_suppkey long, s_acctbal double"
+        ).coalesce(1),
+        tbl,
+        mode="append",  # bucket omitted: computed (1 % 4 == 1)
+    )
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Y21_SQL = """
+WITH t AS (
+  SELECT s_suppkey, s_acctbal FROM supplier
+  UNION ALL SELECT 9000000001, 1.0
+)
+SELECT s_suppkey % 4 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM t GROUP BY s_suppkey % 4 ORDER BY bucket
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -6368,4 +6461,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y18_check_constraints": QuerySpec(y18, Y18_SQL),
     "y19_cdc_log_replay": QuerySpec(y19, Y19_SQL),
     "y20_shallow_clone": QuerySpec(y20, Y20_SQL),
+    "y21_generated_columns": QuerySpec(y21, Y21_SQL),
 }
