@@ -26,76 +26,79 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
 _ALL = {**_CORE, **_EXT}
 
-# Round-6 cap ordering (driver cap = 50 queries/round; stamps are
-# CUMULATIVE across CORRECTNESS_r01..r05 — the r5 union is
-# 179/179 oracle-eligible green). With nothing left unstamped, this
-# round rotates the cap onto STAMP FRESHNESS: the 47 rows whose only
-# driver evidence is the round-1 artifact, earned against fixtures
-# the driver has since regenerated (the r3 events.ts NANOS→MICROS
-# flip proved fixtures drift), re-prove first. Those are the r1-era
-# rows: q01–q47 minus q05/q32 (both r2-stamped) plus x01/x02 — 47
-# rows — and the cap's last 3 slots go to the rows-only trio
-# x06/x14/x22, which this round gained RUNTIME accuracy contracts
-# (recall@k vs the exact baseline; HLL error bound) so their
-# `no_oracle` driver rows now fail loudly on regression instead of
-# only counting rows. Everything past the cap keeps an r2+ stamp AND
-# a same-round local green in CORRECTNESS_LOCAL_r06.json.
-_R1_ERA = (
-    [
-        n
-        for n in _ALL
-        if n.startswith("q")
-        and n < "q48"
-        and not n.startswith(("q05", "q32"))  # r2-stamped
-    ]
-    + ["x01_dedup_exact", "x02_dedup_ngram_jaccard"]
-)
-_ROWS_ONLY_WITH_NEW_CONTRACTS = [
-    "x06_ann_lsh_topk",
-    "x14_embedding_near_dup",
-    "x22_approx_distinct_hll",
-]
-# Never-stamped queries always lead the cap (the round-5 rule): the
-# round-6 Delta row-level / governance series (y10-y20: DV reads and
-# DML, PURGE, OPTIMIZE, appendOnly, TIMESTAMP AS OF, constraints,
-# CDC fast path, SHALLOW CLONE) needs first driver stamps; the
-# displaced tail of the r1-era rotation keeps a same-round local
-# green in CORRECTNESS_LOCAL_r06.json and rotates next round.
+# Round-7 cap ordering (driver cap = 50 queries/round; stamps are
+# CUMULATIVE across CORRECTNESS_r01..r06 — the r6 union is 191/191
+# oracle-eligible green). The cap fills by STAMP AGE (judge r6 #1):
+# 1. never-stamped first (the round-5 rule): y22 column-mapped
+#    append + y23 DV-aware append-only streaming replay, new this
+#    round;
+# 2. the LAST 7 r1-era stamps, q41–q47 — earned before the r3
+#    fixture drift (events.ts NANOS→MICROS), the oldest evidence in
+#    the union;
+# 3. all 24 r2-era stamps;
+# 4. the remaining 17 slots go to the oldest r3-era stamps
+#    (q48–q65 minus q55, which re-greened r5).
+# Everything past the cap keeps an r3+ stamp AND a same-round local
+# green in CORRECTNESS_LOCAL_r07.json; the r3 tail rotates in r8.
 _NEVER_STAMPED = [
-    "y10_deletion_vector_read",
-    "y11_column_mapping_read",
-    "y12_dv_delete",
-    "y13_dv_update",
-    "y14_dv_purge",
-    "y15_delta_optimize",
-    "y16_append_only_governance",
-    "y17_timestamp_as_of",
-    "y18_check_constraints",
-    "y19_cdc_log_replay",
-    "y20_shallow_clone",
-    "y21_generated_columns",
+    "y22_column_mapped_append",
+    "y23_dv_stream_append_only",
 ]
-_PRIORITY = (
-    _NEVER_STAMPED
-    + _R1_ERA
-    + _ROWS_ONLY_WITH_NEW_CONTRACTS
-    # next-oldest stamps follow (r2), for drivers that run past the cap
-    + [n for n in _ALL if n.startswith(("q05", "q32"))]
-    + [
-        "x05_ann_cosine_topk",
-        "x07_language_id",
-        "x08_quality_score",
-        "x09_token_count",
-        "x10_fingerprint",
-        "x11_asof_join",
-        "x12_events_hourly",
-        "x15_multimodal_decode",
-        "x17_ann_ivf_topk",
-        "x19_clean_text",
-        "x20_corpus_filter",
-        "x21_streaming_dedup",
-    ]
-)
+_R1_ERA = [
+    "q41_tpch_q12_conditional_agg",
+    "q42_tpch_q18_having_join",
+    "q43_tpch_q4_exists",
+    "q44_tpch_q6_scan_agg",
+    "q45_unpivot",
+    "q46_grouping_sets",
+    "q47_lateral_topn",
+]
+_R2_ERA = [
+    "x01_dedup_exact",
+    "x02_dedup_ngram_jaccard",
+    "x05_ann_cosine_topk",
+    "x07_language_id",
+    "x08_quality_score",
+    "x09_token_count",
+    "x10_fingerprint",
+    "x11_asof_join",
+    "x12_events_hourly",
+    "x15_multimodal_decode",
+    "x17_ann_ivf_topk",
+    "x19_clean_text",
+    "x20_corpus_filter",
+    "x21_streaming_dedup",
+    "x23_pandas_udf_scalar",
+    "x24_apply_in_pandas_norm",
+    "x26_chunk_documents",
+    "x27_repetition_quality",
+    "x28_stratified_sample",
+    "x29_pii_redact",
+    "x30_cap_per_group",
+    "x31_quantize_embeddings",
+    "x33_dedup_clusters",
+    "x34_bm25_relevance",
+]
+_R3_ERA_HEAD = [
+    "q48_tpch_q2_min_cost_supplier",
+    "q49_tpch_q7_volume_shipping",
+    "q50_tpch_q8_market_share",
+    "q51_tpch_q9_product_profit",
+    "q52_tpch_q11_important_stock",
+    "q53_tpch_q13_order_distribution",
+    "q54_tpch_q14_promo_effect",
+    "q56_tpch_q16_parts_suppliers",
+    "q57_tpch_q17_small_quantity",
+    "q58_tpch_q19_disjunctive",
+    "q59_tpch_q20_excess_inventory",
+    "q60_tpch_q21_waiting_suppliers",
+    "q61_tpch_q22_sales_opportunity",
+    "q62_higher_order_fns",
+    "q63_time_range_frame",
+    "q64_argmax_aggregation",
+    "q65_multiset_ops",
+]
+_PRIORITY = _NEVER_STAMPED + _R1_ERA + _R2_ERA + _R3_ERA_HEAD
 QUERY_SPECS = {
     **{n: _ALL[n] for n in _PRIORITY},
     **{n: s for n, s in _ALL.items() if n not in _PRIORITY},

@@ -462,7 +462,22 @@ class LakehouseClient:
             # gated at their own write) are never rewritten.
             from .sources import delta_py
 
-            self._check_constraints(out.filter(predicate), tbl)
+            # Gate the rows update_where will actually WRITE: the
+            # post-images of pre-image-matched rows. Filtering the
+            # post-image (out.filter(predicate)) would miss updates
+            # whose new values falsify their own predicate, e.g.
+            # SET qty=-5 WHERE qty>0 under CHECK qty>=0.
+            post_images = df.filter(predicate).select(
+                *[
+                    F.expr(assignments[c])
+                    .cast(df.schema[c].dataType)
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            self._check_constraints(post_images, tbl)
             delta_py.update_where(
                 self._require_spark(),
                 _io.strip_file_scheme(tbl.storage_location or ""),

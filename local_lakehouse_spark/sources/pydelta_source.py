@@ -434,16 +434,24 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
                 actions = [
                     json.loads(line) for line in f if line.strip()
                 ]
-            # A commit that CHANGES existing data — remove actions,
-            # or a deletion vector attached to an already-live file —
-            # cannot be replayed incrementally (re-emitting the add
-            # would duplicate/resurrect rows). delta-spark's
-            # contract: fail the stream, unless skipChangeCommits
-            # skips the whole commit.
-            removes = any("remove" in a for a in actions)
+            # A commit that CHANGES existing data — removes with
+            # dataChange=true, or a deletion vector attached to an
+            # already-live file — cannot be replayed incrementally
+            # (re-emitting the add would duplicate/resurrect rows).
+            # delta-spark's contract: fail the stream, unless
+            # skipChangeCommits skips the whole commit. Removes with
+            # dataChange=false (OPTIMIZE / REORG PURGE rearrangements)
+            # are transparent: same rows, new packing — delta-spark
+            # streams straight past them and so do we.
+            removes = any(
+                (a.get("remove") or {}).get("dataChange", True)
+                for a in actions
+                if "remove" in a
+            )
             dv = any(
                 (a.get("add") or {}).get("deletionVector")
                 for a in actions
+                if (a.get("add") or {}).get("dataChange", True)
             )
             if removes or dv:
                 if self._skip_change:

@@ -586,6 +586,35 @@ def test_check_constraints(unity, tmp_path):
     assert unity.read_table("unity", "default", "ct").count() == 2
 
 
+def test_update_rows_constraint_gates_self_falsifying_update(unity, tmp_path):
+    """SET qty=-5 WHERE qty>0 under CHECK qty>=0: the post-image
+    falsifies its own predicate, so a gate on out.filter(predicate)
+    would never see the bad rows (ADVICE r6). The gate must run on
+    the post-images of the PRE-image-matched rows."""
+    from local_lakehouse_spark.exceptions import ConstraintViolationError
+
+    spark = unity._require_spark()
+    df = spark.range(1, 6).selectExpr("id", "id AS qty")
+    unity.create_as_table(
+        df,
+        "unity",
+        "default",
+        "uc",
+        file_type="delta",  # DV fast path — the one with the r6 gap
+        location=f"file://{tmp_path}/uc",
+    )
+    unity.add_table_constraint(
+        "unity", "default", "uc", "qty_nonneg", "qty >= 0"
+    )
+    with pytest.raises(ConstraintViolationError):
+        unity.update_rows(
+            "unity", "default", "uc", {"qty": "-5"}, "qty > 0"
+        )
+    got = unity.read_table("unity", "default", "uc")
+    assert got.filter("qty < 0").count() == 0
+    assert got.count() == 5
+
+
 def test_analyze_table_stats(unity, tmp_path):
     spark = unity._require_spark()
     df = spark.createDataFrame(

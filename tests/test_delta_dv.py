@@ -393,11 +393,96 @@ def test_column_mapped_filter_skipping_translates_names(spark, tbl):
     assert df.count() == 3
 
 
-def test_column_mapped_writes_and_strict_paths_refuse(spark, tbl):
+def test_column_mapped_append_roundtrip(spark, tbl):
+    """Pure appends on a column-mapped table: caller speaks logical
+    names, data files land under physical names, and the read path
+    translates back — the full logical->physical->logical cycle."""
+    schema = _make_mapped_table(tbl)
+    extra = spark.createDataFrame(
+        [(4, "dee", ("lima",))],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField(
+                    "addr",
+                    T.StructType([T.StructField("city", T.StringType())]),
+                ),
+            ]
+        ),
+    )
+    write_delta(spark, extra, tbl, mode="append")
+    df = read_delta(spark, tbl)
+    assert df.columns == ["id", "name", "addr"]
+    rows = {r.id: (r.name, r.addr.city) for r in df.collect()}
+    assert rows[4] == ("dee", "lima")
+    assert len(rows) == 4
+    # the appended parquet itself is PHYSICAL-named
+    import pyarrow.parquet as pq
+
+    snap = DeltaLog(tbl).snapshot(allow=delta_py.BATCH_READ_FEATURES)
+    new_rels = [p for p in snap.adds if p != "part-0.parquet"]
+    assert new_rels
+    for rel in new_rels:
+        cols = pq.read_schema(os.path.join(tbl, rel)).names
+        assert "col-c1" in cols and "id" not in cols
+    # stats keyed by physical name -> logical-name filters still prune
+    assert read_delta(spark, tbl, filters=[("id", ">", 3)]).count() == 1
+
+
+def test_column_mapped_partitioned_append(spark, tbl):
+    _make_mapped_table(tbl, partitioned=True)
+    extra = spark.createDataFrame(
+        [(4, "dee", ("lima",), "sa")],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField(
+                    "addr",
+                    T.StructType([T.StructField("city", T.StringType())]),
+                ),
+                T.StructField("region", T.StringType()),
+            ]
+        ),
+    )
+    write_delta(spark, extra, tbl, mode="append")
+    df = read_delta(spark, tbl)
+    assert {r.region for r in df.collect()} == {"eu", "sa"}
+    # partitionValues keys and hive dirs use the PHYSICAL name
+    snap = DeltaLog(tbl).snapshot(allow=delta_py.BATCH_READ_FEATURES)
+    new = [a for p, a in snap.adds.items() if p.startswith("col-c5=sa/")]
+    assert len(new) == 1
+    assert new[0]["partitionValues"] == {"col-c5": "sa"}
+
+
+def test_column_mapped_missing_column_appends_null(spark, tbl):
+    _make_mapped_table(tbl)
+    extra = spark.createDataFrame(
+        [(9, "zed")],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+    )
+    write_delta(spark, extra, tbl, mode="append")
+    rows = {r.id: r.addr for r in read_delta(spark, tbl).collect()}
+    assert rows[9] is None
+
+
+def test_column_mapped_rewrites_and_strict_paths_refuse(spark, tbl):
     _make_mapped_table(tbl)
     df = read_delta(spark, tbl)
     with pytest.raises(UnsupportedOperationError, match="columnMapping"):
-        write_delta(spark, df.select("id", "name"), tbl, mode="append")
+        write_delta(spark, df, tbl, mode="overwrite")
+    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
+        write_delta(
+            spark, df, tbl, mode="append", replace_where="id > 2"
+        )
+    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
+        write_delta(spark, df, tbl, mode="append", merge_schema=True)
     with pytest.raises(UnsupportedOperationError, match="columnMapping"):
         DeltaLog(tbl).snapshot()
 

