@@ -6589,6 +6589,73 @@ GROUP BY 1, 2 ORDER BY win_start, event_type
 """
 
 
+def y24(spark, sf):
+    """STREAMING replay of a column-mapped Delta table (round 7 —
+    the streaming twin of y11's batch read): the pydelta stream
+    reader scans each file under its PHYSICAL `col-*` names and
+    relabels the Arrow batches to logical names IN EXECUTORS
+    (pydelta_source._relabel_array — nested struct fields renamed by
+    positional re-assembly, no value conversion), so a table written
+    by a delta-spark columnMapping writer streams with the logical
+    schema callers declared. CONTRACTS: the staged table's mapping
+    mode must be active and the streamed frame must surface the
+    LOGICAL columns (custkey/acctbal/profile.segment); a translation
+    regression yields nulls or physical names and hash-fails.
+    Oracle: the same customer aggregate as y11 — the streamed rows
+    must be exactly the batch rows."""
+    import hashlib
+
+    from .sources import delta_py, pydelta_source
+
+    pydelta_source.register(spark)
+    tbl = stage_y11_table(spark, sf)
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap.column_mapping_mode != "name":
+        raise AssertionError("y24 staging lost its column-mapping mode")
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(tbl)
+    )
+    if stream.columns != ["custkey", "acctbal", "profile"]:
+        raise AssertionError(
+            f"streamed column-mapping rename regressed: {stream.columns}"
+        )
+    key = hashlib.md5(f"{sf}|y24".encode()).hexdigest()[:8]
+    name = f"y24_sink_{key}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("profile.segment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.sum("profile.nation").cast("bigint").alias("nation_sum"),
+        )
+        .orderBy("segment")
+    )
+
+
+Y24_SQL = """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum
+FROM customer GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -6741,4 +6808,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y21_generated_columns": QuerySpec(y21, Y21_SQL),
     "y22_column_mapped_append": QuerySpec(y22, Y22_SQL),
     "y23_dv_stream_append_only": QuerySpec(y23, Y23_SQL),
+    "y24_column_mapped_stream": QuerySpec(y24, Y24_SQL),
 }

@@ -105,6 +105,17 @@ SUPPORTED_READER_FEATURES = {
     # state reconstruction is identical afterwards, so the feature
     # is safe to accept everywhere (judge r6 item #4).
     "v2Checkpoint",
+    # type widening requires readers to scan files written BEFORE a
+    # widen under the post-widen (wider) schema. Spark 4's parquet
+    # reader performs every promotion the public spec allows
+    # (byte/short/int -> wider ints/double, float -> double, decimal
+    # precision/scale increase, date -> timestamp_ntz) when handed
+    # the explicit wider schema — which read_delta always does (the
+    # log schemaString IS the scan schema) — and the pydelta Arrow
+    # path casts each file column to the target arrow type. Verified
+    # in test_delta_py.py::test_type_widened_table_reads.
+    "typeWidening",
+    "typeWidening-preview",  # the delta-spark 3.x preview name
 }
 
 # Optional capabilities an OPERATION opts into via snapshot(allow=...).
@@ -331,9 +342,13 @@ class DeltaLog:
             yield from parquet_rows(sc_path)
 
     def commit_timestamp(self, version: int) -> int:
-        """Commit time in epoch ms: the commitInfo timestamp when
-        present, else the commit file's mtime — the two sources
-        Delta's own ``timestampAsOf`` resolution uses."""
+        """Commit time in epoch ms. Precedence per the public
+        protocol: ``commitInfo.inCommitTimestamp`` when present (the
+        inCommitTimestamp writer feature makes it authoritative —
+        foreign tables with ICT enabled must resolve TIMESTAMP AS OF
+        through it, since their file mtimes are storage artifacts),
+        else ``commitInfo.timestamp``, else the commit file's mtime —
+        the same sources delta-spark's own resolution uses."""
         p = os.path.join(self.log_dir, f"{version:020d}.json")
         if not os.path.exists(p):
             raise DoesNotExistError(
@@ -345,6 +360,8 @@ class DeltaLog:
                 if not line:
                     continue
                 ci = json.loads(line).get("commitInfo")
+                if ci and isinstance(ci.get("inCommitTimestamp"), int):
+                    return ci["inCommitTimestamp"]
                 if ci and isinstance(ci.get("timestamp"), int):
                     return ci["timestamp"]
         return int(os.path.getmtime(p) * 1000)

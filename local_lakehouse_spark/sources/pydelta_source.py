@@ -70,6 +70,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from ..exceptions import UnsupportedOperationError
 from .delta_py import (
     PROTOCOL,
     CHECKPOINT_INTERVAL,
@@ -79,6 +80,8 @@ from .delta_py import (
     _add_action,
     _file_stats,
     _meta_action,
+    _physical_names,
+    _physical_type,
 )
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -90,11 +93,61 @@ def _arrow_schema(spark_schema: T.StructType):
     return to_arrow_schema(spark_schema)
 
 
+def _relabel_array(arr, target):
+    """Rename an Arrow array's (nested) field names to ``target``'s —
+    the physical->logical step of a column-mapped read, pure metadata
+    plus child re-assembly, no value conversion. Physical and logical
+    types are structurally identical by construction (column mapping
+    renames, never retypes), so positional matching is exact. Shapes
+    beyond struct/list nesting that would need renaming raise loudly
+    rather than bind wrong names."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type.equals(target):
+        return arr
+    if pa.types.is_struct(arr.type) and pa.types.is_struct(target):
+        children = [
+            _relabel_array(arr.field(i), target.field(i).type)
+            for i in range(target.num_fields)
+        ]
+        return pa.StructArray.from_arrays(
+            children,
+            fields=[target.field(i) for i in range(target.num_fields)],
+            mask=pc.is_null(arr),
+        )
+    if pa.types.is_list(arr.type) and pa.types.is_list(target):
+        values = _relabel_array(arr.values, target.value_type)
+        return pa.ListArray.from_arrays(
+            arr.offsets, values, mask=pc.is_null(arr)
+        )
+    if not _needs_relabel(arr.type, target):
+        return arr.cast(target)
+    raise UnsupportedOperationError(
+        f"column-mapped read: cannot rename nested fields of arrow "
+        f"type {arr.type} to {target}"
+    )
+
+
+def _needs_relabel(src, target) -> bool:
+    import pyarrow as pa
+
+    if pa.types.is_struct(src) or pa.types.is_struct(target):
+        return True
+    for t in (src, target):
+        if pa.types.is_list(t) or pa.types.is_map(t):
+            return True
+    return False
+
+
 def _read_file_as_batches(
     abs_path: str,
     spark_schema: T.StructType,
     part_values: dict,
     deleted=None,
+    physical: "dict | None" = None,
 ):
     """One data file → Arrow batches matching the FULL table schema:
     partition columns materialize as constants from partitionValues,
@@ -103,17 +156,35 @@ def _read_file_as_batches(
 
     ``deleted``: optional sorted int64 array of file row positions a
     deletion vector marks as removed — those rows are dropped before
-    the batches leave the reader (executor-side, per file)."""
+    the batches leave the reader (executor-side, per file).
+
+    ``physical``: top-level logical -> physical name map of a
+    column-mapped table. File columns and partitionValues keys are
+    then PHYSICAL names; each column is read by its physical name,
+    cast to the physical arrow type, and relabeled to the logical
+    field (nested struct names included) before leaving the reader —
+    executor-side, no extra pass over the values."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = _arrow_schema(spark_schema)
+    phys = physical or {}
+    phys_of = {f.name: phys.get(f.name, f.name) for f in spark_schema.fields}
+    phys_arrow = (
+        {
+            f.name: _arrow_schema(
+                T.StructType([T.StructField("c", _physical_type(f.dataType))])
+            ).field(0).type
+            for f in spark_schema.fields
+        }
+        if physical
+        else {}
+    )
+    wanted = set(phys_of.values())
     table = pq.read_table(
         abs_path,
         columns=[
-            n
-            for n in pq.read_schema(abs_path).names
-            if n in set(target.names)
+            n for n in pq.read_schema(abs_path).names if n in wanted
         ],
     )
     if deleted is not None and len(deleted):
@@ -125,10 +196,18 @@ def _read_file_as_batches(
     n = table.num_rows
     cols = []
     for field in target:
-        if field.name in table.column_names:
-            cols.append(table.column(field.name).cast(field.type))
-        elif field.name in part_values:
-            raw = part_values[field.name]
+        pname = phys_of[field.name]
+        if pname in table.column_names:
+            col = table.column(pname)
+            if physical:
+                col = _relabel_array(
+                    col.cast(phys_arrow[field.name]), field.type
+                )
+            else:
+                col = col.cast(field.type)
+            cols.append(col)
+        elif pname in part_values:
+            raw = part_values[pname]
             if raw is None or raw == _HIVE_NULL:
                 cols.append(pa.nulls(n, field.type))
             else:
@@ -146,6 +225,7 @@ def _prune(
     part_cols: list,
     filters: List[Filter],
     schema: "T.StructType | None" = None,
+    rename: "dict | None" = None,
 ) -> dict:
     """Monotone file-set reduction from pushed filters: a file
     survives unless its stats range / partition value PROVES no row
@@ -162,7 +242,15 @@ def _prune(
         LessThan: "<",
         LessThanOrEqual: "<=",
     }
-    dtypes = {f.name: f.dataType for f in schema.fields} if schema else {}
+    # column-mapped tables: filters speak LOGICAL names, stats and
+    # partitionValues are keyed PHYSICAL — translate before lookup
+    # (dtypes stay keyed by the translated name for partition_keep)
+    rename = rename or {}
+    dtypes = (
+        {rename.get(f.name, f.name): f.dataType for f in schema.fields}
+        if schema
+        else {}
+    )
 
     def file_ok(add: dict, col: str, op: str, value) -> bool:
         if col in part_cols:
@@ -191,7 +279,7 @@ def _prune(
         op = ops.get(type(f))
         if op is None or len(f.attribute) != 1:
             continue
-        col = f.attribute[0]
+        col = rename.get(f.attribute[0], f.attribute[0])
         out = {
             rel: add for rel, add in out.items() if file_ok(add, col, op, f.value)
         }
@@ -200,24 +288,34 @@ def _prune(
 
 class _PyDeltaReader(DataSourceReader):
     def __init__(self, options: dict):
-        from .delta_py import FEATURE_DELETION_VECTORS
+        from .delta_py import BATCH_READ_FEATURES
 
         self._path = _required_path(options)
         v = options.get("versionasof")
-        # batch reads apply deletion vectors per file in read();
-        # column mapping stays refused here (use delta_py.read_delta,
-        # which translates physical names JVM-side)
+        # batch reads apply deletion vectors per file in read() and
+        # translate column-mapped physical names in the Arrow batch
+        # builder (round 7 — matching delta_py.read_delta's JVM-side
+        # translation)
         self._snap = DeltaLog(self._path).snapshot(
             int(v) if v is not None else None,
-            allow=frozenset({FEATURE_DELETION_VECTORS}),
+            allow=BATCH_READ_FEATURES,
         )
         self._schema = self._snap.schema
         self._adds = dict(self._snap.adds)
+        self._phys = (
+            _physical_names(self._schema)
+            if self._snap.column_mapping_mode not in ("", "none")
+            else None
+        )
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         before = len(self._adds)
         self._adds = _prune(
-            self._adds, self._snap.partition_columns, filters, self._schema
+            self._adds,
+            self._snap.partition_columns,
+            filters,
+            self._schema,
+            rename=self._phys,
         )
         self._files_pruned = before - len(self._adds)
         # every filter is re-applied row-level by Spark: pruning is
@@ -258,6 +356,7 @@ class _PyDeltaReader(DataSourceReader):
             self._schema,
             partition.value["parts"],
             deleted=deleted,
+            physical=self._phys,
         )
 
 
@@ -298,7 +397,14 @@ class _PyDeltaWriter(DataSourceArrowWriter):
 
         log = DeltaLog(self._path)
         vs = log.versions()
-        snap = log.snapshot() if vs else None
+        # blind appends / wholesale overwrites never READ table data,
+        # so a DV-bearing snapshot is safe (appends add files;
+        # overwrite removes the DV'd adds wholesale). Column-mapped
+        # tables stay refused: this writer emits the caller's logical
+        # column names raw (use delta_py.write_delta, which renames).
+        from .delta_py import FEATURE_DELETION_VECTORS as _DV
+
+        snap = log.snapshot(allow=frozenset({_DV})) if vs else None
         if snap is not None and snap.partition_columns:
             raise ValueError(
                 "pydelta writer supports unpartitioned tables; "
@@ -353,7 +459,7 @@ class _PyDeltaWriter(DataSourceArrowWriter):
             except ConcurrentModificationError:
                 if self._overwrite or snap is None:
                     raise
-                newest = log.snapshot()
+                newest = log.snapshot(allow=frozenset({_DV}))
                 if newest.schema.json() != snap.schema.json():
                     raise
                 version = newest.version + 1
@@ -378,29 +484,33 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
     end] = the add actions of those commits, one input partition per
     file. ``startingVersion`` option (default: current latest at
     query start → only NEW commits stream; 0 → full history replay).
-    A data-CHANGING commit inside the range (remove actions, or a
-    deletion vector landing on a live file) raises — exactly Delta's
-    append-only streaming contract — unless
-    ``.option("skipChangeCommits", "true")`` is set, which skips the
-    whole commit (delta-spark parity). Compaction re-adds
-    (``dataChange=false``) are always skipped: same rows, new
-    packing."""
+    A data-CHANGING commit inside the range (remove actions with
+    ``dataChange=true``, or a deletion vector landing on a live
+    file) raises — exactly Delta's append-only streaming contract —
+    unless ``.option("skipChangeCommits", "true")`` is set, which
+    skips the whole commit (delta-spark parity). Rearrangement
+    commits (OPTIMIZE/PURGE, ``dataChange=false``) stream straight
+    past: same rows, new packing. Column-mapped tables replay with
+    the same physical->logical translation as batch reads (round
+    7); DV-bearing snapshots stream whenever the replayed RANGE is
+    append-only (the mutations live in history the stream never
+    reads)."""
 
     def __init__(self, options: dict, schema: T.StructType):
-        from .delta_py import FEATURE_DELETION_VECTORS
+        from .delta_py import BATCH_READ_FEATURES
 
         self._path = _required_path(options)
         self._schema = schema
         self._log = DeltaLog(self._path)
+        self._phys = None
         if self._log.versions():
-            # Capability gate: a column-mapped (or unknown-feature)
-            # table would replay raw files whose PHYSICAL column
-            # names don't match the logical schema — silent nulls.
-            # Refuse loudly; DV-bearing snapshots are fine because DV
-            # commits are handled per-commit in _adds_between.
-            self._log.snapshot(
-                allow=frozenset({FEATURE_DELETION_VECTORS})
-            )
+            # Capability gate: unknown reader features refuse loudly
+            # here. Column mapping is translated per batch (below);
+            # DV-bearing snapshots are fine because DV commits are
+            # judged per-commit in _adds_between.
+            snap = self._log.snapshot(allow=BATCH_READ_FEATURES)
+            if snap.column_mapping_mode not in ("", "none"):
+                self._phys = _physical_names(snap.schema)
         # delta-spark parity: skipChangeCommits=true silently skips
         # whole commits that change existing data (removes, deletion
         # vectors) instead of failing the stream
@@ -486,7 +596,10 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition):
         yield from _read_file_as_batches(
-            partition.value["file"], self._schema, partition.value["parts"]
+            partition.value["file"],
+            self._schema,
+            partition.value["parts"],
+            physical=self._phys,
         )
 
     def commit(self, end: dict) -> None:
@@ -548,7 +661,11 @@ class _PyDeltaStreamWriter(DataSourceStreamArrowWriter):
 
         log = DeltaLog(self._path)
         vs = log.versions()
-        snap = log.snapshot() if vs else None
+        # exactly-once sink appends are blind writes: DV snapshots
+        # are safe (same reasoning as the batch writer above)
+        from .delta_py import FEATURE_DELETION_VECTORS as _DV
+
+        snap = log.snapshot(allow=frozenset({_DV})) if vs else None
         rels = [m.rel for m in messages if m is not None and m.rel]
         if snap is not None and batchId <= self._last_txn_version(log):
             # replayed microbatch after restart: already committed —
@@ -594,7 +711,7 @@ class _PyDeltaStreamWriter(DataSourceStreamArrowWriter):
                 log.commit(version, actions)
                 break
             except ConcurrentModificationError:
-                newest = log.snapshot()
+                newest = log.snapshot(allow=frozenset({_DV}))
                 if batchId <= self._last_txn_version(log):
                     for rel in rels:
                         try:

@@ -227,6 +227,12 @@ def main() -> int:
         "at 10x that the 1x plan did not have (broadcast->SMJ flips",
         "are allowed size-driven decisions).",
         "",
+        "y10_dv_read_at_scale crosses the DV broadcast cap by",
+        "construction (~300k deleted rows at 1x vs ~3M > 2M cap at",
+        "10x): its broadcast -> SortMergeJoin anti-join flip at 10x",
+        "IS the designed threshold behavior (executor-side bitmap",
+        "decode + shuffle anti-join), measured live.",
+        "",
         "| query | 1x sec | 10x sec | ratio | exponent | 1x joins | 10x joins | plan flip |",
         "|---|---|---|---|---|---|---|---|",
     ]

@@ -487,17 +487,26 @@ def test_column_mapped_rewrites_and_strict_paths_refuse(spark, tbl):
         DeltaLog(tbl).snapshot()
 
 
-def test_column_mapped_streaming_refused(spark, tbl):
-    """The pydelta stream reader replays RAW parquet files under the
-    logical schema; a column-mapped table would bind nothing (silent
-    nulls). The capability gate must refuse at stream construction."""
+def test_column_mapped_stream_reader_translates(spark, tbl):
+    """The pydelta stream reader (round 7) scans column-mapped files
+    under physical names and relabels the Arrow batches to logical
+    names — construction succeeds and the replayed batches carry the
+    logical schema (full end-to-end stream covered in
+    test_pydelta_source.py)."""
     from local_lakehouse_spark.sources.pydelta_source import (
         _PyDeltaStreamReader,
     )
 
     _make_mapped_table(tbl)
-    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
-        _PyDeltaStreamReader({"path": tbl}, read_delta(spark, tbl).schema)
+    schema = read_delta(spark, tbl).schema
+    rdr = _PyDeltaStreamReader({"path": tbl}, schema)
+    assert rdr._phys == {"id": "col-c1", "name": "col-c2", "addr": "col-c4"}
+    parts = rdr.partitions({"version": -1}, {"version": 0})
+    batches = [b for p in parts for b in rdr.read(p)]
+    assert batches and batches[0].schema.names == ["id", "name", "addr"]
+    assert (
+        batches[0].column(2).type.field(0).name == "city"
+    )  # nested rename
 
 # ---------------------------------------------------------------------------
 # delete_where — OUR writer producing deletion vectors (DELETE FROM)

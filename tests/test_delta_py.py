@@ -1826,3 +1826,109 @@ def test_v2_checkpoint_feature_accepted_unknown_refused(spark, tbl):
     )
     with pytest.raises(UnsupportedOperationError, match="typeWidening"):
         DeltaLog(tbl).snapshot()
+
+
+def test_in_commit_timestamps_take_precedence(spark, tbl):
+    """Foreign tables with the inCommitTimestamp writer feature:
+    commitInfo.inCommitTimestamp is authoritative for TIMESTAMP AS OF
+    resolution (file mtimes and commitInfo.timestamp are storage
+    artifacts there) — the public protocol's ICT contract."""
+    import time as _time
+
+    write_delta(
+        spark, spark.createDataFrame([(1,)], "id long").coalesce(1), tbl
+    )
+    _time.sleep(0.01)
+    write_delta(
+        spark,
+        spark.createDataFrame([(2,)], "id long").coalesce(1),
+        tbl,
+        mode="append",
+    )
+    log = DeltaLog(tbl)
+
+    def _set_ict(version, ict):
+        p = os.path.join(log.log_dir, f"{version:020d}.json")
+        lines = []
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    a["commitInfo"]["inCommitTimestamp"] = ict
+                lines.append(json.dumps(a))
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    # ICTs far from the wall-clock commitInfo.timestamp values
+    _set_ict(0, 5_000_000)
+    _set_ict(1, 6_000_000)
+    assert log.commit_timestamp(0) == 5_000_000
+    assert log.commit_timestamp(1) == 6_000_000
+    assert log.version_at_timestamp(5_500_000) == 0
+    assert log.version_at_timestamp(6_000_000) == 1
+    assert read_delta(spark, tbl, timestamp=5_000_000).count() == 1
+
+
+def test_type_widened_table_reads(spark, tbl):
+    """typeWidening (round 7): a foreign writer widened int->long and
+    float->double AFTER the first file was written; the snapshot's
+    (wider) schemaString drives the scan, and Spark's parquet reader
+    performs the promotion on the old narrower file — both the JVM
+    path (read_delta) and the Arrow path (format('pydelta'))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from local_lakehouse_spark.sources import pydelta_source
+
+    os.makedirs(tbl, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "i": pa.array([1, 2], pa.int32()),
+                "f": pa.array([1.5, 2.5], pa.float32()),
+            }
+        ),
+        os.path.join(tbl, "old.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "i": pa.array([3_000_000_000], pa.int64()),
+                "f": pa.array([3.5], pa.float64()),
+            }
+        ),
+        os.path.join(tbl, "new.parquet"),
+    )
+    log = DeltaLog(tbl)
+    wide = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("f", T.DoubleType()),
+        ]
+    )
+    log.commit(
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            },
+            delta_py._meta_action(wide, [], "widened"),
+            delta_py._add_action(tbl, "old.parquet", {}),
+            delta_py._add_action(tbl, "new.parquet", {}),
+        ],
+    )
+    expect = {(1, 1.5), (2, 2.5), (3_000_000_000, 3.5)}
+    df = read_delta(spark, tbl)
+    assert df.schema["i"].dataType.simpleString() == "bigint"
+    assert {(r.i, r.f) for r in df.collect()} == expect
+    pydelta_source.register(spark)
+    got = spark.read.format("pydelta").load(tbl)
+    assert {(r.i, r.f) for r in got.collect()} == expect

@@ -449,3 +449,88 @@ def test_stream_with_dv_delete_before_starting_offset(spark, tbl, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == [100, 101, 102]
+
+
+def test_batch_read_column_mapped_table(spark, tbl):
+    """format('pydelta') batch reads translate physical names in the
+    Arrow batch builder — logical columns out, nested struct fields
+    renamed, logical-name filters still prune by physical stats."""
+    from test_delta_dv import _make_mapped_table
+
+    _make_mapped_table(tbl)
+    df = spark.read.format("pydelta").load(tbl)
+    assert df.columns == ["id", "name", "addr"]
+    rows = {r.id: (r.name, r.addr.city) for r in df.collect()}
+    assert rows == {1: ("ann", "rome"), 2: ("bob", "oslo"), 3: ("cyd", "kyiv")}
+    assert df.schema["addr"].dataType.fields[0].name == "city"
+    # logical-name filter: pruned via physical stats keys, zero rows
+    assert (
+        spark.read.format("pydelta").load(tbl).filter("id > 100").count()
+        == 0
+    )
+
+
+def test_stream_read_column_mapped_table(spark, tbl, tmp_path):
+    """The pydelta stream replays column-mapped tables with the same
+    physical->logical translation as batch reads (round 7) — the
+    capability gate no longer refuses them."""
+    from pyspark.sql import types as T
+    from test_delta_dv import _make_mapped_table
+
+    out, ckpt = str(tmp_path / "o8"), str(tmp_path / "c8")
+    _make_mapped_table(tbl)
+    extra = spark.createDataFrame(
+        [(4, "dee", ("lima",))],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField(
+                    "addr",
+                    T.StructType([T.StructField("city", T.StringType())]),
+                ),
+            ]
+        ),
+    )
+    delta_py.write_delta(spark, extra.coalesce(1), tbl, mode="append")
+    q = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "name", "addr"}
+    rows = {r.id: (r.name, r.addr.city) for r in got.collect()}
+    assert rows == {
+        1: ("ann", "rome"),
+        2: ("bob", "oslo"),
+        3: ("cyd", "kyiv"),
+        4: ("dee", "lima"),
+    }
+
+
+def test_batch_writer_appends_to_dv_table(spark, tbl):
+    """A blind append via format('pydelta') never reads table data,
+    so a DV-bearing snapshot is safe — and after round 7 allowed.
+    The DV'd rows stay dead; the appended rows land."""
+    spark.range(10).coalesce(2).select("id").write.format("pydelta").mode(
+        "append"
+    ).save(tbl)
+    delta_py.delete_where(spark, tbl, "id IN (0, 5)")  # partial files -> DVs
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    assert snap.dv_adds, "staging must leave real deletion vectors"
+    spark.range(100, 102).select("id").write.format("pydelta").mode(
+        "append"
+    ).save(tbl)
+    got = sorted(
+        r.id for r in delta_py.read_delta(spark, tbl).collect()
+    )
+    assert got == [1, 2, 3, 4, 6, 7, 8, 9, 100, 101]
