@@ -541,12 +541,32 @@ class LakehouseClient:
                     return spark.createDataFrame([], snap.schema).select(
                         "*", ct_col
                     )
+                mapped = snap.column_mapping_mode not in ("", "none")
+                scan_schema = (
+                    delta_py._physical_type(snap.schema)
+                    if mapped
+                    else snap.schema
+                )
                 reader = spark.read.option("basePath", path).schema(
-                    snap.schema
+                    scan_schema
                 )
                 df = reader.parquet(
                     *[os.path.join(path, unquote(p)) for p in appended]
                 )
+                if mapped:
+                    # physical-named files -> logical columns (same
+                    # cast-rename as read_delta; binding the logical
+                    # schema directly would read silent NULLs)
+                    phys = delta_py._physical_names(snap.schema)
+                    return df.select(
+                        *[
+                            F.col(phys[f.name])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            for f in snap.schema.fields
+                        ],
+                        ct_col,
+                    )
                 return df.select(
                     *[f.name for f in snap.schema.fields], ct_col
                 )

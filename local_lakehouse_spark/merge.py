@@ -399,10 +399,10 @@ class SparkMerger:
                     "(delta.appendOnly=true): MERGE update/delete "
                     "clauses are not allowed (insert-only merges are)"
                 )
-            if (
-                snap_probe.adds
-                and snap_probe.column_mapping_mode in ("", "none")
-            ):
+            if snap_probe.adds:
+                # DV MERGE handles column-mapped tables too (round
+                # 7): the positional read surfaces logical names and
+                # apply_row_changes renames appends back to physical.
                 snap, target = delta_py.read_delta_with_positions(
                     self._spark, path
                 )
@@ -417,8 +417,7 @@ class SparkMerger:
                     operation_parameters={"predicate": self._condition},
                 )
                 return
-            # empty table (nothing to DV) — or column-mapped, which
-            # write_delta refuses with the same loud error as before
+            # empty table: nothing to DV — plain overwrite
             result = self._result_plan()
             if self._validate is not None:
                 self._validate(result)

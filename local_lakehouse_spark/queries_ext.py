@@ -6656,6 +6656,127 @@ FROM customer GROUP BY c_mktsegment ORDER BY segment
 """
 
 
+def y25(spark, sf):
+    """Row-level DML on a COLUMN-MAPPED Delta table (round 7 — the
+    lifecycle y12/y13 proved on plain tables, now under physical
+    names): DELETE and UPDATE predicates speak logical names, the
+    scan projects physical->logical before binding, stats pruning
+    translates the conjunct columns to physical stats keys, DELETE
+    is bitmap-only (no data file rewritten), and UPDATE post-images
+    are renamed logical->physical on write. delta-rs 0.18 refuses
+    all DML on mapped tables, so this exceeds the reference surface.
+    CONTRACTS: mapping mode stays active, the DELETE leaves nonempty
+    DVs on unchanged file sizes, and staging mutates exactly once
+    (version gate) so re-runs are stable. Oracle: the supplier
+    aggregate with the same delete/update applied relationally."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid as uuid_mod
+
+    from pyspark.sql import types as T
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|colmapdml-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_colmapdml_{key}")
+    if not delta_py.is_delta_table(tbl):
+        phys = t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("col-k"),
+            F.col("s_acctbal").alias("col-b"),
+            F.col("s_nationkey").alias("col-n"),
+        )
+        tmp = tbl + f".__stage_{uuid_mod.uuid4().hex}"
+        phys.repartition(4).write.mode("overwrite").parquet(tmp)
+        os.makedirs(tbl, exist_ok=True)
+        moved = delta_py._move_parts(tmp, tbl)
+
+        def mf(name, dtype, cid, pname):
+            return T.StructField(
+                name,
+                dtype,
+                True,
+                metadata={
+                    "delta.columnMapping.id": cid,
+                    "delta.columnMapping.physicalName": pname,
+                },
+            )
+
+        logical = T.StructType(
+            [
+                mf("suppkey", T.LongType(), 1, "col-k"),
+                mf("acctbal", T.DoubleType(), 2, "col-b"),
+                mf("nation", T.IntegerType(), 3, "col-n"),
+            ]
+        )
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": str(uuid_mod.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": logical.json(),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                    "createdTime": 0,
+                }
+            },
+        ]
+        actions.extend(
+            delta_py._add_action(tbl, rel, parts) for rel, parts in moved
+        )
+        delta_py.DeltaLog(tbl).commit(0, actions)
+    snap0 = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap0.version == 0:
+        pre_sizes = {rel: a["size"] for rel, a in snap0.adds.items()}
+        snap1 = delta_py.delete_where(spark, tbl, "suppkey % 10 = 0")
+        if not snap1.dv_adds:
+            raise AssertionError("y25 DELETE left no deletion vectors")
+        for rel, a in snap1.adds.items():
+            if rel in pre_sizes and a["size"] != pre_sizes[rel]:
+                raise AssertionError(
+                    f"y25 DELETE rewrote data file {rel} (size changed)"
+                )
+        delta_py.update_where(
+            spark, tbl, "suppkey % 10 = 1", {"acctbal": "acctbal + 1000"}
+        )
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap.column_mapping_mode != "name" or snap.version != 2:
+        raise AssertionError("y25 staging lost mapping mode or mutations")
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y25_SQL = """
+WITH t AS (
+  SELECT s_nationkey AS nation,
+         CASE WHEN s_suppkey % 10 = 1 THEN s_acctbal + 1000
+              ELSE s_acctbal END AS acctbal
+  FROM supplier WHERE s_suppkey % 10 != 0
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM t GROUP BY nation ORDER BY nation
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -6809,4 +6930,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y22_column_mapped_append": QuerySpec(y22, Y22_SQL),
     "y23_dv_stream_append_only": QuerySpec(y23, Y23_SQL),
     "y24_column_mapped_stream": QuerySpec(y24, Y24_SQL),
+    "y25_column_mapped_dml": QuerySpec(y25, Y25_SQL),
 }

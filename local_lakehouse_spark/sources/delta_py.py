@@ -1277,16 +1277,7 @@ def write_delta(
     # the protocol requires. Stats keys are physical for free: they
     # are derived from the written files.
     if mapped:
-        phys_names = _physical_names(schema)
-        df = df.select(
-            *[
-                F.col(f.name)
-                .cast(_physical_type(f.dataType))
-                .alias(phys_names[f.name])
-                for f in schema.fields
-                if f.name in df.columns
-            ]
-        )
+        df = _to_physical(df, schema)
     # Write data files distributed, then move into the table dir.
     tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
@@ -1560,14 +1551,59 @@ def set_properties(
 
 
 def _scan_reader(spark: SparkSession, snap: Snapshot, path: str):
-    """Parquet reader bound to the snapshot schema; ``basePath`` (the
-    hive partition-dir derivation anchor) only when the table is
-    partitioned, so absolute add paths (shallow clones) scan cleanly
-    from outside the table dir."""
-    reader = spark.read.schema(snap.schema)
+    """Parquet reader bound to the snapshot schema — the PHYSICAL
+    schema on a column-mapped table (file columns carry physical
+    names; callers that need logical names project afterwards);
+    ``basePath`` (the hive partition-dir derivation anchor) only when
+    the table is partitioned, so absolute add paths (shallow clones)
+    scan cleanly from outside the table dir."""
+    schema = snap.schema
+    if snap.column_mapping_mode not in ("", "none"):
+        schema = _physical_type(schema)
+    reader = spark.read.schema(schema)
     if snap.partition_columns:
         reader = reader.option("basePath", path)
     return reader
+
+
+def _to_physical(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Logical -> physical rename right before a data write on a
+    column-mapped table: struct casts rename nested fields by
+    position — the exact inverse of read_delta's physical -> logical
+    cast. Shared by write_delta appends, DV UPDATE post-images, and
+    DV MERGE appended rows."""
+    from pyspark.sql import functions as F
+
+    phys = _physical_names(schema)
+    return df.select(
+        *[
+            F.col(f.name)
+            .cast(_physical_type(f.dataType))
+            .alias(phys[f.name])
+            for f in schema.fields
+            if f.name in df.columns
+        ]
+    )
+
+
+def _logical_positions_scan(
+    scan: DataFrame, snap: Snapshot
+) -> DataFrame:
+    """Project a PHYSICAL-schema scan of a column-mapped table to
+    logical column names plus ``__llh_fn``/``__llh_ri`` positional
+    identity (captured BEFORE the projection — `_metadata` is only
+    reachable on the raw scan)."""
+    from pyspark.sql import functions as F
+
+    phys = _physical_names(snap.schema)
+    return scan.select(
+        F.col("_metadata.file_name").alias("__llh_fn"),
+        F.col("_metadata.row_index").alias("__llh_ri"),
+        *[
+            F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+            for f in snap.schema.fields
+        ],
+    )
 
 
 _CMP_RE = re.compile(
@@ -1637,19 +1673,30 @@ def _grown_dvs(
     correctness mechanism)."""
     from pyspark.sql import functions as F
 
+    mapped = snap.column_mapping_mode not in ("", "none")
+    phys = _physical_names(snap.schema) if mapped else {}
     rels = sorted(snap.adds)
     for col, op, value in _predicate_conjuncts(predicate)[0]:
-        keep = set(candidate_files(snap, col, op, value))
+        # the predicate speaks logical names; stats keys and
+        # partitionValues are physical on a mapped table
+        keep = set(candidate_files(snap, phys.get(col, col), op, value))
         rels = [r for r in rels if r in keep]
     if not rels:
         return {}, []  # no file's range can match: metadata-only no-op
     scan = _scan_reader(spark, snap, path).parquet(
         *[os.path.join(path, unquote(r)) for r in rels]
     )
-    hits = scan.filter(F.expr(predicate)).select(
-        F.col("_metadata.file_name").alias("file_name"),
-        F.col("_metadata.row_index").alias("row_index"),
-    )
+    if mapped:
+        view = _logical_positions_scan(scan, snap)
+        hits = view.filter(F.expr(predicate)).select(
+            F.col("__llh_fn").alias("file_name"),
+            F.col("__llh_ri").alias("row_index"),
+        )
+    else:
+        hits = scan.filter(F.expr(predicate)).select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
     return _grown_dvs_from_hits(spark, snap, path, hits)
 
 
@@ -1775,7 +1822,10 @@ def delete_where(
     race surfaces ConcurrentModificationError rather than retrying
     blindly."""
     log = DeltaLog(path)
-    snap = log.snapshot(allow=frozenset({FEATURE_DELETION_VECTORS}))
+    # Column-mapped tables are fully supported here: the predicate
+    # scan translates physical names (_grown_dvs) and the commit
+    # only grows bitmaps — no data file is written at all.
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
     if not snap.adds:
         return snap
     _check_append_only(
@@ -1799,9 +1849,7 @@ def delete_where(
     version = _commit_dml(log, snap, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
-    return log.snapshot(
-        version, allow=frozenset({FEATURE_DELETION_VECTORS})
-    )
+    return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
 def update_where(
@@ -1827,7 +1875,10 @@ def update_where(
     from pyspark.sql import functions as F
 
     log = DeltaLog(path)
-    snap = log.snapshot(allow=frozenset({FEATURE_DELETION_VECTORS}))
+    # Column-mapped tables are supported end to end: the DV build
+    # translates physical names (_grown_dvs) and the post-images are
+    # renamed logical -> physical right before the data write.
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
     if not snap.adds:
         return snap
     unknown = set(assignments) - {f.name for f in snap.schema.fields}
@@ -1862,6 +1913,8 @@ def update_where(
     # to a generation INPUT must refresh the derived value, never
     # carry the stale one forward.
     updated = _apply_generated(updated, snap.schema, path, recompute=True)
+    if snap.column_mapping_mode not in ("", "none"):
+        updated = _to_physical(updated, snap.schema)
     tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
     writer = updated.write.mode("overwrite")
     if snap.partition_columns:
@@ -1885,9 +1938,7 @@ def update_where(
     version = _commit_dml(log, snap, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
-    return log.snapshot(
-        version, allow=frozenset({FEATURE_DELETION_VECTORS})
-    )
+    return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
 def read_delta_with_positions(
@@ -1898,13 +1949,12 @@ def read_delta_with_positions(
     (row position in that file). This is the input a positional
     writer (DV MERGE) needs: existing deletion vectors are already
     anti-joined out, so positions of dead rows can never be re-used
-    as merge inputs. Column-mapped tables are refused (the write
-    paths are physical-name-blind by design)."""
+    as merge inputs. Column-mapped tables surface LOGICAL names here
+    (the physical scan is projected before anything downstream sees
+    it), and the MERGE write path renames back to physical."""
     from pyspark.sql import functions as F
 
-    snap = DeltaLog(path).snapshot(
-        allow=frozenset({FEATURE_DELETION_VECTORS})
-    )
+    snap = DeltaLog(path).snapshot(allow=BATCH_READ_FEATURES)
     pos_cols = {
         "__llh_fn": F.col("_metadata.file_name"),
         "__llh_ri": F.col("_metadata.row_index"),
@@ -1917,11 +1967,11 @@ def read_delta_with_positions(
             }
         )
         return snap, empty
-    scan = (
-        _scan_reader(spark, snap, path)
-        .parquet(*snap.files(path))
-        .withColumns(pos_cols)
-    )
+    raw = _scan_reader(spark, snap, path).parquet(*snap.files(path))
+    if snap.column_mapping_mode not in ("", "none"):
+        scan = _logical_positions_scan(raw, snap)
+    else:
+        scan = raw.withColumns(pos_cols)
     dv_adds = snap.dv_adds
     if dv_adds:
         total_card = sum(
@@ -1975,6 +2025,8 @@ def apply_row_changes(
         new_rows = _apply_generated(
             new_rows, snap.schema, path, recompute=True
         )
+        if snap.column_mapping_mode not in ("", "none"):
+            new_rows = _to_physical(new_rows, snap.schema)
         tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
         writer = new_rows.write.mode("overwrite")
         if snap.partition_columns:
@@ -2005,9 +2057,7 @@ def apply_row_changes(
     version = _commit_dml(log, snap, actions)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
-    return log.snapshot(
-        version, allow=frozenset({FEATURE_DELETION_VECTORS})
-    )
+    return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
 def appended_files_between(
@@ -2078,11 +2128,6 @@ def purge(spark: SparkSession, path: str) -> Snapshot:
 
     log = DeltaLog(path)
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
-    if snap.column_mapping_mode not in ("", "none"):
-        raise UnsupportedOperationError(
-            "purge of a column-mapped Delta table is not supported "
-            "(the rewrite would need to re-emit physical column names)"
-        )
     dv_adds = snap.dv_adds
     if not dv_adds:
         return snap
@@ -2110,7 +2155,18 @@ def purge(spark: SparkSession, path: str) -> Snapshot:
             "left_anti",
         )
         .drop("__dv_fn", "__dv_ri")
-        .select(*[f.name for f in snap.schema.fields])
+        # a mapped table rewrites physical -> physical: no renaming,
+        # just restore the declared column order
+        .select(
+            *[
+                f.name
+                for f in (
+                    _physical_type(snap.schema)
+                    if snap.column_mapping_mode not in ("", "none")
+                    else snap.schema
+                ).fields
+            ]
+        )
         .coalesce(max(1, len(dv_adds)))
     )
     tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
@@ -2186,10 +2242,11 @@ def compact(
     100 TB you compact yesterday's partition, never the table."""
     log = DeltaLog(path)
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
-    if snap.column_mapping_mode not in ("", "none"):
+    if where is not None and snap.column_mapping_mode not in ("", "none"):
         raise UnsupportedOperationError(
-            "compact of a column-mapped Delta table is not supported "
-            "(the rewrite would need to re-emit physical column names)"
+            "OPTIMIZE ... WHERE on a column-mapped Delta table is not "
+            "supported (partition values are keyed by physical names); "
+            "full-table compact works"
         )
     conjuncts: list[tuple] = []
     if where is not None:

@@ -833,14 +833,6 @@ def test_purge_drops_fully_deleted_file(spark, tbl):
     assert read_delta(spark, tbl).count() == 0
 
 
-def test_purge_refuses_column_mapped_tables(spark, tbl):
-    from local_lakehouse_spark.sources.delta_py import purge
-
-    _make_mapped_table(tbl)
-    with pytest.raises(UnsupportedOperationError, match="column-mapped"):
-        purge(spark, tbl)
-
-
 def test_purge_then_vacuum_reclaims_data_and_dv_files(spark, tbl):
     from local_lakehouse_spark.sources.delta_py import (
         delete_where,
@@ -959,3 +951,150 @@ def test_dense_roaring_roundtrip_property(idx_set):
     """Denser sets cross the array→bitset container boundary."""
     enc = delta_dv.encode_roaring_bitmap_array(idx_set)
     assert list(delta_dv.decode_roaring_bitmap_array(enc)) == sorted(idx_set)
+
+
+def test_column_mapped_dv_delete_and_update(spark, tbl):
+    """Round 7: the DV DML lifecycle works on column-mapped tables —
+    the predicate scan projects physical -> logical before binding,
+    stats pruning translates names, DELETE grows bitmaps (no file
+    rewrite), and UPDATE post-images are renamed back to physical."""
+    import pyarrow.parquet as pq
+
+    from local_lakehouse_spark.sources.delta_py import (
+        delete_where,
+        update_where,
+    )
+
+    _make_mapped_table(tbl)
+    snap = delete_where(spark, tbl, "id = 2")
+    assert snap.column_mapping_mode == "name"
+    assert snap.dv_adds, "partial-file delete must leave a DV"
+    rows = {r.id: r.name for r in read_delta(spark, tbl).collect()}
+    assert rows == {1: "ann", 3: "cyd"}
+    # original data file untouched (bitmap-only commit)
+    assert "part-0.parquet" in snap.adds
+    update_where(spark, tbl, "id = 3", {"name": "'CYD'"})
+    rows = {r.id: (r.name, r.addr.city) for r in read_delta(spark, tbl).collect()}
+    assert rows == {1: ("ann", "rome"), 3: ("CYD", "kyiv")}
+    # the post-image file is physical-named
+    snap2 = DeltaLog(tbl).snapshot(allow=delta_py.BATCH_READ_FEATURES)
+    new_rels = [p for p in snap2.adds if p != "part-0.parquet"]
+    assert new_rels
+    for rel in new_rels:
+        names = pq.read_schema(os.path.join(tbl, rel)).names
+        assert "col-c1" in names and "id" not in names
+
+
+def test_column_mapped_purge_and_compact(spark, tbl):
+    import pyarrow.parquet as pq
+
+    from local_lakehouse_spark.sources.delta_py import (
+        compact,
+        delete_where,
+        purge,
+    )
+
+    _make_mapped_table(tbl)
+    delete_where(spark, tbl, "id = 2")
+    snap = purge(spark, tbl)
+    assert not snap.dv_adds, "purge must materialize every DV"
+    rows = {r.id for r in read_delta(spark, tbl).collect()}
+    assert rows == {1, 3}
+    for rel in snap.adds:
+        names = pq.read_schema(os.path.join(tbl, rel)).names
+        assert "col-c1" in names and "id" not in names
+    # several tiny appends, then a physical->physical bin-pack
+    from pyspark.sql import types as T
+
+    for i in (10, 11, 12):
+        extra = spark.createDataFrame(
+            [(i, f"n{i}")],
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("name", T.StringType()),
+                ]
+            ),
+        )
+        write_delta(spark, extra.coalesce(1), tbl, mode="append")
+    metrics = compact(spark, tbl, target_file_bytes=1 << 20)
+    assert metrics["numFilesRemoved"] >= 2
+    rows = {r.id for r in read_delta(spark, tbl).collect()}
+    assert rows == {1, 3, 10, 11, 12}
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+
+    with pytest.raises(UnsupportedOperationError, match="WHERE"):
+        compact(spark, tbl, where="id = 1")
+
+
+def test_column_mapped_dv_merge(spark, tbl):
+    """DV MERGE machinery end-to-end on a mapped table: positional
+    read surfaces logical names, the change set deletes one row and
+    appends its post-image plus an insert, all renamed back to
+    physical on write."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from local_lakehouse_spark.sources.delta_py import (
+        apply_row_changes,
+        read_delta_with_positions,
+    )
+
+    _make_mapped_table(tbl)
+    snap, target = read_delta_with_positions(spark, tbl)
+    assert target.columns == ["id", "name", "addr", "__llh_fn", "__llh_ri"]
+    dead = target.filter("id = 1").select(
+        F.col("__llh_fn").alias("file_name"),
+        F.col("__llh_ri").alias("row_index"),
+    )
+    new_rows = spark.createDataFrame(
+        [(1, "ANN", ("roma",)), (9, "zoe", ("lund",))],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField(
+                    "addr",
+                    T.StructType([T.StructField("city", T.StringType())]),
+                ),
+            ]
+        ),
+    )
+    apply_row_changes(spark, tbl, snap, dead, new_rows, "MERGE")
+    rows = {r.id: (r.name, r.addr.city) for r in read_delta(spark, tbl).collect()}
+    assert rows == {
+        1: ("ANN", "roma"),
+        2: ("bob", "oslo"),
+        3: ("cyd", "kyiv"),
+        9: ("zoe", "lund"),
+    }
+
+
+def test_column_mapped_cdc_fast_path(spark, unity, tbl):
+    """table_changes' append-only log-replay fast path reads the
+    appended files DIRECTLY — on a mapped table those files are
+    physical-named, so the fast path must cast-rename like
+    read_delta (binding the logical schema raw would return silent
+    NULLs). The keyed/keyless diff path gets mapping for free via
+    read_delta."""
+    schema = _make_mapped_table(tbl)
+    unity.register_as_table(
+        "unity", "default", "cmcdc", "delta", f"file://{tbl}"
+    )
+    extra = spark.createDataFrame(
+        [(4, "dee", ("lima",))],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField(
+                    "addr",
+                    T.StructType([T.StructField("city", T.StringType())]),
+                ),
+            ]
+        ),
+    )
+    write_delta(spark, extra.coalesce(1), tbl, mode="append")
+    ch = unity.table_changes("unity", "default", "cmcdc", 0)
+    rows = [(r.id, r.name, r.addr.city, r._change_type) for r in ch.collect()]
+    assert rows == [(4, "dee", "lima", "insert")]

@@ -467,10 +467,10 @@ def test_checkpoint_roundtrip_survives_two_intervals(spark, tmp_path):
 def test_unknown_reader_features_are_refused(spark, tbl):
     """A FOREIGN Delta table demanding a reader feature we don't
     implement must be refused with a clear error — never read wrong.
-    (Deletion vectors and column mapping ARE implemented for batch
-    reads since round 6 and v2 checkpoints since round 7, so the
-    guard now bites on genuinely unknown features like
-    typeWidening.)"""
+    (Deletion vectors, column mapping, v2 checkpoints, and type
+    widening are all implemented now, so the guard bites on a
+    genuinely unknown feature — here `collations`, a real preview
+    feature this engine does not implement.)"""
     from local_lakehouse_spark.exceptions import UnsupportedOperationError
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
@@ -484,15 +484,15 @@ def test_unknown_reader_features_are_refused(spark, tbl):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["typeWidening"],
-                    "writerFeatures": ["typeWidening"],
+                    "readerFeatures": ["collations"],
+                    "writerFeatures": ["collations"],
                 }
             },
         ],
     )
-    with pytest.raises(UnsupportedOperationError, match="typeWidening"):
+    with pytest.raises(UnsupportedOperationError, match="collations"):
         read_delta(spark, tbl)
-    with pytest.raises(UnsupportedOperationError, match="typeWidening"):
+    with pytest.raises(UnsupportedOperationError, match="collations"):
         write_delta(spark, df, tbl, mode="append")
     # PRE-feature history stays readable: time travel to the version
     # before the foreign commit bypasses the refusal
@@ -1818,13 +1818,13 @@ def test_v2_checkpoint_feature_accepted_unknown_refused(spark, tbl):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["typeWidening"],
-                    "writerFeatures": ["typeWidening"],
+                    "readerFeatures": ["collations"],
+                    "writerFeatures": ["collations"],
                 }
             }
         ],
     )
-    with pytest.raises(UnsupportedOperationError, match="typeWidening"):
+    with pytest.raises(UnsupportedOperationError, match="collations"):
         DeltaLog(tbl).snapshot()
 
 
