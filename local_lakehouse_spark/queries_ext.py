@@ -6777,6 +6777,165 @@ FROM t GROUP BY nation ORDER BY nation
 """
 
 
+def y26(spark, sf):
+    """The FULL write matrix on a COLUMN-MAPPED Delta table (round
+    7, completing y22's append + y25's DML): replaceWhere rewrites a
+    logical-predicate slice under physical names, and mergeSchema
+    EVOLVES the mapped schema — the new column is assigned a fresh
+    delta.columnMapping.id past maxColumnId and a random col-<uuid>
+    physical name, exactly what delta-spark's writer does (delta-rs
+    0.18 refuses every mapped write, so this exceeds the reference
+    surface). CONTRACTS: mapping mode survives both writes, the
+    evolved field carries mapping metadata with a bumped
+    maxColumnId, pre-evolution rows surface NULL for it, and staging
+    mutates exactly once (version gate). Oracle: the same
+    replace+extend applied relationally."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid as uuid_mod
+
+    from pyspark.sql import types as T
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|colmapwm-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_colmapwm_{key}")
+    if not delta_py.is_delta_table(tbl):
+        phys = t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("col-k"),
+            F.col("s_acctbal").alias("col-b"),
+            F.col("s_nationkey").alias("col-n"),
+        )
+        tmp = tbl + f".__stage_{uuid_mod.uuid4().hex}"
+        phys.repartition(4).write.mode("overwrite").parquet(tmp)
+        os.makedirs(tbl, exist_ok=True)
+        moved = delta_py._move_parts(tmp, tbl)
+
+        def mf(name, dtype, cid, pname):
+            return T.StructField(
+                name,
+                dtype,
+                True,
+                metadata={
+                    "delta.columnMapping.id": cid,
+                    "delta.columnMapping.physicalName": pname,
+                },
+            )
+
+        logical = T.StructType(
+            [
+                mf("suppkey", T.LongType(), 1, "col-k"),
+                mf("acctbal", T.DoubleType(), 2, "col-b"),
+                mf("nation", T.IntegerType(), 3, "col-n"),
+            ]
+        )
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": str(uuid_mod.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": logical.json(),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                    "createdTime": 0,
+                }
+            },
+        ]
+        actions.extend(
+            delta_py._add_action(tbl, rel, parts) for rel, parts in moved
+        )
+        delta_py.DeltaLog(tbl).commit(0, actions)
+    snap0 = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap0.version == 0:
+        # v1: replaceWhere — double the acctbal of nations < 5
+        doubled = (
+            delta_py.read_delta(spark, tbl)
+            .filter("nation < 5")
+            .withColumn("acctbal", F.col("acctbal") * 2)
+        )
+        delta_py.write_delta(
+            spark,
+            doubled,
+            tbl,
+            mode="append",
+            replace_where="nation < 5",
+        )
+        # v2: mergeSchema — evolve with a 'tier' column
+        extended = (
+            delta_py.read_delta(spark, tbl)
+            .filter("suppkey % 100 = 0")
+            .select(
+                (F.col("suppkey") + 100000).alias("suppkey"),
+                F.lit(0.0).alias("acctbal"),
+                F.col("nation"),
+                F.lit("new").alias("tier"),
+            )
+        )
+        delta_py.write_delta(
+            spark, extended, tbl, mode="append", merge_schema=True
+        )
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap.column_mapping_mode != "name" or snap.version != 2:
+        raise AssertionError("y26 staging lost mapping mode or writes")
+    tier = snap.schema["tier"]
+    meta = tier.metadata or {}
+    if (
+        int(meta.get("delta.columnMapping.id", 0)) <= 3
+        or not str(
+            meta.get("delta.columnMapping.physicalName", "")
+        ).startswith("col-")
+        or int(
+            snap.configuration.get("delta.columnMapping.maxColumnId", 0)
+        )
+        <= 3
+    ):
+        raise AssertionError(
+            "y26 evolved column lacks fresh column-mapping metadata"
+        )
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.count("tier").alias("n_new"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y26_SQL = """
+WITH repl AS (
+  SELECT s_suppkey AS suppkey,
+         CASE WHEN s_nationkey < 5 THEN s_acctbal * 2
+              ELSE s_acctbal END AS acctbal,
+         s_nationkey AS nation, CAST(NULL AS VARCHAR) AS tier
+  FROM supplier
+), extended AS (
+  SELECT suppkey + 100000, 0.0, nation, 'new'
+  FROM repl WHERE suppkey % 100 = 0
+), t AS (
+  SELECT * FROM repl UNION ALL SELECT * FROM extended
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(tier) AS BIGINT) AS n_new
+FROM t GROUP BY nation ORDER BY nation
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -6931,4 +7090,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y23_dv_stream_append_only": QuerySpec(y23, Y23_SQL),
     "y24_column_mapped_stream": QuerySpec(y24, Y24_SQL),
     "y25_column_mapped_dml": QuerySpec(y25, Y25_SQL),
+    "y26_column_mapped_write_matrix": QuerySpec(y26, Y26_SQL),
 }

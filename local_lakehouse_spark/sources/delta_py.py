@@ -830,6 +830,54 @@ def _physical_names(schema: T.StructType) -> dict:
     }
 
 
+def _assign_mapping_ids(
+    fields: list, configuration: dict
+) -> tuple[list, dict]:
+    """Schema evolution on a column-mapped table: every NEW field
+    (recursively — nested struct fields get their own entries, as
+    the protocol requires) is assigned a fresh
+    ``delta.columnMapping.id`` (monotonic from
+    ``delta.columnMapping.maxColumnId``) and a fresh random physical
+    name ``col-<uuid>`` (delta-spark's convention), and the
+    configuration's maxColumnId is bumped past the highest id
+    handed out. Existing fields are never touched — their physical
+    names are the on-disk contract."""
+    next_id = int(configuration.get("delta.columnMapping.maxColumnId", 0))
+
+    def annotate_type(dt: T.DataType) -> T.DataType:
+        nonlocal next_id
+        if isinstance(dt, T.StructType):
+            return T.StructType([annotate(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(
+                annotate_type(dt.elementType), dt.containsNull
+            )
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                annotate_type(dt.keyType),
+                annotate_type(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def annotate(f: T.StructField) -> T.StructField:
+        nonlocal next_id
+        next_id += 1
+        meta = dict(f.metadata or {})
+        meta.setdefault("delta.columnMapping.id", next_id)
+        meta.setdefault(
+            "delta.columnMapping.physicalName", f"col-{uuid.uuid4().hex}"
+        )
+        return T.StructField(
+            f.name, annotate_type(f.dataType), f.nullable, metadata=meta
+        )
+
+    out = [annotate(f) for f in fields]
+    config = dict(configuration)
+    config["delta.columnMapping.maxColumnId"] = str(next_id)
+    return out, config
+
+
 # Above this many deleted rows (summed descriptor cardinality) the
 # DV positions are decoded in EXECUTORS (mapInPandas over the
 # descriptor rows, one task per file) and anti-joined with a shuffle;
@@ -1160,25 +1208,15 @@ def write_delta(
     # Writes handle DV tables (append adds files; overwrite and the
     # replace_where rewrite remove the DV-bearing adds wholesale and
     # read survivors through the DV-aware read_delta). Column-mapped
-    # tables accept PURE APPENDS: the caller speaks logical names and
-    # the data files land under the table's physical names (the
-    # inverse of the y11 read cast) — so a table registered from a
-    # delta-spark writer with columnMapping.mode=name stays
-    # appendable. Every rewrite / schema-evolution path still refuses
-    # loudly (evolving a mapped schema would need fresh column IDs):
-    # snapshot() raises there because the allow-set omits the feature.
-    pure_append = (
-        mode == "append"
-        and replace_where is None
-        and not merge_schema
-        and not overwrite_schema
-    )
-    _write_allow = (
-        BATCH_READ_FEATURES
-        if pure_append
-        else frozenset({FEATURE_DELETION_VECTORS})
-    )
-    snap = log.snapshot(allow=_write_allow) if vs else None
+    # tables take the FULL write matrix (round 7): the caller speaks
+    # logical names and the data files land under the table's
+    # physical names (the inverse of the y11 read cast); replaceWhere
+    # reads survivors through the mapping-aware read_delta;
+    # mergeSchema assigns fresh column IDs + random physical names to
+    # the new fields and bumps maxColumnId; overwriteSchema re-maps
+    # the whole schema (old files are removed wholesale, so fresh
+    # physical names are safe — time travel replays the old metaData).
+    snap = log.snapshot(allow=BATCH_READ_FEATURES) if vs else None
     mapped = (
         snap is not None
         and snap.column_mapping_mode not in ("", "none")
@@ -1201,27 +1239,60 @@ def write_delta(
             df = kept.unionByName(df)
             mode = "overwrite"
         schema = snap.schema
+        configuration = snap.configuration
         if overwrite_schema:
-            schema = df.schema
             if mode != "overwrite":
                 raise ValueError("overwriteSchema requires overwrite mode")
+            schema = df.schema
+            if mapped:
+                fields, configuration = _assign_mapping_ids(
+                    list(df.schema.fields), configuration
+                )
+                schema = T.StructType(fields)
+                if partition_by:
+                    # partitioning is table-owned and LOGICAL: the
+                    # old physical partition names die with the old
+                    # mapping; re-derive from the new one.
+                    old_logical = {
+                        p: l
+                        for l, p in _physical_names(snap.schema).items()
+                    }
+                    new_phys = _physical_names(schema)
+                    try:
+                        partition_by = [
+                            new_phys[old_logical.get(p, p)]
+                            for p in partition_by
+                        ]
+                    except KeyError as e:
+                        raise ValueError(
+                            f"overwriteSchema drops partition column "
+                            f"{e.args[0]!r}; repartitioning an existing "
+                            "table is not supported"
+                        ) from None
         elif merge_schema:
             old_names = {f.name for f in schema.fields}
-            schema = T.StructType(
-                list(schema.fields)
-                + [f for f in df.schema.fields if f.name not in old_names]
-            )
+            new_fields = [
+                f for f in df.schema.fields if f.name not in old_names
+            ]
+            if mapped and new_fields:
+                new_fields, configuration = _assign_mapping_ids(
+                    new_fields, configuration
+                )
+            schema = T.StructType(list(schema.fields) + new_fields)
         if {f.name for f in df.schema.fields} - {f.name for f in schema.fields}:
             raise ValueError(
                 "DataFrame has columns not in the table schema "
                 "(pass merge_schema=True to evolve)"
             )
-        meta_changed = schema.json() != snap.schema.json()
+        meta_changed = (
+            schema.json() != snap.schema.json()
+            or configuration != snap.configuration
+        )
         meta_id = snap.metadata.get("id", str(uuid.uuid4()))
         version = snap.version + 1
         if meta_changed:
             actions.append(
-                _meta_action(schema, partition_by, meta_id, snap.configuration)
+                _meta_action(schema, partition_by, meta_id, configuration)
             )
     else:
         version = 0
@@ -1339,7 +1410,7 @@ def write_delta(
         except ConcurrentModificationError:
             if not blind_append:
                 raise
-            newest = log.snapshot(allow=_write_allow)
+            newest = log.snapshot(allow=BATCH_READ_FEATURES)
             if newest.schema.json() != snap.schema.json() or (
                 newest.metadata.get("id") != meta_id
             ):
@@ -1353,7 +1424,7 @@ def write_delta(
         )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
-    return log.snapshot(version, allow=_write_allow)
+    return log.snapshot(version, allow=BATCH_READ_FEATURES)
 
 
 def _commit_dml(
@@ -2242,28 +2313,30 @@ def compact(
     100 TB you compact yesterday's partition, never the table."""
     log = DeltaLog(path)
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
-    if where is not None and snap.column_mapping_mode not in ("", "none"):
-        raise UnsupportedOperationError(
-            "OPTIMIZE ... WHERE on a column-mapped Delta table is not "
-            "supported (partition values are keyed by physical names); "
-            "full-table compact works"
-        )
     conjuncts: list[tuple] = []
+    phys = _physical_names(snap.schema)
     if where is not None:
         # OPTIMIZE ... WHERE is PARTITION-scoped by contract
         # (delta-spark raises the same way): every conjunct must be a
-        # partition-column comparison, fully parsed.
+        # partition-column comparison, fully parsed. The caller
+        # speaks LOGICAL names; partitionValues (and the snapshot's
+        # partitionColumns) are keyed physical on a mapped table, so
+        # conjunct columns translate before matching.
         conjuncts, complete = _predicate_conjuncts(where)
+        conjuncts = [(phys.get(c, c), op, v) for c, op, v in conjuncts]
         pcols = set(snap.partition_columns)
         if not complete or not conjuncts or any(
             c not in pcols for c, _, _ in conjuncts
         ):
+            logical = sorted(
+                l for l, p in phys.items() if p in pcols
+            )
             raise UnsupportedOperationError(
                 "OPTIMIZE ... WHERE accepts only AND-ed partition-"
-                f"column comparisons over {sorted(pcols)}; got "
+                f"column comparisons over {logical}; got "
                 f"{where!r}"
             )
-    dtypes = {f.name: f.dataType for f in snap.schema.fields}
+    dtypes = {phys[f.name]: f.dataType for f in snap.schema.fields}
     groups: dict[tuple, list[str]] = {}
     for rel, a in snap.adds.items():
         if a.get("deletionVector"):

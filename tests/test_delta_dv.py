@@ -472,19 +472,148 @@ def test_column_mapped_missing_column_appends_null(spark, tbl):
     assert rows[9] is None
 
 
-def test_column_mapped_rewrites_and_strict_paths_refuse(spark, tbl):
+def test_column_mapped_strict_paths_refuse(spark, tbl):
+    """Operations that cannot honor the mapping still refuse at the
+    snapshot choke point (physical-name-blind callers pass no
+    allow-set)."""
     _make_mapped_table(tbl)
-    df = read_delta(spark, tbl)
-    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
-        write_delta(spark, df, tbl, mode="overwrite")
-    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
-        write_delta(
-            spark, df, tbl, mode="append", replace_where="id > 2"
-        )
-    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
-        write_delta(spark, df, tbl, mode="append", merge_schema=True)
     with pytest.raises(UnsupportedOperationError, match="columnMapping"):
         DeltaLog(tbl).snapshot()
+
+
+def test_column_mapped_overwrite_and_replace_where(spark, tbl):
+    """Round 7 write parity: plain overwrite and replaceWhere on a
+    mapped table — survivors read back through the mapping, the
+    rewrite lands under physical names, mapping metadata intact."""
+    import pyarrow.parquet as pq
+
+    _make_mapped_table(tbl)
+    df = read_delta(spark, tbl)  # logical names
+    write_delta(
+        spark,
+        df.filter("id >= 2"),
+        tbl,
+        mode="append",
+        replace_where="id >= 2",
+    )
+    rows = {r.id: r.name for r in read_delta(spark, tbl).collect()}
+    assert rows == {1: "ann", 2: "bob", 3: "cyd"}
+    write_delta(
+        spark, df.filter("id = 1"), tbl, mode="overwrite"
+    )
+    rows = {r.id: (r.name, r.addr.city) for r in read_delta(spark, tbl).collect()}
+    assert rows == {1: ("ann", "rome")}
+    snap = DeltaLog(tbl).snapshot(allow=delta_py.BATCH_READ_FEATURES)
+    assert snap.column_mapping_mode == "name"
+    for rel in snap.adds:
+        names = pq.read_schema(os.path.join(tbl, rel)).names
+        assert "col-c1" in names and "id" not in names
+
+
+def test_column_mapped_merge_schema_assigns_fresh_ids(spark, tbl):
+    """mergeSchema on a mapped table: the new column gets a fresh
+    columnMapping.id past maxColumnId and a random col-<uuid>
+    physical name; old rows surface NULL for it; the bumped
+    maxColumnId is committed in the configuration."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    _make_mapped_table(tbl)
+    extra = spark.createDataFrame(
+        [(9, "zoe", 42.5)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
+    write_delta(spark, extra, tbl, mode="append", merge_schema=True)
+    snap = DeltaLog(tbl).snapshot(allow=delta_py.BATCH_READ_FEATURES)
+    f = snap.schema["score"]
+    assert f.metadata["delta.columnMapping.id"] == 6
+    pname = f.metadata["delta.columnMapping.physicalName"]
+    assert pname.startswith("col-") and len(pname) > 8
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "6"
+    rows = {r.id: r.score for r in read_delta(spark, tbl).collect()}
+    assert rows == {1: None, 2: None, 3: None, 9: 42.5}
+    # the new data file carries the random physical name, not "score"
+    new_rels = [p for p in snap.adds if p != "part-0.parquet"]
+    assert new_rels
+    for rel in new_rels:
+        names = pq.read_schema(os.path.join(tbl, rel)).names
+        assert pname in names and "score" not in names
+
+
+def test_column_mapped_overwrite_schema_remaps(spark, tbl):
+    """overwriteSchema on a mapped table re-maps every column with
+    fresh ids (old files are removed wholesale, so fresh physical
+    names are safe); time travel to the pre-overwrite version still
+    reads through the OLD mapping."""
+    from pyspark.sql import types as T
+
+    _make_mapped_table(tbl)
+    repl = spark.createDataFrame(
+        [(100, "x")],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+    )
+    write_delta(
+        spark, repl, tbl, mode="overwrite", overwrite_schema=True
+    )
+    snap = DeltaLog(tbl).snapshot(allow=delta_py.BATCH_READ_FEATURES)
+    assert [f.name for f in snap.schema.fields] == ["k", "v"]
+    ids = [
+        f.metadata["delta.columnMapping.id"] for f in snap.schema.fields
+    ]
+    assert ids == [6, 7]
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "7"
+    assert {r.k for r in read_delta(spark, tbl).collect()} == {100}
+    old = read_delta(spark, tbl, version=0)
+    assert {r.id: r.name for r in old.collect()} == {
+        1: "ann",
+        2: "bob",
+        3: "cyd",
+    }
+
+
+def test_column_mapped_optimize_where_translates_partitions(spark, tbl):
+    """OPTIMIZE ... WHERE speaks logical partition names on a mapped
+    table; the conjuncts translate to the physical partitionValues
+    keys. A non-partition column still refuses with the LOGICAL
+    names in the message."""
+    from pyspark.sql import types as T
+
+    from local_lakehouse_spark.sources.delta_py import compact
+
+    _make_mapped_table(tbl, partitioned=True)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField(
+                "addr",
+                T.StructType([T.StructField("city", T.StringType())]),
+            ),
+            T.StructField("region", T.StringType()),
+        ]
+    )
+    for i in (10, 11):
+        extra = spark.createDataFrame(
+            [(i, f"n{i}", (f"c{i}",), "eu")], schema
+        )
+        write_delta(spark, extra.coalesce(1), tbl, mode="append")
+    metrics = compact(spark, tbl, where="region = 'eu'", target_file_bytes=1 << 20)
+    assert metrics["numFilesRemoved"] >= 2
+    rows = {r.id for r in read_delta(spark, tbl).collect()}
+    assert rows == {1, 2, 3, 10, 11}
+    with pytest.raises(UnsupportedOperationError, match="region"):
+        compact(spark, tbl, where="id = 1")
 
 
 def test_column_mapped_stream_reader_translates(spark, tbl):

@@ -499,15 +499,12 @@ def test_unknown_reader_features_are_refused(spark, tbl):
     assert read_delta(spark, tbl, version=snap.version).count() == 2
 
 
-def test_column_mapping_append_allowed_rewrites_refused(spark, tbl):
+def test_column_mapping_upgraded_table_full_write_matrix(spark, tbl):
     """Active delta.columnMapping.mode (name/id) binds data by
     physical names; batch READS translate them (test_delta_dv.py)
-    and PURE APPENDS write under physical names (round 7 — here the
-    upgraded table has no physicalName metadata, so physical ==
-    logical per the upgrade convention). Rewrites and schema
-    evolution stay refused: they would need fresh column IDs."""
-    from local_lakehouse_spark.exceptions import UnsupportedOperationError
-
+    and the FULL write matrix runs under physical names (round 7 —
+    here the upgraded table has no physicalName metadata, so
+    physical == logical per the upgrade convention)."""
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     write_delta(spark, df, tbl)
     log = DeltaLog(tbl)
@@ -523,8 +520,8 @@ def test_column_mapping_append_allowed_rewrites_refused(spark, tbl):
     )
     write_delta(spark, df, tbl, mode="append")
     assert read_delta(spark, tbl).count() == 2
-    with pytest.raises(UnsupportedOperationError, match="columnMapping"):
-        write_delta(spark, df, tbl, mode="overwrite")
+    write_delta(spark, df, tbl, mode="overwrite")
+    assert read_delta(spark, tbl).count() == 1
 
 
 # ---------------------------------------------------------------------------
