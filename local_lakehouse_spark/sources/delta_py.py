@@ -1186,6 +1186,7 @@ def write_delta(
     overwrite_schema: bool = False,
     operation: str = "WRITE",
     generated: Optional[dict] = None,
+    column_mapping: bool = False,
 ) -> Snapshot:
     """Transactional write with delta-spark's option matrix
     (mode × mergeSchema × overwriteSchema × replaceWhere). The data
@@ -1200,6 +1201,13 @@ def write_delta(
     ``col <=> (expr)`` or the write refuses — the common use is a
     derived partition key (``date(ts)``) that writers can't get
     wrong. Requires writer version 4, committed in the protocol.
+
+    ``column_mapping`` (CREATE only): create the table with
+    ``delta.columnMapping.mode=name`` — every field (recursively)
+    gets a ``delta.columnMapping.id`` and a random ``col-<uuid>``
+    physical name, and data files land under the physical names
+    (delta-spark's ``CREATE TABLE ... TBLPROPERTIES`` convention).
+    Later writes/reads/DML translate automatically.
     """
     from pyspark.sql import functions as F
 
@@ -1226,6 +1234,12 @@ def write_delta(
     if snap is not None and generated:
         raise UnsupportedOperationError(
             "generated columns are declared at table CREATE time"
+        )
+    if snap is not None and column_mapping:
+        raise UnsupportedOperationError(
+            "column mapping is declared at table CREATE time "
+            "(upgrading an existing table would require rewriting "
+            "nothing, but delta_py keeps create-time-only semantics)"
         )
     if snap is not None:
         partition_by = snap.partition_columns  # layout is table-owned
@@ -1322,8 +1336,30 @@ def write_delta(
             proto["minWriterVersion"] = max(4, proto["minWriterVersion"])
         else:
             schema = df.schema
+        configuration: dict = {}
+        if column_mapping:
+            fields, configuration = _assign_mapping_ids(
+                list(schema.fields), {}
+            )
+            schema = T.StructType(fields)
+            configuration["delta.columnMapping.mode"] = "name"
+            proto["minReaderVersion"] = max(
+                2, proto.get("minReaderVersion", 1)
+            )
+            proto["minWriterVersion"] = max(
+                5, proto.get("minWriterVersion", 2)
+            )
+            mapped = True
+            if partition_by:
+                # hive dirs + partitionValues keys are PHYSICAL
+                new_phys = _physical_names(schema)
+                partition_by = [new_phys.get(c, c) for c in partition_by]
         actions.append({"protocol": proto})
-        actions.append(_meta_action(schema, partition_by or [], str(uuid.uuid4())))
+        actions.append(
+            _meta_action(
+                schema, partition_by or [], str(uuid.uuid4()), configuration
+            )
+        )
 
     # Generated columns: compute what the caller omitted; refuse what
     # the caller got wrong (one filter-limit(1) per provided column —

@@ -1227,3 +1227,65 @@ def test_column_mapped_cdc_fast_path(spark, unity, tbl):
     ch = unity.table_changes("unity", "default", "cmcdc", 0)
     rows = [(r.id, r.name, r.addr.city, r._change_type) for r in ch.collect()]
     assert rows == [(4, "dee", "lima", "insert")]
+
+
+def test_create_column_mapped_table_natively(spark, tbl):
+    """write_delta(column_mapping=True) at CREATE: every field
+    (nested included) gets a fresh columnMapping.id + col-<uuid>
+    physical name, partition dirs use the physical name, data files
+    are physical-named, and the whole read/DML surface translates."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField(
+                "addr",
+                T.StructType([T.StructField("city", T.StringType())]),
+            ),
+            T.StructField("region", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "ann", ("rome",), "eu"),
+            (2, "bob", ("oslo",), "eu"),
+            (3, "cyd", ("lima",), "sa"),
+        ],
+        schema,
+    )
+    write_delta(
+        spark, df, tbl, partition_by=["region"], column_mapping=True
+    )
+    snap = DeltaLog(tbl).snapshot(allow=delta_py.BATCH_READ_FEATURES)
+    assert snap.column_mapping_mode == "name"
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "5"
+    phys = delta_py._physical_names(snap.schema)
+    assert all(p.startswith("col-") for p in phys.values())
+    # nested struct field carries its own mapping metadata
+    inner = snap.schema["addr"].dataType.fields[0]
+    assert inner.metadata["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    # hive dirs + footers are physical-named
+    assert snap.partition_columns == [phys["region"]]
+    for rel in snap.adds:
+        assert rel.startswith(f"{phys['region']}=")
+        names = pq.read_schema(os.path.join(tbl, rel)).names
+        assert phys["id"] in names and "id" not in names
+    rows = {r.id: (r.name, r.addr.city, r.region) for r in read_delta(spark, tbl).collect()}
+    assert rows == {
+        1: ("ann", "rome", "eu"),
+        2: ("bob", "oslo", "eu"),
+        3: ("cyd", "lima", "sa"),
+    }
+    delete_where(spark, tbl, "id = 2")
+    assert {r.id for r in read_delta(spark, tbl).collect()} == {1, 3}
+    with pytest.raises(UnsupportedOperationError, match="CREATE"):
+        write_delta(
+            spark, df, tbl, mode="append", column_mapping=True
+        )
