@@ -494,6 +494,37 @@ class LakehouseClient:
         self._rewrite_contents(tbl, out)
         return updated
 
+    def read_change_feed(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        starting_version: int = 0,
+        ending_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Protocol Change Data Feed read (delta-spark's
+        ``readChangeFeed`` with startingVersion/endingVersion, both
+        INCLUSIVE): requires ``delta.enableChangeDataFeed=true`` on
+        the DELTA table; DML commits record exact change rows under
+        ``_change_data/`` (cdc actions), appends/overwrites derive
+        from the data files already on disk. Returns the table's
+        columns plus ``_change_type`` / ``_commit_version`` /
+        ``_commit_timestamp``. For version-diff CDC without the CDF
+        property, use :meth:`table_changes`."""
+        from .sources import delta_py
+
+        tbl = self.get_table(catalog, schema, name)
+        if tbl.file_type != FileType.DELTA:
+            raise UnsupportedOperationError(
+                "read_change_feed requires a DELTA table "
+                f"({tbl.full_name} is {tbl.file_type.name})"
+            )
+        spark = self._require_spark()
+        path = _io.strip_file_scheme(tbl.storage_location or "")
+        return delta_py.read_change_feed(
+            spark, path, starting_version, ending_version
+        )
+
     def table_changes(
         self,
         catalog: str,

@@ -6936,6 +6936,107 @@ FROM t GROUP BY nation ORDER BY nation
 """
 
 
+def y27(spark, sf):
+    """Protocol CHANGE DATA FEED (round 7, beyond delta-rs 0.18
+    which has no CDF write support): with
+    delta.enableChangeDataFeed=true, DV DELETE/UPDATE commits record
+    their exact change rows under _change_data/ via cdc actions
+    (update_preimage/update_postimage vocabulary), appends DERIVE as
+    inserts from the data files already on disk (no double-write),
+    and read_change_feed replays the version range as table columns
+    + _change_type/_commit_version/_commit_timestamp — delta-spark's
+    readChangeFeed surface. CONTRACTS: the DML commits really carry
+    cdc actions and the append commit carries none (derivation, not
+    duplication); staging mutates exactly once (version gate).
+    Oracle: the same delete/update/append expressed relationally
+    over supplier."""
+    import hashlib
+    import json as json_mod
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|cdf-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_cdf_{key}")
+    if not delta_py.is_delta_table(tbl):
+        base = t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_nationkey").alias("nation"),
+        )
+        delta_py.write_delta(spark, base.repartition(4), tbl)
+        delta_py.set_properties(
+            tbl, {"delta.enableChangeDataFeed": "true"}
+        )
+    snap0 = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap0.version == 1:
+        delta_py.delete_where(spark, tbl, "suppkey % 10 = 0")
+        delta_py.update_where(
+            spark, tbl, "suppkey % 10 = 1", {"acctbal": "acctbal + 1000"}
+        )
+        extra = (
+            delta_py.read_delta(spark, tbl)
+            .filter("suppkey % 100 = 1")
+            .select(
+                (F.col("suppkey") + 200000).alias("suppkey"),
+                F.lit(0.0).alias("acctbal"),
+                F.col("nation"),
+            )
+        )
+        delta_py.write_delta(spark, extra, tbl, mode="append")
+    log = delta_py.DeltaLog(tbl)
+    if log.versions()[-1] != 4:
+        raise AssertionError("y27 staging committed a wrong version count")
+
+    def commit_has_cdc(v: int) -> bool:
+        fname = os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+        with open(fname) as f:
+            return any(
+                "cdc" in json_mod.loads(ln) for ln in f if ln.strip()
+            )
+
+    if not (commit_has_cdc(2) and commit_has_cdc(3)):
+        raise AssertionError("y27 DML commits recorded no change data")
+    if commit_has_cdc(4):
+        raise AssertionError(
+            "y27 append commit wrote cdc files (must derive instead)"
+        )
+    feed = delta_py.read_change_feed(spark, tbl, 2, 4)
+    return (
+        feed.select(
+            F.col("_change_type").alias("change_type"), "acctbal"
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("change_type")
+    )
+
+
+Y27_SQL = """
+WITH base AS (
+  SELECT s_suppkey AS k, s_acctbal AS b FROM supplier
+), changes AS (
+  SELECT 'delete' AS t, b FROM base WHERE k % 10 = 0
+  UNION ALL SELECT 'update_preimage', b FROM base WHERE k % 10 = 1
+  UNION ALL SELECT 'update_postimage', b + 1000 FROM base
+    WHERE k % 10 = 1
+  UNION ALL SELECT 'insert', 0.0 FROM base WHERE k % 100 = 1
+)
+SELECT t AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(b * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM changes GROUP BY t ORDER BY t
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -7091,4 +7192,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y24_column_mapped_stream": QuerySpec(y24, Y24_SQL),
     "y25_column_mapped_dml": QuerySpec(y25, Y25_SQL),
     "y26_column_mapped_write_matrix": QuerySpec(y26, Y26_SQL),
+    "y27_change_data_feed": QuerySpec(y27, Y27_SQL),
 }

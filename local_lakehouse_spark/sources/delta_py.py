@@ -1943,6 +1943,20 @@ def delete_where(
         return snap  # predicate matched nothing new: no commit
     now_ms = int(time.time() * 1000)
     actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)
+    if cdf_enabled(snap.configuration):
+        from pyspark.sql import functions as F
+
+        # CDF: the deleted rows are the LIVE matched rows (the DV-
+        # aware read excludes rows earlier deletes already removed)
+        deleted_rows = (
+            read_delta(spark, path, version=snap.version)
+            .filter(F.expr(predicate))
+            .withColumn(CDF_TYPE_COL, F.lit("delete"))
+        )
+        cdc_actions = _write_cdc_files(spark, path, snap, deleted_rows)
+        actions.extend(cdc_actions)
+        if cdc_actions:
+            _ensure_cdf_protocol(actions, snap)
     actions.append(
         {
             "commitInfo": {
@@ -2020,6 +2034,19 @@ def update_where(
     # to a generation INPUT must refresh the derived value, never
     # carry the stale one forward.
     updated = _apply_generated(updated, snap.schema, path, recompute=True)
+    cdc_actions: list[dict] = []
+    if cdf_enabled(snap.configuration):
+        # CDF: pre-images are the live matched rows, post-images the
+        # same rows with assignments (and generated recompute) applied
+        pre = (
+            read_delta(spark, path, version=snap.version)
+            .filter(F.expr(predicate))
+            .withColumn(CDF_TYPE_COL, F.lit("update_preimage"))
+        )
+        post = updated.withColumn(CDF_TYPE_COL, F.lit("update_postimage"))
+        cdc_actions = _write_cdc_files(
+            spark, path, snap, pre.unionByName(post)
+        )
     if snap.column_mapping_mode not in ("", "none"):
         updated = _to_physical(updated, snap.schema)
     tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
@@ -2032,6 +2059,9 @@ def update_where(
     now_ms = int(time.time() * 1000)
     actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)
     actions.extend(_add_action(path, rel, parts) for rel, parts in moved)
+    actions.extend(cdc_actions)
+    if cdc_actions:
+        _ensure_cdf_protocol(actions, snap)
     actions.append(
         {
             "commitInfo": {
@@ -2118,9 +2148,13 @@ def apply_row_changes(
     materialized BEFORE the DV build so both read the pre-change
     snapshot. Always commits (MERGE parity: a no-op merge still lands
     a history row)."""
+    from pyspark.sql import functions as F
+
     base_to_rel, built = _grown_dvs_from_hits(
         spark, snap, path, dead_positions
     )
+    want_cdf = cdf_enabled(snap.configuration)
+    cdc_frames: list[DataFrame] = []
     moved: list[tuple[str, dict]] = []
     if new_rows is not None:
         # MERGE writes pass the same generated-columns gate as
@@ -2132,6 +2166,10 @@ def apply_row_changes(
         new_rows = _apply_generated(
             new_rows, snap.schema, path, recompute=True
         )
+        if want_cdf:
+            cdc_frames.append(
+                new_rows.withColumn(CDF_TYPE_COL, F.lit("insert"))
+            )
         if snap.column_mapping_mode not in ("", "none"):
             new_rows = _to_physical(new_rows, snap.schema)
         tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
@@ -2141,6 +2179,41 @@ def apply_row_changes(
         writer.parquet(tmp)
         _enforce_constraints_on_tmp(spark, snap, tmp, path)
         moved = _move_parts(tmp, path)
+    if want_cdf and built:
+        # CDF dead-row VALUES: re-scan only the DV-touched files and
+        # semi-join the positions being marked deleted. MERGE changes
+        # are recorded as delete+insert pairs (the rewrite's own
+        # representation); update_where records update_pre/postimage.
+        rels = sorted({base_to_rel[row.file_name] for row in built})
+        raw = _scan_reader(spark, snap, path).parquet(
+            *[os.path.join(path, unquote(r)) for r in rels]
+        )
+        if snap.column_mapping_mode not in ("", "none"):
+            view = _logical_positions_scan(raw, snap)
+        else:
+            view = raw.withColumns(
+                {
+                    "__llh_fn": F.col("_metadata.file_name"),
+                    "__llh_ri": F.col("_metadata.row_index"),
+                }
+            )
+        d = dead_positions.select(
+            F.col("file_name").alias("__llh_fn"),
+            F.col("row_index").alias("__llh_ri"),
+        )
+        dead_vals = (
+            view.join(d, ["__llh_fn", "__llh_ri"], "left_semi")
+            .drop("__llh_fn", "__llh_ri")
+            .select(*[f.name for f in snap.schema.fields])
+            .withColumn(CDF_TYPE_COL, F.lit("delete"))
+        )
+        cdc_frames.append(dead_vals)
+    cdc_actions: list[dict] = []
+    if cdc_frames:
+        changes = cdc_frames[0]
+        for extra in cdc_frames[1:]:
+            changes = changes.unionByName(extra)
+        cdc_actions = _write_cdc_files(spark, path, snap, changes)
     now_ms = int(time.time() * 1000)
     actions = _dv_commit_actions(snap, base_to_rel, built, now_ms)
     _check_append_only(snap, actions, path)  # insert-only merges pass
@@ -2150,6 +2223,9 @@ def apply_row_changes(
             os.remove(os.path.join(path, rel))  # skip empty part files
             continue
         actions.append(act)
+    actions.extend(cdc_actions)
+    if cdc_actions:
+        _ensure_cdf_protocol(actions, snap)
     actions.append(
         {
             "commitInfo": {
@@ -2165,6 +2241,337 @@ def apply_row_changes(
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return log.snapshot(version, allow=BATCH_READ_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed — the Delta CDF protocol (_change_data/ + cdc actions)
+# ---------------------------------------------------------------------------
+
+CDF_TYPE_COL = "_change_type"
+_CDC_DIR = "_change_data"
+
+
+def cdf_enabled(configuration: dict) -> bool:
+    """``delta.enableChangeDataFeed`` (the Delta CDF table property)."""
+    return (
+        str(
+            configuration.get("delta.enableChangeDataFeed", "false")
+        ).lower()
+        == "true"
+    )
+
+
+def _ensure_cdf_protocol(actions: list, snap: Snapshot) -> None:
+    """CDF is a legacy writer-version-4 feature; on a table-features
+    protocol (writer 7) it must be listed in writerFeatures. Amends a
+    protocol action already in the commit (the DV upgrade) rather
+    than emitting a second one."""
+    for a in actions:
+        p = a.get("protocol")
+        if p is not None:
+            if p.get("writerFeatures") is not None:
+                p["writerFeatures"] = sorted(
+                    set(p["writerFeatures"]) | {"changeDataFeed"}
+                )
+            else:
+                p["minWriterVersion"] = max(
+                    4, int(p.get("minWriterVersion", 2))
+                )
+            return
+    proto = dict(snap.protocol or PROTOCOL)
+    if proto.get("writerFeatures") is not None:
+        if "changeDataFeed" in proto["writerFeatures"]:
+            return
+        proto["writerFeatures"] = sorted(
+            set(proto["writerFeatures"]) | {"changeDataFeed"}
+        )
+    else:
+        if int(proto.get("minWriterVersion", 2)) >= 4:
+            return
+        proto["minWriterVersion"] = 4
+    actions.insert(0, {"protocol": proto})
+
+
+def _write_cdc_files(
+    spark: SparkSession, path: str, snap: Snapshot, changes: DataFrame
+) -> list[dict]:
+    """Write a commit's change rows (table LOGICAL columns +
+    ``_change_type``) as parquet under ``_change_data/`` and return
+    the ``cdc`` actions referencing them. Per the protocol, a commit
+    carrying cdc actions is replayed by CDF readers from those files
+    ALONE — its add/remove actions contribute nothing. Mapped tables
+    store change data under PHYSICAL names, like data files; the
+    ``_change_type`` column keeps its literal name. The rows are
+    written distributed (one Spark job); only descriptor-sized
+    actions reach the driver."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    if snap.column_mapping_mode not in ("", "none"):
+        phys = _physical_names(snap.schema)
+        changes = changes.select(
+            *[
+                F.col(f.name)
+                .cast(_physical_type(f.dataType))
+                .alias(phys[f.name])
+                for f in snap.schema.fields
+                if f.name in changes.columns
+            ],
+            F.col(CDF_TYPE_COL),
+        )
+    tmp = path + f".__delta_cdc_{uuid.uuid4().hex}"
+    changes.write.mode("overwrite").parquet(tmp)
+    os.makedirs(os.path.join(path, _CDC_DIR), exist_ok=True)
+    out: list[dict] = []
+    for root, _dirs, names in os.walk(tmp):
+        for name in sorted(names):
+            if not name.endswith(".parquet") or name.startswith("."):
+                continue
+            src = os.path.join(root, name)
+            if pq.read_metadata(src).num_rows == 0:
+                continue
+            rel = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.snappy.parquet"
+            os.replace(src, os.path.join(path, rel))
+            out.append(
+                {
+                    "cdc": {
+                        "path": quote(rel, safe="/="),
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(path, rel)
+                        ),
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    starting_version: int = 0,
+    ending_version: Optional[int] = None,
+) -> DataFrame:
+    """Delta Change Data Feed reader (both bounds INCLUSIVE, like
+    delta-spark's startingVersion/endingVersion): the table's columns
+    plus ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
+
+    Per commit: ``cdc`` actions, when present, are authoritative; a
+    commit WITHOUT them derives inserts from dataChange adds and
+    deletes from dataChange removes — the removed file is read back
+    (it exists until VACUUM), with the deletion vector it carried in
+    the PREVIOUS version anti-joined out, so rows deleted earlier
+    never re-surface as deletes. dataChange=false rearrangements
+    (OPTIMIZE / REORG PURGE) contribute nothing. A commit that
+    changed rows via DVs but wrote no change data (CDF was off at
+    commit time) refuses loudly — delta-spark's "change data was not
+    recorded" contract.
+
+    Scale: O(changed files), never a snapshot diff. Three POOLED
+    readers (cdc / derived-insert / derived-delete), each one
+    distributed scan over all its files across the whole version
+    range, joined to a tiny broadcast file -> (version, timestamp)
+    map — a file legitimately appearing at several versions (remove,
+    RESTORE re-add, remove again) is scanned once and fanned out by
+    the join. Wholesale overwrites derive from the files already on
+    disk — no change data is ever double-written for them."""
+    from pyspark.sql import functions as F
+
+    log = DeltaLog(path)
+    vs = log.versions()
+    if ending_version is None:
+        ending_version = vs[-1] if vs else -1
+    snap = log.snapshot(ending_version, allow=BATCH_READ_FEATURES)
+    if not cdf_enabled(snap.configuration):
+        raise UnsupportedOperationError(
+            f"Delta table at {path} does not have "
+            "delta.enableChangeDataFeed=true; change feed reads "
+            "require the CDF table property"
+        )
+    mapped = snap.column_mapping_mode not in ("", "none")
+    phys_schema = _physical_type(snap.schema) if mapped else snap.schema
+    cdc_group: list[tuple[str, int, int]] = []
+    ins_group: list[tuple[str, int, int]] = []
+    del_group: list[tuple[str, int, int]] = []
+    dv_deletes: list[tuple[dict, int, int]] = []
+    for v in vs:
+        if v < starting_version or v > ending_version:
+            continue
+        fname = os.path.join(log.log_dir, f"{v:020d}.json")
+        with open(fname) as f:
+            acts = [json.loads(ln) for ln in f if ln.strip()]
+        ts = log.commit_timestamp(v)
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        if cdc:
+            for c in cdc:
+                cdc_group.append(
+                    (os.path.join(path, unquote(c["path"])), v, ts)
+                )
+            continue
+        adds = [a["add"] for a in acts if "add" in a]
+        removes = [a["remove"] for a in acts if "remove" in a]
+        if any(
+            a.get("deletionVector") and a.get("dataChange", True)
+            for a in adds
+        ):
+            raise UnsupportedOperationError(
+                f"version {v} of {path} changed rows via deletion "
+                "vectors but recorded no change data — "
+                "delta.enableChangeDataFeed was not active for that "
+                "commit, so its changes cannot be replayed"
+            )
+        for a in adds:
+            if a.get("dataChange", True):
+                ins_group.append(
+                    (os.path.join(path, unquote(a["path"])), v, ts)
+                )
+        if any(r.get("dataChange", True) for r in removes):
+            prev = (
+                log.snapshot(v - 1, allow=BATCH_READ_FEATURES)
+                if v > 0
+                else None
+            )
+            for r in removes:
+                if not r.get("dataChange", True):
+                    continue
+                prev_add = (prev.adds if prev else {}).get(
+                    r["path"]
+                ) or {}
+                if prev_add.get("deletionVector"):
+                    dv_deletes.append((dict(prev_add), v, ts))
+                else:
+                    del_group.append(
+                        (
+                            os.path.join(path, unquote(r["path"])),
+                            v,
+                            ts,
+                        )
+                    )
+
+    def _project(df: DataFrame) -> DataFrame:
+        meta_cols = [
+            F.col(CDF_TYPE_COL),
+            F.col("_commit_version"),
+            F.col("_commit_timestamp"),
+        ]
+        if mapped:
+            phys = _physical_names(snap.schema)
+            return df.select(
+                *[
+                    F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                    for f in snap.schema.fields
+                ],
+                *meta_cols,
+            )
+        return df.select(
+            *[f.name for f in snap.schema.fields], *meta_cols
+        )
+
+    def _attach(df: DataFrame, group: list) -> DataFrame:
+        basenames = [os.path.basename(p) for p, _v, _t in group]
+        uniq_paths = sorted({p for p, _v, _t in group})
+        if len({os.path.basename(p) for p in uniq_paths}) != len(
+            uniq_paths
+        ):
+            raise UnsupportedOperationError(
+                f"change feed of {path} spans data files with "
+                "colliding basenames; the pooled version join would "
+                "mix files"
+            )
+        vmap = spark.createDataFrame(
+            [
+                (b, v, t)
+                for b, (_p, v, t) in zip(basenames, group)
+            ],
+            "__cdf_fn string, _commit_version bigint, __cdf_ts bigint",
+        )
+        return (
+            df.withColumn("__cdf_fn", F.col("_metadata.file_name"))
+            .join(F.broadcast(vmap), "__cdf_fn")
+            .drop("__cdf_fn")
+            .withColumn(
+                "_commit_timestamp",
+                F.timestamp_millis(F.col("__cdf_ts")),
+            )
+            .drop("__cdf_ts")
+        )
+
+    frames: list[DataFrame] = []
+    if cdc_group:
+        cdc_schema = T.StructType(
+            list(phys_schema.fields)
+            + [T.StructField(CDF_TYPE_COL, T.StringType())]
+        )
+        df = spark.read.schema(cdc_schema).parquet(
+            *sorted({p for p, _v, _t in cdc_group})
+        )
+        frames.append(_project(_attach(df, cdc_group)))
+    for group, ctype in ((ins_group, "insert"), (del_group, "delete")):
+        if not group:
+            continue
+        reader = spark.read.schema(phys_schema)
+        if snap.partition_columns:
+            reader = reader.option("basePath", path)
+        df = _attach(
+            reader.parquet(*sorted({p for p, _v, _t in group})), group
+        ).withColumn(CDF_TYPE_COL, F.lit(ctype))
+        frames.append(_project(df))
+    for prev_add, v, ts in dv_deletes:
+        # a dataChange remove of a DV-bearing file deletes its LIVE
+        # rows: anti-join the positions its previous DV had marked
+        reader = spark.read.schema(phys_schema)
+        if snap.partition_columns:
+            reader = reader.option("basePath", path)
+        scan = reader.parquet(
+            os.path.join(path, unquote(prev_add["path"]))
+        ).withColumns(
+            {
+                "__fn": F.col("_metadata.file_name"),
+                "__ri": F.col("_metadata.row_index"),
+            }
+        )
+        dv_pos = _deleted_positions_df(
+            spark,
+            {prev_add["path"]: prev_add},
+            path,
+            int(prev_add["deletionVector"].get("cardinality") or 0),
+        )
+        live = (
+            scan.join(
+                dv_pos,
+                (scan["__fn"] == dv_pos["file_name"])
+                & (scan["__ri"] == dv_pos["row_index"]),
+                "left_anti",
+            )
+            .drop("__fn", "__ri")
+            .withColumns(
+                {
+                    CDF_TYPE_COL: F.lit("delete"),
+                    "_commit_version": F.lit(v).cast("bigint"),
+                    "_commit_timestamp": F.timestamp_millis(
+                        F.lit(ts).cast("bigint")
+                    ),
+                }
+            )
+        )
+        frames.append(_project(live))
+    if not frames:
+        out_schema = T.StructType(
+            list(snap.schema.fields)
+            + [
+                T.StructField(CDF_TYPE_COL, T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
 
 
 def appended_files_between(
