@@ -32,14 +32,14 @@ _ALL = {**_CORE, **_EXT}
 # 1. never-stamped first (the round-5 rule): y22 column-mapped
 #    append, y23 DV-aware append-only streaming replay, y24
 #    column-mapped streaming replay, y25 column-mapped DV DML,
-#    y26 column-mapped write matrix, y27 change data feed — new
-#    this round;
+#    y26 column-mapped write matrix, y27 change data feed, y28
+#    streaming change feed — new this round;
 # 2. the LAST 7 r1-era stamps, q41–q47 — earned before the r3
 #    fixture drift (events.ts NANOS→MICROS), the oldest evidence in
 #    the union;
 # 3. all 24 r2-era stamps;
-# 4. the remaining 13 slots go to the oldest r3-era stamps
-#    (q48–q61 minus q55, which re-greened r5).
+# 4. the remaining 12 slots go to the oldest r3-era stamps
+#    (q48–q60 minus q55, which re-greened r5).
 # Everything past the cap keeps an r3+ stamp AND a same-round local
 # green in CORRECTNESS_LOCAL_r07.json; the r3 tail rotates in r8.
 _NEVER_STAMPED = [
@@ -49,6 +49,7 @@ _NEVER_STAMPED = [
     "y25_column_mapped_dml",
     "y26_column_mapped_write_matrix",
     "y27_change_data_feed",
+    "y28_streaming_change_feed",
 ]
 _R1_ERA = [
     "q41_tpch_q12_conditional_agg",
@@ -98,7 +99,6 @@ _R3_ERA_HEAD = [
     "q58_tpch_q19_disjunctive",
     "q59_tpch_q20_excess_inventory",
     "q60_tpch_q21_waiting_suppliers",
-    "q61_tpch_q22_sales_opportunity",
 ]
 _PRIORITY = _NEVER_STAMPED + _R1_ERA + _R2_ERA + _R3_ERA_HEAD
 QUERY_SPECS = {

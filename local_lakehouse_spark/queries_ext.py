@@ -6936,22 +6936,11 @@ FROM t GROUP BY nation ORDER BY nation
 """
 
 
-def y27(spark, sf):
-    """Protocol CHANGE DATA FEED (round 7, beyond delta-rs 0.18
-    which has no CDF write support): with
-    delta.enableChangeDataFeed=true, DV DELETE/UPDATE commits record
-    their exact change rows under _change_data/ via cdc actions
-    (update_preimage/update_postimage vocabulary), appends DERIVE as
-    inserts from the data files already on disk (no double-write),
-    and read_change_feed replays the version range as table columns
-    + _change_type/_commit_version/_commit_timestamp — delta-spark's
-    readChangeFeed surface. CONTRACTS: the DML commits really carry
-    cdc actions and the append commit carries none (derivation, not
-    duplication); staging mutates exactly once (version gate).
-    Oracle: the same delete/update/append expressed relationally
-    over supplier."""
+def _stage_cdf_table(spark, sf: str) -> str:
+    """Shared y27/y28 staging (idempotent, version-gated): a
+    CDF-enabled supplier table with v0 create, v1 property, v2 DV
+    DELETE, v3 DV UPDATE, v4 derived-insert append."""
     import hashlib
-    import json as json_mod
     import os
     import tempfile
 
@@ -6987,9 +6976,31 @@ def y27(spark, sf):
             )
         )
         delta_py.write_delta(spark, extra, tbl, mode="append")
-    log = delta_py.DeltaLog(tbl)
-    if log.versions()[-1] != 4:
-        raise AssertionError("y27 staging committed a wrong version count")
+    if delta_py.DeltaLog(tbl).versions()[-1] != 4:
+        raise AssertionError("CDF staging committed a wrong version count")
+    return tbl
+
+
+def y27(spark, sf):
+    """Protocol CHANGE DATA FEED (round 7, beyond delta-rs 0.18
+    which has no CDF write support): with
+    delta.enableChangeDataFeed=true, DV DELETE/UPDATE commits record
+    their exact change rows under _change_data/ via cdc actions
+    (update_preimage/update_postimage vocabulary), appends DERIVE as
+    inserts from the data files already on disk (no double-write),
+    and read_change_feed replays the version range as table columns
+    + _change_type/_commit_version/_commit_timestamp — delta-spark's
+    readChangeFeed surface. CONTRACTS: the DML commits really carry
+    cdc actions and the append commit carries none (derivation, not
+    duplication); staging mutates exactly once (version gate).
+    Oracle: the same delete/update/append expressed relationally
+    over supplier."""
+    import json as json_mod
+    import os
+
+    from .sources import delta_py
+
+    tbl = _stage_cdf_table(spark, sf)
 
     def commit_has_cdc(v: int) -> bool:
         fname = os.path.join(tbl, "_delta_log", f"{v:020d}.json")
@@ -7034,6 +7045,78 @@ SELECT t AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(FLOOR(b * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS cents
 FROM changes GROUP BY t ORDER BY t
+"""
+
+
+def y28(spark, sf):
+    """STREAMING Change Data Feed (round 7 — the streaming twin of
+    y27, delta-spark's readStream + readChangeFeed option): the
+    pydelta stream source replays commits as CHANGE microbatches —
+    DML commits from their cdc files (exact update_pre/postimage
+    rows), appends derived as inserts, each row stamped with
+    _change_type/_commit_version/_commit_timestamp as partition-
+    value constants so all row work stays in executors. CONTRACTS:
+    the streamed multiset must carry all four change types with the
+    right commit versions (2=delete, 3=update pair, 4=insert) —
+    a replay or stamping regression hash-fails against the oracle.
+    Oracle: y27's relational twin, keyed by change type AND
+    version."""
+    import hashlib
+
+    from .sources import pydelta_source
+
+    pydelta_source.register(spark)
+    tbl = _stage_cdf_table(spark, sf)
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .load(tbl)
+    )
+    key = hashlib.md5(f"{sf}|y28".encode()).hexdigest()[:8]
+    name = f"y28_sink_{key}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+            "acctbal",
+        )
+        .groupBy("change_type", "commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("change_type", "commit_version")
+    )
+
+
+Y28_SQL = """
+WITH base AS (
+  SELECT s_suppkey AS k, s_acctbal AS b FROM supplier
+), changes AS (
+  SELECT 'delete' AS t, CAST(2 AS BIGINT) AS v, b FROM base
+    WHERE k % 10 = 0
+  UNION ALL SELECT 'update_preimage', 3, b FROM base WHERE k % 10 = 1
+  UNION ALL SELECT 'update_postimage', 3, b + 1000 FROM base
+    WHERE k % 10 = 1
+  UNION ALL SELECT 'insert', 4, 0.0 FROM base WHERE k % 100 = 1
+)
+SELECT t AS change_type, v AS commit_version,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(b * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM changes GROUP BY t, v ORDER BY change_type, commit_version
 """
 
 
@@ -7193,4 +7276,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y25_column_mapped_dml": QuerySpec(y25, Y25_SQL),
     "y26_column_mapped_write_matrix": QuerySpec(y26, Y26_SQL),
     "y27_change_data_feed": QuerySpec(y27, Y27_SQL),
+    "y28_streaming_change_feed": QuerySpec(y28, Y28_SQL),
 }

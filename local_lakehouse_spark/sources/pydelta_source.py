@@ -497,12 +497,20 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
     reads)."""
 
     def __init__(self, options: dict, schema: T.StructType):
-        from .delta_py import BATCH_READ_FEATURES
+        from .delta_py import BATCH_READ_FEATURES, cdf_enabled
 
         self._path = _required_path(options)
         self._schema = schema
         self._log = DeltaLog(self._path)
         self._phys = None
+        # delta-spark parity: .option("readChangeFeed", "true") turns
+        # the stream into a CHANGE feed — each microbatch carries the
+        # table's columns + _change_type/_commit_version/
+        # _commit_timestamp, replayed per commit from cdc actions
+        # (exact DML rows) or derived from dataChange adds/removes.
+        self._cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         if self._log.versions():
             # Capability gate: unknown reader features refuse loudly
             # here. Column mapping is translated per batch (below);
@@ -511,6 +519,11 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
             snap = self._log.snapshot(allow=BATCH_READ_FEATURES)
             if snap.column_mapping_mode not in ("", "none"):
                 self._phys = _physical_names(snap.schema)
+            if self._cdf and not cdf_enabled(snap.configuration):
+                raise ValueError(
+                    "readChangeFeed requires "
+                    "delta.enableChangeDataFeed=true on the table"
+                )
         # delta-spark parity: skipChangeCommits=true silently skips
         # whole commits that change existing data (removes, deletion
         # vectors) instead of failing the stream
@@ -588,17 +601,127 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
                     )
         return out
 
+    def _changes_between(self, start: int, end: int):
+        """CDF microbatch planning: one partition per change FILE —
+        cdc files carry their _change_type column; derived inserts /
+        deletes get it (plus _commit_version/_commit_timestamp) as
+        partition-value constants, and a derived delete of a DV-
+        bearing file ships the PRIOR deletion vector so only live
+        rows surface as deletes. All row work happens in executors."""
+        from datetime import datetime, timezone
+        from urllib.parse import unquote
+
+        from .delta_py import BATCH_READ_FEATURES
+
+        out = []
+        for v in self._log.versions():
+            if v <= start or v > end:
+                continue
+            fname = os.path.join(self._log.log_dir, f"{v:020d}.json")
+            with open(fname) as f:
+                actions = [
+                    json.loads(line) for line in f if line.strip()
+                ]
+            ts = self._log.commit_timestamp(v)
+            meta = {
+                "_commit_version": str(v),
+                "_commit_timestamp": datetime.fromtimestamp(
+                    ts / 1000, tz=timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S.%f")
+                + "Z",
+            }
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            if cdc:
+                out.extend(
+                    {
+                        "file": os.path.join(
+                            self._path, unquote(c["path"])
+                        ),
+                        "parts": dict(meta),
+                    }
+                    for c in cdc
+                )
+                continue
+            adds = [a["add"] for a in actions if "add" in a]
+            removes = [a["remove"] for a in actions if "remove" in a]
+            if any(
+                a.get("deletionVector") and a.get("dataChange", True)
+                for a in adds
+            ):
+                raise ValueError(
+                    f"pydelta change stream: version {v} changed rows "
+                    "via deletion vectors but recorded no change data "
+                    "— delta.enableChangeDataFeed was not active for "
+                    "that commit"
+                )
+            for a in adds:
+                if not a.get("dataChange", True):
+                    continue
+                out.append(
+                    {
+                        "file": os.path.join(
+                            self._path, unquote(a["path"])
+                        ),
+                        "parts": {
+                            **(a.get("partitionValues") or {}),
+                            **meta,
+                            "_change_type": "insert",
+                        },
+                    }
+                )
+            if any(r.get("dataChange", True) for r in removes):
+                prev = (
+                    self._log.snapshot(
+                        v - 1, allow=BATCH_READ_FEATURES
+                    )
+                    if v > 0
+                    else None
+                )
+                for r in removes:
+                    if not r.get("dataChange", True):
+                        continue
+                    prev_add = (prev.adds if prev else {}).get(
+                        r["path"]
+                    ) or {}
+                    out.append(
+                        {
+                            "file": os.path.join(
+                                self._path, unquote(r["path"])
+                            ),
+                            "parts": {
+                                **(
+                                    prev_add.get("partitionValues")
+                                    or {}
+                                ),
+                                **meta,
+                                "_change_type": "delete",
+                            },
+                            "dv": prev_add.get("deletionVector"),
+                        }
+                    )
+        return out
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        return [
-            InputPartition(p)
-            for p in self._adds_between(start["version"], end["version"])
-        ]
+        plan = (
+            self._changes_between(start["version"], end["version"])
+            if self._cdf
+            else self._adds_between(start["version"], end["version"])
+        )
+        return [InputPartition(p) for p in plan]
 
     def read(self, partition: InputPartition):
+        deleted = None
+        if partition.value.get("dv"):
+            from .delta_dv import load_dv_indices
+
+            deleted = load_dv_indices(
+                partition.value["dv"], self._path
+            )
         yield from _read_file_as_batches(
             partition.value["file"],
             self._schema,
             partition.value["parts"],
+            deleted=deleted,
             physical=self._phys,
         )
 
@@ -759,10 +882,23 @@ class PyDeltaDataSource(DataSource):
         v = self.options.get("versionasof")
         # metadata-only: the logical schema is feature-independent;
         # each reader (batch vs stream) enforces its own capability
-        return DeltaLog(_required_path(self.options)).snapshot(
+        schema = DeltaLog(_required_path(self.options)).snapshot(
             int(v) if v is not None else None,
             allow=BATCH_READ_FEATURES,
         ).schema
+        if (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                    T.StructField("_commit_timestamp", T.TimestampType()),
+                ]
+            )
+        return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _PyDeltaReader(self.options)

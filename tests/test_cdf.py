@@ -241,3 +241,68 @@ def test_vacuum_reclaims_old_cdc_files(spark, tbl):
     gone = vacuum(tbl, retain_hours=0.0)
     assert rel in gone
     assert not os.path.exists(os.path.join(tbl, rel))
+
+
+def test_streaming_change_feed(spark, tbl, tmp_path):
+    """pydelta streaming with readChangeFeed=true (delta-spark's
+    streaming CDC): microbatches carry table columns + the three CDF
+    meta columns, DML commits replay from their cdc files, appends
+    derive as inserts, and a derived delete of a DV-bearing file
+    anti-joins the prior DV in the executor."""
+    from local_lakehouse_spark.sources.pydelta_source import register
+
+    register(spark)
+    _cdf_table(spark, tbl, n=6)            # v0 create, v1 property
+    delete_where(spark, tbl, "id = 1")     # v2: cdc delete
+    update_where(spark, tbl, "id = 2", {"s": "'U'"})  # v3: cdc pre/post
+    write_delta(
+        spark,
+        spark.createDataFrame([(50, "x", 0)], "id long, s string, grp int"),
+        tbl,
+        mode="append",
+    )                                       # v4: derived insert
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("pydelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rows = sorted(
+        (r.id, r.s, r._change_type, r._commit_version)
+        for r in got.collect()
+    )
+    assert rows == [
+        (1, "b", "delete", 2),
+        (2, "U", "update_postimage", 3),
+        (2, "c", "update_preimage", 3),
+        (50, "x", "insert", 4),
+    ]
+    # the timestamp column is a real timestamp matching the commit
+    ts = {r._commit_version: r._commit_timestamp for r in got.collect()}
+    log = DeltaLog(tbl)
+    for v, t_ in ts.items():
+        assert abs(t_.timestamp() * 1000 - log.commit_timestamp(v)) < 1
+    # refusal without the property
+    plain = str(tmp_path / "plain")
+    write_delta(
+        spark, spark.createDataFrame([(1, "a", 0)], "id long, s string, grp int"), plain
+    )
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        (
+            spark.readStream.format("pydelta")
+            .option("readChangeFeed", "true")
+            .load(plain)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "c3"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
