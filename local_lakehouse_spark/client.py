@@ -499,12 +499,15 @@ class LakehouseClient:
         catalog: str,
         schema: str,
         name: str,
-        starting_version: int = 0,
+        starting_version: Optional[int] = 0,
         ending_version: Optional[int] = None,
+        starting_timestamp=None,
+        ending_timestamp=None,
     ) -> DataFrame:
         """Protocol Change Data Feed read (delta-spark's
         ``readChangeFeed`` with startingVersion/endingVersion, both
-        INCLUSIVE): requires ``delta.enableChangeDataFeed=true`` on
+        INCLUSIVE, or the startingTimestamp/endingTimestamp pair):
+        requires ``delta.enableChangeDataFeed=true`` on
         the DELTA table; DML commits record exact change rows under
         ``_change_data/`` (cdc actions), appends/overwrites derive
         from the data files already on disk. Returns the table's
@@ -522,7 +525,12 @@ class LakehouseClient:
         spark = self._require_spark()
         path = _io.strip_file_scheme(tbl.storage_location or "")
         return delta_py.read_change_feed(
-            spark, path, starting_version, ending_version
+            spark,
+            path,
+            starting_version,
+            ending_version,
+            starting_timestamp=starting_timestamp,
+            ending_timestamp=ending_timestamp,
         )
 
     def table_changes(

@@ -394,6 +394,22 @@ class DeltaLog:
             )
         return best
 
+    def version_from_timestamp(self, ts_ms: int) -> int:
+        """CDF startingTimestamp resolution — the opposite bound of
+        :meth:`version_at_timestamp`: the EARLIEST version whose
+        (canonicalized-monotone) commit time is at or after
+        ``ts_ms``; raises if every commit predates the timestamp
+        (delta-spark's "greater than latest commit" error)."""
+        prev = -(2**63)
+        for v in self.versions():
+            prev = max(prev + 1, self.commit_timestamp(v))
+            if prev >= ts_ms:
+                return v
+        raise DoesNotExistError(
+            f"no commit of {self.path} at or after epoch-ms "
+            f"{ts_ms} (later than the latest commit)"
+        )
+
     def snapshot(
         self,
         version: Optional[int] = None,
@@ -577,6 +593,75 @@ class DeltaLog:
         # never push a wrong-shaped value into the Arrow schema
         meta["partitionColumns"] = list(snap.partition_columns)
         meta["configuration"] = dict(snap.configuration)
+        # Layout obligation (public protocol): a table whose reader
+        # features include v2Checkpoint is CHECKPOINTED in the V2
+        # layout — UUID-named top file carrying protocol/metaData/
+        # checkpointMetadata plus `sidecar` pointers at file-action
+        # shards under _delta_log/_sidecars/. Plain tables keep the
+        # classic single-file layout every Delta reader understands.
+        v2 = "v2Checkpoint" in set(
+            (snap.protocol or {}).get("readerFeatures") or []
+        )
+        if v2:
+            os.makedirs(
+                os.path.join(self.log_dir, "_sidecars"), exist_ok=True
+            )
+            sc_rel = f"{uuid.uuid4().hex}.parquet"
+            sc_abs = os.path.join(self.log_dir, "_sidecars", sc_rel)
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"add": a} for a in snap.adds.values()],
+                    schema=pa.schema([("add", add_t)]),
+                ),
+                sc_abs,
+            )
+            top_schema = pa.schema(
+                [
+                    ("protocol", proto_t),
+                    ("metaData", meta_t),
+                    (
+                        "checkpointMetadata",
+                        pa.struct([("version", pa.int64())]),
+                    ),
+                    (
+                        "sidecar",
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                ("sizeInBytes", pa.int64()),
+                                ("modificationTime", pa.int64()),
+                            ]
+                        ),
+                    ),
+                ]
+            )
+            rows = [
+                {"checkpointMetadata": {"version": snap.version}},
+                {"protocol": snap.protocol},
+                {"metaData": meta},
+                {
+                    "sidecar": {
+                        "path": sc_rel,
+                        "sizeInBytes": os.path.getsize(sc_abs),
+                        "modificationTime": int(
+                            os.path.getmtime(sc_abs) * 1000
+                        ),
+                    }
+                },
+            ]
+            fname = os.path.join(
+                self.log_dir,
+                f"{snap.version:020d}.checkpoint.{uuid.uuid4().hex}"
+                ".parquet",
+            )
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=top_schema), fname
+            )
+            with open(
+                os.path.join(self.log_dir, "_last_checkpoint"), "w"
+            ) as f:
+                json.dump({"version": snap.version, "size": len(rows)}, f)
+            return fname
         rows: list[dict] = [
             {"protocol": snap.protocol, "metaData": None, "add": None},
             {"protocol": None, "metaData": meta, "add": None},
@@ -2352,8 +2437,10 @@ def _write_cdc_files(
 def read_change_feed(
     spark: SparkSession,
     path: str,
-    starting_version: int = 0,
+    starting_version: Optional[int] = 0,
     ending_version: Optional[int] = None,
+    starting_timestamp=None,
+    ending_timestamp=None,
 ) -> DataFrame:
     """Delta Change Data Feed reader (both bounds INCLUSIVE, like
     delta-spark's startingVersion/endingVersion): the table's columns
@@ -2382,6 +2469,29 @@ def read_change_feed(
 
     log = DeltaLog(path)
     vs = log.versions()
+    # Timestamp bounds (delta-spark's startingTimestamp /
+    # endingTimestamp, exclusive with the version bounds): the start
+    # resolves to the EARLIEST commit at-or-after, the end to the
+    # LATEST commit at-or-before — both on the canonicalized-monotone
+    # commit times TIMESTAMP AS OF uses.
+    if starting_timestamp is not None:
+        if starting_version not in (None, 0):
+            raise ValueError(
+                "pass startingVersion or startingTimestamp, not both"
+            )
+        starting_version = log.version_from_timestamp(
+            _ts_ms(starting_timestamp)
+        )
+    elif starting_version is None:
+        starting_version = 0
+    if ending_timestamp is not None:
+        if ending_version is not None:
+            raise ValueError(
+                "pass endingVersion or endingTimestamp, not both"
+            )
+        ending_version = log.version_at_timestamp(
+            _ts_ms(ending_timestamp)
+        )
     if ending_version is None:
         ending_version = vs[-1] if vs else -1
     snap = log.snapshot(ending_version, allow=BATCH_READ_FEATURES)

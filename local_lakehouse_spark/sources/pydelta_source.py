@@ -531,9 +531,22 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
         sv = options.get("startingversion")
+        st = options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass startingVersion or startingTimestamp, not both"
+            )
         if sv is not None:
             # replay from just before startingVersion
             self._initial = int(sv) - 1
+        elif st is not None:
+            from .delta_py import _ts_ms
+
+            # earliest commit at-or-after the timestamp (delta-spark's
+            # streaming startingTimestamp)
+            self._initial = (
+                self._log.version_from_timestamp(_ts_ms(st)) - 1
+            )
         else:
             vs = self._log.versions()
             self._initial = vs[-1] if vs else -1

@@ -306,3 +306,63 @@ def test_streaming_change_feed(spark, tbl, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_timestamp_bounds(spark, tbl):
+    """startingTimestamp resolves to the earliest commit at-or-after,
+    endingTimestamp to the latest at-or-before (delta-spark's CDF
+    option pair), on the same canonicalized-monotone commit times
+    TIMESTAMP AS OF uses."""
+    from datetime import datetime, timezone
+
+    _cdf_table(spark, tbl, n=6)
+    delete_where(spark, tbl, "id = 0")  # version 2
+    update_where(spark, tbl, "id = 1", {"s": "'U'"})  # version 3
+    log = DeltaLog(tbl)
+    t2 = log.commit_timestamp(2)
+
+    def iso(ms):
+        return datetime.fromtimestamp(
+            ms / 1000, tz=timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    feed = read_change_feed(
+        spark, tbl, starting_version=None, starting_timestamp=iso(t2),
+        ending_timestamp=iso(t2),
+    )
+    assert sorted((r.id, r._change_type) for r in feed.collect()) == [
+        (0, "delete")
+    ]
+    with pytest.raises(ValueError, match="not both"):
+        read_change_feed(
+            spark, tbl, starting_version=2, starting_timestamp=iso(t2)
+        )
+
+
+def test_streaming_starting_timestamp(spark, tbl, tmp_path):
+    from datetime import datetime, timezone
+
+    from local_lakehouse_spark.sources.pydelta_source import register
+
+    register(spark)
+    _cdf_table(spark, tbl, n=4)
+    delete_where(spark, tbl, "id = 0")  # version 2
+    t2 = DeltaLog(tbl).commit_timestamp(2)
+    iso = datetime.fromtimestamp(t2 / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        spark.readStream.format("pydelta")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", iso)
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r.id, r._change_type) for r in spark.read.parquet(out).collect()]
+    assert rows == [(0, "delete")]

@@ -1929,3 +1929,52 @@ def test_type_widened_table_reads(spark, tbl):
     pydelta_source.register(spark)
     got = spark.read.format("pydelta").load(tbl)
     assert {(r.i, r.f) for r in got.collect()} == expect
+
+
+def test_v2_checkpoint_write_when_protocol_demands(spark, tbl):
+    """Round 7 WRITE side of v2 checkpoints: a table whose protocol
+    lists the v2Checkpoint reader feature is checkpointed in the V2
+    layout (UUID-named top file + sidecar shard) — the protocol's
+    writer obligation — and our own reader replays it. DVs round-trip
+    through the sidecar. Plain tables keep the classic layout."""
+    import glob
+
+    from local_lakehouse_spark.sources.delta_py import delete_where
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, df, tbl)
+    log = DeltaLog(tbl)
+    snap = log.snapshot()
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint", "deletionVectors"],
+        "writerFeatures": ["v2Checkpoint", "deletionVectors"],
+    }
+    log.commit(snap.version + 1, [{"protocol": proto}])
+    delete_where(spark, tbl, "id = 3")  # DV to round-trip
+    fname = DeltaLog(tbl).write_checkpoint()
+    base = os.path.basename(fname)
+    parts = base.split(".")
+    assert len(parts) == 4 and parts[1] == "checkpoint"
+    assert glob.glob(os.path.join(tbl, "_delta_log", "_sidecars", "*.parquet"))
+    v = DeltaLog(tbl).versions()[-1]
+    assert DeltaLog(tbl).checkpoints() == [v]
+    # replay THROUGH the checkpoint: delete the commit JSONs at/below
+    for old in range(v + 1):
+        p = os.path.join(tbl, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p) and old < v:
+            os.unlink(p)
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+    # a later append replays checkpoint + tail commits
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, "x")], "id long, s string"),
+        tbl,
+        mode="append",
+    )
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]
