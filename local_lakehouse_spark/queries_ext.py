@@ -7120,6 +7120,86 @@ FROM changes GROUP BY t, v ORDER BY change_type, commit_version
 """
 
 
+def y29(spark, sf):
+    """IDENTITY columns (round 7 — delta.identity.* field metadata,
+    writer version 6; delta-rs 0.18 has no identity support): the
+    surrogate key is assigned distributed (monotonic-id based, no
+    global sort, no driver pass), start/step-aligned, unique, and
+    strictly above the high watermark, which advances IN THE SAME
+    COMMIT lifted from the written files' stats. CONTRACTS (checked
+    here, hash-checked via the aggregate): ids unique and aligned
+    per partition-independent rules — min >= start, (id - start) %
+    step == 0, committed watermark == max(id); a second append
+    allocates strictly above the first commit's watermark. Oracle:
+    per-nation counts where n_ids == n_aligned == n by construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|identity-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ident_{key}")
+    if not delta_py.is_delta_table(tbl):
+        base = t(spark, sf, "supplier").select(
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").alias("nation"),
+        )
+        delta_py.write_delta(
+            spark,
+            base.filter("nation < 20").repartition(4),
+            tbl,
+            identity={"sk": {"start": 1000, "step": 5}},
+        )
+        delta_py.write_delta(
+            spark,
+            base.filter("nation >= 20"),
+            tbl,
+            mode="append",
+        )
+    snap = delta_py.DeltaLog(tbl).snapshot()
+    spec = delta_py.identity_columns(snap.schema)["sk"]
+    df = delta_py.read_delta(spark, tbl)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("sk").alias("nd"),
+        F.min("sk").alias("mn"),
+        F.max("sk").alias("mx"),
+        F.sum(
+            ((F.col("sk") - 1000) % 5 == 0).cast("long")
+        ).alias("aligned"),
+    ).collect()[0]
+    if not (
+        agg.n == agg.nd == agg.aligned
+        and agg.mn >= 1000
+        and spec["highWaterMark"] == agg.mx
+    ):
+        raise AssertionError(
+            "y29 identity contract violated: "
+            f"n={agg.n} distinct={agg.nd} aligned={agg.aligned} "
+            f"min={agg.mn} watermark={spec['highWaterMark']} max={agg.mx}"
+        )
+    return (
+        df.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("sk").alias("n_ids"),
+            F.sum(
+                ((F.col("sk") - 1000) % 5 == 0).cast("long")
+            ).alias("n_aligned"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y29_SQL = """
+SELECT s_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_aligned
+FROM supplier GROUP BY s_nationkey ORDER BY nation
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -7277,4 +7357,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y26_column_mapped_write_matrix": QuerySpec(y26, Y26_SQL),
     "y27_change_data_feed": QuerySpec(y27, Y27_SQL),
     "y28_streaming_change_feed": QuerySpec(y28, Y28_SQL),
+    "y29_identity_columns": QuerySpec(y29, Y29_SQL),
 }

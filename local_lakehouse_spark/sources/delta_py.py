@@ -1224,6 +1224,105 @@ def generated_expressions(schema: T.StructType) -> dict:
     }
 
 
+def identity_columns(schema: T.StructType) -> dict:
+    """``delta.identity.*`` spec per column from field metadata —
+    Delta's IDENTITY columns (start/step/allowExplicitInsert plus the
+    writer-maintained highWaterMark)."""
+    out = {}
+    for f in schema.fields:
+        meta = f.metadata or {}
+        if "delta.identity.start" in meta:
+            out[f.name] = {
+                "start": int(meta["delta.identity.start"]),
+                "step": int(meta.get("delta.identity.step", 1)),
+                "allowExplicitInsert": bool(
+                    meta.get("delta.identity.allowExplicitInsert", False)
+                ),
+                "highWaterMark": (
+                    int(meta["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in meta
+                    else None
+                ),
+            }
+    return out
+
+
+def _assign_identity(df: DataFrame, schema: T.StructType, path: str):
+    """Writer side of IDENTITY columns: a GENERATED ALWAYS column
+    provided by the caller refuses (delta's allowExplicitInsert=false
+    contract); a missing column is assigned ``base + step * k`` with
+    k from ``monotonically_increasing_id()`` — unique, start/step-
+    aligned, strictly above the high watermark, and fully distributed
+    (the partition-id prefix of the monotonic id leaves gaps, exactly
+    like delta-spark's allocator; IDENTITY guarantees uniqueness and
+    alignment, never contiguity). Returns (df, assigned column names);
+    the caller derives the new watermark from the WRITTEN files'
+    stats — no extra pass over the data."""
+    from pyspark.sql import functions as F
+
+    from ..exceptions import ConstraintViolationError
+
+    idents = identity_columns(schema)
+    assigned: list[str] = []
+    for c, spec in sorted(idents.items()):
+        if c in df.columns:
+            if not spec["allowExplicitInsert"]:
+                raise ConstraintViolationError(
+                    f"column {c!r} of Delta table at {path} is "
+                    "GENERATED ALWAYS AS IDENTITY; explicit values "
+                    "are not allowed"
+                )
+            continue
+        wm = spec["highWaterMark"]
+        base = spec["start"] if wm is None else wm + spec["step"]
+        df = df.withColumn(
+            c,
+            (
+                F.lit(base)
+                + F.lit(spec["step"]) * F.monotonically_increasing_id()
+            ).cast(schema[c].dataType),
+        )
+        assigned.append(c)
+    return df, assigned
+
+
+def _identity_watermark_meta(
+    schema: T.StructType, assigned: list, actions: list
+) -> Optional[T.StructType]:
+    """After the data files landed: lift each assigned IDENTITY
+    column's new high watermark out of the add actions' stats
+    (driver-side, descriptor-sized) and return the schema with
+    updated ``delta.identity.highWaterMark`` metadata — or None if
+    nothing advanced."""
+    new_wm = {}
+    for act in actions:
+        a = act.get("add")
+        if not a or not a.get("stats"):
+            continue
+        maxv = (json.loads(a["stats"]).get("maxValues") or {})
+        for c in assigned:
+            v = maxv.get(c)
+            if v is not None:
+                new_wm[c] = max(int(v), new_wm.get(c, -(2**63)))
+    if not new_wm:
+        return None
+    fields = []
+    for f in schema.fields:
+        if f.name in new_wm:
+            meta = dict(f.metadata or {})
+            prev = meta.get("delta.identity.highWaterMark")
+            meta["delta.identity.highWaterMark"] = max(
+                new_wm[f.name],
+                int(prev) if prev is not None else -(2**63),
+            )
+            fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, meta)
+            )
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
 def _apply_generated(
     df: DataFrame,
     schema: T.StructType,
@@ -1272,6 +1371,7 @@ def write_delta(
     operation: str = "WRITE",
     generated: Optional[dict] = None,
     column_mapping: bool = False,
+    identity: Optional[dict] = None,
 ) -> Snapshot:
     """Transactional write with delta-spark's option matrix
     (mode × mergeSchema × overwriteSchema × replaceWhere). The data
@@ -1325,6 +1425,10 @@ def write_delta(
             "column mapping is declared at table CREATE time "
             "(upgrading an existing table would require rewriting "
             "nothing, but delta_py keeps create-time-only semantics)"
+        )
+    if snap is not None and identity:
+        raise UnsupportedOperationError(
+            "IDENTITY columns are declared at table CREATE time"
         )
     if snap is not None:
         partition_by = snap.partition_columns  # layout is table-owned
@@ -1421,6 +1525,63 @@ def write_delta(
             proto["minWriterVersion"] = max(4, proto["minWriterVersion"])
         else:
             schema = df.schema
+        if identity:
+            # IDENTITY columns (delta.identity.* field metadata): a
+            # column the CTAS frame lacks is declared LongType and
+            # value-assigned below; explicit initial values require
+            # allowExplicitInsert. Legacy writer version 6.
+            declared = {f.name: f for f in schema.fields}
+            fields = []
+            for name_, f in declared.items():
+                if name_ in identity:
+                    spec = identity[name_]
+                    fields.append(
+                        T.StructField(
+                            name_,
+                            f.dataType,
+                            f.nullable,
+                            metadata={
+                                **(f.metadata or {}),
+                                "delta.identity.start": int(
+                                    spec.get("start", 1)
+                                ),
+                                "delta.identity.step": int(
+                                    spec.get("step", 1)
+                                ),
+                                "delta.identity.allowExplicitInsert": bool(
+                                    spec.get("allowExplicitInsert", False)
+                                ),
+                            },
+                        )
+                    )
+                else:
+                    fields.append(f)
+            for name_ in identity:
+                if name_ not in declared:
+                    fields.append(
+                        T.StructField(
+                            name_,
+                            T.LongType(),
+                            True,
+                            metadata={
+                                "delta.identity.start": int(
+                                    identity[name_].get("start", 1)
+                                ),
+                                "delta.identity.step": int(
+                                    identity[name_].get("step", 1)
+                                ),
+                                "delta.identity.allowExplicitInsert": bool(
+                                    identity[name_].get(
+                                        "allowExplicitInsert", False
+                                    )
+                                ),
+                            },
+                        )
+                    )
+            schema = T.StructType(fields)
+            proto["minWriterVersion"] = max(
+                6, proto.get("minWriterVersion", 2)
+            )
         configuration: dict = {}
         if column_mapping:
             fields, configuration = _assign_mapping_ids(
@@ -1450,6 +1611,11 @@ def write_delta(
     # the caller got wrong (one filter-limit(1) per provided column —
     # only tables that declared generated columns pay anything).
     df = _apply_generated(df, schema, path)
+    # IDENTITY columns: assign missing values from the high watermark
+    # (refusing explicit values unless allowExplicitInsert); the new
+    # watermark is lifted from the written files' stats after the
+    # data lands — tables without identity columns pay nothing.
+    df, identity_assigned = _assign_identity(df, schema, path)
     # Fail fast on append-only violations BEFORE the distributed data
     # write (the late _check_append_only below still guards every
     # other remove source).
@@ -1491,6 +1657,27 @@ def write_delta(
                 }
             )
     actions.extend(_add_action(path, rel, parts) for rel, parts in moved)
+    if identity_assigned:
+        # commit the advanced high watermark in the same transaction
+        # (delta's writer obligation; driver-side, stats only)
+        updated = _identity_watermark_meta(
+            schema, identity_assigned, actions
+        )
+        if updated is not None:
+            schema = updated
+            for a in actions:
+                if "metaData" in a:
+                    a["metaData"]["schemaString"] = schema.json()
+                    break
+            else:
+                actions.append(
+                    _meta_action(
+                        schema,
+                        partition_by or [],
+                        snap.metadata.get("id", str(uuid.uuid4())),
+                        snap.configuration,
+                    )
+                )
     actions.append(
         {
             "commitInfo": {
@@ -1523,6 +1710,9 @@ def write_delta(
         and snap is not None
         and replace_where is None
         and not meta_changed
+        # identity allocation reads the base watermark: a lost race
+        # must surface, not silently re-commit duplicate ids
+        and not identity_assigned
     )
     for _attempt in range(64):
         try:
@@ -2097,6 +2287,11 @@ def update_where(
         raise UnsupportedOperationError(
             f"UPDATE may not assign generated columns {sorted(derived)} "
             "(they are derived via delta.generationExpression)"
+        )
+    idents = set(assignments) & set(identity_columns(snap.schema))
+    if idents:
+        raise UnsupportedOperationError(
+            f"UPDATE may not assign IDENTITY columns {sorted(idents)}"
         )
     _check_append_only(snap, [{"remove": {"dataChange": True}}], path)
     base_to_rel, built = _grown_dvs(spark, snap, path, predicate)

@@ -1978,3 +1978,87 @@ def test_v2_checkpoint_write_when_protocol_demands(spark, tbl):
     )
     got = sorted(r.id for r in read_delta(spark, tbl).collect())
     assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]
+
+
+def test_identity_columns_assign_and_watermark(spark, tbl):
+    """IDENTITY columns (delta.identity.* metadata, writer v6):
+    values are assigned start/step-aligned and unique above the high
+    watermark, the watermark advances in the SAME commit (lifted from
+    the written stats), explicit values refuse under GENERATED ALWAYS,
+    and UPDATE may not assign the column."""
+    from local_lakehouse_spark.exceptions import (
+        ConstraintViolationError,
+        UnsupportedOperationError,
+    )
+    from local_lakehouse_spark.sources.delta_py import (
+        identity_columns,
+        update_where,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "s string"
+    ).coalesce(2)
+    write_delta(
+        spark, df, tbl, identity={"id": {"start": 100, "step": 10}}
+    )
+    snap = DeltaLog(tbl).snapshot()
+    assert snap.protocol["minWriterVersion"] >= 6
+    spec = identity_columns(snap.schema)["id"]
+    assert spec["start"] == 100 and spec["step"] == 10
+    wm0 = spec["highWaterMark"]
+    rows = {r.s: r.id for r in read_delta(spark, tbl).collect()}
+    ids = sorted(rows.values())
+    assert len(set(ids)) == 3 and min(ids) >= 100
+    assert all((v - 100) % 10 == 0 for v in ids)
+    assert wm0 == max(ids)
+    # append allocates strictly above the committed watermark
+    write_delta(
+        spark,
+        spark.createDataFrame([("d",), ("e",)], "s string"),
+        tbl,
+        mode="append",
+    )
+    snap2 = DeltaLog(tbl).snapshot()
+    rows2 = {r.s: r.id for r in read_delta(spark, tbl).collect()}
+    assert len(set(rows2.values())) == 5
+    assert all((v - 100) % 10 == 0 for v in rows2.values())
+    assert min(rows2[s] for s in ("d", "e")) > wm0
+    assert identity_columns(snap2.schema)["id"]["highWaterMark"] == max(
+        rows2.values()
+    )
+    # GENERATED ALWAYS: explicit values refuse
+    with pytest.raises(ConstraintViolationError, match="IDENTITY"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "x")], "id long, s string"),
+            tbl,
+            mode="append",
+        )
+    with pytest.raises(UnsupportedOperationError, match="IDENTITY"):
+        update_where(spark, tbl, "s = 'a'", {"id": "0"})
+    with pytest.raises(UnsupportedOperationError, match="CREATE"):
+        write_delta(
+            spark, df, tbl, mode="append", identity={"id2": {}}
+        )
+
+
+def test_identity_allow_explicit_insert(spark, tbl):
+    from local_lakehouse_spark.sources.delta_py import identity_columns
+
+    df = spark.createDataFrame([(5, "a")], "id long, s string")
+    write_delta(
+        spark,
+        df,
+        tbl,
+        identity={"id": {"start": 1, "step": 2, "allowExplicitInsert": True}},
+    )
+    # explicit value accepted; a later assigning append still works
+    write_delta(
+        spark,
+        spark.createDataFrame([("b",)], "s string"),
+        tbl,
+        mode="append",
+    )
+    rows = {r.s: r.id for r in read_delta(spark, tbl).collect()}
+    assert rows["a"] == 5
+    assert rows["b"] is not None and (rows["b"] - 1) % 2 == 0
