@@ -498,7 +498,12 @@ class DeltaLog:
         _check_reader_support(snap, self.path, allow)
         return snap
 
-    def commit(self, version: int, actions: list[dict]) -> None:
+    def commit(
+        self,
+        version: int,
+        actions: list[dict],
+        config: Optional[dict] = None,
+    ) -> None:
         """Put-if-absent commit — the protocol's single atomicity
         primitive. The actions are written to a temp file first
         (flushed + fsynced), then PUBLISHED atomically with
@@ -508,7 +513,41 @@ class DeltaLog:
         concurrent ``snapshot()`` (including the blind-append retry
         path right after losing a race) can never read an empty or
         torn commit, and a writer crash mid-write leaves only an
-        unclaimed temp file — never a claimed, corrupt version."""
+        unclaimed temp file — never a claimed, corrupt version.
+
+        ``config``: the table configuration in effect for this commit
+        (callers with a snapshot pass it). When it enables
+        ``delta.enableInCommitTimestamps``, the commitInfo action is
+        stamped with a MONOTONE ``inCommitTimestamp`` — strictly
+        above the predecessor's effective commit time, the ICT writer
+        obligation — and moved to the front of the file as the
+        protocol requires. Stamping happens per attempt, so a retried
+        version race re-derives monotonicity against its new
+        predecessor."""
+        if config is not None and str(
+            config.get("delta.enableInCommitTimestamps", "false")
+        ).lower() == "true":
+            now_ms = int(time.time() * 1000)
+            prev = -(2**63)
+            if version > 0:
+                try:
+                    prev = self.commit_timestamp(version - 1)
+                except DoesNotExistError:
+                    pass  # predecessor json cleaned up: now() rules
+            ict = max(now_ms, prev + 1)
+            infos = [a for a in actions if "commitInfo" in a]
+            rest = [a for a in actions if "commitInfo" not in a]
+            if not infos:
+                infos = [
+                    {
+                        "commitInfo": {
+                            "timestamp": now_ms,
+                            "engineInfo": "local-lakehouse-spark delta_py",
+                        }
+                    }
+                ]
+            infos[0]["commitInfo"]["inCommitTimestamp"] = ict
+            actions = infos + rest
         os.makedirs(self.log_dir, exist_ok=True)
         fname = os.path.join(self.log_dir, f"{version:020d}.json")
         tmp = os.path.join(
@@ -1716,7 +1755,7 @@ def write_delta(
     )
     for _attempt in range(64):
         try:
-            log.commit(version, actions)
+            log.commit(version, actions, config=configuration)
             break
         except ConcurrentModificationError:
             if not blind_append:
@@ -1760,7 +1799,7 @@ def _commit_dml(
     version = base_snap.version + 1
     for _attempt in range(64):
         try:
-            log.commit(version, actions)
+            log.commit(version, actions, config=base_snap.configuration)
             return version
         except ConcurrentModificationError:
             newest_v = log.versions()[-1]
@@ -1912,6 +1951,35 @@ def set_properties(
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {"metaData": meta},
+    ]
+    if (
+        str(conf.get("delta.enableInCommitTimestamps", "false")).lower()
+        == "true"
+    ):
+        # ICT is a table-features writer feature: enabling the
+        # property declares it in the protocol (writer version 7) so
+        # foreign readers resolve TIMESTAMP AS OF through the stamps
+        proto = dict(snap.protocol or PROTOCOL)
+        wf = set(proto.get("writerFeatures") or [])
+        if "inCommitTimestamp" not in wf:
+            rv = max(int(proto.get("minReaderVersion", 1)), 1)
+            proto.update(
+                {
+                    "minReaderVersion": rv,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(
+                        wf | {"inCommitTimestamp"}
+                    ),
+                }
+            )
+            if int(proto["minReaderVersion"]) >= 3 or proto.get(
+                "readerFeatures"
+            ) is not None:
+                proto["readerFeatures"] = sorted(
+                    set(proto.get("readerFeatures") or [])
+                )
+            actions.insert(0, {"protocol": proto})
+    actions.extend([
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -1924,9 +1992,9 @@ def set_properties(
                 "engineInfo": "local-lakehouse-spark delta_py",
             }
         },
-    ]
+    ])
     version = snap.version + 1
-    log.commit(version, actions)
+    log.commit(version, actions, config=conf)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         log.write_checkpoint(version)
     return log.snapshot(version, allow=BATCH_READ_FEATURES)
@@ -3465,5 +3533,5 @@ def restore(spark: SparkSession, path: str, version: int) -> Snapshot:
             }
         }
     )
-    log.commit(cur.version + 1, actions)
+    log.commit(cur.version + 1, actions, config=cur.configuration)
     return log.snapshot(cur.version + 1)

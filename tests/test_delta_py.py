@@ -321,7 +321,7 @@ def test_blind_append_retries_past_version_race(spark, tbl, monkeypatch):
     real_commit = DeltaLog.commit
     injected = {"done": False}
 
-    def racing_commit(self, version, actions):
+    def racing_commit(self, version, actions, **kwargs):
         if not injected["done"]:
             injected["done"] = True
             # a competing writer lands the same version first
@@ -329,7 +329,7 @@ def test_blind_append_retries_past_version_race(spark, tbl, monkeypatch):
                 {"commitInfo": {"operation": "WRITE",
                                 "engineInfo": "competing-writer"}}
             ])
-        return real_commit(self, version, actions)
+        return real_commit(self, version, actions, **kwargs)
 
     monkeypatch.setattr(DeltaLog, "commit", racing_commit)
     write_delta(
@@ -350,13 +350,13 @@ def test_overwrite_does_not_retry_past_conflict(spark, tbl, monkeypatch):
     real_commit = DeltaLog.commit
     injected = {"done": False}
 
-    def racing_commit(self, version, actions):
+    def racing_commit(self, version, actions, **kwargs):
         if not injected["done"]:
             injected["done"] = True
             real_commit(self, version, [
                 {"commitInfo": {"operation": "WRITE"}}
             ])
-        return real_commit(self, version, actions)
+        return real_commit(self, version, actions, **kwargs)
 
     monkeypatch.setattr(DeltaLog, "commit", racing_commit)
     with pytest.raises(ConcurrentModificationError):
@@ -1126,11 +1126,11 @@ def _race_once(monkeypatch, compete_actions):
     real_commit = DeltaLog.commit
     state = {"done": False}
 
-    def racing(self, version, actions):
+    def racing(self, version, actions, **kwargs):
         if not state["done"]:
             state["done"] = True
             real_commit(self, version, compete_actions)
-        return real_commit(self, version, actions)
+        return real_commit(self, version, actions, **kwargs)
 
     monkeypatch.setattr(DeltaLog, "commit", racing)
     return real_commit
@@ -2062,3 +2062,50 @@ def test_identity_allow_explicit_insert(spark, tbl):
     rows = {r.s: r.id for r in read_delta(spark, tbl).collect()}
     assert rows["a"] == 5
     assert rows["b"] is not None and (rows["b"] - 1) % 2 == 0
+
+
+def test_in_commit_timestamps_write(spark, tbl):
+    """ICT WRITE support (round 7 — reading landed earlier): with
+    delta.enableInCommitTimestamps=true every commit's commitInfo is
+    stamped with a strictly monotone inCommitTimestamp, placed FIRST
+    in the file (the protocol's ordering rule), the enabling commit
+    declares the writer feature, and TIMESTAMP AS OF resolves through
+    the stamps."""
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+        delete_where,
+        set_properties,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(8)], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, df, tbl)  # v0, no ICT
+    set_properties(tbl, {"delta.enableInCommitTimestamps": "true"})  # v1
+    log = DeltaLog(tbl)
+    assert "inCommitTimestamp" in (
+        log.snapshot(allow=BATCH_READ_FEATURES).protocol.get(
+            "writerFeatures"
+        )
+        or []
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, "y")], "id long, s string"),
+        tbl,
+        mode="append",
+    )  # v2
+    delete_where(spark, tbl, "id = 0")  # v3
+    stamps = {}
+    for v in (1, 2, 3):
+        fname = os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+        with open(fname) as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+        assert "commitInfo" in lines[0], f"v{v}: commitInfo must be first"
+        ict = lines[0]["commitInfo"].get("inCommitTimestamp")
+        assert isinstance(ict, int), f"v{v} missing inCommitTimestamp"
+        stamps[v] = ict
+    assert stamps[1] < stamps[2] < stamps[3]
+    # TIMESTAMP AS OF resolves through the stamps
+    assert log.version_at_timestamp(stamps[2]) == 2
+    assert log.version_at_timestamp(stamps[3] - 1) == 2
