@@ -501,8 +501,8 @@ class LakehouseClient:
         name: str,
         starting_version: Optional[int] = 0,
         ending_version: Optional[int] = None,
-        starting_timestamp=None,
-        ending_timestamp=None,
+        starting_timestamp: Optional[object] = None,
+        ending_timestamp: Optional[object] = None,
     ) -> DataFrame:
         """Protocol Change Data Feed read (delta-spark's
         ``readChangeFeed`` with startingVersion/endingVersion, both

@@ -7200,6 +7200,83 @@ FROM supplier GROUP BY s_nationkey ORDER BY nation
 """
 
 
+def y30(spark, sf):
+    """ROW TRACKING (round 7 — the rowTracking + domainMetadata
+    writer features; delta-rs 0.18 has none of it): enabling
+    delta.enableRowTracking BACKFILLS every live add with a disjoint
+    baseRowId range above the rowIdHighWaterMark (kept in the
+    delta.rowTracking metadata domain), fresh row id = baseRowId +
+    position, and an OPTIMIZE bin-pack PRESERVES ids by materializing
+    them into the configured hidden columns before the rewrite.
+    CONTRACTS: row ids are unique table-wide; a DV DELETE keeps
+    survivor ids; the post-OPTIMIZE id assignment is IDENTICAL to the
+    pre-OPTIMIZE one (set equality per key, checked here); staging is
+    version-gated. Oracle: per-nation counts where n_ids == n by
+    uniqueness."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|rowtrack-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_rowtrk_{key}")
+    if not delta_py.is_delta_table(tbl):
+        base = t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_nationkey").alias("nation"),
+        )
+        delta_py.write_delta(spark, base.repartition(4), tbl)
+        delta_py.set_properties(tbl, {"delta.enableRowTracking": "true"})
+    snap0 = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap0.version == 1:
+        pre = {
+            r.suppkey: r._row_id
+            for r in delta_py.read_delta_with_row_ids(spark, tbl)
+            .select("suppkey", "_row_id")
+            .collect()
+        }
+        # compact FIRST (DV-bearing files are purge's job, not
+        # compact's): v2 bin-packs the 4 fresh files, v3 DV-deletes
+        delta_py.compact(spark, tbl, target_file_bytes=1 << 30)  # v2
+        delta_py.delete_where(spark, tbl, "suppkey % 10 = 0")  # v3
+        post = {
+            r.suppkey: r._row_id
+            for r in delta_py.read_delta_with_row_ids(spark, tbl)
+            .select("suppkey", "_row_id")
+            .collect()
+        }
+        expect = {k: v for k, v in pre.items() if k % 10 != 0}
+        if post != expect:
+            raise AssertionError(
+                "y30: OPTIMIZE/DELETE failed to preserve row ids"
+            )
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if snap.version != 3 or delta_py.ROW_TRACKING_DOMAIN not in snap.domains:
+        raise AssertionError("y30 staging lost versions or the domain")
+    df = delta_py.read_delta_with_row_ids(spark, tbl)
+    return (
+        df.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_row_id").alias("n_ids"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y30_SQL = """
+SELECT s_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ids
+FROM supplier WHERE s_suppkey % 10 != 0
+GROUP BY s_nationkey ORDER BY nation
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -7358,4 +7435,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y27_change_data_feed": QuerySpec(y27, Y27_SQL),
     "y28_streaming_change_feed": QuerySpec(y28, Y28_SQL),
     "y29_identity_columns": QuerySpec(y29, Y29_SQL),
+    "y30_row_tracking": QuerySpec(y30, Y30_SQL),
 }

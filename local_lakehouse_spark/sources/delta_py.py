@@ -149,6 +149,10 @@ class Snapshot:
     metadata: dict
     protocol: dict
     adds: dict = field(default_factory=dict)  # rel path -> add action
+    # domain -> domainMetadata action (latest wins; removed domains
+    # dropped) — the protocol's named metadata domains (row tracking
+    # watermark, clustering columns, ...)
+    domains: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -428,6 +432,7 @@ class DeltaLog:
         meta: dict = {}
         proto: dict = dict(PROTOCOL)
         adds: dict = {}
+        domains: dict = {}
         # Start from the newest checkpoint at/below the target version
         # (bounded replay — the log-scale path: O(commits since
         # checkpoint), not O(table history)).
@@ -472,6 +477,16 @@ class DeltaLog:
                         if v is not None
                     }
                     adds[a["path"]] = a
+                elif row.get("domainMetadata"):
+                    d = {
+                        k: v
+                        for k, v in row["domainMetadata"].items()
+                        if v is not None
+                    }
+                    if d.get("removed"):
+                        domains.pop(d["domain"], None)
+                    else:
+                        domains[d["domain"]] = d
             start_after = cp
         for v in vs:
             if v > version:
@@ -492,8 +507,18 @@ class DeltaLog:
                         adds[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
                         adds.pop(action["remove"]["path"], None)
+                    elif "domainMetadata" in action:
+                        d = action["domainMetadata"]
+                        if d.get("removed"):
+                            domains.pop(d["domain"], None)
+                        else:
+                            domains[d["domain"]] = d
         snap = Snapshot(
-            version=version, metadata=meta, protocol=proto, adds=adds
+            version=version,
+            metadata=meta,
+            protocol=proto,
+            adds=adds,
+            domains=domains,
         )
         _check_reader_support(snap, self.path, allow)
         return snap
@@ -620,10 +645,25 @@ class DeltaLog:
                 # dropping this on checkpoint would resurrect deleted
                 # rows at the next log replay — it MUST round-trip
                 ("deletionVector", dv_t),
+                # row tracking: the stable-id base MUST round-trip too
+                ("baseRowId", pa.int64()),
+                ("defaultRowCommitVersion", pa.int64()),
+            ]
+        )
+        domain_t = pa.struct(
+            [
+                ("domain", pa.string()),
+                ("configuration", pa.string()),
+                ("removed", pa.bool_()),
             ]
         )
         schema = pa.schema(
-            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+            [
+                ("protocol", proto_t),
+                ("metaData", meta_t),
+                ("add", add_t),
+                ("domainMetadata", domain_t),
+            ]
         )
         meta = dict(snap.metadata)
         meta["format"] = {"provider": meta.get("format", {}).get("provider", "parquet")}
@@ -658,6 +698,7 @@ class DeltaLog:
                 [
                     ("protocol", proto_t),
                     ("metaData", meta_t),
+                    ("domainMetadata", domain_t),
                     (
                         "checkpointMetadata",
                         pa.struct([("version", pa.int64())]),
@@ -678,6 +719,7 @@ class DeltaLog:
                 {"checkpointMetadata": {"version": snap.version}},
                 {"protocol": snap.protocol},
                 {"metaData": meta},
+                *({"domainMetadata": d} for d in snap.domains.values()),
                 {
                     "sidecar": {
                         "path": sc_rel,
@@ -705,6 +747,8 @@ class DeltaLog:
             {"protocol": snap.protocol, "metaData": None, "add": None},
             {"protocol": None, "metaData": meta, "add": None},
         ]
+        for d in snap.domains.values():
+            rows.append({"domainMetadata": d})
         for a in snap.adds.values():
             rows.append({"protocol": None, "metaData": None, "add": a})
         fname = os.path.join(
@@ -1286,6 +1330,78 @@ def identity_columns(schema: T.StructType) -> dict:
     return out
 
 
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def row_tracking_enabled(configuration: dict) -> bool:
+    """``delta.enableRowTracking`` (the row-tracking writer feature)."""
+    return (
+        str(configuration.get("delta.enableRowTracking", "false")).lower()
+        == "true"
+    )
+
+
+def _row_id_watermark(snap: Snapshot) -> int:
+    """rowIdHighWaterMark from the delta.rowTracking metadata domain
+    (-1 when no row ids were ever assigned, per the protocol)."""
+    d = snap.domains.get(ROW_TRACKING_DOMAIN)
+    if not d:
+        return -1
+    try:
+        return int(
+            json.loads(d.get("configuration") or "{}").get(
+                "rowIdHighWaterMark", -1
+            )
+        )
+    except (ValueError, TypeError):
+        return -1
+
+
+def _assign_base_row_ids(
+    snap: Snapshot, actions: list, version: int
+) -> list:
+    """Row tracking writer obligation: every NEW add action gets a
+    fresh ``baseRowId`` (a disjoint range above the high watermark,
+    sized by the file's numRecords — fresh row id of row i =
+    baseRowId + i) and ``defaultRowCommitVersion``; re-adds (DV
+    commits, OPTIMIZE rearrangements) keep their original base so
+    ids stay STABLE. The advanced watermark is committed in the same
+    transaction via the delta.rowTracking metadata domain. Driver-
+    side, descriptor-sized — stats carry numRecords."""
+    if not row_tracking_enabled(snap.configuration):
+        return []
+    wm = _row_id_watermark(snap)
+    stamped = []
+    for a in actions:
+        add = a.get("add")
+        if add is None or add.get("baseRowId") is not None:
+            continue
+        try:
+            n = int(
+                json.loads(add.get("stats") or "{}").get("numRecords")
+                or 0
+            )
+        except (ValueError, TypeError):
+            n = 0
+        add["baseRowId"] = wm + 1
+        add["defaultRowCommitVersion"] = version
+        wm += max(n, 1)
+        stamped.append(add)
+    if stamped:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": wm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    return stamped
+
+
 def _assign_identity(df: DataFrame, schema: T.StructType, path: str):
     """Writer side of IDENTITY columns: a GENERATED ALWAYS column
     provided by the caller refuses (delta's allowExplicitInsert=false
@@ -1744,14 +1860,22 @@ def write_delta(
     # Read-dependent writes (overwrite/replaceWhere based on OUR base
     # snapshot) and metadata changes must surface the conflict.
     _check_append_only(snap, actions, path)
+    # row tracking: fresh baseRowId ranges above the watermark, the
+    # advanced watermark committed in the same transaction
+    row_ids_stamped = (
+        _assign_base_row_ids(snap, actions, version)
+        if snap is not None
+        else []
+    )
     blind_append = (
         mode == "append"
         and snap is not None
         and replace_where is None
         and not meta_changed
-        # identity allocation reads the base watermark: a lost race
-        # must surface, not silently re-commit duplicate ids
+        # identity/row-id allocation reads the base watermark: a lost
+        # race must surface, not silently re-commit duplicate ids
         and not identity_assigned
+        and not row_ids_stamped
     )
     for _attempt in range(64):
         try:
@@ -1797,6 +1921,7 @@ def _commit_dml(
         if k in a
     }
     version = base_snap.version + 1
+    row_ids_stamped = _assign_base_row_ids(base_snap, actions, version)
     for _attempt in range(64):
         try:
             log.commit(version, actions, config=base_snap.configuration)
@@ -1813,12 +1938,18 @@ def _commit_dml(
                         a = json.loads(line)
                         if "metaData" in a or "protocol" in a:
                             raise
+                        if "domainMetadata" in a and row_ids_stamped:
+                            # a competing commit advanced the row-id
+                            # watermark our ranges were based on
+                            raise
                         p = (a.get("add") or a.get("remove") or {}).get(
                             "path"
                         )
                         if p and p in ours:
                             raise
             version = newest_v + 1
+            for add in row_ids_stamped:
+                add["defaultRowCommitVersion"] = version
     raise ConcurrentModificationError(
         f"DML commit to {log.path} lost 64 version races; giving up"
     )
@@ -1947,11 +2078,66 @@ def set_properties(
     for k in unset or []:
         conf.pop(k, None)
     meta = dict(snap.metadata)
+    enabling_row_tracking = row_tracking_enabled(conf) and (
+        not row_tracking_enabled(snap.configuration)
+    )
+    if enabling_row_tracking:
+        # materialized column names are fixed at enable time (the
+        # names rewrites use to preserve ids across OPTIMIZE/PURGE)
+        conf.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{uuid.uuid4().hex}",
+        )
+        conf.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-version-col-{uuid.uuid4().hex}",
+        )
     meta["configuration"] = conf
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {"metaData": meta},
     ]
+    if enabling_row_tracking:
+        # declare the writer features and BACKFILL: every live add is
+        # re-committed (dataChange=false) so _assign_base_row_ids
+        # below gives each file a fresh disjoint id range — after
+        # this commit every add action carries baseRowId, the
+        # protocol's row-id completeness requirement
+        proto = dict(snap.protocol or PROTOCOL)
+        wf = set(proto.get("writerFeatures") or [])
+        if not {"rowTracking", "domainMetadata"} <= wf:
+            proto.update(
+                {
+                    "minReaderVersion": max(
+                        int(proto.get("minReaderVersion", 1)), 1
+                    ),
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(
+                        wf | {"rowTracking", "domainMetadata"}
+                    ),
+                }
+            )
+            if proto.get("readerFeatures") is not None or int(
+                proto["minReaderVersion"]
+            ) >= 3:
+                proto["readerFeatures"] = sorted(
+                    set(proto.get("readerFeatures") or [])
+                )
+            actions.insert(0, {"protocol": proto})
+        for rel in sorted(snap.adds):
+            re_add = dict(snap.adds[rel])
+            re_add["dataChange"] = False
+            re_add.pop("baseRowId", None)
+            re_add.pop("defaultRowCommitVersion", None)
+            actions.append({"add": re_add})
+        pseudo = Snapshot(
+            version=snap.version,
+            metadata=meta,
+            protocol=snap.protocol,
+            adds=snap.adds,
+            domains=snap.domains,
+        )
+        _assign_base_row_ids(pseudo, actions, snap.version + 1)
     if (
         str(conf.get("delta.enableInCommitTimestamps", "false")).lower()
         == "true"
@@ -2477,6 +2663,174 @@ def read_delta_with_positions(
     )
 
 
+def _materialized_row_id_cols(configuration: dict):
+    """(rowId, rowCommitVersion) materialized column names, or None —
+    the physical columns rewrites use to preserve ids across
+    OPTIMIZE/PURGE (delta.rowTracking.materialized*ColumnName)."""
+    a = configuration.get("delta.rowTracking.materializedRowIdColumnName")
+    b = configuration.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    return (a, b) if a and b else None
+
+
+def _base_row_id_map(spark: SparkSession, snap: Snapshot) -> DataFrame:
+    """Tiny broadcastable map file-basename -> (baseRowId,
+    defaultRowCommitVersion) for the snapshot's adds; refuses
+    colliding basenames (same guard as the DV positional join)."""
+    rows = []
+    for rel, a in sorted(snap.adds.items()):
+        rows.append(
+            (
+                os.path.basename(unquote(rel)),
+                int(a.get("baseRowId") or 0),
+                int(a.get("defaultRowCommitVersion") or 0),
+            )
+        )
+    names = [r[0] for r in rows]
+    if len(set(names)) != len(names):
+        raise UnsupportedOperationError(
+            "row-id read over data files with colliding basenames"
+        )
+    return spark.createDataFrame(
+        rows, "__llh_fn string, __base_rid bigint, __base_rcv bigint"
+    )
+
+
+def _row_tracked_rewrite_scan(
+    spark: SparkSession, snap: Snapshot, path: str, rels: list
+) -> Optional[DataFrame]:
+    """Rewrite obligation under row tracking: an OPTIMIZE/PURGE that
+    repacks rows must carry each row's STABLE id into the new files
+    via the materialized columns (positions change, baseRowId
+    derivation would break). Returns the scan of ``rels`` with
+    ``__llh_fn``/``__llh_ri`` positional identity plus the two
+    materialized columns attached — values already materialized by an
+    earlier rewrite win over the fresh baseRowId+position derivation.
+    None when row tracking is off (callers keep the plain scan)."""
+    if not row_tracking_enabled(snap.configuration):
+        return None
+    mat = _materialized_row_id_cols(snap.configuration)
+    if not mat:
+        return None
+    from pyspark.sql import functions as F
+
+    mapped = snap.column_mapping_mode not in ("", "none")
+    scan_schema = _physical_type(snap.schema) if mapped else snap.schema
+    scan_schema = T.StructType(
+        list(scan_schema.fields)
+        + [
+            T.StructField(mat[0], T.LongType()),
+            T.StructField(mat[1], T.LongType()),
+        ]
+    )
+    reader = spark.read.schema(scan_schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", path)
+    scan = reader.parquet(
+        *[os.path.join(path, unquote(r)) for r in rels]
+    ).withColumns(
+        {
+            "__llh_fn": F.col("_metadata.file_name"),
+            "__llh_ri": F.col("_metadata.row_index"),
+        }
+    )
+    scan = scan.join(F.broadcast(_base_row_id_map(spark, snap)), "__llh_fn")
+    return scan.withColumns(
+        {
+            mat[0]: F.coalesce(
+                F.col(mat[0]), F.col("__base_rid") + F.col("__llh_ri")
+            ).cast("bigint"),
+            mat[1]: F.coalesce(F.col(mat[1]), F.col("__base_rcv")).cast(
+                "bigint"
+            ),
+        }
+    ).drop("__base_rid", "__base_rcv")
+
+
+def read_delta_with_row_ids(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Row-tracking read: the table's columns plus ``_row_id`` and
+    ``_row_commit_version`` (delta-spark's row-tracking metadata
+    fields). Fresh ids derive as ``baseRowId + position`` from a
+    broadcast file map; rows carried through an OPTIMIZE/PURGE
+    rewrite read their MATERIALIZED ids instead (coalesce prefers
+    the stored column), so ids are stable across rearrangements.
+    DV-deleted rows are anti-joined out exactly as in read_delta."""
+    from pyspark.sql import functions as F
+
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    if not row_tracking_enabled(snap.configuration):
+        raise UnsupportedOperationError(
+            f"Delta table at {path} does not have "
+            "delta.enableRowTracking=true"
+        )
+    mat = _materialized_row_id_cols(snap.configuration)
+    mapped = snap.column_mapping_mode not in ("", "none")
+    scan_schema = _physical_type(snap.schema) if mapped else snap.schema
+    extra: list = []
+    if mat:
+        extra = [
+            T.StructField(mat[0], T.LongType()),
+            T.StructField(mat[1], T.LongType()),
+        ]
+    scan_schema = T.StructType(list(scan_schema.fields) + extra)
+    out_schema = T.StructType(
+        list(snap.schema.fields)
+        + [
+            T.StructField("_row_id", T.LongType()),
+            T.StructField("_row_commit_version", T.LongType()),
+        ]
+    )
+    if not snap.adds:
+        return spark.createDataFrame([], out_schema)
+    reader = spark.read.schema(scan_schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", path)
+    raw = reader.parquet(*snap.files(path))
+    scan = raw.withColumns(
+        {
+            "__llh_fn": F.col("_metadata.file_name"),
+            "__llh_ri": F.col("_metadata.row_index"),
+        }
+    )
+    dv_adds = snap.dv_adds
+    if dv_adds:
+        total_card = sum(
+            int(a["deletionVector"].get("cardinality") or 0)
+            for a in dv_adds.values()
+        )
+        deleted = _deleted_positions_df(spark, dv_adds, path, total_card)
+        if total_card <= _DV_BROADCAST_MAX_ROWS:
+            deleted = F.broadcast(deleted)
+        scan = scan.join(
+            deleted,
+            (scan["__llh_fn"] == deleted["file_name"])
+            & (scan["__llh_ri"] == deleted["row_index"]),
+            "left_anti",
+        )
+    scan = scan.join(F.broadcast(_base_row_id_map(spark, snap)), "__llh_fn")
+    fresh_id = F.col("__base_rid") + F.col("__llh_ri")
+    fresh_cv = F.col("__base_rcv")
+    rid = F.coalesce(F.col(mat[0]), fresh_id) if mat else fresh_id
+    rcv = F.coalesce(F.col(mat[1]), fresh_cv) if mat else fresh_cv
+    if mapped:
+        phys = _physical_names(snap.schema)
+        cols = [
+            F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+            for f in snap.schema.fields
+        ]
+    else:
+        cols = [F.col(f.name) for f in snap.schema.fields]
+    return scan.select(
+        *cols,
+        rid.cast("bigint").alias("_row_id"),
+        rcv.cast("bigint").alias("_row_commit_version"),
+    )
+
+
 def apply_row_changes(
     spark: SparkSession,
     path: str,
@@ -2702,8 +3056,8 @@ def read_change_feed(
     path: str,
     starting_version: Optional[int] = 0,
     ending_version: Optional[int] = None,
-    starting_timestamp=None,
-    ending_timestamp=None,
+    starting_timestamp: Optional[object] = None,
+    ending_timestamp: Optional[object] = None,
 ) -> DataFrame:
     """Delta Change Data Feed reader (both bounds INCLUSIVE, like
     delta-spark's startingVersion/endingVersion): the table's columns
@@ -3025,15 +3379,34 @@ def purge(spark: SparkSession, path: str) -> Snapshot:
     deleted = _deleted_positions_df(spark, dv_adds, path, total_card)
     if total_card <= _DV_BROADCAST_MAX_ROWS:
         deleted = F.broadcast(deleted)
-    reader = _scan_reader(spark, snap, path)
-    dv_scan = reader.parquet(
-        *[os.path.join(path, unquote(p)) for p in sorted(dv_adds)]
-    ).withColumns(
-        {
-            "__dv_fn": F.col("_metadata.file_name"),
-            "__dv_ri": F.col("_metadata.row_index"),
-        }
+    rt_scan = _row_tracked_rewrite_scan(
+        spark, snap, path, sorted(dv_adds)
     )
+    if rt_scan is not None:
+        dv_scan = rt_scan.withColumnsRenamed(
+            {"__llh_fn": "__dv_fn", "__llh_ri": "__dv_ri"}
+        )
+    else:
+        reader = _scan_reader(spark, snap, path)
+        dv_scan = reader.parquet(
+            *[os.path.join(path, unquote(p)) for p in sorted(dv_adds)]
+        ).withColumns(
+            {
+                "__dv_fn": F.col("_metadata.file_name"),
+                "__dv_ri": F.col("_metadata.row_index"),
+            }
+        )
+    keep_cols = [
+        f.name
+        for f in (
+            _physical_type(snap.schema)
+            if snap.column_mapping_mode not in ("", "none")
+            else snap.schema
+        ).fields
+    ]
+    if rt_scan is not None:
+        # rewrites under row tracking persist the materialized ids
+        keep_cols += list(_materialized_row_id_cols(snap.configuration))
     survivors = (
         dv_scan.join(
             deleted,
@@ -3044,16 +3417,7 @@ def purge(spark: SparkSession, path: str) -> Snapshot:
         .drop("__dv_fn", "__dv_ri")
         # a mapped table rewrites physical -> physical: no renaming,
         # just restore the declared column order
-        .select(
-            *[
-                f.name
-                for f in (
-                    _physical_type(snap.schema)
-                    if snap.column_mapping_mode not in ("", "none")
-                    else snap.schema
-                ).fields
-            ]
-        )
+        .select(*keep_cols)
         .coalesce(max(1, len(dv_adds)))
     )
     tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
@@ -3171,9 +3535,14 @@ def compact(
     if not groups:
         return {"numFilesRemoved": 0, "numFilesAdded": 0}
     victims = sorted(r for rels in groups.values() for r in rels)
-    scan = _scan_reader(spark, snap, path).parquet(
-        *[os.path.join(path, unquote(r)) for r in victims]
-    )
+    rt_scan = _row_tracked_rewrite_scan(spark, snap, path, victims)
+    if rt_scan is not None:
+        # bin-packing preserves row ids via the materialized columns
+        scan = rt_scan.drop("__llh_fn", "__llh_ri")
+    else:
+        scan = _scan_reader(spark, snap, path).parquet(
+            *[os.path.join(path, unquote(r)) for r in victims]
+        )
     total = sum(
         int(snap.adds[r].get("size") or 0) for r in victims
     )
