@@ -118,6 +118,48 @@ SUPPORTED_READER_FEATURES = {
     "typeWidening-preview",  # the delta-spark 3.x preview name
 }
 
+# Writer features this engine's WRITE paths honor end to end. The
+# protocol obliges a writer to REFUSE a table whose writerFeatures
+# demand anything else (e.g. icebergCompatV2's parallel-metadata
+# invariants) — writing anyway would silently break the foreign
+# writer's invariants. Checked by _check_writer_support at every
+# write/DML entry point.
+SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",  # enforced via delta.constraints + column metadata
+    "checkConstraints",
+    "generatedColumns",
+    "identityColumns",
+    "changeDataFeed",
+    "columnMapping",
+    "deletionVectors",
+    "rowTracking",
+    "domainMetadata",
+    "inCommitTimestamp",
+    "v2Checkpoint",
+    "timestampNtz",
+    "typeWidening",
+    "typeWidening-preview",
+}
+
+
+def _check_writer_support(snap: "Snapshot", path: str) -> None:
+    """Refuse writes to tables whose protocol demands writer features
+    this engine does not implement — the protocol's writer-version-7
+    enforcement rule. Readers are unaffected (reader features gate
+    separately in _check_reader_support)."""
+    proto = snap.protocol or {}
+    demanded = set(proto.get("writerFeatures") or [])
+    unsupported = demanded - SUPPORTED_WRITER_FEATURES
+    if unsupported:
+        raise UnsupportedOperationError(
+            f"Delta table at {path} requires writer features this "
+            f"engine does not support: {sorted(unsupported)}. Writing "
+            "anyway could break the table's invariants; reads are "
+            "unaffected."
+        )
+
+
 # Optional capabilities an OPERATION opts into via snapshot(allow=...).
 FEATURE_DELETION_VECTORS = "deletionVectors"
 FEATURE_COLUMN_MAPPING = "columnMapping"
@@ -1565,6 +1607,8 @@ def write_delta(
     # the whole schema (old files are removed wholesale, so fresh
     # physical names are safe — time travel replays the old metaData).
     snap = log.snapshot(allow=BATCH_READ_FEATURES) if vs else None
+    if snap is not None:
+        _check_writer_support(snap, path)
     mapped = (
         snap is not None
         and snap.column_mapping_mode not in ("", "none")
@@ -2073,6 +2117,7 @@ def set_properties(
             )
     log = DeltaLog(path)
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
     conf = dict(snap.configuration)
     conf.update({str(k): str(v) for k, v in props.items()})
     for k in unset or []:
@@ -2462,6 +2507,7 @@ def delete_where(
     # scan translates physical names (_grown_dvs) and the commit
     # only grows bitmaps — no data file is written at all.
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
     if not snap.adds:
         return snap
     _check_append_only(
@@ -2529,6 +2575,7 @@ def update_where(
     # translates physical names (_grown_dvs) and the post-images are
     # renamed logical -> physical right before the data write.
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
     if not snap.adds:
         return snap
     unknown = set(assignments) - {f.name for f in snap.schema.fields}
@@ -2852,6 +2899,7 @@ def apply_row_changes(
     a history row)."""
     from pyspark.sql import functions as F
 
+    _check_writer_support(snap, path)
     base_to_rel, built = _grown_dvs_from_hits(
         spark, snap, path, dead_positions
     )
@@ -3369,6 +3417,7 @@ def purge(spark: SparkSession, path: str) -> Snapshot:
 
     log = DeltaLog(path)
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
     dv_adds = snap.dv_adds
     if not dv_adds:
         return snap
@@ -3493,6 +3542,7 @@ def compact(
     100 TB you compact yesterday's partition, never the table."""
     log = DeltaLog(path)
     snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
     conjuncts: list[tuple] = []
     phys = _physical_names(snap.schema)
     if where is not None:
@@ -3864,6 +3914,7 @@ def restore(spark: SparkSession, path: str, version: int) -> Snapshot:
     # metadata-only file-set diff; DV descriptors travel inside the
     # re-added add actions (value-compared below, not path-compared)
     cur = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(cur, path)
     tgt = log.snapshot(version, allow=BATCH_READ_FEATURES)
     for rel in tgt.adds:
         if not os.path.exists(os.path.join(path, unquote(rel))):

@@ -403,8 +403,21 @@ class _PyDeltaWriter(DataSourceArrowWriter):
         # tables stay refused: this writer emits the caller's logical
         # column names raw (use delta_py.write_delta, which renames).
         from .delta_py import FEATURE_DELETION_VECTORS as _DV
+        from .delta_py import _check_writer_support
 
         snap = log.snapshot(allow=frozenset({_DV})) if vs else None
+        if snap is not None:
+            # raw-add commits cannot honor per-row writer features
+            # (row tracking's baseRowId completeness, identity
+            # watermarks handled by delta_py.write_delta)
+            _check_writer_support(snap, self._path)
+            from .delta_py import row_tracking_enabled
+
+            if row_tracking_enabled(snap.configuration):
+                raise ValueError(
+                    "pydelta writer cannot assign baseRowId ranges on "
+                    "a row-tracked table; use delta_py.write_delta"
+                )
         if snap is not None and snap.partition_columns:
             raise ValueError(
                 "pydelta writer supports unpartitioned tables; "
@@ -800,8 +813,21 @@ class _PyDeltaStreamWriter(DataSourceStreamArrowWriter):
         # exactly-once sink appends are blind writes: DV snapshots
         # are safe (same reasoning as the batch writer above)
         from .delta_py import FEATURE_DELETION_VECTORS as _DV
+        from .delta_py import _check_writer_support
 
         snap = log.snapshot(allow=frozenset({_DV})) if vs else None
+        if snap is not None:
+            # raw-add commits cannot honor per-row writer features
+            # (row tracking's baseRowId completeness, identity
+            # watermarks handled by delta_py.write_delta)
+            _check_writer_support(snap, self._path)
+            from .delta_py import row_tracking_enabled
+
+            if row_tracking_enabled(snap.configuration):
+                raise ValueError(
+                    "pydelta writer cannot assign baseRowId ranges on "
+                    "a row-tracked table; use delta_py.write_delta"
+                )
         rels = [m.rel for m in messages if m is not None and m.rel]
         if snap is not None and batchId <= self._last_txn_version(log):
             # replayed microbatch after restart: already committed —

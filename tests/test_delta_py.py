@@ -2109,3 +2109,47 @@ def test_in_commit_timestamps_write(spark, tbl):
     # TIMESTAMP AS OF resolves through the stamps
     assert log.version_at_timestamp(stamps[2]) == 2
     assert log.version_at_timestamp(stamps[3] - 1) == 2
+
+
+def test_unknown_writer_features_refuse_writes_allow_reads(spark, tbl):
+    """Protocol writer-feature enforcement (round 7): a table whose
+    writerFeatures demand something this engine does not implement
+    (e.g. icebergCompatV2's parallel-metadata invariants) REFUSES
+    every write/DML path — writing anyway could break the foreign
+    writer's invariants — while batch reads stay unaffected."""
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+    from local_lakehouse_spark.sources.delta_py import (
+        compact,
+        delete_where,
+        set_properties,
+        update_where,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, df, tbl)
+    log = DeltaLog(tbl)
+    snap = log.snapshot()
+    log.commit(
+        snap.version + 1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["icebergCompatV2", "appendOnly"],
+                }
+            }
+        ],
+    )
+    assert read_delta(spark, tbl).count() == 2  # reads unaffected
+    for op in (
+        lambda: write_delta(spark, df, tbl, mode="append"),
+        lambda: delete_where(spark, tbl, "id = 1"),
+        lambda: update_where(spark, tbl, "id = 1", {"s": "'x'"}),
+        lambda: compact(spark, tbl),
+        lambda: set_properties(tbl, {"foo": "bar"}),
+    ):
+        with pytest.raises(UnsupportedOperationError, match="icebergCompatV2"):
+            op()

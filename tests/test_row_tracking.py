@@ -197,3 +197,16 @@ def test_plain_reads_unaffected(spark, tbl):
     df = read_delta(spark, tbl)
     assert df.columns == ["id", "s"]
     assert df.count() == 6
+
+
+def test_pydelta_sink_refuses_row_tracked_table(spark, tbl):
+    """The registered pydelta writer commits raw adds — it cannot
+    assign baseRowId ranges, so a row-tracked table refuses with a
+    pointer at delta_py.write_delta."""
+    from local_lakehouse_spark.sources.pydelta_source import register
+
+    register(spark)
+    _rt_table(spark, tbl, n=3)
+    df = spark.createDataFrame([(9, "z")], "id long, s string")
+    with pytest.raises(Exception, match="baseRowId|row-tracked"):
+        df.write.format("pydelta").mode("append").save(tbl)
