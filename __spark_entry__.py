@@ -34,13 +34,13 @@ _ALL = {**_CORE, **_EXT}
 #    column-mapped streaming replay, y25 column-mapped DV DML,
 #    y26 column-mapped write matrix, y27 change data feed, y28
 #    streaming change feed, y29 identity columns, y30 row
-#    tracking — new this round;
+#    tracking, y31 liquid clustering — new this round;
 # 2. the LAST 7 r1-era stamps, q41–q47 — earned before the r3
 #    fixture drift (events.ts NANOS→MICROS), the oldest evidence in
 #    the union;
 # 3. all 24 r2-era stamps;
-# 4. the remaining 10 slots go to the oldest r3-era stamps
-#    (q48–q58 minus q55, which re-greened r5).
+# 4. the remaining 9 slots go to the oldest r3-era stamps
+#    (q48–q57 minus q55, which re-greened r5).
 # Everything past the cap keeps an r3+ stamp AND a same-round local
 # green in CORRECTNESS_LOCAL_r07.json; the r3 tail rotates in r8.
 _NEVER_STAMPED = [
@@ -53,6 +53,7 @@ _NEVER_STAMPED = [
     "y28_streaming_change_feed",
     "y29_identity_columns",
     "y30_row_tracking",
+    "y31_liquid_clustering",
 ]
 _R1_ERA = [
     "q41_tpch_q12_conditional_agg",
@@ -99,7 +100,6 @@ _R3_ERA_HEAD = [
     "q54_tpch_q14_promo_effect",
     "q56_tpch_q16_parts_suppliers",
     "q57_tpch_q17_small_quantity",
-    "q58_tpch_q19_disjunctive",
 ]
 _PRIORITY = _NEVER_STAMPED + _R1_ERA + _R2_ERA + _R3_ERA_HEAD
 QUERY_SPECS = {

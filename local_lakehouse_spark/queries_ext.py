@@ -7277,6 +7277,96 @@ GROUP BY s_nationkey ORDER BY nation
 """
 
 
+def y31(spark, sf):
+    """LIQUID CLUSTERING (round 7 — the clustering + domainMetadata
+    writer features; delta-rs 0.18 has neither): CLUSTER BY lands the
+    clusteringColumns declaration in the delta.clustering metadata
+    domain, and optimize_clustered Z-order-repacks the data files
+    (bit-interleaved Morton key, repartitionByRange + in-partition
+    sort — whole-stage codegen, no UDF) as a dataChange=false
+    rearrangement streams/CDF replay straight past. CONTRACTS: the
+    domain survives, every add is the rearrangement's, and a point-
+    range predicate on EITHER clustered dimension stats-prunes MORE
+    THAN HALF the files (the y03 contract, now on both dims at
+    once) — a layout regression fails loudly. Oracle: the same
+    range-filtered aggregate on raw events."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|liquid-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_liquid_{key}")
+    if not delta_py.is_delta_table(tbl):
+        ev = events_table(spark, sf).select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        snap_w = delta_py.write_delta(spark, ev.repartition(16), tbl)
+        delta_py.cluster_by(tbl, ["event_id", "user_id"])
+        # aim for ~16 clustered files at ANY sf so the skipping
+        # contract below is meaningful at sf0.001 and sf0.1 alike
+        # (a point on one of two z-ordered dims keeps ~sqrt(n) files)
+        total = sum(
+            int(a.get("size") or 0) for a in snap_w.adds.values()
+        )
+        delta_py.optimize_clustered(
+            spark, tbl, target_file_bytes=max(2048, total // 16)
+        )
+    snap = delta_py.DeltaLog(tbl).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    if delta_py.clustering_columns(snap) != ["event_id", "user_id"]:
+        raise AssertionError("y31 lost the clustering declaration")
+    n_files = len(snap.adds)
+    if n_files < 4 or any(
+        a.get("dataChange") is not False for a in snap.adds.values()
+    ):
+        raise AssertionError(
+            "y31 staging: expected >=4 dataChange=false clustered files"
+        )
+    hi = max(
+        r.event_id
+        for r in delta_py.read_delta(spark, tbl)
+        .agg(F.max("event_id").alias("event_id"))
+        .collect()
+    )
+    for col, val in (("event_id", int(hi // 7)), ("user_id", 13)):
+        kept = delta_py.candidate_files(snap, col, "=", val)
+        if len(kept) > n_files // 2:
+            raise AssertionError(
+                f"y31 skipping contract violated on {col}: "
+                f"{len(kept)}/{n_files} files kept"
+            )
+    lo, mid = int(hi // 4), int(hi // 2)
+    return (
+        delta_py.read_delta(spark, tbl)
+        .filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < mid)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Y31_SQL = """
+WITH hi AS (SELECT MAX(event_id) AS h FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events, hi
+WHERE event_id >= CAST(h // 4 AS BIGINT)
+  AND event_id < CAST(h // 2 AS BIGINT)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -7436,4 +7526,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y28_streaming_change_feed": QuerySpec(y28, Y28_SQL),
     "y29_identity_columns": QuerySpec(y29, Y29_SQL),
     "y30_row_tracking": QuerySpec(y30, Y30_SQL),
+    "y31_liquid_clustering": QuerySpec(y31, Y31_SQL),
 }

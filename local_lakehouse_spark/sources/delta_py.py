@@ -136,6 +136,7 @@ SUPPORTED_WRITER_FEATURES = {
     "rowTracking",
     "domainMetadata",
     "inCommitTimestamp",
+    "clustering",
     "v2Checkpoint",
     "timestampNtz",
     "typeWidening",
@@ -1373,6 +1374,192 @@ def identity_columns(schema: T.StructType) -> dict:
 
 
 ROW_TRACKING_DOMAIN = "delta.rowTracking"
+CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def cluster_by(path: str, cols: list) -> Snapshot:
+    """``ALTER TABLE ... CLUSTER BY`` — liquid clustering
+    declaration: the clustering columns live in the
+    ``delta.clustering`` metadata domain (delta-spark's layout:
+    ``{"clusteringColumns": [["c1"], ["c2"]]}``, nested arrays for
+    nested field paths) and the protocol declares the ``clustering``
+    + ``domainMetadata`` writer features. A metadata-only commit —
+    data files recluster at the next :func:`optimize_clustered`,
+    exactly delta's lazy contract."""
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
+    known = {f.name for f in snap.schema.fields}
+    unknown = [c for c in cols if c not in known]
+    if unknown:
+        raise ValueError(
+            f"CLUSTER BY columns not in the table: {unknown}"
+        )
+    if set(cols) & set(snap.partition_columns):
+        raise UnsupportedOperationError(
+            "CLUSTER BY on partition columns is not supported "
+            "(delta refuses clustering a hive-partitioned layout key)"
+        )
+    actions: list[dict] = []
+    proto = dict(snap.protocol or PROTOCOL)
+    wf = set(proto.get("writerFeatures") or [])
+    if not {"clustering", "domainMetadata"} <= wf:
+        proto.update(
+            {
+                "minReaderVersion": max(
+                    int(proto.get("minReaderVersion", 1)), 1
+                ),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    wf | {"clustering", "domainMetadata"}
+                ),
+            }
+        )
+        if proto.get("readerFeatures") is not None or int(
+            proto["minReaderVersion"]
+        ) >= 3:
+            proto["readerFeatures"] = sorted(
+                set(proto.get("readerFeatures") or [])
+            )
+        actions.append({"protocol": proto})
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": CLUSTERING_DOMAIN,
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in cols]}
+                ),
+                "removed": False,
+            }
+        }
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CLUSTER BY",
+                "operationParameters": {
+                    "clusterBy": json.dumps(list(cols))
+                },
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    version = snap.version + 1
+    log.commit(version, actions, config=snap.configuration)
+    return log.snapshot(version, allow=BATCH_READ_FEATURES)
+
+
+def clustering_columns(snap: Snapshot) -> list:
+    """Declared clustering columns from the delta.clustering domain
+    (top-level names; empty when the table is not clustered)."""
+    d = snap.domains.get(CLUSTERING_DOMAIN)
+    if not d:
+        return []
+    try:
+        cols = json.loads(d.get("configuration") or "{}").get(
+            "clusteringColumns"
+        ) or []
+        return [c[0] if isinstance(c, list) else c for c in cols]
+    except (ValueError, TypeError):
+        return []
+
+
+def optimize_clustered(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """OPTIMIZE on a liquid-clustered table: a FULL Z-order repack of
+    the declared clustering columns — bit-interleaved Morton key,
+    ``repartitionByRange`` + in-partition sort (operators/layout.py,
+    whole-stage codegen, no UDF) — committed as a dataChange=false
+    rearrangement, so streams and CDF replay straight past it.
+    Per-file min/max stats come out tight on EVERY clustered column,
+    which is the whole point: stats-pruned reads skip most files on
+    any clustered dimension. DV-bearing files are purge's job and are
+    left in place; row-tracked tables carry their ids through the
+    materialized columns. At 100 TB you recluster a partition's worth
+    of new data, not the table — the same incremental contract as
+    delta's own liquid OPTIMIZE."""
+    from ..operators.layout import zorder_layout
+
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
+    cols = clustering_columns(snap)
+    if not cols:
+        raise UnsupportedOperationError(
+            f"Delta table at {path} declares no clustering columns "
+            "(run cluster_by first)"
+        )
+    victims = sorted(
+        rel
+        for rel, a in snap.adds.items()
+        if not a.get("deletionVector")
+    )
+    if len(victims) < 2:
+        return {"numFilesRemoved": 0, "numFilesAdded": 0}
+    mapped = snap.column_mapping_mode not in ("", "none")
+    phys = _physical_names(snap.schema)
+    zcols = [phys[c] for c in cols] if mapped else list(cols)
+    rt_scan = _row_tracked_rewrite_scan(spark, snap, path, victims)
+    if rt_scan is not None:
+        scan = rt_scan.drop("__llh_fn", "__llh_ri")
+    else:
+        scan = _scan_reader(spark, snap, path).parquet(
+            *[os.path.join(path, unquote(r)) for r in victims]
+        )
+    total = sum(int(snap.adds[r].get("size") or 0) for r in victims)
+    bins = max(1, -(-total // target_file_bytes))  # ceil
+    out = zorder_layout(scan, zcols, num_files=bins)
+    tmp = path + f".__delta_tmp_{uuid.uuid4().hex}"
+    writer = out.write.mode("overwrite")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.parquet(tmp)
+    moved = _move_parts(tmp, path)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for rel in victims
+    ]
+    added = 0
+    for rel, parts in moved:
+        act = _add_action(path, rel, parts)
+        if not json.loads(act["add"]["stats"]).get("numRecords"):
+            os.remove(os.path.join(path, rel))
+            continue
+        act["add"]["dataChange"] = False
+        actions.append(act)
+        added += 1
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "clusterBy": json.dumps(list(cols)),
+                    "targetSize": str(target_file_bytes),
+                },
+                "operationMetrics": {
+                    "numFilesRemoved": str(len(victims)),
+                    "numFilesAdded": str(added),
+                },
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        }
+    )
+    version = _commit_dml(log, snap, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        log.write_checkpoint(version)
+    return {"numFilesRemoved": len(victims), "numFilesAdded": added}
 
 
 def row_tracking_enabled(configuration: dict) -> bool:

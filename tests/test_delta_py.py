@@ -2153,3 +2153,46 @@ def test_unknown_writer_features_refuse_writes_allow_reads(spark, tbl):
     ):
         with pytest.raises(UnsupportedOperationError, match="icebergCompatV2"):
             op()
+
+
+def test_liquid_clustering_declare_and_optimize(spark, tbl):
+    """CLUSTER BY lands the clusteringColumns domain + the clustering
+    writer feature; optimize_clustered Z-order-repacks so stats-pruned
+    reads skip files on EVERY clustered dimension; the rearrangement
+    is dataChange=false (streams/CDF replay straight past)."""
+    from local_lakehouse_spark.exceptions import UnsupportedOperationError
+    from local_lakehouse_spark.sources.delta_py import (
+        CLUSTERING_DOMAIN,
+        candidate_files,
+        cluster_by,
+        clustering_columns,
+        optimize_clustered,
+    )
+
+    df = spark.range(16384).selectExpr(
+        "id", "CAST(pmod(id * 2654435761, 16384) AS LONG) AS b"
+    ).repartition(8)
+    write_delta(spark, df, tbl)
+    with pytest.raises(UnsupportedOperationError, match="clustering"):
+        optimize_clustered(spark, tbl)
+    snap = cluster_by(tbl, ["id", "b"])
+    assert clustering_columns(snap) == ["id", "b"]
+    assert CLUSTERING_DOMAIN in snap.domains
+    assert "clustering" in snap.protocol["writerFeatures"]
+    metrics = optimize_clustered(spark, tbl, target_file_bytes=12_000)
+    assert metrics["numFilesRemoved"] == 8 and metrics["numFilesAdded"] >= 4
+    snap2 = DeltaLog(tbl).snapshot()
+    n_files = len(snap2.adds)
+    assert all(
+        a.get("dataChange") is False for a in snap2.adds.values()
+    )
+    # skipping contract: a narrow predicate on EITHER clustered
+    # column prunes at least half the files
+    assert n_files >= 10
+    for col, val in (("id", 17), ("b", 33)):
+        kept = candidate_files(snap2, col, "=", val)
+        assert len(kept) <= n_files // 2, (col, len(kept), n_files)
+    # rows intact
+    got = read_delta(spark, tbl)
+    assert got.count() == 16384
+    assert got.agg({"id": "sum"}).first()[0] == 16384 * 16383 // 2
