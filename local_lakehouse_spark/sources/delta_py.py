@@ -4021,6 +4021,46 @@ class PyDeltaTable:
         the matched rows are written."""
         update_where(self._spark, self._path, condition, set)
 
+    def optimize(self) -> "PyDeltaTable":
+        """delta-spark ``DeltaTable.optimize()`` builder: chain
+        ``executeCompaction()`` (bin-pack; WHERE via
+        ``where(...)``) or ``executeZOrderBy(cols...)``."""
+        return _PyDeltaOptimize(self)
+
+
+class _PyDeltaOptimize:
+    """The optimize() builder PyDeltaTable returns — delta-spark's
+    DeltaOptimizeBuilder surface (where / executeCompaction /
+    executeZOrderBy)."""
+
+    def __init__(self, table: PyDeltaTable):
+        self._table = table
+        self._where: Optional[str] = None
+
+    def where(self, predicate: str) -> "_PyDeltaOptimize":
+        self._where = predicate
+        return self
+
+    def executeCompaction(self) -> dict:
+        return compact(
+            self._table._spark, self._table._path, where=self._where
+        )
+
+    def executeZOrderBy(self, *cols: str) -> dict:
+        """Z-order repack: declares ``cols`` as the clustering
+        columns (delta.clustering domain) and runs the Morton-key
+        rewrite — delta-spark's OPTIMIZE ... ZORDER BY. WHERE scoping
+        is not supported (the repack is global by construction)."""
+        if self._where is not None:
+            raise UnsupportedOperationError(
+                "ZORDER BY with a WHERE scope is not supported"
+            )
+        flat = [c for group in cols for c in (
+            group if isinstance(group, (list, tuple)) else [group]
+        )]
+        cluster_by(self._table._path, flat)
+        return optimize_clustered(self._table._spark, self._table._path)
+
     @property
     def version(self) -> int:
         return self._log.snapshot(allow=BATCH_READ_FEATURES).version

@@ -2196,3 +2196,41 @@ def test_liquid_clustering_declare_and_optimize(spark, tbl):
     got = read_delta(spark, tbl)
     assert got.count() == 16384
     assert got.agg({"id": "sum"}).first()[0] == 16384 * 16383 // 2
+
+
+def test_pydeltatable_optimize_builder(spark, tbl):
+    """DeltaTable.optimize() facade parity: executeCompaction
+    bin-packs (with WHERE scoping) and executeZOrderBy declares the
+    clustering columns then repacks."""
+    from local_lakehouse_spark.sources.delta_py import (
+        PyDeltaTable,
+        clustering_columns,
+    )
+
+    for i in range(3):
+        write_delta(
+            spark,
+            spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id", "CAST(id % 7 AS LONG) AS b"
+            ).coalesce(1),
+            tbl,
+            mode="append" if i else "overwrite",
+        )
+    dt = PyDeltaTable(spark, tbl)
+    metrics = dt.optimize().executeCompaction()
+    assert metrics["numFilesRemoved"] == 3
+    assert read_delta(spark, tbl).count() == 300
+    for i in range(3, 6):
+        write_delta(
+            spark,
+            spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id", "CAST(id % 7 AS LONG) AS b"
+            ).coalesce(1),
+            tbl,
+            mode="append",
+        )
+    metrics = dt.optimize().executeZOrderBy("id", "b")
+    assert metrics["numFilesRemoved"] >= 2
+    snap = DeltaLog(tbl).snapshot()
+    assert clustering_columns(snap) == ["id", "b"]
+    assert read_delta(spark, tbl).count() == 600
