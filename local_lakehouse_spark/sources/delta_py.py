@@ -182,6 +182,33 @@ def _log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
 
 
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def _parse_interval_ms(value: str) -> int:
+    """``interval N <unit>`` (Delta's retention-property syntax) to
+    milliseconds; unknown shapes fall back to 30 days rather than
+    deleting more than intended."""
+    m = re.match(
+        r"^\s*(?:interval\s+)?(\d+)\s+(\w+?)s?\s*$",
+        str(value),
+        re.IGNORECASE,
+    )
+    if not m:
+        return 30 * 86_400_000
+    unit = m.group(2).lower()
+    if unit not in _INTERVAL_UNIT_MS:
+        return 30 * 86_400_000
+    return int(m.group(1)) * _INTERVAL_UNIT_MS[unit]
+
+
 def is_delta_table(path: str) -> bool:
     return os.path.isdir(_log_dir(path))
 
@@ -801,6 +828,50 @@ class DeltaLog:
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
             json.dump({"version": snap.version, "size": len(rows)}, f)
         return fname
+
+    def cleanup_metadata(self) -> list[str]:
+        """``delta.logRetentionDuration`` enforcement (delta-spark's
+        metadata cleanup, run after checkpoints): delete commit JSONs
+        and superseded checkpoint files that are BOTH older than the
+        retention window AND at/below the newest checkpoint — replay
+        never needs them (it starts from the checkpoint), only time
+        travel into the expired range does, and that trade-off is the
+        protocol's documented one. The newest checkpoint itself and
+        everything after it always survive. Returns deleted file
+        names."""
+        cps = self.checkpoints()
+        if not cps:
+            return []
+        cp = cps[-1]
+        # retention comes from the CURRENT table configuration — a
+        # just-set property applies to this cleanup, like delta-spark
+        snap = self.snapshot(allow=BATCH_READ_FEATURES)
+        retention_ms = _parse_interval_ms(
+            snap.configuration.get(
+                "delta.logRetentionDuration", "interval 30 days"
+            )
+        )
+        cutoff = time.time() - retention_ms / 1000
+        deleted: list[str] = []
+        for name in sorted(os.listdir(self.log_dir)):
+            abs_p = os.path.join(self.log_dir, name)
+            if name.endswith(".json") and not name.startswith("_"):
+                try:
+                    v = int(name.split(".")[0])
+                except ValueError:
+                    continue
+                expendable = v < cp
+            else:
+                parsed = self._parse_checkpoint_name(name)
+                if parsed is None:
+                    continue
+                expendable = parsed[0] < cp
+            if not expendable:
+                continue
+            if os.path.getmtime(abs_p) <= cutoff:
+                os.unlink(abs_p)
+                deleted.append(name)
+        return deleted
 
     def history(self) -> list[dict]:
         """commitInfo row per version, newest first (DeltaTable.history)."""

@@ -2234,3 +2234,46 @@ def test_pydeltatable_optimize_builder(spark, tbl):
     snap = DeltaLog(tbl).snapshot()
     assert clustering_columns(snap) == ["id", "b"]
     assert read_delta(spark, tbl).count() == 600
+
+
+def test_cleanup_metadata_log_retention(spark, tbl):
+    """delta.logRetentionDuration: commit JSONs and superseded
+    checkpoints older than the retention window AND below the newest
+    checkpoint are deleted; the checkpoint and the tail survive, and
+    replay still reconstructs the same table."""
+    from local_lakehouse_spark.sources.delta_py import (
+        _parse_interval_ms,
+    )
+
+    assert _parse_interval_ms("interval 7 days") == 7 * 86_400_000
+    assert _parse_interval_ms("interval 1 hour") == 3_600_000
+    assert _parse_interval_ms("garbage") == 30 * 86_400_000
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_delta(spark, df, tbl)
+    for i in range(2, 6):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, "x")], "id long, s string"),
+            tbl,
+            mode="append",
+        )
+    log = DeltaLog(tbl)
+    v = log.versions()[-1]
+    log.write_checkpoint(v)
+    from local_lakehouse_spark.sources.delta_py import set_properties
+
+    set_properties(
+        tbl, {"delta.logRetentionDuration": "interval 0 seconds"}
+    )  # v+1, AFTER the checkpoint — must survive
+    deleted = DeltaLog(tbl).cleanup_metadata()
+    assert deleted == [f"{i:020d}.json" for i in range(v)]
+    # checkpointed state + tail commit replay intact
+    assert DeltaLog(tbl).versions() == [v, v + 1]
+    assert read_delta(spark, tbl).count() == 5
+    # default 30-day retention deletes nothing on a fresh table
+    t2 = tbl + "_b"
+    write_delta(spark, df, t2)
+    write_delta(spark, df, t2, mode="append")
+    DeltaLog(t2).write_checkpoint(1)
+    assert DeltaLog(t2).cleanup_metadata() == []
