@@ -4081,6 +4081,11 @@ class PyDeltaTable:
     def vacuum(self, retentionHours: float = 168.0) -> None:
         vacuum(self._path, retentionHours)
 
+    def cleanupMetadata(self) -> list:
+        """delta.logRetentionDuration cleanup — expired commit JSONs
+        below the newest checkpoint (DeltaLog.cleanup_metadata)."""
+        return self._log.cleanup_metadata()
+
     def delete(self, condition: str) -> None:
         """delta-spark ``DeltaTable.delete(condition)``: row-level
         delete via deletion vectors — no data-file rewrite."""
