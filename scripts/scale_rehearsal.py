@@ -61,6 +61,12 @@ QUERIES = [
     # executor-side bitmap decode + shuffle anti-join measured live,
     # not just monkeypatched (judge r6 #6). See _y10_dv_read_at_scale.
     "y10_dv_read_at_scale",
+    # round 7 late additions (first rehearsed in r8): protocol CDF —
+    # DML + cdc-file writes + pooled change-feed read, expected
+    # scan-bound like the DV DML pair — and the liquid-clustering
+    # Z-order repack + both-dims skipping contract
+    "y27_change_data_feed",
+    "y31_liquid_clustering",
 ]
 
 def _y10_dv_read_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +136,11 @@ def _replicate(spark: SparkSession, src: str, dst: str, replicas: int) -> None:
         ("lineitem", ["l_orderkey", "l_partkey"]),
         ("orders", ["o_orderkey"]),
         ("part", ["p_partkey"]),
+        # round 7: y27 (CDF) stages from supplier, y31 (liquid
+        # clustering) from events — disjoint-key replicas like the
+        # TPC-H trio so per-key DML/clustering work is exactly 10x
+        ("supplier", ["s_suppkey"]),
+        ("events", ["event_id", "user_id"]),
     ):
         df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
         for c in key_cols:
