@@ -189,23 +189,35 @@ _INTERVAL_UNIT_MS = {
     "hour": 3_600_000,
     "day": 86_400_000,
     "week": 7 * 86_400_000,
+    # Spark's IntervalUtils.getDuration converts calendar months at
+    # 31 days/month (MONTHS_PER_YEAR = 12), and delta-spark's
+    # retention configs go through exactly that conversion — match it
+    # so 'interval 3 months' keeps the same history both engines would.
+    "month": 31 * 86_400_000,
+    "year": 12 * 31 * 86_400_000,
 }
 
 
 def _parse_interval_ms(value: str) -> int:
-    """``interval N <unit>`` (Delta's retention-property syntax) to
-    milliseconds; unknown shapes fall back to 30 days rather than
-    deleting more than intended."""
+    """``interval N <unit>`` (Delta's retention-property syntax,
+    CalendarInterval units incl. month/year) to milliseconds. An
+    unparseable value RAISES instead of guessing a window — a wrong
+    guess here deletes log history the user configured to keep, which
+    is irreversible (delta-spark likewise refuses invalid interval
+    configs)."""
     m = re.match(
         r"^\s*(?:interval\s+)?(\d+)\s+(\w+?)s?\s*$",
         str(value),
         re.IGNORECASE,
     )
-    if not m:
-        return 30 * 86_400_000
-    unit = m.group(2).lower()
-    if unit not in _INTERVAL_UNIT_MS:
-        return 30 * 86_400_000
+    unit = m.group(2).lower() if m else None
+    if m is None or unit not in _INTERVAL_UNIT_MS:
+        raise ValueError(
+            f"invalid retention interval {value!r}: expected "
+            f"'interval N <unit>' with unit one of "
+            f"{sorted(_INTERVAL_UNIT_MS)}; refusing to guess a "
+            "window (cleanup deletes history irreversibly)"
+        )
     return int(m.group(1)) * _INTERVAL_UNIT_MS[unit]
 
 
@@ -682,8 +694,20 @@ class DeltaLog:
         # pass through untouched (the add schema below preserves them)
         snap = self.snapshot(version, allow=BATCH_READ_FEATURES)
         str_map = pa.map_(pa.string(), pa.string())
+        # readerFeatures/writerFeatures MUST round-trip: table-features
+        # protocols (rowTracking / clustering / ICT set
+        # minWriterVersion=7 + a feature list) would otherwise come
+        # back from a checkpoint as writer-7-with-no-features — a
+        # spec-invalid protocol that blinds _check_writer_support, and
+        # once cleanup_metadata expires the commit JSON holding the
+        # real protocol, the feature list is gone for good.
         proto_t = pa.struct(
-            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+            [
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ]
         )
         meta_t = pa.struct(
             [
@@ -1466,7 +1490,16 @@ def cluster_by(path: str, cols: list) -> Snapshot:
         raise ValueError(
             f"CLUSTER BY columns not in the table: {unknown}"
         )
-    if set(cols) & set(snap.partition_columns):
+    # partition_columns hold PHYSICAL names on column-mapped tables;
+    # the caller speaks logical — translate before intersecting, or
+    # the refusal silently never fires there
+    phys_to_logical = {
+        p: l for l, p in _physical_names(snap.schema).items()
+    }
+    logical_parts = {
+        phys_to_logical.get(p, p) for p in snap.partition_columns
+    }
+    if set(cols) & logical_parts:
         raise UnsupportedOperationError(
             "CLUSTER BY on partition columns is not supported "
             "(delta refuses clustering a hive-partitioned layout key)"
@@ -1748,27 +1781,44 @@ def _identity_watermark_meta(
     column's new high watermark out of the add actions' stats
     (driver-side, descriptor-sized) and return the schema with
     updated ``delta.identity.highWaterMark`` metadata — or None if
-    nothing advanced."""
-    new_wm = {}
+    nothing advanced.
+
+    The watermark is the STEP-DIRECTION extreme: max of the files'
+    ``maxValues`` for a positive step, min of ``minValues`` for a
+    negative one — otherwise a ``step < 0`` column would advance its
+    watermark toward the START and the next append would re-allocate
+    ids the previous one already handed out (duplicate identities)."""
+    idents = identity_columns(schema)
+    new_wm: dict = {}
     for act in actions:
         a = act.get("add")
         if not a or not a.get("stats"):
             continue
-        maxv = (json.loads(a["stats"]).get("maxValues") or {})
+        stats = json.loads(a["stats"])
         for c in assigned:
-            v = maxv.get(c)
-            if v is not None:
-                new_wm[c] = max(int(v), new_wm.get(c, -(2**63)))
+            desc = idents.get(c, {}).get("step", 1) < 0
+            bound = (stats.get("minValues") if desc else
+                     stats.get("maxValues")) or {}
+            v = bound.get(c)
+            if v is None:
+                continue
+            pick = min if desc else max
+            new_wm[c] = pick(
+                int(v), new_wm.get(c, (2**63 - 1) if desc else -(2**63))
+            )
     if not new_wm:
         return None
     fields = []
     for f in schema.fields:
         if f.name in new_wm:
+            desc = idents.get(f.name, {}).get("step", 1) < 0
+            pick = min if desc else max
             meta = dict(f.metadata or {})
             prev = meta.get("delta.identity.highWaterMark")
-            meta["delta.identity.highWaterMark"] = max(
+            meta["delta.identity.highWaterMark"] = pick(
                 new_wm[f.name],
-                int(prev) if prev is not None else -(2**63),
+                int(prev) if prev is not None
+                else ((2**63 - 1) if desc else -(2**63)),
             )
             fields.append(
                 T.StructField(f.name, f.dataType, f.nullable, meta)
@@ -3417,6 +3467,17 @@ def read_change_feed(
         )
     if ending_version is None:
         ending_version = vs[-1] if vs else -1
+    # Only surviving commit JSONs can be replayed; after
+    # cleanup_metadata expired part of the requested range a silent
+    # partial feed would be WRONG data — refuse like delta-spark does
+    # when startingVersion predates the earliest available commit.
+    if vs and starting_version < vs[0]:
+        raise DoesNotExistError(
+            f"change feed of {path} cannot start at version "
+            f"{starting_version}: the earliest surviving commit is "
+            f"{vs[0]} (older commits were expired by "
+            "delta.logRetentionDuration metadata cleanup)"
+        )
     snap = log.snapshot(ending_version, allow=BATCH_READ_FEATURES)
     if not cdf_enabled(snap.configuration):
         raise UnsupportedOperationError(

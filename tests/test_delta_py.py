@@ -2247,7 +2247,13 @@ def test_cleanup_metadata_log_retention(spark, tbl):
 
     assert _parse_interval_ms("interval 7 days") == 7 * 86_400_000
     assert _parse_interval_ms("interval 1 hour") == 3_600_000
-    assert _parse_interval_ms("garbage") == 30 * 86_400_000
+    # CalendarInterval month/year units (Spark converts at 31 d/month)
+    assert _parse_interval_ms("interval 3 months") == 3 * 31 * 86_400_000
+    assert _parse_interval_ms("interval 1 year") == 372 * 86_400_000
+    # unparseable retention REFUSES instead of guessing a window —
+    # a wrong guess deletes log history irreversibly
+    with pytest.raises(ValueError, match="invalid retention interval"):
+        _parse_interval_ms("garbage")
 
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     write_delta(spark, df, tbl)
@@ -2277,3 +2283,167 @@ def test_cleanup_metadata_log_retention(spark, tbl):
     write_delta(spark, df, t2, mode="append")
     DeltaLog(t2).write_checkpoint(1)
     assert DeltaLog(t2).cleanup_metadata() == []
+
+
+def test_checkpoint_roundtrips_protocol_feature_lists(spark, tbl):
+    """readerFeatures/writerFeatures MUST survive a checkpoint (both
+    layouts): table-features protocols (writer 7 + feature list) that
+    came back featureless would be spec-invalid, blind the writer
+    gate, and — once cleanup_metadata expires the commit JSON holding
+    the real protocol — lose the feature list permanently."""
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(6)], "id long, s string"
+    ).coalesce(1)
+    write_delta(spark, df, tbl)
+    log = DeltaLog(tbl)
+    proto = {
+        "minReaderVersion": 1,
+        "minWriterVersion": 7,
+        "writerFeatures": ["domainMetadata", "rowTracking"],
+    }
+    log.commit(log.versions()[-1] + 1, [{"protocol": proto}])
+    v = DeltaLog(tbl).versions()[-1]
+    DeltaLog(tbl).write_checkpoint(v)
+    # expire every commit JSON at/below the checkpoint — the
+    # checkpoint is now the ONLY carrier of the protocol
+    from local_lakehouse_spark.sources.delta_py import set_properties
+
+    set_properties(
+        tbl, {"delta.logRetentionDuration": "interval 0 seconds"}
+    )
+    assert DeltaLog(tbl).cleanup_metadata()
+    snap = DeltaLog(tbl).snapshot(v)
+    assert snap.protocol["minWriterVersion"] == 7
+    assert snap.protocol["writerFeatures"] == [
+        "domainMetadata",
+        "rowTracking",
+    ]
+    assert "readerFeatures" not in snap.protocol  # absent stays absent
+    # V2 layout: the top file's protocol row round-trips features too
+    t2 = tbl + "_v2"
+    write_delta(spark, df, t2)
+    log2 = DeltaLog(t2)
+    proto2 = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint", "inCommitTimestamp"],
+    }
+    log2.commit(log2.versions()[-1] + 1, [{"protocol": proto2}])
+    v2 = DeltaLog(t2).versions()[-1]
+    DeltaLog(t2).write_checkpoint(v2)
+    for old in range(v2):
+        p = os.path.join(t2, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+    snap2 = DeltaLog(t2).snapshot(v2)
+    assert snap2.protocol["readerFeatures"] == ["v2Checkpoint"]
+    assert snap2.protocol["writerFeatures"] == [
+        "inCommitTimestamp",
+        "v2Checkpoint",
+    ] or snap2.protocol["writerFeatures"] == [
+        "v2Checkpoint",
+        "inCommitTimestamp",
+    ]
+
+
+def test_identity_negative_step(spark, tbl):
+    """A step<0 IDENTITY column allocates DOWNWARD: the watermark
+    tracks the step-direction extreme (min of the written stats'
+    minValues), so a second append continues strictly below the first
+    instead of re-allocating the same ids (the duplicate-identity bug
+    a max-of-maxValues watermark causes)."""
+    from local_lakehouse_spark.sources.delta_py import identity_columns
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "s string"
+    ).coalesce(2)
+    write_delta(
+        spark, df, tbl, identity={"id": {"start": 0, "step": -3}}
+    )
+    snap = DeltaLog(tbl).snapshot()
+    spec = identity_columns(snap.schema)["id"]
+    ids = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert len(set(ids)) == 3
+    assert max(ids) <= 0 and all(v % 3 == 0 for v in ids)
+    assert spec["highWaterMark"] == min(ids)
+    # second append: unique, aligned, strictly below the watermark
+    write_delta(
+        spark,
+        spark.createDataFrame([("d",), ("e",)], "s string"),
+        tbl,
+        mode="append",
+    )
+    rows = {r.s: r.id for r in read_delta(spark, tbl).collect()}
+    assert len(set(rows.values())) == 5  # NO duplicate identities
+    assert all(v % 3 == 0 for v in rows.values())
+    assert max(rows[s] for s in ("d", "e")) < min(ids)
+    snap2 = DeltaLog(tbl).snapshot()
+    assert identity_columns(snap2.schema)["id"]["highWaterMark"] == min(
+        rows.values()
+    )
+
+
+def test_cluster_by_refuses_mapped_partition_column(spark, tbl):
+    """The CLUSTER BY partition-column refusal fires on column-mapped
+    tables too: snap.partition_columns hold PHYSICAL names there, so
+    the guard must translate back to logical before intersecting."""
+    from local_lakehouse_spark.exceptions import (
+        UnsupportedOperationError,
+    )
+    from local_lakehouse_spark.sources.delta_py import cluster_by
+
+    df = spark.createDataFrame(
+        [(1, "eu", 2.0), (2, "us", 3.0)],
+        "id long, region string, v double",
+    )
+    write_delta(
+        spark, df, tbl, partition_by=["region"], column_mapping=True
+    )
+    from local_lakehouse_spark.sources.delta_py import (
+        BATCH_READ_FEATURES,
+    )
+
+    snap = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    # precondition: the stored partition column IS physical
+    assert snap.partition_columns[0].startswith("col-")
+    with pytest.raises(UnsupportedOperationError, match="partition"):
+        cluster_by(tbl, ["region"])
+    # non-partition clustering still accepted
+    assert cluster_by(tbl, ["id"]).version == snap.version + 1
+
+
+def test_cdf_refuses_expired_starting_version(spark, tbl):
+    """After cleanup_metadata expires part of the requested range the
+    change feed REFUSES (delta-spark's behavior) instead of silently
+    returning a partial feed."""
+    from local_lakehouse_spark.exceptions import DoesNotExistError
+    from local_lakehouse_spark.sources.delta_py import (
+        read_change_feed,
+        set_properties,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_delta(spark, df, tbl)
+    set_properties(tbl, {"delta.enableChangeDataFeed": "true"})
+    for i in range(2, 5):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, "x")], "id long, s string"),
+            tbl,
+            mode="append",
+        )
+    log = DeltaLog(tbl)
+    v = log.versions()[-1]
+    log.write_checkpoint(v)
+    set_properties(
+        tbl, {"delta.logRetentionDuration": "interval 0 seconds"}
+    )
+    assert DeltaLog(tbl).cleanup_metadata()
+    surviving = DeltaLog(tbl).versions()
+    assert surviving[0] == v
+    with pytest.raises(DoesNotExistError, match="earliest surviving"):
+        read_change_feed(spark, tbl, starting_version=0)
+    # starting at the earliest surviving commit still reads fine
+    out = read_change_feed(spark, tbl, starting_version=surviving[0])
+    assert out.count() >= 1
