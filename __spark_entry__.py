@@ -26,82 +26,76 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
 _ALL = {**_CORE, **_EXT}
 
-# Round-7 cap ordering (driver cap = 50 queries/round; stamps are
-# CUMULATIVE across CORRECTNESS_r01..r06 — the r6 union is 191/191
-# oracle-eligible green). The cap fills by STAMP AGE (judge r6 #1):
-# 1. never-stamped first (the round-5 rule): y22 column-mapped
-#    append, y23 DV-aware append-only streaming replay, y24
-#    column-mapped streaming replay, y25 column-mapped DV DML,
-#    y26 column-mapped write matrix, y27 change data feed, y28
-#    streaming change feed, y29 identity columns, y30 row
-#    tracking, y31 liquid clustering — new this round;
-# 2. the LAST 7 r1-era stamps, q41–q47 — earned before the r3
-#    fixture drift (events.ts NANOS→MICROS), the oldest evidence in
-#    the union;
-# 3. all 24 r2-era stamps;
-# 4. the remaining 9 slots go to the oldest r3-era stamps
-#    (q48–q57 minus q55, which re-greened r5).
-# Everything past the cap keeps an r3+ stamp AND a same-round local
-# green in CORRECTNESS_LOCAL_r07.json; the r3 tail rotates in r8.
+# Round-8 cap ordering (driver cap = 50 queries/round; stamps are
+# CUMULATIVE across CORRECTNESS_r01..r07 — the r7 union is 201/201
+# oracle-eligible green). The cap fills by STAMP AGE (judge r7 #1):
+# 1. never-stamped first: y32 in-commit timestamps + writer-feature
+#    checkpoint round-trip — new this round;
+# 2. ALL 39 r3-era stamps (q58–q68 + the x13–x70 band) — they
+#    predate four rounds of engine churn (DV reads, column mapping,
+#    checkpoint schema changes all touch shared read paths);
+# 3. the remaining 10 slots go to the oldest r4-era stamps
+#    (q69–q74 + x03/x04/x38/x43).
+# Everything past the cap keeps an r4+ stamp AND a same-round local
+# green in CORRECTNESS_LOCAL_r08.json; the r4 tail (37 queries)
+# rotates in r9.
 _NEVER_STAMPED = [
-    "y22_column_mapped_append",
-    "y23_dv_stream_append_only",
-    "y24_column_mapped_stream",
-    "y25_column_mapped_dml",
-    "y26_column_mapped_write_matrix",
-    "y27_change_data_feed",
-    "y28_streaming_change_feed",
-    "y29_identity_columns",
-    "y30_row_tracking",
-    "y31_liquid_clustering",
+    "y32_in_commit_timestamps",
 ]
-_R1_ERA = [
-    "q41_tpch_q12_conditional_agg",
-    "q42_tpch_q18_having_join",
-    "q43_tpch_q4_exists",
-    "q44_tpch_q6_scan_agg",
-    "q45_unpivot",
-    "q46_grouping_sets",
-    "q47_lateral_topn",
+_R3_ERA = [
+    "q58_tpch_q19_disjunctive",
+    "q59_tpch_q20_excess_inventory",
+    "q60_tpch_q21_waiting_suppliers",
+    "q61_tpch_q22_sales_opportunity",
+    "q62_higher_order_fns",
+    "q63_time_range_frame",
+    "q64_argmax_aggregation",
+    "q65_multiset_ops",
+    "q66_recursive_cte",
+    "q67_cube",
+    "q68_filter_clause",
+    "x13_sessionize",
+    "x16_streaming_tumbling",
+    "x18_streaming_sessionize_stateful",
+    "x25_streaming_rollup_table",
+    "x32_streaming_interval_join",
+    "x35_audio_features",
+    "x36_streaming_left_outer_join",
+    "x37_histogram_quantiles",
+    "x39_sequence_packing",
+    "x40_decontaminate",
+    "x41_vocab_zipf",
+    "x42_tfidf_top_terms",
+    "x44_funnel_stages",
+    "x48_bigram_lm",
+    "x49_corpus_pipeline",
+    "x50_stateful_running_totals",
+    "x51_groupwise_regression",
+    "x59_count_min_sketch",
+    "x61_bloom_join",
+    "x62_bpe_merges",
+    "x63_weighted_sample",
+    "x64_pareto_frontier",
+    "x65_dedup_survivors",
+    "x66_pagerank",
+    "x67_pmi_collocations",
+    "x68_repeated_spans",
+    "x69_lm_doc_score",
+    "x70_contiguous_ids",
 ]
-_R2_ERA = [
-    "x01_dedup_exact",
-    "x02_dedup_ngram_jaccard",
-    "x05_ann_cosine_topk",
-    "x07_language_id",
-    "x08_quality_score",
-    "x09_token_count",
-    "x10_fingerprint",
-    "x11_asof_join",
-    "x12_events_hourly",
-    "x15_multimodal_decode",
-    "x17_ann_ivf_topk",
-    "x19_clean_text",
-    "x20_corpus_filter",
-    "x21_streaming_dedup",
-    "x23_pandas_udf_scalar",
-    "x24_apply_in_pandas_norm",
-    "x26_chunk_documents",
-    "x27_repetition_quality",
-    "x28_stratified_sample",
-    "x29_pii_redact",
-    "x30_cap_per_group",
-    "x31_quantize_embeddings",
-    "x33_dedup_clusters",
-    "x34_bm25_relevance",
+_R4_ERA_HEAD = [
+    "q69_numeric_range_frame",
+    "q70_regexp_extract_all",
+    "q71_ignore_nulls_locf",
+    "q72_null_safe_ops",
+    "q73_variant_json",
+    "q74_pipe_syntax",
+    "x03_dedup_minhash_lsh",
+    "x04_dedup_simhash",
+    "x38_mixture_sample",
+    "x43_word_rarity",
 ]
-_R3_ERA_HEAD = [
-    "q48_tpch_q2_min_cost_supplier",
-    "q49_tpch_q7_volume_shipping",
-    "q50_tpch_q8_market_share",
-    "q51_tpch_q9_product_profit",
-    "q52_tpch_q11_important_stock",
-    "q53_tpch_q13_order_distribution",
-    "q54_tpch_q14_promo_effect",
-    "q56_tpch_q16_parts_suppliers",
-    "q57_tpch_q17_small_quantity",
-]
-_PRIORITY = _NEVER_STAMPED + _R1_ERA + _R2_ERA + _R3_ERA_HEAD
+_PRIORITY = _NEVER_STAMPED + _R3_ERA + _R4_ERA_HEAD
 QUERY_SPECS = {
     **{n: _ALL[n] for n in _PRIORITY},
     **{n: s for n, s in _ALL.items() if n not in _PRIORITY},

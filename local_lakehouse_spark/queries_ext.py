@@ -7232,27 +7232,37 @@ def y30(spark, sf):
         allow=delta_py.BATCH_READ_FEATURES
     )
     if snap0.version == 1:
-        pre = {
-            r.suppkey: r._row_id
-            for r in delta_py.read_delta_with_row_ids(spark, tbl)
-            .select("suppkey", "_row_id")
-            .collect()
-        }
         # compact FIRST (DV-bearing files are purge's job, not
         # compact's): v2 bin-packs the 4 fresh files, v3 DV-deletes
         delta_py.compact(spark, tbl, target_file_bytes=1 << 30)  # v2
         delta_py.delete_where(spark, tbl, "suppkey % 10 = 0")  # v3
-        post = {
-            r.suppkey: r._row_id
-            for r in delta_py.read_delta_with_row_ids(spark, tbl)
-            .select("suppkey", "_row_id")
-            .collect()
-        }
-        expect = {k: v for k, v in pre.items() if k % 10 != 0}
-        if post != expect:
-            raise AssertionError(
-                "y30: OPTIMIZE/DELETE failed to preserve row ids"
-            )
+    # Id-preservation contract as a DISTRIBUTED assertion (no O(table)
+    # collect — the check itself must survive a fact-sized table):
+    # time-travel to the pre-OPTIMIZE version, drop the rows v3
+    # deleted, full-outer join on the key, and count any row missing
+    # on either side or carrying a different id. Zero or the query
+    # fails loudly.
+    pre = (
+        delta_py.read_delta_with_row_ids(spark, tbl, version=1)
+        .filter("suppkey % 10 != 0")
+        .select("suppkey", F.col("_row_id").alias("__pre_id"))
+    )
+    post = delta_py.read_delta_with_row_ids(spark, tbl).select(
+        "suppkey", F.col("_row_id").alias("__post_id")
+    )
+    n_bad = (
+        pre.join(post, "suppkey", "full_outer")
+        .filter(
+            "__pre_id IS NULL OR __post_id IS NULL "
+            "OR __pre_id <> __post_id"
+        )
+        .count()
+    )
+    if n_bad:
+        raise AssertionError(
+            f"y30: OPTIMIZE/DELETE failed to preserve row ids for "
+            f"{n_bad} keys"
+        )
     snap = delta_py.DeltaLog(tbl).snapshot(
         allow=delta_py.BATCH_READ_FEATURES
     )
@@ -7364,6 +7374,130 @@ FROM events, hi
 WHERE event_id >= CAST(h // 4 AS BIGINT)
   AND event_id < CAST(h // 2 AS BIGINT)
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def y32(spark, sf):
+    """IN-COMMIT TIMESTAMPS + writer-feature round-trip (round 8 —
+    the inCommitTimestamp writer feature; delta-rs 0.18 has no ICT):
+    enabling delta.enableInCommitTimestamps makes every later commit
+    carry a STRICTLY MONOTONE inCommitTimestamp in a commitInfo that
+    is the FIRST action of the file (the protocol's ordering rule),
+    authoritative over file mtimes for TIMESTAMP AS OF. Commits land
+    via TWO distinct paths — the append write path and the DV DELETE
+    DML path — and both must stamp. CONTRACTS: the enabling commit
+    declares the writer feature; v1..v3 all stamped, commitInfo
+    first, strictly increasing; version_at_timestamp resolves exactly
+    (at, just-below, and above the stamps); a CHECKPOINT at v3
+    round-trips the feature list (snapshot reconstructs protocol from
+    the checkpoint alone — a featureless writer-7 protocol here means
+    the checkpoint schema dropped the lists) and the AS OF read at
+    the append's stamp sees exactly the pre-delete row count. Oracle:
+    supplier plus the surviving sentinel row.
+
+    Reference parity: delta-spark's InCommitTimestampSuite checks the
+    same obligations (monotonicity, commitInfo-first, time-travel
+    resolution through stamps)."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|ict-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ict_{key}")
+    if not delta_py.is_delta_table(tbl):
+        base = t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_nationkey").alias("nation"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+        delta_py.write_delta(spark, base.repartition(2), tbl)  # v0
+        delta_py.set_properties(
+            tbl, {"delta.enableInCommitTimestamps": "true"}
+        )  # v1 — declares the writer feature + first stamp
+        extra = spark.createDataFrame(
+            [(9_000_000_001, 0, 1.0), (9_000_000_002, 1, 2.0)],
+            "suppkey long, nation int, acctbal double",
+        )
+        delta_py.write_delta(
+            spark, extra.coalesce(1), tbl, mode="append"
+        )  # v2 — write path stamps
+        delta_py.delete_where(
+            spark, tbl, "suppkey = 9000000002"
+        )  # v3 — DV DML path stamps
+        delta_py.DeltaLog(tbl).write_checkpoint(3)
+    log = delta_py.DeltaLog(tbl)
+    stamps = {}
+    for v in (1, 2, 3):
+        fname = os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+        with open(fname) as fh:
+            first = _json.loads(next(ln for ln in fh if ln.strip()))
+        ict = (first.get("commitInfo") or {}).get("inCommitTimestamp")
+        if not isinstance(ict, int):
+            raise AssertionError(
+                f"y32: version {v} has no leading commitInfo with "
+                "an inCommitTimestamp"
+            )
+        stamps[v] = ict
+    if not (stamps[1] < stamps[2] < stamps[3]):
+        raise AssertionError(
+            f"y32: inCommitTimestamps not strictly monotone: {stamps}"
+        )
+    for ts, want in (
+        (stamps[2], 2),
+        (stamps[3] - 1, 2),
+        (stamps[3], 3),
+        (stamps[3] + 10_000, 3),
+    ):
+        got = log.version_at_timestamp(ts)
+        if got != want:
+            raise AssertionError(
+                f"y32: TIMESTAMP AS OF {ts} resolved v{got}, want "
+                f"v{want}"
+            )
+    # the checkpoint is the ONLY protocol source for snapshot(3) —
+    # feature lists must have round-tripped through its Arrow schema
+    snap = log.snapshot(3, allow=delta_py.BATCH_READ_FEATURES)
+    wf = set(snap.protocol.get("writerFeatures") or [])
+    if "inCommitTimestamp" not in wf:
+        raise AssertionError(
+            "y32: checkpoint dropped the writer feature list "
+            f"(writerFeatures={sorted(wf)})"
+        )
+    n_asof = delta_py.read_delta(spark, tbl, timestamp=stamps[2]).count()
+    n_v2 = delta_py.read_delta(spark, tbl, version=2).count()
+    if n_asof != n_v2:
+        raise AssertionError(
+            f"y32: AS OF the append stamp saw {n_asof} rows, "
+            f"version 2 has {n_v2}"
+        )
+    return (
+        delta_py.read_delta(spark, tbl)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y32_SQL = """
+WITH live AS (
+  SELECT s_nationkey AS nation, s_acctbal AS acctbal FROM supplier
+  UNION ALL
+  SELECT 0 AS nation, 1.0 AS acctbal
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM live GROUP BY nation ORDER BY nation
 """
 
 
@@ -7527,4 +7661,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y29_identity_columns": QuerySpec(y29, Y29_SQL),
     "y30_row_tracking": QuerySpec(y30, Y30_SQL),
     "y31_liquid_clustering": QuerySpec(y31, Y31_SQL),
+    "y32_in_commit_timestamps": QuerySpec(y32, Y32_SQL),
 }

@@ -3104,7 +3104,7 @@ def _row_tracked_rewrite_scan(
 
 
 def read_delta_with_row_ids(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, version: Optional[int] = None
 ) -> DataFrame:
     """Row-tracking read: the table's columns plus ``_row_id`` and
     ``_row_commit_version`` (delta-spark's row-tracking metadata
@@ -3112,11 +3112,14 @@ def read_delta_with_row_ids(
     broadcast file map; rows carried through an OPTIMIZE/PURGE
     rewrite read their MATERIALIZED ids instead (coalesce prefers
     the stored column), so ids are stable across rearrangements.
-    DV-deleted rows are anti-joined out exactly as in read_delta."""
+    DV-deleted rows are anti-joined out exactly as in read_delta.
+    ``version`` time-travels like read_delta — id stability across
+    versions is exactly what row tracking guarantees, so the versioned
+    read is the natural way to ASSERT it without collecting."""
     from pyspark.sql import functions as F
 
     log = DeltaLog(path)
-    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    snap = log.snapshot(version, allow=BATCH_READ_FEATURES)
     if not row_tracking_enabled(snap.configuration):
         raise UnsupportedOperationError(
             f"Delta table at {path} does not have "
