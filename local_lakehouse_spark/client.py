@@ -582,7 +582,10 @@ class LakehouseClient:
                     )
                 mapped = snap.column_mapping_mode not in ("", "none")
                 scan_schema = (
-                    delta_py._physical_type(snap.schema)
+                    delta_py._physical_type(
+                        snap.schema,
+                        field_ids=snap.column_mapping_mode == "id",
+                    )
                     if mapped
                     else snap.schema
                 )

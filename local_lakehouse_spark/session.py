@@ -23,10 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 #   Harmless when the fixture stores MICROS (the conf never fires).
 # - UTC timezone: timestamp rendering must match the DuckDB oracle.
 # - Arrow: pandas UDF / applyInPandas batches go through Arrow.
+# - fieldId.read: lets a scan schema carrying parquet.field.id
+#   metadata resolve parquet columns by FOOTER FIELD ID instead of
+#   name — delta_py attaches those ids only for tables with
+#   delta.columnMapping.mode=id (the protocol's id-mode binding;
+#   foreign id-mode footers need not match physical names). Inert
+#   for every other read: schemas without the metadata keep name
+#   resolution.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.fieldId.read.enabled": "true",
+    "spark.sql.parquet.fieldId.write.enabled": "true",
 }
 
 
@@ -136,4 +145,7 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    # getOrCreate may return a PRE-EXISTING session (tests, harness) —
+    # the builder confs above then never apply, so the runtime-settable
+    # correctness confs are (re)applied explicitly every time.
+    return harden_runtime(builder.getOrCreate())

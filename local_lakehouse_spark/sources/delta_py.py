@@ -1098,29 +1098,50 @@ def candidate_files(
 # ---------------------------------------------------------------------------
 
 
-def _physical_type(dt: T.DataType) -> T.DataType:
+def _physical_type(
+    dt: T.DataType, field_ids: bool = False
+) -> T.DataType:
     """Recursively rename struct fields to their
     ``delta.columnMapping.physicalName`` (name/id mapping modes both
-    populate it — the spec requires it whenever mapping is active)."""
+    populate it — the spec requires it whenever mapping is active).
+
+    ``field_ids=True`` additionally stamps each field's
+    ``delta.columnMapping.id`` into ``parquet.field.id`` metadata —
+    Spark's native field-id hook: with
+    ``spark.sql.parquet.fieldId.read.enabled`` (set in session.py)
+    the parquet reader then RESOLVES these columns by footer field id
+    instead of by name, which is the binding the protocol requires
+    under ``delta.columnMapping.mode=id`` (a foreign id-mode writer's
+    footer names need not match the physical names). Fields without a
+    mapping id carry no parquet.field.id and keep name resolution —
+    the physical-name fallback. Same mechanism delta-spark uses
+    (DeltaColumnMapping attaches the parquet field-id metadata key)."""
     if isinstance(dt, T.StructType):
-        return T.StructType(
-            [
+        fields = []
+        for f in dt.fields:
+            meta = f.metadata or {}
+            fmeta = None
+            if field_ids and "delta.columnMapping.id" in meta:
+                fmeta = {
+                    "parquet.field.id": int(meta["delta.columnMapping.id"])
+                }
+            fields.append(
                 T.StructField(
-                    (f.metadata or {}).get(
-                        "delta.columnMapping.physicalName", f.name
-                    ),
-                    _physical_type(f.dataType),
+                    meta.get("delta.columnMapping.physicalName", f.name),
+                    _physical_type(f.dataType, field_ids),
                     f.nullable,
+                    metadata=fmeta,
                 )
-                for f in dt.fields
-            ]
-        )
+            )
+        return T.StructType(fields)
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(
+            _physical_type(dt.elementType, field_ids), dt.containsNull
+        )
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_type(dt.keyType),
-            _physical_type(dt.valueType),
+            _physical_type(dt.keyType, field_ids),
+            _physical_type(dt.valueType, field_ids),
             dt.valueContainsNull,
         )
     return dt
@@ -1133,6 +1154,17 @@ def _physical_names(schema: T.StructType) -> dict:
             "delta.columnMapping.physicalName", f.name
         )
         for f in schema.fields
+    }
+
+
+def _mapping_field_ids(schema: T.StructType) -> dict:
+    """Top-level logical name -> ``delta.columnMapping.id`` — the
+    binding key under ``delta.columnMapping.mode=id`` (footer field
+    ids resolve columns; names are only the fallback)."""
+    return {
+        f.name: int(f.metadata["delta.columnMapping.id"])
+        for f in schema.fields
+        if f.metadata and "delta.columnMapping.id" in f.metadata
     }
 
 
@@ -1322,7 +1354,12 @@ def read_delta(
     if not snap.adds:
         return spark.createDataFrame([], out_schema)
     scan_schema = (
-        _physical_type(log_schema) if mapping else out_schema
+        _physical_type(
+            log_schema,
+            field_ids=snap.column_mapping_mode == "id",
+        )
+        if mapping
+        else out_schema
     )
     # basePath exists only to derive hive partition columns from dir
     # names; unpartitioned scans omit it so absolute add paths
@@ -2548,7 +2585,9 @@ def _scan_reader(spark: SparkSession, snap: Snapshot, path: str):
     scan cleanly from outside the table dir."""
     schema = snap.schema
     if snap.column_mapping_mode not in ("", "none"):
-        schema = _physical_type(schema)
+        schema = _physical_type(
+            schema, field_ids=snap.column_mapping_mode == "id"
+        )
     reader = spark.read.schema(schema)
     if snap.partition_columns:
         reader = reader.option("basePath", path)
@@ -2560,19 +2599,33 @@ def _to_physical(df: DataFrame, schema: T.StructType) -> DataFrame:
     column-mapped table: struct casts rename nested fields by
     position — the exact inverse of read_delta's physical -> logical
     cast. Shared by write_delta appends, DV UPDATE post-images, and
-    DV MERGE appended rows."""
+    DV MERGE appended rows.
+
+    Each top-level alias also carries ``parquet.field.id`` metadata
+    (from ``delta.columnMapping.id``), so Spark's parquet writer
+    (``spark.sql.parquet.fieldId.write.enabled``, default on) stamps
+    field ids into the footers — delta-spark does the same in BOTH
+    mapping modes, and under ``mode=id`` it is the writer obligation
+    that lets foreign readers resolve our files by id."""
     from pyspark.sql import functions as F
 
     phys = _physical_names(schema)
-    return df.select(
-        *[
+    cols = []
+    for f in schema.fields:
+        if f.name not in df.columns:
+            continue
+        meta = f.metadata or {}
+        kw = (
+            {"metadata": {"parquet.field.id": int(meta["delta.columnMapping.id"])}}
+            if "delta.columnMapping.id" in meta
+            else {}
+        )
+        cols.append(
             F.col(f.name)
             .cast(_physical_type(f.dataType))
-            .alias(phys[f.name])
-            for f in schema.fields
-            if f.name in df.columns
-        ]
-    )
+            .alias(phys[f.name], **kw)
+        )
+    return df.select(*cols)
 
 
 def _logical_positions_scan(
@@ -3071,7 +3124,13 @@ def _row_tracked_rewrite_scan(
     from pyspark.sql import functions as F
 
     mapped = snap.column_mapping_mode not in ("", "none")
-    scan_schema = _physical_type(snap.schema) if mapped else snap.schema
+    scan_schema = (
+        _physical_type(
+            snap.schema, field_ids=snap.column_mapping_mode == "id"
+        )
+        if mapped
+        else snap.schema
+    )
     scan_schema = T.StructType(
         list(scan_schema.fields)
         + [
@@ -3127,7 +3186,13 @@ def read_delta_with_row_ids(
         )
     mat = _materialized_row_id_cols(snap.configuration)
     mapped = snap.column_mapping_mode not in ("", "none")
-    scan_schema = _physical_type(snap.schema) if mapped else snap.schema
+    scan_schema = (
+        _physical_type(
+            snap.schema, field_ids=snap.column_mapping_mode == "id"
+        )
+        if mapped
+        else snap.schema
+    )
     extra: list = []
     if mat:
         extra = [
@@ -3489,7 +3554,13 @@ def read_change_feed(
             "require the CDF table property"
         )
     mapped = snap.column_mapping_mode not in ("", "none")
-    phys_schema = _physical_type(snap.schema) if mapped else snap.schema
+    phys_schema = (
+        _physical_type(
+            snap.schema, field_ids=snap.column_mapping_mode == "id"
+        )
+        if mapped
+        else snap.schema
+    )
     cdc_group: list[tuple[str, int, int]] = []
     ins_group: list[tuple[str, int, int]] = []
     del_group: list[tuple[str, int, int]] = []

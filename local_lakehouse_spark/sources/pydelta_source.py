@@ -79,6 +79,7 @@ from .delta_py import (
     partition_keep,
     _add_action,
     _file_stats,
+    _mapping_field_ids,
     _meta_action,
     _physical_names,
     _physical_type,
@@ -148,6 +149,7 @@ def _read_file_as_batches(
     part_values: dict,
     deleted=None,
     physical: "dict | None" = None,
+    field_ids: "dict | None" = None,
 ):
     """One data file → Arrow batches matching the FULL table schema:
     partition columns materialize as constants from partitionValues,
@@ -163,7 +165,15 @@ def _read_file_as_batches(
     then PHYSICAL names; each column is read by its physical name,
     cast to the physical arrow type, and relabeled to the logical
     field (nested struct names included) before leaving the reader —
-    executor-side, no extra pass over the values."""
+    executor-side, no extra pass over the values.
+
+    ``field_ids``: top-level logical -> ``delta.columnMapping.id``,
+    passed for ``delta.columnMapping.mode=id`` tables. Binding is
+    then PER FILE by parquet footer field id (pyarrow surfaces them
+    as ``PARQUET:field_id`` field metadata) — the id-mode protocol
+    contract, since a foreign id-mode writer's footer names need not
+    match the physical names — with physical-name fallback for files
+    (or columns) lacking footer ids."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -180,12 +190,21 @@ def _read_file_as_batches(
         if physical
         else {}
     )
+    file_schema = pq.read_schema(abs_path)
+    if field_ids:
+        by_id = {}
+        for fld in file_schema:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = fld.name
+        for f in spark_schema.fields:
+            fid = field_ids.get(f.name)
+            if fid is not None and fid in by_id:
+                phys_of[f.name] = by_id[fid]
     wanted = set(phys_of.values())
     table = pq.read_table(
         abs_path,
-        columns=[
-            n for n in pq.read_schema(abs_path).names if n in wanted
-        ],
+        columns=[n for n in file_schema.names if n in wanted],
     )
     if deleted is not None and len(deleted):
         import numpy as np
@@ -307,6 +326,13 @@ class _PyDeltaReader(DataSourceReader):
             if self._snap.column_mapping_mode not in ("", "none")
             else None
         )
+        # id mode binds per file by footer field id (physical-name
+        # fallback) — the protocol's id-mode read contract
+        self._fids = (
+            _mapping_field_ids(self._schema)
+            if self._snap.column_mapping_mode == "id"
+            else None
+        )
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         before = len(self._adds)
@@ -357,6 +383,7 @@ class _PyDeltaReader(DataSourceReader):
             partition.value["parts"],
             deleted=deleted,
             physical=self._phys,
+            field_ids=self._fids,
         )
 
 
@@ -516,6 +543,7 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._log = DeltaLog(self._path)
         self._phys = None
+        self._fids = None
         # delta-spark parity: .option("readChangeFeed", "true") turns
         # the stream into a CHANGE feed — each microbatch carries the
         # table's columns + _change_type/_commit_version/
@@ -532,6 +560,8 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
             snap = self._log.snapshot(allow=BATCH_READ_FEATURES)
             if snap.column_mapping_mode not in ("", "none"):
                 self._phys = _physical_names(snap.schema)
+                if snap.column_mapping_mode == "id":
+                    self._fids = _mapping_field_ids(snap.schema)
             if self._cdf and not cdf_enabled(snap.configuration):
                 raise ValueError(
                     "readChangeFeed requires "
@@ -749,6 +779,7 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
             partition.value["parts"],
             deleted=deleted,
             physical=self._phys,
+            field_ids=self._fids,
         )
 
     def commit(self, end: dict) -> None:

@@ -1289,3 +1289,151 @@ def test_create_column_mapped_table_natively(spark, tbl):
         write_delta(
             spark, df, tbl, mode="append", column_mapping=True
         )
+
+
+# ---------------------------------------------------------------------------
+# Column mapping mode=id (round 8): binding by parquet footer field id
+# ---------------------------------------------------------------------------
+
+
+def _make_id_mapped_table(tbl):
+    """Hand-build what a FOREIGN id-mode writer produces: parquet
+    whose footer column NAMES match neither the logical nor the
+    physical names, but whose footer FIELD IDS match the schema's
+    delta.columnMapping.id — the binding the id-mode protocol
+    mandates. A physical-name-only reader returns silent NULLs here
+    (the pre-round-8 gap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = T.StructType(
+        [
+            _mapped_field("id", T.LongType(), 1, "col-p1"),
+            _mapped_field("name", T.StringType(), 2, "col-p2"),
+        ]
+    )
+    os.makedirs(tbl, exist_ok=True)
+    foreign = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array(["ann", "bob", "cyd"]),
+        },
+        schema=pa.schema(
+            [
+                pa.field(
+                    "k", pa.int64(),
+                    metadata={b"PARQUET:field_id": b"1"},
+                ),
+                pa.field(
+                    "v", pa.string(),
+                    metadata={b"PARQUET:field_id": b"2"},
+                ),
+            ]
+        ),
+    )
+    rel = "part-0.parquet"
+    pq.write_table(foreign, os.path.join(tbl, rel))
+    log = DeltaLog(tbl)
+    log.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "id-mapped-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                    "createdTime": 0,
+                }
+            },
+            delta_py._add_action(tbl, rel, {}),
+        ],
+    )
+    return schema
+
+
+def test_id_mode_read_binds_by_field_id(spark, tbl):
+    """read_delta on an id-mode table with MISMATCHED footer names:
+    columns resolve by footer field id (Spark's native
+    parquet.field.id scan metadata), not by name."""
+    _make_id_mapped_table(tbl)
+    df = read_delta(spark, tbl)
+    assert df.columns == ["id", "name"]
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {1: "ann", 2: "bob", 3: "cyd"}
+
+
+def test_id_mode_pydelta_batch_read(spark, tbl):
+    """The registered pydelta DataSource binds id-mode files per file
+    by footer field id in the Arrow batch builder."""
+    from local_lakehouse_spark.sources import pydelta_source
+
+    pydelta_source.register(spark)
+    _make_id_mapped_table(tbl)
+    df = spark.read.format("pydelta").load(tbl)
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {1: "ann", 2: "bob", 3: "cyd"}
+
+
+def test_id_mode_append_writes_field_ids_and_reads_back(spark, tbl):
+    """Our append to a foreign id-mode table writes footer field ids
+    (the id-mode writer obligation — foreign readers resolve by id),
+    and the mixed table reads back whole on both batch paths."""
+    import pyarrow.parquet as pq
+
+    from local_lakehouse_spark.sources import pydelta_source
+
+    _make_id_mapped_table(tbl)
+    extra = spark.createDataFrame([(4, "dee")], "id long, name string")
+    write_delta(spark, extra.coalesce(1), tbl, mode="append")
+    snap = DeltaLog(tbl).snapshot(allow=BATCH_READ_FEATURES)
+    ours = [r for r in snap.adds if r != "part-0.parquet"]
+    assert ours
+    for rel in ours:
+        sch = pq.read_schema(os.path.join(tbl, rel))
+        ids = {
+            f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in sch
+        }
+        # physical names AND footer field ids, like delta-spark
+        assert ids == {"col-p1": b"1", "col-p2": b"2"}
+    want = {1: "ann", 2: "bob", 3: "cyd", 4: "dee"}
+    assert {
+        r.id: r.name for r in read_delta(spark, tbl).collect()
+    } == want
+    pydelta_source.register(spark)
+    assert {
+        r.id: r.name
+        for r in spark.read.format("pydelta").load(tbl).collect()
+    } == want
+
+
+def test_id_mode_arrow_fallback_to_physical_name(spark, tbl):
+    """Arrow-path physical-name FALLBACK: a file in an id-mode table
+    whose footer lacks field ids but carries the physical names still
+    reads correctly through pydelta (binding falls back per file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from local_lakehouse_spark.sources import pydelta_source
+
+    _make_id_mapped_table(tbl)
+    legacy = pa.table(
+        {
+            "col-p1": pa.array([9], pa.int64()),
+            "col-p2": pa.array(["zoe"]),
+        }
+    )
+    rel = "part-legacy.parquet"
+    pq.write_table(legacy, os.path.join(tbl, rel))
+    log = DeltaLog(tbl)
+    log.commit(1, [delta_py._add_action(tbl, rel, {})])
+    pydelta_source.register(spark)
+    df = spark.read.format("pydelta").load(tbl)
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {1: "ann", 2: "bob", 3: "cyd", 9: "zoe"}
