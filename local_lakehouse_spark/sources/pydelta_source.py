@@ -582,6 +582,18 @@ class _PyDeltaStreamReader(DataSourceStreamReader):
         if sv is not None:
             # replay from just before startingVersion
             self._initial = int(sv) - 1
+            vs = self._log.versions()
+            # replay walks surviving commit JSONs only — a start
+            # below the earliest one would SILENTLY skip the expired
+            # range (same contract as batch read_change_feed: refuse
+            # like delta-spark instead of returning partial data)
+            if vs and int(sv) < vs[0]:
+                raise ValueError(
+                    f"startingVersion {sv} predates the earliest "
+                    f"surviving commit {vs[0]} of {self._path} "
+                    "(older commits were expired by "
+                    "delta.logRetentionDuration metadata cleanup)"
+                )
         elif st is not None:
             from .delta_py import _ts_ms
 

@@ -534,3 +534,41 @@ def test_batch_writer_appends_to_dv_table(spark, tbl):
         r.id for r in delta_py.read_delta(spark, tbl).collect()
     )
     assert got == [1, 2, 3, 4, 6, 7, 8, 9, 100, 101]
+
+
+def test_stream_refuses_expired_starting_version(spark, tbl):
+    """A startingVersion below the earliest SURVIVING commit refuses
+    loudly (delta-spark parity): the replay walks surviving commit
+    JSONs only, so proceeding would silently skip the range that
+    delta.logRetentionDuration cleanup expired."""
+    for i in range(4):
+        spark.range(i * 10, (i + 1) * 10).select("id").write.format(
+            "pydelta"
+        ).mode("append").save(tbl)
+    log = delta_py.DeltaLog(tbl)
+    v = log.versions()[-1]
+    log.write_checkpoint(v)
+    delta_py.set_properties(
+        tbl, {"delta.logRetentionDuration": "interval 0 seconds"}
+    )
+    assert delta_py.DeltaLog(tbl).cleanup_metadata()
+    assert delta_py.DeltaLog(tbl).versions()[0] == v
+    # the reader is instantiated at query start — the refusal
+    # surfaces when the stream runs, failing the query loudly
+    q = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", 0)
+        .load(tbl)
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="earliest surviving"):
+        q.awaitTermination()
+    # starting at a surviving version still plans fine
+    df = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", v)
+        .load(tbl)
+    )
+    assert df.isStreaming
