@@ -30,17 +30,19 @@ _ALL = {**_CORE, **_EXT}
 # CUMULATIVE across CORRECTNESS_r01..r07 — the r7 union is 201/201
 # oracle-eligible green). The cap fills by STAMP AGE (judge r7 #1):
 # 1. never-stamped first: y32 in-commit timestamps + writer-feature
-#    checkpoint round-trip — new this round;
+#    checkpoint round-trip, y33 Iceberg v2 read/append/position-
+#    delete — new this round;
 # 2. ALL 39 r3-era stamps (q58–q68 + the x13–x70 band) — they
 #    predate four rounds of engine churn (DV reads, column mapping,
 #    checkpoint schema changes all touch shared read paths);
-# 3. the remaining 10 slots go to the oldest r4-era stamps
-#    (q69–q74 + x03/x04/x38/x43).
+# 3. the remaining 9 slots go to the oldest r4-era stamps
+#    (q69–q74 + x03/x04/x38).
 # Everything past the cap keeps an r4+ stamp AND a same-round local
-# green in CORRECTNESS_LOCAL_r08.json; the r4 tail (37 queries)
+# green in CORRECTNESS_LOCAL_r08.json; the r4 tail (38 queries)
 # rotates in r9.
 _NEVER_STAMPED = [
     "y32_in_commit_timestamps",
+    "y33_iceberg_read",
 ]
 _R3_ERA = [
     "q58_tpch_q19_disjunctive",
@@ -93,7 +95,6 @@ _R4_ERA_HEAD = [
     "x03_dedup_minhash_lsh",
     "x04_dedup_simhash",
     "x38_mixture_sample",
-    "x43_word_rarity",
 ]
 _PRIORITY = _NEVER_STAMPED + _R3_ERA + _R4_ERA_HEAD
 QUERY_SPECS = {

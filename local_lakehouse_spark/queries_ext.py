@@ -7501,6 +7501,97 @@ FROM live GROUP BY nation ORDER BY nation
 """
 
 
+def y33(spark, sf):
+    """APACHE ICEBERG v2 round-trip (round 8 — BASELINE.md's
+    "Delta/Iceberg" surface; the reference delegates the format to
+    its Rust layer, here the public spec is implemented directly in
+    sources/iceberg_py.py): create an unpartitioned Iceberg table
+    from the customer extract (Spark-written parquet with FOOTER
+    FIELD IDS — Iceberg's column-resolution rule), append two
+    sentinel rows, then row-level DELETE one of them as a v2
+    POSITION-DELETE snapshot (merge-on-read: data files untouched,
+    the delete parquet anti-joins out executor-side, the same
+    pattern as the Delta DV read). CONTRACTS: metadata discovers via
+    version-hint, snapshot operations read [append, append, delete],
+    sequence numbers advance 1..3, snapshot-id AND timestamp time
+    travel see the pre-delete counts exactly, and the final read
+    drops exactly the deleted sentinel. Oracle: customer plus the
+    surviving sentinel."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import iceberg_py
+
+    key = hashlib.md5(f"{sf}|iceberg-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_iceberg_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        base = t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        iceberg_py.write_iceberg(
+            spark, base.repartition(4), tbl, mode="create"
+        )
+        extra = spark.createDataFrame(
+            [(9_000_000_001, 0, 1.0), (9_000_000_002, 1, 2.0)],
+            "custkey long, nation int, acctbal double",
+        )
+        iceberg_py.write_iceberg(
+            spark, extra.coalesce(1), tbl, mode="append"
+        )
+        iceberg_py.delete_iceberg_where(
+            spark, tbl, "custkey = 9000000002"
+        )
+    meta = iceberg_py.table_metadata(tbl)
+    snaps = meta["snapshots"]
+    ops = [s["summary"]["operation"] for s in snaps]
+    seqs = [s["sequence-number"] for s in snaps]
+    if ops != ["append", "append", "delete"] or seqs != [1, 2, 3]:
+        raise AssertionError(
+            f"y33 staging: snapshot history wrong: {ops} {seqs}"
+        )
+    n0 = iceberg_py.read_iceberg(
+        spark, tbl, snapshot_id=snaps[0]["snapshot-id"]
+    ).count()
+    n1_ts = iceberg_py.read_iceberg(
+        spark, tbl, timestamp_ms=snaps[1]["timestamp-ms"]
+    ).count()
+    df = iceberg_py.read_iceberg(spark, tbl)
+    n2 = df.count()
+    if not (n1_ts == n0 + 2 and n2 == n0 + 1):
+        raise AssertionError(
+            f"y33 time travel broke: base={n0} post-append={n1_ts} "
+            f"post-delete={n2}"
+        )
+    return (
+        df.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y33_SQL = """
+WITH live AS (
+  SELECT c_nationkey AS nation, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 0 AS nation, 1.0 AS acctbal
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM live GROUP BY nation ORDER BY nation
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -7662,4 +7753,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y30_row_tracking": QuerySpec(y30, Y30_SQL),
     "y31_liquid_clustering": QuerySpec(y31, Y31_SQL),
     "y32_in_commit_timestamps": QuerySpec(y32, Y32_SQL),
+    "y33_iceberg_read": QuerySpec(y33, Y33_SQL),
 }

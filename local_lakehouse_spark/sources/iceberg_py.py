@@ -1,0 +1,833 @@
+"""Pure-Python Apache Iceberg table-format support (spec v1/v2) —
+batch READ plus a minimal append/delete WRITER, no iceberg-spark jar.
+
+Why this exists: BASELINE.md describes the reference's lakehouse
+surface as "Delta/Iceberg". The build implements the Delta protocol
+natively end-to-end (sources/delta_py.py); this module adds the
+Iceberg side so a filesystem Iceberg table reads through the same
+engine. Everything follows the PUBLIC Iceberg table spec
+(https://iceberg.apache.org/spec/): JSON table metadata under
+``metadata/``, an Avro manifest LIST per snapshot, Avro manifests
+enumerating data/delete files, and parquet data files resolved by
+FIELD ID (never by name — Iceberg's column-resolution rule).
+
+Spark-first design:
+
+- **Metadata is metadata-sized.** The JSON metadata file, the
+  manifest list, and the manifests are decoded driver-side with the
+  pure-Python Avro codec (sources/avro_py.py) — exactly how Iceberg
+  clients work; at 100 TB these stay KB-MB while the DATA plan is
+  the distributed part.
+- **Field-id binding rides Spark's native reader.** The scan schema
+  carries ``parquet.field.id`` metadata (from the Iceberg schema's
+  field ids) and ``spark.sql.parquet.fieldId.read.enabled``
+  (session.py) makes the parquet reader resolve columns by footer
+  field id. Schema evolution comes free: an added column's id is
+  absent from old footers and surfaces as NULL — Iceberg's
+  add-column semantics — while renames are invisible (ids stable).
+- **v2 position deletes** apply as a broadcast/shuffle LEFT-ANTI
+  join against ``(_metadata.file_name, _metadata.row_index)`` — the
+  same executor-side pattern as the Delta deletion-vector read
+  (delta_py.read_delta), sharing its 2M-row broadcast threshold.
+- **Equality deletes refuse loudly** (delta-spark itself only
+  gained reading them recently); a wrong silent read is never ok.
+
+The WRITER is deliberately minimal — create/append and positional
+DELETE, each a new snapshot with correct sequence numbers — enough
+to stage spec-compliant tables for the reader's tests and oracle
+query (y33) and to interop-check against any foreign reader. Delta
+remains the engine's primary write format.
+
+Reference parity: the reference delegates both formats to its Rust
+layer (uchelper/dataframe.py:198-199); here both are executable
+Python + Spark plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..exceptions import DoesNotExistError, UnsupportedOperationError
+from . import avro_py
+
+# same threshold as delta_py._DV_BROADCAST_MAX_ROWS: below it the
+# delete positions broadcast (no shuffle of the data scan), above it
+# the anti-join shuffles
+_DELETE_BROADCAST_MAX_ROWS = 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# Table metadata (JSON)
+# ---------------------------------------------------------------------------
+
+
+def _metadata_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def is_iceberg_table(path: str) -> bool:
+    d = _metadata_dir(path)
+    return os.path.isdir(d) and any(
+        n.endswith(".metadata.json") for n in os.listdir(d)
+    )
+
+
+_VERSION_RE = re.compile(r"^v?(\d+)(?:-[0-9a-f-]+)?\.metadata\.json$")
+
+
+def _current_metadata_file(path: str) -> str:
+    """The spec's filesystem-table resolution: prefer
+    ``version-hint.text``, else the highest-versioned
+    ``v<N>.metadata.json`` / ``<N>-<uuid>.metadata.json``."""
+    d = _metadata_dir(path)
+    if not os.path.isdir(d):
+        raise DoesNotExistError(f"{path} is not an Iceberg table")
+    hint = os.path.join(d, "version-hint.text")
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        for cand in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            if os.path.exists(os.path.join(d, cand)):
+                return os.path.join(d, cand)
+    best: tuple = (-1, "")
+    for n in os.listdir(d):
+        m = _VERSION_RE.match(n)
+        if m:
+            best = max(best, (int(m.group(1)), n))
+    if best[0] < 0:
+        raise DoesNotExistError(f"{path} has no Iceberg metadata.json")
+    return os.path.join(d, best[1])
+
+
+def table_metadata(path: str) -> dict:
+    with open(_current_metadata_file(path)) as fh:
+        return json.load(fh)
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+    if "schema" in meta:  # v1 single-schema layout
+        return meta["schema"]
+    raise UnsupportedOperationError("Iceberg metadata carries no schema")
+
+
+def _select_snapshot(
+    meta: dict,
+    snapshot_id: Optional[int] = None,
+    as_of_ms: Optional[int] = None,
+) -> dict:
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise DoesNotExistError(
+            f"snapshot {snapshot_id} not found in Iceberg metadata"
+        )
+    if as_of_ms is not None:
+        # latest snapshot at or before the instant (snapshot-log order)
+        best = None
+        for s in sorted(snaps, key=lambda s: s["timestamp-ms"]):
+            if s["timestamp-ms"] <= as_of_ms:
+                best = s
+        if best is None:
+            raise DoesNotExistError(
+                f"no Iceberg snapshot at or before epoch-ms {as_of_ms}"
+            )
+        return best
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise DoesNotExistError("Iceberg table has no current snapshot")
+    for s in snaps:
+        if s["snapshot-id"] == cur:
+            return s
+    raise DoesNotExistError(
+        f"current snapshot {cur} missing from the snapshots list"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg schema (field ids!) -> Spark schema
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+    # timestamptz is UTC-adjusted (Spark TimestampType); plain
+    # timestamp is wall-clock (TimestampNTZ)
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+
+def _iceberg_type(t) -> T.DataType:
+    if isinstance(t, str):
+        m = _DECIMAL_RE.match(t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        raise UnsupportedOperationError(f"Iceberg type {t!r} unsupported")
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType([_iceberg_field(f) for f in t["fields"]])
+    if kind == "list":
+        return T.ArrayType(
+            _iceberg_type(t["element"]), not t.get("element-required", False)
+        )
+    if kind == "map":
+        return T.MapType(
+            _iceberg_type(t["key"]),
+            _iceberg_type(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise UnsupportedOperationError(f"Iceberg type {t!r} unsupported")
+
+
+def _iceberg_field(f: dict) -> T.StructField:
+    # parquet.field.id is the binding key: Spark's reader resolves the
+    # column by footer field id (Iceberg's rule), names are display
+    return T.StructField(
+        f["name"],
+        _iceberg_type(f["type"]),
+        not f.get("required", False),
+        metadata={"parquet.field.id": int(f["id"])},
+    )
+
+
+def iceberg_schema_to_spark(schema: dict) -> T.StructType:
+    return T.StructType([_iceberg_field(f) for f in schema["fields"]])
+
+
+# ---------------------------------------------------------------------------
+# Manifest decoding (avro -> dict rows)
+# ---------------------------------------------------------------------------
+
+
+def _to_dict(sc, value):
+    """Recursively zip avro_py's positional record tuples back into
+    dicts keyed by the writer's own schema field names."""
+    if value is None:
+        return None
+    if isinstance(sc, list):  # union: value already the branch value
+        branches = [b for b in sc if b != "null"]
+        return _to_dict(branches[0], value) if branches else None
+    if isinstance(sc, dict):
+        t = sc.get("type")
+        if t == "record":
+            return {
+                f["name"]: _to_dict(f["type"], v)
+                for f, v in zip(sc["fields"], value)
+            }
+        if t == "array":
+            return [_to_dict(sc["items"], v) for v in value]
+        if t == "map":
+            return {k: _to_dict(sc["values"], v) for k, v in value.items()}
+        return _to_dict(t, value) if isinstance(t, (dict, list)) else value
+    return value
+
+
+def _read_avro_dicts(path: str) -> list:
+    with open(path, "rb") as fh:
+        schema, rows = avro_py.read_container(fh.read())
+    return [_to_dict(schema, r) for r in rows]
+
+
+def _resolve(location: str, table_path: str) -> str:
+    """Manifest/data paths in metadata are absolute URIs; strip the
+    file scheme and fall back to table-relative for hand-laid-out
+    fixtures."""
+    p = location
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    if os.path.isabs(p):
+        return p
+    return os.path.join(table_path, p)
+
+
+def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
+    """(data_files, position_delete_files, equality_delete_count)
+    for a snapshot: manifest list -> manifests -> live entries
+    (status DELETED=2 excluded)."""
+    data_files: list[dict] = []
+    pos_deletes: list[dict] = []
+    n_equality = 0
+    mlist = _resolve(snap["manifest-list"], path)
+    for mf in _read_avro_dicts(mlist):
+        mpath = _resolve(mf["manifest_path"], path)
+        for entry in _read_avro_dicts(mpath):
+            if entry.get("status") == 2:  # DELETED entry
+                continue
+            df = entry["data_file"]
+            content = int(df.get("content") or 0)
+            if content == 0:
+                data_files.append(df)
+            elif content == 1:
+                pos_deletes.append(df)
+            else:
+                n_equality += 1
+    return data_files, pos_deletes, n_equality
+
+
+# ---------------------------------------------------------------------------
+# READ
+# ---------------------------------------------------------------------------
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: Optional[int] = None,
+    timestamp_ms: Optional[int] = None,
+) -> DataFrame:
+    """Snapshot -> DataFrame. Columns bind by FOOTER FIELD ID (the
+    Iceberg resolution rule — renames are invisible, added columns
+    surface as NULL from pre-evolution files); v2 position deletes
+    anti-join out executor-side; equality deletes refuse loudly.
+
+    Time travel: ``snapshot_id`` or ``timestamp_ms`` (latest snapshot
+    at or before the instant), like Spark's VERSION/TIMESTAMP AS OF
+    on an Iceberg catalog table."""
+    from pyspark.sql import functions as F
+
+    meta = table_metadata(path)
+    fmt_version = int(meta.get("format-version", 1))
+    if fmt_version > 2:
+        raise UnsupportedOperationError(
+            f"Iceberg format-version {fmt_version} is beyond the v2 "
+            "spec this reader implements"
+        )
+    schema = iceberg_schema_to_spark(_current_schema(meta))
+    snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
+    data_files, pos_deletes, n_eq = _snapshot_files(meta, snap, path)
+    if n_eq:
+        raise UnsupportedOperationError(
+            f"Iceberg snapshot {snap['snapshot-id']} carries "
+            f"{n_eq} EQUALITY delete file(s); reading without "
+            "applying them would resurrect deleted rows"
+        )
+    if not data_files:
+        return spark.createDataFrame([], schema)
+    for df_ in data_files:
+        if str(df_.get("file_format", "PARQUET")).upper() != "PARQUET":
+            raise UnsupportedOperationError(
+                f"Iceberg data file format "
+                f"{df_.get('file_format')!r} unsupported (PARQUET only)"
+            )
+    paths = [_resolve(d["file_path"], path) for d in data_files]
+    scan = spark.read.schema(schema).parquet(*paths)
+    if not pos_deletes:
+        return scan
+    # v2 position deletes: (file_path, pos) parquet rows. Data file
+    # basenames are UUID-generated per the spec writers, so the join
+    # keys on basename — guarded against collisions like the DV path.
+    names = [os.path.basename(p) for p in paths]
+    if len(set(names)) != len(names):
+        raise UnsupportedOperationError(
+            "Iceberg read over data files with colliding basenames"
+        )
+    del_paths = [_resolve(d["file_path"], path) for d in pos_deletes]
+    total = sum(int(d.get("record_count") or 0) for d in pos_deletes)
+    deletes = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*del_paths)
+        .select(
+            F.element_at(F.split("file_path", "/"), -1).alias(
+                "__ice_fn"
+            ),
+            F.col("pos").alias("__ice_pos"),
+        )
+    )
+    if total <= _DELETE_BROADCAST_MAX_ROWS:
+        deletes = F.broadcast(deletes)
+    scan = scan.withColumns(
+        {
+            "__fn": F.col("_metadata.file_name"),
+            "__ri": F.col("_metadata.row_index"),
+        }
+    )
+    return (
+        scan.join(
+            deletes,
+            (scan["__fn"] == deletes["__ice_fn"])
+            & (scan["__ri"] == deletes["__ice_pos"]),
+            "left_anti",
+        ).drop("__fn", "__ri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimal WRITER (create/append + positional DELETE), spec v2
+# ---------------------------------------------------------------------------
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "field-id": 1,
+        },
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "field-id": 3,
+        },
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "field-id": 4,
+        },
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+
+def _spark_to_iceberg_type(dt: T.DataType, next_id) -> object:
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": next_id(),
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_to_iceberg_type(f.dataType, next_id),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": next_id(),
+            "element": _spark_to_iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": next_id(),
+            "key": _spark_to_iceberg_type(dt.keyType, next_id),
+            "value-id": next_id(),
+            "value": _spark_to_iceberg_type(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    rev = {
+        T.BooleanType(): "boolean",
+        T.IntegerType(): "int",
+        T.ShortType(): "int",
+        T.ByteType(): "int",
+        T.LongType(): "long",
+        T.FloatType(): "float",
+        T.DoubleType(): "double",
+        T.DateType(): "date",
+        T.StringType(): "string",
+        T.BinaryType(): "binary",
+        T.TimestampType(): "timestamptz",
+        T.TimestampNTZType(): "timestamp",
+    }
+    if dt in rev:
+        return rev[dt]
+    raise UnsupportedOperationError(
+        f"Spark type {dt.simpleString()} has no Iceberg mapping here"
+    )
+
+
+def _write_manifest(
+    table_path: str,
+    entries: list,
+    snapshot_id: int,
+    seq: int,
+    content: int,
+) -> dict:
+    """Write one manifest avro + return its manifest_file row (as the
+    positional tuple write_container expects)."""
+    mdir = _metadata_dir(table_path)
+    mpath = os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.avro")
+    rows = [
+        (
+            1,  # status ADDED
+            snapshot_id,
+            seq,
+            seq,
+            (
+                content,
+                e["file_path"],
+                "PARQUET",
+                (),  # unpartitioned partition record
+                e["record_count"],
+                e["file_size_in_bytes"],
+            ),
+        )
+        for e in entries
+    ]
+    avro_py.write_container(mpath, _MANIFEST_ENTRY_SCHEMA, iter(rows))
+    n_rows = sum(e["record_count"] for e in entries)
+    return {
+        "path": mpath,
+        "row": (
+            mpath,
+            os.path.getsize(mpath),
+            0,
+            content,
+            seq,
+            seq,
+            snapshot_id,
+            len(entries),
+            0,
+            0,
+            n_rows,
+            0,
+            0,
+        ),
+    }
+
+
+def _collect_part_files(tmp: str) -> list:
+    out = []
+    for root, _d, names in os.walk(tmp):
+        for n in sorted(names):
+            if n.endswith(".parquet") and not n.startswith("."):
+                out.append(os.path.join(root, n))
+    return out
+
+
+def _new_snapshot_id() -> int:
+    return int(uuid.uuid4().int % (1 << 62)) + 1
+
+
+def _commit_snapshot(
+    path: str,
+    meta: dict,
+    manifest_rows: list,
+    operation: str,
+    snap_id: int,
+) -> dict:
+    """Append a snapshot whose manifest LIST contains ``manifest_rows``
+    (prior snapshots' manifests carried over by the caller) and write
+    the next metadata.json + version-hint. Monotone commit times
+    (``max(now, prev+1)``) keep timestamp time travel exact even for
+    back-to-back commits in one millisecond."""
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    prev_ts = max(
+        (s["timestamp-ms"] for s in meta.get("snapshots") or []),
+        default=-1,
+    )
+    now = max(int(time.time() * 1000), prev_ts + 1)
+    mdir = _metadata_dir(path)
+    mlist = os.path.join(
+        mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    avro_py.write_container(
+        mlist, _MANIFEST_FILE_SCHEMA, iter(manifest_rows)
+    )
+    snap = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now,
+        "manifest-list": mlist,
+        "summary": {"operation": operation},
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    meta = dict(meta)
+    meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now}
+    ]
+    # next metadata version from what is on disk (no private keys)
+    best = 0
+    for n in os.listdir(mdir):
+        m = _VERSION_RE.match(n)
+        if m:
+            best = max(best, int(m.group(1)))
+    v = best + 1
+    mfile = os.path.join(mdir, f"v{v}.metadata.json")
+    with open(mfile, "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    return meta
+
+
+def _prior_manifest_rows(meta: dict, path: str) -> list:
+    """Carry the current snapshot's manifest list forward (tuple rows
+    aligned to _MANIFEST_FILE_SCHEMA)."""
+    if meta.get("current-snapshot-id") in (None, -1):
+        return []
+    snap = _select_snapshot(meta)
+    mlist = _resolve(snap["manifest-list"], path)
+    with open(mlist, "rb") as fh:
+        _schema, rows = avro_py.read_container(fh.read())
+    return list(rows)
+
+
+def write_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "create",
+) -> dict:
+    """Create or append to an UNPARTITIONED filesystem Iceberg v2
+    table: data parquet (written by Spark, footers stamped with the
+    Iceberg field ids), one ADDED-entries manifest, a manifest list,
+    and the next ``v<N>.metadata.json`` + ``version-hint.text``.
+    Returns the committed table metadata."""
+    os.makedirs(_metadata_dir(path), exist_ok=True)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    if mode == "create":
+        if is_iceberg_table(path):
+            raise UnsupportedOperationError(
+                f"Iceberg table at {path} already exists"
+            )
+        counter = iter(range(1, 1 << 20))
+        ice_struct = _spark_to_iceberg_type(
+            df.schema, lambda: next(counter)
+        )
+        schema_obj = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": ice_struct["fields"],
+        }
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": max(
+                (f["id"] for f in schema_obj["fields"]), default=0
+            ),
+            "current-schema-id": 0,
+            "schemas": [schema_obj],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+    elif mode == "append":
+        meta = table_metadata(path)
+    else:
+        raise ValueError(f"write_iceberg mode {mode!r}")
+    schema_obj = _current_schema(meta)
+    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    missing = [f.name for f in df.schema.fields if f.name not in ids]
+    if missing:
+        raise UnsupportedOperationError(
+            f"append columns {missing} not in the Iceberg schema"
+        )
+    # footer field ids via column metadata — Spark's parquet writer
+    # stamps them (fieldId.write.enabled, session.py). alias(...,
+    # metadata=) attaches reliably; DataFrame.to() does not carry
+    # metadata onto otherwise-unchanged columns.
+    from pyspark.sql import functions as F
+
+    stamped = df.select(
+        *[
+            F.col(f.name).alias(
+                f.name, metadata={"parquet.field.id": ids[f.name]}
+            )
+            for f in df.schema.fields
+        ]
+    )
+    tmp = path + f".__ice_tmp_{uuid.uuid4().hex}"
+    stamped.write.mode("overwrite").parquet(tmp)
+    import pyarrow.parquet as pq
+
+    entries = []
+    for src in _collect_part_files(tmp):
+        n = pq.read_metadata(src).num_rows
+        if n == 0:  # empty partitions write empty part files
+            continue
+        dest = os.path.join(
+            data_dir, f"{uuid.uuid4().hex}-{os.path.basename(src)}"
+        )
+        os.replace(src, dest)
+        entries.append(
+            {
+                "file_path": dest,
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(dest),
+            }
+        )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    prior = _prior_manifest_rows(meta, path)
+    snap_id = _new_snapshot_id()
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    mrow = _write_manifest(path, entries, snap_id, seq, content=0)
+    return _commit_snapshot(
+        path, meta, prior + [mrow["row"]], "append", snap_id
+    )
+
+
+def delete_iceberg_where(
+    spark: SparkSession, path: str, predicate: str
+) -> dict:
+    """Row-level DELETE as an Iceberg v2 POSITION-DELETE snapshot:
+    matching rows' (file_path, pos) land in a delete parquet written
+    by Spark (distributed — sorted by file_path, pos as the spec
+    requires), referenced from a content=1 manifest; data files are
+    untouched. The same merge-on-read economics as Delta deletion
+    vectors: a 0.1% delete on 100 TB commits positions, not a
+    rewrite."""
+    from pyspark.sql import functions as F
+
+    meta = table_metadata(path)
+    snap = _select_snapshot(meta)
+    data_files, pos_deletes, n_eq = _snapshot_files(meta, snap, path)
+    if n_eq:
+        raise UnsupportedOperationError(
+            "table carries equality deletes; refusing to add more DML"
+        )
+    schema = iceberg_schema_to_spark(_current_schema(meta))
+    paths = [_resolve(d["file_path"], path) for d in data_files]
+    if not paths:
+        return meta
+    # positions of surviving-to-date rows matching the predicate;
+    # prior deletes must NOT be re-listed (harmless but unbounded)
+    scan = (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .withColumns(
+            {
+                "__fp": F.col("_metadata.file_path"),
+                "__fn": F.col("_metadata.file_name"),
+                "__ri": F.col("_metadata.row_index"),
+            }
+        )
+        .filter(predicate)
+    )
+    if pos_deletes:
+        prior = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(
+                *[_resolve(d["file_path"], path) for d in pos_deletes]
+            )
+            .select(
+                F.element_at(F.split("file_path", "/"), -1).alias(
+                    "__pfn"
+                ),
+                F.col("pos").alias("__ppos"),
+            )
+        )
+        scan = scan.join(
+            F.broadcast(prior),
+            (scan["__fn"] == prior["__pfn"])
+            & (scan["__ri"] == prior["__ppos"]),
+            "left_anti",
+        )
+    hits = scan.select(
+        F.regexp_replace("__fp", "^file:/*", "/").alias("file_path"),
+        F.col("__ri").alias("pos"),
+    ).orderBy("file_path", "pos")
+    tmp = path + f".__ice_del_{uuid.uuid4().hex}"
+    hits.coalesce(1).write.mode("overwrite").parquet(tmp)
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    entries = []
+    import pyarrow.parquet as pq
+
+    for src in _collect_part_files(tmp):
+        n = pq.read_metadata(src).num_rows
+        if n == 0:
+            continue
+        dest = os.path.join(ddir, f"delete-{uuid.uuid4().hex}.parquet")
+        os.replace(src, dest)
+        entries.append(
+            {
+                "file_path": dest,
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(dest),
+            }
+        )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    prior_rows = _prior_manifest_rows(meta, path)
+    snap_id = _new_snapshot_id()
+    if not entries:  # no matching rows: still a (no-op) commit
+        return _commit_snapshot(
+            path, meta, prior_rows, "delete", snap_id
+        )
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    mrow = _write_manifest(path, entries, snap_id, seq, content=1)
+    return _commit_snapshot(
+        path, meta, prior_rows + [mrow["row"]], "delete", snap_id
+    )

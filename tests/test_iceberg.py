@@ -1,0 +1,213 @@
+"""Iceberg table-format support (sources/iceberg_py.py): metadata
+discovery, snapshot selection, manifest decoding via the pure-Python
+Avro codec, FIELD-ID column resolution, v2 position deletes, schema
+evolution, and loud refusals for the unimplemented (equality
+deletes, v3).
+
+Reference parity: the reference's lakehouse surface is described as
+Delta/Iceberg (BASELINE.md); it delegates both to its Rust layer
+(reference uchelper/dataframe.py:198-199) while this repo implements
+the public specs directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from local_lakehouse_spark.exceptions import (
+    DoesNotExistError,
+    UnsupportedOperationError,
+)
+from local_lakehouse_spark.sources import avro_py, iceberg_py
+from local_lakehouse_spark.sources.iceberg_py import (
+    delete_iceberg_where,
+    is_iceberg_table,
+    read_iceberg,
+    table_metadata,
+    write_iceberg,
+)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "ice")
+
+
+def test_create_write_read_roundtrip(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+        "id long, s string, v double",
+    ).coalesce(2)
+    meta = write_iceberg(spark, df, tbl, mode="create")
+    assert is_iceberg_table(tbl)
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == meta["snapshots"][0]["snapshot-id"]
+    # version-hint resolution picks the committed metadata
+    assert table_metadata(tbl)["current-snapshot-id"] == meta[
+        "current-snapshot-id"
+    ]
+    out = read_iceberg(spark, tbl)
+    assert out.columns == ["id", "s", "v"]
+    rows = {r.id: (r.s, r.v) for r in out.collect()}
+    assert rows == {1: ("a", 1.5), 2: ("b", 2.5), 3: ("c", 3.5)}
+    # data footers carry the Iceberg field ids (the binding contract)
+    import pyarrow.parquet as pq
+
+    ddir = os.path.join(tbl, "data")
+    f = [n for n in os.listdir(ddir) if n.endswith(".parquet")][0]
+    ids = {
+        fld.name: (fld.metadata or {}).get(b"PARQUET:field_id")
+        for fld in pq.read_schema(os.path.join(ddir, f))
+    }
+    assert ids == {"id": b"1", "s": b"2", "v": b"3"}
+
+
+def test_append_and_time_travel(spark, tbl):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_iceberg(spark, df, tbl, mode="create")
+    snap0 = table_metadata(tbl)["current-snapshot-id"]
+    ts0 = table_metadata(tbl)["snapshots"][0]["timestamp-ms"]
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(2, "b")], "id long, s string"),
+        tbl,
+        mode="append",
+    )
+    assert read_iceberg(spark, tbl).count() == 2
+    # snapshot-id time travel
+    assert read_iceberg(spark, tbl, snapshot_id=snap0).count() == 1
+    # timestamp time travel (snapshot commit times are monotone)
+    assert read_iceberg(spark, tbl, timestamp_ms=ts0).count() == 1
+    with pytest.raises(DoesNotExistError):
+        read_iceberg(spark, tbl, timestamp_ms=ts0 - 60_000)
+    with pytest.raises(DoesNotExistError):
+        read_iceberg(spark, tbl, snapshot_id=123456)
+
+
+def test_position_delete(spark, tbl):
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "id long, s string"
+    ).coalesce(2)
+    write_iceberg(spark, df, tbl, mode="create")
+    pre = table_metadata(tbl)["current-snapshot-id"]
+    delete_iceberg_where(spark, tbl, "id % 3 = 0")
+    got = sorted(r.id for r in read_iceberg(spark, tbl).collect())
+    assert got == [1, 2, 4, 5, 7, 8]
+    # data files untouched (merge-on-read): time travel sees all rows
+    assert read_iceberg(spark, tbl, snapshot_id=pre).count() == 10
+    # a second delete must not re-list already-deleted positions
+    delete_iceberg_where(spark, tbl, "id = 1")
+    got = sorted(r.id for r in read_iceberg(spark, tbl).collect())
+    assert got == [2, 4, 5, 7, 8]
+    meta = table_metadata(tbl)
+    assert [s["summary"]["operation"] for s in meta["snapshots"]] == [
+        "append",
+        "delete",
+        "delete",
+    ]
+    # sequence numbers advance per commit, spec v2
+    assert [s["sequence-number"] for s in meta["snapshots"]] == [1, 2, 3]
+
+
+def test_schema_evolution_add_and_rename(spark, tbl):
+    """Field-id resolution is what makes Iceberg evolution safe: an
+    ADDED column's id is absent from old footers and surfaces as
+    NULL; a RENAME (same id, new name) is invisible to the scan."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_iceberg(spark, df, tbl, mode="create")
+    mfile = os.path.join(tbl, "metadata", "v1.metadata.json")
+    meta = json.load(open(mfile))
+    fields = meta["schemas"][0]["fields"]
+    fields.append(
+        {"id": 3, "name": "score", "required": False, "type": "double"}
+    )
+    fields[1]["name"] = "label"  # rename s -> label, id 2 unchanged
+    meta["last-column-id"] = 3
+    with open(os.path.join(tbl, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(
+        os.path.join(tbl, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write("2")
+    out = read_iceberg(spark, tbl)
+    assert out.columns == ["id", "label", "score"]
+    rows = {r.id: (r.label, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None)}
+
+
+def test_equality_deletes_refuse(spark, tbl):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_iceberg(spark, df, tbl, mode="create")
+    # hand-add an equality-delete manifest (content=2 data_file)
+    meta = table_metadata(tbl)
+    prior = iceberg_py._prior_manifest_rows(meta, tbl)
+    sid = iceberg_py._new_snapshot_id()
+    mrow = iceberg_py._write_manifest(
+        tbl,
+        [{"file_path": "/nope.parquet", "record_count": 1,
+          "file_size_in_bytes": 10}],
+        sid,
+        2,
+        content=2,
+    )
+    iceberg_py._commit_snapshot(
+        tbl, meta, prior + [mrow["row"]], "delete", sid
+    )
+    with pytest.raises(UnsupportedOperationError, match="EQUALITY"):
+        read_iceberg(spark, tbl)
+
+
+def test_not_a_table_and_version_guard(spark, tbl, tmp_path):
+    assert not is_iceberg_table(str(tmp_path / "nope"))
+    with pytest.raises(DoesNotExistError):
+        table_metadata(str(tmp_path / "nope"))
+    df = spark.createDataFrame([(1,)], "id long")
+    write_iceberg(spark, df, tbl, mode="create")
+    mfile = os.path.join(tbl, "metadata", "v1.metadata.json")
+    meta = json.load(open(mfile))
+    meta["format-version"] = 3
+    with open(mfile, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(UnsupportedOperationError, match="format-version"):
+        read_iceberg(spark, tbl)
+
+
+def test_manifest_avro_is_foreign_decodable(spark, tbl):
+    """The manifests we write are plain spec Avro: a fresh decode of
+    the manifest list + manifest through the container reader (the
+    path a foreign tool would take) yields the committed file."""
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_iceberg(spark, df, tbl, mode="create")
+    meta = table_metadata(tbl)
+    snap = meta["snapshots"][0]
+    with open(snap["manifest-list"], "rb") as fh:
+        schema, rows = avro_py.read_container(fh.read())
+    assert schema["name"] == "manifest_file"
+    names = [f["name"] for f in schema["fields"]]
+    mf = dict(zip(names, rows[0]))
+    assert mf["content"] == 0 and mf["added_files_count"] == 1
+    with open(mf["manifest_path"], "rb") as fh:
+        eschema, entries = avro_py.read_container(fh.read())
+    assert eschema["name"] == "manifest_entry"
+    entry = dict(zip([f["name"] for f in eschema["fields"]], entries[0]))
+    assert entry["status"] == 1
+    assert entry["snapshot_id"] == snap["snapshot-id"]
+    data_file = dict(
+        zip(
+            [
+                f["name"]
+                for f in [
+                    f
+                    for f in eschema["fields"]
+                    if f["name"] == "data_file"
+                ][0]["type"]["fields"]
+            ],
+            entry["data_file"],
+        )
+    )
+    assert data_file["content"] == 0
+    assert os.path.exists(data_file["file_path"])
+    assert data_file["record_count"] == 1
