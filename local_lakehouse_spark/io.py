@@ -168,6 +168,10 @@ def read_format_path(
             spark, path,
             schema=uc_columns_to_spark_schema(columns) if columns else None,
         )
+    if file_type == FileType.ICEBERG:
+        from .sources import iceberg_py
+
+        return iceberg_py.read_iceberg(spark, path)
     raise UnsupportedOperationError(f"Unsupported file type {file_type}")
 
 
@@ -214,10 +218,28 @@ def read_table(
             version=version,
             timestamp=timestamp,
         )
+    if table.file_type == FileType.ICEBERG:
+        # Iceberg time travel: ``version`` is a SNAPSHOT ID (the
+        # format has no linear version counter), ``timestamp`` the
+        # usual latest-at-or-before resolution over snapshot commit
+        # times — Spark's own VERSION/TIMESTAMP AS OF mapping for
+        # Iceberg catalog tables.
+        from .session import harden_runtime
+        from .sources import iceberg_py
+        from .sources.delta_py import _ts_ms
+
+        harden_runtime(spark)
+        return iceberg_py.read_iceberg(
+            spark,
+            strip_file_scheme(location),
+            snapshot_id=version,
+            timestamp_ms=_ts_ms(timestamp) if timestamp is not None else None,
+        )
     if timestamp is not None:
         raise UnsupportedOperationError(
-            "TIMESTAMP AS OF requires a DELTA table (commit-log "
-            f"timestamps); {table.full_name} is {table.file_type.value}"
+            "TIMESTAMP AS OF requires a DELTA or ICEBERG table "
+            f"(commit-log timestamps); {table.full_name} is "
+            f"{table.file_type.value}"
         )
     if version is not None:
         location = "file://" + snapshot_path(
@@ -482,6 +504,38 @@ def write_table(
         )
     if ft in (FileType.CSV, FileType.AVRO, FileType.JSON, FileType.ORC):
         return _write_flat(spark, df, table, mode, schema_evolution, df_cols, path, ft)
+    if ft == FileType.ICEBERG:
+        # Minimal Iceberg write surface (sources/iceberg_py.py):
+        # create-on-first-write + APPEND snapshots, STRICT schema
+        # only. The full DML/evolution matrix is Delta's job — a
+        # loud refusal beats a spec-violating Iceberg commit.
+        from .sources import iceberg_py
+
+        exists = iceberg_py.is_iceberg_table(path)
+        # CTAS arrives as OVERWRITE on a not-yet-existing table —
+        # that IS the create; an overwrite of committed snapshots is
+        # the unsupported part.
+        if mode != WriteMode.APPEND and exists:
+            raise UnsupportedOperationError(
+                "ICEBERG tables support APPEND writes only (row-level "
+                "DELETE via iceberg_py.delete_iceberg_where); use "
+                "DELTA for the full write matrix"
+            )
+        if schema_evolution != SchemaEvolution.STRICT:
+            raise UnsupportedOperationError(
+                "ICEBERG writes support STRICT schema evolution only"
+            )
+        if part_cols:
+            raise UnsupportedOperationError(
+                "partitioned ICEBERG writes are not supported "
+                "(the minimal writer commits unpartitioned specs)"
+            )
+        if table.columns:
+            check_schemas_equal(df_cols, table.columns)
+        iceberg_py.write_iceberg(
+            spark, df, path, mode="append" if exists else "create"
+        )
+        return None
     raise UnsupportedOperationError(
         f"Writing file type {ft.value} is not supported"
     )

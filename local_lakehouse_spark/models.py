@@ -63,6 +63,8 @@ class FileType(str, enum.Enum):
     The reference implements DELTA/PARQUET/CSV/AVRO in its I/O layer;
     ours implements PARQUET/CSV/JSON/ORC natively via Spark, and
     DELTA/AVRO when the corresponding Spark packages are installed.
+    ICEBERG (beyond the reference enum) reads/appends through the
+    pure-Python spec implementation (sources/iceberg_py.py).
     """
 
     DELTA = "DELTA"
@@ -72,6 +74,7 @@ class FileType(str, enum.Enum):
     PARQUET = "PARQUET"
     ORC = "ORC"
     TEXT = "TEXT"
+    ICEBERG = "ICEBERG"
 
 
 class WriteMode(str, enum.Enum):

@@ -706,3 +706,43 @@ def test_table_changes_between_two_snapshots(unity, spark, tmp_path):
         ).collect()
     }
     assert rows == {(2, "insert")}
+
+
+def test_iceberg_table_through_client(unity, spark, tmp_path):
+    """ICEBERG FileType end-to-end through the client facade: CTAS
+    (create-on-first-write), APPEND snapshots, snapshot-id time
+    travel via read_table(version=), and a loud refusal for the
+    unsupported overwrite — the minimal writer never fakes a
+    spec-violating commit."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    loc = _loc(tmp_path, "ice")
+    unity.create_as_table(
+        df, "unity", "default", "ice",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    back = unity.read_table("unity", "default", "ice")
+    assert rows_set(back) == rows_set(df)
+    unity.write_table(
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        "unity", "default", "ice", mode="APPEND",
+    )
+    assert unity.read_table("unity", "default", "ice").count() == 3
+    # version = Iceberg SNAPSHOT ID; timestamp AS OF also resolves
+    from local_lakehouse_spark.sources import iceberg_py
+
+    meta = iceberg_py.table_metadata(loc)
+    snap0 = meta["snapshots"][0]
+    assert (
+        unity.read_table(
+            "unity", "default", "ice", version=snap0["snapshot-id"]
+        ).count()
+        == 2
+    )
+    assert (
+        unity.read_table(
+            "unity", "default", "ice", timestamp=snap0["timestamp-ms"]
+        ).count()
+        == 2
+    )
+    with pytest.raises(UnsupportedOperationError, match="APPEND"):
+        unity.write_table(df, "unity", "default", "ice", mode="OVERWRITE")
