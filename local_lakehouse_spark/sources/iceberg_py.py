@@ -270,27 +270,33 @@ def _resolve(location: str, table_path: str) -> str:
 
 
 def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
-    """(data_files, position_delete_files, equality_delete_count)
-    for a snapshot: manifest list -> manifests -> live entries
-    (status DELETED=2 excluded)."""
+    """(data_files, position_delete_files, equality_delete_files) for
+    a snapshot: manifest list -> manifests -> live entries (status
+    DELETED=2 excluded). Every returned dict carries ``_seq`` — the
+    entry's DATA sequence number (inherited from the manifest when
+    the entry's own is null, the v2 inheritance rule) — which decides
+    WHICH rows an equality delete applies to."""
     data_files: list[dict] = []
     pos_deletes: list[dict] = []
-    n_equality = 0
+    eq_deletes: list[dict] = []
     mlist = _resolve(snap["manifest-list"], path)
     for mf in _read_avro_dicts(mlist):
+        mseq = int(mf.get("sequence_number") or 0)
         mpath = _resolve(mf["manifest_path"], path)
         for entry in _read_avro_dicts(mpath):
             if entry.get("status") == 2:  # DELETED entry
                 continue
-            df = entry["data_file"]
+            df = dict(entry["data_file"])
+            seq = entry.get("sequence_number")
+            df["_seq"] = int(seq) if seq is not None else mseq
             content = int(df.get("content") or 0)
             if content == 0:
                 data_files.append(df)
             elif content == 1:
                 pos_deletes.append(df)
             else:
-                n_equality += 1
-    return data_files, pos_deletes, n_equality
+                eq_deletes.append(df)
+    return data_files, pos_deletes, eq_deletes
 
 
 # ---------------------------------------------------------------------------
@@ -306,8 +312,12 @@ def read_iceberg(
 ) -> DataFrame:
     """Snapshot -> DataFrame. Columns bind by FOOTER FIELD ID (the
     Iceberg resolution rule — renames are invisible, added columns
-    surface as NULL from pre-evolution files); v2 position deletes
-    anti-join out executor-side; equality deletes refuse loudly.
+    surface as NULL from pre-evolution files); v2 POSITION deletes
+    anti-join out executor-side; v2 EQUALITY deletes anti-join on the
+    delete's equality columns with the spec's sequence-number rule —
+    a delete at sequence s applies only to rows whose data file
+    landed at a STRICTLY SMALLER sequence, so a re-insert after the
+    delete survives.
 
     Time travel: ``snapshot_id`` or ``timestamp_ms`` (latest snapshot
     at or before the instant), like Spark's VERSION/TIMESTAMP AS OF
@@ -323,16 +333,12 @@ def read_iceberg(
         )
     schema = iceberg_schema_to_spark(_current_schema(meta))
     snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
-    data_files, pos_deletes, n_eq = _snapshot_files(meta, snap, path)
-    if n_eq:
-        raise UnsupportedOperationError(
-            f"Iceberg snapshot {snap['snapshot-id']} carries "
-            f"{n_eq} EQUALITY delete file(s); reading without "
-            "applying them would resurrect deleted rows"
-        )
+    data_files, pos_deletes, eq_deletes = _snapshot_files(
+        meta, snap, path
+    )
     if not data_files:
         return spark.createDataFrame([], schema)
-    for df_ in data_files:
+    for df_ in data_files + pos_deletes + eq_deletes:
         if str(df_.get("file_format", "PARQUET")).upper() != "PARQUET":
             raise UnsupportedOperationError(
                 f"Iceberg data file format "
@@ -340,44 +346,126 @@ def read_iceberg(
             )
     paths = [_resolve(d["file_path"], path) for d in data_files]
     scan = spark.read.schema(schema).parquet(*paths)
-    if not pos_deletes:
+    if not pos_deletes and not eq_deletes:
         return scan
-    # v2 position deletes: (file_path, pos) parquet rows. Data file
-    # basenames are UUID-generated per the spec writers, so the join
-    # keys on basename — guarded against collisions like the DV path.
+    # Both delete kinds join on file-level identity: basenames are
+    # UUID-generated per the spec writers — guarded like the DV path.
     names = [os.path.basename(p) for p in paths]
     if len(set(names)) != len(names):
         raise UnsupportedOperationError(
             "Iceberg read over data files with colliding basenames"
         )
-    del_paths = [_resolve(d["file_path"], path) for d in pos_deletes]
-    total = sum(int(d.get("record_count") or 0) for d in pos_deletes)
-    deletes = (
-        spark.read.schema("file_path string, pos long")
-        .parquet(*del_paths)
-        .select(
-            F.element_at(F.split("file_path", "/"), -1).alias(
-                "__ice_fn"
-            ),
-            F.col("pos").alias("__ice_pos"),
-        )
-    )
-    if total <= _DELETE_BROADCAST_MAX_ROWS:
-        deletes = F.broadcast(deletes)
     scan = scan.withColumns(
         {
             "__fn": F.col("_metadata.file_name"),
             "__ri": F.col("_metadata.row_index"),
         }
     )
-    return (
-        scan.join(
+    if pos_deletes:
+        # position deletes: (file_path, pos) rows -> anti-join
+        del_paths = [_resolve(d["file_path"], path) for d in pos_deletes]
+        total = sum(int(d.get("record_count") or 0) for d in pos_deletes)
+        deletes = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*del_paths)
+            .select(
+                F.element_at(F.split("file_path", "/"), -1).alias(
+                    "__ice_fn"
+                ),
+                F.col("pos").alias("__ice_pos"),
+            )
+        )
+        if total <= _DELETE_BROADCAST_MAX_ROWS:
+            deletes = F.broadcast(deletes)
+        scan = scan.join(
             deletes,
             (scan["__fn"] == deletes["__ice_fn"])
             & (scan["__ri"] == deletes["__ice_pos"]),
             "left_anti",
-        ).drop("__fn", "__ri")
+        )
+    if eq_deletes:
+        scan = _apply_equality_deletes(
+            spark, scan, schema, data_files, eq_deletes, path
+        )
+    return scan.drop("__fn", "__ri")
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    scan: DataFrame,
+    schema: T.StructType,
+    data_files: list,
+    eq_deletes: list,
+    path: str,
+) -> DataFrame:
+    """v2 equality deletes (typically Flink-CDC output; delta-rs 0.18
+    refuses them): each delete file lists VALUE tuples over its
+    ``equality_ids`` columns, deleting every row whose values match
+    (null-safe, the spec's null==null rule) in any data file with a
+    STRICTLY SMALLER data sequence number — so rows re-inserted after
+    the delete survive. Execution: one LEFT-ANTI join per distinct
+    equality-id set (a table usually has exactly one — the CDC key),
+    delete rows read with field-id binding and stamped with their
+    sequence number, the scan stamped with its file's sequence via a
+    broadcast file->seq map; the join keys on the equality columns
+    (hashable -> SMJ/BHJ, never a nested loop) with the sequence
+    comparison as a residual condition."""
+    from pyspark.sql import functions as F
+
+    by_id = {
+        int(f.metadata["parquet.field.id"]): f.name
+        for f in schema.fields
+    }
+    # scan-side data sequence number from a broadcast file->seq map
+    seq_map = spark.createDataFrame(
+        [
+            (os.path.basename(_resolve(d["file_path"], path)),
+             int(d["_seq"]))
+            for d in data_files
+        ],
+        "__fn2 string, __dseq long",
     )
+    scan = scan.join(
+        F.broadcast(seq_map), scan["__fn"] == seq_map["__fn2"]
+    ).drop("__fn2")
+    groups: dict = {}
+    for d in eq_deletes:
+        ids = tuple(sorted(int(i) for i in (d.get("equality_ids") or [])))
+        if not ids:
+            raise UnsupportedOperationError(
+                "Iceberg equality delete file without equality_ids"
+            )
+        unknown = [i for i in ids if i not in by_id]
+        if unknown:
+            raise UnsupportedOperationError(
+                f"equality delete references dropped field ids "
+                f"{unknown}; applying it needs the historical schema"
+            )
+        groups.setdefault(ids, []).append(d)
+    for ids, files in groups.items():
+        cols = [by_id[i] for i in ids]
+        sub = T.StructType([schema[c] for c in cols])
+        parts = []
+        for d in files:
+            parts.append(
+                spark.read.schema(sub)
+                .parquet(_resolve(d["file_path"], path))
+                .select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                    F.lit(int(d["_seq"])).alias("__eseq"),
+                )
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        total = sum(int(d.get("record_count") or 0) for d in files)
+        if total <= _DELETE_BROADCAST_MAX_ROWS:
+            dels = F.broadcast(dels)
+        cond = scan["__dseq"] < dels["__eseq"]
+        for c in cols:
+            cond = cond & scan[c].eqNullSafe(dels[f"__eq_{c}"])
+        scan = scan.join(dels, cond, "left_anti")
+    return scan.drop("__dseq")
 
 
 # ---------------------------------------------------------------------------
@@ -418,6 +506,11 @@ _DATA_FILE_SCHEMA = {
         },
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "field-id": 135,
+        },
     ],
 }
 
@@ -505,6 +598,7 @@ def _write_manifest(
     snapshot_id: int,
     seq: int,
     content: int,
+    equality_ids: Optional[list] = None,
 ) -> dict:
     """Write one manifest avro + return its manifest_file row (as the
     positional tuple write_container expects)."""
@@ -523,6 +617,7 @@ def _write_manifest(
                 (),  # unpartitioned partition record
                 e["record_count"],
                 e["file_size_in_bytes"],
+                list(equality_ids) if equality_ids else None,
             ),
         )
         for e in entries

@@ -138,26 +138,93 @@ def test_schema_evolution_add_and_rename(spark, tbl):
     assert rows == {1: ("a", None), 2: ("b", None)}
 
 
-def test_equality_deletes_refuse(spark, tbl):
-    df = spark.createDataFrame([(1, "a")], "id long, s string")
-    write_iceberg(spark, df, tbl, mode="create")
-    # hand-add an equality-delete manifest (content=2 data_file)
+def _commit_equality_delete(spark, tbl, rows, schema_str, eq_ids):
+    """Hand-commit an equality-delete snapshot the way a Flink CDC
+    writer would: a parquet file holding the delete VALUE tuples
+    (footers field-id stamped) + a content=2 manifest entry carrying
+    equality_ids, at the next sequence number."""
+    import pyarrow.parquet as pq  # noqa: F401 (import sanity)
+
+    from pyspark.sql import functions as F
+
     meta = table_metadata(tbl)
-    prior = iceberg_py._prior_manifest_rows(meta, tbl)
+    ids = {
+        f["name"]: f["id"]
+        for f in meta["schemas"][0]["fields"]
+    }
+    df = spark.createDataFrame(rows, schema_str)
+    stamped = df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            for c in df.columns
+        ]
+    )
+    tmp = tbl + "_eqtmp"
+    stamped.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = [
+        os.path.join(tmp, n)
+        for n in os.listdir(tmp)
+        if n.endswith(".parquet")
+    ][0]
+    dest = os.path.join(tbl, "data", f"eqdel-{len(rows)}.parquet")
+    os.replace(src, dest)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
     sid = iceberg_py._new_snapshot_id()
     mrow = iceberg_py._write_manifest(
         tbl,
-        [{"file_path": "/nope.parquet", "record_count": 1,
-          "file_size_in_bytes": 10}],
+        [
+            {
+                "file_path": dest,
+                "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(dest),
+            }
+        ],
         sid,
-        2,
+        seq,
         content=2,
+        equality_ids=eq_ids,
     )
+    prior = iceberg_py._prior_manifest_rows(meta, tbl)
     iceberg_py._commit_snapshot(
         tbl, meta, prior + [mrow["row"]], "delete", sid
     )
-    with pytest.raises(UnsupportedOperationError, match="EQUALITY"):
-        read_iceberg(spark, tbl)
+
+
+def test_equality_deletes_apply_with_sequence_rule(spark, tbl):
+    """v2 equality deletes: rows matching the delete's key values
+    disappear from data files with SMALLER sequence numbers, while a
+    re-insert AFTER the delete (larger sequence) survives — the
+    spec's CDC upsert pattern. Null-safe matching included."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "n")],
+        "id long, s string",
+    )
+    write_iceberg(spark, df, tbl, mode="create")  # seq 1
+    _commit_equality_delete(
+        spark, tbl, [(2,), (None,)], "id long", eq_ids=[1]
+    )  # seq 2: delete id=2 AND id IS NULL
+    got = sorted(
+        (r.id, r.s)
+        for r in read_iceberg(spark, tbl).collect()
+    )
+    assert got == [(1, "a"), (3, "c")]
+    # re-insert id=2 AFTER the delete: seq 3 > 2 -> survives
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(2, "b2")], "id long, s string"),
+        tbl,
+        mode="append",
+    )
+    got = sorted(
+        (r.id, r.s) for r in read_iceberg(spark, tbl).collect()
+    )
+    assert got == [(1, "a"), (2, "b2"), (3, "c")]
+    # a delete referencing a dropped/unknown field id refuses
+    _commit_equality_delete(
+        spark, tbl, [("x",)], "s string", eq_ids=[99]
+    )
+    with pytest.raises(UnsupportedOperationError, match="field ids"):
+        read_iceberg(spark, tbl).collect()
 
 
 def test_not_a_table_and_version_guard(spark, tbl, tmp_path):
