@@ -832,6 +832,93 @@ def write_iceberg(
     )
 
 
+def convert_iceberg_to_delta(
+    spark: SparkSession, src: str, dest: str
+) -> object:
+    """SHALLOW CONVERT an Iceberg table to Delta (the migration op
+    delta-spark ships as ``CONVERT TO DELTA iceberg.`<path>```): a
+    Delta log lands at ``dest`` whose add actions reference the
+    Iceberg snapshot's data files IN PLACE via absolute paths — the
+    same mechanism the engine's SHALLOW CLONE uses — so a 100 TB
+    migration commits metadata, not data. Per-file ``numRecords``
+    stats carry over from the manifests (Delta stats skipping keeps
+    working). Snapshots carrying position/equality deletes REFUSE:
+    a Delta add cannot express an Iceberg delete file, so a shallow
+    convert would resurrect deleted rows — materialize those with
+    read_iceberg + write_delta instead."""
+    from urllib.parse import quote
+
+    from . import delta_py
+
+    meta = table_metadata(src)
+    snap = _select_snapshot(meta)
+    data_files, pos_deletes, eq_deletes = _snapshot_files(
+        meta, snap, src
+    )
+    if pos_deletes or eq_deletes:
+        raise UnsupportedOperationError(
+            f"Iceberg table at {src} carries "
+            f"{len(pos_deletes)} position / {len(eq_deletes)} "
+            "equality delete file(s); a SHALLOW convert would "
+            "resurrect deleted rows — materialize with "
+            "read_iceberg(...) + write_delta(...) instead"
+        )
+    if delta_py.is_delta_table(dest):
+        raise UnsupportedOperationError(
+            f"{dest} is already a Delta table"
+        )
+    # plain Delta schema: drop the Iceberg field-id metadata (Delta
+    # binds parquet columns by name on non-mapped tables)
+    ice_schema = iceberg_schema_to_spark(_current_schema(meta))
+    schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in ice_schema.fields
+        ]
+    )
+    actions: list = [
+        {"protocol": dict(delta_py.PROTOCOL)},
+        delta_py._meta_action(schema, [], str(uuid.uuid4())),
+    ]
+    now_ms = int(time.time() * 1000)
+    for d in data_files:
+        abs_p = _resolve(d["file_path"], src)
+        actions.append(
+            {
+                "add": {
+                    "path": quote(abs_p, safe="/="),
+                    "partitionValues": {},
+                    "size": int(d["file_size_in_bytes"]),
+                    "modificationTime": int(
+                        os.path.getmtime(abs_p) * 1000
+                    ),
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": int(d["record_count"])}
+                    ),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "sourceFormat": "iceberg",
+                    "sourcePath": src,
+                    "sourceSnapshotId": str(snap["snapshot-id"]),
+                },
+                "engineInfo": "local-lakehouse-spark iceberg_py",
+            }
+        }
+    )
+    os.makedirs(dest, exist_ok=True)
+    log = delta_py.DeltaLog(dest)
+    log.commit(0, actions)
+    return log.snapshot(0)
+
+
 def delete_iceberg_where(
     spark: SparkSession, path: str, predicate: str
 ) -> dict:

@@ -1,8 +1,9 @@
 """Iceberg table-format support (sources/iceberg_py.py): metadata
 discovery, snapshot selection, manifest decoding via the pure-Python
-Avro codec, FIELD-ID column resolution, v2 position deletes, schema
-evolution, and loud refusals for the unimplemented (equality
-deletes, v3).
+Avro codec, FIELD-ID column resolution, v2 position AND equality
+deletes (sequence-number rule), schema evolution, shallow CONVERT to
+Delta, and loud refusals for the unimplemented (v3, dropped-field-id
+deletes).
 
 Reference parity: the reference's lakehouse surface is described as
 Delta/Iceberg (BASELINE.md); it delegates both to its Rust layer
@@ -278,3 +279,37 @@ def test_manifest_avro_is_foreign_decodable(spark, tbl):
     assert data_file["content"] == 0
     assert os.path.exists(data_file["file_path"])
     assert data_file["record_count"] == 1
+
+
+def test_convert_iceberg_to_delta_shallow(spark, tbl, tmp_path):
+    """SHALLOW CONVERT: the Delta log at dest references the Iceberg
+    data files in place (absolute paths, zero data copied), carries
+    numRecords stats, and reads identically through read_delta. A
+    source with deletes refuses — a shallow convert would resurrect
+    deleted rows."""
+    from local_lakehouse_spark.sources import delta_py
+    from local_lakehouse_spark.sources.iceberg_py import (
+        convert_iceberg_to_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(20)], "id long, s string"
+    ).coalesce(2)
+    write_iceberg(spark, df, tbl, mode="create")
+    dest = str(tmp_path / "delta")
+    snap = convert_iceberg_to_delta(spark, tbl, dest)
+    assert delta_py.is_delta_table(dest)
+    # no data copied: every add points into the ICEBERG data dir
+    for rel, add in snap.adds.items():
+        assert rel.startswith(os.path.join(tbl, "data") + "/")
+        assert json.loads(add["stats"])["numRecords"] > 0
+    back = delta_py.read_delta(spark, dest)
+    assert sorted(r.id for r in back.collect()) == list(range(20))
+    # numRecords-only stats: skipping has no min/max to prove a miss,
+    # so every file is (correctly) kept — pruning is an optimization
+    kept = delta_py.candidate_files(snap, "id", ">", 10_000)
+    assert len(kept) == len(snap.adds)
+    # a deleted-rows source refuses the shallow path
+    delete_iceberg_where(spark, tbl, "id = 3")
+    with pytest.raises(UnsupportedOperationError, match="SHALLOW"):
+        convert_iceberg_to_delta(spark, tbl, str(tmp_path / "d2"))
