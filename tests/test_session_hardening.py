@@ -36,10 +36,16 @@ def bare_session(spark):
     # Perturb the timezone the way a non-UTC host would.
     s.conf.set("spark.sql.session.timeZone", "America/New_York")
     s.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    # field-id binding (id-mode column mapping / Iceberg) defaults OFF
+    # in a bare session
+    s.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    s.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
     assert _RUNTIME_CONFS.keys() == {
         "spark.sql.legacy.parquet.nanosAsLong",
         "spark.sql.session.timeZone",
         "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.parquet.fieldId.read.enabled",
+        "spark.sql.parquet.fieldId.write.enabled",
     }, "new runtime conf added — perturb it here too"
     return s
 
