@@ -350,9 +350,12 @@ class LakehouseClient:
         self, catalog: str, schema: str, name: str
     ) -> Table:
         """CONVERT TO DELTA: register a PARQUET directory table's
-        existing files as Delta version 0 (metadata-only — no data
-        rewritten) and flip the catalog file_type. Reversible only by
-        deleting ``_delta_log``; partition layout is preserved."""
+        existing files — or an ICEBERG table's current snapshot
+        (delta-spark's iceberg CONVERT, round 8) — as Delta version 0
+        (metadata-only, no data rewritten) and flip the catalog
+        file_type. Reversible only by deleting ``_delta_log``;
+        partition layout is preserved for PARQUET; delete-bearing
+        ICEBERG sources refuse (iceberg_py.convert_iceberg_to_delta)."""
         from .sources import delta_py
 
         tbl = self.get_table(catalog, schema, name)
@@ -360,10 +363,22 @@ class LakehouseClient:
             raise UnsupportedOperationError(
                 f"Table {tbl.full_name} is already DELTA"
             )
+        if tbl.file_type == FileType.ICEBERG:
+            from .sources import iceberg_py
+
+            path = _io.strip_file_scheme(tbl.storage_location or "")
+            # in place: the Delta log lands inside the Iceberg table
+            # dir, adds referencing the snapshot's files absolutely
+            iceberg_py.convert_iceberg_to_delta(
+                self._require_spark(), path, path
+            )
+            return self.metastore.set_table_file_type(
+                catalog, schema, name, FileType.DELTA
+            )
         if tbl.file_type != FileType.PARQUET:
             raise UnsupportedOperationError(
-                "CONVERT TO DELTA supports PARQUET tables only, not "
-                f"{tbl.file_type.value}"
+                "CONVERT TO DELTA supports PARQUET and ICEBERG "
+                f"tables, not {tbl.file_type.value}"
             )
         path = _io.strip_file_scheme(tbl.storage_location or "")
         if _io._is_single_file(path):

@@ -746,3 +746,25 @@ def test_iceberg_table_through_client(unity, spark, tmp_path):
     )
     with pytest.raises(UnsupportedOperationError, match="APPEND"):
         unity.write_table(df, "unity", "default", "ice", mode="OVERWRITE")
+
+
+def test_convert_iceberg_table_to_delta_via_client(unity, spark, tmp_path):
+    """Client CONVERT TO DELTA on an ICEBERG table: in-place Delta log
+    referencing the snapshot's files, catalog file_type flips, reads
+    continue through the Delta path."""
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(8)], "id long, s string"
+    )
+    loc = _loc(tmp_path, "ice2d")
+    unity.create_as_table(
+        df, "unity", "default", "ice2d",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    unity.convert_table_to_delta("unity", "default", "ice2d")
+    t = unity.get_table("unity", "default", "ice2d")
+    assert t.file_type == FileType.DELTA
+    back = unity.read_table("unity", "default", "ice2d")
+    assert sorted(r.id for r in back.collect()) == list(range(8))
+    from local_lakehouse_spark.sources import delta_py
+
+    assert delta_py.is_delta_table(loc)
