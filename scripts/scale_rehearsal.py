@@ -80,6 +80,10 @@ QUERIES = [
     # contract (full-outer join of the v1 time-travel read against
     # the current read), so the contract itself is measured at scale.
     "y30_row_tracking",
+    # round 8: the Iceberg merge-on-read path crossing the delete
+    # broadcast threshold at 10x — the designed broadcast->SMJ flip,
+    # same as y10 but through iceberg_py (see _y33_iceberg_read_at_scale)
+    "y33_iceberg_read_at_scale",
 ]
 
 def _y10_dv_read_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,9 +131,56 @@ def _y10_dv_read_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _y33_iceberg_read_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rehearsal-only Iceberg twin of _y10: stage an Iceberg lineitem
+    copy and position-DELETE ``l_quantity > 25`` (~half the rows). At
+    1x (~300k delete positions) the anti-join broadcasts; at 10x
+    (~3M > 2M threshold) the positions shuffle — the same designed
+    flip as the Delta DV read, now measured on the Iceberg merge-on-
+    read path (field-id-bound scan + position-delete anti-join)."""
+    import hashlib
+    import tempfile
+
+    from local_lakehouse_spark.sources import iceberg_py
+
+    key = hashlib.md5(f"{sf_dir}|icexcap-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_icexcap_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        iceberg_py.write_iceberg(
+            spark,
+            li.select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+            ).repartition(32),
+            tbl,
+            mode="create",
+        )
+        iceberg_py.delete_iceberg_where(spark, tbl, "l_quantity > 25")
+    meta = iceberg_py.table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    _d, pos, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    card = sum(int(p.get("record_count") or 0) for p in pos)
+    print(
+        f"    [y33_iceberg_read_at_scale] delete positions: {card:,} "
+        f"(cap {iceberg_py._DELETE_BROADCAST_MAX_ROWS:,})",
+        flush=True,
+    )
+    return (
+        iceberg_py.read_iceberg(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
 # Rehearsal-only cases (not part of the declared inventory — they
 # exist to measure a path the sf0.01 oracle can't reach).
-EXTRA = {"y10_dv_read_at_scale": _y10_dv_read_at_scale}
+EXTRA = {
+    "y10_dv_read_at_scale": _y10_dv_read_at_scale,
+    "y33_iceberg_read_at_scale": _y33_iceberg_read_at_scale,
+}
 
 _ABC = "abcdefghijklmnopqrstuvwxyz"
 
