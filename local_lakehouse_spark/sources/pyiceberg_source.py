@@ -1,0 +1,165 @@
+"""``spark.read.format("pyiceberg")`` — the pure-Python Iceberg
+reader (sources/iceberg_py.py) surfaced as a REGISTERED Spark data
+source via the Python Data Source API, completing the format-string
+story next to ``pydelta``/``pyavro``.
+
+- one input partition PER DATA FILE (scan parallelism = live file
+  count), Arrow RecordBatch transfer;
+- columns bind per file by FOOTER FIELD ID with physical-name
+  fallback — the same executor-side machinery as pydelta's id-mode
+  reads (``_read_file_as_batches(field_ids=...)``);
+- v2 POSITION deletes apply per file in the executor: each task
+  reads the delete parquet(s), keeps the positions naming its data
+  file, and drops those rows before the batches leave the reader;
+- ``snapshotId`` / ``asOfTimestampMs`` options time-travel like
+  ``read_iceberg``;
+- EQUALITY deletes refuse here and point at ``read_iceberg`` (their
+  sequence-rule anti-join is a cross-file plan, not a per-file
+  filter — exactly what the JVM-side reader implements).
+
+Scale: the per-task delete-file read is O(delete files) per data
+file. Fine for the modest delete counts merge-on-read tables carry
+between compactions; a table with heavy deletes reads better through
+``read_iceberg`` (one pooled delete scan + anti-join).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from ..exceptions import UnsupportedOperationError
+from . import iceberg_py
+from .pydelta_source import _read_file_as_batches
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+
+def _required_path(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError(
+            "pyiceberg requires a path: .load('/table/dir')"
+        )
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    return path
+
+
+def _plain(schema: T.StructType) -> T.StructType:
+    """The DataSource-facing logical schema: field names/types only
+    (the field ids travel separately into the per-file binder)."""
+    return T.StructType(
+        [
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+class _PyIcebergReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = _required_path(options)
+        meta = iceberg_py.table_metadata(self._path)
+        sid = options.get("snapshotid")
+        ts = options.get("asoftimestampms")
+        snap = iceberg_py._select_snapshot(
+            meta,
+            int(sid) if sid is not None else None,
+            int(ts) if ts is not None else None,
+        )
+        ice_schema = iceberg_py._current_schema(meta)
+        self._schema = iceberg_py.iceberg_schema_to_spark(ice_schema)
+        self._fids = {
+            f["name"]: int(f["id"]) for f in ice_schema["fields"]
+        }
+        data, pos, eq = iceberg_py._snapshot_files(
+            meta, snap, self._path
+        )
+        if eq:
+            raise UnsupportedOperationError(
+                "pyiceberg: this snapshot carries EQUALITY delete "
+                "files, whose sequence-rule anti-join is a cross-file "
+                "plan — read it with iceberg_py.read_iceberg instead"
+            )
+        self._files = [
+            iceberg_py._resolve(d["file_path"], self._path)
+            for d in data
+        ]
+        self._deletes = [
+            iceberg_py._resolve(d["file_path"], self._path)
+            for d in pos
+        ]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if not self._files:
+            return [InputPartition({"file": None})]
+        return [
+            InputPartition({"file": f, "deletes": self._deletes})
+            for f in self._files
+        ]
+
+    def read(self, partition: InputPartition):
+        abs_path = partition.value["file"]
+        if abs_path is None:
+            return
+        deleted = None
+        del_files = partition.value.get("deletes") or []
+        if del_files:
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            base = os.path.basename(abs_path)
+            hits = []
+            for df in del_files:
+                t = pq.read_table(df, columns=["file_path", "pos"])
+                fp = t.column("file_path").to_pylist()
+                pos = t.column("pos").to_pylist()
+                hits.extend(
+                    p
+                    for f, p in zip(fp, pos)
+                    if os.path.basename(f) == base
+                )
+            if hits:
+                deleted = np.array(sorted(hits), dtype="int64")
+        yield from _read_file_as_batches(
+            abs_path,
+            self._schema,
+            {},
+            deleted=deleted,
+            field_ids=self._fids,
+        )
+
+
+class PyIcebergDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyiceberg"
+
+    def schema(self):
+        return _plain(
+            iceberg_py.iceberg_schema_to_spark(
+                iceberg_py._current_schema(
+                    iceberg_py.table_metadata(
+                        _required_path(self.options)
+                    )
+                )
+            )
+        )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _PyIcebergReader(self.options)
+
+
+def register(spark: "SparkSession") -> None:
+    """Idempotent ``spark.dataSource.register`` of the pyiceberg
+    format (same contract as pydelta/pyavro register)."""
+    spark.dataSource.register(PyIcebergDataSource)

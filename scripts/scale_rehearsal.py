@@ -253,6 +253,20 @@ def _materialize(df: DataFrame) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _release_persisted(spark: SparkSession) -> None:
+    """Unpersist RDDs left behind by localCheckpoints (x33/x66's
+    iterative operators) — Spark never frees them on its own, and
+    across a 15-query x 2-scale x 2-pass rehearsal they accumulate
+    until the 10x phase OOMs the shared local-mode heap (observed in
+    r8 once the query list grew). Same cleanup bench.py applies."""
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)  # blocking: freed BEFORE the next query
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # best-effort; never fail the rehearsal over cleanup
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -263,6 +277,13 @@ def main() -> int:
 
     import __spark_entry__ as entry
 
+    # The rehearsal pushes 10x data through ONE local-mode JVM whose
+    # heap is shared by all 32 executor threads; 8g (the bench/driver
+    # default) sits at the edge there (x66's 10x localCheckpoint
+    # OOMed once the r8 query list grew). On a real cluster this is
+    # executor memory, not driver memory — sizing the rehearsal JVM
+    # to the data is the honest local analog.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
     qs = {**entry.queries(), **EXTRA}
@@ -278,7 +299,9 @@ def main() -> int:
     results: dict[str, dict] = {}
     for scale, sf_dir in (("1x", args.src), (f"{args.replicas}x", big)):
         for name in QUERIES:
+            _release_persisted(spark)
             _materialize(qs[name](spark, sf_dir))  # warm + one-time staging
+            _release_persisted(spark)
             t0 = time.perf_counter()
             _materialize(qs[name](spark, sf_dir))
             wall = time.perf_counter() - t0

@@ -313,3 +313,37 @@ def test_convert_iceberg_to_delta_shallow(spark, tbl, tmp_path):
     delete_iceberg_where(spark, tbl, "id = 3")
     with pytest.raises(UnsupportedOperationError, match="SHALLOW"):
         convert_iceberg_to_delta(spark, tbl, str(tmp_path / "d2"))
+
+
+def test_pyiceberg_registered_format(spark, tbl):
+    """spark.read.format('pyiceberg'): per-file Arrow partitions,
+    field-id binding, per-file position-delete application, and
+    snapshotId time travel — matching read_iceberg row-for-row."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(12)], "id long, s string"
+    ).coalesce(3)
+    write_iceberg(spark, df, tbl, mode="create")
+    delete_iceberg_where(spark, tbl, "id IN (2, 7)")
+    out = spark.read.format("pyiceberg").load(tbl)
+    assert out.columns == ["id", "s"]
+    got = sorted(r.id for r in out.collect())
+    assert got == [0, 1, 3, 4, 5, 6, 8, 9, 10, 11]
+    # row-for-row parity with the JVM-side reader
+    jvm_side = sorted(r.id for r in read_iceberg(spark, tbl).collect())
+    assert got == jvm_side
+    # snapshotId option time-travels to the pre-delete snapshot
+    snap0 = table_metadata(tbl)["snapshots"][0]["snapshot-id"]
+    assert (
+        spark.read.format("pyiceberg")
+        .option("snapshotId", snap0)
+        .load(tbl)
+        .count()
+        == 12
+    )
+    # equality deletes refuse on this per-file path
+    _commit_equality_delete(spark, tbl, [(4,)], "id long", eq_ids=[1])
+    with pytest.raises(Exception, match="EQUALITY"):
+        spark.read.format("pyiceberg").load(tbl).collect()
