@@ -832,6 +832,108 @@ def write_iceberg(
     )
 
 
+def expire_snapshots(
+    path: str,
+    older_than_ms: Optional[int] = None,
+    retain_last: int = 1,
+) -> dict:
+    """Iceberg snapshot expiration + orphan-file cleanup (the spec's
+    ``expireSnapshots`` / ``removeOrphanFiles`` maintenance pair,
+    delta's cleanup_metadata analog): drop snapshots older than
+    ``older_than_ms`` — always keeping the CURRENT snapshot and the
+    ``retain_last`` newest — commit the pruned metadata.json, then
+    delete files no surviving snapshot references: expired manifest
+    lists, unreferenced manifests, and unreferenced files under
+    ``data/`` (parquet a surviving manifest still lists is NEVER
+    touched — appends carry prior entries forward, so live data
+    survives any expiration). Time travel to an expired snapshot
+    raises afterwards, exactly like Delta after log cleanup.
+
+    Returns ``{"expired": [...ids], "deleted_files": [...paths]}``.
+    Driver-side metadata work only — this never reads data."""
+    meta = table_metadata(path)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
+    )
+    if not snaps:
+        return {"expired": [], "deleted_files": []}
+    cur = meta.get("current-snapshot-id")
+    keep = {s["snapshot-id"] for s in snaps[-max(1, retain_last):]}
+    keep.add(cur)
+    cutoff = older_than_ms if older_than_ms is not None else -1
+    surviving = [
+        s
+        for s in snaps
+        if s["snapshot-id"] in keep or s["timestamp-ms"] >= cutoff
+    ]
+    expired = [s for s in snaps if s not in surviving]
+    if not expired:
+        return {"expired": [], "deleted_files": []}
+    # referenced-by-survivors closure: manifest lists -> manifests ->
+    # data/delete file paths
+    live_mlists = {
+        _resolve(s["manifest-list"], path) for s in surviving
+    }
+    live_manifests: set = set()
+    live_data: set = set()
+    for s in surviving:
+        for mf in _read_avro_dicts(_resolve(s["manifest-list"], path)):
+            mpath = _resolve(mf["manifest_path"], path)
+            live_manifests.add(mpath)
+            for entry in _read_avro_dicts(mpath):
+                live_data.add(
+                    _resolve(entry["data_file"]["file_path"], path)
+                )
+    deleted: list = []
+    for s in expired:
+        mlist = _resolve(s["manifest-list"], path)
+        if mlist in live_mlists or not os.path.exists(mlist):
+            continue
+        for mf in _read_avro_dicts(mlist):
+            mpath = _resolve(mf["manifest_path"], path)
+            if mpath in live_manifests or not os.path.exists(mpath):
+                continue
+            for entry in _read_avro_dicts(mpath):
+                dpath = _resolve(
+                    entry["data_file"]["file_path"], path
+                )
+                if dpath not in live_data and os.path.exists(dpath):
+                    os.unlink(dpath)
+                    deleted.append(dpath)
+            os.unlink(mpath)
+            deleted.append(mpath)
+        os.unlink(mlist)
+        deleted.append(mlist)
+    new_meta = dict(meta)
+    survived_ids = {s["snapshot-id"] for s in surviving}
+    new_meta["snapshots"] = [
+        s
+        for s in meta.get("snapshots") or []
+        if s["snapshot-id"] in survived_ids
+    ]
+    new_meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log") or []
+        if e["snapshot-id"] in survived_ids
+    ]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = _metadata_dir(path)
+    best = 0
+    for n in os.listdir(mdir):
+        m = _VERSION_RE.match(n)
+        if m:
+            best = max(best, int(m.group(1)))
+    v = best + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    return {
+        "expired": [s["snapshot-id"] for s in expired],
+        "deleted_files": deleted,
+    }
+
+
 def convert_iceberg_to_delta(
     spark: SparkSession, src: str, dest: str
 ) -> object:

@@ -347,3 +347,51 @@ def test_pyiceberg_registered_format(spark, tbl):
     _commit_equality_delete(spark, tbl, [(4,)], "id long", eq_ids=[1])
     with pytest.raises(Exception, match="EQUALITY"):
         spark.read.format("pyiceberg").load(tbl).collect()
+
+
+def test_expire_snapshots(spark, tbl):
+    """expireSnapshots + orphan cleanup: old snapshots leave the
+    metadata (time travel to them raises), their now-unreferenced
+    manifest lists/manifests delete, data files any SURVIVING
+    manifest lists are never touched, and the current read is
+    unchanged. A planted orphan data file referenced only by an
+    expired snapshot is removed."""
+    from local_lakehouse_spark.sources.iceberg_py import (
+        expire_snapshots,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(6)], "id long, s string"
+    )
+    write_iceberg(spark, df, tbl, mode="create")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(100, "x")], "id long, s string"),
+        tbl,
+        mode="append",
+    )
+    delete_iceberg_where(spark, tbl, "id = 100")
+    meta = table_metadata(tbl)
+    old = [s["snapshot-id"] for s in meta["snapshots"][:-1]]
+    mlists_old = [
+        s["manifest-list"] for s in meta["snapshots"][:-1]
+    ]
+    now = meta["snapshots"][-1]["timestamp-ms"] + 1
+    out = expire_snapshots(tbl, older_than_ms=now, retain_last=1)
+    assert sorted(out["expired"]) == sorted(old)
+    # expired manifest lists are gone; surviving one intact
+    for ml in mlists_old:
+        assert not os.path.exists(ml)
+    meta2 = table_metadata(tbl)
+    assert len(meta2["snapshots"]) == 1
+    # current read identical (live data carried forward by manifests)
+    got = sorted(r.id for r in read_iceberg(spark, tbl).collect())
+    assert got == list(range(6))
+    # time travel to an expired snapshot raises
+    with pytest.raises(DoesNotExistError):
+        read_iceberg(spark, tbl, snapshot_id=old[0])
+    # nothing to expire on a second call
+    assert expire_snapshots(tbl, older_than_ms=now) == {
+        "expired": [],
+        "deleted_files": [],
+    }
