@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -139,6 +140,127 @@ class _PyIcebergReader(DataSourceReader):
         )
 
 
+class _PyIcebergStreamReader(DataSourceStreamReader):
+    """Iceberg as a STREAMING source (iceberg-spark's structured-
+    streaming read, re-expressed): offsets are the table's SEQUENCE
+    NUMBERS — durable in the metadata itself, so restarts resume
+    exactly. Each microbatch replays the snapshots in
+    ``(start, end]``: an APPEND snapshot contributes the data files
+    its own manifests ADDED at that sequence (entry status=1,
+    content=0 in manifests stamped with the snapshot's sequence —
+    v2 inheritance covers entries with null sequence numbers); a
+    snapshot that CHANGES existing data (position/equality delete
+    files, or entries removed) fails the stream unless
+    ``skipChangeCommits=true`` skips the whole snapshot — the same
+    contract as the pydelta stream. Default start is the CURRENT
+    sequence (only new commits replay); ``startingSnapshotId``
+    replays from that snapshot inclusive."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self._path = _required_path(options)
+        self._skip_change = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        meta = iceberg_py.table_metadata(self._path)
+        ice_schema = iceberg_py._current_schema(meta)
+        self._schema = iceberg_py.iceberg_schema_to_spark(ice_schema)
+        self._fids = {
+            f["name"]: int(f["id"]) for f in ice_schema["fields"]
+        }
+        sid = options.get("startingsnapshotid")
+        if sid is not None:
+            snap = iceberg_py._select_snapshot(meta, int(sid))
+            # inclusive: start just BELOW the snapshot's sequence
+            self._initial = int(snap["sequence-number"]) - 1
+        else:
+            self._initial = int(meta.get("last-sequence-number", 0))
+
+    def initialOffset(self) -> dict:
+        return {"seq": self._initial}
+
+    def latestOffset(self) -> dict:
+        meta = iceberg_py.table_metadata(self._path)
+        return {"seq": int(meta.get("last-sequence-number", 0))}
+
+    def _new_entries(self, snap: dict, meta: dict) -> list:
+        """(entry dicts ADDED at this snapshot's sequence number)."""
+        sseq = int(snap.get("sequence-number") or 0)
+        out = []
+        mlist = iceberg_py._resolve(snap["manifest-list"], self._path)
+        for mf in iceberg_py._read_avro_dicts(mlist):
+            if int(mf.get("sequence_number") or 0) != sseq:
+                continue  # carried-forward manifest: older commit
+            mpath = iceberg_py._resolve(
+                mf["manifest_path"], self._path
+            )
+            for entry in iceberg_py._read_avro_dicts(mpath):
+                eseq = entry.get("sequence_number")
+                if eseq is not None and int(eseq) != sseq:
+                    continue
+                if entry.get("status") == 1:  # ADDED
+                    out.append(entry)
+        return out
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        meta = iceberg_py.table_metadata(self._path)
+        plan: list = []
+        snaps = sorted(
+            meta.get("snapshots") or [],
+            key=lambda s: int(s.get("sequence-number") or 0),
+        )
+        for snap in snaps:
+            sseq = int(snap.get("sequence-number") or 0)
+            if sseq <= start["seq"] or sseq > end["seq"]:
+                continue
+            new = self._new_entries(snap, meta)
+            changes = [
+                e
+                for e in new
+                if int(e["data_file"].get("content") or 0) != 0
+            ]
+            if changes:
+                if self._skip_change:
+                    continue  # skip the WHOLE snapshot
+                raise UnsupportedOperationError(
+                    f"Iceberg snapshot {snap['snapshot-id']} "
+                    "(sequence {0}) changes existing data "
+                    "(delete files); streaming cannot replay it — "
+                    "set skipChangeCommits=true to skip such "
+                    "snapshots".format(sseq)
+                )
+            for e in new:
+                plan.append(
+                    InputPartition(
+                        {
+                            "file": iceberg_py._resolve(
+                                e["data_file"]["file_path"],
+                                self._path,
+                            )
+                        }
+                    )
+                )
+        if not plan:
+            plan.append(InputPartition({"file": None}))
+        return plan
+
+    def read(self, partition: InputPartition):
+        abs_path = partition.value["file"]
+        if abs_path is None:
+            return
+        yield from _read_file_as_batches(
+            abs_path, self._schema, {}, field_ids=self._fids
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the Iceberg metadata itself
+
+    def stop(self) -> None:
+        pass
+
+
 class PyIcebergDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -157,6 +279,11 @@ class PyIcebergDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _PyIcebergReader(self.options)
+
+    def streamReader(
+        self, schema: T.StructType
+    ) -> DataSourceStreamReader:
+        return _PyIcebergStreamReader(self.options, schema)
 
 
 def register(spark: "SparkSession") -> None:

@@ -395,3 +395,87 @@ def test_expire_snapshots(spark, tbl):
         "expired": [],
         "deleted_files": [],
     }
+
+
+def test_pyiceberg_streaming_source(spark, tbl, tmp_path):
+    """readStream.format('pyiceberg'): sequence-number offsets,
+    startingSnapshotId replay, incremental resume picking up only new
+    append snapshots, and delete snapshots skipped whole under
+    skipChangeCommits."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        tbl,
+        mode="create",
+    )
+    first = table_metadata(tbl)["snapshots"][0]["snapshot-id"]
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        tbl,
+        mode="append",
+    )
+
+    def run():
+        q = (
+            spark.readStream.format("pyiceberg")
+            .option("startingSnapshotId", first)
+            .option("skipChangeCommits", "true")
+            .load(tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    # a position-delete snapshot is SKIPPED whole (skipChangeCommits),
+    # then a later append resumes incrementally
+    delete_iceberg_where(spark, tbl, "id = 2")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(4, "d")], "id long, s string"),
+        tbl,
+        mode="append",
+    )
+    run()
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_pyiceberg_stream_refuses_change_snapshot(spark, tbl, tmp_path):
+    """Without skipChangeCommits a delete snapshot in the replay
+    range fails the stream loudly (replaying around it would emit
+    rows the table no longer has)."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        tbl,
+        mode="create",
+    )
+    first = table_metadata(tbl)["snapshots"][0]["snapshot-id"]
+    delete_iceberg_where(spark, tbl, "id = 2")
+    q = (
+        spark.readStream.format("pyiceberg")
+        .option("startingSnapshotId", first)
+        .load(tbl)
+        .writeStream.format("noop")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_refuse")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        q.awaitTermination()
