@@ -226,6 +226,47 @@ def iceberg_schema_to_spark(schema: dict) -> T.StructType:
 # ---------------------------------------------------------------------------
 
 
+import struct as _struct
+
+# Iceberg's single-value serialization (the bounds encoding in
+# manifests): little-endian fixed width for numerics, UTF-8 for
+# strings — the public spec's Appendix D.
+_BOUND_CODECS = {
+    "int": ("<i", 4),
+    "date": ("<i", 4),
+    "long": ("<q", 8),
+    "float": ("<f", 4),
+    "double": ("<d", 8),
+}
+
+
+def _encode_bound(value, ice_type: str) -> Optional[bytes]:
+    if value is None:
+        return None
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    codec = _BOUND_CODECS.get(ice_type)
+    if codec is None:
+        return None  # unencodable type: no bound, file never pruned
+    return _struct.pack(codec[0], value)
+
+
+def _decode_bound(raw, ice_type: str):
+    if raw is None:
+        return None
+    raw = bytes(raw)
+    if ice_type == "string":
+        return raw.decode("utf-8", errors="replace")
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    codec = _BOUND_CODECS.get(ice_type)
+    if codec is None or len(raw) != codec[1]:
+        return None
+    return _struct.unpack(codec[0], raw)[0]
+
+
 def _to_dict(sc, value):
     """Recursively zip avro_py's positional record tuples back into
     dicts keyed by the writer's own schema field names."""
@@ -309,6 +350,7 @@ def read_iceberg(
     path: str,
     snapshot_id: Optional[int] = None,
     timestamp_ms: Optional[int] = None,
+    filters: Optional[list] = None,
 ) -> DataFrame:
     """Snapshot -> DataFrame. Columns bind by FOOTER FIELD ID (the
     Iceberg resolution rule — renames are invisible, added columns
@@ -336,6 +378,13 @@ def read_iceberg(
     data_files, pos_deletes, eq_deletes = _snapshot_files(
         meta, snap, path
     )
+    if filters:
+        # manifest-bounds scan planning, read_delta(filters=) parity:
+        # ``[(col, op, literal)]`` conjuncts drop files whose bounds
+        # prove no match; Spark re-applies the predicate row-level
+        data_files = prune_data_files(
+            data_files, _current_schema(meta), filters
+        )
     if not data_files:
         return spark.createDataFrame([], schema)
     for df_ in data_files + pos_deletes + eq_deletes:
@@ -511,6 +560,46 @@ _DATA_FILE_SCHEMA = {
             "type": ["null", {"type": "array", "items": "int"}],
             "field-id": 135,
         },
+        # column bounds as the spec's int-keyed maps (avro encodes
+        # non-string-keyed maps as arrays of key/value records)
+        {
+            "name": "lower_bounds",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "k126_v127",
+                        "fields": [
+                            {"name": "key", "type": "int", "field-id": 126},
+                            {"name": "value", "type": "bytes", "field-id": 127},
+                        ],
+                    },
+                    "logicalType": "map",
+                },
+            ],
+            "field-id": 125,
+        },
+        {
+            "name": "upper_bounds",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "k129_v130",
+                        "fields": [
+                            {"name": "key", "type": "int", "field-id": 129},
+                            {"name": "value", "type": "bytes", "field-id": 130},
+                        ],
+                    },
+                    "logicalType": "map",
+                },
+            ],
+            "field-id": 128,
+        },
     ],
 }
 
@@ -618,6 +707,16 @@ def _write_manifest(
                 e["record_count"],
                 e["file_size_in_bytes"],
                 list(equality_ids) if equality_ids else None,
+                (
+                    sorted(e["lower_bounds"].items())
+                    if e.get("lower_bounds")
+                    else None
+                ),
+                (
+                    sorted(e["upper_bounds"].items())
+                    if e.get("upper_bounds")
+                    else None
+                ),
             ),
         )
         for e in entries
@@ -650,6 +749,101 @@ def _collect_part_files(tmp: str) -> list:
         for n in sorted(names):
             if n.endswith(".parquet") and not n.startswith("."):
                 out.append(os.path.join(root, n))
+    return out
+
+
+def _file_bounds(abs_path: str, schema_obj: dict) -> tuple:
+    """(lower_bounds, upper_bounds) as ``{field_id: encoded bytes}``
+    from the parquet footer's row-group statistics — driver-side,
+    footer-sized, computed once at write time. Top-level primitive
+    columns only; anything unencodable simply gets no bound (pruning
+    is an optimization, never the correctness mechanism)."""
+    import pyarrow.parquet as pq
+
+    by_name = {
+        f["name"]: f
+        for f in schema_obj["fields"]
+        if isinstance(f["type"], str)
+    }
+    mins: dict = {}
+    maxs: dict = {}
+    md = pq.read_metadata(abs_path)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            f = by_name.get(col.path_in_schema)
+            st = col.statistics
+            if f is None or st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", errors="replace")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", errors="replace")
+            fid = f["id"]
+            mins[fid] = mn if fid not in mins else min(mins[fid], mn)
+            maxs[fid] = mx if fid not in maxs else max(maxs[fid], mx)
+    lows = {}
+    highs = {}
+    for f in schema_obj["fields"]:
+        fid = f.get("id")
+        if fid in mins:
+            lo = _encode_bound(mins[fid], f["type"])
+            hi = _encode_bound(maxs[fid], f["type"])
+            if lo is not None and hi is not None:
+                lows[fid], highs[fid] = lo, hi
+    return lows, highs
+
+
+def _bounds_map(raw) -> dict:
+    """Normalize a decoded manifest bounds field (list of
+    ``{'key': id, 'value': bytes}`` rows — avro's array-encoded
+    int-keyed map) to ``{id: bytes}``."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    return {int(r["key"]): r["value"] for r in raw}
+
+
+def prune_data_files(
+    data_files: list, schema_obj: dict, conjuncts: list
+) -> list:
+    """Scan planning from manifest column bounds (Iceberg's metadata
+    pruning, the Delta stats-skipping analog): keep a data file
+    unless its [lower, upper] range PROVES no row can satisfy a
+    ``(column, op, literal)`` conjunct. Files without bounds for the
+    column always survive — pruning never decides correctness."""
+    fields = {f["name"]: f for f in schema_obj["fields"]}
+
+    def keep(df: dict, col: str, op: str, value) -> bool:
+        f = fields.get(col)
+        if f is None or not isinstance(f["type"], str):
+            return True
+        lo = _decode_bound(
+            _bounds_map(df.get("lower_bounds")).get(f["id"]), f["type"]
+        )
+        hi = _decode_bound(
+            _bounds_map(df.get("upper_bounds")).get(f["id"]), f["type"]
+        )
+        if lo is None or hi is None:
+            return True
+        try:
+            return {
+                "=": lo <= value <= hi,
+                "==": lo <= value <= hi,
+                "<": lo < value,
+                "<=": lo <= value,
+                ">": hi > value,
+                ">=": hi >= value,
+            }.get(op, True)
+        except TypeError:  # incomparable literal: keep the file
+            return True
+
+    out = list(data_files)
+    for col, op, value in conjuncts:
+        out = [d for d in out if keep(d, col, op, value)]
     return out
 
 
@@ -813,11 +1007,14 @@ def write_iceberg(
             data_dir, f"{uuid.uuid4().hex}-{os.path.basename(src)}"
         )
         os.replace(src, dest)
+        lows, highs = _file_bounds(dest, schema_obj)
         entries.append(
             {
                 "file_path": dest,
                 "record_count": n,
                 "file_size_in_bytes": os.path.getsize(dest),
+                "lower_bounds": lows,
+                "upper_bounds": highs,
             }
         )
     import shutil

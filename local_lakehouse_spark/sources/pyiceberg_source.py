@@ -28,12 +28,20 @@ from __future__ import annotations
 import os
 from typing import TYPE_CHECKING, Sequence
 
+from typing import Iterable, List
+
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 from ..exceptions import UnsupportedOperationError
@@ -91,21 +99,52 @@ class _PyIcebergReader(DataSourceReader):
                 "files, whose sequence-rule anti-join is a cross-file "
                 "plan — read it with iceberg_py.read_iceberg instead"
             )
-        self._files = [
-            iceberg_py._resolve(d["file_path"], self._path)
-            for d in data
-        ]
+        self._schema_obj = ice_schema
+        self._data = data
         self._deletes = [
             iceberg_py._resolve(d["file_path"], self._path)
             for d in pos
         ]
 
+    _OPS = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        """Manifest-bounds scan planning: a file is dropped only when
+        its column bounds PROVE no row matches; every filter is still
+        re-applied row-level by Spark, so pruning is an optimization,
+        never the correctness mechanism (pydelta's contract)."""
+        conjuncts = [
+            (f.attribute[0], self._OPS[type(f)], f.value)
+            for f in filters
+            if type(f) in self._OPS and len(f.attribute) == 1
+        ]
+        before = len(self._data)
+        if conjuncts:
+            self._data = iceberg_py.prune_data_files(
+                self._data, self._schema_obj, conjuncts
+            )
+        self._files_pruned = before - len(self._data)
+        return filters
+
     def partitions(self) -> Sequence[InputPartition]:
-        if not self._files:
+        if not self._data:
             return [InputPartition({"file": None})]
         return [
-            InputPartition({"file": f, "deletes": self._deletes})
-            for f in self._files
+            InputPartition(
+                {
+                    "file": iceberg_py._resolve(
+                        d["file_path"], self._path
+                    ),
+                    "deletes": self._deletes,
+                }
+            )
+            for d in self._data
         ]
 
     def read(self, partition: InputPartition):
