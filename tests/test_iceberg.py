@@ -550,3 +550,32 @@ def test_manifest_bounds_written_and_pruning(spark, tbl):
     # string bounds prune too
     kept_s = prune_data_files(data, schema_obj, [("s", "<", "a")])
     assert kept_s == []  # every s starts with 's' > 'a'... proves none
+
+
+def test_pyiceberg_as_of_timestamp_option(spark, tbl):
+    """The batch format's asOfTimestampMs option resolves the latest
+    snapshot at or before the instant, like read_iceberg."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        tbl,
+        mode="create",
+    )
+    ts0 = table_metadata(tbl)["snapshots"][0]["timestamp-ms"]
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(2, "b")], "id long, s string"),
+        tbl,
+        mode="append",
+    )
+    assert (
+        spark.read.format("pyiceberg")
+        .option("asOfTimestampMs", ts0)
+        .load(tbl)
+        .count()
+        == 1
+    )
+    assert spark.read.format("pyiceberg").load(tbl).count() == 2
