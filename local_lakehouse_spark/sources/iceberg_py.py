@@ -29,14 +29,25 @@ Spark-first design:
   join against ``(_metadata.file_name, _metadata.row_index)`` — the
   same executor-side pattern as the Delta deletion-vector read
   (delta_py.read_delta), sharing its 2M-row broadcast threshold.
-- **Equality deletes refuse loudly** (delta-spark itself only
-  gained reading them recently); a wrong silent read is never ok.
+- **v2 equality deletes** apply with the spec's sequence-number
+  rule (_apply_equality_deletes): one hashable LEFT-ANTI join per
+  distinct equality-id set, sequence comparison as a residual.
+- **Scan planning prunes from metadata**: manifest column bounds
+  (prune_data_files) and identity-partition values drop data files
+  whose stats PROVE no row matches — pruning is an optimization,
+  never the correctness mechanism.
+- **Maintenance + migration**: expire_snapshots (+ orphan-file
+  cleanup), compact_data_files (bin-pack rewrite as a REPLACE
+  snapshot), and convert_iceberg_to_delta (shallow CONVERT — Delta
+  adds referencing the Iceberg data files in place).
 
-The WRITER is deliberately minimal — create/append and positional
-DELETE, each a new snapshot with correct sequence numbers — enough
-to stage spec-compliant tables for the reader's tests and oracle
-query (y33) and to interop-check against any foreign reader. Delta
-remains the engine's primary write format.
+The WRITER covers create/append (unpartitioned or identity-
+partitioned, optional add-column schema evolution via
+``merge_schema``) and positional DELETE, each a new snapshot with
+correct sequence numbers — enough to stage spec-compliant tables
+for the reader's tests and oracle queries (y33/y34/y35) and to
+interop-check against any foreign reader. Delta remains the
+engine's primary write format.
 
 Reference parity: the reference delegates both formats to its Rust
 layer (uchelper/dataframe.py:198-199); here both are executable
@@ -120,6 +131,20 @@ def _current_schema(meta: dict) -> dict:
     if "schema" in meta:  # v1 single-schema layout
         return meta["schema"]
     raise UnsupportedOperationError("Iceberg metadata carries no schema")
+
+
+def _schema_for_snapshot(meta: dict, snap: dict) -> dict:
+    """The schema a snapshot was committed under (Iceberg time-travel
+    semantics: VERSION AS OF reads with the snapshot's schema-id, so
+    columns added later don't surface as phantom NULLs), falling back
+    to the current schema when the snapshot predates schema-id
+    tracking."""
+    sid = snap.get("schema-id")
+    if sid is not None:
+        for s in meta.get("schemas") or []:
+            if s.get("schema-id") == sid:
+                return s
+    return _current_schema(meta)
 
 
 def _select_snapshot(
@@ -226,6 +251,7 @@ def iceberg_schema_to_spark(schema: dict) -> T.StructType:
 # ---------------------------------------------------------------------------
 
 
+import datetime as _dt
 import struct as _struct
 
 # Iceberg's single-value serialization (the bounds encoding in
@@ -250,7 +276,14 @@ def _encode_bound(value, ice_type: str) -> Optional[bytes]:
     codec = _BOUND_CODECS.get(ice_type)
     if codec is None:
         return None  # unencodable type: no bound, file never pruned
-    return _struct.pack(codec[0], value)
+    if ice_type == "date" and isinstance(value, _dt.date):
+        # parquet stats surface dates as datetime.date; the spec's
+        # single-value encoding is days-from-epoch as a 4-byte int
+        value = (value - _dt.date(1970, 1, 1)).days
+    try:
+        return _struct.pack(codec[0], value)
+    except (_struct.error, TypeError):
+        return None  # unencodable stat: skip the bound, never fail
 
 
 def _decode_bound(raw, ice_type: str):
@@ -264,7 +297,12 @@ def _decode_bound(raw, ice_type: str):
     codec = _BOUND_CODECS.get(ice_type)
     if codec is None or len(raw) != codec[1]:
         return None
-    return _struct.unpack(codec[0], raw)[0]
+    value = _struct.unpack(codec[0], raw)[0]
+    if ice_type == "date":
+        # back to datetime.date so pruning compares against the
+        # date literals Spark filters/DataSource pushdown carry
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=value)
+    return value
 
 
 def _to_dict(sc, value):
@@ -373,8 +411,10 @@ def read_iceberg(
             f"Iceberg format-version {fmt_version} is beyond the v2 "
             "spec this reader implements"
         )
-    schema = iceberg_schema_to_spark(_current_schema(meta))
     snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
+    # time travel binds the SNAPSHOT's schema-id, not the current one
+    schema_obj = _schema_for_snapshot(meta, snap)
+    schema = iceberg_schema_to_spark(schema_obj)
     data_files, pos_deletes, eq_deletes = _snapshot_files(
         meta, snap, path
     )
@@ -383,7 +423,7 @@ def read_iceberg(
         # ``[(col, op, literal)]`` conjuncts drop files whose bounds
         # prove no match; Spark re-applies the predicate row-level
         data_files = prune_data_files(
-            data_files, _current_schema(meta), filters
+            data_files, schema_obj, filters
         )
     if not data_files:
         return spark.createDataFrame([], schema)
@@ -907,16 +947,56 @@ def _commit_snapshot(
     return meta
 
 
+# fields a writer may legitimately omit (v1-optional / summary-only);
+# everything else in _MANIFEST_FILE_SCHEMA must be present by NAME in
+# the source manifest list or the append refuses — positional reuse
+# of a foreign avro schema would silently misalign sequence numbers
+_MANIFEST_ROW_DEFAULTS = {
+    "partition_spec_id": 0,
+    "content": 0,
+    "added_files_count": 0,
+    "existing_files_count": 0,
+    "deleted_files_count": 0,
+    "added_rows_count": 0,
+    "existing_rows_count": 0,
+    "deleted_rows_count": 0,
+}
+
+
 def _prior_manifest_rows(meta: dict, path: str) -> list:
-    """Carry the current snapshot's manifest list forward (tuple rows
-    aligned to _MANIFEST_FILE_SCHEMA)."""
+    """Carry the current snapshot's manifest list forward as tuple
+    rows aligned to _MANIFEST_FILE_SCHEMA — re-mapped BY FIELD NAME
+    from the source file's own avro schema, never positionally (a
+    foreign writer's field order or v1's missing content/sequence
+    fields would otherwise corrupt the carried sequence numbers)."""
     if meta.get("current-snapshot-id") in (None, -1):
         return []
+    fmt = int(meta.get("format-version", 1))
+    if fmt != 2:
+        raise UnsupportedOperationError(
+            f"appending to an Iceberg format-version {fmt} table is "
+            "unsupported (the writer commits v2 sequence-numbered "
+            "manifests; carrying v1 manifests forward would fabricate "
+            "sequence numbers)"
+        )
     snap = _select_snapshot(meta)
-    mlist = _resolve(snap["manifest-list"], path)
-    with open(mlist, "rb") as fh:
-        _schema, rows = avro_py.read_container(fh.read())
-    return list(rows)
+    dicts = _read_avro_dicts(_resolve(snap["manifest-list"], path))
+    out = []
+    for d in dicts:
+        row = []
+        for f in _MANIFEST_FILE_SCHEMA["fields"]:
+            name = f["name"]
+            v = d.get(name)
+            if v is None:
+                if name not in _MANIFEST_ROW_DEFAULTS:
+                    raise UnsupportedOperationError(
+                        f"prior manifest-list row lacks required "
+                        f"field {name!r}; refusing to re-encode it"
+                    )
+                v = _MANIFEST_ROW_DEFAULTS[name]
+            row.append(v)
+        out.append(tuple(row))
+    return out
 
 
 def write_iceberg(
@@ -924,12 +1004,19 @@ def write_iceberg(
     df: DataFrame,
     path: str,
     mode: str = "create",
+    merge_schema: bool = False,
 ) -> dict:
     """Create or append to an UNPARTITIONED filesystem Iceberg v2
     table: data parquet (written by Spark, footers stamped with the
     Iceberg field ids), one ADDED-entries manifest, a manifest list,
     and the next ``v<N>.metadata.json`` + ``version-hint.text``.
-    Returns the committed table metadata."""
+
+    ``merge_schema=True`` on append accepts a SUPERSET frame: new
+    columns get fresh field ids past the last-column-id watermark and
+    a new schema-id commits with the snapshot (the spec's add-column
+    evolution) — old files read NULL for them via field-id binding.
+    New columns must be nullable (old files cannot satisfy a required
+    constraint retroactively). Returns the committed metadata."""
     os.makedirs(_metadata_dir(path), exist_ok=True)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -938,10 +1025,18 @@ def write_iceberg(
             raise UnsupportedOperationError(
                 f"Iceberg table at {path} already exists"
             )
-        counter = iter(range(1, 1 << 20))
-        ice_struct = _spark_to_iceberg_type(
-            df.schema, lambda: next(counter)
-        )
+        # last-column-id must be the allocator's HIGH-WATER MARK:
+        # nested struct/list/map element ids are allocated after
+        # their parent's, so max() over top-level ids would leave
+        # live nested ids above the recorded watermark for a foreign
+        # writer to re-allocate
+        alloc = {"n": 0}
+
+        def _next_id() -> int:
+            alloc["n"] += 1
+            return alloc["n"]
+
+        ice_struct = _spark_to_iceberg_type(df.schema, _next_id)
         schema_obj = {
             "type": "struct",
             "schema-id": 0,
@@ -953,9 +1048,7 @@ def write_iceberg(
             "location": path,
             "last-sequence-number": 0,
             "last-updated-ms": int(time.time() * 1000),
-            "last-column-id": max(
-                (f["id"] for f in schema_obj["fields"]), default=0
-            ),
+            "last-column-id": alloc["n"],
             "current-schema-id": 0,
             "schemas": [schema_obj],
             "default-spec-id": 0,
@@ -975,10 +1068,56 @@ def write_iceberg(
         raise ValueError(f"write_iceberg mode {mode!r}")
     schema_obj = _current_schema(meta)
     ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
-    missing = [f.name for f in df.schema.fields if f.name not in ids]
-    if missing:
+    extra = [f for f in df.schema.fields if f.name not in ids]
+    if extra and not merge_schema:
         raise UnsupportedOperationError(
-            f"append columns {missing} not in the Iceberg schema"
+            f"append columns {[f.name for f in extra]} not in the "
+            "Iceberg schema (pass merge_schema=True to evolve)"
+        )
+    if extra:
+        required_new = [f.name for f in extra if not f.nullable]
+        if required_new:
+            raise UnsupportedOperationError(
+                f"cannot add required columns {required_new} on "
+                "append: existing files cannot satisfy the "
+                "constraint — add them as nullable"
+            )
+        alloc2 = {"n": int(meta.get("last-column-id", 0))}
+
+        def _next_id2() -> int:
+            alloc2["n"] += 1
+            return alloc2["n"]
+
+        new_struct = _spark_to_iceberg_type(
+            T.StructType(extra), _next_id2
+        )
+        new_sid = (
+            max(
+                (s.get("schema-id", 0) for s in meta.get("schemas") or []),
+                default=0,
+            )
+            + 1
+        )
+        schema_obj = {
+            "type": "struct",
+            "schema-id": new_sid,
+            "fields": list(schema_obj["fields"]) + new_struct["fields"],
+        }
+        meta = dict(meta)
+        meta["schemas"] = list(meta.get("schemas") or []) + [schema_obj]
+        meta["current-schema-id"] = new_sid
+        meta["last-column-id"] = alloc2["n"]
+        ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    present = {f.name for f in df.schema.fields}
+    missing_req = [
+        f["name"]
+        for f in schema_obj["fields"]
+        if f.get("required") and f["name"] not in present
+    ]
+    if missing_req:
+        raise UnsupportedOperationError(
+            f"append is missing required (non-null) schema columns "
+            f"{missing_req}; committing would read them back as NULL"
         )
     # footer field ids via column metadata — Spark's parquet writer
     # stamps them (fieldId.write.enabled, session.py). alias(...,

@@ -579,3 +579,267 @@ def test_pyiceberg_as_of_timestamp_option(spark, tbl):
         == 1
     )
     assert spark.read.format("pyiceberg").load(tbl).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# round 9: advisor fixes (date bounds, foreign-append guards,
+# snapshot-schema time travel, watermark, required columns) +
+# merge_schema evolution appends
+# ---------------------------------------------------------------------------
+
+
+def test_date_column_write_and_bound_pruning(spark, tbl):
+    """write_iceberg on a DATE column must not crash encoding bounds
+    (pyarrow stats surface datetime.date); the bound must round-trip
+    and prune."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 1)),
+            (2, datetime.date(2024, 6, 30)),
+        ],
+        "id long, d date",
+    ).coalesce(1)
+    meta = write_iceberg(spark, df, tbl, mode="create")
+    snap = iceberg_py._select_snapshot(meta)
+    data, _pos, _eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    schema_obj = iceberg_py._current_schema(meta)
+    lo = iceberg_py._decode_bound(
+        iceberg_py._bounds_map(data[0]["lower_bounds"])[2], "date"
+    )
+    hi = iceberg_py._decode_bound(
+        iceberg_py._bounds_map(data[0]["upper_bounds"])[2], "date"
+    )
+    assert (lo, hi) == (
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 6, 30),
+    )
+    kept = iceberg_py.prune_data_files(
+        data, schema_obj, [("d", ">", datetime.date(2024, 7, 1))]
+    )
+    assert kept == []
+    kept = iceberg_py.prune_data_files(
+        data, schema_obj, [("d", ">=", datetime.date(2024, 3, 1))]
+    )
+    assert len(kept) == 1
+    out = read_iceberg(spark, tbl)
+    assert out.count() == 2
+
+
+def test_append_refuses_format_version_1(spark, tbl):
+    """Carrying a v1 manifest list forward would fabricate sequence
+    numbers — the append path must refuse."""
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1,)], "id long"),
+        tbl,
+        mode="create",
+    )
+    mdir = os.path.join(tbl, "metadata")
+    meta = json.load(open(os.path.join(mdir, "v1.metadata.json")))
+    meta["format-version"] = 1
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(UnsupportedOperationError, match="format-version 1"):
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(2,)], "id long"),
+            tbl,
+            mode="append",
+        )
+
+
+def test_prior_manifest_rows_remap_by_name(spark, tbl):
+    """A foreign manifest list whose avro schema orders fields
+    differently must still carry forward with correct sequence
+    numbers (by-name re-map, never positional)."""
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1,)], "id long"),
+        tbl,
+        mode="create",
+    )
+    meta = table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    mlist = iceberg_py._resolve(snap["manifest-list"], tbl)
+    rows = iceberg_py._read_avro_dicts(mlist)
+    # rewrite the manifest list with REORDERED fields (a foreign
+    # writer's layout) and re-point the snapshot at it
+    reordered = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "min_sequence_number", "type": "long"},
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+        ],
+    }
+    foreign = mlist + ".foreign.avro"
+    avro_py.write_container(
+        foreign,
+        reordered,
+        iter(
+            [
+                (
+                    r["added_snapshot_id"],
+                    r["sequence_number"],
+                    r["min_sequence_number"],
+                    r["manifest_path"],
+                    r["manifest_length"],
+                    r["content"],
+                )
+                for r in rows
+            ]
+        ),
+    )
+    mdir = os.path.join(tbl, "metadata")
+    m2 = json.load(open(os.path.join(mdir, "v1.metadata.json")))
+    m2["snapshots"][0]["manifest-list"] = foreign
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump(m2, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    carried = iceberg_py._prior_manifest_rows(table_metadata(tbl), tbl)
+    names = [
+        f["name"] for f in iceberg_py._MANIFEST_FILE_SCHEMA["fields"]
+    ]
+    row = dict(zip(names, carried[0]))
+    assert row["manifest_path"] == rows[0]["manifest_path"]
+    assert row["sequence_number"] == rows[0]["sequence_number"]
+    assert row["added_snapshot_id"] == rows[0]["added_snapshot_id"]
+    # and an actual append over the foreign layout stays readable
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(2,)], "id long"),
+        tbl,
+        mode="append",
+    )
+    assert sorted(
+        r.id for r in read_iceberg(spark, tbl).collect()
+    ) == [1, 2]
+    seqs = [
+        s["sequence-number"] for s in table_metadata(tbl)["snapshots"]
+    ]
+    assert seqs == [1, 2]
+
+
+def test_time_travel_binds_snapshot_schema(spark, tbl):
+    """VERSION AS OF after add-column evolution must show the
+    SNAPSHOT's schema (no phantom post-evolution columns)."""
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        tbl,
+        mode="create",
+    )
+    snap0 = table_metadata(tbl)["current-snapshot-id"]
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, s string, score double"
+        ),
+        tbl,
+        mode="append",
+        merge_schema=True,
+    )
+    cur = read_iceberg(spark, tbl)
+    assert cur.columns == ["id", "s", "score"]
+    old = read_iceberg(spark, tbl, snapshot_id=snap0)
+    assert old.columns == ["id", "s"]
+    assert old.count() == 1
+
+
+def test_merge_schema_append_evolves(spark, tbl):
+    """Add-column evolution on append: fresh field ids past the
+    watermark, a new schema-id, NULLs from pre-evolution files."""
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        tbl,
+        mode="create",
+    )
+    with pytest.raises(UnsupportedOperationError, match="merge_schema"):
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(3, "c", 1.0)], "id long, s string, v double"),
+            tbl,
+            mode="append",
+        )
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, "c", 1.0)], "id long, s string, v double"),
+        tbl,
+        mode="append",
+        merge_schema=True,
+    )
+    meta = table_metadata(tbl)
+    assert meta["current-schema-id"] == 1
+    assert meta["last-column-id"] == 3
+    sch = iceberg_py._current_schema(meta)
+    assert [(f["name"], f["id"]) for f in sch["fields"]] == [
+        ("id", 1),
+        ("s", 2),
+        ("v", 3),
+    ]
+    rows = {r.id: r.v for r in read_iceberg(spark, tbl).collect()}
+    assert rows == {1: None, 2: None, 3: 1.0}
+
+
+def test_last_column_id_high_water_nested(spark):
+    """Nested element ids allocate past the parent; last-column-id
+    must record the allocator's high-water mark, not the top-level
+    max."""
+    import pyspark.sql.types as T
+
+    alloc = {"n": 0}
+
+    def nid():
+        alloc["n"] += 1
+        return alloc["n"]
+
+    st = iceberg_py._spark_to_iceberg_type(
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField(
+                    "tags", T.ArrayType(T.StringType())
+                ),
+            ]
+        ),
+        nid,
+    )
+    top_max = max(f["id"] for f in st["fields"])
+    assert alloc["n"] > top_max  # the list element id is past it
+
+
+def test_append_refuses_missing_required_column(spark, tbl):
+    """An append omitting a required (non-null) schema column would
+    silently read back NULL — it must refuse."""
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        tbl,
+        mode="create",
+    )
+    mdir = os.path.join(tbl, "metadata")
+    meta = json.load(open(os.path.join(mdir, "v1.metadata.json")))
+    for f in meta["schemas"][0]["fields"]:
+        if f["name"] == "s":
+            f["required"] = True
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(UnsupportedOperationError, match="required"):
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(2,)], "id long"),
+            tbl,
+            mode="append",
+        )
