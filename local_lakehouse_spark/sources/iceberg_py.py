@@ -730,39 +730,56 @@ def _write_manifest(
     equality_ids: Optional[list] = None,
 ) -> dict:
     """Write one manifest avro + return its manifest_file row (as the
-    positional tuple write_container expects)."""
+    positional tuple write_container expects). Each entry dict may
+    carry ``status`` (default 1 ADDED; 2 = DELETED for REPLACE/
+    compaction snapshots), ``sequence_number`` (default ``seq``;
+    DELETED entries must PRESERVE their original data sequence — the
+    spec's rule, it keeps equality-delete scoping correct for any
+    reader), and ``content`` (default the manifest-level arg)."""
     mdir = _metadata_dir(table_path)
     mpath = os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.avro")
-    rows = [
-        (
-            1,  # status ADDED
-            snapshot_id,
-            seq,
-            seq,
+    rows = []
+    min_seq = seq
+    n_added = n_deleted = 0
+    added_rows = deleted_rows = 0
+    for e in entries:
+        status = int(e.get("status", 1))
+        eseq = int(e.get("sequence_number", seq))
+        min_seq = min(min_seq, eseq)
+        if status == 2:
+            n_deleted += 1
+            deleted_rows += e["record_count"]
+        else:
+            n_added += 1
+            added_rows += e["record_count"]
+        rows.append(
             (
-                content,
-                e["file_path"],
-                "PARQUET",
-                (),  # unpartitioned partition record
-                e["record_count"],
-                e["file_size_in_bytes"],
-                list(equality_ids) if equality_ids else None,
+                status,
+                snapshot_id,
+                eseq,
+                eseq,
                 (
-                    sorted(e["lower_bounds"].items())
-                    if e.get("lower_bounds")
-                    else None
+                    int(e.get("content", content)),
+                    e["file_path"],
+                    "PARQUET",
+                    (),  # unpartitioned partition record
+                    e["record_count"],
+                    e["file_size_in_bytes"],
+                    list(equality_ids) if equality_ids else None,
+                    (
+                        sorted(e["lower_bounds"].items())
+                        if e.get("lower_bounds")
+                        else None
+                    ),
+                    (
+                        sorted(e["upper_bounds"].items())
+                        if e.get("upper_bounds")
+                        else None
+                    ),
                 ),
-                (
-                    sorted(e["upper_bounds"].items())
-                    if e.get("upper_bounds")
-                    else None
-                ),
-            ),
+            )
         )
-        for e in entries
-    ]
     avro_py.write_container(mpath, _MANIFEST_ENTRY_SCHEMA, iter(rows))
-    n_rows = sum(e["record_count"] for e in entries)
     return {
         "path": mpath,
         "row": (
@@ -771,14 +788,14 @@ def _write_manifest(
             0,
             content,
             seq,
-            seq,
+            min_seq,
             snapshot_id,
-            len(entries),
+            n_added,
             0,
+            n_deleted,
+            added_rows,
             0,
-            n_rows,
-            0,
-            0,
+            deleted_rows,
         ),
     }
 
@@ -1268,6 +1285,121 @@ def expire_snapshots(
         "expired": [s["snapshot-id"] for s in expired],
         "deleted_files": deleted,
     }
+
+
+def compact_data_files(
+    spark: SparkSession,
+    path: str,
+    target_num_files: int = 1,
+) -> dict:
+    """Bin-pack compaction (Iceberg's ``rewrite_data_files``
+    maintenance action) committed as a REPLACE snapshot: live rows —
+    position deletes applied — rewrite into ``target_num_files``
+    parquet file(s); the new snapshot's manifests ADD the rewritten
+    files at the new sequence number and mark every prior data file
+    (and now-absorbed position-delete file) as a status=2 DELETED
+    entry PRESERVING its original data sequence number, the spec's
+    rule. Readers of the new snapshot see identical rows; time travel
+    to pre-compaction snapshots still sees the old layout (old files
+    stay on disk until expire_snapshots); a streaming reader sees a
+    non-append snapshot and must fail or skipChangeCommits — never
+    replay the rewritten files as fresh inserts. Equality deletes
+    refuse (a rewrite disturbs the sequence numbers their scoping
+    depends on). Returns the committed metadata."""
+    from pyspark.sql import functions as F
+
+    meta = table_metadata(path)
+    snap = _select_snapshot(meta)
+    data_files, pos_deletes, eq_deletes = _snapshot_files(
+        meta, snap, path
+    )
+    if eq_deletes:
+        raise UnsupportedOperationError(
+            "compact_data_files over equality deletes is unsupported "
+            "(rewriting disturbs the sequence numbers their scoping "
+            "depends on)"
+        )
+    if not data_files:
+        return meta
+    schema_obj = _current_schema(meta)
+    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    live = read_iceberg(spark, path)
+    stamped = live.select(
+        *[
+            F.col(f["name"]).alias(
+                f["name"], metadata={"parquet.field.id": ids[f["name"]]}
+            )
+            for f in schema_obj["fields"]
+        ]
+    )
+    tmp = path + f".__ice_rw_{uuid.uuid4().hex}"
+    stamped.repartition(max(1, target_num_files)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(path, "data")
+    entries = []
+    for src in _collect_part_files(tmp):
+        n = pq.read_metadata(src).num_rows
+        if n == 0:
+            continue
+        dest = os.path.join(
+            data_dir, f"{uuid.uuid4().hex}-{os.path.basename(src)}"
+        )
+        os.replace(src, dest)
+        lows, highs = _file_bounds(dest, schema_obj)
+        entries.append(
+            {
+                "file_path": dest,
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(dest),
+                "lower_bounds": lows,
+                "upper_bounds": highs,
+            }
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = _new_snapshot_id()
+    # removed entries preserve their ORIGINAL data sequence numbers
+    for d in data_files:
+        entries.append(
+            {
+                "file_path": d["file_path"],
+                "record_count": int(d.get("record_count") or 0),
+                "file_size_in_bytes": int(
+                    d.get("file_size_in_bytes") or 0
+                ),
+                "status": 2,
+                "sequence_number": int(d["_seq"]),
+            }
+        )
+    mrows = [
+        _write_manifest(path, entries, snap_id, seq, content=0)["row"]
+    ]
+    if pos_deletes:
+        # delete files live in their own content=1 manifest (spec:
+        # data and delete files never share a manifest)
+        del_entries = [
+            {
+                "file_path": d["file_path"],
+                "record_count": int(d.get("record_count") or 0),
+                "file_size_in_bytes": int(
+                    d.get("file_size_in_bytes") or 0
+                ),
+                "status": 2,
+                "sequence_number": int(d["_seq"]),
+            }
+            for d in pos_deletes
+        ]
+        mrows.append(
+            _write_manifest(
+                path, del_entries, snap_id, seq, content=1
+            )["row"]
+        )
+    return _commit_snapshot(path, meta, mrows, "replace", snap_id)
 
 
 def convert_iceberg_to_delta(

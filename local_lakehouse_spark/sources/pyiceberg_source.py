@@ -85,7 +85,9 @@ class _PyIcebergReader(DataSourceReader):
             int(sid) if sid is not None else None,
             int(ts) if ts is not None else None,
         )
-        ice_schema = iceberg_py._current_schema(meta)
+        # time travel binds the snapshot's schema-id (read_iceberg
+        # parity — no phantom post-evolution columns)
+        ice_schema = iceberg_py._schema_for_snapshot(meta, snap)
         self._schema = iceberg_py.iceberg_schema_to_spark(ice_schema)
         self._fids = {
             f["name"]: int(f["id"]) for f in ice_schema["fields"]
@@ -222,9 +224,23 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         meta = iceberg_py.table_metadata(self._path)
         return {"seq": int(meta.get("last-sequence-number", 0))}
 
-    def _new_entries(self, snap: dict, meta: dict) -> list:
-        """(entry dicts ADDED at this snapshot's sequence number)."""
+    def _new_entries(self, snap: dict, meta: dict) -> tuple:
+        """``(added_data_entries, is_change)`` for one snapshot, from
+        the manifests the snapshot itself wrote (manifest-list rows
+        stamped with its sequence number). ``is_change`` is true when
+        the snapshot ADDED delete content (position/equality delete
+        files) or REMOVED entries (status=2 — a REPLACE / compaction
+        / overwrite rewrites existing rows into new files; replaying
+        those files as inserts would duplicate the stream), or when
+        its summary declares a non-append operation (catches foreign
+        change snapshots even when their removed entries live in
+        manifests this scan wouldn't read). Removed entries keep
+        their ORIGINAL sequence numbers per the spec, so the status
+        check is deliberately independent of the sequence filter that
+        scopes added entries."""
         sseq = int(snap.get("sequence-number") or 0)
+        op = (snap.get("summary") or {}).get("operation")
+        changed = op is not None and op != "append"
         out = []
         mlist = iceberg_py._resolve(snap["manifest-list"], self._path)
         for mf in iceberg_py._read_avro_dicts(mlist):
@@ -234,12 +250,18 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
                 mf["manifest_path"], self._path
             )
             for entry in iceberg_py._read_avro_dicts(mpath):
+                if entry.get("status") == 2:  # REMOVED existing data
+                    changed = True
+                    continue
                 eseq = entry.get("sequence_number")
                 if eseq is not None and int(eseq) != sseq:
                     continue
                 if entry.get("status") == 1:  # ADDED
-                    out.append(entry)
-        return out
+                    if int(entry["data_file"].get("content") or 0) != 0:
+                        changed = True  # added DELETE content
+                    else:
+                        out.append(entry)
+        return out, changed
 
     def partitions(
         self, start: dict, end: dict
@@ -254,21 +276,21 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             sseq = int(snap.get("sequence-number") or 0)
             if sseq <= start["seq"] or sseq > end["seq"]:
                 continue
-            new = self._new_entries(snap, meta)
-            changes = [
-                e
-                for e in new
-                if int(e["data_file"].get("content") or 0) != 0
-            ]
-            if changes:
+            new, changed = self._new_entries(snap, meta)
+            if changed:
                 if self._skip_change:
                     continue  # skip the WHOLE snapshot
                 raise UnsupportedOperationError(
-                    f"Iceberg snapshot {snap['snapshot-id']} "
-                    "(sequence {0}) changes existing data "
-                    "(delete files); streaming cannot replay it — "
-                    "set skipChangeCommits=true to skip such "
-                    "snapshots".format(sseq)
+                    "Iceberg snapshot {0} (sequence {1}, operation "
+                    "{2!r}) changes existing data (delete files, "
+                    "removed/rewritten entries, or a non-append "
+                    "operation); streaming cannot replay it — set "
+                    "skipChangeCommits=true to skip such "
+                    "snapshots".format(
+                        snap["snapshot-id"],
+                        sseq,
+                        (snap.get("summary") or {}).get("operation"),
+                    )
                 )
             for e in new:
                 plan.append(
@@ -306,15 +328,23 @@ class PyIcebergDataSource(DataSource):
         return "pyiceberg"
 
     def schema(self):
-        return _plain(
-            iceberg_py.iceberg_schema_to_spark(
-                iceberg_py._current_schema(
-                    iceberg_py.table_metadata(
-                        _required_path(self.options)
-                    )
-                )
-            )
+        meta = iceberg_py.table_metadata(
+            _required_path(self.options)
         )
+        sid = self.options.get("snapshotid")
+        ts = self.options.get("asoftimestampms")
+        if sid is not None or ts is not None:
+            # the plan schema must match what the reader will bind:
+            # time travel reads with the SNAPSHOT's schema-id
+            snap = iceberg_py._select_snapshot(
+                meta,
+                int(sid) if sid is not None else None,
+                int(ts) if ts is not None else None,
+            )
+            ice = iceberg_py._schema_for_snapshot(meta, snap)
+        else:
+            ice = iceberg_py._current_schema(meta)
+        return _plain(iceberg_py.iceberg_schema_to_spark(ice))
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _PyIcebergReader(self.options)
