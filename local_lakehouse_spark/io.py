@@ -505,10 +505,11 @@ def write_table(
     if ft in (FileType.CSV, FileType.AVRO, FileType.JSON, FileType.ORC):
         return _write_flat(spark, df, table, mode, schema_evolution, df_cols, path, ft)
     if ft == FileType.ICEBERG:
-        # Minimal Iceberg write surface (sources/iceberg_py.py):
-        # create-on-first-write + APPEND snapshots, STRICT schema
-        # only. The full DML/evolution matrix is Delta's job — a
-        # loud refusal beats a spec-violating Iceberg commit.
+        # Iceberg write surface (sources/iceberg_py.py):
+        # create-on-first-write + APPEND snapshots, identity
+        # partition specs, MERGE = add-column evolution. The full
+        # DML/overwrite matrix is Delta's job — a loud refusal
+        # beats a spec-violating Iceberg commit.
         from .sources import iceberg_py
 
         exists = iceberg_py.is_iceberg_table(path)
@@ -521,19 +522,21 @@ def write_table(
                 "DELETE via iceberg_py.delete_iceberg_where); use "
                 "DELTA for the full write matrix"
             )
-        if schema_evolution != SchemaEvolution.STRICT:
+        if schema_evolution == SchemaEvolution.OVERWRITE:
             raise UnsupportedOperationError(
-                "ICEBERG writes support STRICT schema evolution only"
+                "ICEBERG writes support STRICT or MERGE schema "
+                "evolution (MERGE = the spec's add-column path); "
+                "OVERWRITE needs the full Delta matrix"
             )
-        if part_cols:
-            raise UnsupportedOperationError(
-                "partitioned ICEBERG writes are not supported "
-                "(the minimal writer commits unpartitioned specs)"
-            )
-        if table.columns:
+        if schema_evolution == SchemaEvolution.STRICT and table.columns:
             check_schemas_equal(df_cols, table.columns)
         iceberg_py.write_iceberg(
-            spark, df, path, mode="append" if exists else "create"
+            spark,
+            df,
+            path,
+            mode="append" if exists else "create",
+            merge_schema=schema_evolution == SchemaEvolution.MERGE,
+            partition_by=part_cols or None,
         )
         return None
     raise UnsupportedOperationError(

@@ -348,19 +348,86 @@ def _resolve(location: str, table_path: str) -> str:
     return os.path.join(table_path, p)
 
 
+# identity-partitionable primitive types -> their avro storage type
+# in the manifest partition record (the spec's avro mapping; date
+# stores as days-from-epoch int)
+_PART_AVRO_TYPES = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "date": "int",
+    "boolean": "boolean",
+    "float": "float",
+    "double": "double",
+}
+
+
+def _partition_specs(meta: dict) -> dict:
+    """{spec-id: [partition spec field dicts]} (v1 single-spec layout
+    folded in)."""
+    out: dict = {}
+    for sp in meta.get("partition-specs") or []:
+        out[int(sp.get("spec-id", 0))] = sp.get("fields") or []
+    if not out and meta.get("partition-spec"):
+        out[0] = meta["partition-spec"]
+    return out
+
+
+def _partition_literal(value, ice_type: str):
+    """Decoded avro partition value -> a comparable Python value
+    (dates store as days-from-epoch ints in metadata)."""
+    if value is None:
+        return None
+    if ice_type == "date" and isinstance(value, int):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=value)
+    return value
+
+
+def _identity_values(
+    pdict, spec_fields: list, fields_by_id: dict
+) -> dict:
+    """A manifest entry's partition record -> ``{source field id:
+    python value}`` over the spec's IDENTITY-transform fields."""
+    idp: dict = {}
+    if not isinstance(pdict, dict):
+        return idp
+    for sf in spec_fields:
+        if sf.get("transform") != "identity":
+            continue
+        src = fields_by_id.get(int(sf["source-id"]))
+        if src is None or sf["name"] not in pdict:
+            continue
+        idp[int(sf["source-id"])] = _partition_literal(
+            pdict[sf["name"]], src["type"]
+        )
+    return idp
+
+
 def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
     """(data_files, position_delete_files, equality_delete_files) for
     a snapshot: manifest list -> manifests -> live entries (status
     DELETED=2 excluded). Every returned dict carries ``_seq`` — the
     entry's DATA sequence number (inherited from the manifest when
     the entry's own is null, the v2 inheritance rule) — which decides
-    WHICH rows an equality delete applies to."""
+    WHICH rows an equality delete applies to — and ``_idpart``, the
+    file's IDENTITY-transform partition values keyed by source field
+    id (from the manifest ``partition`` record via the manifest's
+    spec-id), which drive partition pruning and read-side column
+    injection for files that omit the partition columns from their
+    parquet (spec-legal)."""
     data_files: list[dict] = []
     pos_deletes: list[dict] = []
     eq_deletes: list[dict] = []
+    specs = _partition_specs(meta)
+    fields_by_id = {
+        f["id"]: f
+        for f in _current_schema(meta)["fields"]
+        if isinstance(f.get("type"), str)
+    }
     mlist = _resolve(snap["manifest-list"], path)
     for mf in _read_avro_dicts(mlist):
         mseq = int(mf.get("sequence_number") or 0)
+        spec_fields = specs.get(int(mf.get("partition_spec_id") or 0), [])
         mpath = _resolve(mf["manifest_path"], path)
         for entry in _read_avro_dicts(mpath):
             if entry.get("status") == 2:  # DELETED entry
@@ -368,6 +435,9 @@ def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
             df = dict(entry["data_file"])
             seq = entry.get("sequence_number")
             df["_seq"] = int(seq) if seq is not None else mseq
+            df["_idpart"] = _identity_values(
+                df.get("partition") or {}, spec_fields, fields_by_id
+            )
             content = int(df.get("content") or 0)
             if content == 0:
                 data_files.append(df)
@@ -435,21 +505,33 @@ def read_iceberg(
             )
     paths = [_resolve(d["file_path"], path) for d in data_files]
     scan = spark.read.schema(schema).parquet(*paths)
-    if not pos_deletes and not eq_deletes:
-        return scan
-    # Both delete kinds join on file-level identity: basenames are
-    # UUID-generated per the spec writers — guarded like the DV path.
+    # Deletes and partition injection join on file-level identity:
+    # basenames are UUID-generated per the spec writers — guarded
+    # like the DV path.
+    needs_identity = (
+        pos_deletes
+        or eq_deletes
+        or any(d.get("_idpart") for d in data_files)
+    )
     names = [os.path.basename(p) for p in paths]
-    if len(set(names)) != len(names):
+    if needs_identity and len(set(names)) != len(names):
         raise UnsupportedOperationError(
             "Iceberg read over data files with colliding basenames"
         )
-    scan = scan.withColumns(
-        {
-            "__fn": F.col("_metadata.file_name"),
-            "__ri": F.col("_metadata.row_index"),
-        }
+    if needs_identity:
+        # capture file identity FIRST: the _metadata pseudo-column is
+        # only reachable on the raw scan relation, not post-join
+        scan = scan.withColumns(
+            {
+                "__fn": F.col("_metadata.file_name"),
+                "__ri": F.col("_metadata.row_index"),
+            }
+        )
+    scan = _inject_identity_partitions(
+        spark, scan, schema, data_files, path
     )
+    if not pos_deletes and not eq_deletes:
+        return scan.drop("__fn", "__ri") if needs_identity else scan
     if pos_deletes:
         # position deletes: (file_path, pos) rows -> anti-join
         del_paths = [_resolve(d["file_path"], path) for d in pos_deletes]
@@ -477,6 +559,72 @@ def read_iceberg(
             spark, scan, schema, data_files, eq_deletes, path
         )
     return scan.drop("__fn", "__ri")
+
+
+def _inject_identity_partitions(
+    spark: SparkSession,
+    scan: DataFrame,
+    schema: T.StructType,
+    data_files: list,
+    path: str,
+) -> DataFrame:
+    """Surface IDENTITY-transform partition values recorded in the
+    manifests for files that (spec-legally) omit the source columns
+    from their parquet: ONE metadata-sized broadcast map
+    (file basename -> partition values) LEFT-joins onto the scan and
+    overrides the affected columns — Iceberg readers treat identity
+    partition values as per-file constants, so the override is exact
+    even when the column IS present. Unpartitioned tables (no
+    ``_idpart`` anywhere) return the scan untouched — zero plan
+    overhead on the common path. At 100 TB the map is O(files
+    planned), the same driver-side scale as the manifest read that
+    produced it."""
+    from pyspark.sql import functions as F
+
+    by_id = {
+        int(f.metadata["parquet.field.id"]): f for f in schema.fields
+    }
+    fids = sorted(
+        {
+            fid
+            for d in data_files
+            for fid in (d.get("_idpart") or {})
+            if fid in by_id
+        }
+    )
+    if not fids:
+        return scan
+    st = [T.StructField("__pfn0", T.StringType())]
+    for fid in fids:
+        f = by_id[fid]
+        st.append(T.StructField(f"__ph_{fid}", T.BooleanType(), False))
+        st.append(T.StructField(f"__pv_{fid}", f.dataType, True))
+    rows = []
+    for d in data_files:
+        idp = d.get("_idpart") or {}
+        row: list = [os.path.basename(_resolve(d["file_path"], path))]
+        for fid in fids:
+            row.append(fid in idp)
+            row.append(idp.get(fid))
+        rows.append(tuple(row))
+    pmap = spark.createDataFrame(rows, T.StructType(st))
+    # the caller captured __fn from _metadata on the raw scan
+    scan = scan.join(
+        F.broadcast(pmap), F.col("__fn") == F.col("__pfn0"), "left"
+    )
+    scan = scan.withColumns(
+        {
+            by_id[fid].name: F.when(
+                F.col(f"__ph_{fid}"), F.col(f"__pv_{fid}")
+            ).otherwise(F.col(by_id[fid].name))
+            for fid in fids
+        }
+    )
+    return scan.drop(
+        "__pfn0",
+        *[f"__ph_{fid}" for fid in fids],
+        *[f"__pv_{fid}" for fid in fids],
+    )
 
 
 def _apply_equality_deletes(
@@ -580,6 +728,31 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
+
+def _data_file_schema(partition_fields: Optional[list] = None) -> dict:
+    """The manifest entry's data_file record schema; the ``partition``
+    record carries one nullable field per partition-spec field (empty
+    for unpartitioned tables, as before)."""
+    pf = [
+        {
+            "name": p["name"],
+            "type": ["null", p["avro_type"]],
+            "field-id": int(p["field-id"]),
+        }
+        for p in (partition_fields or [])
+    ]
+    s = json.loads(json.dumps(_DATA_FILE_SCHEMA))  # deep copy
+    s["fields"][3]["type"]["fields"] = pf
+    return s
+
+
+def _manifest_entry_schema(
+    partition_fields: Optional[list] = None,
+) -> dict:
+    s = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    s["fields"][4]["type"] = _data_file_schema(partition_fields)
+    return s
+
 
 _DATA_FILE_SCHEMA = {
     "type": "record",
@@ -728,6 +901,7 @@ def _write_manifest(
     seq: int,
     content: int,
     equality_ids: Optional[list] = None,
+    partition_fields: Optional[list] = None,
 ) -> dict:
     """Write one manifest avro + return its manifest_file row (as the
     positional tuple write_container expects). Each entry dict may
@@ -735,14 +909,20 @@ def _write_manifest(
     compaction snapshots), ``sequence_number`` (default ``seq``;
     DELETED entries must PRESERVE their original data sequence — the
     spec's rule, it keeps equality-delete scoping correct for any
-    reader), and ``content`` (default the manifest-level arg)."""
+    reader), ``content`` (default the manifest-level arg), and
+    ``partition`` (value tuple aligned to ``partition_fields``)."""
     mdir = _metadata_dir(table_path)
     mpath = os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.avro")
     rows = []
     min_seq = seq
     n_added = n_deleted = 0
     added_rows = deleted_rows = 0
+    n_part = len(partition_fields or [])
     for e in entries:
+        part = tuple(e.get("partition") or ())
+        if len(part) < n_part:  # entries without values: null-pad
+            part = part + (None,) * (n_part - len(part))
+        e = {**e, "partition": part}
         status = int(e.get("status", 1))
         eseq = int(e.get("sequence_number", seq))
         min_seq = min(min_seq, eseq)
@@ -762,7 +942,7 @@ def _write_manifest(
                     int(e.get("content", content)),
                     e["file_path"],
                     "PARQUET",
-                    (),  # unpartitioned partition record
+                    tuple(e.get("partition") or ()),
                     e["record_count"],
                     e["file_size_in_bytes"],
                     list(equality_ids) if equality_ids else None,
@@ -779,7 +959,9 @@ def _write_manifest(
                 ),
             )
         )
-    avro_py.write_container(mpath, _MANIFEST_ENTRY_SCHEMA, iter(rows))
+    avro_py.write_container(
+        mpath, _manifest_entry_schema(partition_fields), iter(rows)
+    )
     return {
         "path": mpath,
         "row": (
@@ -870,20 +1052,35 @@ def prune_data_files(
     """Scan planning from manifest column bounds (Iceberg's metadata
     pruning, the Delta stats-skipping analog): keep a data file
     unless its [lower, upper] range PROVES no row can satisfy a
-    ``(column, op, literal)`` conjunct. Files without bounds for the
-    column always survive — pruning never decides correctness."""
+    ``(column, op, literal)`` conjunct. IDENTITY-partition values
+    (``_idpart``, from the manifest partition records) are exact
+    per-file constants, so they prune as a point interval — the
+    partition-pruning half of Iceberg scan planning. Files without
+    bounds for the column always survive — pruning never decides
+    correctness."""
     fields = {f["name"]: f for f in schema_obj["fields"]}
 
     def keep(df: dict, col: str, op: str, value) -> bool:
         f = fields.get(col)
         if f is None or not isinstance(f["type"], str):
             return True
-        lo = _decode_bound(
-            _bounds_map(df.get("lower_bounds")).get(f["id"]), f["type"]
-        )
-        hi = _decode_bound(
-            _bounds_map(df.get("upper_bounds")).get(f["id"]), f["type"]
-        )
+        idp = df.get("_idpart") or {}
+        if f["id"] in idp:
+            pv = idp[f["id"]]
+            if pv is None:
+                # NULL partition: every row is NULL for col, so no
+                # comparison conjunct can hold — prune
+                return op not in ("=", "==", "<", "<=", ">", ">=")
+            lo = hi = pv
+        else:
+            lo = _decode_bound(
+                _bounds_map(df.get("lower_bounds")).get(f["id"]),
+                f["type"],
+            )
+            hi = _decode_bound(
+                _bounds_map(df.get("upper_bounds")).get(f["id"]),
+                f["type"],
+            )
         if lo is None or hi is None:
             return True
         try:
@@ -1016,17 +1213,85 @@ def _prior_manifest_rows(meta: dict, path: str) -> list:
     return out
 
 
+def _identity_spec_fields(
+    schema_obj: dict, partition_by: Optional[list]
+) -> list:
+    """Partition-spec fields for ``partition_by`` columns: identity
+    transforms over top-level primitive source columns, spec field
+    ids from 1000 (the spec's convention)."""
+    out = []
+    for i, c in enumerate(partition_by or []):
+        src = next(
+            (f for f in schema_obj["fields"] if f["name"] == c), None
+        )
+        if src is None:
+            raise UnsupportedOperationError(
+                f"partition column {c!r} not in the schema"
+            )
+        if (
+            not isinstance(src["type"], str)
+            or src["type"] not in _PART_AVRO_TYPES
+        ):
+            raise UnsupportedOperationError(
+                f"partition column {c!r} has type {src['type']!r}; "
+                f"identity partitioning supports "
+                f"{sorted(_PART_AVRO_TYPES)}"
+            )
+        out.append(
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": src["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    return out
+
+
+def _hive_partition_value(raw: str, ice_type: str):
+    """Decode one ``col=value`` hive directory value into the avro
+    storage value for the manifest partition record."""
+    from urllib.parse import unquote
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    raw = unquote(raw)
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "string":
+        return raw
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    if ice_type in ("float", "double"):
+        return float(raw)
+    if ice_type == "date":
+        return (
+            _dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)
+        ).days
+    raise UnsupportedOperationError(
+        f"unsupported hive partition value type {ice_type!r}"
+    )
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     mode: str = "create",
     merge_schema: bool = False,
+    partition_by: Optional[list] = None,
 ) -> dict:
-    """Create or append to an UNPARTITIONED filesystem Iceberg v2
-    table: data parquet (written by Spark, footers stamped with the
-    Iceberg field ids), one ADDED-entries manifest, a manifest list,
-    and the next ``v<N>.metadata.json`` + ``version-hint.text``.
+    """Create or append to a filesystem Iceberg v2 table: data
+    parquet (written by Spark, footers stamped with the Iceberg
+    field ids), one ADDED-entries manifest, a manifest list, and the
+    next ``v<N>.metadata.json`` + ``version-hint.text``.
+
+    ``partition_by`` (create only) commits an IDENTITY-transform
+    partition spec: Spark writes hive-partitioned parquet (partition
+    columns OMITTED from the data files, the foreign-writer layout),
+    and the values land in each manifest entry's ``partition`` record
+    — the read side injects them back and prunes on them. Appends to
+    a partitioned table partition automatically by the table's spec.
 
     ``merge_schema=True`` on append accepts a SUPERSET frame: new
     columns get fresh field ids past the last-column-id watermark and
@@ -1069,8 +1334,15 @@ def write_iceberg(
             "current-schema-id": 0,
             "schemas": [schema_obj],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": _identity_spec_fields(
+                        schema_obj, partition_by
+                    ),
+                }
+            ],
+            "last-partition-id": 999 + len(partition_by or []),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {},
@@ -1136,6 +1408,31 @@ def write_iceberg(
             f"append is missing required (non-null) schema columns "
             f"{missing_req}; committing would read them back as NULL"
         )
+    # the table's default partition spec drives the data layout
+    spec_fields = _partition_specs(meta).get(
+        int(meta.get("default-spec-id", 0)), []
+    )
+    if any(sf.get("transform") != "identity" for sf in spec_fields):
+        raise UnsupportedOperationError(
+            "append to a table with non-identity partition "
+            "transforms is unsupported"
+        )
+    fields_by_id = {f["id"]: f for f in schema_obj["fields"]}
+    part_cols = [
+        fields_by_id[int(sf["source-id"])]["name"] for sf in spec_fields
+    ]
+    if mode == "append" and partition_by is not None and list(
+        partition_by
+    ) != part_cols:
+        raise UnsupportedOperationError(
+            f"append partition_by {list(partition_by)} != the "
+            f"table's partition spec {part_cols}"
+        )
+    missing_pc = [c for c in part_cols if c not in present]
+    if missing_pc:
+        raise UnsupportedOperationError(
+            f"append is missing partition columns {missing_pc}"
+        )
     # footer field ids via column metadata — Spark's parquet writer
     # stamps them (fieldId.write.enabled, session.py). alias(...,
     # metadata=) attaches reliably; DataFrame.to() does not carry
@@ -1151,14 +1448,33 @@ def write_iceberg(
         ]
     )
     tmp = path + f".__ice_tmp_{uuid.uuid4().hex}"
-    stamped.write.mode("overwrite").parquet(tmp)
+    writer = stamped.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
     import pyarrow.parquet as pq
 
+    part_types = {
+        c: fields_by_id[int(sf["source-id"])]["type"]
+        for c, sf in zip(part_cols, spec_fields)
+    }
     entries = []
     for src in _collect_part_files(tmp):
         n = pq.read_metadata(src).num_rows
         if n == 0:  # empty partitions write empty part files
             continue
+        partition = None
+        if part_cols:
+            # hive dirs carry the values Spark dropped from the files
+            segs = dict(
+                s.split("=", 1)
+                for s in os.path.relpath(src, tmp).split(os.sep)[:-1]
+                if "=" in s
+            )
+            partition = tuple(
+                _hive_partition_value(segs[c], part_types[c])
+                for c in part_cols
+            )
         dest = os.path.join(
             data_dir, f"{uuid.uuid4().hex}-{os.path.basename(src)}"
         )
@@ -1171,6 +1487,7 @@ def write_iceberg(
                 "file_size_in_bytes": os.path.getsize(dest),
                 "lower_bounds": lows,
                 "upper_bounds": highs,
+                "partition": partition,
             }
         )
     import shutil
@@ -1179,7 +1496,24 @@ def write_iceberg(
     prior = _prior_manifest_rows(meta, path)
     snap_id = _new_snapshot_id()
     seq = int(meta.get("last-sequence-number", 0)) + 1
-    mrow = _write_manifest(path, entries, snap_id, seq, content=0)
+    pf_avro = [
+        {
+            "name": sf["name"],
+            "avro_type": _PART_AVRO_TYPES[
+                fields_by_id[int(sf["source-id"])]["type"]
+            ],
+            "field-id": sf["field-id"],
+        }
+        for sf in spec_fields
+    ]
+    mrow = _write_manifest(
+        path,
+        entries,
+        snap_id,
+        seq,
+        content=0,
+        partition_fields=pf_avro or None,
+    )
     return _commit_snapshot(
         path, meta, prior + [mrow["row"]], "append", snap_id
     )
@@ -1305,7 +1639,10 @@ def compact_data_files(
     non-append snapshot and must fail or skipChangeCommits — never
     replay the rewritten files as fresh inserts. Equality deletes
     refuse (a rewrite disturbs the sequence numbers their scoping
-    depends on). Returns the committed metadata."""
+    depends on). On identity-partitioned tables the rewritten files
+    MATERIALIZE the partition columns physically (the compaction read
+    injects them), so reads stay exact; their manifest partition
+    records are empty. Returns the committed metadata."""
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)

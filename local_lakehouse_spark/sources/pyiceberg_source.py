@@ -63,6 +63,24 @@ def _required_path(options: dict) -> str:
     return path
 
 
+def _part_strings(idpart: dict, name_of: dict) -> dict:
+    """{field id: python value} -> {column name: string constant}
+    for the shared batch reader's part_values cast path (None stays
+    None = NULL partition)."""
+    out = {}
+    for fid, v in idpart.items():
+        name = name_of.get(int(fid))
+        if name is None:
+            continue
+        if v is None:
+            out[name] = None
+        elif isinstance(v, bool):
+            out[name] = "true" if v else "false"
+        else:
+            out[name] = str(v)  # dates isoformat via str()
+    return out
+
+
 def _plain(schema: T.StructType) -> T.StructType:
     """The DataSource-facing logical schema: field names/types only
     (the field ids travel separately into the per-file binder)."""
@@ -137,6 +155,7 @@ class _PyIcebergReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         if not self._data:
             return [InputPartition({"file": None})]
+        name_of = {v: k for k, v in self._fids.items()}
         return [
             InputPartition(
                 {
@@ -144,6 +163,12 @@ class _PyIcebergReader(DataSourceReader):
                         d["file_path"], self._path
                     ),
                     "deletes": self._deletes,
+                    # identity-partition constants for columns the
+                    # file (spec-legally) omits — string form, cast
+                    # to the field type in the shared batch reader
+                    "part": _part_strings(
+                        d.get("_idpart") or {}, name_of
+                    ),
                 }
             )
             for d in self._data
@@ -175,7 +200,7 @@ class _PyIcebergReader(DataSourceReader):
         yield from _read_file_as_batches(
             abs_path,
             self._schema,
-            {},
+            partition.value.get("part") or {},
             deleted=deleted,
             field_ids=self._fids,
         )
@@ -242,10 +267,19 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         op = (snap.get("summary") or {}).get("operation")
         changed = op is not None and op != "append"
         out = []
+        specs = iceberg_py._partition_specs(meta)
+        fields_by_id = {
+            f["id"]: f
+            for f in iceberg_py._current_schema(meta)["fields"]
+            if isinstance(f.get("type"), str)
+        }
         mlist = iceberg_py._resolve(snap["manifest-list"], self._path)
         for mf in iceberg_py._read_avro_dicts(mlist):
             if int(mf.get("sequence_number") or 0) != sseq:
                 continue  # carried-forward manifest: older commit
+            spec_fields = specs.get(
+                int(mf.get("partition_spec_id") or 0), []
+            )
             mpath = iceberg_py._resolve(
                 mf["manifest_path"], self._path
             )
@@ -260,7 +294,12 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
                     if int(entry["data_file"].get("content") or 0) != 0:
                         changed = True  # added DELETE content
                     else:
-                        out.append(entry)
+                        idp = iceberg_py._identity_values(
+                            entry["data_file"].get("partition") or {},
+                            spec_fields,
+                            fields_by_id,
+                        )
+                        out.append((entry, idp))
         return out, changed
 
     def partitions(
@@ -292,14 +331,16 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
                         (snap.get("summary") or {}).get("operation"),
                     )
                 )
-            for e in new:
+            name_of = {v: k for k, v in self._fids.items()}
+            for e, idp in new:
                 plan.append(
                     InputPartition(
                         {
                             "file": iceberg_py._resolve(
                                 e["data_file"]["file_path"],
                                 self._path,
-                            )
+                            ),
+                            "part": _part_strings(idp, name_of),
                         }
                     )
                 )
@@ -312,7 +353,10 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         if abs_path is None:
             return
         yield from _read_file_as_batches(
-            abs_path, self._schema, {}, field_ids=self._fids
+            abs_path,
+            self._schema,
+            partition.value.get("part") or {},
+            field_ids=self._fids,
         )
 
     def commit(self, end: dict) -> None:

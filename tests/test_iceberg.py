@@ -933,3 +933,195 @@ def test_pyiceberg_stream_gates_replace_snapshot(spark, tbl, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]  # initial snapshot + append; NO dupes
+
+
+# ---------------------------------------------------------------------------
+# identity-partitioned tables (round 9): foreign-style layout —
+# partition values live ONLY in manifest metadata, data parquet
+# omits the columns — read via injection, pruned via partition values
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_write_read_both_paths(spark, tbl):
+    df = spark.createDataFrame(
+        [(i, i % 3, f"s{i}") for i in range(12)],
+        "id long, bucket int, s string",
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["bucket"])
+    meta = table_metadata(tbl)
+    spec = meta["partition-specs"][0]
+    assert spec["fields"] == [
+        {
+            "name": "bucket",
+            "transform": "identity",
+            "source-id": 2,
+            "field-id": 1000,
+        }
+    ]
+    assert meta["last-partition-id"] == 1000
+    # the data files physically OMIT the partition column
+    import pyarrow.parquet as pq
+
+    ddir = os.path.join(tbl, "data")
+    for n in os.listdir(ddir):
+        assert "bucket" not in pq.read_schema(
+            os.path.join(ddir, n)
+        ).names
+    # read path 1: read_iceberg injects the values back
+    got = {
+        (r.id, r.bucket, r.s)
+        for r in read_iceberg(spark, tbl).collect()
+    }
+    assert got == {(i, i % 3, f"s{i}") for i in range(12)}
+    # read path 2: the registered pyiceberg format
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    got2 = {
+        (r.id, r.bucket, r.s)
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    }
+    assert got2 == got
+
+
+def test_partitioned_pruning_and_filters(spark, tbl):
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "id long, p int"
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["p"])
+    meta = table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    data, _pos, _eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    assert len(data) >= 4  # at least one file per partition value
+    schema_obj = iceberg_py._current_schema(meta)
+    kept = iceberg_py.prune_data_files(data, schema_obj, [("p", "=", 2)])
+    assert 0 < len(kept) < len(data)
+    assert all(d["_idpart"][2] == 2 for d in kept)
+    # end to end: filtered read returns exactly partition 2
+    out = read_iceberg(spark, tbl, filters=[("p", "=", 2)])
+    rows = out.filter("p = 2").collect()
+    assert sorted(r.id for r in rows) == [i for i in range(40) if i % 4 == 2]
+    # pyiceberg pushdown prunes partitions too
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    rd = pyiceberg_source._PyIcebergReader({"path": tbl})
+    from pyspark.sql.datasource import EqualTo
+
+    rd.pushFilters([EqualTo(("p",), 2)])
+    assert rd._files_pruned >= 1
+
+
+def test_partitioned_append_and_null_partition(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "us"), (2, "de")], "id long, region string"
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["region"])
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(3, "us"), (4, None)], "id long, region string"
+        ),
+        tbl,
+        mode="append",
+    )
+    got = {(r.id, r.region) for r in read_iceberg(spark, tbl).collect()}
+    assert got == {(1, "us"), (2, "de"), (3, "us"), (4, None)}
+    # NULL-partition file prunes out of any comparison conjunct
+    meta = table_metadata(tbl)
+    data, _p, _e = iceberg_py._snapshot_files(
+        meta, iceberg_py._select_snapshot(meta), tbl
+    )
+    kept = iceberg_py.prune_data_files(
+        data, iceberg_py._current_schema(meta), [("region", "=", "us")]
+    )
+    assert all(d["_idpart"][2] == "us" for d in kept)
+    # mismatched partition_by on append refuses
+    with pytest.raises(UnsupportedOperationError, match="partition"):
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(9, "x")], "id long, region string"),
+            tbl,
+            mode="append",
+            partition_by=["id"],
+        )
+
+
+def test_date_partitioned_table(spark, tbl):
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 1)),
+            (2, datetime.date(2024, 1, 2)),
+            (3, datetime.date(2024, 1, 1)),
+        ],
+        "id long, d date",
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["d"])
+    # values stored as days-from-epoch ints in the manifests
+    meta = table_metadata(tbl)
+    data, _p, _e = iceberg_py._snapshot_files(
+        meta, iceberg_py._select_snapshot(meta), tbl
+    )
+    assert {d["_idpart"][2] for d in data} == {
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 1, 2),
+    }
+    got = {(r.id, r.d) for r in read_iceberg(spark, tbl).collect()}
+    assert got == {
+        (1, datetime.date(2024, 1, 1)),
+        (2, datetime.date(2024, 1, 2)),
+        (3, datetime.date(2024, 1, 1)),
+    }
+    kept = iceberg_py.prune_data_files(
+        data,
+        iceberg_py._current_schema(meta),
+        [("d", "=", datetime.date(2024, 1, 2))],
+    )
+    assert len(kept) < len(data)
+    # pyiceberg format reads dates injected from metadata too
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    got2 = {
+        (r.id, r.d)
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    }
+    assert got2 == got
+
+
+def test_partitioned_streaming_replay(spark, tbl, tmp_path):
+    """The stream injects identity-partition constants per added
+    file (values live only in metadata)."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "us"), (2, "de")], "id long, r string"),
+        tbl,
+        mode="create",
+        partition_by=["r"],
+    )
+    first = table_metadata(tbl)["snapshots"][0]["snapshot-id"]
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, "fr")], "id long, r string"),
+        tbl,
+        mode="append",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("pyiceberg")
+        .option("startingSnapshotId", first)
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.id, r.r) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "us"), (2, "de"), (3, "fr")}
