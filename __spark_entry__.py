@@ -26,77 +26,78 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
 _ALL = {**_CORE, **_EXT}
 
-# Round-8 cap ordering (driver cap = 50 queries/round; stamps are
-# CUMULATIVE across CORRECTNESS_r01..r07 — the r7 union is 201/201
-# oracle-eligible green). The cap fills by STAMP AGE (judge r7 #1):
-# 1. never-stamped first: y32 in-commit timestamps + writer-feature
-#    checkpoint round-trip, y33 Iceberg v2 read/append/position-
-#    delete — new this round;
-# 2. ALL 39 r3-era stamps (q58–q68 + the x13–x70 band) — they
-#    predate four rounds of engine churn (DV reads, column mapping,
-#    checkpoint schema changes all touch shared read paths);
-# 3. the remaining 9 slots go to the oldest r4-era stamps
-#    (q69–q74 + x03/x04/x38).
-# Everything past the cap keeps an r4+ stamp AND a same-round local
-# green in CORRECTNESS_LOCAL_r08.json; the r4 tail (38 queries)
-# rotates in r9.
+# Round-9 cap ordering (driver cap = 50 queries/round; stamps are
+# CUMULATIVE across CORRECTNESS_r01..r08 — the r8 union is 203/203
+# oracle-eligible green). The cap fills by STAMP AGE (judge r7 #1,
+# re-affirmed r8 #2):
+# 1. never-stamped first: y34 Iceberg maintenance (compact + expire
+#    + orphan cleanup), y35 Iceberg identity-partitioned read — new
+#    this round;
+# 2. ALL 38 remaining r4-era stamps (the x43–x98 band) — the oldest
+#    in the union, predating the DV/column-mapping/checkpoint/
+#    Iceberg shared-read-path churn;
+# 3. the remaining 10 slots go to the oldest r5-era stamps
+#    (q05/q32/q55 + x54/x57/x99 + y01–y04).
+# Everything past the cap keeps an r5+ stamp AND a same-round local
+# green in CORRECTNESS_LOCAL_r09.json; the r5 tail (y05–y09)
+# rotates in r10.
 _NEVER_STAMPED = [
-    "y32_in_commit_timestamps",
-    "y33_iceberg_read",
+    "y34_iceberg_maintenance",
+    "y35_iceberg_partitioned",
 ]
-_R3_ERA = [
-    "q58_tpch_q19_disjunctive",
-    "q59_tpch_q20_excess_inventory",
-    "q60_tpch_q21_waiting_suppliers",
-    "q61_tpch_q22_sales_opportunity",
-    "q62_higher_order_fns",
-    "q63_time_range_frame",
-    "q64_argmax_aggregation",
-    "q65_multiset_ops",
-    "q66_recursive_cte",
-    "q67_cube",
-    "q68_filter_clause",
-    "x13_sessionize",
-    "x16_streaming_tumbling",
-    "x18_streaming_sessionize_stateful",
-    "x25_streaming_rollup_table",
-    "x32_streaming_interval_join",
-    "x35_audio_features",
-    "x36_streaming_left_outer_join",
-    "x37_histogram_quantiles",
-    "x39_sequence_packing",
-    "x40_decontaminate",
-    "x41_vocab_zipf",
-    "x42_tfidf_top_terms",
-    "x44_funnel_stages",
-    "x48_bigram_lm",
-    "x49_corpus_pipeline",
-    "x50_stateful_running_totals",
-    "x51_groupwise_regression",
-    "x59_count_min_sketch",
-    "x61_bloom_join",
-    "x62_bpe_merges",
-    "x63_weighted_sample",
-    "x64_pareto_frontier",
-    "x65_dedup_survivors",
-    "x66_pagerank",
-    "x67_pmi_collocations",
-    "x68_repeated_spans",
-    "x69_lm_doc_score",
-    "x70_contiguous_ids",
+_R4_ERA = [
+    "x43_word_rarity",
+    "x45_cohort_retention",
+    "x46_streaming_rollup_delta",
+    "x47_inverted_index",
+    "x52_salted_aggregation",
+    "x53_salted_join",
+    "x55_stream_static_enrich",
+    "x56_contamination_matrix",
+    "x58_sliding_window",
+    "x60_sparse_cosine_pairs",
+    "x71_embedding_outliers",
+    "x72_gapfill_locf",
+    "x73_ewma_daily",
+    "x74_ab_ztest",
+    "x75_psi_drift",
+    "x76_train_val_test",
+    "x77_event_transitions",
+    "x78_conversion_latency",
+    "x79_incremental_dedup",
+    "x80_retrieval_pipeline",
+    "x81_cdc_chunk_dedup",
+    "x82_temperature_mixture",
+    "x83_robust_outliers_mad",
+    "x84_cms_error_audit",
+    "x85_packing_audit",
+    "x86_cluster_size_histogram",
+    "x87_shard_skew_audit",
+    "x88_label_silhouette",
+    "x89_delta_stream_rollup",
+    "x90_fuzzy_record_linkage",
+    "x91_referential_integrity",
+    "x92_scd2_intervals",
+    "x93_lasttouch_attribution",
+    "x94_triangle_counts",
+    "x95_epoch_mixture_plan",
+    "x96_video_frame_sample",
+    "x97_bootstrap_ci",
+    "x98_decayed_popularity",
 ]
-_R4_ERA_HEAD = [
-    "q69_numeric_range_frame",
-    "q70_regexp_extract_all",
-    "q71_ignore_nulls_locf",
-    "q72_null_safe_ops",
-    "q73_variant_json",
-    "q74_pipe_syntax",
-    "x03_dedup_minhash_lsh",
-    "x04_dedup_simhash",
-    "x38_mixture_sample",
+_R5_ERA_HEAD = [
+    "q05_null_coalesce",
+    "q32_json_extract",
+    "q55_tpch_q15_top_supplier",
+    "x54_data_quality_report",
+    "x57_embedding_audit",
+    "x99_bucketed_join",
+    "y01_incremental_rollup",
+    "y02_streaming_cdc_upsert",
+    "y03_zorder_skipping",
+    "y04_bpe_tokenize",
 ]
-_PRIORITY = _NEVER_STAMPED + _R3_ERA + _R4_ERA_HEAD
+_PRIORITY = _NEVER_STAMPED + _R4_ERA + _R5_ERA_HEAD
 QUERY_SPECS = {
     **{n: _ALL[n] for n in _PRIORITY},
     **{n: s for n, s in _ALL.items() if n not in _PRIORITY},

@@ -1568,6 +1568,12 @@ def expire_snapshots(
             mpath = _resolve(mf["manifest_path"], path)
             live_manifests.add(mpath)
             for entry in _read_avro_dicts(mpath):
+                if entry.get("status") == 2:
+                    # a REMOVED entry references a file the surviving
+                    # snapshot does NOT contain (REPLACE/compaction
+                    # bookkeeping); counting it live would protect
+                    # compacted-away files forever
+                    continue
                 live_data.add(
                     _resolve(entry["data_file"]["file_path"], path)
                 )
