@@ -44,6 +44,7 @@ _ALL = {**_CORE, **_EXT}
 _NEVER_STAMPED = [
     "y34_iceberg_maintenance",
     "y35_iceberg_partitioned",
+    "y36_iceberg_stream_replay",
 ]
 _R4_ERA = [
     "x43_word_rarity",

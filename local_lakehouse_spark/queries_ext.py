@@ -7809,6 +7809,121 @@ FROM customer GROUP BY nation ORDER BY nation
 """
 
 
+def y36(spark, sf):
+    """ICEBERG STREAMING REPLAY (round 9 — promotes the registered
+    pyiceberg streaming source from pytest-only to a checked query,
+    the same promotion the pydelta stream got as x89/y28): the
+    events extract commits as THREE append snapshots (disjoint
+    ``event_id % 3`` slices) plus one POSITION-DELETE snapshot, then
+    replays through ``readStream.format("pyiceberg")`` with
+    sequence-number offsets from the first snapshot. CONTRACTS:
+    (a) replaying the delete snapshot WITHOUT skipChangeCommits
+    fails the stream (changed data cannot replay as inserts);
+    (b) WITH skipChangeCommits=true exactly that snapshot is skipped
+    and the stream delivers precisely the three appends' rows —
+    append-replay semantics, so the count matches the full extract;
+    (c) the BATCH read of the same table reflects the delete
+    (merge-on-read anti-join), strictly fewer rows than the stream
+    delivered. Oracle: event-type rollup over the full events
+    extract (the three appends partition it exactly)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+    from .streaming.windows import run_stream_to_memory
+
+    key = hashlib.md5(f"{sf}|ice-stream-q-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_stream_q_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        import shutil
+
+        try:
+            ev = events_table(spark, sf).select(
+                "event_id", "user_id", "event_type", "value"
+            )
+            for k in range(3):
+                iceberg_py.write_iceberg(
+                    spark,
+                    ev.filter(F.col("event_id") % 3 == k).repartition(4),
+                    tbl,
+                    mode="create" if k == 0 else "append",
+                )
+            iceberg_py.delete_iceberg_where(
+                spark, tbl, "event_type = 'click' AND user_id % 10 = 0"
+            )
+        except BaseException:
+            # never leave a half-staged table behind the idempotent key
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    pyiceberg_source.register(spark)
+    meta = iceberg_py.table_metadata(tbl)
+    first_sid = next(
+        s["snapshot-id"]
+        for s in meta["snapshots"]
+        if int(s.get("sequence-number") or 0) == 1
+    )
+    # (a) the delete snapshot must fail the stream without the option
+    strict = (
+        spark.readStream.format("pyiceberg")
+        .option("startingSnapshotId", str(first_sid))
+        .load(tbl)
+    )
+    try:
+        run_stream_to_memory(
+            strict.groupBy().count(), f"y36_strict_{key}"
+        )
+        raise AssertionError(
+            "y36: delete snapshot replayed without skipChangeCommits"
+        )
+    except AssertionError:
+        raise
+    except Exception as exc:  # StreamingQueryException wraps it
+        if "skipChangeCommits" not in str(exc):
+            raise
+    # (b) with the option, the stream delivers the three appends
+    stream = (
+        spark.readStream.format("pyiceberg")
+        .option("startingSnapshotId", str(first_sid))
+        .option("skipChangeCommits", "true")
+        .load(tbl)
+    )
+    sink = f"y36_sink_{key}"
+    run_stream_to_memory(
+        stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        ),
+        sink,
+    )
+    out = spark.table(sink).orderBy("event_type")
+    streamed = out.agg(F.sum("n")).collect()[0][0]
+    expected = events_table(spark, sf).count()
+    if streamed != expected:
+        raise AssertionError(
+            f"y36: stream delivered {streamed} rows, extract has "
+            f"{expected}"
+        )
+    # (c) the batch read applies the position deletes the stream skips
+    batch_n = iceberg_py.read_iceberg(spark, tbl).count()
+    if not batch_n < streamed:
+        raise AssertionError(
+            f"y36: batch read ({batch_n}) does not reflect the "
+            f"delete (stream {streamed})"
+        )
+    return out
+
+
+Y36_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -7973,4 +8088,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y33_iceberg_read": QuerySpec(y33, Y33_SQL),
     "y34_iceberg_maintenance": QuerySpec(y34, Y34_SQL),
     "y35_iceberg_partitioned": QuerySpec(y35, Y35_SQL),
+    "y36_iceberg_stream_replay": QuerySpec(y36, Y36_SQL),
 }
