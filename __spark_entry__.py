@@ -45,6 +45,7 @@ _NEVER_STAMPED = [
     "y34_iceberg_maintenance",
     "y35_iceberg_partitioned",
     "y36_iceberg_stream_replay",
+    "y37_iceberg_transform_partitions",
 ]
 _R4_ERA = [
     "x43_word_rarity",

@@ -7924,6 +7924,135 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def y37(spark, sf):
+    """ICEBERG TRANSFORM PARTITIONS (round 9): stage the events
+    extract as a ``bucket(4, user_id)`` x ``days(ts)`` partitioned
+    Iceberg table — the spec's murmur3 bucket hash (verified against
+    the published Appendix B vectors in tests) and the epoch-day
+    ordinal, both computed by the writer and recorded in the
+    manifest partition records — then prune through the transforms
+    at scan planning. CONTRACTS: the committed spec carries
+    bucket[4]/day transforms; data files KEEP the source columns
+    (only identity may omit them); a user_id equality conjunct keeps
+    a strict subset of files, all with the literal's bucket image; a
+    ts range conjunct prunes through the monotonic day transform
+    (v >= lit forces day(v) >= day(lit)); and the registered
+    pyiceberg DataSource (pushFilters -> the same prune) agrees with
+    read_iceberg. At 100 TB this pruning is the point of transform
+    partitioning: a one-user or one-day query plans O(matching
+    partitions) files from metadata alone. Oracle: event-type
+    rollup over the second half of the month."""
+    import datetime as _dt
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+    from .sources import iceberg_transforms as _tr
+
+    key = hashlib.md5(f"{sf}|ice-tfm-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_tfm_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        import shutil
+
+        try:
+            ev = events_table(spark, sf).select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            iceberg_py.write_iceberg(
+                spark,
+                ev,
+                tbl,
+                mode="create",
+                partition_by=["bucket(4, user_id)", "days(ts)"],
+            )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    spec = iceberg_py._partition_specs(meta)[
+        int(meta.get("default-spec-id", 0))
+    ]
+    if [f["transform"] for f in spec] != ["bucket[4]", "day"]:
+        raise AssertionError(f"y37: spec transforms wrong: {spec}")
+    snap = iceberg_py._select_snapshot(meta)
+    data, _pos, _eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    import pyarrow.parquet as pq
+
+    cols = pq.read_schema(
+        iceberg_py._resolve(data[0]["file_path"], tbl)
+    ).names
+    if not {"user_id", "ts"} <= set(cols):
+        raise AssertionError(
+            "y37: non-identity transform dropped source columns "
+            "from the data files"
+        )
+    schema_obj = iceberg_py._current_schema(meta)
+    fid_user = next(
+        f["id"] for f in schema_obj["fields"] if f["name"] == "user_id"
+    )
+    uid = 7
+    want_bucket = _tr.apply_transform("bucket[4]", uid, "long")
+    kept = iceberg_py.prune_data_files(
+        data, schema_obj, [("user_id", "=", uid)]
+    )
+    if not (0 < len(kept) < len(data)) or any(
+        d["_tpart"][("bucket[4]", fid_user)] != want_bucket
+        for d in kept
+    ):
+        raise AssertionError(
+            f"y37: bucket pruning wrong: {len(kept)}/{len(data)}"
+        )
+    cut = _dt.datetime(2024, 1, 16)
+    kept_day = iceberg_py.prune_data_files(
+        data, schema_obj, [("ts", ">=", cut)]
+    )
+    if not (0 < len(kept_day) < len(data)):
+        raise AssertionError(
+            f"y37: day-range pruning wrong: {len(kept_day)}/{len(data)}"
+        )
+    pyiceberg_source.register(spark)
+    n_ds = (
+        spark.read.format("pyiceberg")
+        .load(tbl)
+        .filter(f"user_id = {uid}")
+        .count()
+    )
+    n_native = (
+        iceberg_py.read_iceberg(
+            spark, tbl, filters=[("user_id", "=", uid)]
+        )
+        .filter(f"user_id = {uid}")
+        .count()
+    )
+    if n_ds != n_native:
+        raise AssertionError(
+            f"y37: read paths disagree: {n_ds} vs {n_native}"
+        )
+    df = iceberg_py.read_iceberg(
+        spark, tbl, filters=[("ts", ">=", cut)]
+    ).filter(F.col("ts") >= F.lit(cut))
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Y37_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -8089,4 +8218,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y34_iceberg_maintenance": QuerySpec(y34, Y34_SQL),
     "y35_iceberg_partitioned": QuerySpec(y35, Y35_SQL),
     "y36_iceberg_stream_replay": QuerySpec(y36, Y36_SQL),
+    "y37_iceberg_transform_partitions": QuerySpec(y37, Y37_SQL),
 }

@@ -403,6 +403,29 @@ def _identity_values(
     return idp
 
 
+def _transform_values(
+    pdict, spec_fields: list, fields_by_id: dict
+) -> dict:
+    """A manifest entry's partition record -> ``{(transform, source
+    field id): raw partition value}`` over the spec's NON-identity
+    transform fields (bucket/truncate/year/month/day/hour) — the
+    inputs to transform-aware pruning (iceberg_transforms.prune_keep).
+    Values stay in their avro storage representation (ints for the
+    temporal family, matching apply_transform's literal images)."""
+    out: dict = {}
+    if not isinstance(pdict, dict):
+        return out
+    for sf in spec_fields:
+        tfm = sf.get("transform")
+        if tfm in (None, "identity", "void"):
+            continue
+        src = fields_by_id.get(int(sf["source-id"]))
+        if src is None or sf["name"] not in pdict:
+            continue
+        out[(tfm, int(sf["source-id"]))] = pdict[sf["name"]]
+    return out
+
+
 def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
     """(data_files, position_delete_files, equality_delete_files) for
     a snapshot: manifest list -> manifests -> live entries (status
@@ -436,6 +459,9 @@ def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
             seq = entry.get("sequence_number")
             df["_seq"] = int(seq) if seq is not None else mseq
             df["_idpart"] = _identity_values(
+                df.get("partition") or {}, spec_fields, fields_by_id
+            )
+            df["_tpart"] = _transform_values(
                 df.get("partition") or {}, spec_fields, fields_by_id
             )
             content = int(df.get("content") or 0)
@@ -1055,15 +1081,26 @@ def prune_data_files(
     ``(column, op, literal)`` conjunct. IDENTITY-partition values
     (``_idpart``, from the manifest partition records) are exact
     per-file constants, so they prune as a point interval — the
-    partition-pruning half of Iceberg scan planning. Files without
-    bounds for the column always survive — pruning never decides
-    correctness."""
+    partition-pruning half of Iceberg scan planning. TRANSFORM
+    partition values (``_tpart``) prune through the transform:
+    bucket on equality points (``pv == bucket(literal)``), truncate
+    and the temporal transforms on ranges too (they are monotonic,
+    so ``v < lit`` forces ``T(v) <= T(lit)``) — see
+    iceberg_transforms.prune_keep. Files without bounds for the
+    column always survive — pruning never decides correctness."""
+    from . import iceberg_transforms as _tr
+
     fields = {f["name"]: f for f in schema_obj["fields"]}
 
     def keep(df: dict, col: str, op: str, value) -> bool:
         f = fields.get(col)
         if f is None or not isinstance(f["type"], str):
             return True
+        for (tfm, src_id), pv in (df.get("_tpart") or {}).items():
+            if src_id == f["id"] and not _tr.prune_keep(
+                tfm, f["type"], pv, op, value
+            ):
+                return False
         idp = df.get("_idpart") or {}
         if f["id"] in idp:
             pv = idp[f["id"]]
@@ -1213,14 +1250,21 @@ def _prior_manifest_rows(meta: dict, path: str) -> list:
     return out
 
 
-def _identity_spec_fields(
+def _partition_spec_fields(
     schema_obj: dict, partition_by: Optional[list]
 ) -> list:
-    """Partition-spec fields for ``partition_by`` columns: identity
-    transforms over top-level primitive source columns, spec field
-    ids from 1000 (the spec's convention)."""
+    """Partition-spec fields for user-facing ``partition_by``
+    entries — bare columns (identity) plus the transform surface
+    ``bucket(N, col)`` / ``truncate(W, col)`` / ``days(col)`` /
+    ``months(col)`` / ``years(col)`` / ``hours(col)`` (the
+    iceberg-spark ``partitionedBy`` shapes). Spec field ids from
+    1000, the spec's convention; field names follow iceberg-core's
+    defaults (``<col>_bucket``, ``<col>_day``, ...)."""
+    from . import iceberg_transforms as _tr
+
     out = []
-    for i, c in enumerate(partition_by or []):
+    for i, entry in enumerate(partition_by or []):
+        c, tfm = _tr.parse_partition_by(entry)
         src = next(
             (f for f in schema_obj["fields"] if f["name"] == c), None
         )
@@ -1228,19 +1272,27 @@ def _identity_spec_fields(
             raise UnsupportedOperationError(
                 f"partition column {c!r} not in the schema"
             )
-        if (
-            not isinstance(src["type"], str)
-            or src["type"] not in _PART_AVRO_TYPES
-        ):
+        if not isinstance(src["type"], str):
+            raise UnsupportedOperationError(
+                f"partition column {c!r} has a nested type"
+            )
+        if tfm == "identity" and src["type"] not in _PART_AVRO_TYPES:
             raise UnsupportedOperationError(
                 f"partition column {c!r} has type {src['type']!r}; "
                 f"identity partitioning supports "
                 f"{sorted(_PART_AVRO_TYPES)}"
             )
+        _tr.validate(tfm, src["type"])
+        rt = _tr.result_ice_type(tfm, src["type"])
+        if rt not in _PART_AVRO_TYPES:
+            raise UnsupportedOperationError(
+                f"partition transform {tfm!r} over {src['type']!r} "
+                f"produces {rt!r}, which this writer cannot encode"
+            )
         out.append(
             {
-                "name": c,
-                "transform": "identity",
+                "name": _tr.spec_field_name(c, tfm),
+                "transform": tfm,
                 "source-id": src["id"],
                 "field-id": 1000 + i,
             }
@@ -1337,7 +1389,7 @@ def write_iceberg(
             "partition-specs": [
                 {
                     "spec-id": 0,
-                    "fields": _identity_spec_fields(
+                    "fields": _partition_spec_fields(
                         schema_obj, partition_by
                     ),
                 }
@@ -1409,26 +1461,55 @@ def write_iceberg(
             f"{missing_req}; committing would read them back as NULL"
         )
     # the table's default partition spec drives the data layout
+    from . import iceberg_transforms as _tr
+
     spec_fields = _partition_specs(meta).get(
         int(meta.get("default-spec-id", 0)), []
     )
-    if any(sf.get("transform") != "identity" for sf in spec_fields):
-        raise UnsupportedOperationError(
-            "append to a table with non-identity partition "
-            "transforms is unsupported"
-        )
     fields_by_id = {f["id"]: f for f in schema_obj["fields"]}
-    part_cols = [
-        fields_by_id[int(sf["source-id"])]["name"] for sf in spec_fields
-    ]
-    if mode == "append" and partition_by is not None and list(
-        partition_by
-    ) != part_cols:
-        raise UnsupportedOperationError(
-            f"append partition_by {list(partition_by)} != the "
-            f"table's partition spec {part_cols}"
-        )
-    missing_pc = [c for c in part_cols if c not in present]
+    # layout plan per spec field: identity partitions BY the source
+    # column (hive layout, column omitted from the data files — the
+    # foreign-writer shape y35 stages); a transform partitions by a
+    # DERIVED column named after the spec field (source column stays
+    # in the data files, as the spec requires for non-identity)
+    src_names = []
+    layout_cols = []
+    derived = []  # (layout col, transform, source name, source type)
+    for sf in spec_fields:
+        src = fields_by_id.get(int(sf["source-id"]))
+        if src is None:
+            raise UnsupportedOperationError(
+                f"partition spec field {sf.get('name')!r} references "
+                f"unknown source-id {sf.get('source-id')!r}"
+            )
+        tfm = sf.get("transform", "identity")
+        _tr.validate(tfm, src["type"])
+        src_names.append(src["name"])
+        if tfm == "identity":
+            layout_cols.append(src["name"])
+        else:
+            if sf["name"] in present:
+                raise UnsupportedOperationError(
+                    f"partition spec field name {sf['name']!r} "
+                    "collides with a data column"
+                )
+            layout_cols.append(sf["name"])
+            derived.append((sf["name"], tfm, src["name"], src["type"]))
+    if mode == "append" and partition_by is not None:
+        asked = [
+            _tr.parse_partition_by(e) for e in partition_by
+        ]
+        actual = [
+            (fields_by_id[int(sf["source-id"])]["name"],
+             sf.get("transform", "identity"))
+            for sf in spec_fields
+        ]
+        if asked != actual:
+            raise UnsupportedOperationError(
+                f"append partition_by {asked} != the table's "
+                f"partition spec {actual}"
+            )
+    missing_pc = [c for c in src_names if c not in present]
     if missing_pc:
         raise UnsupportedOperationError(
             f"append is missing partition columns {missing_pc}"
@@ -1447,16 +1528,29 @@ def write_iceberg(
             for f in df.schema.fields
         ]
     )
+    for lcol, tfm, src_name, src_type in derived:
+        stamped = stamped.withColumn(
+            lcol, _tr.spark_transform_column(tfm, src_name, src_type)
+        )
     tmp = path + f".__ice_tmp_{uuid.uuid4().hex}"
     writer = stamped.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+    if layout_cols:
+        writer = writer.partitionBy(*layout_cols)
     writer.parquet(tmp)
     import pyarrow.parquet as pq
 
-    part_types = {
-        c: fields_by_id[int(sf["source-id"])]["type"]
-        for c, sf in zip(part_cols, spec_fields)
+    # decode type of each hive dir value: the SOURCE type for
+    # identity fields, the transform's RESULT type otherwise
+    decode_types = {
+        sf["name"]: (
+            fields_by_id[int(sf["source-id"])]["type"]
+            if sf.get("transform", "identity") == "identity"
+            else _tr.result_ice_type(
+                sf["transform"],
+                fields_by_id[int(sf["source-id"])]["type"],
+            )
+        )
+        for sf in spec_fields
     }
     entries = []
     for src in _collect_part_files(tmp):
@@ -1464,7 +1558,7 @@ def write_iceberg(
         if n == 0:  # empty partitions write empty part files
             continue
         partition = None
-        if part_cols:
+        if layout_cols:
             # hive dirs carry the values Spark dropped from the files
             segs = dict(
                 s.split("=", 1)
@@ -1472,8 +1566,10 @@ def write_iceberg(
                 if "=" in s
             )
             partition = tuple(
-                _hive_partition_value(segs[c], part_types[c])
-                for c in part_cols
+                _hive_partition_value(
+                    segs[lc], decode_types[sf["name"]]
+                )
+                for lc, sf in zip(layout_cols, spec_fields)
             )
         dest = os.path.join(
             data_dir, f"{uuid.uuid4().hex}-{os.path.basename(src)}"
@@ -1499,9 +1595,7 @@ def write_iceberg(
     pf_avro = [
         {
             "name": sf["name"],
-            "avro_type": _PART_AVRO_TYPES[
-                fields_by_id[int(sf["source-id"])]["type"]
-            ],
+            "avro_type": _PART_AVRO_TYPES[decode_types[sf["name"]]],
             "field-id": sf["field-id"],
         }
         for sf in spec_fields
