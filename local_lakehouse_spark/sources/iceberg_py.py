@@ -426,6 +426,37 @@ def _transform_values(
     return out
 
 
+def _require_v2(meta: dict, op: str) -> None:
+    """DML/maintenance write paths commit v2 constructs (sequence
+    numbers, delete files, REPLACE entry semantics) — refuse loudly
+    on any other format version. READS stay version-tolerant
+    (format-version 1 tables read fine; v3 refuses in read_iceberg)."""
+    fmt = int(meta.get("format-version", 1))
+    if fmt != 2:
+        raise UnsupportedOperationError(
+            f"{op} requires an Iceberg format-version 2 table "
+            f"(this table is v{fmt})"
+        )
+
+
+def _manifest_list_rows(snap: dict, path: str) -> list:
+    """The snapshot's manifest-file rows. Modern snapshots point at a
+    manifest-list avro; format-version 1 snapshots may instead inline
+    a ``manifests`` path array (the spec's pre-manifest-list layout)
+    — synthesize equivalent rows for them (v1 has no sequence
+    numbers; 0 everywhere, matching v1 manifest entries)."""
+    if snap.get("manifest-list"):
+        return _read_avro_dicts(_resolve(snap["manifest-list"], path))
+    return [
+        {
+            "manifest_path": p,
+            "sequence_number": 0,
+            "partition_spec_id": 0,
+        }
+        for p in snap.get("manifests") or []
+    ]
+
+
 def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
     """(data_files, position_delete_files, equality_delete_files) for
     a snapshot: manifest list -> manifests -> live entries (status
@@ -447,8 +478,7 @@ def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
         for f in _current_schema(meta)["fields"]
         if isinstance(f.get("type"), str)
     }
-    mlist = _resolve(snap["manifest-list"], path)
-    for mf in _read_avro_dicts(mlist):
+    for mf in _manifest_list_rows(snap, path):
         mseq = int(mf.get("sequence_number") or 0)
         spec_fields = specs.get(int(mf.get("partition_spec_id") or 0), [])
         mpath = _resolve(mf["manifest_path"], path)
@@ -530,7 +560,6 @@ def read_iceberg(
                 f"{df_.get('file_format')!r} unsupported (PARQUET only)"
             )
     paths = [_resolve(d["file_path"], path) for d in data_files]
-    scan = spark.read.schema(schema).parquet(*paths)
     # Deletes and partition injection join on file-level identity:
     # basenames are UUID-generated per the spec writers — guarded
     # like the DV path.
@@ -544,15 +573,9 @@ def read_iceberg(
         raise UnsupportedOperationError(
             "Iceberg read over data files with colliding basenames"
         )
-    if needs_identity:
-        # capture file identity FIRST: the _metadata pseudo-column is
-        # only reachable on the raw scan relation, not post-join
-        scan = scan.withColumns(
-            {
-                "__fn": F.col("_metadata.file_name"),
-                "__ri": F.col("_metadata.row_index"),
-            }
-        )
+    scan = _build_scan(
+        spark, paths, schema, meta, bool(needs_identity)
+    )
     scan = _inject_identity_partitions(
         spark, scan, schema, data_files, path
     )
@@ -585,6 +608,127 @@ def read_iceberg(
             spark, scan, schema, data_files, eq_deletes, path
         )
     return scan.drop("__fn", "__ri")
+
+
+def parse_name_mapping(meta: dict) -> Optional[dict]:
+    """``schema.name-mapping.default`` (spec: "Column Projection" /
+    name mapping serialization) -> ``{field id: [candidate names]}``
+    over top-level fields. The mapping exists exactly when the table
+    carries data files WITHOUT parquet footer field ids (e.g.
+    migrated in via add_files), telling readers which footer NAMES
+    bind to which schema ids."""
+    raw = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if not raw:
+        return None
+    out: dict = {}
+    for m in json.loads(raw):
+        fid = m.get("field-id")
+        if fid is not None:
+            out[int(fid)] = list(m.get("names") or [])
+    return out
+
+
+def _build_scan(
+    spark: SparkSession,
+    paths: list,
+    schema: T.StructType,
+    meta: dict,
+    needs_identity: bool,
+) -> DataFrame:
+    """The data-file scan, ``__fn``/``__ri`` file-identity columns
+    already captured when ``needs_identity`` (the ``_metadata``
+    pseudo-column is only reachable on a raw scan relation, never
+    post-select/union).
+
+    Default path: ONE field-id-bound scan over every file (footer
+    ids are the Iceberg resolution rule). When the table carries a
+    ``schema.name-mapping.default`` property, files are probed for
+    footer ids at planning time (driver-side footer reads — the
+    signal that unstamped migrated files exist is exactly the
+    mapping's presence, so unmapped tables pay nothing): files WITH
+    ids keep the id-bound scan; files WITHOUT read by their MAPPED
+    footer names, grouped per resolved physical layout, aliased back
+    to the logical schema, and unioned. A mapped field whose
+    candidate names all miss a file surfaces as NULL — the spec's
+    column-projection rule for absent fields."""
+    from pyspark.sql import functions as F
+
+    def _with_identity(df: DataFrame) -> DataFrame:
+        if not needs_identity:
+            return df
+        return df.withColumns(
+            {
+                "__fn": F.col("_metadata.file_name"),
+                "__ri": F.col("_metadata.row_index"),
+            }
+        )
+
+    mapping = parse_name_mapping(meta)
+    if not mapping:
+        return _with_identity(spark.read.schema(schema).parquet(*paths))
+    import pyarrow.parquet as pq
+
+    with_ids: list = []
+    groups: dict = {}  # resolved physical-name tuple -> [paths]
+    for p in paths:
+        fs = pq.read_schema(p)
+        if any(
+            (f.metadata or {}).get(b"PARQUET:field_id") is not None
+            for f in fs
+        ):
+            with_ids.append(p)
+            continue
+        fnames = set(fs.names)
+        phys = tuple(
+            next(
+                (
+                    n
+                    for n in mapping.get(
+                        int(f.metadata["parquet.field.id"]), []
+                    )
+                    if n in fnames
+                ),
+                None,
+            )
+            for f in schema.fields
+        )
+        groups.setdefault(phys, []).append(p)
+    scans = []
+    if with_ids:
+        scans.append(
+            _with_identity(
+                spark.read.schema(schema).parquet(*with_ids)
+            )
+        )
+    for phys, ps in groups.items():
+        read_fields = [
+            T.StructField(pn, f.dataType, True)
+            for f, pn in zip(schema.fields, phys)
+            if pn is not None
+        ]
+        sel = [
+            (
+                F.col(pn).alias(f.name)
+                if pn is not None
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+            for f, pn in zip(schema.fields, phys)
+        ]
+        if needs_identity:
+            sel += [F.col("__fn"), F.col("__ri")]
+        scans.append(
+            _with_identity(
+                spark.read.schema(T.StructType(read_fields)).parquet(
+                    *ps
+                )
+            ).select(*sel)
+        )
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 def _inject_identity_partitions(
@@ -1633,6 +1777,7 @@ def expire_snapshots(
     Returns ``{"expired": [...ids], "deleted_files": [...paths]}``.
     Driver-side metadata work only — this never reads data."""
     meta = table_metadata(path)
+    _require_v2(meta, "expire_snapshots")
     snaps = sorted(
         meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
     )
@@ -1746,6 +1891,7 @@ def compact_data_files(
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
+    _require_v2(meta, "compact_data_files")
     snap = _select_snapshot(meta)
     data_files, pos_deletes, eq_deletes = _snapshot_files(
         meta, snap, path
@@ -1939,6 +2085,7 @@ def delete_iceberg_where(
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
+    _require_v2(meta, "delete_iceberg_where")
     snap = _select_snapshot(meta)
     data_files, pos_deletes, n_eq = _snapshot_files(meta, snap, path)
     if n_eq:

@@ -106,7 +106,7 @@ def _to_days(value) -> int:
 _DEC_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
 
 
-def bucket_hash(value, ice_type: str) -> Optional[int]:
+def bucket_hash(value: object, ice_type: str) -> Optional[int]:
     """Spec Appendix B hash of one value: int/long/date/time/
     timestamp widen to an 8-byte little-endian long; strings hash
     their UTF-8 bytes; uuid its 16 big-endian bytes; decimal the
@@ -279,7 +279,7 @@ def validate(transform: str, src_type: str) -> None:
     )
 
 
-def apply_transform(transform: str, value, src_type: str):
+def apply_transform(transform: str, value: object, src_type: str) -> object:
     """Evaluate a transform on one Python value (filter literals at
     plan time; also the scalar oracle for the vectorized writer
     path)."""
@@ -333,7 +333,9 @@ def apply_transform(transform: str, value, src_type: str):
 _MONOTONIC = ("identity", "truncate", "year", "month", "day", "hour")
 
 
-def prune_keep(transform: str, src_type: str, pv, op: str, literal) -> bool:
+def prune_keep(
+    transform: str, src_type: str, pv: object, op: str, literal: object
+) -> bool:
     """Can any row in a file whose transform partition value is
     ``pv`` satisfy ``row.col <op> literal``? True = keep the file.
     Conservative: unknown ops / incomparable literals keep."""

@@ -150,6 +150,7 @@ def _read_file_as_batches(
     deleted=None,
     physical: "dict | None" = None,
     field_ids: "dict | None" = None,
+    name_map: "dict | None" = None,
 ):
     """One data file → Arrow batches matching the FULL table schema:
     partition columns materialize as constants from partitionValues,
@@ -201,6 +202,17 @@ def _read_file_as_batches(
             fid = field_ids.get(f.name)
             if fid is not None and fid in by_id:
                 phys_of[f.name] = by_id[fid]
+        if name_map and not by_id:
+            # Iceberg NAME MAPPING: a file without footer field ids
+            # binds by its mapped candidate names (spec "Column
+            # Projection"); candidates that miss surface as NULL via
+            # the explicit-schema path below
+            fnames = set(file_schema.names)
+            for f in spark_schema.fields:
+                cands = name_map.get(f.name) or []
+                phys_of[f.name] = next(
+                    (n for n in cands if n in fnames), phys_of[f.name]
+                )
     wanted = set(phys_of.values())
     table = pq.read_table(
         abs_path,

@@ -125,6 +125,15 @@ class _PyIcebergReader(DataSourceReader):
             iceberg_py._resolve(d["file_path"], self._path)
             for d in pos
         ]
+        # Iceberg name mapping ({field id: [names]} -> logical-name
+        # keys for the shared batch reader): binds files WITHOUT
+        # footer field ids by their mapped footer names
+        by_fid = iceberg_py.parse_name_mapping(meta) or {}
+        self._name_map = {
+            f["name"]: by_fid[int(f["id"])]
+            for f in ice_schema["fields"]
+            if int(f["id"]) in by_fid
+        } or None
 
     _OPS = {
         EqualTo: "=",
@@ -169,6 +178,7 @@ class _PyIcebergReader(DataSourceReader):
                     "part": _part_strings(
                         d.get("_idpart") or {}, name_of
                     ),
+                    "name_map": self._name_map,
                 }
             )
             for d in self._data
@@ -203,6 +213,7 @@ class _PyIcebergReader(DataSourceReader):
             partition.value.get("part") or {},
             deleted=deleted,
             field_ids=self._fids,
+            name_map=partition.value.get("name_map"),
         )
 
 
@@ -229,6 +240,13 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             == "true"
         )
         meta = iceberg_py.table_metadata(self._path)
+        fmt = int(meta.get("format-version", 1))
+        if fmt != 2:
+            raise UnsupportedOperationError(
+                "pyiceberg streaming offsets are the table's v2 "
+                f"sequence numbers; format-version {fmt} tables have "
+                "none — read them in batch"
+            )
         ice_schema = iceberg_py._current_schema(meta)
         self._schema = iceberg_py.iceberg_schema_to_spark(ice_schema)
         self._fids = {

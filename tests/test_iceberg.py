@@ -1125,3 +1125,272 @@ def test_partitioned_streaming_replay(spark, tbl, tmp_path):
     q.awaitTermination(120)
     got = {(r.id, r.r) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "us"), (2, "de"), (3, "fr")}
+
+
+def test_reads_foreign_format_version_1_table(spark, tbl, tmp_path):
+    """Format-version 1 READ compat (round 9): a foreign v1 table —
+    single ``schema`` key, ``partition-spec`` key, a snapshot whose
+    manifests are an INLINE ``manifests`` path array (the spec's
+    pre-manifest-list layout), and v1 manifest entries (no sequence
+    numbers, no ``content`` field, required ``block_size_in_bytes``)
+    — reads exactly; the v2-only write paths (append, position
+    DELETE, compaction, expiration, streaming offsets) all refuse
+    loudly instead of committing v2 constructs into a v1 table."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(os.path.join(tbl, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(tbl, "data"), exist_ok=True)
+    df = spark.range(50).select(
+        F.col("id").alias("a", metadata={"parquet.field.id": 1}),
+        (F.col("id") * 2)
+        .cast("string")
+        .alias("b", metadata={"parquet.field.id": 2}),
+    )
+    tmp = str(tmp_path / "v1_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(
+        os.path.join(root, n)
+        for root, _d, names in os.walk(tmp)
+        for n in sorted(names)
+        if n.endswith(".parquet")
+    )
+    data_path = os.path.join(tbl, "data", f"{_uuid.uuid4().hex}.parquet")
+    os.replace(src, data_path)
+
+    v1_entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": "long", "field-id": 1},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {
+                            "name": "file_path",
+                            "type": "string",
+                            "field-id": 100,
+                        },
+                        {
+                            "name": "file_format",
+                            "type": "string",
+                            "field-id": 101,
+                        },
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [],
+                            },
+                            "field-id": 102,
+                        },
+                        {
+                            "name": "record_count",
+                            "type": "long",
+                            "field-id": 103,
+                        },
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                        {
+                            "name": "block_size_in_bytes",
+                            "type": "long",
+                            "field-id": 105,
+                        },
+                    ],
+                },
+                "field-id": 2,
+            },
+        ],
+    }
+    mpath = os.path.join(tbl, "metadata", "manifest-v1test.avro")
+    avro_py.write_container(
+        mpath,
+        v1_entry_schema,
+        iter(
+            [
+                (
+                    1,
+                    777,
+                    (
+                        data_path,
+                        "PARQUET",
+                        (),
+                        50,
+                        os.path.getsize(data_path),
+                        67108864,
+                    ),
+                )
+            ]
+        ),
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": tbl,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "a", "required": False, "type": "long"},
+                {
+                    "id": 2,
+                    "name": "b",
+                    "required": False,
+                    "type": "string",
+                },
+            ],
+        },
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": 777,
+        "snapshots": [
+            {
+                "snapshot-id": 777,
+                "timestamp-ms": 1700000000000,
+                "manifests": [mpath],
+            }
+        ],
+    }
+    with open(
+        os.path.join(tbl, "metadata", "v1.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(
+        os.path.join(tbl, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write("1")
+
+    out = read_iceberg(spark, tbl)
+    assert out.columns == ["a", "b"]
+    rows = sorted(map(tuple, out.collect()))
+    assert len(rows) == 50 and rows[0] == (0, "0") and rows[-1] == (
+        49,
+        "98",
+    )
+
+    # v2-only write/maintenance surfaces refuse loudly on v1
+    with pytest.raises(UnsupportedOperationError):
+        write_iceberg(
+            spark, spark.range(1).select(F.col("id").alias("a")),
+            tbl, mode="append",
+        )
+    with pytest.raises(UnsupportedOperationError):
+        delete_iceberg_where(spark, tbl, "a = 1")
+    with pytest.raises(UnsupportedOperationError):
+        iceberg_py.compact_data_files(spark, tbl)
+    with pytest.raises(UnsupportedOperationError):
+        iceberg_py.expire_snapshots(tbl, retain_last=1)
+    from local_lakehouse_spark.sources.pyiceberg_source import (
+        _PyIcebergStreamReader,
+    )
+
+    with pytest.raises(UnsupportedOperationError):
+        _PyIcebergStreamReader({"path": tbl}, None)
+
+    # the registered batch DataSource reads v1 too
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    assert (
+        spark.read.format("pyiceberg").load(tbl).count() == 50
+    )
+
+
+def test_name_mapping_binds_unstamped_files(spark, tbl):
+    """``schema.name-mapping.default`` (spec "Column Projection"):
+    data files WITHOUT parquet footer field ids — the add_files /
+    migrated-table shape — bind by their MAPPED footer names. Staged
+    by rewriting a committed file with different physical names
+    (x, y) and no ids, then adding the mapping property. Both read
+    paths must agree; a mapped field whose candidates all miss the
+    file surfaces as NULL; a second stamped append mixes id-bound
+    and name-mapped files in one scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 2).cast("string").alias("b"),
+    )
+    write_iceberg(spark, df.coalesce(1), tbl, mode="create")
+    meta = table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    data, _p, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    assert len(data) == 1
+    fpath = iceberg_py._resolve(data[0]["file_path"], tbl)
+    t = pq.read_table(fpath)
+    # physical names x/y, footer field ids stripped
+    stripped = pa.table(
+        {"x": t.column("a"), "y": t.column("b")}
+    )
+    pq.write_table(stripped, fpath)
+    assert all(
+        (f.metadata or {}).get(b"PARQUET:field_id") is None
+        for f in pq.read_schema(fpath)
+    )
+
+    # without a mapping the id-bound scan cannot read the file
+    with pytest.raises(Exception):
+        read_iceberg(spark, tbl).collect()
+
+    mf = iceberg_py._current_metadata_file(tbl)
+    meta = json.load(open(mf))
+    meta.setdefault("properties", {})[
+        "schema.name-mapping.default"
+    ] = json.dumps(
+        [
+            {"field-id": 1, "names": ["a", "x"]},
+            {"field-id": 2, "names": ["b", "y"]},
+        ]
+    )
+    json.dump(meta, open(mf, "w"))
+
+    out = sorted(map(tuple, read_iceberg(spark, tbl).collect()))
+    assert len(out) == 20 and out[0] == (0, "0") and out[-1] == (
+        19,
+        "38",
+    )
+
+    # mixed table: a stamped append unions with the mapped file
+    write_iceberg(spark, df.limit(5).coalesce(1), tbl, mode="append")
+    out2 = read_iceberg(spark, tbl)
+    assert out2.count() == 25
+    assert out2.filter("a = 3").count() == 2
+
+    # the registered DataSource binds the same way (per-file mapped
+    # names in the Arrow reader)
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    ds = spark.read.format("pyiceberg").load(tbl)
+    assert ds.count() == 25
+    assert sorted(map(tuple, ds.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+
+    # a mapped field with no matching candidate surfaces as NULL
+    # (re-resolve: the append committed a newer metadata.json)
+    mf = iceberg_py._current_metadata_file(tbl)
+    meta = json.load(open(mf))
+    meta["properties"]["schema.name-mapping.default"] = json.dumps(
+        [
+            {"field-id": 1, "names": ["a", "x"]},
+            {"field-id": 2, "names": ["zz"]},
+        ]
+    )
+    json.dump(meta, open(mf, "w"))
+    out3 = read_iceberg(spark, tbl)
+    # unstamped file rows: b is NULL; stamped rows keep their ids
+    assert out3.filter("b IS NULL").count() == 20
+    assert out3.filter("b IS NOT NULL").count() == 5
