@@ -46,6 +46,7 @@ _NEVER_STAMPED = [
     "y35_iceberg_partitioned",
     "y36_iceberg_stream_replay",
     "y37_iceberg_transform_partitions",
+    "y38_iceberg_convert_from_delta",
 ]
 _R4_ERA = [
     "x43_word_rarity",

@@ -8053,6 +8053,105 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def y38(spark, sf):
+    """DELTA -> ICEBERG shallow CONVERT (round 9 — the inverse of
+    y33's CONVERT TO DELTA; iceberg-core ships it as the snapshot/
+    migrate procedures): a hive-partitioned Delta part extract
+    converts to Iceberg METADATA ONLY — the single append snapshot
+    references the Delta data files in place (at 100 TB the convert
+    commits manifests, not data), hive partition values become
+    IDENTITY metadata values, and a ``schema.name-mapping.default``
+    property binds the unstamped Delta parquet under field-id
+    resolution. CONTRACTS: the Iceberg location holds NO data files;
+    every entry path points into the Delta table; the identity spec
+    prunes ``p_size = 10`` to a strict subset with exact metadata
+    values; and read_iceberg agrees with the registered pyiceberg
+    DataSource on the full converted row set. Oracle: brand rollup
+    over small parts (p_size <= 10), pruning exercised in the
+    returned plan via filters=."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import delta_py, iceberg_py, pyiceberg_source
+
+    key = hashlib.md5(f"{sf}|ice-conv-v1".encode()).hexdigest()[:8]
+    dsrc = os.path.join(tempfile.gettempdir(), f"llh_conv_delta_{key}")
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_conv_ice_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        import shutil
+
+        try:
+            if not delta_py.is_delta_table(dsrc):
+                pt = t(spark, sf, "part").select(
+                    "p_partkey", "p_brand", "p_size", "p_retailprice"
+                )
+                delta_py.write_delta(
+                    spark, pt, dsrc, partition_by=["p_size"]
+                )
+            iceberg_py.convert_delta_to_iceberg(spark, dsrc, tbl)
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            shutil.rmtree(dsrc, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    if os.path.isdir(os.path.join(tbl, "data")):
+        raise AssertionError("y38: shallow convert copied data")
+    snap = iceberg_py._select_snapshot(meta)
+    data, _pos, _eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    if not all(
+        iceberg_py._resolve(d["file_path"], tbl).startswith(dsrc)
+        for d in data
+    ):
+        raise AssertionError(
+            "y38: converted entries do not reference the Delta files"
+        )
+    schema_obj = iceberg_py._current_schema(meta)
+    fid_size = next(
+        f["id"] for f in schema_obj["fields"] if f["name"] == "p_size"
+    )
+    kept = iceberg_py.prune_data_files(
+        data, schema_obj, [("p_size", "=", 10)]
+    )
+    if not (0 < len(kept) < len(data)) or any(
+        d["_idpart"].get(fid_size) != 10 for d in kept
+    ):
+        raise AssertionError(
+            f"y38: identity pruning wrong: {len(kept)}/{len(data)}"
+        )
+    pyiceberg_source.register(spark)
+    n_ds = spark.read.format("pyiceberg").load(tbl).count()
+    n_native = iceberg_py.read_iceberg(spark, tbl).count()
+    if n_ds != n_native:
+        raise AssertionError(
+            f"y38: read paths disagree: {n_ds} vs {n_native}"
+        )
+    df = iceberg_py.read_iceberg(
+        spark, tbl, filters=[("p_size", "<=", 10)]
+    ).filter(F.col("p_size") <= 10)
+    return (
+        df.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Y38_SQL = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM part WHERE p_size <= 10
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -8219,4 +8318,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y35_iceberg_partitioned": QuerySpec(y35, Y35_SQL),
     "y36_iceberg_stream_replay": QuerySpec(y36, Y36_SQL),
     "y37_iceberg_transform_partitions": QuerySpec(y37, Y37_SQL),
+    "y38_iceberg_convert_from_delta": QuerySpec(y38, Y38_SQL),
 }

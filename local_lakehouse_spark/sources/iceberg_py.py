@@ -561,23 +561,35 @@ def read_iceberg(
             )
     paths = [_resolve(d["file_path"], path) for d in data_files]
     # Deletes and partition injection join on file-level identity:
-    # basenames are UUID-generated per the spec writers — guarded
-    # like the DV path.
+    # BASENAMES normally (UUID-generated per the spec writers; delete
+    # files may record paths under a different scheme, so basenames
+    # are the robust join key there). When basenames collide —
+    # hive-layout files migrated in by convert_delta_to_iceberg reuse
+    # part names across partition dirs — injection-only reads fall
+    # back to FULL normalized paths (both sides ours, exact); reads
+    # that must match DELETE-file paths keep the loud refusal.
     needs_identity = (
         pos_deletes
         or eq_deletes
         or any(d.get("_idpart") for d in data_files)
     )
     names = [os.path.basename(p) for p in paths]
-    if needs_identity and len(set(names)) != len(names):
+    collide = len(set(names)) != len(names)
+    if collide and (pos_deletes or eq_deletes):
         raise UnsupportedOperationError(
-            "Iceberg read over data files with colliding basenames"
+            "Iceberg read over data files with colliding basenames "
+            "and delete files"
         )
     scan = _build_scan(
-        spark, paths, schema, meta, bool(needs_identity)
+        spark,
+        paths,
+        schema,
+        meta,
+        bool(needs_identity),
+        full_path_identity=collide,
     )
     scan = _inject_identity_partitions(
-        spark, scan, schema, data_files, path
+        spark, scan, schema, data_files, path, full_path=collide
     )
     if not pos_deletes and not eq_deletes:
         return scan.drop("__fn", "__ri") if needs_identity else scan
@@ -636,6 +648,7 @@ def _build_scan(
     schema: T.StructType,
     meta: dict,
     needs_identity: bool,
+    full_path_identity: bool = False,
 ) -> DataFrame:
     """The data-file scan, ``__fn``/``__ri`` file-identity columns
     already captured when ``needs_identity`` (the ``_metadata``
@@ -658,9 +671,18 @@ def _build_scan(
     def _with_identity(df: DataFrame) -> DataFrame:
         if not needs_identity:
             return df
+        fn = (
+            # scheme-stripped full path ("file:///x" / "file:/x" ->
+            # "/x"), matching _resolve's normalization of our side
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z0-9]+:(//)?", ""
+            )
+            if full_path_identity
+            else F.col("_metadata.file_name")
+        )
         return df.withColumns(
             {
-                "__fn": F.col("_metadata.file_name"),
+                "__fn": fn,
                 "__ri": F.col("_metadata.row_index"),
             }
         )
@@ -737,6 +759,7 @@ def _inject_identity_partitions(
     schema: T.StructType,
     data_files: list,
     path: str,
+    full_path: bool = False,
 ) -> DataFrame:
     """Surface IDENTITY-transform partition values recorded in the
     manifests for files that (spec-legally) omit the source columns
@@ -772,7 +795,10 @@ def _inject_identity_partitions(
     rows = []
     for d in data_files:
         idp = d.get("_idpart") or {}
-        row: list = [os.path.basename(_resolve(d["file_path"], path))]
+        resolved = _resolve(d["file_path"], path)
+        row: list = [
+            resolved if full_path else os.path.basename(resolved)
+        ]
         for fid in fids:
             row.append(fid in idp)
             row.append(idp.get(fid))
@@ -2070,6 +2096,258 @@ def convert_iceberg_to_delta(
     log = delta_py.DeltaLog(dest)
     log.commit(0, actions)
     return log.snapshot(0)
+
+
+def _new_table_meta(
+    spark_schema: T.StructType,
+    path: str,
+    spec_fields: Optional[list] = None,
+    properties: Optional[dict] = None,
+) -> dict:
+    """Fresh v2 table metadata for a schema (the create shape
+    write_iceberg commits, factored for the migration ops)."""
+    alloc = {"n": 0}
+
+    def _next_id() -> int:
+        alloc["n"] += 1
+        return alloc["n"]
+
+    ice_struct = _spark_to_iceberg_type(spark_schema, _next_id)
+    schema_obj = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": ice_struct["fields"],
+    }
+    return {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": alloc["n"],
+        "current-schema-id": 0,
+        "schemas": [schema_obj],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {"spec-id": 0, "fields": list(spec_fields or [])}
+        ],
+        "last-partition-id": 999 + len(spec_fields or []),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": dict(properties or {}),
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+
+
+def _default_name_mapping(schema_obj: dict) -> str:
+    """``schema.name-mapping.default`` JSON binding each top-level
+    field id to its own name — what migrated (unstamped) parquet
+    files need to read back under field-id resolution."""
+    return json.dumps(
+        [
+            {"field-id": int(f["id"]), "names": [f["name"]]}
+            for f in schema_obj["fields"]
+        ]
+    )
+
+
+def add_files(spark: SparkSession, path: str, source: object) -> dict:
+    """Iceberg's ``add_files`` migration procedure: register existing
+    parquet files into a table WITHOUT rewriting them — one append
+    snapshot whose entries reference the source files in place
+    (absolute paths; at 100 TB this commits metadata, not data).
+    ``source`` is a directory (walked recursively) or an explicit
+    path list. On first use the table is CREATED from the files'
+    Spark-inferred union schema with a ``schema.name-mapping.default``
+    property, because migrated files carry no parquet field ids —
+    the mapping is how field-id resolution binds them (spec "Column
+    Projection"; read side: _build_scan / the pyiceberg Arrow
+    reader). Column bounds come from the source footers, so scan
+    planning prunes migrated files like written ones. Appending to a
+    PARTITIONED table refuses: foreign files carry no manifest
+    partition values, and registering them unpartitioned would break
+    partition pruning's exactness."""
+    import pyarrow.parquet as pq
+
+    if isinstance(source, str):
+        files = sorted(
+            os.path.join(root, n)
+            for root, _d, names in os.walk(source)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(".")
+        )
+    else:
+        files = [str(p) for p in source]
+    if not files:
+        raise DoesNotExistError(f"add_files: no parquet under {source!r}")
+    if is_iceberg_table(path):
+        meta = table_metadata(path)
+        _require_v2(meta, "add_files")
+        spec = _partition_specs(meta).get(
+            int(meta.get("default-spec-id", 0)), []
+        )
+        if spec:
+            raise UnsupportedOperationError(
+                "add_files into a PARTITIONED Iceberg table is "
+                "unsupported: foreign files carry no manifest "
+                "partition values"
+            )
+        if not (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"
+        ):
+            meta = dict(meta)
+            props = dict(meta.get("properties") or {})
+            props["schema.name-mapping.default"] = (
+                _default_name_mapping(_current_schema(meta))
+            )
+            meta["properties"] = props
+        prior = _prior_manifest_rows(meta, path)
+    else:
+        os.makedirs(_metadata_dir(path), exist_ok=True)
+        inferred = spark.read.parquet(*files).schema
+        meta = _new_table_meta(inferred, path)
+        meta["properties"]["schema.name-mapping.default"] = (
+            _default_name_mapping(meta["schemas"][0])
+        )
+        prior = []
+    schema_obj = _current_schema(meta)
+    known = {f["name"] for f in schema_obj["fields"]}
+    entries = []
+    for src in files:
+        fmeta = pq.read_metadata(src)
+        fnames = set(pq.read_schema(src).names)
+        if not (fnames & known):
+            raise UnsupportedOperationError(
+                f"add_files: {src} shares no columns with the table "
+                f"schema {sorted(known)} — every row would read NULL"
+            )
+        lows, highs = _file_bounds(src, schema_obj)
+        entries.append(
+            {
+                "file_path": os.path.abspath(src),
+                "record_count": fmeta.num_rows,
+                "file_size_in_bytes": os.path.getsize(src),
+                "lower_bounds": lows,
+                "upper_bounds": highs,
+                "partition": None,
+            }
+        )
+    snap_id = _new_snapshot_id()
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    mrow = _write_manifest(path, entries, snap_id, seq, content=0)
+    return _commit_snapshot(
+        path, meta, prior + [mrow["row"]], "append", snap_id
+    )
+
+
+def convert_delta_to_iceberg(
+    spark: SparkSession, src: str, dest: str
+) -> dict:
+    """SHALLOW CONVERT a Delta table to Iceberg — the inverse of
+    convert_iceberg_to_delta (iceberg-core ships this as the
+    ``snapshot``/``migrate`` procedures): Iceberg metadata lands at
+    ``dest`` whose single append snapshot references the Delta
+    snapshot's data files IN PLACE (absolute paths, zero data
+    copied). Hive-partitioned Delta tables convert exactly: the
+    partition columns (absent from Delta data files) become an
+    IDENTITY partition spec whose values come from each add action's
+    partitionValues — the read side injects them from manifest
+    metadata (y35's mechanism) and prunes on them. Delta parquet
+    carries no field ids, so the table commits with a
+    ``schema.name-mapping.default`` binding ids to the logical
+    names. Tables with deletion vectors or column mapping REFUSE
+    through delta_py's reader-feature gate (a shallow convert would
+    resurrect DV-deleted rows / mis-bind mapped names); materialize
+    those with read_delta + write_iceberg instead."""
+    import pyarrow.parquet as pq
+
+    from . import delta_py
+
+    # allow=frozenset(): DV / column-mapping snapshots refuse here
+    snap = delta_py.DeltaLog(src).snapshot()
+    if is_iceberg_table(dest):
+        raise UnsupportedOperationError(
+            f"{dest} is already an Iceberg table"
+        )
+    part_cols = snap.partition_columns
+    meta = _new_table_meta(snap.schema, dest)
+    schema_obj = meta["schemas"][0]
+    meta["properties"]["schema.name-mapping.default"] = (
+        _default_name_mapping(schema_obj)
+    )
+    by_name = {f["name"]: f for f in schema_obj["fields"]}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(part_cols)
+    ]
+    meta["partition-specs"] = [{"spec-id": 0, "fields": spec_fields}]
+    meta["last-partition-id"] = 999 + len(spec_fields)
+    os.makedirs(_metadata_dir(dest), exist_ok=True)
+    from urllib.parse import unquote
+
+    entries = []
+    for rel, add in sorted(snap.adds.items()):
+        abs_p = os.path.join(src, unquote(rel))
+        n_rows = None
+        if add.get("stats"):
+            try:
+                n_rows = int(json.loads(add["stats"]).get("numRecords"))
+            except (ValueError, TypeError):
+                n_rows = None
+        if n_rows is None:
+            n_rows = pq.read_metadata(abs_p).num_rows
+        partition = None
+        if part_cols:
+            pv = add.get("partitionValues") or {}
+            partition = tuple(
+                None
+                if pv.get(c) is None
+                else _hive_partition_value(
+                    str(pv[c]), by_name[c]["type"]
+                )
+                for c in part_cols
+            )
+        lows, highs = _file_bounds(abs_p, schema_obj)
+        entries.append(
+            {
+                "file_path": abs_p,
+                "record_count": n_rows,
+                "file_size_in_bytes": int(
+                    add.get("size") or os.path.getsize(abs_p)
+                ),
+                "lower_bounds": lows,
+                "upper_bounds": highs,
+                "partition": partition,
+            }
+        )
+    pf_avro = [
+        {
+            "name": sf["name"],
+            "avro_type": _PART_AVRO_TYPES[by_name[sf["name"]]["type"]],
+            "field-id": sf["field-id"],
+        }
+        for sf in spec_fields
+    ]
+    snap_id = _new_snapshot_id()
+    mrow = _write_manifest(
+        dest,
+        entries,
+        snap_id,
+        1,
+        content=0,
+        partition_fields=pf_avro or None,
+    )
+    return _commit_snapshot(
+        dest, meta, [mrow["row"]], "append", snap_id
+    )
 
 
 def delete_iceberg_where(

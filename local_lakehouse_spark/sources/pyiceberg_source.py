@@ -125,6 +125,22 @@ class _PyIcebergReader(DataSourceReader):
             iceberg_py._resolve(d["file_path"], self._path)
             for d in pos
         ]
+        if self._deletes:
+            # delete positions match data files by BASENAME in the
+            # per-task reader — colliding basenames (hive-layout
+            # files migrated in) would apply one file's positions to
+            # another; refuse loudly like read_iceberg
+            basenames = [
+                os.path.basename(
+                    iceberg_py._resolve(d["file_path"], self._path)
+                )
+                for d in data
+            ]
+            if len(set(basenames)) != len(basenames):
+                raise UnsupportedOperationError(
+                    "pyiceberg: data files with colliding basenames "
+                    "under position deletes — read with read_iceberg"
+                )
         # Iceberg name mapping ({field id: [names]} -> logical-name
         # keys for the shared batch reader): binds files WITHOUT
         # footer field ids by their mapped footer names

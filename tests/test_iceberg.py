@@ -1394,3 +1394,131 @@ def test_name_mapping_binds_unstamped_files(spark, tbl):
     # unstamped file rows: b is NULL; stamped rows keep their ids
     assert out3.filter("b IS NULL").count() == 20
     assert out3.filter("b IS NOT NULL").count() == 5
+
+
+def test_add_files_migration(spark, tbl, tmp_path):
+    """``add_files`` (Iceberg's migration procedure): register
+    existing parquet in place — zero rewrite, absolute paths, a
+    name-mapping property for the unstamped footers, bounds from the
+    source footers so migrated files prune like written ones."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("g")
+    )
+    raw = str(tmp_path / "raw")
+    df.repartition(4).write.mode("overwrite").parquet(raw)
+
+    meta = iceberg_py.add_files(spark, tbl, raw)
+    assert json.loads(
+        meta["properties"]["schema.name-mapping.default"]
+    )
+    out = read_iceberg(spark, tbl)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # the entries reference the ORIGINAL files (no copies made)
+    snap = iceberg_py._select_snapshot(meta)
+    data, _p, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    assert all(d["file_path"].startswith(raw) for d in data)
+    assert not os.path.isdir(os.path.join(tbl, "data"))
+
+    # incremental add into the existing table
+    raw2 = str(tmp_path / "raw2")
+    df.limit(7).coalesce(1).write.mode("overwrite").parquet(raw2)
+    iceberg_py.add_files(spark, tbl, raw2)
+    assert read_iceberg(spark, tbl).count() == 107
+
+    # migrated footers still feed scan planning
+    meta = table_metadata(tbl)
+    data, _p, _e = iceberg_py._snapshot_files(
+        meta, iceberg_py._select_snapshot(meta), tbl
+    )
+    kept = iceberg_py.prune_data_files(
+        data, iceberg_py._current_schema(meta), [("k", "=", 5)]
+    )
+    assert 0 < len(kept) < len(data)
+
+    # a file sharing no columns with the schema refuses loudly
+    alien = str(tmp_path / "alien")
+    spark.range(3).select(F.col("id").alias("zz")).write.mode(
+        "overwrite"
+    ).parquet(alien)
+    with pytest.raises(UnsupportedOperationError):
+        iceberg_py.add_files(spark, tbl, alien)
+
+    # the registered DataSource binds the mapped files too
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    assert spark.read.format("pyiceberg").load(tbl).count() == 107
+
+
+def test_add_files_partitioned_refuses(spark, tbl, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    raw = str(tmp_path / "raw")
+    df.write.mode("overwrite").parquet(raw)
+    with pytest.raises(UnsupportedOperationError):
+        iceberg_py.add_files(spark, tbl, raw)
+
+
+def test_convert_delta_to_iceberg(spark, tbl, tmp_path):
+    """Shallow Delta -> Iceberg CONVERT: metadata-only, hive
+    partition values become identity metadata values (injected +
+    pruned on read), name mapping binds the unstamped Delta parquet,
+    and DV-bearing sources refuse through the reader-feature gate."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.sources import delta_py
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    dsrc = str(tmp_path / "delta_p")
+    delta_py.write_delta(spark, df, dsrc, partition_by=["g"])
+    iceberg_py.convert_delta_to_iceberg(spark, dsrc, tbl)
+
+    out = read_iceberg(spark, tbl)
+    assert sorted(map(tuple, out.select("k", "g", "v").collect())) == (
+        sorted(map(tuple, df.collect()))
+    )
+    # partition values are metadata-only identity values that prune
+    meta = table_metadata(tbl)
+    spec = iceberg_py._partition_specs(meta)[0]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("g", "identity")
+    ]
+    data, _p, _e = iceberg_py._snapshot_files(
+        meta, iceberg_py._select_snapshot(meta), tbl
+    )
+    kept = iceberg_py.prune_data_files(
+        data, iceberg_py._current_schema(meta), [("g", "=", 2)]
+    )
+    assert 0 < len(kept) < len(data)
+    n = (
+        read_iceberg(spark, tbl, filters=[("g", "=", 2)])
+        .filter("g = 2")
+        .count()
+    )
+    assert n == df.filter("g = 2").count() > 0
+
+    # no data copied: zero parquet under the iceberg location
+    assert not os.path.isdir(os.path.join(tbl, "data"))
+
+    # refusals: existing target, DV-bearing source
+    with pytest.raises(UnsupportedOperationError):
+        iceberg_py.convert_delta_to_iceberg(spark, dsrc, tbl)
+    dsrc2 = str(tmp_path / "delta_dv")
+    delta_py.write_delta(spark, df.drop("g"), dsrc2)
+    delta_py.delete_where(spark, dsrc2, "k < 10")
+    with pytest.raises(UnsupportedOperationError):
+        iceberg_py.convert_delta_to_iceberg(
+            spark, dsrc2, str(tmp_path / "ice2")
+        )
