@@ -33,19 +33,39 @@ Spark-first design:
   rule (_apply_equality_deletes): one hashable LEFT-ANTI join per
   distinct equality-id set, sequence comparison as a residual.
 - **Scan planning prunes from metadata**: manifest column bounds
-  (prune_data_files) and identity-partition values drop data files
-  whose stats PROVE no row matches — pruning is an optimization,
-  never the correctness mechanism.
+  (prune_data_files), identity-partition values (exact point
+  intervals), and TRANSFORM partition values — bucket on equality
+  points via the spec's murmur3 hash, truncate/year/month/day/hour
+  on ranges too since they are monotonic
+  (sources/iceberg_transforms.py) — drop data files whose stats
+  PROVE no row matches. Pruning is an optimization, never the
+  correctness mechanism.
+- **Format-version 1 reads**: single-``schema``/``partition-spec``
+  metadata, inline ``manifests`` arrays (pre-manifest-list
+  snapshots), and v1 entries (no sequence numbers / content field)
+  all read through the same paths; the v2-only write and
+  maintenance surfaces refuse v1 loudly (_require_v2). v3 refuses
+  in read_iceberg.
+- **Name mapping** (``schema.name-mapping.default``): data files
+  WITHOUT parquet footer field ids — the add_files / migrated-table
+  shape — bind by their mapped footer names (_build_scan groups
+  unstamped files per resolved layout and unions them with the
+  id-bound scan; the pyiceberg DataSource resolves the mapping per
+  file in its Arrow reader).
 - **Maintenance + migration**: expire_snapshots (+ orphan-file
   cleanup), compact_data_files (bin-pack rewrite as a REPLACE
-  snapshot), and convert_iceberg_to_delta (shallow CONVERT — Delta
-  adds referencing the Iceberg data files in place).
+  snapshot), convert_iceberg_to_delta (shallow CONVERT — Delta adds
+  referencing the Iceberg data files in place), and the inverse
+  pair add_files / convert_delta_to_iceberg (register foreign
+  parquet / a Delta snapshot in place, metadata only).
 
-The WRITER covers create/append (unpartitioned or identity-
-partitioned, optional add-column schema evolution via
-``merge_schema``) and positional DELETE, each a new snapshot with
+The WRITER covers create/append — unpartitioned, identity-
+partitioned, or transform-partitioned (``bucket(N, c)`` /
+``truncate(W, c)`` / ``days(c)`` / ``months(c)`` / ``years(c)`` /
+``hours(c)``), with optional add-column schema evolution via
+``merge_schema`` — and positional DELETE, each a new snapshot with
 correct sequence numbers — enough to stage spec-compliant tables
-for the reader's tests and oracle queries (y33/y34/y35) and to
+for the reader's tests and oracle queries (y33–y38) and to
 interop-check against any foreign reader. Delta remains the
 engine's primary write format.
 
