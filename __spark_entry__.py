@@ -30,16 +30,16 @@ _ALL = {**_CORE, **_EXT}
 # CUMULATIVE across CORRECTNESS_r01..r08 — the r8 union is 203/203
 # oracle-eligible green). The cap fills by STAMP AGE (judge r7 #1,
 # re-affirmed r8 #2):
-# 1. never-stamped first: y34 Iceberg maintenance (compact + expire
-#    + orphan cleanup), y35 Iceberg identity-partitioned read — new
-#    this round;
+# 1. never-stamped first: y34 Iceberg maintenance, y35 identity-
+#    partitioned read, y36 streaming replay, y37 transform
+#    partitions, y38 Delta->Iceberg convert — all new this round;
 # 2. ALL 38 remaining r4-era stamps (the x43–x98 band) — the oldest
 #    in the union, predating the DV/column-mapping/checkpoint/
 #    Iceberg shared-read-path churn;
-# 3. the remaining 10 slots go to the oldest r5-era stamps
-#    (q05/q32/q55 + x54/x57/x99 + y01–y04).
+# 3. the remaining 7 slots go to the oldest r5-era stamps
+#    (q05/q32/q55 + x54/x57/x99 + y01).
 # Everything past the cap keeps an r5+ stamp AND a same-round local
-# green in CORRECTNESS_LOCAL_r09.json; the r5 tail (y05–y09)
+# green in CORRECTNESS_LOCAL_r09.json; the r5 tail (y02–y09)
 # rotates in r10.
 _NEVER_STAMPED = [
     "y34_iceberg_maintenance",
@@ -89,6 +89,8 @@ _R4_ERA = [
     "x98_decayed_popularity",
 ]
 _R5_ERA_HEAD = [
+    # trimmed to 7 when y36-y38 joined _NEVER_STAMPED (5+38+7 = the
+    # exact 50-query driver cap); y01-y09 rotate in r10
     "q05_null_coalesce",
     "q32_json_extract",
     "q55_tpch_q15_top_supplier",
@@ -96,9 +98,6 @@ _R5_ERA_HEAD = [
     "x57_embedding_audit",
     "x99_bucketed_join",
     "y01_incremental_rollup",
-    "y02_streaming_cdc_upsert",
-    "y03_zorder_skipping",
-    "y04_bpe_tokenize",
 ]
 _PRIORITY = _NEVER_STAMPED + _R4_ERA + _R5_ERA_HEAD
 QUERY_SPECS = {
