@@ -1118,6 +1118,7 @@ def _write_manifest(
     content: int,
     equality_ids: Optional[list] = None,
     partition_fields: Optional[list] = None,
+    spec_id: int = 0,
 ) -> dict:
     """Write one manifest avro + return its manifest_file row (as the
     positional tuple write_container expects). Each entry dict may
@@ -1183,7 +1184,7 @@ def _write_manifest(
         "row": (
             mpath,
             os.path.getsize(mpath),
-            0,
+            int(spec_id),
             content,
             seq,
             min_seq,
@@ -1797,6 +1798,7 @@ def write_iceberg(
         seq,
         content=0,
         partition_fields=pf_avro or None,
+        spec_id=int(meta.get("default-spec-id", 0)),
     )
     return _commit_snapshot(
         path, meta, prior + [mrow["row"]], "append", snap_id
@@ -2006,7 +2008,14 @@ def compact_data_files(
             }
         )
     mrows = [
-        _write_manifest(path, entries, snap_id, seq, content=0)["row"]
+        _write_manifest(
+            path,
+            entries,
+            snap_id,
+            seq,
+            content=0,
+            spec_id=int(meta.get("default-spec-id", 0)),
+        )["row"]
     ]
     if pos_deletes:
         # delete files live in their own content=1 manifest (spec:
@@ -2025,7 +2034,12 @@ def compact_data_files(
         ]
         mrows.append(
             _write_manifest(
-                path, del_entries, snap_id, seq, content=1
+                path,
+                del_entries,
+                snap_id,
+                seq,
+                content=1,
+                spec_id=int(meta.get("default-spec-id", 0)),
             )["row"]
         )
     return _commit_snapshot(path, meta, mrows, "replace", snap_id)
@@ -2461,7 +2475,14 @@ def delete_iceberg_where(
             path, meta, prior_rows, "delete", snap_id
         )
     seq = int(meta.get("last-sequence-number", 0)) + 1
-    mrow = _write_manifest(path, entries, snap_id, seq, content=1)
+    mrow = _write_manifest(
+        path,
+        entries,
+        snap_id,
+        seq,
+        content=1,
+        spec_id=int(meta.get("default-spec-id", 0)),
+    )
     return _commit_snapshot(
         path, meta, prior_rows + [mrow["row"]], "delete", snap_id
     )

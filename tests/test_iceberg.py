@@ -1522,3 +1522,75 @@ def test_convert_delta_to_iceberg(spark, tbl, tmp_path):
         iceberg_py.convert_delta_to_iceberg(
             spark, dsrc2, str(tmp_path / "ice2")
         )
+
+
+def test_partition_spec_evolution_mixed_read(spark, tbl):
+    """Partition-spec EVOLUTION (spec: specs are immutable, tables
+    evolve by ADDING a spec and flipping default-spec-id): a table
+    created identity-partitioned on g (spec 0, column omitted from
+    the data files) evolves to UNPARTITIONED (spec 1); the next
+    append stamps spec 1 in its manifest row and stores g physically.
+    A read over the mixed manifests must inject g from metadata for
+    spec-0 files AND read it physically from spec-1 files; pruning
+    uses identity values for the old files and column bounds for the
+    new."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+
+    # evolve: add spec 1 (unpartitioned), make it the default
+    mf = iceberg_py._current_metadata_file(tbl)
+    meta = json.load(open(mf))
+    meta["partition-specs"] = list(meta["partition-specs"]) + [
+        {"spec-id": 1, "fields": []}
+    ]
+    meta["default-spec-id"] = 1
+    json.dump(meta, open(mf, "w"))
+
+    extra = spark.range(60, 90).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    write_iceberg(spark, extra.coalesce(1), tbl, mode="append")
+
+    meta = table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    rows = iceberg_py._manifest_list_rows(snap, tbl)
+    assert sorted(
+        {int(r.get("partition_spec_id") or 0) for r in rows}
+    ) == [0, 1]
+    data, _p, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    spec0 = [d for d in data if d.get("_idpart")]
+    spec1 = [d for d in data if not d.get("_idpart")]
+    assert spec0 and spec1
+    # spec-1 files physically carry g; spec-0 files don't
+    import pyarrow.parquet as pq
+
+    assert "g" in pq.read_schema(
+        iceberg_py._resolve(spec1[0]["file_path"], tbl)
+    ).names
+    assert "g" not in pq.read_schema(
+        iceberg_py._resolve(spec0[0]["file_path"], tbl)
+    ).names
+
+    out = read_iceberg(spark, tbl)
+    expected = sorted(map(tuple, df.collect())) + sorted(
+        map(tuple, extra.collect())
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(expected)
+    # pruning g=1: identity values prune old files, bounds the new
+    kept = iceberg_py.prune_data_files(
+        data, iceberg_py._current_schema(meta), [("g", "=", 1)]
+    )
+    assert all(
+        d["_idpart"].get(2) == 1 for d in kept if d.get("_idpart")
+    )
+    assert len([d for d in kept if d.get("_idpart")]) < len(spec0)
+    n = (
+        read_iceberg(spark, tbl, filters=[("g", "=", 1)])
+        .filter("g = 1")
+        .count()
+    )
+    assert n == 30
