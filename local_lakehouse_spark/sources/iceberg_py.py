@@ -171,8 +171,19 @@ def _select_snapshot(
     meta: dict,
     snapshot_id: Optional[int] = None,
     as_of_ms: Optional[int] = None,
+    ref: Optional[str] = None,
 ) -> dict:
     snaps = meta.get("snapshots") or []
+    if ref is not None:
+        # branches/tags: named refs in the metadata's ``refs`` map
+        # (iceberg-spark's VERSION AS OF 'name' resolution)
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise DoesNotExistError(
+                f"Iceberg ref {ref!r} not found (refs: "
+                f"{sorted(refs) or 'none'})"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     if snapshot_id is not None:
         for s in snaps:
             if s["snapshot-id"] == snapshot_id:
@@ -535,6 +546,7 @@ def read_iceberg(
     snapshot_id: Optional[int] = None,
     timestamp_ms: Optional[int] = None,
     filters: Optional[list] = None,
+    ref: Optional[str] = None,
 ) -> DataFrame:
     """Snapshot -> DataFrame. Columns bind by FOOTER FIELD ID (the
     Iceberg resolution rule — renames are invisible, added columns
@@ -547,7 +559,8 @@ def read_iceberg(
 
     Time travel: ``snapshot_id`` or ``timestamp_ms`` (latest snapshot
     at or before the instant), like Spark's VERSION/TIMESTAMP AS OF
-    on an Iceberg catalog table."""
+    on an Iceberg catalog table; ``ref`` resolves a named branch/tag
+    from the metadata's ``refs`` map."""
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
@@ -557,7 +570,7 @@ def read_iceberg(
             f"Iceberg format-version {fmt_version} is beyond the v2 "
             "spec this reader implements"
         )
-    snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
+    snap = _select_snapshot(meta, snapshot_id, timestamp_ms, ref=ref)
     # time travel binds the SNAPSHOT's schema-id, not the current one
     schema_obj = _schema_for_snapshot(meta, snap)
     schema = iceberg_schema_to_spark(schema_obj)
@@ -1371,6 +1384,11 @@ def _commit_snapshot(
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now
+    # the main branch tracks the current snapshot (iceberg-core
+    # writes this ref on every commit); other refs are left alone
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    meta["refs"] = refs
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
         {"snapshot-id": snap_id, "timestamp-ms": now}
     ]
@@ -1834,6 +1852,10 @@ def expire_snapshots(
     cur = meta.get("current-snapshot-id")
     keep = {s["snapshot-id"] for s in snaps[-max(1, retain_last):]}
     keep.add(cur)
+    # named refs (branches/tags) pin their snapshots — expiring a
+    # ref'd snapshot would dangle the ref (spec: ref retention)
+    for r in (meta.get("refs") or {}).values():
+        keep.add(int(r["snapshot-id"]))
     cutoff = older_than_ms if older_than_ms is not None else -1
     surviving = [
         s

@@ -102,6 +102,7 @@ class _PyIcebergReader(DataSourceReader):
             meta,
             int(sid) if sid is not None else None,
             int(ts) if ts is not None else None,
+            ref=options.get("ref") or options.get("branch"),
         )
         # time travel binds the snapshot's schema-id (read_iceberg
         # parity — no phantom post-evolution columns)
@@ -411,13 +412,15 @@ class PyIcebergDataSource(DataSource):
         )
         sid = self.options.get("snapshotid")
         ts = self.options.get("asoftimestampms")
-        if sid is not None or ts is not None:
+        ref = self.options.get("ref") or self.options.get("branch")
+        if sid is not None or ts is not None or ref is not None:
             # the plan schema must match what the reader will bind:
             # time travel reads with the SNAPSHOT's schema-id
             snap = iceberg_py._select_snapshot(
                 meta,
                 int(sid) if sid is not None else None,
                 int(ts) if ts is not None else None,
+                ref=ref,
             )
             ice = iceberg_py._schema_for_snapshot(meta, snap)
         else:

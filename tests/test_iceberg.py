@@ -1594,3 +1594,68 @@ def test_partition_spec_evolution_mixed_read(spark, tbl):
         .count()
     )
     assert n == 30
+
+
+def test_refs_branches_and_tags(spark, tbl):
+    """Named refs (spec: the metadata ``refs`` map): every commit
+    advances the ``main`` branch; a foreign tag pins its snapshot —
+    readable by name on both paths and protected from expiration."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_iceberg(spark, df, tbl, mode="create")
+    meta = table_metadata(tbl)
+    first = meta["current-snapshot-id"]
+    assert meta["refs"]["main"]["snapshot-id"] == first
+
+    # a foreign writer tags the first snapshot
+    mf = iceberg_py._current_metadata_file(tbl)
+    meta = json.load(open(mf))
+    meta["refs"]["v1.0"] = {"snapshot-id": first, "type": "tag"}
+    json.dump(meta, open(mf, "w"))
+
+    write_iceberg(
+        spark,
+        spark.range(10, 25).select(F.col("id").alias("k")),
+        tbl,
+        mode="append",
+    )
+    meta = table_metadata(tbl)
+    assert meta["refs"]["main"]["snapshot-id"] == meta[
+        "current-snapshot-id"
+    ]
+    assert meta["refs"]["v1.0"]["snapshot-id"] == first  # untouched
+
+    assert read_iceberg(spark, tbl, ref="main").count() == 25
+    assert read_iceberg(spark, tbl, ref="v1.0").count() == 10
+    with pytest.raises(DoesNotExistError):
+        read_iceberg(spark, tbl, ref="nope")
+
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    assert (
+        spark.read.format("pyiceberg")
+        .option("ref", "v1.0")
+        .load(tbl)
+        .count()
+        == 10
+    )
+    assert (
+        spark.read.format("pyiceberg")
+        .option("branch", "main")
+        .load(tbl)
+        .count()
+        == 25
+    )
+
+    # expiration never drops a ref'd snapshot
+    res = iceberg_py.expire_snapshots(
+        tbl,
+        older_than_ms=int(_time.time() * 1000) + 60_000,
+        retain_last=1,
+    )
+    assert first not in res["expired"]
+    assert read_iceberg(spark, tbl, ref="v1.0").count() == 10
