@@ -1371,12 +1371,35 @@ def _commit_snapshot(
     avro_py.write_container(
         mlist, _MANIFEST_FILE_SCHEMA, iter(manifest_rows)
     )
+    # spec-recommended summary metrics (string-valued), computed from
+    # the manifest rows being committed: totals over the whole
+    # snapshot, added-* over this commit's own manifests
+    tot_files = tot_dfiles = tot_rows = add_files_n = add_rows = 0
+    for r in manifest_rows:
+        content, added_sid = int(r[3]), int(r[6])
+        n_add, n_exist, n_del = int(r[7]), int(r[8]), int(r[9])
+        r_add, r_exist, r_del = int(r[10]), int(r[11]), int(r[12])
+        if content == 0:
+            tot_files += n_add + n_exist - n_del
+            tot_rows += r_add + r_exist - r_del
+            if added_sid == snap_id:
+                add_files_n += n_add
+                add_rows += r_add
+        else:
+            tot_dfiles += n_add + n_exist - n_del
     snap = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": now,
         "manifest-list": mlist,
-        "summary": {"operation": operation},
+        "summary": {
+            "operation": operation,
+            "added-data-files": str(add_files_n),
+            "added-records": str(add_rows),
+            "total-data-files": str(max(tot_files, 0)),
+            "total-delete-files": str(max(tot_dfiles, 0)),
+            "total-records": str(max(tot_rows, 0)),
+        },
         "schema-id": meta.get("current-schema-id", 0),
     }
     meta = dict(meta)
