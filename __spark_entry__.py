@@ -47,6 +47,8 @@ _NEVER_STAMPED = [
     "y36_iceberg_stream_replay",
     "y37_iceberg_transform_partitions",
     "y38_iceberg_convert_from_delta",
+    "y39_iceberg_add_files",
+    "y40_iceberg_refs",
 ]
 _R4_ERA = [
     "x43_word_rarity",
@@ -89,15 +91,13 @@ _R4_ERA = [
     "x98_decayed_popularity",
 ]
 _R5_ERA_HEAD = [
-    # trimmed to 7 when y36-y38 joined _NEVER_STAMPED (5+38+7 = the
-    # exact 50-query driver cap); y01-y09 rotate in r10
+    # trimmed to 5 when y36-y40 joined _NEVER_STAMPED (7+38+5 = the
+    # exact 50-query driver cap); x99/y01-y09 rotate in r10
     "q05_null_coalesce",
     "q32_json_extract",
     "q55_tpch_q15_top_supplier",
     "x54_data_quality_report",
     "x57_embedding_audit",
-    "x99_bucketed_join",
-    "y01_incremental_rollup",
 ]
 _PRIORITY = _NEVER_STAMPED + _R4_ERA + _R5_ERA_HEAD
 QUERY_SPECS = {

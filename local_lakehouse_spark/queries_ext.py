@@ -8152,6 +8152,211 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def y39(spark, sf):
+    """ICEBERG add_files MIGRATION as a checked query (round 9 —
+    iceberg-core's add_files procedure under the oracle gate):
+    foreign plain-parquet batches of the orders extract register
+    into an Iceberg table IN PLACE — the create infers the schema
+    and commits a ``schema.name-mapping.default`` property (the
+    unstamped footers' binding), a second batch appends
+    incrementally, and the table directory holds ZERO copied data.
+    CONTRACTS: no data dir; every entry references the source
+    batches; footer-derived bounds prune an o_orderkey point to a
+    strict subset; read_iceberg and the pyiceberg DataSource agree.
+    Oracle: priority rollup over orders plus the deterministic
+    second batch (o_orderkey % 100 = 0)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    key = hashlib.md5(f"{sf}|ice-addf-v1".encode()).hexdigest()[:8]
+    raw1 = os.path.join(tempfile.gettempdir(), f"llh_addf_a_{key}")
+    raw2 = os.path.join(tempfile.gettempdir(), f"llh_addf_b_{key}")
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_addf_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        import shutil
+
+        try:
+            od = t(spark, sf, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            )
+            # range-clustered batches: each file covers a disjoint
+            # key interval, so footer bounds genuinely prune (a hash
+            # repartition would spread every key across all files)
+            od.repartitionByRange(8, "o_orderkey").write.mode(
+                "overwrite"
+            ).parquet(raw1)
+            od.filter(F.col("o_orderkey") % 100 == 0).coalesce(
+                1
+            ).write.mode("overwrite").parquet(raw2)
+            iceberg_py.add_files(spark, tbl, raw1)
+            iceberg_py.add_files(spark, tbl, raw2)
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    if os.path.isdir(os.path.join(tbl, "data")):
+        raise AssertionError("y39: add_files copied data")
+    if not (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    ):
+        raise AssertionError("y39: name mapping property missing")
+    snap = iceberg_py._select_snapshot(meta)
+    data, _pos, _eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    if not all(
+        d["file_path"].startswith(raw1)
+        or d["file_path"].startswith(raw2)
+        for d in data
+    ):
+        raise AssertionError(
+            "y39: entries do not reference the source batches"
+        )
+    schema_obj = iceberg_py._current_schema(meta)
+    probe = 100  # in both batches by construction
+    kept = iceberg_py.prune_data_files(
+        data, schema_obj, [("o_orderkey", "=", probe)]
+    )
+    if not (0 < len(kept) < len(data)):
+        raise AssertionError(
+            f"y39: migrated-bounds pruning wrong: "
+            f"{len(kept)}/{len(data)}"
+        )
+    pyiceberg_source.register(spark)
+    n_ds = spark.read.format("pyiceberg").load(tbl).count()
+    df = iceberg_py.read_iceberg(spark, tbl)
+    n_native = df.count()
+    if n_ds != n_native:
+        raise AssertionError(
+            f"y39: read paths disagree: {n_ds} vs {n_native}"
+        )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Y39_SQL = """
+WITH added AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM added GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def y40(spark, sf):
+    """ICEBERG BRANCHES/TAGS (round 9 — named refs under the oracle
+    gate): the nation extract commits, a foreign-style TAG pins that
+    first snapshot, and an append advances only the ``main`` branch
+    (every commit updates refs['main'], iceberg-core parity).
+    CONTRACTS: the tag still resolves to the pre-append row set
+    after the append AND after expire_snapshots (ref'd snapshots are
+    pinned — a tag can never dangle); main reads the full set; the
+    pyiceberg DataSource resolves the same refs via its
+    ``ref``/``branch`` options. Returns one aggregate row per ref —
+    time travel by NAME, not by id. Oracle: nation twice, with the
+    sentinel row only on main."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    key = hashlib.md5(f"{sf}|ice-refs-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_refs_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        import shutil
+
+        try:
+            base = t(spark, sf, "nation").select(
+                F.col("n_nationkey").cast("long").alias("nk"),
+                F.col("n_regionkey").cast("int").alias("rk"),
+            )
+            iceberg_py.write_iceberg(
+                spark, base.coalesce(2), tbl, mode="create"
+            )
+            mf = iceberg_py._current_metadata_file(tbl)
+            meta = _json.load(open(mf))
+            meta.setdefault("refs", {})["v1.0"] = {
+                "snapshot-id": meta["current-snapshot-id"],
+                "type": "tag",
+            }
+            _json.dump(meta, open(mf, "w"))
+            sentinel = spark.createDataFrame(
+                [(9_000_000_001, 99)], "nk long, rk int"
+            )
+            iceberg_py.write_iceberg(
+                spark, sentinel.coalesce(1), tbl, mode="append"
+            )
+            import time as _time
+
+            iceberg_py.expire_snapshots(
+                tbl,
+                older_than_ms=int(_time.time() * 1000) + 60_000,
+                retain_last=1,
+            )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    refs = meta.get("refs") or {}
+    if set(refs) != {"main", "v1.0"} or refs["main"][
+        "snapshot-id"
+    ] != meta["current-snapshot-id"]:
+        raise AssertionError(f"y40: refs wrong: {refs}")
+    pyiceberg_source.register(spark)
+
+    def _per_ref(name: str):
+        df = iceberg_py.read_iceberg(spark, tbl, ref=name)
+        n_ds = (
+            spark.read.format("pyiceberg")
+            .option("ref", name)
+            .load(tbl)
+            .count()
+        )
+        if n_ds != df.count():
+            raise AssertionError(
+                f"y40: ref {name!r} read paths disagree"
+            )
+        return df.agg(
+            F.lit(name).alias("ref"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nk").cast("bigint").alias("nk_sum"),
+        )
+
+    return _per_ref("main").unionByName(_per_ref("v1.0")).orderBy(
+        "ref"
+    )
+
+
+Y40_SQL = """
+SELECT 'main' AS ref, CAST(COUNT(*) + 1 AS BIGINT) AS n,
+       CAST(SUM(n_nationkey) + 9000000001 AS BIGINT) AS nk_sum
+FROM nation
+UNION ALL
+SELECT 'v1.0' AS ref, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS nk_sum
+FROM nation
+ORDER BY ref
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -8319,4 +8524,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y36_iceberg_stream_replay": QuerySpec(y36, Y36_SQL),
     "y37_iceberg_transform_partitions": QuerySpec(y37, Y37_SQL),
     "y38_iceberg_convert_from_delta": QuerySpec(y38, Y38_SQL),
+    "y39_iceberg_add_files": QuerySpec(y39, Y39_SQL),
+    "y40_iceberg_refs": QuerySpec(y40, Y40_SQL),
 }

@@ -1647,6 +1647,31 @@ def write_iceberg(
             f"append columns {[f.name for f in extra]} not in the "
             "Iceberg schema (pass merge_schema=True to evolve)"
         )
+    # matching columns must match TYPES too: committing a long
+    # parquet column into an int schema field writes files the
+    # field-id-bound read cannot decode (caught by a y40 staging
+    # bug: the Arrow cast exploded at READ time, far from the
+    # offending commit)
+    types_by_name = {f["name"]: f["type"] for f in schema_obj["fields"]}
+    alloc_probe = {"n": 10**9}
+
+    def _probe_id() -> int:
+        alloc_probe["n"] += 1
+        return alloc_probe["n"]
+
+    mismatched = []
+    for f in df.schema.fields:
+        want = types_by_name.get(f.name)
+        if want is None or not isinstance(want, str):
+            continue
+        got = _spark_to_iceberg_type(f.dataType, _probe_id)
+        if isinstance(got, str) and got != want:
+            mismatched.append(f"{f.name}: {got} != table {want}")
+    if mismatched:
+        raise UnsupportedOperationError(
+            "append column types do not match the Iceberg schema "
+            f"({'; '.join(mismatched)}) — cast the frame first"
+        )
     if extra:
         required_new = [f.name for f in extra if not f.nullable]
         if required_new:

@@ -1659,3 +1659,34 @@ def test_refs_branches_and_tags(spark, tbl):
     )
     assert first not in res["expired"]
     assert read_iceberg(spark, tbl, ref="v1.0").count() == 10
+
+
+def test_append_refuses_mismatched_column_types(spark, tbl):
+    """A matching-name column with a DIFFERENT type must refuse at
+    commit time: a long parquet column committed into an int schema
+    field writes files the field-id-bound read cannot decode (the
+    failure would otherwise surface as an Arrow cast error at READ
+    time, far from the offending write)."""
+    from pyspark.sql import functions as F
+
+    write_iceberg(
+        spark,
+        spark.range(5).select(F.col("id").cast("int").alias("k")),
+        tbl,
+        mode="create",
+    )
+    with pytest.raises(UnsupportedOperationError, match="types"):
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(9_000_000_001,)], "k long"),
+            tbl,
+            mode="append",
+        )
+    # a correctly-typed append still lands
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(7,)], "k int"),
+        tbl,
+        mode="append",
+    )
+    assert read_iceberg(spark, tbl).count() == 6
