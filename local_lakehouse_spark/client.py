@@ -393,6 +393,52 @@ class LakehouseClient:
             catalog, schema, name, FileType.DELTA
         )
 
+    def convert_table_to_iceberg(
+        self, catalog: str, schema: str, name: str
+    ) -> Table:
+        """CONVERT TO ICEBERG (round 9 — the inverse of
+        convert_table_to_delta): a DELTA table shallow-converts IN
+        PLACE (iceberg_py.convert_delta_to_iceberg — metadata lands
+        beside the Delta log referencing the snapshot's files, hive
+        partition values become identity metadata values; DV /
+        column-mapped sources refuse through the reader-feature
+        gate), and a plain unpartitioned PARQUET directory registers
+        via add_files (schema inferred, name mapping committed for
+        the unstamped footers). The catalog file_type flips;
+        reversible only by deleting ``metadata/``."""
+        from .sources import iceberg_py
+
+        tbl = self.get_table(catalog, schema, name)
+        if tbl.file_type == FileType.ICEBERG:
+            raise UnsupportedOperationError(
+                f"Table {tbl.full_name} is already ICEBERG"
+            )
+        path = _io.strip_file_scheme(tbl.storage_location or "")
+        spark = self._require_spark()
+        if tbl.file_type == FileType.DELTA:
+            iceberg_py.convert_delta_to_iceberg(spark, path, path)
+        elif tbl.file_type == FileType.PARQUET:
+            if _io._is_single_file(path):
+                raise UnsupportedOperationError(
+                    "CONVERT TO ICEBERG requires a directory table"
+                )
+            if tbl.partition_columns():
+                raise UnsupportedOperationError(
+                    "CONVERT TO ICEBERG of a hive-partitioned "
+                    "PARQUET table is unsupported (the partition "
+                    "columns live only in directory names; convert "
+                    "to DELTA first, then to ICEBERG)"
+                )
+            iceberg_py.add_files(spark, path, path)
+        else:
+            raise UnsupportedOperationError(
+                "CONVERT TO ICEBERG supports DELTA and PARQUET "
+                f"tables, not {tbl.file_type.value}"
+            )
+        return self.metastore.set_table_file_type(
+            catalog, schema, name, FileType.ICEBERG
+        )
+
     def _rewrite_contents(self, tbl: Table, df: DataFrame) -> None:
         """Layout-preserving full rewrite (same commit path as
         restore_table): single-file tables stay single files,
@@ -1143,6 +1189,11 @@ class LakehouseClient:
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s*$",
         re.IGNORECASE,
     )
+    _CONVERT_ICE_RE = re.compile(
+        r"^CONVERT\s+TO\s+ICEBERG\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}\s*$",
+        re.IGNORECASE,
+    )
     _VACUUM_RE = re.compile(
         r"^VACUUM\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
@@ -1298,6 +1349,11 @@ class LakehouseClient:
         if m:
             cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
             self.convert_table_to_delta(cat, sch, tbl)
+            return spark.createDataFrame([], "rows string")
+        m = self._CONVERT_ICE_RE.match(stmt)
+        if m:
+            cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
+            self.convert_table_to_iceberg(cat, sch, tbl)
             return spark.createDataFrame([], "rows string")
         m = self._VACUUM_RE.match(stmt)
         if m:

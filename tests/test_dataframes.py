@@ -768,3 +768,62 @@ def test_convert_iceberg_table_to_delta_via_client(unity, spark, tmp_path):
     from local_lakehouse_spark.sources import delta_py
 
     assert delta_py.is_delta_table(loc)
+
+
+def test_convert_delta_table_to_iceberg_via_client(unity, spark, tmp_path):
+    """Client CONVERT TO ICEBERG on a DELTA table (round 9 — the
+    inverse direction): in-place Iceberg metadata referencing the
+    Delta snapshot's files, catalog file_type flips, reads continue
+    through the Iceberg path, and the SQL utility statement drives
+    the same op."""
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(8)], "id long, s string"
+    )
+    loc = _loc(tmp_path, "d2ice")
+    unity.create_as_table(
+        df, "unity", "default", "d2ice",
+        file_type=FileType.DELTA, location=loc,
+    )
+    unity.sql("CONVERT TO ICEBERG unity.default.d2ice")
+    t = unity.get_table("unity", "default", "d2ice")
+    assert t.file_type == FileType.ICEBERG
+    back = unity.read_table("unity", "default", "d2ice")
+    assert sorted(r.id for r in back.collect()) == list(range(8))
+    from local_lakehouse_spark.sources import iceberg_py
+
+    assert iceberg_py.is_iceberg_table(loc)
+    # already-converted refuses
+    with pytest.raises(UnsupportedOperationError, match="already"):
+        unity.convert_table_to_iceberg("unity", "default", "d2ice")
+
+
+def test_convert_parquet_dir_to_iceberg_via_client(unity, spark, tmp_path):
+    """CONVERT TO ICEBERG on a plain PARQUET directory table:
+    add_files registration in place (name mapping committed for the
+    unstamped footers); hive-partitioned parquet refuses loudly."""
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, g int"
+    )
+    loc = _loc(tmp_path, "pq2ice")
+    unity.create_as_table(
+        df, "unity", "default", "pq2ice",
+        file_type=FileType.PARQUET, location=loc,
+    )
+    unity.convert_table_to_iceberg("unity", "default", "pq2ice")
+    assert (
+        unity.get_table("unity", "default", "pq2ice").file_type
+        == FileType.ICEBERG
+    )
+    back = unity.read_table("unity", "default", "pq2ice")
+    assert back.count() == 30
+
+    # hive-partitioned parquet: partition columns live only in dir
+    # names — refuse instead of reading them back NULL
+    loc2 = _loc(tmp_path, "pq2ice_part")
+    unity.create_as_table(
+        df, "unity", "default", "pq2ice_part",
+        file_type=FileType.PARQUET, location=loc2,
+        partition_cols=["g"],
+    )
+    with pytest.raises(UnsupportedOperationError, match="partition"):
+        unity.convert_table_to_iceberg("unity", "default", "pq2ice_part")
