@@ -506,22 +506,15 @@ def write_table(
         return _write_flat(spark, df, table, mode, schema_evolution, df_cols, path, ft)
     if ft == FileType.ICEBERG:
         # Iceberg write surface (sources/iceberg_py.py):
-        # create-on-first-write + APPEND snapshots, identity
-        # partition specs, MERGE = add-column evolution. The full
-        # DML/overwrite matrix is Delta's job — a loud refusal
-        # beats a spec-violating Iceberg commit.
+        # create-on-first-write, APPEND snapshots, full-table
+        # OVERWRITE as the spec's REPLACE shape (round 9 — status=2
+        # removals preserving sequence numbers, time travel intact,
+        # streams fail-or-skip), identity + transform partition
+        # specs, MERGE = add-column evolution; row-level DML via
+        # iceberg_py.delete_iceberg_where / update_iceberg_where.
         from .sources import iceberg_py
 
         exists = iceberg_py.is_iceberg_table(path)
-        # CTAS arrives as OVERWRITE on a not-yet-existing table —
-        # that IS the create; an overwrite of committed snapshots is
-        # the unsupported part.
-        if mode != WriteMode.APPEND and exists:
-            raise UnsupportedOperationError(
-                "ICEBERG tables support APPEND writes only (row-level "
-                "DELETE via iceberg_py.delete_iceberg_where); use "
-                "DELTA for the full write matrix"
-            )
         if schema_evolution == SchemaEvolution.OVERWRITE:
             raise UnsupportedOperationError(
                 "ICEBERG writes support STRICT or MERGE schema "
@@ -530,11 +523,17 @@ def write_table(
             )
         if schema_evolution == SchemaEvolution.STRICT and table.columns:
             check_schemas_equal(df_cols, table.columns)
+        if not exists:
+            ice_mode = "create"
+        elif mode == WriteMode.APPEND:
+            ice_mode = "append"
+        else:
+            ice_mode = "overwrite"
         iceberg_py.write_iceberg(
             spark,
             df,
             path,
-            mode="append" if exists else "create",
+            mode=ice_mode,
             merge_schema=schema_evolution == SchemaEvolution.MERGE,
             partition_by=part_cols or None,
         )

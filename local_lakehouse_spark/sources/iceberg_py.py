@@ -1557,167 +1557,26 @@ def _hive_partition_value(raw: str, ice_type: str):
     )
 
 
-def write_iceberg(
+def _stage_data_files(
     spark: SparkSession,
     df: DataFrame,
     path: str,
-    mode: str = "create",
-    merge_schema: bool = False,
+    meta: dict,
+    schema_obj: dict,
+    ids: dict,
+    mode: Optional[str] = None,
     partition_by: Optional[list] = None,
-) -> dict:
-    """Create or append to a filesystem Iceberg v2 table: data
-    parquet (written by Spark, footers stamped with the Iceberg
-    field ids), one ADDED-entries manifest, a manifest list, and the
-    next ``v<N>.metadata.json`` + ``version-hint.text``.
-
-    ``partition_by`` (create only) commits an IDENTITY-transform
-    partition spec: Spark writes hive-partitioned parquet (partition
-    columns OMITTED from the data files, the foreign-writer layout),
-    and the values land in each manifest entry's ``partition`` record
-    — the read side injects them back and prunes on them. Appends to
-    a partitioned table partition automatically by the table's spec.
-
-    ``merge_schema=True`` on append accepts a SUPERSET frame: new
-    columns get fresh field ids past the last-column-id watermark and
-    a new schema-id commits with the snapshot (the spec's add-column
-    evolution) — old files read NULL for them via field-id binding.
-    New columns must be nullable (old files cannot satisfy a required
-    constraint retroactively). Returns the committed metadata."""
-    os.makedirs(_metadata_dir(path), exist_ok=True)
+) -> tuple:
+    """Write ``df`` as data parquet laid out by the table's DEFAULT
+    partition spec and return ``(manifest entries, partition avro
+    fields)`` — the shared staging step behind append, overwrite,
+    and UPDATE's rewrite half. Field-id-stamped footers, hive layout
+    for identity fields (columns dropped from the files, values into
+    the manifest partition records), derived layout columns for
+    transforms, per-file column bounds from the footers."""
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    if mode == "create":
-        if is_iceberg_table(path):
-            raise UnsupportedOperationError(
-                f"Iceberg table at {path} already exists"
-            )
-        # last-column-id must be the allocator's HIGH-WATER MARK:
-        # nested struct/list/map element ids are allocated after
-        # their parent's, so max() over top-level ids would leave
-        # live nested ids above the recorded watermark for a foreign
-        # writer to re-allocate
-        alloc = {"n": 0}
-
-        def _next_id() -> int:
-            alloc["n"] += 1
-            return alloc["n"]
-
-        ice_struct = _spark_to_iceberg_type(df.schema, _next_id)
-        schema_obj = {
-            "type": "struct",
-            "schema-id": 0,
-            "fields": ice_struct["fields"],
-        }
-        meta = {
-            "format-version": 2,
-            "table-uuid": str(uuid.uuid4()),
-            "location": path,
-            "last-sequence-number": 0,
-            "last-updated-ms": int(time.time() * 1000),
-            "last-column-id": alloc["n"],
-            "current-schema-id": 0,
-            "schemas": [schema_obj],
-            "default-spec-id": 0,
-            "partition-specs": [
-                {
-                    "spec-id": 0,
-                    "fields": _partition_spec_fields(
-                        schema_obj, partition_by
-                    ),
-                }
-            ],
-            "last-partition-id": 999 + len(partition_by or []),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {},
-            "current-snapshot-id": -1,
-            "snapshots": [],
-            "snapshot-log": [],
-            "metadata-log": [],
-        }
-    elif mode == "append":
-        meta = table_metadata(path)
-    else:
-        raise ValueError(f"write_iceberg mode {mode!r}")
-    schema_obj = _current_schema(meta)
-    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
-    extra = [f for f in df.schema.fields if f.name not in ids]
-    if extra and not merge_schema:
-        raise UnsupportedOperationError(
-            f"append columns {[f.name for f in extra]} not in the "
-            "Iceberg schema (pass merge_schema=True to evolve)"
-        )
-    # matching columns must match TYPES too: committing a long
-    # parquet column into an int schema field writes files the
-    # field-id-bound read cannot decode (caught by a y40 staging
-    # bug: the Arrow cast exploded at READ time, far from the
-    # offending commit)
-    types_by_name = {f["name"]: f["type"] for f in schema_obj["fields"]}
-    alloc_probe = {"n": 10**9}
-
-    def _probe_id() -> int:
-        alloc_probe["n"] += 1
-        return alloc_probe["n"]
-
-    mismatched = []
-    for f in df.schema.fields:
-        want = types_by_name.get(f.name)
-        if want is None or not isinstance(want, str):
-            continue
-        got = _spark_to_iceberg_type(f.dataType, _probe_id)
-        if isinstance(got, str) and got != want:
-            mismatched.append(f"{f.name}: {got} != table {want}")
-    if mismatched:
-        raise UnsupportedOperationError(
-            "append column types do not match the Iceberg schema "
-            f"({'; '.join(mismatched)}) — cast the frame first"
-        )
-    if extra:
-        required_new = [f.name for f in extra if not f.nullable]
-        if required_new:
-            raise UnsupportedOperationError(
-                f"cannot add required columns {required_new} on "
-                "append: existing files cannot satisfy the "
-                "constraint — add them as nullable"
-            )
-        alloc2 = {"n": int(meta.get("last-column-id", 0))}
-
-        def _next_id2() -> int:
-            alloc2["n"] += 1
-            return alloc2["n"]
-
-        new_struct = _spark_to_iceberg_type(
-            T.StructType(extra), _next_id2
-        )
-        new_sid = (
-            max(
-                (s.get("schema-id", 0) for s in meta.get("schemas") or []),
-                default=0,
-            )
-            + 1
-        )
-        schema_obj = {
-            "type": "struct",
-            "schema-id": new_sid,
-            "fields": list(schema_obj["fields"]) + new_struct["fields"],
-        }
-        meta = dict(meta)
-        meta["schemas"] = list(meta.get("schemas") or []) + [schema_obj]
-        meta["current-schema-id"] = new_sid
-        meta["last-column-id"] = alloc2["n"]
-        ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
     present = {f.name for f in df.schema.fields}
-    missing_req = [
-        f["name"]
-        for f in schema_obj["fields"]
-        if f.get("required") and f["name"] not in present
-    ]
-    if missing_req:
-        raise UnsupportedOperationError(
-            f"append is missing required (non-null) schema columns "
-            f"{missing_req}; committing would read them back as NULL"
-        )
-    # the table's default partition spec drives the data layout
     from . import iceberg_transforms as _tr
 
     spec_fields = _partition_specs(meta).get(
@@ -1752,7 +1611,7 @@ def write_iceberg(
                 )
             layout_cols.append(sf["name"])
             derived.append((sf["name"], tfm, src["name"], src["type"]))
-    if mode == "append" and partition_by is not None:
+    if mode in ("append", "overwrite") and partition_by is not None:
         asked = [
             _tr.parse_partition_by(e) for e in partition_by
         ]
@@ -1763,7 +1622,7 @@ def write_iceberg(
         ]
         if asked != actual:
             raise UnsupportedOperationError(
-                f"append partition_by {asked} != the table's "
+                f"{mode} partition_by {asked} != the table's "
                 f"partition spec {actual}"
             )
     missing_pc = [c for c in src_names if c not in present]
@@ -1846,9 +1705,6 @@ def write_iceberg(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    prior = _prior_manifest_rows(meta, path)
-    snap_id = _new_snapshot_id()
-    seq = int(meta.get("last-sequence-number", 0)) + 1
     pf_avro = [
         {
             "name": sf["name"],
@@ -1857,6 +1713,264 @@ def write_iceberg(
         }
         for sf in spec_fields
     ]
+    return entries, pf_avro
+
+
+def write_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "create",
+    merge_schema: bool = False,
+    partition_by: Optional[list] = None,
+) -> dict:
+    """Create or append to a filesystem Iceberg v2 table: data
+    parquet (written by Spark, footers stamped with the Iceberg
+    field ids), one ADDED-entries manifest, a manifest list, and the
+    next ``v<N>.metadata.json`` + ``version-hint.text``.
+
+    ``partition_by`` (create only) commits an IDENTITY-transform
+    partition spec: Spark writes hive-partitioned parquet (partition
+    columns OMITTED from the data files, the foreign-writer layout),
+    and the values land in each manifest entry's ``partition`` record
+    — the read side injects them back and prunes on them. Appends to
+    a partitioned table partition automatically by the table's spec.
+
+    ``merge_schema=True`` on append accepts a SUPERSET frame: new
+    columns get fresh field ids past the last-column-id watermark and
+    a new schema-id commits with the snapshot (the spec's add-column
+    evolution) — old files read NULL for them via field-id binding.
+    New columns must be nullable (old files cannot satisfy a required
+    constraint retroactively). Returns the committed metadata."""
+    os.makedirs(_metadata_dir(path), exist_ok=True)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    if mode == "overwrite" and not is_iceberg_table(path):
+        mode = "create"  # overwrite of nothing IS the create
+    if mode == "create":
+        if is_iceberg_table(path):
+            raise UnsupportedOperationError(
+                f"Iceberg table at {path} already exists"
+            )
+        # last-column-id must be the allocator's HIGH-WATER MARK:
+        # nested struct/list/map element ids are allocated after
+        # their parent's, so max() over top-level ids would leave
+        # live nested ids above the recorded watermark for a foreign
+        # writer to re-allocate
+        alloc = {"n": 0}
+
+        def _next_id() -> int:
+            alloc["n"] += 1
+            return alloc["n"]
+
+        ice_struct = _spark_to_iceberg_type(df.schema, _next_id)
+        schema_obj = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": ice_struct["fields"],
+        }
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": alloc["n"],
+            "current-schema-id": 0,
+            "schemas": [schema_obj],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": _partition_spec_fields(
+                        schema_obj, partition_by
+                    ),
+                }
+            ],
+            "last-partition-id": 999 + len(partition_by or []),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+    elif mode == "append":
+        meta = table_metadata(path)
+    elif mode == "overwrite":
+        meta = table_metadata(path)
+        _require_v2(meta, "write_iceberg(mode='overwrite')")
+    else:
+        raise ValueError(f"write_iceberg mode {mode!r}")
+    schema_obj = _current_schema(meta)
+    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    extra = [f for f in df.schema.fields if f.name not in ids]
+    if extra and not merge_schema:
+        raise UnsupportedOperationError(
+            f"append columns {[f.name for f in extra]} not in the "
+            "Iceberg schema (pass merge_schema=True to evolve)"
+        )
+    # matching columns must match TYPES too: committing a long
+    # parquet column into an int schema field writes files the
+    # field-id-bound read cannot decode (caught by a y40 staging
+    # bug: the Arrow cast exploded at READ time, far from the
+    # offending commit)
+    types_by_name = {f["name"]: f["type"] for f in schema_obj["fields"]}
+    alloc_probe = {"n": 10**9}
+
+    def _probe_id() -> int:
+        alloc_probe["n"] += 1
+        return alloc_probe["n"]
+
+    mismatched = []
+    for f in df.schema.fields:
+        want = types_by_name.get(f.name)
+        if want is None or not isinstance(want, str):
+            continue
+        got = _spark_to_iceberg_type(f.dataType, _probe_id)
+        if isinstance(got, str) and got != want:
+            mismatched.append(f"{f.name}: {got} != table {want}")
+    if mismatched:
+        raise UnsupportedOperationError(
+            "append column types do not match the Iceberg schema "
+            f"({'; '.join(mismatched)}) — cast the frame first"
+        )
+    if extra:
+        required_new = [f.name for f in extra if not f.nullable]
+        if required_new:
+            raise UnsupportedOperationError(
+                f"cannot add required columns {required_new} on "
+                "append: existing files cannot satisfy the "
+                "constraint — add them as nullable"
+            )
+        alloc2 = {"n": int(meta.get("last-column-id", 0))}
+
+        def _next_id2() -> int:
+            alloc2["n"] += 1
+            return alloc2["n"]
+
+        new_struct = _spark_to_iceberg_type(
+            T.StructType(extra), _next_id2
+        )
+        new_sid = (
+            max(
+                (s.get("schema-id", 0) for s in meta.get("schemas") or []),
+                default=0,
+            )
+            + 1
+        )
+        schema_obj = {
+            "type": "struct",
+            "schema-id": new_sid,
+            "fields": list(schema_obj["fields"]) + new_struct["fields"],
+        }
+        meta = dict(meta)
+        meta["schemas"] = list(meta.get("schemas") or []) + [schema_obj]
+        meta["current-schema-id"] = new_sid
+        meta["last-column-id"] = alloc2["n"]
+        ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    present = {f.name for f in df.schema.fields}
+    missing_req = [
+        f["name"]
+        for f in schema_obj["fields"]
+        if f.get("required") and f["name"] not in present
+    ]
+    if missing_req:
+        raise UnsupportedOperationError(
+            f"append is missing required (non-null) schema columns "
+            f"{missing_req}; committing would read them back as NULL"
+        )
+    entries, pf_avro = _stage_data_files(
+        spark,
+        df,
+        path,
+        meta,
+        schema_obj,
+        ids,
+        mode=mode,
+        partition_by=partition_by,
+    )
+    snap_id = _new_snapshot_id()
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    cur_spec = int(meta.get("default-spec-id", 0))
+    if mode == "overwrite":
+        # full-table OVERWRITE as the spec's REPLACE shape (same as
+        # compaction): every live prior data file becomes a status=2
+        # DELETED entry PRESERVING its original data sequence number,
+        # absorbed position-delete files retire in their own
+        # content=1 manifest, and NO prior manifests carry forward —
+        # readers of the new snapshot see exactly ``df``; time travel
+        # still sees the old layout; a streaming reader sees a
+        # non-append operation and must fail or skipChangeCommits.
+        prev_snap = None
+        try:
+            prev_snap = _select_snapshot(meta)
+        except DoesNotExistError:
+            pass
+        old_data: list = []
+        old_deletes: list = []
+        if prev_snap is not None:
+            old_data, old_deletes, old_eq = _snapshot_files(
+                meta, prev_snap, path
+            )
+            if old_eq:
+                raise UnsupportedOperationError(
+                    "overwrite of a table carrying equality deletes "
+                    "is unsupported (their sequence scoping would "
+                    "dangle)"
+                )
+        removals = [
+            {
+                "file_path": d["file_path"],
+                "record_count": int(d.get("record_count") or 0),
+                "file_size_in_bytes": int(
+                    d.get("file_size_in_bytes") or 0
+                ),
+                "status": 2,
+                "sequence_number": int(d["_seq"]),
+            }
+            for d in old_data
+        ]
+        rows = [
+            _write_manifest(
+                path,
+                entries + removals,
+                snap_id,
+                seq,
+                content=0,
+                partition_fields=pf_avro or None,
+                spec_id=cur_spec,
+            )["row"]
+        ]
+        if old_deletes:
+            rows.append(
+                _write_manifest(
+                    path,
+                    [
+                        {
+                            "file_path": d["file_path"],
+                            "record_count": int(
+                                d.get("record_count") or 0
+                            ),
+                            "file_size_in_bytes": int(
+                                d.get("file_size_in_bytes") or 0
+                            ),
+                            "status": 2,
+                            "sequence_number": int(d["_seq"]),
+                        }
+                        for d in old_deletes
+                    ],
+                    snap_id,
+                    seq,
+                    content=1,
+                    spec_id=cur_spec,
+                )["row"]
+            )
+        return _commit_snapshot(
+            path, meta, rows, "overwrite", snap_id
+        )
+    prior = _prior_manifest_rows(meta, path)
     mrow = _write_manifest(
         path,
         entries,
@@ -1864,7 +1978,7 @@ def write_iceberg(
         seq,
         content=0,
         partition_fields=pf_avro or None,
-        spec_id=int(meta.get("default-spec-id", 0)),
+        spec_id=cur_spec,
     )
     return _commit_snapshot(
         path, meta, prior + [mrow["row"]], "append", snap_id
@@ -2490,8 +2604,22 @@ def delete_iceberg_where(
                 "__ri": F.col("_metadata.row_index"),
             }
         )
-        .filter(predicate)
     )
+    if any(d.get("_idpart") for d in data_files):
+        # identity partition values live ONLY in manifest metadata
+        # for files that (spec-legally) omit the columns — without
+        # injection a predicate on the partition column reads NULL
+        # and the DELETE silently no-ops
+        names = [os.path.basename(p) for p in paths]
+        if len(set(names)) != len(names):
+            raise UnsupportedOperationError(
+                "DELETE over identity-partitioned data files with "
+                "colliding basenames"
+            )
+        scan = _inject_identity_partitions(
+            spark, scan, schema, data_files, path
+        )
+    scan = scan.filter(predicate)
     if pos_deletes:
         prior = (
             spark.read.schema("file_path string, pos long")
@@ -2555,4 +2683,163 @@ def delete_iceberg_where(
     )
     return _commit_snapshot(
         path, meta, prior_rows + [mrow["row"]], "delete", snap_id
+    )
+
+
+def update_iceberg_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict,
+) -> dict:
+    """Row-level UPDATE committed as ONE Iceberg v2 snapshot
+    (operation ``overwrite``, the spec's row-level-update shape):
+    matched surviving rows' positions land in a position-delete file
+    (content=1 manifest) and their UPDATED images append as new data
+    files (content=0 manifest, laid out by the table's partition
+    spec — rows whose assignment moves them across partitions land
+    correctly). ``assignments`` maps column -> SQL expression, all
+    evaluated against the ORIGINAL row simultaneously (standard
+    UPDATE semantics: ``{"a": "b", "b": "a"}`` swaps). The same
+    merge-on-read economics as Delta's DV UPDATE: a 0.1% update on
+    100 TB commits positions + the changed rows, never a table
+    rewrite. Identity partition values inject into the scan first,
+    so predicates (and assignments) on metadata-only partition
+    columns are exact."""
+    from pyspark.sql import functions as F
+
+    meta = table_metadata(path)
+    _require_v2(meta, "update_iceberg_where")
+    snap = _select_snapshot(meta)
+    data_files, pos_deletes, n_eq = _snapshot_files(meta, snap, path)
+    if n_eq:
+        raise UnsupportedOperationError(
+            "table carries equality deletes; refusing to add more DML"
+        )
+    schema_obj = _current_schema(meta)
+    schema = iceberg_schema_to_spark(schema_obj)
+    known = {f.name: f for f in schema.fields}
+    bad = sorted(set(assignments) - set(known))
+    if bad:
+        raise UnsupportedOperationError(
+            f"UPDATE assigns unknown columns {bad}"
+        )
+    paths = [_resolve(d["file_path"], path) for d in data_files]
+    if not paths:
+        return meta
+    scan = (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .withColumns(
+            {
+                "__fp": F.col("_metadata.file_path"),
+                "__fn": F.col("_metadata.file_name"),
+                "__ri": F.col("_metadata.row_index"),
+            }
+        )
+    )
+    if any(d.get("_idpart") for d in data_files):
+        names = [os.path.basename(p) for p in paths]
+        if len(set(names)) != len(names):
+            raise UnsupportedOperationError(
+                "UPDATE over identity-partitioned data files with "
+                "colliding basenames"
+            )
+        scan = _inject_identity_partitions(
+            spark, scan, schema, data_files, path
+        )
+    if pos_deletes:
+        prior = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(
+                *[_resolve(d["file_path"], path) for d in pos_deletes]
+            )
+            .select(
+                F.element_at(F.split("file_path", "/"), -1).alias(
+                    "__pfn"
+                ),
+                F.col("pos").alias("__ppos"),
+            )
+        )
+        scan = scan.join(
+            F.broadcast(prior),
+            (scan["__fn"] == prior["__pfn"])
+            & (scan["__ri"] == prior["__ppos"]),
+            "left_anti",
+        )
+    matched = scan.filter(predicate)
+    # positions half (identical shape to delete_iceberg_where)
+    hits = matched.select(
+        F.regexp_replace("__fp", "^file:/*", "/").alias("file_path"),
+        F.col("__ri").alias("pos"),
+    ).orderBy("file_path", "pos")
+    tmp = path + f".__ice_upd_{uuid.uuid4().hex}"
+    hits.coalesce(1).write.mode("overwrite").parquet(tmp)
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    del_entries = []
+    import pyarrow.parquet as pq
+
+    for src in _collect_part_files(tmp):
+        n = pq.read_metadata(src).num_rows
+        if n == 0:
+            continue
+        dest = os.path.join(ddir, f"delete-{uuid.uuid4().hex}.parquet")
+        os.replace(src, dest)
+        del_entries.append(
+            {
+                "file_path": dest,
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(dest),
+            }
+        )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    prior_rows = _prior_manifest_rows(meta, path)
+    snap_id = _new_snapshot_id()
+    if not del_entries:  # nothing matched: a (no-op) commit
+        return _commit_snapshot(
+            path, meta, prior_rows, "overwrite", snap_id
+        )
+    # rewrite half: ONE select = simultaneous assignment semantics,
+    # each expression cast back to its field's type (the append
+    # type guard's contract)
+    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    upd = matched.select(
+        *[
+            (
+                F.expr(assignments[f.name]).cast(f.dataType)
+                if f.name in assignments
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    entries, pf_avro = _stage_data_files(
+        spark, upd, path, meta, schema_obj, ids
+    )
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    cur_spec = int(meta.get("default-spec-id", 0))
+    rows = [
+        _write_manifest(
+            path,
+            entries,
+            snap_id,
+            seq,
+            content=0,
+            partition_fields=pf_avro or None,
+            spec_id=cur_spec,
+        )["row"],
+        _write_manifest(
+            path,
+            del_entries,
+            snap_id,
+            seq,
+            content=1,
+            spec_id=cur_spec,
+        )["row"],
+    ]
+    return _commit_snapshot(
+        path, meta, prior_rows + rows, "overwrite", snap_id
     )

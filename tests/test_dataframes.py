@@ -744,8 +744,21 @@ def test_iceberg_table_through_client(unity, spark, tmp_path):
         ).count()
         == 2
     )
-    with pytest.raises(UnsupportedOperationError, match="APPEND"):
-        unity.write_table(df, "unity", "default", "ice", mode="OVERWRITE")
+    # OVERWRITE of committed snapshots lands as a REPLACE-shaped
+    # snapshot (round 9): the current read sees only the new frame,
+    # time travel still sees history
+    df2 = spark.createDataFrame([(77, "z")], "id long, s string")
+    unity.write_table(df2, "unity", "default", "ice", mode="OVERWRITE")
+    assert [
+        r.id
+        for r in unity.read_table("unity", "default", "ice").collect()
+    ] == [77]
+    assert (
+        unity.read_table(
+            "unity", "default", "ice", version=snap0["snapshot-id"]
+        ).count()
+        == 2
+    )
 
 
 def test_convert_iceberg_table_to_delta_via_client(unity, spark, tmp_path):

@@ -1690,3 +1690,122 @@ def test_append_refuses_mismatched_column_types(spark, tbl):
         mode="append",
     )
     assert read_iceberg(spark, tbl).count() == 6
+
+
+def test_delete_on_metadata_only_partition_column(spark, tbl):
+    """DELETE with a predicate on an identity partition column whose
+    values live ONLY in manifest metadata (the y35 layout): the DML
+    scan must inject the values first — without injection the
+    predicate reads NULL and the delete silently no-ops (round-9
+    regression test for exactly that bug)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    delete_iceberg_where(spark, tbl, "g = 1")
+    out = read_iceberg(spark, tbl)
+    assert out.count() == 40
+    assert sorted(
+        r.g for r in out.select("g").distinct().collect()
+    ) == [0, 2]
+    # non-partition predicates keep working alongside
+    delete_iceberg_where(spark, tbl, "k < 6")
+    assert read_iceberg(spark, tbl).count() == 36
+
+
+def test_update_where_single_snapshot(spark, tbl):
+    """UPDATE as ONE snapshot (operation 'overwrite'): matched rows'
+    positions delete and their updated images append atomically;
+    assignments evaluate against the ORIGINAL row simultaneously
+    (swap works); rows whose assignment moves them across identity
+    partitions land in the right partition."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("g"),
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    iceberg_py.update_iceberg_where(
+        spark, tbl, "g = 1", {"g": "2", "k": "k + 1000"}
+    )
+    out = read_iceberg(spark, tbl)
+    assert out.count() == 60
+    gs = {
+        r.g: r.c
+        for r in out.groupBy("g").agg(F.count("*").alias("c")).collect()
+    }
+    assert gs == {0: 20, 2: 40}
+    assert out.filter("k >= 1000").count() == 20
+    snaps = table_metadata(tbl)["snapshots"]
+    assert [s["summary"]["operation"] for s in snaps] == [
+        "append",
+        "overwrite",
+    ]
+
+    # simultaneous-assignment semantics: a swap
+    tbl2 = tbl + "_swap"
+    write_iceberg(
+        spark, spark.createDataFrame([(1, 2)], "a long, b long"), tbl2
+    )
+    iceberg_py.update_iceberg_where(
+        spark, tbl2, "true", {"a": "b", "b": "a"}
+    )
+    r = read_iceberg(spark, tbl2).collect()[0]
+    assert (r.a, r.b) == (2, 1)
+
+    # unknown assignment column refuses
+    with pytest.raises(UnsupportedOperationError, match="unknown"):
+        iceberg_py.update_iceberg_where(spark, tbl2, "true", {"zz": "1"})
+
+
+def test_overwrite_mode_replace_snapshot(spark, tbl):
+    """write_iceberg(mode='overwrite'): the REPLACE shape — status=2
+    removals preserving original sequence numbers (absorbed delete
+    files retired in their own content=1 manifest), current read sees
+    exactly the new frame, time travel sees the old, the streaming
+    source fails-or-skips the snapshot, and expiration can then
+    reclaim the replaced files."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(F.col("id").alias("k"))
+    write_iceberg(spark, df.repartition(3), tbl, mode="create")
+    delete_iceberg_where(spark, tbl, "k < 10")
+    pre = table_metadata(tbl)["current-snapshot-id"]
+    new = spark.range(5).select((F.col("id") + 500).alias("k"))
+    write_iceberg(spark, new.coalesce(1), tbl, mode="overwrite")
+
+    out = read_iceberg(spark, tbl)
+    assert sorted(r.k for r in out.collect()) == [500, 501, 502, 503, 504]
+    assert read_iceberg(spark, tbl, snapshot_id=pre).count() == 40
+    meta = table_metadata(tbl)
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    # no prior manifests carry forward: the live plan is 1 data file
+    data, pos, _eq = iceberg_py._snapshot_files(
+        meta, iceberg_py._select_snapshot(meta), tbl
+    )
+    assert len(data) == 1 and not pos
+
+    # streaming must gate the overwrite snapshot
+    from local_lakehouse_spark.sources.pyiceberg_source import (
+        _PyIcebergStreamReader,
+    )
+
+    rd = _PyIcebergStreamReader(
+        {
+            "path": tbl,
+            "startingsnapshotid": str(
+                meta["snapshots"][0]["snapshot-id"]
+            ),
+        },
+        None,
+    )
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        rd.partitions({"seq": 0}, {"seq": 99})
+
+    # overwrite of a missing table IS the create
+    tbl3 = tbl + "_fresh"
+    write_iceberg(spark, new, tbl3, mode="overwrite")
+    assert read_iceberg(spark, tbl3).count() == 5
