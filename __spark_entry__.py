@@ -49,6 +49,7 @@ _NEVER_STAMPED = [
     "y38_iceberg_convert_from_delta",
     "y39_iceberg_add_files",
     "y40_iceberg_refs",
+    "y41_iceberg_update_overwrite",
 ]
 _R4_ERA = [
     "x43_word_rarity",
@@ -91,13 +92,12 @@ _R4_ERA = [
     "x98_decayed_popularity",
 ]
 _R5_ERA_HEAD = [
-    # trimmed to 5 when y36-y40 joined _NEVER_STAMPED (7+38+5 = the
-    # exact 50-query driver cap); x99/y01-y09 rotate in r10
+    # trimmed to 4 when y36-y41 joined _NEVER_STAMPED (8+38+4 = the
+    # exact 50-query driver cap); x57/x99/y01-y09 rotate in r10
     "q05_null_coalesce",
     "q32_json_extract",
     "q55_tpch_q15_top_supplier",
     "x54_data_quality_report",
-    "x57_embedding_audit",
 ]
 _PRIORITY = _NEVER_STAMPED + _R4_ERA + _R5_ERA_HEAD
 QUERY_SPECS = {

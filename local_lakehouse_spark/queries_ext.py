@@ -8357,6 +8357,108 @@ ORDER BY ref
 """
 
 
+def y41(spark, sf):
+    """ICEBERG row-level UPDATE + full-table OVERWRITE (round 9 —
+    the DML pair under the oracle gate): the customer extract stages
+    identity-partitioned on nation, then
+    ``update_iceberg_where("nation = 7", {nation: 8, acctbal:
+    acctbal + 1000})`` commits ONE snapshot (operation overwrite)
+    whose position-delete half tombstones the matched rows and whose
+    rewrite half lands the updated images IN THE nation=8 PARTITION
+    (cross-partition move, metadata partition values injected into
+    the DML scan first — predicates on metadata-only partition
+    columns are exact). CONTRACTS: exactly two snapshots
+    (append, overwrite); zero rows remain in nation=7; time travel
+    to the pre-update snapshot still reads the original partitioning;
+    a sibling table proves mode='overwrite' (current read = the new
+    frame only, history intact). Oracle: the same UPDATE applied in
+    SQL over customer."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import iceberg_py
+
+    key = hashlib.md5(f"{sf}|ice-dml-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_dml_{key}")
+    side = os.path.join(tempfile.gettempdir(), f"llh_ice_ovw_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        import shutil
+
+        try:
+            base = t(spark, sf, "customer").select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_nationkey").alias("nation"),
+                F.col("c_acctbal").alias("acctbal"),
+            )
+            iceberg_py.write_iceberg(
+                spark, base, tbl, mode="create", partition_by=["nation"]
+            )
+            iceberg_py.update_iceberg_where(
+                spark,
+                tbl,
+                "nation = 7",
+                {"nation": "8", "acctbal": "acctbal + 1000"},
+            )
+            # sibling: full-table OVERWRITE keeps history
+            one = spark.createDataFrame([(1, 0, 1.0)],
+                                        "custkey long, nation int, acctbal double")
+            iceberg_py.write_iceberg(spark, base.limit(10), side,
+                                     mode="create")
+            iceberg_py.write_iceberg(spark, one, side, mode="overwrite")
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            shutil.rmtree(side, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    ops = [s["summary"]["operation"] for s in meta["snapshots"]]
+    if ops != ["append", "overwrite"]:
+        raise AssertionError(f"y41: snapshot ops wrong: {ops}")
+    df = iceberg_py.read_iceberg(spark, tbl)
+    if df.filter("nation = 7").count() != 0:
+        raise AssertionError("y41: rows remain in the updated partition")
+    pre = meta["snapshots"][0]["snapshot-id"]
+    n7_before = (
+        iceberg_py.read_iceberg(spark, tbl, snapshot_id=pre)
+        .filter("nation = 7")
+        .count()
+    )
+    if n7_before == 0:
+        raise AssertionError("y41: pre-update time travel lost rows")
+    smeta = iceberg_py.table_metadata(side)
+    cur = iceberg_py.read_iceberg(spark, side)
+    if cur.count() != 1 or iceberg_py.read_iceberg(
+        spark, side, snapshot_id=smeta["snapshots"][0]["snapshot-id"]
+    ).count() != 10:
+        raise AssertionError("y41: overwrite history contract failed")
+    return (
+        df.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y41_SQL = """
+WITH updated AS (
+  SELECT CASE WHEN c_nationkey = 7 THEN 8 ELSE c_nationkey END AS nation,
+         CASE WHEN c_nationkey = 7 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS acctbal
+  FROM customer
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM updated GROUP BY nation ORDER BY nation
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -8526,4 +8628,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y38_iceberg_convert_from_delta": QuerySpec(y38, Y38_SQL),
     "y39_iceberg_add_files": QuerySpec(y39, Y39_SQL),
     "y40_iceberg_refs": QuerySpec(y40, Y40_SQL),
+    "y41_iceberg_update_overwrite": QuerySpec(y41, Y41_SQL),
 }
