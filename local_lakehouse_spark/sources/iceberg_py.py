@@ -59,15 +59,19 @@ Spark-first design:
   pair add_files / convert_delta_to_iceberg (register foreign
   parquet / a Delta snapshot in place, metadata only).
 
-The WRITER covers create/append — unpartitioned, identity-
-partitioned, or transform-partitioned (``bucket(N, c)`` /
-``truncate(W, c)`` / ``days(c)`` / ``months(c)`` / ``years(c)`` /
-``hours(c)``), with optional add-column schema evolution via
-``merge_schema`` — and positional DELETE, each a new snapshot with
-correct sequence numbers — enough to stage spec-compliant tables
-for the reader's tests and oracle queries (y33–y38) and to
-interop-check against any foreign reader. Delta remains the
-engine's primary write format.
+The WRITER covers create/append/OVERWRITE (full-table REPLACE
+shape) — unpartitioned, identity-partitioned, or
+transform-partitioned (``bucket(N, c)`` / ``truncate(W, c)`` /
+``days(c)`` / ``months(c)`` / ``years(c)`` / ``hours(c)``), with
+optional add-column schema evolution via ``merge_schema`` — plus
+row-level DML: positional DELETE and UPDATE
+(update_iceberg_where — position-delete half + spec-laid rewrite
+half in ONE snapshot), each with correct sequence numbers and
+identity partition values INJECTED into the DML scan so
+metadata-only partition predicates are exact. Enough to stage
+spec-compliant tables for the reader's tests and oracle queries
+(y33–y41) and to interop-check against any foreign reader. Delta
+remains the engine's primary write format.
 
 Reference parity: the reference delegates both formats to its Rust
 layer (uchelper/dataframe.py:198-199); here both are executable
