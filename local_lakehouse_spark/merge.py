@@ -427,6 +427,56 @@ class SparkMerger:
                 operation="MERGE",
             )
             return
+        if self._table.file_type == FileType.ICEBERG:
+            # merge-on-read MERGE, the Delta-DV shape on Iceberg
+            # (round 9): the change set's dead rows become a
+            # position-delete file and the rewritten/inserted rows
+            # new data files, committed as ONE 'overwrite' snapshot
+            # (apply_iceberg_row_changes) — untouched rows stay in
+            # their files, so a merge touching 0.1% of a 100 TB
+            # table commits positions + 0.1% of the data.
+            from .sources import iceberg_py
+
+            meta = iceberg_py.table_metadata(path)
+            iceberg_py._require_v2(meta, "MERGE INTO")
+            scan, data_files, _pos = iceberg_py._positional_scan(
+                self._spark, meta, path
+            )
+            if scan is None:  # empty table: plain overwrite-create
+                result = self._result_plan()
+                if self._validate is not None:
+                    self._validate(result)
+                iceberg_py.write_iceberg(
+                    self._spark, result, path, mode="overwrite"
+                )
+                return
+            schema_cols = [
+                f.name
+                for f in iceberg_py.iceberg_schema_to_spark(
+                    iceberg_py._current_schema(meta)
+                ).fields
+            ]
+            target = scan.select(
+                *[F.col(c) for c in schema_cols],
+                F.col("__fn").alias("__llh_fn"),
+                F.col("__ri").alias("__llh_ri"),
+            )
+            dead, appended = self._dv_change_set(target)
+            if self._validate is not None and appended is not None:
+                self._validate(appended)
+            dead = dead.select(
+                F.col("file_name"), F.col("row_index")
+            )
+            iceberg_py.apply_iceberg_row_changes(
+                self._spark,
+                path,
+                meta,
+                data_files,
+                dead,
+                appended,
+                operation="overwrite",
+            )
+            return
         result = self._result_plan()
         if self._validate is not None:
             self._validate(result)
@@ -457,10 +507,14 @@ def merge_table(
     """
     from .types_map import check_schemas_equal, spark_schema_to_uc_columns
 
-    if table.file_type not in (FileType.DELTA, FileType.PARQUET):
+    if table.file_type not in (
+        FileType.DELTA,
+        FileType.PARQUET,
+        FileType.ICEBERG,
+    ):
         raise UnsupportedOperationError(
-            f"MERGE is only supported for DELTA and PARQUET tables, not "
-            f"{table.file_type.value}"
+            f"MERGE is only supported for DELTA, PARQUET, and ICEBERG "
+            f"tables, not {table.file_type.value}"
         )
     # Exact schema match, parity dataframe.py:473.
     check_schemas_equal(

@@ -2576,16 +2576,42 @@ def delete_iceberg_where(
     spark: SparkSession, path: str, predicate: str
 ) -> dict:
     """Row-level DELETE as an Iceberg v2 POSITION-DELETE snapshot:
-    matching rows' (file_path, pos) land in a delete parquet written
-    by Spark (distributed — sorted by file_path, pos as the spec
-    requires), referenced from a content=1 manifest; data files are
+    matching surviving rows' (file_path, pos) land in a delete
+    parquet (distributed, sorted by file_path/pos as the spec
+    requires) referenced from a content=1 manifest; data files are
     untouched. The same merge-on-read economics as Delta deletion
     vectors: a 0.1% delete on 100 TB commits positions, not a
-    rewrite."""
+    rewrite. Identity partition values inject into the scan first
+    (_positional_scan), so predicates on metadata-only partition
+    columns are exact."""
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
     _require_v2(meta, "delete_iceberg_where")
+    scan, data_files, _pos = _positional_scan(spark, meta, path)
+    if scan is None:
+        return meta
+    matched = scan.filter(predicate)
+    dead = matched.select(
+        F.col("__fn").alias("file_name"),
+        F.col("__ri").alias("row_index"),
+    )
+    return apply_iceberg_row_changes(
+        spark, path, meta, data_files, dead, None, operation="delete"
+    )
+
+
+def _positional_scan(spark: SparkSession, meta: dict, path: str):
+    """Current-snapshot scan carrying ``__fp``/``__fn``/``__ri``
+    file-identity columns, identity partition values INJECTED
+    (metadata-only partition predicates must be exact), and PRIOR
+    position deletes anti-joined out — the surviving-row universe
+    every row-level change (DELETE / UPDATE / MERGE) computes
+    against. Returns ``(scan, data_files, pos_deletes)``; scan is
+    None when the snapshot has no data files. Equality-delete
+    tables refuse (their scoping would dangle under more DML)."""
+    from pyspark.sql import functions as F
+
     snap = _select_snapshot(meta)
     data_files, pos_deletes, n_eq = _snapshot_files(meta, snap, path)
     if n_eq:
@@ -2595,9 +2621,7 @@ def delete_iceberg_where(
     schema = iceberg_schema_to_spark(_current_schema(meta))
     paths = [_resolve(d["file_path"], path) for d in data_files]
     if not paths:
-        return meta
-    # positions of surviving-to-date rows matching the predicate;
-    # prior deletes must NOT be re-listed (harmless but unbounded)
+        return None, data_files, pos_deletes
     scan = (
         spark.read.schema(schema)
         .parquet(*paths)
@@ -2610,20 +2634,15 @@ def delete_iceberg_where(
         )
     )
     if any(d.get("_idpart") for d in data_files):
-        # identity partition values live ONLY in manifest metadata
-        # for files that (spec-legally) omit the columns — without
-        # injection a predicate on the partition column reads NULL
-        # and the DELETE silently no-ops
         names = [os.path.basename(p) for p in paths]
         if len(set(names)) != len(names):
             raise UnsupportedOperationError(
-                "DELETE over identity-partitioned data files with "
-                "colliding basenames"
+                "row-level change over identity-partitioned data "
+                "files with colliding basenames"
             )
         scan = _inject_identity_partitions(
             spark, scan, schema, data_files, path
         )
-    scan = scan.filter(predicate)
     if pos_deletes:
         prior = (
             spark.read.schema("file_path string, pos long")
@@ -2643,17 +2662,24 @@ def delete_iceberg_where(
             & (scan["__ri"] == prior["__ppos"]),
             "left_anti",
         )
-    hits = scan.select(
-        F.regexp_replace("__fp", "^file:/*", "/").alias("file_path"),
-        F.col("__ri").alias("pos"),
-    ).orderBy("file_path", "pos")
+    return scan, data_files, pos_deletes
+
+
+def _stage_position_deletes(
+    spark: SparkSession, path: str, hits: DataFrame
+) -> list:
+    """``hits`` (file_path string, pos long) -> committed position-
+    delete parquet under ``data/`` + its manifest entries (sorted by
+    file_path, pos as the spec requires). Empty hits -> []."""
+    import pyarrow.parquet as pq
+
     tmp = path + f".__ice_del_{uuid.uuid4().hex}"
-    hits.coalesce(1).write.mode("overwrite").parquet(tmp)
+    hits.orderBy("file_path", "pos").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
     ddir = os.path.join(path, "data")
     os.makedirs(ddir, exist_ok=True)
     entries = []
-    import pyarrow.parquet as pq
-
     for src in _collect_part_files(tmp):
         n = pq.read_metadata(src).num_rows
         if n == 0:
@@ -2670,24 +2696,89 @@ def delete_iceberg_where(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+    return entries
+
+
+def apply_iceberg_row_changes(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    data_files: list,
+    dead: Optional[DataFrame],
+    appended: Optional[DataFrame],
+    operation: str = "overwrite",
+) -> dict:
+    """Commit a row-level CHANGE SET as ONE snapshot — the Iceberg
+    twin of delta_py.apply_row_changes (the DV merge commit):
+    ``dead`` (file_name string, row_index long — basenames, as the
+    merge change set produces) becomes a position-delete file;
+    ``appended`` rows land as new data files laid out by the table's
+    partition spec. Untouched rows stay in their files — a MERGE
+    touching 0.1% of a 100 TB table commits positions plus 0.1% of
+    the data, never a rewrite."""
+    from pyspark.sql import functions as F
+
+    schema_obj = _current_schema(meta)
+    del_entries: list = []
+    if dead is not None:
+        # basename -> absolute path (metadata-sized; basenames are
+        # unique — _positional_scan guarded)
+        fmap = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(_resolve(d["file_path"], path)),
+                    _resolve(d["file_path"], path),
+                )
+                for d in data_files
+            ]
+            or [("", "")],
+            "file_name string, file_path string",
+        )
+        hits = (
+            dead.join(F.broadcast(fmap), "file_name")
+            .select("file_path", F.col("row_index").alias("pos"))
+        )
+        del_entries = _stage_position_deletes(spark, path, hits)
+    add_entries: list = []
+    pf_avro: list = []
+    if appended is not None:
+        ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+        add_entries, pf_avro = _stage_data_files(
+            spark, appended, path, meta, schema_obj, ids
+        )
     prior_rows = _prior_manifest_rows(meta, path)
     snap_id = _new_snapshot_id()
-    if not entries:  # no matching rows: still a (no-op) commit
+    if not del_entries and not add_entries:
         return _commit_snapshot(
-            path, meta, prior_rows, "delete", snap_id
+            path, meta, prior_rows, operation, snap_id
         )
     seq = int(meta.get("last-sequence-number", 0)) + 1
-    mrow = _write_manifest(
-        path,
-        entries,
-        snap_id,
-        seq,
-        content=1,
-        spec_id=int(meta.get("default-spec-id", 0)),
-    )
-    return _commit_snapshot(
-        path, meta, prior_rows + [mrow["row"]], "delete", snap_id
-    )
+    cur_spec = int(meta.get("default-spec-id", 0))
+    rows = list(prior_rows)
+    if add_entries:
+        rows.append(
+            _write_manifest(
+                path,
+                add_entries,
+                snap_id,
+                seq,
+                content=0,
+                partition_fields=pf_avro or None,
+                spec_id=cur_spec,
+            )["row"]
+        )
+    if del_entries:
+        rows.append(
+            _write_manifest(
+                path,
+                del_entries,
+                snap_id,
+                seq,
+                content=1,
+                spec_id=cur_spec,
+            )["row"]
+        )
+    return _commit_snapshot(path, meta, rows, operation, snap_id)
 
 
 def update_iceberg_where(
@@ -2704,112 +2795,30 @@ def update_iceberg_where(
     spec — rows whose assignment moves them across partitions land
     correctly). ``assignments`` maps column -> SQL expression, all
     evaluated against the ORIGINAL row simultaneously (standard
-    UPDATE semantics: ``{"a": "b", "b": "a"}`` swaps). The same
-    merge-on-read economics as Delta's DV UPDATE: a 0.1% update on
-    100 TB commits positions + the changed rows, never a table
-    rewrite. Identity partition values inject into the scan first,
-    so predicates (and assignments) on metadata-only partition
-    columns are exact."""
+    UPDATE semantics: ``{"a": "b", "b": "a"}`` swaps), each cast
+    back to its field's type. The same merge-on-read economics as
+    Delta's DV UPDATE: a 0.1% update on 100 TB commits positions +
+    the changed rows, never a table rewrite."""
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
     _require_v2(meta, "update_iceberg_where")
-    snap = _select_snapshot(meta)
-    data_files, pos_deletes, n_eq = _snapshot_files(meta, snap, path)
-    if n_eq:
-        raise UnsupportedOperationError(
-            "table carries equality deletes; refusing to add more DML"
-        )
     schema_obj = _current_schema(meta)
     schema = iceberg_schema_to_spark(schema_obj)
-    known = {f.name: f for f in schema.fields}
-    bad = sorted(set(assignments) - set(known))
+    bad = sorted(set(assignments) - {f.name for f in schema.fields})
     if bad:
         raise UnsupportedOperationError(
             f"UPDATE assigns unknown columns {bad}"
         )
-    paths = [_resolve(d["file_path"], path) for d in data_files]
-    if not paths:
+    scan, data_files, _pos = _positional_scan(spark, meta, path)
+    if scan is None:
         return meta
-    scan = (
-        spark.read.schema(schema)
-        .parquet(*paths)
-        .withColumns(
-            {
-                "__fp": F.col("_metadata.file_path"),
-                "__fn": F.col("_metadata.file_name"),
-                "__ri": F.col("_metadata.row_index"),
-            }
-        )
-    )
-    if any(d.get("_idpart") for d in data_files):
-        names = [os.path.basename(p) for p in paths]
-        if len(set(names)) != len(names):
-            raise UnsupportedOperationError(
-                "UPDATE over identity-partitioned data files with "
-                "colliding basenames"
-            )
-        scan = _inject_identity_partitions(
-            spark, scan, schema, data_files, path
-        )
-    if pos_deletes:
-        prior = (
-            spark.read.schema("file_path string, pos long")
-            .parquet(
-                *[_resolve(d["file_path"], path) for d in pos_deletes]
-            )
-            .select(
-                F.element_at(F.split("file_path", "/"), -1).alias(
-                    "__pfn"
-                ),
-                F.col("pos").alias("__ppos"),
-            )
-        )
-        scan = scan.join(
-            F.broadcast(prior),
-            (scan["__fn"] == prior["__pfn"])
-            & (scan["__ri"] == prior["__ppos"]),
-            "left_anti",
-        )
     matched = scan.filter(predicate)
-    # positions half (identical shape to delete_iceberg_where)
-    hits = matched.select(
-        F.regexp_replace("__fp", "^file:/*", "/").alias("file_path"),
-        F.col("__ri").alias("pos"),
-    ).orderBy("file_path", "pos")
-    tmp = path + f".__ice_upd_{uuid.uuid4().hex}"
-    hits.coalesce(1).write.mode("overwrite").parquet(tmp)
-    ddir = os.path.join(path, "data")
-    os.makedirs(ddir, exist_ok=True)
-    del_entries = []
-    import pyarrow.parquet as pq
-
-    for src in _collect_part_files(tmp):
-        n = pq.read_metadata(src).num_rows
-        if n == 0:
-            continue
-        dest = os.path.join(ddir, f"delete-{uuid.uuid4().hex}.parquet")
-        os.replace(src, dest)
-        del_entries.append(
-            {
-                "file_path": dest,
-                "record_count": n,
-                "file_size_in_bytes": os.path.getsize(dest),
-            }
-        )
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    prior_rows = _prior_manifest_rows(meta, path)
-    snap_id = _new_snapshot_id()
-    if not del_entries:  # nothing matched: a (no-op) commit
-        return _commit_snapshot(
-            path, meta, prior_rows, "overwrite", snap_id
-        )
-    # rewrite half: ONE select = simultaneous assignment semantics,
-    # each expression cast back to its field's type (the append
-    # type guard's contract)
-    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    dead = matched.select(
+        F.col("__fn").alias("file_name"),
+        F.col("__ri").alias("row_index"),
+    )
+    # ONE select = simultaneous assignment semantics
     upd = matched.select(
         *[
             (
@@ -2820,30 +2829,6 @@ def update_iceberg_where(
             for f in schema.fields
         ]
     )
-    entries, pf_avro = _stage_data_files(
-        spark, upd, path, meta, schema_obj, ids
-    )
-    seq = int(meta.get("last-sequence-number", 0)) + 1
-    cur_spec = int(meta.get("default-spec-id", 0))
-    rows = [
-        _write_manifest(
-            path,
-            entries,
-            snap_id,
-            seq,
-            content=0,
-            partition_fields=pf_avro or None,
-            spec_id=cur_spec,
-        )["row"],
-        _write_manifest(
-            path,
-            del_entries,
-            snap_id,
-            seq,
-            content=1,
-            spec_id=cur_spec,
-        )["row"],
-    ]
-    return _commit_snapshot(
-        path, meta, prior_rows + rows, "overwrite", snap_id
+    return apply_iceberg_row_changes(
+        spark, path, meta, data_files, dead, upd, operation="overwrite"
     )

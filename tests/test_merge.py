@@ -414,3 +414,57 @@ def test_dv_merge_respects_append_only(unity, spark, tmp_path):
         for r in unity.read_table("unity", "default", "dvao").collect()
     }
     assert rows[100] == "new" and rows[0] == "a" and len(rows) == 5
+
+
+def test_merge_into_iceberg_merge_on_read(unity, spark, tmp_path):
+    """MERGE INTO an ICEBERG table (round 9): merge-on-read — the
+    change set's dead rows become a position-delete file and the
+    rewritten/inserted rows new data files, ONE 'overwrite' snapshot
+    (apply_iceberg_row_changes); untouched rows stay in their files,
+    original files survive for time travel, and a streaming reader
+    must fail-or-skip the snapshot."""
+    from local_lakehouse_spark.models import FileType
+    from local_lakehouse_spark.sources import iceberg_py
+
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    )
+    src = spark.createDataFrame(
+        [(2, "B"), (3, None), (4, "D")], "id long, s string"
+    )
+    loc = str(tmp_path / "mice")
+    unity.create_as_table(
+        tgt, "unity", "default", "mice",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    unity.create_as_table(
+        src, "unity", "default", "msrc",
+        file_type=FileType.PARQUET, location=str(tmp_path / "msrc"),
+    )
+    unity.sql(
+        "MERGE INTO unity.default.mice AS t "
+        "USING unity.default.msrc AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.s IS NULL THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET s = s.s "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    out = sorted(
+        (r.id, r.s)
+        for r in unity.read_table("unity", "default", "mice").collect()
+    )
+    assert out == [(1, "a"), (2, "B"), (4, "D")]
+    meta = iceberg_py.table_metadata(loc)
+    assert [s["summary"]["operation"] for s in meta["snapshots"]] == [
+        "append",
+        "overwrite",
+    ]
+    # merge-on-read: a position-delete file committed, original data
+    # files still live (time travel reads the pre-merge rows)
+    snap = iceberg_py._select_snapshot(meta)
+    _d, pos, _e = iceberg_py._snapshot_files(meta, snap, loc)
+    assert len(pos) >= 1
+    pre = meta["snapshots"][0]["snapshot-id"]
+    assert (
+        iceberg_py.read_iceberg(spark, loc, snapshot_id=pre).count()
+        == 3
+    )
