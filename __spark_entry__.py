@@ -50,6 +50,7 @@ _NEVER_STAMPED = [
     "y39_iceberg_add_files",
     "y40_iceberg_refs",
     "y41_iceberg_update_overwrite",
+    "y42_iceberg_merge",
 ]
 _R4_ERA = [
     "x43_word_rarity",
@@ -92,12 +93,11 @@ _R4_ERA = [
     "x98_decayed_popularity",
 ]
 _R5_ERA_HEAD = [
-    # trimmed to 4 when y36-y41 joined _NEVER_STAMPED (8+38+4 = the
-    # exact 50-query driver cap); x57/x99/y01-y09 rotate in r10
+    # trimmed to 3 when y36-y42 joined _NEVER_STAMPED (9+38+3 = the
+    # exact 50-query driver cap); x54/x57/x99/y01-y09 rotate in r10
     "q05_null_coalesce",
     "q32_json_extract",
     "q55_tpch_q15_top_supplier",
-    "x54_data_quality_report",
 ]
 _PRIORITY = _NEVER_STAMPED + _R4_ERA + _R5_ERA_HEAD
 QUERY_SPECS = {

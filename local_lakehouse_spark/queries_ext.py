@@ -8459,6 +8459,128 @@ FROM updated GROUP BY nation ORDER BY nation
 """
 
 
+def y42(spark, sf):
+    """ICEBERG merge-on-read MERGE INTO (round 9 — the full
+    update/delete/insert clause matrix committing as ONE Iceberg
+    'overwrite' snapshot through the shared change-set machinery):
+    the supplier extract stages as the target; the source carries
+    updated images for ``suppkey % 10 = 0`` (acctbal + 5000) plus
+    brand-new rows (suppkey + 9e9); clauses DELETE the matched
+    ``suppkey % 100 = 0`` slice (first-match-wins over the update),
+    UPDATE the rest of the matches, INSERT the new keys. CONTRACTS:
+    exactly two snapshots (append, overwrite); a position-delete
+    file committed (merge-on-read — never a rewrite: untouched rows
+    stay in their files); pre-merge time travel reads the original
+    extract. Oracle: the same MERGE applied in SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .merge import merge_table
+    from .models import FileType, Table, TableType
+    from .sources import iceberg_py
+    from .types_map import spark_schema_to_uc_columns
+
+    key = hashlib.md5(f"{sf}|ice-merge-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_merge_{key}")
+    base = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").cast("int").alias("nation"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        import shutil
+
+        try:
+            iceberg_py.write_iceberg(
+                spark, base.repartition(4), tbl, mode="create"
+            )
+            tenth = base.filter(F.col("suppkey") % 10 == 0)
+            source = tenth.select(
+                "suppkey",
+                "nation",
+                (F.col("acctbal") + 5000).alias("acctbal"),
+            ).unionByName(
+                tenth.select(
+                    (F.col("suppkey") + F.lit(9_000_000_000)).alias(
+                        "suppkey"
+                    ),
+                    "nation",
+                    F.lit(1.0).alias("acctbal"),
+                )
+            )
+            model = Table(
+                name="y42",
+                catalog_name="unity",
+                schema_name="default",
+                table_type=TableType.EXTERNAL,
+                file_type=FileType.ICEBERG,
+                storage_location=tbl,
+                columns=spark_schema_to_uc_columns(source.schema),
+            )
+            (
+                merge_table(
+                    spark,
+                    model,
+                    source,
+                    condition="t.suppkey = s.suppkey",
+                )
+                .when_matched_delete("s.suppkey % 100 = 0")
+                .when_matched_update_all()
+                .when_not_matched_insert_all()
+                .execute()
+            )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    ops = [s["summary"]["operation"] for s in meta["snapshots"]]
+    if ops != ["append", "overwrite"]:
+        raise AssertionError(f"y42: snapshot ops wrong: {ops}")
+    snap = iceberg_py._select_snapshot(meta)
+    _d, pos, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    if not pos:
+        raise AssertionError(
+            "y42: no position-delete file — the merge rewrote "
+            "instead of merge-on-read"
+        )
+    pre = meta["snapshots"][0]["snapshot-id"]
+    if iceberg_py.read_iceberg(
+        spark, tbl, snapshot_id=pre
+    ).count() != base.count():
+        raise AssertionError("y42: pre-merge time travel wrong")
+    df = iceberg_py.read_iceberg(spark, tbl)
+    return (
+        df.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y42_SQL = """
+WITH merged AS (
+  SELECT s_nationkey AS nation,
+         CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 5000
+              ELSE s_acctbal END AS acctbal
+  FROM supplier WHERE s_suppkey % 100 <> 0
+  UNION ALL
+  SELECT s_nationkey AS nation, 1.0 AS acctbal
+  FROM supplier WHERE s_suppkey % 10 = 0
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM merged GROUP BY nation ORDER BY nation
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -8629,4 +8751,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y39_iceberg_add_files": QuerySpec(y39, Y39_SQL),
     "y40_iceberg_refs": QuerySpec(y40, Y40_SQL),
     "y41_iceberg_update_overwrite": QuerySpec(y41, Y41_SQL),
+    "y42_iceberg_merge": QuerySpec(y42, Y42_SQL),
 }
