@@ -189,5 +189,13 @@ class PyAvroDataSource(DataSource):
 
 
 def register(spark: "SparkSession") -> None:
-    """Idempotent session-level registration of the pyavro format."""
+    """Idempotent session-level registration of the pyavro format.
+
+    ``_PyAvroReader`` has no ``pushFilters`` today, but the conf guard
+    is applied anyway so the reader can grow pushdown without breaking
+    default sessions (same contract as pydelta/pyiceberg register).
+    """
+    from .pushdown_conf import ensure_filter_pushdown
+
+    ensure_filter_pushdown(spark)
     spark.dataSource.register(PyAvroDataSource)

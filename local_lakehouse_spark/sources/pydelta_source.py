@@ -1028,14 +1028,7 @@ def register(spark: "SparkSession") -> None:
     this call silently flipping a deliberate session-wide setting that
     also governs every other registered Python data source.
     """
-    key = "spark.sql.python.filterPushdown.enabled"
-    try:
-        explicitly_set = bool(
-            spark.sparkContext.getConf().get(key, None) is not None
-            or spark._jsparkSession.sessionState().conf().contains(key)
-        )
-    except Exception:
-        explicitly_set = False
-    if not explicitly_set:
-        spark.conf.set(key, "true")
+    from .pushdown_conf import ensure_filter_pushdown
+
+    ensure_filter_pushdown(spark)
     spark.dataSource.register(PyDeltaDataSource)

@@ -438,5 +438,17 @@ class PyIcebergDataSource(DataSource):
 
 def register(spark: "SparkSession") -> None:
     """Idempotent ``spark.dataSource.register`` of the pyiceberg
-    format (same contract as pydelta/pyavro register)."""
+    format (same contract as pydelta/pyavro register).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled``: because
+    ``_PyIcebergReader`` implements ``pushFilters``, any session with
+    the conf off fails every batch ``format('pyiceberg')`` read with
+    DATA_SOURCE_PUSHDOWN_DISABLED. The conf is only flipped when it
+    still holds its false DEFAULT — a session whose user explicitly
+    set it to false keeps their choice (same guard as
+    pydelta_source.register).
+    """
+    from .pushdown_conf import ensure_filter_pushdown
+
+    ensure_filter_pushdown(spark)
     spark.dataSource.register(PyIcebergDataSource)

@@ -143,10 +143,19 @@ class SyntheticDocsDataSource(DataSource):
 
 
 def register_sources(spark: SparkSession) -> None:
-    """Register all custom sources on a session (idempotent)."""
+    """Register all custom sources on a session (idempotent).
+
+    SyntheticDocsReader implements ``pushFilters`` (even with the
+    ``pushdown`` option unset — the METHOD existing is what Spark 4
+    gates on), so registration must also enable the Python-source
+    filter-pushdown conf or every batch read fails on a default
+    session with DATA_SOURCE_PUSHDOWN_DISABLED.
+    """
+    from .pushdown_conf import ensure_filter_pushdown
     from .pyavro_source import PyAvroDataSource
     from .pydelta_source import PyDeltaDataSource
 
+    ensure_filter_pushdown(spark)
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(PyDeltaDataSource)

@@ -16,6 +16,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -24,7 +25,33 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 from local_lakehouse_spark.queries import TABLES
-from local_lakehouse_spark.session import get_spark
+
+
+def driver_default_spark():
+    """Build the sweep session the way the DRIVER does — bare builder,
+    NO package conveniences. Round 9 shipped '212 ok / 0 fail' locally
+    while the driver read 5 failures at the same commit, because the
+    sweep used session.get_spark which pre-sets
+    spark.sql.python.filterPushdown.enabled: the harness could not see
+    driver-session failures by construction. Queries must themselves
+    apply every SQL-semantic conf they need (harden_runtime / source
+    register()); only JVM-startup infrastructure knobs (memory, code
+    cache, UI) are set here — none affect plan semantics."""
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    return (
+        SparkSession.builder.appName("check-correctness-driverlike")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def canon(rows, columns):
@@ -73,7 +100,7 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
 
-    spark = get_spark(app_name="check-correctness")
+    spark = driver_default_spark()
     con = duckdb.connect()
     for tbl in TABLES:
         con.sql(
