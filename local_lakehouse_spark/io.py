@@ -523,7 +523,20 @@ def write_table(
             )
         if schema_evolution == SchemaEvolution.STRICT and table.columns:
             check_schemas_equal(df_cols, table.columns)
-        if not exists:
+        if replace_where is not None:
+            # Filtered overwrite (replaceWhere / partition_filters,
+            # both compiled to the predicate string by the guards
+            # above): rows matching the predicate become position
+            # deletes and df appends, ONE snapshot — the spec's
+            # row-level overwrite. A fresh table has nothing to
+            # replace, so it degrades to create.
+            if exists:
+                iceberg_py.overwrite_iceberg_where(
+                    spark, path, replace_where, df
+                )
+                return None
+            ice_mode = "create"
+        elif not exists:
             ice_mode = "create"
         elif mode == WriteMode.APPEND:
             ice_mode = "append"

@@ -408,6 +408,100 @@ def _partition_specs(meta: dict) -> dict:
     return out
 
 
+def _pf_avro_for_spec(meta: dict, spec_id: int) -> list:
+    """Avro partition-field defs for an arbitrary (possibly historic)
+    spec-id — what removal entries written under their ORIGINAL spec
+    need. Returns [] when the spec can't be typed (unknown source
+    field or transform result type), in which case the caller falls
+    back to an untyped (empty) partition record."""
+    from . import iceberg_transforms as _tr
+
+    spec_fields = _partition_specs(meta).get(int(spec_id), [])
+    if not spec_fields:
+        return []
+    fields_by_id = {
+        f["id"]: f
+        for f in _current_schema(meta)["fields"]
+        if isinstance(f.get("type"), str)
+    }
+    out = []
+    for sf in spec_fields:
+        src = fields_by_id.get(int(sf["source-id"]))
+        if src is None:
+            return []
+        tfm = sf.get("transform", "identity")
+        try:
+            t = (
+                src["type"]
+                if tfm == "identity"
+                else _tr.result_ice_type(tfm, src["type"])
+            )
+            avro_type = _PART_AVRO_TYPES[t]
+        except Exception:
+            return []
+        out.append(
+            {
+                "name": sf["name"],
+                "avro_type": avro_type,
+                "field-id": sf["field-id"],
+            }
+        )
+    return out
+
+
+def _removal_entry(d: dict, spec_fields: list) -> dict:
+    """A live manifest entry (as _snapshot_files returns it) -> a
+    status=2 DELETED entry preserving its original data sequence
+    number AND its partition record (tuple aligned to the entry's
+    ORIGINAL spec fields — the spec's requirement for readers that
+    inspect deleted entries)."""
+    pdict = d.get("partition")
+    partition = None
+    if spec_fields and isinstance(pdict, dict):
+        partition = tuple(pdict.get(sf["name"]) for sf in spec_fields)
+    return {
+        "file_path": d["file_path"],
+        "record_count": int(d.get("record_count") or 0),
+        "file_size_in_bytes": int(d.get("file_size_in_bytes") or 0),
+        "status": 2,
+        "sequence_number": int(d["_seq"]),
+        "partition": partition,
+    }
+
+
+def _removal_manifest_rows(
+    path: str,
+    meta: dict,
+    old_entries: list,
+    snap_id: int,
+    seq: int,
+    content: int,
+) -> list:
+    """Group removed entries by their ORIGINAL partition_spec_id and
+    write one status=2 manifest per spec, each typed with that spec's
+    partition record and stamped with that spec-id — manifests stay
+    spec-consistent for foreign readers even across spec evolution."""
+    rows = []
+    by_spec: dict = {}
+    for d in old_entries:
+        by_spec.setdefault(int(d.get("_spec_id") or 0), []).append(d)
+    for sid, group in sorted(by_spec.items()):
+        pf = _pf_avro_for_spec(meta, sid)
+        spec_fields = _partition_specs(meta).get(sid, []) if pf else []
+        rows.append(
+            _write_manifest(
+                path,
+                [_removal_entry(d, spec_fields) for d in group],
+                snap_id,
+                seq,
+                content=content,
+                partition_fields=pf or None,
+                spec_id=sid,
+            )["row"]
+        )
+    return rows
+
+
 def _partition_literal(value, ice_type: str):
     """Decoded avro partition value -> a comparable Python value
     (dates store as days-from-epoch ints in metadata)."""
@@ -523,6 +617,11 @@ def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
             df = dict(entry["data_file"])
             seq = entry.get("sequence_number")
             df["_seq"] = int(seq) if seq is not None else mseq
+            # the entry's ORIGINAL spec — removal entries written by
+            # a later overwrite must carry it (and the partition
+            # record) so foreign readers inspecting DELETED entries
+            # see spec-consistent manifests
+            df["_spec_id"] = int(mf.get("partition_spec_id") or 0)
             df["_idpart"] = _identity_values(
                 df.get("partition") or {}, spec_fields, fields_by_id
             )
@@ -679,6 +778,17 @@ def parse_name_mapping(meta: dict) -> Optional[dict]:
     return out
 
 
+_PROBE_CACHE: dict = {}
+
+
+def _json_digest(obj) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        json.dumps(obj, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
 def _build_scan(
     spark: SparkSession,
     paths: list,
@@ -729,31 +839,72 @@ def _build_scan(
         return _with_identity(spark.read.schema(schema).parquet(*paths))
     import pyarrow.parquet as pq
 
-    with_ids: list = []
-    groups: dict = {}  # resolved physical-name tuple -> [paths]
-    for p in paths:
+    # Planning-time footer probes are CACHED per (path, mtime, size,
+    # mapping/schema digest): Iceberg data files are immutable once
+    # committed, so the binding decision (id-bound vs the mapped
+    # physical layout) never changes for a file — without the cache a
+    # migrated table pays O(files) driver-side footer reads on EVERY
+    # query, which breaks metadata-only planning at large file counts.
+    mkey = _json_digest(
+        (
+            sorted((k, tuple(v)) for k, v in mapping.items()),
+            [
+                (
+                    f.name,
+                    str(f.dataType),
+                    (f.metadata or {}).get("parquet.field.id"),
+                )
+                for f in schema.fields
+            ],
+        )
+    )
+
+    def _probe(p: str):
+        try:
+            st = os.stat(p)
+            key = (p, st.st_mtime_ns, st.st_size, mkey)
+        except OSError:
+            key = None
+        if key is not None and key in _PROBE_CACHE:
+            return _PROBE_CACHE[key]
         fs = pq.read_schema(p)
         if any(
             (f.metadata or {}).get(b"PARQUET:field_id") is not None
             for f in fs
         ):
-            with_ids.append(p)
-            continue
-        fnames = set(fs.names)
-        phys = tuple(
-            next(
-                (
-                    n
-                    for n in mapping.get(
-                        int(f.metadata["parquet.field.id"]), []
+            result = (True, None)
+        else:
+            fnames = set(fs.names)
+            result = (
+                False,
+                tuple(
+                    next(
+                        (
+                            n
+                            for n in mapping.get(
+                                int(f.metadata["parquet.field.id"]), []
+                            )
+                            if n in fnames
+                        ),
+                        None,
                     )
-                    if n in fnames
+                    for f in schema.fields
                 ),
-                None,
             )
-            for f in schema.fields
-        )
-        groups.setdefault(phys, []).append(p)
+        if key is not None:
+            if len(_PROBE_CACHE) > 1_000_000:  # metadata-scale bound
+                _PROBE_CACHE.clear()
+            _PROBE_CACHE[key] = result
+        return result
+
+    with_ids: list = []
+    groups: dict = {}  # resolved physical-name tuple -> [paths]
+    for p in paths:
+        has_ids, phys = _probe(p)
+        if has_ids:
+            with_ids.append(p)
+        else:
+            groups.setdefault(phys, []).append(p)
     scans = []
     if with_ids:
         scans.append(
@@ -1924,52 +2075,30 @@ def write_iceberg(
                     "is unsupported (their sequence scoping would "
                     "dangle)"
                 )
-        removals = [
-            {
-                "file_path": d["file_path"],
-                "record_count": int(d.get("record_count") or 0),
-                "file_size_in_bytes": int(
-                    d.get("file_size_in_bytes") or 0
-                ),
-                "status": 2,
-                "sequence_number": int(d["_seq"]),
-            }
-            for d in old_data
-        ]
-        rows = [
-            _write_manifest(
-                path,
-                entries + removals,
-                snap_id,
-                seq,
-                content=0,
-                partition_fields=pf_avro or None,
-                spec_id=cur_spec,
-            )["row"]
-        ]
-        if old_deletes:
+        # Added entries under the CURRENT spec; removals grouped into
+        # per-ORIGINAL-spec manifests carrying each removed entry's
+        # partition record (spec rule: deleted entries stay readable
+        # and spec-consistent for foreign readers).
+        rows = []
+        if entries:
             rows.append(
                 _write_manifest(
                     path,
-                    [
-                        {
-                            "file_path": d["file_path"],
-                            "record_count": int(
-                                d.get("record_count") or 0
-                            ),
-                            "file_size_in_bytes": int(
-                                d.get("file_size_in_bytes") or 0
-                            ),
-                            "status": 2,
-                            "sequence_number": int(d["_seq"]),
-                        }
-                        for d in old_deletes
-                    ],
+                    entries,
                     snap_id,
                     seq,
-                    content=1,
+                    content=0,
+                    partition_fields=pf_avro or None,
                     spec_id=cur_spec,
                 )["row"]
+            )
+        if old_data:
+            rows += _removal_manifest_rows(
+                path, meta, old_data, snap_id, seq, content=0
+            )
+        if old_deletes:
+            rows += _removal_manifest_rows(
+                path, meta, old_deletes, snap_id, seq, content=1
             )
         return _commit_snapshot(
             path, meta, rows, "overwrite", snap_id
@@ -2633,13 +2762,22 @@ def _positional_scan(spark: SparkSession, meta: dict, path: str):
             }
         )
     )
+    # Colliding BASENAMES are refused for EVERY row-level change, not
+    # just identity-partitioned tables: dead rows map back to files by
+    # basename (apply_iceberg_row_changes joins on file_name), and an
+    # add_files-migrated table can hold same-named files from
+    # different source dirs — a colliding basename would join to both
+    # paths and delete positions in the WRONG file (silent
+    # corruption). read_iceberg and the pyiceberg source already
+    # refuse this case loudly; the DML path must too.
+    names = [os.path.basename(p) for p in paths]
+    if len(set(names)) != len(names):
+        raise UnsupportedOperationError(
+            "row-level change over data files with colliding "
+            "basenames (add_files-migrated layout?) — positions "
+            "could map to the wrong file"
+        )
     if any(d.get("_idpart") for d in data_files):
-        names = [os.path.basename(p) for p in paths]
-        if len(set(names)) != len(names):
-            raise UnsupportedOperationError(
-                "row-level change over identity-partitioned data "
-                "files with colliding basenames"
-            )
         scan = _inject_identity_partitions(
             spark, scan, schema, data_files, path
         )
@@ -2722,16 +2860,22 @@ def apply_iceberg_row_changes(
     del_entries: list = []
     if dead is not None:
         # basename -> absolute path (metadata-sized; basenames are
-        # unique — _positional_scan guarded)
+        # unique — _positional_scan guards, and this re-checks for
+        # callers that build their own change set)
+        pairs = [
+            (
+                os.path.basename(_resolve(d["file_path"], path)),
+                _resolve(d["file_path"], path),
+            )
+            for d in data_files
+        ]
+        if len({fn for fn, _ in pairs}) != len(pairs):
+            raise UnsupportedOperationError(
+                "row-level change over data files with colliding "
+                "basenames — positions could map to the wrong file"
+            )
         fmap = spark.createDataFrame(
-            [
-                (
-                    os.path.basename(_resolve(d["file_path"], path)),
-                    _resolve(d["file_path"], path),
-                )
-                for d in data_files
-            ]
-            or [("", "")],
+            pairs or [("", "")],
             "file_name string, file_path string",
         )
         hits = (
@@ -2831,4 +2975,44 @@ def update_iceberg_where(
     )
     return apply_iceberg_row_changes(
         spark, path, meta, data_files, dead, upd, operation="overwrite"
+    )
+
+
+def overwrite_iceberg_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    df: DataFrame,
+    constraint_check: bool = True,
+) -> dict:
+    """Filtered overwrite (Delta ``replaceWhere`` semantics) as ONE
+    Iceberg v2 snapshot: surviving rows matching ``predicate`` become
+    position deletes, ``df`` appends as new data files laid out by the
+    table's partition spec — the spec's row-level ``overwrite``
+    operation. With ``constraint_check`` (the Delta default), every
+    incoming row must itself satisfy ``predicate``; violating rows
+    would silently survive the next replaceWhere on the same
+    predicate, so they are refused up front. A partition-scoped
+    replaceWhere on 100 TB commits position deletes for the touched
+    partitions plus the replacement data — never a table rewrite."""
+    from pyspark.sql import functions as F
+
+    meta = table_metadata(path)
+    _require_v2(meta, "overwrite_iceberg_where")
+    if constraint_check:
+        n_bad = df.filter(~F.expr(predicate)).limit(1).count()
+        if n_bad:
+            raise UnsupportedOperationError(
+                "replaceWhere constraint violation: incoming rows do "
+                f"not all satisfy the predicate {predicate!r}"
+            )
+    scan, data_files, _pos = _positional_scan(spark, meta, path)
+    dead = None
+    if scan is not None:
+        dead = scan.filter(predicate).select(
+            F.col("__fn").alias("file_name"),
+            F.col("__ri").alias("row_index"),
+        )
+    return apply_iceberg_row_changes(
+        spark, path, meta, data_files, dead, df, operation="overwrite"
     )

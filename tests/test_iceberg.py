@@ -1809,3 +1809,180 @@ def test_overwrite_mode_replace_snapshot(spark, tbl):
     tbl3 = tbl + "_fresh"
     write_iceberg(spark, new, tbl3, mode="overwrite")
     assert read_iceberg(spark, tbl3).count() == 5
+
+
+def test_overwrite_iceberg_where_replacewhere(spark, tbl):
+    """Filtered overwrite (Delta replaceWhere semantics) in ONE
+    snapshot: rows matching the predicate become position deletes,
+    the incoming df appends; untouched partitions keep their files."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    meta0 = table_metadata(tbl)
+    snap0 = iceberg_py._select_snapshot(meta0)
+    data0, _p, _e = iceberg_py._snapshot_files(meta0, snap0, tbl)
+
+    new = spark.createDataFrame(
+        [(1000, 1, -1), (1001, 1, -2)], "k long, g int, v long"
+    )
+    meta = iceberg_py.overwrite_iceberg_where(spark, tbl, "g = 1", new)
+
+    out = read_iceberg(spark, tbl)
+    assert out.filter("g = 1").count() == 2
+    assert sorted(
+        r.k for r in out.filter("g = 1").select("k").collect()
+    ) == [1000, 1001]
+    # untouched partitions fully intact
+    assert out.filter("g != 1").count() == 20
+    assert out.count() == 22
+
+    # exactly ONE new snapshot; prior data files survive untouched
+    assert len(meta["snapshots"]) == len(meta0["snapshots"]) + 1
+    snap = iceberg_py._select_snapshot(meta)
+    data, pos, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    old_paths = {d["file_path"] for d in data0}
+    assert old_paths <= {d["file_path"] for d in data}
+    assert pos, "expected a position-delete file, not a rewrite"
+
+    # time travel still sees the pre-overwrite image
+    prev = read_iceberg(spark, tbl, snapshot_id=snap0["snapshot-id"])
+    assert prev.count() == 30
+
+    # constraint check: incoming rows must satisfy the predicate
+    bad = spark.createDataFrame([(1, 2, 0)], "k long, g int, v long")
+    with pytest.raises(UnsupportedOperationError, match="constraint"):
+        iceberg_py.overwrite_iceberg_where(spark, tbl, "g = 1", bad)
+
+
+def test_write_table_iceberg_replace_where(spark, unity, tmp_path):
+    """client.write_table replaceWhere on an ICEBERG table routes to
+    the filtered overwrite instead of silently nuking the table (the
+    r9 ADVICE-high defect)."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.models import (
+        FileType, Table, TableType, WriteMode,
+    )
+    from local_lakehouse_spark.types_map import (
+        spark_schema_to_uc_columns,
+    )
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("g")
+    )
+    loc = str(tmp_path / "ice_rw")
+    table = Table(
+        name="ice_rw",
+        catalog_name="unity",
+        schema_name="default",
+        table_type=TableType.EXTERNAL,
+        file_type=FileType.ICEBERG,
+        columns=spark_schema_to_uc_columns(df.schema),
+        storage_location=loc,
+    )
+    unity.create_table(table)
+    unity.write_table(
+        df, "unity", "default", "ice_rw", mode=WriteMode.OVERWRITE
+    )
+    new = spark.createDataFrame([(100, 0), (102, 0)], "k long, g int")
+    unity.write_table(
+        new,
+        "unity",
+        "default",
+        "ice_rw",
+        mode=WriteMode.OVERWRITE,
+        replace_where="g = 0",
+    )
+    out = read_iceberg(spark, loc)
+    assert out.count() == 12  # 10 odd survivors + 2 replacements
+    assert sorted(
+        r.k for r in out.filter("g = 0").collect()
+    ) == [100, 102]
+
+
+def test_dml_refuses_colliding_basenames(spark, tbl, tmp_path):
+    """The r9 ADVICE-medium corruption guard: an add_files-migrated
+    table holding same-named files from different source dirs must
+    REFUSE row-level DML (positions would map to the wrong file)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for sub in ("a", "b"):
+        d = str(tmp_path / sub)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        # rename the part file to a fixed name so basenames collide
+        part = [
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ][0]
+        os.replace(
+            os.path.join(d, part), os.path.join(d, "part-000.parquet")
+        )
+        for extra in os.listdir(d):
+            if not extra.endswith(".parquet"):
+                os.remove(os.path.join(d, extra))
+        iceberg_py.add_files(spark, tbl, d)
+    with pytest.raises(UnsupportedOperationError, match="basename"):
+        delete_iceberg_where(spark, tbl, "k = 3")
+
+
+def test_overwrite_removal_entries_carry_partitions(spark, tbl):
+    """Spec-consistency for foreign readers that inspect DELETED
+    entries: a full overwrite's status=2 removals must carry each
+    removed file's ORIGINAL partition record (not all-null) and sit
+    in manifests stamped with the entry's original spec-id."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("g")
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    new = spark.createDataFrame([(99, 0)], "k long, g int")
+    meta = write_iceberg(spark, new, tbl, mode="overwrite")
+
+    snap = iceberg_py._select_snapshot(meta)
+    deleted_parts = []
+    for mf in iceberg_py._manifest_list_rows(snap, tbl):
+        mpath = iceberg_py._resolve(mf["manifest_path"], tbl)
+        for entry in iceberg_py._read_avro_dicts(mpath):
+            if entry.get("status") != 2:
+                continue
+            part = entry["data_file"].get("partition")
+            assert isinstance(part, dict) and "g" in part, part
+            deleted_parts.append(part["g"])
+            assert int(mf.get("partition_spec_id") or 0) == 0
+    # every original partition value appears among the removals,
+    # none of them null-padded away
+    assert set(deleted_parts) == {0, 1, 2}
+    assert None not in deleted_parts
+
+
+def test_name_mapping_probe_cached(spark, tbl, tmp_path, monkeypatch):
+    """Planning on a name-mapped (add_files-migrated) table must not
+    re-read every data file's footer per query — probes are cached by
+    (path, mtime, size, mapping digest)."""
+    from pyspark.sql import functions as F
+    import pyarrow.parquet as pq_mod
+
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    raw = str(tmp_path / "raw")
+    df.repartition(4).write.mode("overwrite").parquet(raw)
+    iceberg_py.add_files(spark, tbl, raw)
+    assert read_iceberg(spark, tbl).count() == 40  # warms the cache
+
+    calls = {"n": 0}
+    real = pq_mod.read_schema
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pq_mod, "read_schema", counting)
+    assert read_iceberg(spark, tbl).count() == 40
+    assert calls["n"] == 0, f"{calls['n']} footer probes on a warm plan"
