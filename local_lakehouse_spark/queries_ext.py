@@ -8581,6 +8581,113 @@ FROM merged GROUP BY nation ORDER BY nation
 """
 
 
+def y43(spark, sf):
+    """ICEBERG EQUALITY-DELETE WRITE (round 10 — the write twin of
+    the y33 equality READ contract): the customer extract stages as
+    the base (seq 1); a Flink-CDC-style UPSERT
+    (upsert_iceberg_equality) commits an equality-delete file over
+    the incoming keys PLUS the new images as ONE snapshot (seq 2 —
+    the strict `<` sequence rule keeps the same-batch inserts alive);
+    then a pure equality DELETE (equality_delete_iceberg) retires the
+    ``custkey % 100 = 0`` keys at seq 3 — INCLUDING their seq-2
+    upserted images, the sequence-layering case. CONTRACTS: snapshot
+    ops (append, overwrite, delete); content=2 equality-delete files
+    live in the final snapshot; the registered pyiceberg DataSource
+    (per-task keyset filtering) agrees with read_iceberg's
+    distributed anti-join on the full count; pre-change time travel
+    reads the original extract. Oracle: the same CDC outcome in SQL."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    key = hashlib.md5(f"{sf}|ice-eq-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_eq_{key}")
+    base = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            iceberg_py.write_iceberg(
+                spark, base.repartition(4), tbl, mode="create"
+            )
+            tenth = base.filter(F.col("k") % 10 == 0)
+            up = tenth.select(
+                "k", "nation", (F.col("acctbal") + 1000).alias("acctbal")
+            ).unionByName(
+                tenth.select(
+                    (F.col("k") + F.lit(9_000_000_000)).alias("k"),
+                    "nation",
+                    F.lit(1.0).alias("acctbal"),
+                )
+            )
+            iceberg_py.upsert_iceberg_equality(spark, tbl, up, ["k"])
+            dead_keys = base.filter(F.col("k") % 100 == 0).select("k")
+            iceberg_py.equality_delete_iceberg(
+                spark, tbl, dead_keys, ["k"]
+            )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    ops = [s["summary"]["operation"] for s in meta["snapshots"]]
+    if ops != ["append", "overwrite", "delete"]:
+        raise AssertionError(f"y43: snapshot ops wrong: {ops}")
+    snap = iceberg_py._select_snapshot(meta)
+    _d, _pos, eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    if len(eq) < 2 or any(not e.get("equality_ids") for e in eq):
+        raise AssertionError(
+            f"y43: expected >=2 equality-delete files with "
+            f"equality_ids, got {len(eq)}"
+        )
+    df = iceberg_py.read_iceberg(spark, tbl)
+    pyiceberg_source.register(spark)
+    n_ds = spark.read.format("pyiceberg").load(tbl).count()
+    n_jvm = df.count()
+    if n_ds != n_jvm:
+        raise AssertionError(
+            f"y43: read paths disagree: jvm={n_jvm} ds={n_ds}"
+        )
+    pre = meta["snapshots"][0]["snapshot-id"]
+    if iceberg_py.read_iceberg(
+        spark, tbl, snapshot_id=pre
+    ).count() != base.count():
+        raise AssertionError("y43: pre-change time travel wrong")
+    return (
+        df.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+Y43_SQL = """
+WITH final AS (
+  SELECT c_nationkey AS nation,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS acctbal
+  FROM customer WHERE c_custkey % 100 <> 0
+  UNION ALL
+  SELECT c_nationkey AS nation, 1.0 AS acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM final GROUP BY nation ORDER BY nation
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -8752,4 +8859,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y40_iceberg_refs": QuerySpec(y40, Y40_SQL),
     "y41_iceberg_update_overwrite": QuerySpec(y41, Y41_SQL),
     "y42_iceberg_merge": QuerySpec(y42, Y42_SQL),
+    "y43_iceberg_equality_upsert": QuerySpec(y43, Y43_SQL),
 }

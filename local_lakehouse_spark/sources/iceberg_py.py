@@ -2978,6 +2978,202 @@ def update_iceberg_where(
     )
 
 
+def _stage_equality_deletes(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    schema_obj: dict,
+    eq_cols: list,
+) -> list:
+    """``keys`` (exactly the equality columns, deduplicated) ->
+    committed equality-delete parquet under ``data/`` (field-id
+    stamped footers, same binding rule as data files) + manifest
+    entries (content=2). Distributed write — a CDC batch's keys never
+    funnel through the driver."""
+    import pyarrow.parquet as pq
+
+    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    from pyspark.sql import functions as F
+
+    stamped = keys.select(
+        *[
+            F.col(c).alias(
+                c, metadata={"parquet.field.id": ids[c]}
+            )
+            for c in eq_cols
+        ]
+    ).distinct()
+    tmp = path + f".__ice_eqdel_{uuid.uuid4().hex}"
+    stamped.write.mode("overwrite").parquet(tmp)
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    entries = []
+    for src in _collect_part_files(tmp):
+        n = pq.read_metadata(src).num_rows
+        if n == 0:
+            continue
+        dest = os.path.join(
+            ddir, f"eq-delete-{uuid.uuid4().hex}.parquet"
+        )
+        os.replace(src, dest)
+        lows, highs = _file_bounds(dest, schema_obj)
+        entries.append(
+            {
+                "file_path": dest,
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(dest),
+                "content": 2,
+                "lower_bounds": lows,
+                "upper_bounds": highs,
+            }
+        )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return entries
+
+
+def _validate_equality_columns(
+    schema_obj: dict, equality_columns: list
+) -> list:
+    """equality_columns -> their field ids; top-level primitive
+    required (the delete file must be readable by those columns)."""
+    by_name = {f["name"]: f for f in schema_obj["fields"]}
+    ids = []
+    for c in equality_columns or []:
+        f = by_name.get(c)
+        if f is None or not isinstance(f.get("type"), str):
+            raise UnsupportedOperationError(
+                f"equality column {c!r} is not a top-level primitive "
+                "column of the current schema"
+            )
+        ids.append(int(f["id"]))
+    if not ids:
+        raise UnsupportedOperationError(
+            "equality delete needs at least one equality column"
+        )
+    return ids
+
+
+def equality_delete_iceberg(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    equality_columns: list,
+) -> dict:
+    """Commit an EQUALITY-DELETE snapshot — the Flink-CDC ingestion
+    shape (the write twin of the y33 equality READ contract): every
+    row whose ``equality_columns`` values match a tuple in ``keys``
+    and whose data file landed at a STRICTLY SMALLER data sequence
+    number is deleted; rows (re-)inserted at or after this snapshot's
+    sequence survive. The delete file lists VALUE tuples (content=2,
+    ``equality_ids`` = the columns' field ids) — a delete of k keys
+    on a 100 TB table commits k tuples, touching no data file.
+
+    The delete is GLOBAL (null partition record under the current
+    spec): this reader and read path apply equality deletes across
+    all data files, matching Spark/Flink read behavior for
+    unpartitioned-spec global deletes."""
+    meta = table_metadata(path)
+    _require_v2(meta, "equality_delete_iceberg")
+    schema_obj = _current_schema(meta)
+    eq_ids = _validate_equality_columns(schema_obj, equality_columns)
+    entries = _stage_equality_deletes(
+        spark, path, keys.select(*equality_columns), schema_obj,
+        list(equality_columns),
+    )
+    prior = _prior_manifest_rows(meta, path)
+    snap_id = _new_snapshot_id()
+    if not entries:
+        return _commit_snapshot(path, meta, prior, "delete", snap_id)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    mrow = _write_manifest(
+        path,
+        entries,
+        snap_id,
+        seq,
+        content=1,
+        equality_ids=eq_ids,
+        spec_id=int(meta.get("default-spec-id", 0)),
+    )
+    return _commit_snapshot(
+        path, meta, prior + [mrow["row"]], "delete", snap_id
+    )
+
+
+def upsert_iceberg_equality(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    equality_columns: list,
+) -> dict:
+    """Flink-CDC-style UPSERT as ONE snapshot: an equality-delete
+    file over ``df``'s key tuples (retiring any prior row with the
+    same key — sequence-scoped, so only rows from EARLIER snapshots)
+    plus ``df`` appended as new data files under the table's
+    partition spec. Both halves carry this snapshot's sequence
+    number; the strict ``<`` rule keeps the new rows alive. The
+    per-batch cost is O(batch), never O(table)."""
+    meta = table_metadata(path)
+    _require_v2(meta, "upsert_iceberg_equality")
+    schema_obj = _current_schema(meta)
+    eq_ids = _validate_equality_columns(schema_obj, equality_columns)
+    present = {f.name for f in df.schema.fields}
+    missing_req = [
+        f["name"]
+        for f in schema_obj["fields"]
+        if f.get("required") and f["name"] not in present
+    ]
+    if missing_req:
+        raise UnsupportedOperationError(
+            f"upsert is missing required (non-null) schema columns "
+            f"{missing_req}"
+        )
+    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    del_entries = _stage_equality_deletes(
+        spark, path, df.select(*equality_columns), schema_obj,
+        list(equality_columns),
+    )
+    add_entries, pf_avro = _stage_data_files(
+        spark, df, path, meta, schema_obj, ids
+    )
+    prior = _prior_manifest_rows(meta, path)
+    snap_id = _new_snapshot_id()
+    if not del_entries and not add_entries:
+        return _commit_snapshot(
+            path, meta, prior, "overwrite", snap_id
+        )
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    rows = list(prior)
+    if add_entries:
+        rows.append(
+            _write_manifest(
+                path,
+                add_entries,
+                snap_id,
+                seq,
+                content=0,
+                partition_fields=pf_avro or None,
+                spec_id=int(meta.get("default-spec-id", 0)),
+            )["row"]
+        )
+    if del_entries:
+        rows.append(
+            _write_manifest(
+                path,
+                del_entries,
+                snap_id,
+                seq,
+                content=1,
+                equality_ids=eq_ids,
+                spec_id=int(meta.get("default-spec-id", 0)),
+            )["row"]
+        )
+    return _commit_snapshot(
+        path, meta, rows, "overwrite", snap_id
+    )
+
+
 def overwrite_iceberg_where(
     spark: SparkSession,
     path: str,

@@ -11,16 +11,19 @@ story next to ``pydelta``/``pyavro``.
 - v2 POSITION deletes apply per file in the executor: each task
   reads the delete parquet(s), keeps the positions naming its data
   file, and drops those rows before the batches leave the reader;
+- v2 EQUALITY deletes apply per file in the executor with the spec's
+  sequence rule: a task loads only the delete files whose sequence is
+  STRICTLY GREATER than its data file's, builds the key-tuple set
+  (null-safe — None==None matches, the spec's rule), and filters its
+  Arrow batches before they leave the reader;
 - ``snapshotId`` / ``asOfTimestampMs`` options time-travel like
-  ``read_iceberg``;
-- EQUALITY deletes refuse here and point at ``read_iceberg`` (their
-  sequence-rule anti-join is a cross-file plan, not a per-file
-  filter — exactly what the JVM-side reader implements).
+  ``read_iceberg``.
 
 Scale: the per-task delete-file read is O(delete files) per data
-file. Fine for the modest delete counts merge-on-read tables carry
-between compactions; a table with heavy deletes reads better through
-``read_iceberg`` (one pooled delete scan + anti-join).
+file, and equality keysets sit in task memory. Fine for the modest
+delete counts merge-on-read tables carry between compactions (CDC
+key batches); a table with heavy deletes reads better through
+``read_iceberg`` (one pooled delete scan + distributed anti-join).
 """
 
 from __future__ import annotations
@@ -114,11 +117,33 @@ class _PyIcebergReader(DataSourceReader):
         data, pos, eq = iceberg_py._snapshot_files(
             meta, snap, self._path
         )
-        if eq:
-            raise UnsupportedOperationError(
-                "pyiceberg: this snapshot carries EQUALITY delete "
-                "files, whose sequence-rule anti-join is a cross-file "
-                "plan — read it with iceberg_py.read_iceberg instead"
+        # equality deletes: resolve each file's columns from its
+        # equality_ids NOW (planning time — unknown/dropped ids must
+        # refuse loudly, read_iceberg parity); application happens
+        # per task with the sequence rule
+        name_of = {int(f["id"]): f["name"] for f in ice_schema["fields"]}
+        self._eq = []
+        for d in eq:
+            ids = sorted(int(i) for i in (d.get("equality_ids") or []))
+            if not ids:
+                raise UnsupportedOperationError(
+                    "pyiceberg: equality delete file without "
+                    "equality_ids"
+                )
+            unknown = [i for i in ids if i not in name_of]
+            if unknown:
+                raise UnsupportedOperationError(
+                    f"pyiceberg: equality delete references dropped "
+                    f"field ids {unknown}"
+                )
+            self._eq.append(
+                {
+                    "file": iceberg_py._resolve(
+                        d["file_path"], self._path
+                    ),
+                    "cols": [name_of[i] for i in ids],
+                    "seq": int(d["_seq"]),
+                }
             )
         self._schema_obj = ice_schema
         self._data = data
@@ -189,6 +214,14 @@ class _PyIcebergReader(DataSourceReader):
                         d["file_path"], self._path
                     ),
                     "deletes": self._deletes,
+                    # equality deletes scoped by the spec's sequence
+                    # rule AT PLANNING TIME: only files with a
+                    # strictly greater sequence ship to the task
+                    "eq": [
+                        e
+                        for e in self._eq
+                        if e["seq"] > int(d.get("_seq") or 0)
+                    ],
                     # identity-partition constants for columns the
                     # file (spec-legally) omits — string form, cast
                     # to the field type in the shared batch reader
@@ -224,7 +257,7 @@ class _PyIcebergReader(DataSourceReader):
                 )
             if hits:
                 deleted = np.array(sorted(hits), dtype="int64")
-        yield from _read_file_as_batches(
+        batches = _read_file_as_batches(
             abs_path,
             self._schema,
             partition.value.get("part") or {},
@@ -232,6 +265,46 @@ class _PyIcebergReader(DataSourceReader):
             field_ids=self._fids,
             name_map=partition.value.get("name_map"),
         )
+        eq = partition.value.get("eq") or []
+        if not eq:
+            yield from batches
+            return
+        # equality deletes: key-tuple sets per distinct column list
+        # (sequence scoping already done at planning). Python tuples
+        # give exact null-safe equality (None == None matches) —
+        # keysets are CDC-batch sized, task-memory resident.
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        groups: dict = {}
+        for e in eq:
+            cols = tuple(e["cols"])
+            t = pq.read_table(e["file"], columns=list(cols))
+            keys = (
+                set(zip(*(t.column(c).to_pylist() for c in cols)))
+                if t.num_rows
+                else set()
+            )
+            groups.setdefault(cols, set()).update(keys)
+        for b in batches:
+            mask = np.ones(b.num_rows, dtype=bool)
+            for cols, keyset in groups.items():
+                if not keyset or not b.num_rows:
+                    continue
+                arrs = [
+                    b.column(b.schema.get_field_index(c)).to_pylist()
+                    for c in cols
+                ]
+                mask &= np.fromiter(
+                    (t not in keyset for t in zip(*arrs)),
+                    dtype=bool,
+                    count=b.num_rows,
+                )
+            if mask.all():
+                yield b
+            elif mask.any():
+                yield b.filter(pa.array(mask))
 
 
 class _PyIcebergStreamReader(DataSourceStreamReader):

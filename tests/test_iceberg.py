@@ -343,10 +343,17 @@ def test_pyiceberg_registered_format(spark, tbl):
         .count()
         == 12
     )
-    # equality deletes refuse on this per-file path
+    # equality deletes apply per-file with the sequence rule,
+    # matching the JVM-side reader row-for-row
     _commit_equality_delete(spark, tbl, [(4,)], "id long", eq_ids=[1])
-    with pytest.raises(Exception, match="EQUALITY"):
-        spark.read.format("pyiceberg").load(tbl).collect()
+    got = sorted(
+        r.id
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    )
+    assert got == [0, 1, 3, 5, 6, 8, 9, 10, 11]
+    assert got == sorted(
+        r.id for r in read_iceberg(spark, tbl).collect()
+    )
 
 
 def test_expire_snapshots(spark, tbl):
@@ -1986,3 +1993,101 @@ def test_name_mapping_probe_cached(spark, tbl, tmp_path, monkeypatch):
     monkeypatch.setattr(pq_mod, "read_schema", counting)
     assert read_iceberg(spark, tbl).count() == 40
     assert calls["n"] == 0, f"{calls['n']} footer probes on a warm plan"
+
+
+def test_equality_delete_write_and_upsert(spark, tbl):
+    """Equality-delete WRITE (the y33 read contract's twin): a pure
+    equality delete retires prior rows by key; a CDC-style upsert
+    (delete + append in ONE snapshot, same sequence) replaces rows
+    whose keys collide while the strict `<` sequence rule keeps the
+    new images alive. Both read paths must agree."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    write_iceberg(spark, df, tbl, mode="create")  # seq 1
+
+    # pure equality delete of k in {2, 4}
+    keys = spark.createDataFrame([(2,), (4,)], "k long")
+    meta = iceberg_py.equality_delete_iceberg(spark, tbl, keys, ["k"])
+    out = read_iceberg(spark, tbl)
+    assert sorted(r.k for r in out.collect()) == [1, 3]
+
+    # the delete file is content=2 with equality_ids, global partition
+    snap = iceberg_py._select_snapshot(meta)
+    _d, _p, eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    assert len(eq) == 1 and eq[0].get("equality_ids")
+
+    # re-insert k=2 at a LATER sequence: must survive the old delete
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(2, "b2", 21)], "k long, s string, v long"),
+        tbl,
+        mode="append",
+    )
+    assert sorted(r.k for r in read_iceberg(spark, tbl).collect()) == [
+        1, 2, 3,
+    ]
+
+    # CDC upsert: replace k=1, insert k=9 — one snapshot
+    n_snaps = len(table_metadata(tbl)["snapshots"])
+    up = spark.createDataFrame(
+        [(1, "a2", 11), (9, "z", 90)], "k long, s string, v long"
+    )
+    meta = iceberg_py.upsert_iceberg_equality(spark, tbl, up, ["k"])
+    assert len(meta["snapshots"]) == n_snaps + 1
+    got = {
+        r.k: (r.s, r.v) for r in read_iceberg(spark, tbl).collect()
+    }
+    assert got == {
+        1: ("a2", 11),
+        2: ("b2", 21),
+        3: ("c", 30),
+        9: ("z", 90),
+    }
+
+    # registered DataSource read path agrees
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    ds = {
+        r.k: (r.s, r.v)
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    }
+    assert ds == got
+
+    # unknown equality column refuses loudly
+    with pytest.raises(UnsupportedOperationError):
+        iceberg_py.equality_delete_iceberg(
+            spark, tbl, spark.createDataFrame([(1,)], "zz long"), ["zz"]
+        )
+
+
+def test_equality_upsert_partitioned(spark, tbl):
+    """Upsert over a partitioned table: new images land under the
+    spec's hive layout; the global equality delete retires the old
+    partitions' rows; time travel still sees the pre-upsert image."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("g"),
+        F.col("id").alias("v"),
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    snap0 = iceberg_py._select_snapshot(table_metadata(tbl))
+
+    up = spark.createDataFrame(
+        [(3, 3, 333), (100, 0, 100)], "k long, g int, v long"
+    )
+    iceberg_py.upsert_iceberg_equality(spark, tbl, up, ["k"])
+    out = read_iceberg(spark, tbl)
+    assert out.count() == 21
+    assert out.filter("k = 3").collect()[0].v == 333
+    assert out.filter("k = 100").collect()[0].g == 0
+    prev = read_iceberg(
+        spark, tbl, snapshot_id=snap0["snapshot-id"]
+    )
+    assert prev.count() == 20 and prev.filter("k = 3").collect()[0].v == 3
