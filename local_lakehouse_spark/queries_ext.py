@@ -8688,6 +8688,119 @@ FROM final GROUP BY nation ORDER BY nation
 """
 
 
+def y44(spark, sf):
+    """ICEBERG PARTITION-SPEC EVOLUTION on write (round 10 — the
+    ``ALTER TABLE ... REPLACE PARTITION FIELD`` analog): the orders
+    extract's even keys stage under an identity spec on
+    ``stat`` (seq 1); evolve_iceberg_partition_spec commits a NEW
+    default spec ``bucket(8, okey)`` as a METADATA-ONLY update (no
+    snapshot); the odd keys append laid out by the new spec.
+    CONTRACTS: exactly two snapshots but default-spec-id 1 with both
+    specs retained; data files from BOTH spec generations live in the
+    final snapshot; transform pruning on ``okey`` keeps every spec-0
+    file (bucket records don't exist for them) while pruning spec-1
+    files to the matching bucket; both read paths agree on the full
+    count. Oracle: orders grouped by status."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    key = hashlib.md5(f"{sf}|ice-specevo-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_evo_{key}")
+    base = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("stat"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            iceberg_py.write_iceberg(
+                spark,
+                base.filter(F.col("okey") % 2 == 0).coalesce(1),
+                tbl,
+                mode="create",
+                partition_by=["stat"],
+            )
+            iceberg_py.evolve_iceberg_partition_spec(
+                tbl, ["bucket(8, okey)"]
+            )
+            iceberg_py.write_iceberg(
+                spark,
+                base.filter(F.col("okey") % 2 == 1).coalesce(1),
+                tbl,
+                mode="append",
+            )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    if int(meta.get("default-spec-id", 0)) != 1 or len(
+        meta.get("partition-specs") or []
+    ) != 2:
+        raise AssertionError("y44: spec evolution not committed")
+    if len(meta["snapshots"]) != 2:
+        raise AssertionError(
+            "y44: spec evolution must be metadata-only (no snapshot)"
+        )
+    snap = iceberg_py._select_snapshot(meta)
+    data, _p, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    spec0 = [d for d in data if d.get("_spec_id") == 0]
+    spec1 = [d for d in data if d.get("_spec_id") == 1]
+    if not spec0 or not spec1:
+        raise AssertionError(
+            f"y44: expected files under both specs, got "
+            f"{len(spec0)}/{len(spec1)}"
+        )
+    # Strip column bounds so the contract isolates PARTITION-RECORD
+    # pruning (what spec evolution changes): spec-0 files carry no
+    # bucket record -> every one must survive a bucket predicate;
+    # spec-1 files prune to the matching bucket.
+    stripped = [
+        {**d, "lower_bounds": None, "upper_bounds": None} for d in data
+    ]
+    kept = iceberg_py.prune_data_files(
+        stripped, iceberg_py._current_schema(meta), [("okey", "=", 3)]
+    )
+    kept_paths = {d["file_path"] for d in kept}
+    if not {d["file_path"] for d in spec0} <= kept_paths:
+        raise AssertionError(
+            "y44: pruning dropped a spec-0 file on a spec-1 "
+            "transform predicate"
+        )
+    if not any(
+        d["file_path"] not in kept_paths for d in spec1
+    ):
+        raise AssertionError(
+            "y44: bucket pruning kept every spec-1 file"
+        )
+    df = iceberg_py.read_iceberg(spark, tbl)
+    pyiceberg_source.register(spark)
+    n_ds = spark.read.format("pyiceberg").load(tbl).count()
+    if n_ds != df.count():
+        raise AssertionError("y44: read paths disagree")
+    return (
+        df.groupBy("stat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("stat")
+    )
+
+
+Y44_SQL = """
+SELECT o_orderstatus AS stat, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -8860,4 +8973,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y41_iceberg_update_overwrite": QuerySpec(y41, Y41_SQL),
     "y42_iceberg_merge": QuerySpec(y42, Y42_SQL),
     "y43_iceberg_equality_upsert": QuerySpec(y43, Y43_SQL),
+    "y44_iceberg_spec_evolution": QuerySpec(y44, Y44_SQL),
 }

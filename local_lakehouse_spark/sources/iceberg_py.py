@@ -1570,7 +1570,13 @@ def _commit_snapshot(
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
         {"snapshot-id": snap_id, "timestamp-ms": now}
     ]
-    # next metadata version from what is on disk (no private keys)
+    return _write_metadata_json(path, meta)
+
+
+def _write_metadata_json(path: str, meta: dict) -> dict:
+    """Persist ``meta`` as the next ``v<N>.metadata.json`` +
+    version-hint (N from what is on disk — no private counters)."""
+    mdir = _metadata_dir(path)
     best = 0
     for n in os.listdir(mdir):
         m = _VERSION_RE.match(n)
@@ -1685,6 +1691,74 @@ def _partition_spec_fields(
             }
         )
     return out
+
+
+def evolve_iceberg_partition_spec(
+    path: str, partition_by: Optional[list]
+) -> dict:
+    """Partition-spec EVOLUTION — the ``ALTER TABLE ... ADD/REPLACE
+    PARTITION FIELD`` analog: commit a NEW default spec as a
+    metadata-only update (no snapshot; data is untouched). Existing
+    data files keep their original spec-id — reads resolve each
+    manifest's spec independently (_snapshot_files), so pruning
+    consults per-file specs exactly as the y35/y37 mixed-spec
+    contracts require — while subsequent appends lay out by the new
+    spec. Spec rules honored: partition field ids are never reused
+    for a DIFFERENT (source, transform) — fresh fields continue from
+    ``last-partition-id`` — and an (source, transform) pair that
+    appeared in ANY prior spec keeps its original field id (the
+    iceberg-core rule, so a field re-added after removal stays
+    joinable across specs). ``partition_by=[]`` evolves to the
+    unpartitioned spec."""
+    meta = table_metadata(path)
+    _require_v2(meta, "evolve_iceberg_partition_spec")
+    schema_obj = _current_schema(meta)
+    fields = _partition_spec_fields(schema_obj, partition_by)
+    seen: dict = {}
+    for sp in meta.get("partition-specs") or []:
+        for f in sp.get("fields") or []:
+            seen[
+                (int(f["source-id"]), f.get("transform", "identity"))
+            ] = int(f["field-id"])
+    last_pid = int(meta.get("last-partition-id", 999))
+    out_fields = []
+    for f in fields:
+        key = (int(f["source-id"]), f["transform"])
+        if key in seen:
+            fid = seen[key]
+        else:
+            last_pid += 1
+            fid = last_pid
+        out_fields.append({**f, "field-id": fid})
+
+    def _shape(fs):
+        return [
+            (
+                f["name"],
+                f.get("transform", "identity"),
+                int(f["source-id"]),
+                int(f["field-id"]),
+            )
+            for f in fs
+        ]
+
+    cur = _partition_specs(meta).get(
+        int(meta.get("default-spec-id", 0)), []
+    )
+    if _shape(cur) == _shape(out_fields):
+        return meta  # already the default spec — idempotent no-op
+    specs = list(meta.get("partition-specs") or [])
+    new_sid = (
+        max((int(s.get("spec-id", 0)) for s in specs), default=-1) + 1
+    )
+    meta = dict(meta)
+    meta["partition-specs"] = specs + [
+        {"spec-id": new_sid, "fields": out_fields}
+    ]
+    meta["default-spec-id"] = new_sid
+    meta["last-partition-id"] = last_pid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    return _write_metadata_json(path, meta)
 
 
 def _hive_partition_value(raw: str, ice_type: str):

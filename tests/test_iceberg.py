@@ -2091,3 +2091,120 @@ def test_equality_upsert_partitioned(spark, tbl):
         spark, tbl, snapshot_id=snap0["snapshot-id"]
     )
     assert prev.count() == 20 and prev.filter("k = 3").collect()[0].v == 3
+
+
+def test_partition_spec_evolution(spark, tbl):
+    """evolve_iceberg_partition_spec: new default spec-id on a
+    metadata-only commit; old files keep their spec; appends lay out
+    by the new spec; pruning consults per-file specs; re-added
+    (source, transform) pairs keep their original field id."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(24).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("g"),
+        (F.col("id") % 4).cast("int").alias("h"),
+    )
+    # coalesce: multi-row files so COLUMN BOUNDS straddle the probe
+    # values — what's being tested is per-file-SPEC partition-record
+    # pruning, not bounds pruning
+    df = df.coalesce(1)
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    meta = iceberg_py.evolve_iceberg_partition_spec(tbl, ["h"])
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+    # g's field keeps id 1000, h's is freshly allocated 1001
+    assert meta["partition-specs"][1]["fields"][0]["field-id"] == 1001
+    # NO new snapshot (metadata-only)
+    assert len(meta["snapshots"]) == 1
+
+    df2 = spark.range(24, 48).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("g"),
+        (F.col("id") % 4).cast("int").alias("h"),
+    ).coalesce(1)
+    write_iceberg(spark, df2, tbl, mode="append")
+    out = read_iceberg(spark, tbl)
+    assert out.count() == 48
+    assert sorted(r.k for r in out.filter("h = 1").collect()) == [
+        i for i in range(48) if i % 4 == 1
+    ]
+
+    # per-file spec pruning: h=1 prunes ONLY the new-spec files; the
+    # old-spec files (no h in their partition record) are all kept
+    meta = table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    data, _p, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    old = [d for d in data if d["_spec_id"] == 0]
+    new = [d for d in data if d["_spec_id"] == 1]
+    assert old and new
+    kept = iceberg_py.prune_data_files(
+        data, iceberg_py._current_schema(meta), [("h", "=", 1)]
+    )
+    kept_paths = {d["file_path"] for d in kept}
+    assert {d["file_path"] for d in old} <= kept_paths
+    assert any(d["file_path"] not in kept_paths for d in new)
+    # ... and g=2 prunes only old-spec files
+    kept_g = iceberg_py.prune_data_files(
+        data, iceberg_py._current_schema(meta), [("g", "=", 2)]
+    )
+    kept_g_paths = {d["file_path"] for d in kept_g}
+    assert {d["file_path"] for d in new} <= kept_g_paths
+    assert any(d["file_path"] not in kept_g_paths for d in old)
+
+    # no-op: evolving to the current spec changes nothing
+    v = meta["default-spec-id"]
+    meta2 = iceberg_py.evolve_iceberg_partition_spec(tbl, ["h"])
+    assert meta2["default-spec-id"] == v
+    assert len(meta2["partition-specs"]) == 2
+
+    # re-adding g reuses its ORIGINAL field id (1000)
+    meta3 = iceberg_py.evolve_iceberg_partition_spec(tbl, ["g", "h"])
+    fids = {
+        f["name"]: f["field-id"]
+        for f in meta3["partition-specs"][-1]["fields"]
+    }
+    assert fids == {"g": 1000, "h": 1001}
+
+    # evolve to UNPARTITIONED; appends stop writing hive layout
+    meta4 = iceberg_py.evolve_iceberg_partition_spec(tbl, [])
+    assert meta4["partition-specs"][-1]["fields"] == []
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(99, 0, 0)], "k long, g int, h int"),
+        tbl,
+        mode="append",
+    )
+    assert read_iceberg(spark, tbl).count() == 49
+
+    # both read paths agree across all four specs
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    assert (
+        spark.read.format("pyiceberg").load(tbl).count() == 49
+    )
+
+
+def test_spec_evolution_transform_field(spark, tbl):
+    """Evolution to a TRANSFORM spec (bucket) — appends derive the
+    layout column, manifests stamp the new spec, transform pruning
+    applies only to new-spec files."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(16).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    write_iceberg(spark, df, tbl, mode="create")
+    iceberg_py.evolve_iceberg_partition_spec(tbl, ["bucket(4, k)"])
+    write_iceberg(
+        spark,
+        spark.range(16, 32).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ),
+        tbl,
+        mode="append",
+    )
+    out = read_iceberg(spark, tbl)
+    assert out.count() == 32
+    assert out.filter("k = 20").count() == 1
