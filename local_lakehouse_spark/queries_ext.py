@@ -8801,6 +8801,120 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def y45(spark, sf):
+    """ICEBERG STREAMING CHANGELOG (round 10 — the y28 Delta-CDF
+    twin, completing the Iceberg/Delta streaming parity matrix): the
+    supplier extract stages with a DML history — create (seq 1),
+    row-level DELETE (seq 2), row-level UPDATE (seq 3: position
+    deletes + new images in one snapshot), append (seq 4) — and the
+    pyiceberg stream with ``changelog=true`` replays every snapshot
+    as ROW-LEVEL changes: victims of each delete file materialize as
+    ``delete`` rows (read per task from the prior snapshot's files at
+    exactly the deleted positions), added files as ``insert`` rows,
+    each stamped with _change_type/_commit_snapshot_id/
+    _commit_timestamp. Snapshot ids are random, so the result keys on
+    each change's snapshot ORDINAL (metadata-order join). Oracle: the
+    relational image of the change multiset."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    key = hashlib.md5(f"{sf}|ice-changelog-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_cl_{key}")
+    base = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            iceberg_py.write_iceberg(
+                spark, base.repartition(4), tbl, mode="create"
+            )
+            iceberg_py.delete_iceberg_where(spark, tbl, "k % 10 = 0")
+            iceberg_py.update_iceberg_where(
+                spark, tbl, "k % 10 = 1", {"acctbal": "acctbal + 1000"}
+            )
+            iceberg_py.write_iceberg(
+                spark,
+                base.filter(F.col("k") % 100 == 1).select(
+                    "k", F.lit(0.0).alias("acctbal")
+                ),
+                tbl,
+                mode="append",
+            )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    ops = [s["summary"]["operation"] for s in meta["snapshots"]]
+    if ops != ["append", "delete", "overwrite", "append"]:
+        raise AssertionError(f"y45: snapshot ops wrong: {ops}")
+    first = meta["snapshots"][0]["snapshot-id"]
+    stream = (
+        spark.readStream.format("pyiceberg")
+        .option("changelog", "true")
+        .option("startingSnapshotId", first)
+        .load(tbl)
+    )
+    name = f"y45_sink_{key}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ordinals = spark.createDataFrame(
+        [
+            (int(s["snapshot-id"]), i + 1)
+            for i, s in enumerate(meta["snapshots"])
+        ],
+        "_commit_snapshot_id long, ord int",
+    )
+    return (
+        spark.table(name)
+        .join(F.broadcast(ordinals), "_commit_snapshot_id")
+        .select(
+            F.col("_change_type").alias("change_type"),
+            "ord",
+            "acctbal",
+        )
+        .groupBy("change_type", "ord")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("acctbal") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .orderBy("change_type", "ord")
+    )
+
+
+Y45_SQL = """
+WITH base AS (
+  SELECT s_suppkey AS k, s_acctbal AS b FROM supplier
+), changes AS (
+  SELECT 'insert' AS t, 1 AS o, b FROM base
+  UNION ALL SELECT 'delete', 2, b FROM base WHERE k % 10 = 0
+  UNION ALL SELECT 'delete', 3, b FROM base WHERE k % 10 = 1
+  UNION ALL SELECT 'insert', 3, b + 1000 FROM base WHERE k % 10 = 1
+  UNION ALL SELECT 'insert', 4, 0.0 FROM base WHERE k % 100 = 1
+)
+SELECT t AS change_type, CAST(o AS INT) AS ord,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(b * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM changes GROUP BY t, o ORDER BY change_type, ord
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -8974,4 +9088,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y42_iceberg_merge": QuerySpec(y42, Y42_SQL),
     "y43_iceberg_equality_upsert": QuerySpec(y43, Y43_SQL),
     "y44_iceberg_spec_evolution": QuerySpec(y44, Y44_SQL),
+    "y45_iceberg_changelog_stream": QuerySpec(y45, Y45_SQL),
 }

@@ -151,6 +151,7 @@ def _read_file_as_batches(
     physical: "dict | None" = None,
     field_ids: "dict | None" = None,
     name_map: "dict | None" = None,
+    keep_only=None,
 ):
     """One data file → Arrow batches matching the FULL table schema:
     partition columns materialize as constants from partitionValues,
@@ -160,6 +161,11 @@ def _read_file_as_batches(
     ``deleted``: optional sorted int64 array of file row positions a
     deletion vector marks as removed — those rows are dropped before
     the batches leave the reader (executor-side, per file).
+
+    ``keep_only``: the inverse — optional int64 array of positions;
+    ONLY those rows leave the reader (changelog readers materialize
+    a delete file's victim rows this way). Mutually exclusive with
+    ``deleted``.
 
     ``physical``: top-level logical -> physical name map of a
     column-mapped table. File columns and partitionValues keys are
@@ -223,6 +229,13 @@ def _read_file_as_batches(
 
         mask = np.ones(table.num_rows, dtype=bool)
         mask[deleted[deleted < table.num_rows]] = False
+        table = table.filter(pa.array(mask))
+    if keep_only is not None:
+        import numpy as np
+
+        keep = np.asarray(keep_only, dtype="int64")
+        mask = np.zeros(table.num_rows, dtype=bool)
+        mask[keep[keep < table.num_rows]] = True
         table = table.filter(pa.array(mask))
     n = table.num_rows
     cols = []

@@ -307,6 +307,20 @@ class _PyIcebergReader(DataSourceReader):
                 yield b.filter(pa.array(mask))
 
 
+def _changelog_schema(table_schema: T.StructType) -> T.StructType:
+    """Table columns + the change-metadata columns (the iceberg-spark
+    changelog-view shape, with _commit_timestamp alongside for Delta
+    CDF parity)."""
+    return T.StructType(
+        list(table_schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_snapshot_id", T.LongType()),
+            T.StructField("_commit_timestamp", T.TimestampType()),
+        ]
+    )
+
+
 class _PyIcebergStreamReader(DataSourceStreamReader):
     """Iceberg as a STREAMING source (iceberg-spark's structured-
     streaming read, re-expressed): offsets are the table's SEQUENCE
@@ -329,6 +343,9 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             str(options.get("skipchangecommits", "false")).lower()
             == "true"
         )
+        self._changelog = (
+            str(options.get("changelog", "false")).lower() == "true"
+        )
         meta = iceberg_py.table_metadata(self._path)
         fmt = int(meta.get("format-version", 1))
         if fmt != 2:
@@ -342,6 +359,15 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         self._fids = {
             f["name"]: int(f["id"]) for f in ice_schema["fields"]
         }
+        # changelog mode emits the table columns + the change-metadata
+        # columns; all file binding still happens against the table
+        # schema (the metadata columns materialize as partition-value
+        # constants in the shared batch reader)
+        self._out_schema = (
+            _changelog_schema(self._schema)
+            if self._changelog
+            else self._schema
+        )
         sid = options.get("startingsnapshotid")
         if sid is not None:
             snap = iceberg_py._select_snapshot(meta, int(sid))
@@ -357,24 +383,20 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         meta = iceberg_py.table_metadata(self._path)
         return {"seq": int(meta.get("last-sequence-number", 0))}
 
-    def _new_entries(self, snap: dict, meta: dict) -> tuple:
-        """``(added_data_entries, is_change)`` for one snapshot, from
-        the manifests the snapshot itself wrote (manifest-list rows
-        stamped with its sequence number). ``is_change`` is true when
-        the snapshot ADDED delete content (position/equality delete
-        files) or REMOVED entries (status=2 — a REPLACE / compaction
-        / overwrite rewrites existing rows into new files; replaying
-        those files as inserts would duplicate the stream), or when
-        its summary declares a non-append operation (catches foreign
-        change snapshots even when their removed entries live in
-        manifests this scan wouldn't read). Removed entries keep
-        their ORIGINAL sequence numbers per the spec, so the status
-        check is deliberately independent of the sequence filter that
-        scopes added entries."""
+    def _snapshot_added(self, snap: dict, meta: dict) -> tuple:
+        """Classify one snapshot's OWN manifest entries (manifest-list
+        rows stamped with its sequence number; carried-forward
+        manifests are older commits): ``(added_data [(entry, idpart)],
+        added_position_delete_entries, added_equality_delete_entries,
+        removed_any)``. Removed entries keep their ORIGINAL sequence
+        numbers per the spec, so the status check is deliberately
+        independent of the sequence filter that scopes added
+        entries."""
         sseq = int(snap.get("sequence-number") or 0)
-        op = (snap.get("summary") or {}).get("operation")
-        changed = op is not None and op != "append"
-        out = []
+        added_data: list = []
+        added_pos: list = []
+        added_eq: list = []
+        removed = False
         specs = iceberg_py._partition_specs(meta)
         fields_by_id = {
             f["id"]: f
@@ -393,22 +415,48 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             )
             for entry in iceberg_py._read_avro_dicts(mpath):
                 if entry.get("status") == 2:  # REMOVED existing data
-                    changed = True
+                    removed = True
                     continue
                 eseq = entry.get("sequence_number")
                 if eseq is not None and int(eseq) != sseq:
                     continue
                 if entry.get("status") == 1:  # ADDED
-                    if int(entry["data_file"].get("content") or 0) != 0:
-                        changed = True  # added DELETE content
-                    else:
+                    content = int(
+                        entry["data_file"].get("content") or 0
+                    )
+                    if content == 0:
                         idp = iceberg_py._identity_values(
                             entry["data_file"].get("partition") or {},
                             spec_fields,
                             fields_by_id,
                         )
-                        out.append((entry, idp))
-        return out, changed
+                        added_data.append((entry, idp))
+                    elif content == 1:
+                        added_pos.append(entry)
+                    else:
+                        added_eq.append(entry)
+        return added_data, added_pos, added_eq, removed
+
+    def _new_entries(self, snap: dict, meta: dict) -> tuple:
+        """``(added_data_entries, is_change)`` for the plain (replay)
+        stream: ``is_change`` is true when the snapshot ADDED delete
+        content, REMOVED entries (a REPLACE / compaction / overwrite
+        rewrites existing rows into new files; replaying those files
+        as inserts would duplicate the stream), or when its summary
+        declares a non-append operation (catches foreign change
+        snapshots even when their removed entries live in manifests
+        this scan wouldn't read)."""
+        op = (snap.get("summary") or {}).get("operation")
+        added_data, added_pos, added_eq, removed = (
+            self._snapshot_added(snap, meta)
+        )
+        changed = bool(
+            (op is not None and op != "append")
+            or added_pos
+            or added_eq
+            or removed
+        )
+        return added_data, changed
 
     def partitions(
         self, start: dict, end: dict
@@ -419,9 +467,18 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             meta.get("snapshots") or [],
             key=lambda s: int(s.get("sequence-number") or 0),
         )
-        for snap in snaps:
+        name_of = {v: k for k, v in self._fids.items()}
+        for i, snap in enumerate(snaps):
             sseq = int(snap.get("sequence-number") or 0)
             if sseq <= start["seq"] or sseq > end["seq"]:
+                continue
+            if self._changelog:
+                plan.extend(
+                    self._changelog_partitions(
+                        snap, snaps[i - 1] if i > 0 else None,
+                        meta, name_of,
+                    )
+                )
                 continue
             new, changed = self._new_entries(snap, meta)
             if changed:
@@ -432,14 +489,14 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
                     "{2!r}) changes existing data (delete files, "
                     "removed/rewritten entries, or a non-append "
                     "operation); streaming cannot replay it — set "
-                    "skipChangeCommits=true to skip such "
-                    "snapshots".format(
+                    "skipChangeCommits=true to skip such snapshots, "
+                    "or read row-level changes with "
+                    "option('changelog', 'true')".format(
                         snap["snapshot-id"],
                         sseq,
                         (snap.get("summary") or {}).get("operation"),
                     )
                 )
-            name_of = {v: k for k, v in self._fids.items()}
             for e, idp in new:
                 plan.append(
                     InputPartition(
@@ -456,14 +513,147 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             plan.append(InputPartition({"file": None}))
         return plan
 
+    def _changelog_partitions(
+        self, snap: dict, prev: "dict | None", meta: dict, name_of: dict
+    ) -> list:
+        """Row-level CHANGE partitions for one snapshot (the
+        iceberg-spark changelog scan, re-expressed): an append's added
+        files emit as ``insert`` rows; a row-level DML snapshot
+        (delete/update/merge/replaceWhere — position-delete files +
+        optional new images, the in-repo writer's shape) emits the
+        delete files' victim rows as ``delete`` (materialized per
+        task from the PRIOR snapshot's files) plus its added files as
+        ``insert``; a maintenance ``replace`` (compaction) emits
+        NOTHING — no logical change. Full overwrites (status=2
+        removals) and equality deletes refuse (their victim-row
+        materialization needs cross-file sequence reconstruction)
+        unless skipChangeCommits skips the snapshot."""
+        from datetime import datetime, timezone
+
+        op = (snap.get("summary") or {}).get("operation")
+        if op == "replace":
+            return []
+        added_data, added_pos, added_eq, removed = (
+            self._snapshot_added(snap, meta)
+        )
+        if added_eq or removed:
+            if self._skip_change:
+                return []
+            raise UnsupportedOperationError(
+                "Iceberg changelog: snapshot {0} (operation {1!r}) "
+                "carries {2} — victim rows are not reconstructible "
+                "from its own manifests; set skipChangeCommits=true "
+                "to skip it".format(
+                    snap["snapshot-id"],
+                    op,
+                    "equality deletes"
+                    if added_eq
+                    else "removed (rewritten) entries",
+                )
+            )
+        ts = datetime.fromtimestamp(
+            int(snap["timestamp-ms"]) / 1000, tz=timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S.%f") + "Z"
+        stamp = {
+            "_commit_snapshot_id": str(snap["snapshot-id"]),
+            "_commit_timestamp": ts,
+        }
+        plan: list = []
+        if added_pos:
+            # victim rows live in the files visible BEFORE this
+            # snapshot; ship that (metadata-sized) basename map to
+            # each delete-file task
+            fmap: dict = {}
+            if prev is not None:
+                pdata, _pp, _pe = iceberg_py._snapshot_files(
+                    meta, prev, self._path
+                )
+                for d in pdata:
+                    ap = iceberg_py._resolve(
+                        d["file_path"], self._path
+                    )
+                    base = os.path.basename(ap)
+                    if base in fmap:
+                        raise UnsupportedOperationError(
+                            "pyiceberg changelog: colliding data-file"
+                            " basenames — positions cannot be mapped"
+                            " unambiguously"
+                        )
+                    fmap[base] = {
+                        "file": ap,
+                        "part": _part_strings(
+                            d.get("_idpart") or {}, name_of
+                        ),
+                    }
+            for e in added_pos:
+                plan.append(
+                    InputPartition(
+                        {
+                            "kind": "posdel",
+                            "delete_file": iceberg_py._resolve(
+                                e["data_file"]["file_path"],
+                                self._path,
+                            ),
+                            "fmap": fmap,
+                            "part": {
+                                **stamp, "_change_type": "delete",
+                            },
+                        }
+                    )
+                )
+        for e, idp in added_data:
+            plan.append(
+                InputPartition(
+                    {
+                        "file": iceberg_py._resolve(
+                            e["data_file"]["file_path"], self._path
+                        ),
+                        "part": {
+                            **_part_strings(idp, name_of),
+                            **stamp,
+                            "_change_type": "insert",
+                        },
+                    }
+                )
+            )
+        return plan
+
     def read(self, partition: InputPartition):
-        abs_path = partition.value["file"]
+        v = partition.value
+        if v.get("kind") == "posdel":
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                v["delete_file"], columns=["file_path", "pos"]
+            )
+            by: dict = {}
+            for f, p in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                by.setdefault(os.path.basename(f), []).append(p)
+            for base, poss in sorted(by.items()):
+                info = v["fmap"].get(base)
+                if info is None:
+                    raise UnsupportedOperationError(
+                        f"pyiceberg changelog: delete file references"
+                        f" unknown data file {base!r}"
+                    )
+                yield from _read_file_as_batches(
+                    info["file"],
+                    self._out_schema,
+                    {**(info["part"] or {}), **v["part"]},
+                    field_ids=self._fids,
+                    keep_only=sorted(poss),
+                )
+            return
+        abs_path = v["file"]
         if abs_path is None:
             return
         yield from _read_file_as_batches(
             abs_path,
-            self._schema,
-            partition.value.get("part") or {},
+            self._out_schema,
+            v.get("part") or {},
             field_ids=self._fids,
         )
 
@@ -498,9 +688,18 @@ class PyIcebergDataSource(DataSource):
             ice = iceberg_py._schema_for_snapshot(meta, snap)
         else:
             ice = iceberg_py._current_schema(meta)
-        return _plain(iceberg_py.iceberg_schema_to_spark(ice))
+        schema = _plain(iceberg_py.iceberg_schema_to_spark(ice))
+        if str(self.options.get("changelog", "false")).lower() == "true":
+            schema = _changelog_schema(schema)
+        return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        if str(self.options.get("changelog", "false")).lower() == "true":
+            raise UnsupportedOperationError(
+                "pyiceberg changelog is a STREAMING read "
+                "(spark.readStream.format('pyiceberg')"
+                ".option('changelog', 'true'))"
+            )
         return _PyIcebergReader(self.options)
 
     def streamReader(

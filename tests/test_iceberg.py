@@ -2208,3 +2208,97 @@ def test_spec_evolution_transform_field(spark, tbl):
     out = read_iceberg(spark, tbl)
     assert out.count() == 32
     assert out.filter("k = 20").count() == 1
+
+
+def test_pyiceberg_changelog_stream(spark, tbl, tmp_path):
+    """option('changelog','true'): appends replay as insert rows,
+    row-level DML snapshots (position deletes + new images) replay as
+    delete rows (victims materialized from the prior snapshot's
+    files) plus insert rows, compaction emits nothing, all stamped
+    with _change_type/_commit_snapshot_id/_commit_timestamp."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.sources import pyiceberg_source
+    from local_lakehouse_spark.sources.iceberg_py import (
+        update_iceberg_where,
+    )
+
+    pyiceberg_source.register(spark)
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "k long, v long"
+    ).coalesce(2)
+    write_iceberg(spark, df, tbl, mode="create")  # seq 1
+    delete_iceberg_where(spark, tbl, "k IN (1, 5)")  # seq 2
+    update_iceberg_where(spark, tbl, "k = 2", {"v": "999"})  # seq 3
+    write_iceberg(  # seq 4
+        spark,
+        spark.createDataFrame([(100, 1000)], "k long, v long"),
+        tbl,
+        mode="append",
+    )
+
+    stream = (
+        spark.readStream.format("pyiceberg")
+        .option("changelog", "true")
+        .option("startingSnapshotId",
+                table_metadata(tbl)["snapshots"][0]["snapshot-id"])
+        .load(tbl)
+    )
+    assert stream.columns[-3:] == [
+        "_change_type", "_commit_snapshot_id", "_commit_timestamp",
+    ]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_changelog")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("ice_changelog").collect()
+    got = sorted((r._change_type, r.k, r.v) for r in rows)
+    want = sorted(
+        [("insert", i, i * 10) for i in range(8)]  # seq 1
+        + [("delete", 1, 10), ("delete", 5, 50)]  # seq 2
+        + [("delete", 2, 20), ("insert", 2, 999)]  # seq 3 update
+        + [("insert", 100, 1000)]  # seq 4
+    )
+    assert got == want
+    # snapshot ids stamp correctly per change
+    snaps = table_metadata(tbl)["snapshots"]
+    by_snap = {
+        s["snapshot-id"]: i for i, s in enumerate(snaps)
+    }
+    for r in rows:
+        idx = by_snap[r._commit_snapshot_id]
+        if (r._change_type, r.k) == ("insert", 100):
+            assert idx == 3
+        if r._change_type == "delete" and r.k in (1, 5):
+            assert idx == 1
+        assert r._commit_timestamp is not None
+
+    # compaction (replace) emits nothing
+    iceberg_py.compact_data_files(spark, tbl)
+    stream2 = (
+        spark.readStream.format("pyiceberg")
+        .option("changelog", "true")
+        .load(tbl)
+    )
+    # default start = current sequence - nothing new afterwards
+    q2 = (
+        stream2.writeStream.format("memory")
+        .queryName("ice_changelog2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.table("ice_changelog2").count() == 0
+
+    # batch read with the changelog option refuses loudly
+    with pytest.raises(Exception, match="STREAMING"):
+        spark.read.format("pyiceberg").option(
+            "changelog", "true"
+        ).load(tbl).collect()
