@@ -1507,6 +1507,7 @@ def _commit_snapshot(
     manifest_rows: list,
     operation: str,
     snap_id: int,
+    extra_summary: Optional[dict] = None,
 ) -> dict:
     """Append a snapshot whose manifest LIST contains ``manifest_rows``
     (prior snapshots' manifests carried over by the caller) and write
@@ -1554,6 +1555,12 @@ def _commit_snapshot(
             "total-data-files": str(max(tot_files, 0)),
             "total-delete-files": str(max(tot_dfiles, 0)),
             "total-records": str(max(tot_rows, 0)),
+            # string-valued extras (e.g. the streaming sink's
+            # exactly-once app/epoch markers)
+            **{
+                str(k): str(v)
+                for k, v in (extra_summary or {}).items()
+            },
         },
         "schema-id": meta.get("current-schema-id", 0),
     }
@@ -1981,50 +1988,12 @@ def write_iceberg(
             raise UnsupportedOperationError(
                 f"Iceberg table at {path} already exists"
             )
-        # last-column-id must be the allocator's HIGH-WATER MARK:
-        # nested struct/list/map element ids are allocated after
-        # their parent's, so max() over top-level ids would leave
-        # live nested ids above the recorded watermark for a foreign
-        # writer to re-allocate
-        alloc = {"n": 0}
-
-        def _next_id() -> int:
-            alloc["n"] += 1
-            return alloc["n"]
-
-        ice_struct = _spark_to_iceberg_type(df.schema, _next_id)
-        schema_obj = {
-            "type": "struct",
-            "schema-id": 0,
-            "fields": ice_struct["fields"],
-        }
-        meta = {
-            "format-version": 2,
-            "table-uuid": str(uuid.uuid4()),
-            "location": path,
-            "last-sequence-number": 0,
-            "last-updated-ms": int(time.time() * 1000),
-            "last-column-id": alloc["n"],
-            "current-schema-id": 0,
-            "schemas": [schema_obj],
-            "default-spec-id": 0,
-            "partition-specs": [
-                {
-                    "spec-id": 0,
-                    "fields": _partition_spec_fields(
-                        schema_obj, partition_by
-                    ),
-                }
-            ],
-            "last-partition-id": 999 + len(partition_by or []),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {},
-            "current-snapshot-id": -1,
-            "snapshots": [],
-            "snapshot-log": [],
-            "metadata-log": [],
-        }
+        meta = _new_table_meta(df.schema, path)
+        schema_obj = meta["schemas"][0]
+        if partition_by:
+            pf = _partition_spec_fields(schema_obj, partition_by)
+            meta["partition-specs"] = [{"spec-id": 0, "fields": pf}]
+            meta["last-partition-id"] = 999 + len(pf)
     elif mode == "append":
         meta = table_metadata(path)
     elif mode == "overwrite":

@@ -17,7 +17,11 @@ story next to ``pydelta``/``pyavro``.
   (null-safe — None==None matches, the spec's rule), and filters its
   Arrow batches before they leave the reader;
 - ``snapshotId`` / ``asOfTimestampMs`` options time-travel like
-  ``read_iceberg``.
+  ``read_iceberg``;
+- STREAMING source (sequence-number offsets; append replay, or
+  row-level ``changelog`` mode) and STREAMING SINK (exactly-once
+  append snapshots via stream-app-id/stream-epoch-id summary
+  markers — the pydelta txn sink's twin).
 
 Scale: the per-task delete-file read is O(delete files) per data
 file, and equality keysets sit in task memory. Fine for the modest
@@ -29,6 +33,7 @@ key batches); a table with heavy deletes reads better through
 from __future__ import annotations
 
 import os
+import uuid
 from typing import TYPE_CHECKING, Sequence
 
 from typing import Iterable, List
@@ -37,6 +42,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -45,6 +51,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from ..exceptions import UnsupportedOperationError
@@ -664,6 +671,184 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         pass
 
 
+class _IceFileCommit(WriterCommitMessage):
+    def __init__(self, rel: str):
+        self.rel = rel
+
+
+class _PyIcebergStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK: every microbatch commits one Iceberg APPEND
+    snapshot whose summary carries ``stream-app-id`` / ``stream-
+    epoch-id`` — the exactly-once markers (iceberg-spark's streaming
+    sink records the same shape). On restart, a replayed microbatch
+    whose batchId is ≤ the app's last committed epoch is SKIPPED and
+    its freshly written part files deleted — idempotent exactly-once
+    appends on an at-least-once engine (the pydelta sink's txn-action
+    twin). ``.option("txnAppId", ...)`` scopes idempotency per query.
+
+    Executors write field-id-stamped parquet straight into ``data/``
+    (footer ids = the table's Iceberg field ids, so batch readers
+    bind them like any other data file); the driver turns the
+    committed files into ONE added-entries manifest with footer-
+    derived column bounds. Unpartitioned v2 tables only (Spark's
+    sink API hands the writer opaque Arrow batches — spec layout
+    needs the DataFrame writer); a missing table is CREATED on the
+    first commit from the sink schema. Single-writer metadata commit
+    (the module's filesystem-catalog contract)."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self._path = _required_path(options)
+        self._schema = schema
+        self._app = options.get("txnappid", "pyiceberg-stream")
+        for f in schema.fields:
+            if isinstance(
+                f.dataType, (T.StructType, T.ArrayType, T.MapType)
+            ):
+                raise UnsupportedOperationError(
+                    "pyiceberg stream sink supports top-level "
+                    f"primitive columns; {f.name!r} is nested"
+                )
+        if iceberg_py.is_iceberg_table(self._path):
+            meta = iceberg_py.table_metadata(self._path)
+            iceberg_py._require_v2(meta, "pyiceberg stream sink")
+            ice = iceberg_py._current_schema(meta)
+            want = {f["name"] for f in ice["fields"]}
+            have = {f.name for f in schema.fields}
+            if have != want:
+                raise UnsupportedOperationError(
+                    f"pyiceberg stream sink schema {sorted(have)} != "
+                    f"table schema {sorted(want)}"
+                )
+            spec = iceberg_py._partition_specs(meta).get(
+                int(meta.get("default-spec-id", 0)), []
+            )
+            if spec:
+                raise UnsupportedOperationError(
+                    "pyiceberg stream sink supports unpartitioned "
+                    "tables (the spec layout needs the DataFrame "
+                    "writer: iceberg_py.write_iceberg)"
+                )
+            self._create_meta = None
+            self._schema_obj = ice
+        else:
+            self._create_meta = iceberg_py._new_table_meta(
+                schema, self._path
+            )
+            self._schema_obj = self._create_meta["schemas"][0]
+        self._fids = {
+            f["name"]: int(f["id"])
+            for f in self._schema_obj["fields"]
+        }
+
+    # -- executors -----------------------------------------------------
+    def write(self, iterator) -> _IceFileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _IceFileCommit("")
+        t = pa.Table.from_batches(batches)
+        # stamp footer field ids so every reader binds by id
+        fields = [
+            f.with_metadata(
+                {b"PARQUET:field_id": str(self._fids[f.name]).encode()}
+            )
+            for f in t.schema
+        ]
+        t = t.cast(pa.schema(fields))
+        ddir = os.path.join(self._path, "data")
+        os.makedirs(ddir, exist_ok=True)
+        rel = f"stream-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            t, os.path.join(ddir, rel), compression="snappy"
+        )
+        return _IceFileCommit(rel)
+
+    # -- driver ----------------------------------------------------------
+    def _last_epoch(self, meta: dict) -> int:
+        last = -1
+        for s in meta.get("snapshots") or []:
+            smry = s.get("summary") or {}
+            if smry.get("stream-app-id") == self._app:
+                try:
+                    last = max(last, int(smry["stream-epoch-id"]))
+                except (KeyError, ValueError):
+                    pass
+        return last
+
+    def _cleanup(self, rels) -> None:
+        for rel in rels:
+            try:
+                os.unlink(os.path.join(self._path, "data", rel))
+            except FileNotFoundError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import pyarrow.parquet as pq
+
+        rels = [
+            m.rel for m in messages if m is not None and m.rel
+        ]
+        if iceberg_py.is_iceberg_table(self._path):
+            meta = iceberg_py.table_metadata(self._path)
+        else:
+            meta = self._create_meta
+        if batchId <= self._last_epoch(meta):
+            # replayed microbatch after restart: already committed
+            self._cleanup(rels)
+            return
+        entries = []
+        for rel in rels:
+            abs_p = os.path.join(self._path, "data", rel)
+            lows, highs = iceberg_py._file_bounds(
+                abs_p, self._schema_obj
+            )
+            entries.append(
+                {
+                    "file_path": abs_p,
+                    "record_count": pq.read_metadata(abs_p).num_rows,
+                    "file_size_in_bytes": os.path.getsize(abs_p),
+                    "lower_bounds": lows,
+                    "upper_bounds": highs,
+                }
+            )
+        os.makedirs(
+            iceberg_py._metadata_dir(self._path), exist_ok=True
+        )
+        prior = iceberg_py._prior_manifest_rows(meta, self._path)
+        snap_id = iceberg_py._new_snapshot_id()
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        rows = list(prior)
+        if entries:
+            rows.append(
+                iceberg_py._write_manifest(
+                    self._path,
+                    entries,
+                    snap_id,
+                    seq,
+                    content=0,
+                    spec_id=int(meta.get("default-spec-id", 0)),
+                )["row"]
+            )
+        iceberg_py._commit_snapshot(
+            self._path,
+            meta,
+            rows,
+            "append",
+            snap_id,
+            extra_summary={
+                "stream-app-id": self._app,
+                "stream-epoch-id": int(batchId),
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(
+            m.rel for m in messages or [] if m is not None and m.rel
+        )
+
+
 class PyIcebergDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -706,6 +891,14 @@ class PyIcebergDataSource(DataSource):
         self, schema: T.StructType
     ) -> DataSourceStreamReader:
         return _PyIcebergStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "pyiceberg stream sink is append-only "
+                "(outputMode append)"
+            )
+        return _PyIcebergStreamWriter(self.options, schema)
 
 
 def register(spark: "SparkSession") -> None:

@@ -2302,3 +2302,96 @@ def test_pyiceberg_changelog_stream(spark, tbl, tmp_path):
         spark.read.format("pyiceberg").option(
             "changelog", "true"
         ).load(tbl).collect()
+
+
+def test_pyiceberg_stream_sink_exactly_once(spark, tbl, tmp_path):
+    """readStream(pyiceberg) -> writeStream(pyiceberg): each
+    microbatch commits ONE append snapshot stamped with
+    stream-app-id/stream-epoch-id; a full replay on a fresh
+    checkpoint commits nothing new (the exactly-once marker skips
+    it); files bind by footer field id like any written data file."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    src, dst = tbl, str(tmp_path / "dst_ice")
+    first = None
+    for i in range(3):
+        meta = write_iceberg(
+            spark,
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", F.lit(i).cast("long").alias("b")
+            ),
+            src,
+            mode="create" if i == 0 else "append",
+        )
+        if first is None:
+            first = meta["snapshots"][0]["snapshot-id"]
+
+    def run(ckpt):
+        q = (
+            spark.readStream.format("pyiceberg")
+            .option("startingSnapshotId", first)
+            .load(src)
+            .writeStream.format("pyiceberg")
+            .option("path", dst)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .option("txnAppId", "test-ice-q")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert read_iceberg(spark, dst).count() == 30
+    run("ck2")  # fresh checkpoint: full replay must be a no-op
+    assert read_iceberg(spark, dst).count() == 30
+    # incremental continuation via the original checkpoint
+    write_iceberg(
+        spark,
+        spark.range(100, 105).select(
+            "id", F.lit(9).cast("long").alias("b")
+        ),
+        src,
+        mode="append",
+    )
+    run("ck1")
+    got = read_iceberg(spark, dst)
+    assert got.count() == 35
+    assert got.filter("b = 9").count() == 5
+    # exactly one committed snapshot per non-skipped microbatch,
+    # each stamped with the exactly-once markers
+    meta = table_metadata(dst)
+    snaps = meta["snapshots"]
+    assert len(snaps) == 2
+    for s in snaps:
+        assert s["summary"]["stream-app-id"] == "test-ice-q"
+        assert s["summary"]["operation"] == "append"
+    # both read paths see the sink's field-id-stamped files
+    assert (
+        spark.read.format("pyiceberg").load(dst).count() == 35
+    )
+
+    # partitioned targets refuse (the spec layout needs write_iceberg)
+    part_tbl = str(tmp_path / "dst_part")
+    write_iceberg(
+        spark,
+        spark.range(4).select("id", (F.col("id") % 2).alias("b")),
+        part_tbl,
+        mode="create",
+        partition_by=["b"],
+    )
+    q = (
+        spark.readStream.format("pyiceberg")
+        .option("startingSnapshotId", first)
+        .load(src)
+        .writeStream.format("pyiceberg")
+        .option("path", part_tbl)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="unpartitioned"):
+        q.awaitTermination(120)
+        raise RuntimeError("partitioned sink should have failed")
