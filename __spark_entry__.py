@@ -26,80 +26,78 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
 _ALL = {**_CORE, **_EXT}
 
-# Round-9 cap ordering (driver cap = 50 queries/round; stamps are
-# CUMULATIVE across CORRECTNESS_r01..r08 — the r8 union is 203/203
-# oracle-eligible green). The cap fills by STAMP AGE (judge r7 #1,
-# re-affirmed r8 #2):
-# 1. never-stamped first: y34 Iceberg maintenance, y35 identity-
-#    partitioned read, y36 streaming replay, y37 transform
-#    partitions, y38 Delta->Iceberg convert — all new this round;
-# 2. ALL 38 remaining r4-era stamps (the x43–x98 band) — the oldest
-#    in the union, predating the DV/column-mapping/checkpoint/
-#    Iceberg shared-read-path churn;
-# 3. the remaining 7 slots go to the oldest r5-era stamps
-#    (q05/q32/q55 + x54/x57/x99 + y01).
-# Everything past the cap keeps an r5+ stamp AND a same-round local
-# green in CORRECTNESS_LOCAL_r09.json; the r5 tail (y02–y09)
-# rotates in r10.
-_NEVER_STAMPED = [
-    "y34_iceberg_maintenance",
+# Round-10 cap ordering (driver cap = 50 queries/round; stamps are
+# CUMULATIVE across CORRECTNESS_r01..r09). The cap fills by STAMP AGE
+# (judge r7 #1, re-affirmed every round since):
+# 1. never-stamped first: y43 equality-delete upsert, y44 partition-
+#    spec evolution, y45 streaming changelog — new this round — plus
+#    the 5 r9 FAILures (y35/y37-y40: the pyiceberg register conf
+#    defect, fixed this round) needing green re-stamps;
+# 2. ALL 12 remaining r5-era stamps (x54/x57/x99 + y01-y09) — the
+#    oldest in the union;
+# 3. the remaining 30 slots go to r6-era stamps: the y10-y21
+#    Delta-protocol band first (their shared read paths churned
+#    in r6-r10), then q01 onward.
+# Everything past the cap keeps an r6+ stamp AND a same-round local
+# green in CORRECTNESS_LOCAL_r10.json; the r6 tail (q18-q40 band)
+# rotates in r11.
+_NEVER_OR_FAILED = [
+    "y43_iceberg_equality_upsert",
+    "y44_iceberg_spec_evolution",
+    "y45_iceberg_changelog_stream",
     "y35_iceberg_partitioned",
-    "y36_iceberg_stream_replay",
     "y37_iceberg_transform_partitions",
     "y38_iceberg_convert_from_delta",
     "y39_iceberg_add_files",
     "y40_iceberg_refs",
-    "y41_iceberg_update_overwrite",
-    "y42_iceberg_merge",
 ]
-_R4_ERA = [
-    "x43_word_rarity",
-    "x45_cohort_retention",
-    "x46_streaming_rollup_delta",
-    "x47_inverted_index",
-    "x52_salted_aggregation",
-    "x53_salted_join",
-    "x55_stream_static_enrich",
-    "x56_contamination_matrix",
-    "x58_sliding_window",
-    "x60_sparse_cosine_pairs",
-    "x71_embedding_outliers",
-    "x72_gapfill_locf",
-    "x73_ewma_daily",
-    "x74_ab_ztest",
-    "x75_psi_drift",
-    "x76_train_val_test",
-    "x77_event_transitions",
-    "x78_conversion_latency",
-    "x79_incremental_dedup",
-    "x80_retrieval_pipeline",
-    "x81_cdc_chunk_dedup",
-    "x82_temperature_mixture",
-    "x83_robust_outliers_mad",
-    "x84_cms_error_audit",
-    "x85_packing_audit",
-    "x86_cluster_size_histogram",
-    "x87_shard_skew_audit",
-    "x88_label_silhouette",
-    "x89_delta_stream_rollup",
-    "x90_fuzzy_record_linkage",
-    "x91_referential_integrity",
-    "x92_scd2_intervals",
-    "x93_lasttouch_attribution",
-    "x94_triangle_counts",
-    "x95_epoch_mixture_plan",
-    "x96_video_frame_sample",
-    "x97_bootstrap_ci",
-    "x98_decayed_popularity",
+_R5_ERA = [
+    "x54_data_quality_report",
+    "x57_embedding_audit",
+    "x99_bucketed_join",
+    "y01_incremental_rollup",
+    "y02_streaming_cdc_upsert",
+    "y03_zorder_skipping",
+    "y04_bpe_tokenize",
+    "y05_cdc_change_feed",
+    "y06_schema_evolution_read",
+    "y07_table_checksum",
+    "y08_compaction",
+    "y09_time_travel_restore",
 ]
-_R5_ERA_HEAD = [
-    # trimmed to 3 when y36-y42 joined _NEVER_STAMPED (9+38+3 = the
-    # exact 50-query driver cap); x54/x57/x99/y01-y09 rotate in r10
-    "q05_null_coalesce",
-    "q32_json_extract",
-    "q55_tpch_q15_top_supplier",
+_R6_ERA_HEAD = [
+    "y10_deletion_vector_read",
+    "y11_column_mapping_read",
+    "y12_dv_delete",
+    "y13_dv_update",
+    "y14_dv_purge",
+    "y15_delta_optimize",
+    "y16_append_only_governance",
+    "y17_timestamp_as_of",
+    "y18_check_constraints",
+    "y19_cdc_log_replay",
+    "y20_shallow_clone",
+    "y21_generated_columns",
+    "q01_scan_project",
+    "q02_filter_and",
+    "q03_between_in",
+    "q04_like",
+    "q06_distinct",
+    "q07_topk",
+    "q08_inner_join",
+    "q09_left_join",
+    "q10_full_outer_join",
+    "q11_semi_join",
+    "q12_anti_join",
+    "q13_multiway_join",
+    "q14_range_join",
+    "q15_cross_join",
+    "q16_tpch_q1_agg",
+    "q17_count_distinct",
+    "q18_having",
+    "q19_rollup",
 ]
-_PRIORITY = _NEVER_STAMPED + _R4_ERA + _R5_ERA_HEAD
+_PRIORITY = _NEVER_OR_FAILED + _R5_ERA + _R6_ERA_HEAD
 QUERY_SPECS = {
     **{n: _ALL[n] for n in _PRIORITY},
     **{n: s for n, s in _ALL.items() if n not in _PRIORITY},

@@ -13,7 +13,11 @@ and report the per-query MEDIAN (value = sum of headline medians;
 pass_totals / extended_pass_totals list each pass) — a single
 loaded-box pass had swung totals by ±25% across rounds with zero
 plan changes (r7: x62 read 6.15 s single-pass on a loadavg-8 box vs
-~4 s idle). loadavg at start/end is recorded in the JSON so a noisy
+~4 s idle). When the box is already LOADED at start (1-min loadavg
+> 3), the headline set runs FIVE passes instead (judge r9 #7 — the
+3-pass median still admitted 1.2-1.3x per-query swings under load;
+headline_passes in the JSON records which protocol ran).
+loadavg at start/end is recorded in the JSON so a noisy
 run is self-labeling.
 
 Warmup surface (judge r6 #7) — every untimed pass in one place:
@@ -176,10 +180,14 @@ def main() -> int:
     # queries are listed explicitly and the exit code stays nonzero.
     failed: dict[str, str] = {}
     load_start = os.getloadavg()
-    # Three headline passes; per-query median (variance protocol —
-    # see module docstring).
+    # Headline passes; per-query median (variance protocol — see
+    # module docstring). On a LOADED box (start 1-min loadavg > 3,
+    # the driver's usual state per r7-r9 BENCH artifacts) the median
+    # of 3 still admits 1.2-1.3x per-query swings, so the headline
+    # set runs FIVE passes there (judge r9 #7); idle boxes keep 3.
+    n_headline_passes = 5 if load_start[0] > 3 else 3
     pass_times: list[dict[str, float]] = []
-    for _pass in range(3):
+    for _pass in range(n_headline_passes):
         pt: dict[str, float] = {}
         for name in HEADLINE:
             if name in failed:
@@ -258,6 +266,7 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "pass_totals": pass_totals,
+        "headline_passes": n_headline_passes,
         "loadavg": {
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
