@@ -8876,6 +8876,19 @@ def y45(spark, sf):
         ],
         "_commit_snapshot_id long, ord int",
     )
+    # BATCH changelog (the create_changelog_view shape) must agree
+    # with the stream row-for-row over the same range
+    n_batch = (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .load(tbl)
+        .count()
+    )
+    n_stream = spark.table(name).count()
+    if n_batch != n_stream:
+        raise AssertionError(
+            f"y45: batch changelog {n_batch} != stream {n_stream}"
+        )
     return (
         spark.table(name)
         .join(F.broadcast(ordinals), "_commit_snapshot_id")

@@ -671,6 +671,56 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         pass
 
 
+class _PyIcebergChangelogBatchReader(DataSourceReader):
+    """BATCH changelog (iceberg-spark's ``create_changelog_view``
+    shape): one DataFrame of row-level insert/delete changes between
+    two snapshots — ``startSnapshotId`` EXCLUSIVE (default: table
+    start) and ``endSnapshotId`` inclusive (default: current). The
+    planning and per-task materialization are exactly the streaming
+    changelog's (one partition per added data file / delete file;
+    victim rows read at their deleted positions), so batch and stream
+    agree row-for-row over the same range."""
+
+    def __init__(self, options: dict):
+        opts = dict(options)
+        opts["changelog"] = "true"
+        self._sr = _PyIcebergStreamReader(opts, None)
+        meta = iceberg_py.table_metadata(self._sr._path)
+        snaps = sorted(
+            meta.get("snapshots") or [],
+            key=lambda s: int(s.get("sequence-number") or 0),
+        )
+        seq_of = {
+            int(s["snapshot-id"]): int(s.get("sequence-number") or 0)
+            for s in snaps
+        }
+
+        def _seq(key, default):
+            sid = options.get(key)
+            if sid is None:
+                return default
+            if int(sid) not in seq_of:
+                raise UnsupportedOperationError(
+                    f"pyiceberg changelog: {key} {sid} is not a "
+                    "snapshot of this table"
+                )
+            return seq_of[int(sid)]
+
+        self._start = _seq("startsnapshotid", 0)
+        self._end = _seq(
+            "endsnapshotid",
+            int(meta.get("last-sequence-number", 0)),
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return self._sr.partitions(
+            {"seq": self._start}, {"seq": self._end}
+        )
+
+    def read(self, partition: InputPartition):
+        yield from self._sr.read(partition)
+
+
 class _IceFileCommit(WriterCommitMessage):
     def __init__(self, rel: str):
         self.rel = rel
@@ -880,11 +930,7 @@ class PyIcebergDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         if str(self.options.get("changelog", "false")).lower() == "true":
-            raise UnsupportedOperationError(
-                "pyiceberg changelog is a STREAMING read "
-                "(spark.readStream.format('pyiceberg')"
-                ".option('changelog', 'true'))"
-            )
+            return _PyIcebergChangelogBatchReader(self.options)
         return _PyIcebergReader(self.options)
 
     def streamReader(

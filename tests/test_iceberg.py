@@ -2297,11 +2297,42 @@ def test_pyiceberg_changelog_stream(spark, tbl, tmp_path):
     q2.awaitTermination()
     assert spark.table("ice_changelog2").count() == 0
 
-    # batch read with the changelog option refuses loudly
-    with pytest.raises(Exception, match="STREAMING"):
+    # BATCH changelog (create_changelog_view shape) over the same
+    # range agrees with the stream row-for-row; compaction (the last
+    # snapshot) contributes nothing
+    batch = (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .load(tbl)
+    )
+    got_b = sorted(
+        (r._change_type, r.k, r.v) for r in batch.collect()
+    )
+    assert got_b == want
+    # bounded range: endSnapshotId stops before the append
+    snaps = table_metadata(tbl)["snapshots"]
+    upto = (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .option("endSnapshotId", snaps[2]["snapshot-id"])
+        .load(tbl)
+    )
+    assert upto.count() == len(want) - 1  # minus the k=100 insert
+    # startSnapshotId is exclusive
+    tail = (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .option("startSnapshotId", snaps[2]["snapshot-id"])
+        .load(tbl)
+    )
+    assert sorted(
+        (r._change_type, r.k) for r in tail.collect()
+    ) == [("insert", 100)]
+    # unknown snapshot id refuses loudly
+    with pytest.raises(Exception, match="not a snapshot"):
         spark.read.format("pyiceberg").option(
             "changelog", "true"
-        ).load(tbl).collect()
+        ).option("endSnapshotId", "12345").load(tbl).collect()
 
 
 def test_pyiceberg_stream_sink_exactly_once(spark, tbl, tmp_path):
