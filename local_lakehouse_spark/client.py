@@ -1217,6 +1217,12 @@ class LakehouseClient:
         + r"(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    _ALTER_PART_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _ADD_CONSTRAINT_RE = re.compile(
         r"^ALTER\s+TABLE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
@@ -1453,6 +1459,47 @@ class LakehouseClient:
             cat, sch, tbl = (self._unquote_name(g) for g in m.groups())
             n = self.purge_table(cat, sch, tbl)
             return spark.createDataFrame([(n,)], "files_purged long")
+        m = self._ALTER_PART_RE.match(stmt)
+        if m:
+            cat, sch, tbl, action, entry = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            table = self.get_table(cat, sch, tbl)
+            if table.file_type != FileType.ICEBERG:
+                raise UnsupportedOperationError(
+                    "ADD/DROP PARTITION FIELD requires an ICEBERG "
+                    f"table; {table.full_name} is "
+                    f"{table.file_type.value}"
+                )
+            from .sources import iceberg_py
+            from .sources import iceberg_transforms as _tr
+
+            path = _io.strip_file_scheme(table.storage_location or "")
+            meta = iceberg_py.table_metadata(path)
+            current = iceberg_py.current_partition_by(meta)
+            key = _tr.parse_partition_by(entry.strip())
+            keyed = [(_tr.parse_partition_by(e), e) for e in current]
+            if action.upper() == "ADD":
+                if key in [k for k, _ in keyed]:
+                    raise UnsupportedOperationError(
+                        f"partition field {entry.strip()!r} is "
+                        "already in the default spec"
+                    )
+                new_by = current + [entry.strip()]
+            else:
+                if key not in [k for k, _ in keyed]:
+                    raise UnsupportedOperationError(
+                        f"partition field {entry.strip()!r} is not "
+                        "in the default spec"
+                    )
+                new_by = [e for k, e in keyed if k != key]
+            meta = iceberg_py.evolve_iceberg_partition_spec(
+                path, new_by
+            )
+            return spark.createDataFrame(
+                [(int(meta["default-spec-id"]),)], "spec_id int"
+            )
         m = self._ADD_CONSTRAINT_RE.match(stmt)
         if m:
             cat, sch, tbl, cname, pred = m.groups()

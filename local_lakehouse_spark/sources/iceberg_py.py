@@ -1700,6 +1700,41 @@ def _partition_spec_fields(
     return out
 
 
+def current_partition_by(meta: dict) -> list:
+    """The DEFAULT spec rendered back as user-facing ``partition_by``
+    entries (the inverse of _partition_spec_fields) — what the SQL
+    ``ALTER TABLE ... ADD/DROP PARTITION FIELD`` surface edits."""
+    fields_by_id = {
+        f["id"]: f
+        for f in _current_schema(meta)["fields"]
+        if isinstance(f.get("type"), str)
+    }
+    out = []
+    for sf in _partition_specs(meta).get(
+        int(meta.get("default-spec-id", 0)), []
+    ):
+        src = fields_by_id.get(int(sf["source-id"]))
+        if src is None:
+            raise UnsupportedOperationError(
+                f"partition field {sf.get('name')!r} references a "
+                "dropped/nested column — cannot render partition_by"
+            )
+        tfm = sf.get("transform", "identity")
+        m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tfm)
+        if tfm == "identity":
+            out.append(src["name"])
+        elif m:
+            out.append(f"{m.group(1)}({m.group(2)}, {src['name']})")
+        elif tfm in ("year", "month", "day", "hour"):
+            out.append(f"{tfm}s({src['name']})")
+        else:
+            raise UnsupportedOperationError(
+                f"partition transform {tfm!r} has no partition_by "
+                "rendering"
+            )
+    return out
+
+
 def evolve_iceberg_partition_spec(
     path: str, partition_by: Optional[list]
 ) -> dict:

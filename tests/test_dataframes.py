@@ -840,3 +840,70 @@ def test_convert_parquet_dir_to_iceberg_via_client(unity, spark, tmp_path):
     )
     with pytest.raises(UnsupportedOperationError, match="partition"):
         unity.convert_table_to_iceberg("unity", "default", "pq2ice_part")
+
+
+def test_alter_partition_field_sql(unity, spark, tmp_path):
+    """ALTER TABLE ... ADD/DROP PARTITION FIELD (the iceberg-spark
+    DDL) drives partition-spec evolution through the client SQL
+    surface: ADD commits a new default spec, appends lay out by it,
+    DROP removes the field, non-Iceberg tables and duplicate/missing
+    fields refuse."""
+    from local_lakehouse_spark.sources import iceberg_py
+
+    df = spark.range(12).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS g"
+    )
+    loc = _loc(tmp_path, "ice_alter")
+    unity.create_as_table(
+        df, "unity", "default", "ice_alter",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    out = unity.sql(
+        "ALTER TABLE unity.default.ice_alter ADD PARTITION FIELD g"
+    )
+    assert out.collect()[0].spec_id == 1
+    meta = iceberg_py.table_metadata(loc)
+    assert iceberg_py.current_partition_by(meta) == ["g"]
+    unity.sql(
+        "ALTER TABLE unity.default.ice_alter "
+        "ADD PARTITION FIELD bucket(4, k)"
+    )
+    meta = iceberg_py.table_metadata(loc)
+    assert iceberg_py.current_partition_by(meta) == [
+        "g", "bucket(4, k)",
+    ]
+    # appends lay out by the evolved spec; reads stay whole
+    unity.write_table(
+        spark.range(12, 24).selectExpr(
+            "id AS k", "CAST(id % 3 AS INT) AS g"
+        ),
+        "unity", "default", "ice_alter",
+        mode="APPEND",
+    )
+    assert unity.read_table(
+        "unity", "default", "ice_alter"
+    ).count() == 24
+    unity.sql(
+        "ALTER TABLE unity.default.ice_alter DROP PARTITION FIELD g"
+    )
+    meta = iceberg_py.table_metadata(loc)
+    assert iceberg_py.current_partition_by(meta) == ["bucket(4, k)"]
+    # duplicate ADD / missing DROP / non-Iceberg table refuse
+    with pytest.raises(UnsupportedOperationError, match="already"):
+        unity.sql(
+            "ALTER TABLE unity.default.ice_alter "
+            "ADD PARTITION FIELD bucket(4, k)"
+        )
+    with pytest.raises(UnsupportedOperationError, match="not in"):
+        unity.sql(
+            "ALTER TABLE unity.default.ice_alter "
+            "DROP PARTITION FIELD g"
+        )
+    unity.create_as_table(
+        df, "unity", "default", "plainpq",
+        file_type=FileType.PARQUET, location=_loc(tmp_path, "plainpq"),
+    )
+    with pytest.raises(UnsupportedOperationError, match="ICEBERG"):
+        unity.sql(
+            "ALTER TABLE unity.default.plainpq ADD PARTITION FIELD g"
+        )
