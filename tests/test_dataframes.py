@@ -907,3 +907,59 @@ def test_alter_partition_field_sql(unity, spark, tmp_path):
         unity.sql(
             "ALTER TABLE unity.default.plainpq ADD PARTITION FIELD g"
         )
+
+
+def test_iceberg_table_changes_changelog_fast_path(
+    unity, spark, tmp_path
+):
+    """client.table_changes on an ICEBERG table uses the changelog
+    scan (net changes, O(changed data)) and agrees with the generic
+    two-snapshot diff; ranges the changelog cannot reconstruct (a
+    full overwrite) fall back to the diff instead of failing."""
+    from local_lakehouse_spark.sources import iceberg_py
+
+    df = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    loc = _loc(tmp_path, "ice_cdc")
+    unity.create_as_table(
+        df, "unity", "default", "ice_cdc",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    iceberg_py.delete_iceberg_where(spark, loc, "k IN (2, 3)")
+    unity.write_table(
+        spark.createDataFrame([(100, 1)], "k long, v long"),
+        "unity", "default", "ice_cdc", mode="APPEND",
+    )
+    meta = iceberg_py.table_metadata(loc)
+    snaps = [s["snapshot-id"] for s in meta["snapshots"]]
+    changes = unity.table_changes(
+        "unity", "default", "ice_cdc", from_version=snaps[0]
+    )
+    got = sorted(
+        (r._change_type, r.k, r.v) for r in changes.collect()
+    )
+    assert got == sorted(
+        [("delete", 2, 4), ("delete", 3, 6), ("insert", 100, 1)]
+    )
+    # a row inserted AND deleted inside the range nets to nothing:
+    # the k=2 delete cancels against its original insert when the
+    # range starts before the create... (covered above by starting
+    # AT the create snapshot; here check a bounded range)
+    mid = unity.table_changes(
+        "unity", "default", "ice_cdc",
+        from_version=snaps[0], to_version=snaps[1],
+    )
+    assert sorted(
+        (r._change_type, r.k) for r in mid.collect()
+    ) == [("delete", 2), ("delete", 3)]
+    # full overwrite in range -> falls back to the snapshot diff
+    unity.write_table(
+        spark.createDataFrame([(7, 70)], "k long, v long"),
+        "unity", "default", "ice_cdc", mode="OVERWRITE",
+    )
+    over = unity.table_changes(
+        "unity", "default", "ice_cdc", from_version=snaps[-1]
+    )
+    rows = sorted((r._change_type, r.k) for r in over.collect())
+    assert ("insert", 7) in rows
+    assert all(t == "delete" for t, k in rows if k != 7)
+    assert len(rows) == 1 + 9  # 8 survivors of 0-9 + k=100 deleted
