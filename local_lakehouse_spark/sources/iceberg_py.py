@@ -2389,19 +2389,6 @@ def compact_data_files(
     shutil.rmtree(tmp, ignore_errors=True)
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snap_id = _new_snapshot_id()
-    # removed entries preserve their ORIGINAL data sequence numbers
-    for d in data_files:
-        entries.append(
-            {
-                "file_path": d["file_path"],
-                "record_count": int(d.get("record_count") or 0),
-                "file_size_in_bytes": int(
-                    d.get("file_size_in_bytes") or 0
-                ),
-                "status": 2,
-                "sequence_number": int(d["_seq"]),
-            }
-        )
     mrows = [
         _write_manifest(
             path,
@@ -2412,30 +2399,16 @@ def compact_data_files(
             spec_id=int(meta.get("default-spec-id", 0)),
         )["row"]
     ]
+    # removed entries preserve their ORIGINAL data sequence numbers,
+    # partition records, and spec-ids (grouped per original spec —
+    # spec-consistent for foreign readers, same rule as overwrite);
+    # data and delete files never share a manifest (spec rule)
+    mrows += _removal_manifest_rows(
+        path, meta, data_files, snap_id, seq, content=0
+    )
     if pos_deletes:
-        # delete files live in their own content=1 manifest (spec:
-        # data and delete files never share a manifest)
-        del_entries = [
-            {
-                "file_path": d["file_path"],
-                "record_count": int(d.get("record_count") or 0),
-                "file_size_in_bytes": int(
-                    d.get("file_size_in_bytes") or 0
-                ),
-                "status": 2,
-                "sequence_number": int(d["_seq"]),
-            }
-            for d in pos_deletes
-        ]
-        mrows.append(
-            _write_manifest(
-                path,
-                del_entries,
-                snap_id,
-                seq,
-                content=1,
-                spec_id=int(meta.get("default-spec-id", 0)),
-            )["row"]
+        mrows += _removal_manifest_rows(
+            path, meta, pos_deletes, snap_id, seq, content=1
         )
     return _commit_snapshot(path, meta, mrows, "replace", snap_id)
 

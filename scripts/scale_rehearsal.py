@@ -87,6 +87,11 @@ QUERIES = [
     # round 9 (judge r8 #6): the pyiceberg STREAMING source replaying
     # N append snapshots — per-batch file plans asserted O(new files)
     "y36_iceberg_stream_at_scale",
+    # round 10: equality-delete read crossing the delete broadcast
+    # cap (designed BHJ->SMJ flip) and batch-changelog victim
+    # materialization (O(deleted rows) keep_only reads)
+    "y43_equality_read_at_scale",
+    "y45_changelog_at_scale",
 ]
 
 def _y10_dv_read_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,12 +274,117 @@ def _y36_iceberg_stream_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("l_returnflag")
 
 
+def _y43_equality_read_at_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-10 rehearsal: the EQUALITY-delete read crossing the
+    delete broadcast cap. Stage an Iceberg lineitem copy, then
+    equality-delete every key with ``l_quantity > 25`` (~half the
+    rows: ~300k tuples at 1x — broadcasts; ~3M at 10x > the 2M cap —
+    the keyed anti-join shuffles, the same designed flip as the
+    position-delete reads). The timed region is the read: equality
+    application must stay a hashable join at any delete-set size."""
+    import hashlib
+    import tempfile
+
+    from local_lakehouse_spark.sources import iceberg_py
+
+    key = hashlib.md5(f"{sf_dir}|iceeq-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_iceeq_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+        )
+        iceberg_py.write_iceberg(
+            spark, li.repartition(32), tbl, mode="create"
+        )
+        keys = li.filter("l_quantity > 25").select(
+            "l_orderkey", "l_linenumber"
+        )
+        iceberg_py.equality_delete_iceberg(
+            spark, tbl, keys, ["l_orderkey", "l_linenumber"]
+        )
+    meta = iceberg_py.table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    _d, _p, eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    card = sum(int(e.get("record_count") or 0) for e in eq)
+    print(
+        f"    [y43_equality_read_at_scale] delete tuples: {card:,} "
+        f"(cap {iceberg_py._DELETE_BROADCAST_MAX_ROWS:,})",
+        flush=True,
+    )
+    return (
+        iceberg_py.read_iceberg(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+def _y45_changelog_at_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-10 rehearsal: BATCH changelog materialization over a
+    history with row-level DML. Stage lineitem, position-DELETE
+    ``l_quantity > 45`` (~10%), append a small slice; the timed
+    region is the full changelog read (inserts from the create +
+    victim rows read at exactly their deleted positions + the
+    append's inserts). The claim: delete-victim materialization is
+    O(deleted rows) — per-file keep_only reads, never a table
+    rewrite — and planning is O(snapshots), so the 10x ratio tracks
+    data volume, not history depth."""
+    import hashlib
+    import tempfile
+
+    from local_lakehouse_spark.sources import iceberg_py, pyiceberg_source
+
+    key = hashlib.md5(f"{sf_dir}|icecl-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_icecl_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        )
+        iceberg_py.write_iceberg(
+            spark, li.repartition(32), tbl, mode="create"
+        )
+        iceberg_py.delete_iceberg_where(spark, tbl, "l_quantity > 45")
+        iceberg_py.write_iceberg(
+            spark,
+            li.filter("l_quantity <= 2"),
+            tbl,
+            mode="append",
+        )
+    pyiceberg_source.register(spark)
+    return (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .load(tbl)
+        .groupBy("_change_type", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
 # Rehearsal-only cases (not part of the declared inventory — they
 # exist to measure a path the sf0.01 oracle can't reach).
 EXTRA = {
     "y10_dv_read_at_scale": _y10_dv_read_at_scale,
     "y33_iceberg_read_at_scale": _y33_iceberg_read_at_scale,
     "y36_iceberg_stream_at_scale": _y36_iceberg_stream_at_scale,
+    "y43_equality_read_at_scale": _y43_equality_read_at_scale,
+    "y45_changelog_at_scale": _y45_changelog_at_scale,
 }
 
 _ABC = "abcdefghijklmnopqrstuvwxyz"

@@ -2426,3 +2426,30 @@ def test_pyiceberg_stream_sink_exactly_once(spark, tbl, tmp_path):
     with pytest.raises(Exception, match="unpartitioned"):
         q.awaitTermination(120)
         raise RuntimeError("partitioned sink should have failed")
+
+
+def test_compaction_removal_entries_carry_partitions(spark, tbl):
+    """Compaction's status=2 removals carry original partition
+    records under per-original-spec manifests (same spec rule as
+    overwrite) — checked on a partitioned table."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(9).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("g")
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    meta = iceberg_py.compact_data_files(spark, tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    assert snap["summary"]["operation"] == "replace"
+    deleted_parts = []
+    for mf in iceberg_py._manifest_list_rows(snap, tbl):
+        mpath = iceberg_py._resolve(mf["manifest_path"], tbl)
+        for entry in iceberg_py._read_avro_dicts(mpath):
+            if entry.get("status") != 2:
+                continue
+            part = entry["data_file"].get("partition")
+            assert isinstance(part, dict) and part.get("g") is not None
+            deleted_parts.append(part["g"])
+    assert set(deleted_parts) == {0, 1, 2}
+    # rows identical post-compaction
+    assert read_iceberg(spark, tbl).count() == 9
