@@ -459,7 +459,7 @@ def _removal_entry(d: dict, spec_fields: list) -> dict:
     partition = None
     if spec_fields and isinstance(pdict, dict):
         partition = tuple(pdict.get(sf["name"]) for sf in spec_fields)
-    return {
+    out = {
         "file_path": d["file_path"],
         "record_count": int(d.get("record_count") or 0),
         "file_size_in_bytes": int(d.get("file_size_in_bytes") or 0),
@@ -467,6 +467,11 @@ def _removal_entry(d: dict, spec_fields: list) -> dict:
         "sequence_number": int(d["_seq"]),
         "partition": partition,
     }
+    # preserve the entry's original content class (an equality-delete
+    # file must stay content=2 even inside a content=1 manifest)
+    if d.get("content") is not None:
+        out["content"] = int(d["content"])
+    return out
 
 
 def _removal_manifest_rows(
@@ -2326,8 +2331,11 @@ def compact_data_files(
     stay on disk until expire_snapshots); a streaming reader sees a
     non-append snapshot and must fail or skipChangeCommits — never
     replay the rewritten files as fresh inserts. Equality deletes
-    refuse (a rewrite disturbs the sequence numbers their scoping
-    depends on). On identity-partitioned tables the rewritten files
+    absorb like position deletes: the live-rows read applied them,
+    and at the rewrite's new sequence nothing remains in their
+    strictly-smaller-sequence scope, so they retire (status=2,
+    content preserved) with the old data files. On
+    identity-partitioned tables the rewritten files
     MATERIALIZE the partition columns physically (the compaction read
     injects them), so reads stay exact; their manifest partition
     records are empty. Returns the committed metadata."""
@@ -2339,12 +2347,6 @@ def compact_data_files(
     data_files, pos_deletes, eq_deletes = _snapshot_files(
         meta, snap, path
     )
-    if eq_deletes:
-        raise UnsupportedOperationError(
-            "compact_data_files over equality deletes is unsupported "
-            "(rewriting disturbs the sequence numbers their scoping "
-            "depends on)"
-        )
     if not data_files:
         return meta
     schema_obj = _current_schema(meta)
@@ -2406,9 +2408,15 @@ def compact_data_files(
     mrows += _removal_manifest_rows(
         path, meta, data_files, snap_id, seq, content=0
     )
-    if pos_deletes:
+    # absorbed delete files retire too — position AND equality: the
+    # compaction read applied them (live-rows rewrite), and at the
+    # new sequence no surviving data is in their scope, so dropping
+    # them is exact (equality deletes bind only to STRICTLY SMALLER
+    # sequences)
+    if pos_deletes or eq_deletes:
         mrows += _removal_manifest_rows(
-            path, meta, pos_deletes, snap_id, seq, content=1
+            path, meta, pos_deletes + eq_deletes, snap_id, seq,
+            content=1,
         )
     return _commit_snapshot(path, meta, mrows, "replace", snap_id)
 

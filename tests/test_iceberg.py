@@ -2453,3 +2453,51 @@ def test_compaction_removal_entries_carry_partitions(spark, tbl):
     assert set(deleted_parts) == {0, 1, 2}
     # rows identical post-compaction
     assert read_iceberg(spark, tbl).count() == 9
+
+
+def test_compaction_absorbs_equality_deletes(spark, tbl):
+    """Compaction over an equality-delete table: live rows (equality
+    applied) rewrite at the new sequence, ALL delete files retire
+    (content preserved on the removal entries), and both read paths
+    see identical rows afterwards — the y43 lifecycle's maintenance
+    step."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k long, v long"
+    )
+    write_iceberg(spark, df, tbl, mode="create")
+    up = spark.createDataFrame([(3, 333), (20, 200)], "k long, v long")
+    iceberg_py.upsert_iceberg_equality(spark, tbl, up, ["k"])
+    want = {(r.k, r.v) for r in read_iceberg(spark, tbl).collect()}
+    assert (3, 333) in want and (20, 200) in want and len(want) == 11
+
+    meta = iceberg_py.compact_data_files(spark, tbl, target_num_files=2)
+    snap = iceberg_py._select_snapshot(meta)
+    assert snap["summary"]["operation"] == "replace"
+    data, pos, eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    assert not pos and not eq, "delete files must be absorbed"
+    got = {(r.k, r.v) for r in read_iceberg(spark, tbl).collect()}
+    assert got == want
+    pyiceberg_source.register(spark)
+    assert {
+        (r.k, r.v)
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    } == want
+    # the removal entries keep the equality files' content=2
+    eq_removals = 0
+    for mf in iceberg_py._manifest_list_rows(snap, tbl):
+        for entry in iceberg_py._read_avro_dicts(
+            iceberg_py._resolve(mf["manifest_path"], tbl)
+        ):
+            if (
+                entry.get("status") == 2
+                and int(entry["data_file"].get("content") or 0) == 2
+            ):
+                eq_removals += 1
+    assert eq_removals == 1
+    # post-compaction DML works again (the eq-delete refusal cleared)
+    delete_iceberg_where(spark, tbl, "k = 20")
+    assert read_iceberg(spark, tbl).count() == 10
