@@ -3255,7 +3255,16 @@ def overwrite_iceberg_where(
     meta = table_metadata(path)
     _require_v2(meta, "overwrite_iceberg_where")
     if constraint_check:
-        n_bad = df.filter(~F.expr(predicate)).limit(1).count()
+        # a NULL predicate result does NOT satisfy the constraint
+        # (Delta's rule) — coalesce so null-evaluating rows are
+        # flagged, not silently admitted
+        n_bad = (
+            df.filter(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            .limit(1)
+            .count()
+        )
         if n_bad:
             raise UnsupportedOperationError(
                 "replaceWhere constraint violation: incoming rows do "

@@ -762,12 +762,23 @@ class _PyIcebergStreamWriter(DataSourceStreamArrowWriter):
             meta = iceberg_py.table_metadata(self._path)
             iceberg_py._require_v2(meta, "pyiceberg stream sink")
             ice = iceberg_py._current_schema(meta)
-            want = {f["name"] for f in ice["fields"]}
-            have = {f.name for f in schema.fields}
-            if have != want:
+            table_schema = iceberg_py.iceberg_schema_to_spark(ice)
+            want = {
+                f.name: f.dataType for f in table_schema.fields
+            }
+            have = {f.name: f.dataType for f in schema.fields}
+            if set(have) != set(want):
                 raise UnsupportedOperationError(
-                    f"pyiceberg stream sink schema {sorted(have)} != "
-                    f"table schema {sorted(want)}"
+                    f"pyiceberg stream sink schema "
+                    f"{sorted(have)} != table schema {sorted(want)}"
+                )
+            mismatched = [
+                n for n, dt in have.items() if dt != want[n]
+            ]
+            if mismatched:
+                raise UnsupportedOperationError(
+                    "pyiceberg stream sink column types differ from "
+                    f"the table schema: {sorted(mismatched)}"
                 )
             spec = iceberg_py._partition_specs(meta).get(
                 int(meta.get("default-spec-id", 0)), []
