@@ -1035,21 +1035,44 @@ def _apply_equality_deletes(
     sequence number, the scan stamped with its file's sequence via a
     broadcast file->seq map; the join keys on the equality columns
     (hashable -> SMJ/BHJ, never a nested loop) with the sequence
-    comparison as a residual condition."""
+    comparison as a residual condition.
+
+    PARTITION SCOPING (spec "Scan Planning"): a delete file committed
+    with a partition record applies only to data files of the SAME
+    partition (and spec); one with an empty record — an unpartitioned
+    spec, or this writer's global deletes — applies table-wide. A
+    Flink-written partition-scoped delete must not retire matching
+    rows in other partitions, so groups key on (equality ids,
+    partition) and scoped groups add a partition-key equality to the
+    anti-join condition (a broadcast-map constant per file — no extra
+    shuffle)."""
     from pyspark.sql import functions as F
+
+    def _pk(d: dict) -> str:
+        part = d.get("partition")
+        if not isinstance(part, dict) or not part:
+            return ""
+        return json.dumps(
+            [int(d.get("_spec_id") or 0), sorted(part.items())],
+            default=str,
+        )
 
     by_id = {
         int(f.metadata["parquet.field.id"]): f.name
         for f in schema.fields
     }
-    # scan-side data sequence number from a broadcast file->seq map
+    # scan-side data sequence number + partition key from a broadcast
+    # file->(seq, pk) map
     seq_map = spark.createDataFrame(
         [
-            (os.path.basename(_resolve(d["file_path"], path)),
-             int(d["_seq"]))
+            (
+                os.path.basename(_resolve(d["file_path"], path)),
+                int(d["_seq"]),
+                _pk(d),
+            )
             for d in data_files
         ],
-        "__fn2 string, __dseq long",
+        "__fn2 string, __dseq long, __dpk string",
     )
     scan = scan.join(
         F.broadcast(seq_map), scan["__fn"] == seq_map["__fn2"]
@@ -1067,8 +1090,8 @@ def _apply_equality_deletes(
                 f"equality delete references dropped field ids "
                 f"{unknown}; applying it needs the historical schema"
             )
-        groups.setdefault(ids, []).append(d)
-    for ids, files in groups.items():
+        groups.setdefault((ids, _pk(d)), []).append(d)
+    for (ids, pk), files in groups.items():
         cols = [by_id[i] for i in ids]
         sub = T.StructType([schema[c] for c in cols])
         parts = []
@@ -1088,10 +1111,12 @@ def _apply_equality_deletes(
         if total <= _DELETE_BROADCAST_MAX_ROWS:
             dels = F.broadcast(dels)
         cond = scan["__dseq"] < dels["__eseq"]
+        if pk:
+            cond = cond & (scan["__dpk"] == F.lit(pk))
         for c in cols:
             cond = cond & scan[c].eqNullSafe(dels[f"__eq_{c}"])
         scan = scan.join(dels, cond, "left_anti")
-    return scan.drop("__dseq")
+    return scan.drop("__dseq", "__dpk")
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,7 @@ class _PyIcebergReader(DataSourceReader):
                     f"pyiceberg: equality delete references dropped "
                     f"field ids {unknown}"
                 )
+            part = d.get("partition")
             self._eq.append(
                 {
                     "file": iceberg_py._resolve(
@@ -150,6 +151,13 @@ class _PyIcebergReader(DataSourceReader):
                     ),
                     "cols": [name_of[i] for i in ids],
                     "seq": int(d["_seq"]),
+                    # partition scoping (spec): a scoped delete file
+                    # applies only to data files of the SAME spec +
+                    # partition record; empty record = global
+                    "spec": int(d.get("_spec_id") or 0),
+                    "part": dict(part)
+                    if isinstance(part, dict) and part
+                    else None,
                 }
             )
         self._schema_obj = ice_schema
@@ -221,13 +229,23 @@ class _PyIcebergReader(DataSourceReader):
                         d["file_path"], self._path
                     ),
                     "deletes": self._deletes,
-                    # equality deletes scoped by the spec's sequence
-                    # rule AT PLANNING TIME: only files with a
-                    # strictly greater sequence ship to the task
+                    # equality deletes scoped AT PLANNING TIME by the
+                    # spec's sequence rule (strictly greater only)
+                    # AND partition (a scoped delete applies only to
+                    # data files of its own spec + partition record)
                     "eq": [
                         e
                         for e in self._eq
                         if e["seq"] > int(d.get("_seq") or 0)
+                        and (
+                            e["part"] is None
+                            or (
+                                e["spec"]
+                                == int(d.get("_spec_id") or 0)
+                                and e["part"]
+                                == (d.get("partition") or {})
+                            )
+                        )
                     ],
                     # identity-partition constants for columns the
                     # file (spec-legally) omits — string form, cast

@@ -139,11 +139,17 @@ def test_schema_evolution_add_and_rename(spark, tbl):
     assert rows == {1: ("a", None), 2: ("b", None)}
 
 
-def _commit_equality_delete(spark, tbl, rows, schema_str, eq_ids):
+def _commit_equality_delete(
+    spark, tbl, rows, schema_str, eq_ids,
+    partition=None, partition_fields=None, spec_id=0,
+):
     """Hand-commit an equality-delete snapshot the way a Flink CDC
     writer would: a parquet file holding the delete VALUE tuples
     (footers field-id stamped) + a content=2 manifest entry carrying
-    equality_ids, at the next sequence number."""
+    equality_ids, at the next sequence number. ``partition`` (tuple
+    aligned to ``partition_fields`` avro defs) commits a
+    PARTITION-SCOPED delete — it must apply only within that
+    partition."""
     import pyarrow.parquet as pq  # noqa: F401 (import sanity)
 
     from pyspark.sql import functions as F
@@ -167,7 +173,11 @@ def _commit_equality_delete(spark, tbl, rows, schema_str, eq_ids):
         for n in os.listdir(tmp)
         if n.endswith(".parquet")
     ][0]
-    dest = os.path.join(tbl, "data", f"eqdel-{len(rows)}.parquet")
+    import uuid as _uuid
+
+    dest = os.path.join(
+        tbl, "data", f"eqdel-{_uuid.uuid4().hex[:8]}.parquet"
+    )
     os.replace(src, dest)
     seq = int(meta.get("last-sequence-number", 0)) + 1
     sid = iceberg_py._new_snapshot_id()
@@ -178,12 +188,15 @@ def _commit_equality_delete(spark, tbl, rows, schema_str, eq_ids):
                 "file_path": dest,
                 "record_count": len(rows),
                 "file_size_in_bytes": os.path.getsize(dest),
+                "partition": partition,
             }
         ],
         sid,
         seq,
         content=2,
         equality_ids=eq_ids,
+        partition_fields=partition_fields,
+        spec_id=spec_id,
     )
     prior = iceberg_py._prior_manifest_rows(meta, tbl)
     iceberg_py._commit_snapshot(
@@ -2501,3 +2514,42 @@ def test_compaction_absorbs_equality_deletes(spark, tbl):
     # post-compaction DML works again (the eq-delete refusal cleared)
     delete_iceberg_where(spark, tbl, "k = 20")
     assert read_iceberg(spark, tbl).count() == 10
+
+
+def test_equality_delete_partition_scoped(spark, tbl):
+    """Spec 'Scan Planning' rule: an equality-delete file committed
+    WITH a partition record applies only to data files of that
+    partition — a Flink-written scoped delete must not retire
+    matching keys in other partitions. Both read paths."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (1, 1), (2, 1)], "k long, g int"
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    # scoped delete of k=1 in partition g=0 only
+    _commit_equality_delete(
+        spark, tbl, [(1,)], "k long", eq_ids=[1],
+        partition=(0,),
+        partition_fields=[
+            {"name": "g", "avro_type": "int", "field-id": 1000}
+        ],
+    )
+    got = sorted((r.k, r.g) for r in read_iceberg(spark, tbl).collect())
+    assert got == [(1, 1), (2, 0), (2, 1)], got
+    pyiceberg_source.register(spark)
+    assert sorted(
+        (r.k, r.g)
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    ) == got
+    # a GLOBAL delete (empty partition record) still applies
+    # table-wide: k=2 disappears from both partitions
+    _commit_equality_delete(spark, tbl, [(2,)], "k long", eq_ids=[1])
+    got = sorted((r.k, r.g) for r in read_iceberg(spark, tbl).collect())
+    assert got == [(1, 1)], got
+    assert sorted(
+        (r.k, r.g)
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    ) == got
