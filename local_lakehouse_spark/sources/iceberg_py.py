@@ -1573,8 +1573,16 @@ def _commit_snapshot(
                 add_rows += r_add
         else:
             tot_dfiles += n_add + n_exist - n_del
+    parent = meta.get("current-snapshot-id")
     snap = {
         "snapshot-id": snap_id,
+        # lineage for foreign readers / branch tooling (spec field;
+        # absent on a table's first snapshot)
+        **(
+            {"parent-snapshot-id": int(parent)}
+            if parent not in (None, -1)
+            else {}
+        ),
         "sequence-number": seq,
         "timestamp-ms": now,
         "manifest-list": mlist,
@@ -1612,7 +1620,10 @@ def _commit_snapshot(
 
 def _write_metadata_json(path: str, meta: dict) -> dict:
     """Persist ``meta`` as the next ``v<N>.metadata.json`` +
-    version-hint (N from what is on disk — no private counters)."""
+    version-hint (N from what is on disk — no private counters).
+    The superseded file is appended to ``metadata-log`` (spec: each
+    commit records its predecessor; bounded at iceberg-core's
+    write.metadata.previous-versions-max default of 100)."""
     mdir = _metadata_dir(path)
     best = 0
     for n in os.listdir(mdir):
@@ -1620,6 +1631,20 @@ def _write_metadata_json(path: str, meta: dict) -> dict:
         if m:
             best = max(best, int(m.group(1)))
     v = best + 1
+    if best >= 1:
+        prev = os.path.join(mdir, f"v{best}.metadata.json")
+        try:
+            with open(prev) as fh:
+                prev_ts = int(
+                    json.load(fh).get("last-updated-ms") or 0
+                )
+        except Exception:
+            prev_ts = int(os.path.getmtime(prev) * 1000)
+        meta = dict(meta)
+        meta["metadata-log"] = (
+            list(meta.get("metadata-log") or [])
+            + [{"timestamp-ms": prev_ts, "metadata-file": prev}]
+        )[-100:]
     mfile = os.path.join(mdir, f"v{v}.metadata.json")
     with open(mfile, "w") as fh:
         json.dump(meta, fh)

@@ -2553,3 +2553,29 @@ def test_equality_delete_partition_scoped(spark, tbl):
         (r.k, r.g)
         for r in spark.read.format("pyiceberg").load(tbl).collect()
     ) == got
+
+
+def test_snapshot_lineage_and_metadata_log(spark, tbl):
+    """Spec lineage fields: each snapshot records its
+    parent-snapshot-id (absent on the first), and each metadata
+    commit appends its predecessor file to metadata-log."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(F.col("id").alias("k"))
+    write_iceberg(spark, df, tbl, mode="create")
+    write_iceberg(spark, df, tbl, mode="append")
+    write_iceberg(spark, df, tbl, mode="append")
+    meta = table_metadata(tbl)
+    snaps = meta["snapshots"]
+    assert "parent-snapshot-id" not in snaps[0]
+    assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+    assert snaps[2]["parent-snapshot-id"] == snaps[1]["snapshot-id"]
+    log = meta["metadata-log"]
+    assert len(log) == 2  # v1 and v2 superseded
+    for entry in log:
+        assert os.path.exists(entry["metadata-file"])
+        assert entry["timestamp-ms"] > 0
+    # log timestamps are the superseded files' last-updated instants
+    assert [e["timestamp-ms"] for e in log] == sorted(
+        e["timestamp-ms"] for e in log
+    )
