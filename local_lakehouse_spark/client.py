@@ -275,6 +275,36 @@ class LakehouseClient:
             raise UnsupportedOperationError(
                 "restore_table takes exactly one of version/timestamp"
             )
+        if tbl.file_type == FileType.ICEBERG:
+            # Iceberg RESTORE = rollback_to_snapshot: metadata-only,
+            # no rewrite; 'version' is a snapshot id (read-side time
+            # travel's mapping), timestamp the usual at-or-before
+            # resolution over snapshot commit times. The restored
+            # contents still pass the catalog's constraint gate
+            # (Delta-restore parity).
+            from .sources import delta_py, iceberg_py
+
+            path = _io.strip_file_scheme(tbl.storage_location or "")
+            ts_ms = (
+                delta_py._ts_ms(timestamp)
+                if timestamp is not None
+                else None
+            )
+            snap = iceberg_py._select_snapshot(
+                iceberg_py.table_metadata(path), version, ts_ms
+            )
+            self._check_constraints(
+                iceberg_py.read_iceberg(
+                    self._require_spark(),
+                    path,
+                    snapshot_id=int(snap["snapshot-id"]),
+                ),
+                tbl,
+            )
+            iceberg_py.rollback_iceberg(
+                path, snapshot_id=int(snap["snapshot-id"])
+            )
+            return
         if timestamp is not None:
             if tbl.file_type != FileType.DELTA or _io.HAVE_DELTA:
                 raise UnsupportedOperationError(

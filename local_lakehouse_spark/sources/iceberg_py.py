@@ -1755,6 +1755,88 @@ def _partition_spec_fields(
     return out
 
 
+def current_ancestors(meta: dict) -> Optional[set]:
+    """Snapshot ids on the CURRENT snapshot's ancestor chain (via
+    parent-snapshot-id), or None when the chain cannot be fully
+    resolved — legacy snapshots written before parent ids existed
+    keep the seq-window behavior. Streams consult this so snapshots
+    ABANDONED by a rollback never replay."""
+    snaps = meta.get("snapshots") or []
+    cur = meta.get("current-snapshot-id")
+    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    if cur in (None, -1) or int(cur) not in by_id:
+        return None
+    chain: set = set()
+    s = by_id[int(cur)]
+    while s is not None:
+        chain.add(int(s["snapshot-id"]))
+        p = s.get("parent-snapshot-id")
+        if p is None:
+            break
+        s = by_id.get(int(p))  # expired parent -> chain truncates
+    # resolvable iff every off-chain snapshot CARRIES a parent id —
+    # an off-chain snapshot with one is genuinely abandoned (rollback
+    # branch); one without is pre-feature legacy history whose
+    # ancestry cannot be proven (a table has exactly one root)
+    legacy = [
+        s
+        for s in snaps
+        if int(s["snapshot-id"]) not in chain
+        and "parent-snapshot-id" not in s
+    ]
+    if legacy:
+        return None
+    return chain
+
+
+def rollback_iceberg(
+    path: str,
+    snapshot_id: Optional[int] = None,
+    timestamp_ms: Optional[int] = None,
+) -> dict:
+    """``rollback_to_snapshot`` (iceberg-spark's maintenance
+    procedure; the RESTORE analog): make an EXISTING retained
+    snapshot current again — a METADATA-ONLY update, no new snapshot
+    and no data rewrite (a 100 TB restore commits one json). The
+    abandoned snapshots stay retained, so a rollback is reversible
+    by rolling forward to them; appends after the rollback carry the
+    rolled-back state (sequence numbers stay monotonic — the spec's
+    rule: sequences never reuse even across rollbacks). ``main``
+    tracks the new current; snapshot-log records the change."""
+    meta = table_metadata(path)
+    _require_v2(meta, "rollback_iceberg")
+    if (snapshot_id is None) == (timestamp_ms is None):
+        raise UnsupportedOperationError(
+            "rollback_iceberg takes exactly one of "
+            "snapshot_id/timestamp_ms"
+        )
+    snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
+    sid = int(snap["snapshot-id"])
+    if sid == meta.get("current-snapshot-id"):
+        return meta
+    now = max(
+        int(time.time() * 1000),
+        max(
+            (
+                e["timestamp-ms"]
+                for e in meta.get("snapshot-log") or []
+            ),
+            default=-1,
+        )
+        + 1,
+    )
+    meta = dict(meta)
+    meta["current-snapshot-id"] = sid
+    meta["last-updated-ms"] = now
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": sid, "type": "branch"}
+    meta["refs"] = refs
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"snapshot-id": sid, "timestamp-ms": now}
+    ]
+    return _write_metadata_json(path, meta)
+
+
 def current_partition_by(meta: dict) -> list:
     """The DEFAULT spec rendered back as user-facing ``partition_by``
     entries (the inverse of _partition_spec_fields) — what the SQL

@@ -493,9 +493,18 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             key=lambda s: int(s.get("sequence-number") or 0),
         )
         name_of = {v: k for k, v in self._fids.items()}
+        # after a rollback, snapshots off the current ancestor chain
+        # are ABANDONED — replaying them would surface rows the table
+        # no longer contains (None = legacy chain, keep seq window)
+        ancestors = iceberg_py.current_ancestors(meta)
         for i, snap in enumerate(snaps):
             sseq = int(snap.get("sequence-number") or 0)
             if sseq <= start["seq"] or sseq > end["seq"]:
+                continue
+            if (
+                ancestors is not None
+                and int(snap["snapshot-id"]) not in ancestors
+            ):
                 continue
             if self._changelog:
                 plan.extend(

@@ -2579,3 +2579,104 @@ def test_snapshot_lineage_and_metadata_log(spark, tbl):
     assert [e["timestamp-ms"] for e in log] == sorted(
         e["timestamp-ms"] for e in log
     )
+
+
+def test_rollback_iceberg_metadata_only(spark, tbl, tmp_path):
+    """rollback_to_snapshot: metadata-only RESTORE — no new snapshot,
+    no rewrite; appends after the rollback carry the rolled-back
+    state at a still-monotonic sequence; the stream never replays
+    abandoned snapshots; rolling forward is possible."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    df1 = spark.createDataFrame([(1,), (2,)], "k long")
+    write_iceberg(spark, df1, tbl, mode="create")  # seq 1
+    meta = table_metadata(tbl)
+    s1 = meta["snapshots"][0]["snapshot-id"]
+    write_iceberg(
+        spark, spark.createDataFrame([(3,)], "k long"), tbl,
+        mode="append",
+    )  # seq 2
+    s2 = table_metadata(tbl)["snapshots"][1]["snapshot-id"]
+
+    meta = iceberg_py.rollback_iceberg(tbl, snapshot_id=s1)
+    assert meta["current-snapshot-id"] == s1
+    assert len(meta["snapshots"]) == 2  # no new snapshot committed
+    assert sorted(r.k for r in read_iceberg(spark, tbl).collect()) == [1, 2]
+    assert meta["refs"]["main"]["snapshot-id"] == s1
+
+    # append after rollback: carries the rolled-back state, seq stays
+    # monotonic (3 — never reuses the abandoned snapshot's 2)
+    meta = write_iceberg(
+        spark, spark.createDataFrame([(9,)], "k long"), tbl,
+        mode="append",
+    )
+    cur = iceberg_py._select_snapshot(meta)
+    assert int(cur["sequence-number"]) == 3
+    assert cur["parent-snapshot-id"] == s1
+    assert sorted(
+        r.k for r in read_iceberg(spark, tbl).collect()
+    ) == [1, 2, 9]
+
+    # the stream (from the beginning) replays ONLY the ancestor
+    # chain: seq1 insert + seq3 insert, never the abandoned k=3
+    pyiceberg_source.register(spark)
+    q = (
+        spark.readStream.format("pyiceberg")
+        .option("startingSnapshotId", s1)
+        .load(tbl)
+        .writeStream.format("memory")
+        .queryName("ice_rollback_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r.k for r in spark.table("ice_rollback_stream").collect()
+    ) == [1, 2, 9]
+
+    # roll FORWARD to the abandoned snapshot still works (retained)
+    iceberg_py.rollback_iceberg(tbl, snapshot_id=s2)
+    assert sorted(
+        r.k for r in read_iceberg(spark, tbl).collect()
+    ) == [1, 2, 3]
+
+
+def test_restore_iceberg_via_client_sql(unity, spark, tmp_path):
+    """RESTORE TABLE ... TO VERSION AS OF <snapshot-id> on an ICEBERG
+    table routes to the metadata-only rollback."""
+    from local_lakehouse_spark.models import FileType
+    from local_lakehouse_spark.sources import iceberg_py
+
+    def _loc(tp, name):
+        return str(tp / name)
+
+    df = spark.range(5).selectExpr("id AS k")
+    loc = _loc(tmp_path, "ice_restore")
+    unity.create_as_table(
+        df, "unity", "default", "ice_restore",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    s1 = iceberg_py.table_metadata(loc)["snapshots"][0]["snapshot-id"]
+    unity.write_table(
+        spark.range(5, 8).selectExpr("id AS k"),
+        "unity", "default", "ice_restore", mode="APPEND",
+    )
+    assert unity.read_table(
+        "unity", "default", "ice_restore"
+    ).count() == 8
+    n_snaps = len(iceberg_py.table_metadata(loc)["snapshots"])
+    unity.sql(
+        f"RESTORE TABLE unity.default.ice_restore "
+        f"TO VERSION AS OF {s1}"
+    )
+    assert unity.read_table(
+        "unity", "default", "ice_restore"
+    ).count() == 5
+    # metadata-only: same snapshot count, no rewrite
+    assert len(
+        iceberg_py.table_metadata(loc)["snapshots"]
+    ) == n_snaps
