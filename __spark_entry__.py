@@ -45,6 +45,7 @@ _NEVER_OR_FAILED = [
     "y43_iceberg_equality_upsert",
     "y44_iceberg_spec_evolution",
     "y45_iceberg_changelog_stream",
+    "y46_iceberg_rollback",
     "y35_iceberg_partitioned",
     "y37_iceberg_transform_partitions",
     "y38_iceberg_convert_from_delta",
@@ -95,7 +96,6 @@ _R6_ERA_HEAD = [
     "q16_tpch_q1_agg",
     "q17_count_distinct",
     "q18_having",
-    "q19_rollup",
 ]
 _PRIORITY = _NEVER_OR_FAILED + _R5_ERA + _R6_ERA_HEAD
 QUERY_SPECS = {

@@ -8928,6 +8928,127 @@ FROM changes GROUP BY t, o ORDER BY change_type, ord
 """
 
 
+def y46(spark, sf):
+    """ICEBERG ROLLBACK / RESTORE (round 10 — iceberg-spark's
+    rollback_to_snapshot, the Delta-RESTORE twin y09 covers): the
+    part extract's even keys stage (seq 1); a junk append commits
+    (seq 2); rollback_iceberg makes seq 1 current again as a
+    METADATA-ONLY update (no new snapshot, no rewrite — a 100 TB
+    restore commits one json); the odd keys then append on top of
+    the ROLLED-BACK state (seq 3, parent = the seq-1 snapshot).
+    CONTRACTS: exactly three snapshots (the rollback added none);
+    the junk rows are gone from the current read but the abandoned
+    snapshot still time-travels (retained, roll-forward possible);
+    the ancestor chain excludes the junk snapshot, so a full stream
+    replay yields exactly the current rows — never the abandoned
+    insert. Oracle: part grouped by brand."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    key = hashlib.md5(f"{sf}|ice-rollback-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_rb_{key}")
+    base = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("pkey"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            iceberg_py.write_iceberg(
+                spark,
+                base.filter(F.col("pkey") % 2 == 0).repartition(4),
+                tbl,
+                mode="create",
+            )
+            meta = iceberg_py.table_metadata(tbl)
+            s1 = meta["snapshots"][0]["snapshot-id"]
+            junk = base.filter(F.col("pkey") % 2 == 0).select(
+                (F.col("pkey") + F.lit(7_000_000_000)).alias("pkey"),
+                "brand",
+                F.lit(1).cast("bigint").alias("cents"),
+            )
+            iceberg_py.write_iceberg(spark, junk, tbl, mode="append")
+            iceberg_py.rollback_iceberg(tbl, snapshot_id=s1)
+            iceberg_py.write_iceberg(
+                spark,
+                base.filter(F.col("pkey") % 2 == 1).repartition(4),
+                tbl,
+                mode="append",
+            )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    meta = iceberg_py.table_metadata(tbl)
+    if len(meta["snapshots"]) != 3:
+        raise AssertionError(
+            f"y46: rollback must be metadata-only, got "
+            f"{len(meta['snapshots'])} snapshots"
+        )
+    df = iceberg_py.read_iceberg(spark, tbl)
+    if df.filter(F.col("pkey") >= 7_000_000_000).count() != 0:
+        raise AssertionError("y46: abandoned junk rows visible")
+    junk_sid = meta["snapshots"][1]["snapshot-id"]
+    n_junk_snapshot = iceberg_py.read_iceberg(
+        spark, tbl, snapshot_id=junk_sid
+    ).count()
+    if n_junk_snapshot <= df.filter(F.col("pkey") % 2 == 0).count():
+        raise AssertionError(
+            "y46: abandoned snapshot must still time-travel"
+        )
+    cur = iceberg_py._select_snapshot(meta)
+    if cur.get("parent-snapshot-id") != meta["snapshots"][0][
+        "snapshot-id"
+    ]:
+        raise AssertionError(
+            "y46: post-rollback append must parent the restored "
+            "snapshot"
+        )
+    # stream replay from the beginning: ancestors only — the junk
+    # snapshot never replays
+    first = meta["snapshots"][0]["snapshot-id"]
+    name = f"y46_sink_{key}"
+    q = (
+        spark.readStream.format("pyiceberg")
+        .option("startingSnapshotId", first)
+        .load(tbl)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.table(name).count()
+    if n_stream != df.count():
+        raise AssertionError(
+            f"y46: stream replayed {n_stream} rows, table has "
+            f"{df.count()} — abandoned snapshot leaked into replay"
+        )
+    return (
+        df.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+Y46_SQL = """
+SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def stage_y03_table(spark, sf: str) -> str:
     """One-time Z-order staging for y03 (idempotent, keyed by sf +
     layout version). Exposed so bench.py can pre-stage OUTSIDE the
@@ -9102,4 +9223,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y43_iceberg_equality_upsert": QuerySpec(y43, Y43_SQL),
     "y44_iceberg_spec_evolution": QuerySpec(y44, Y44_SQL),
     "y45_iceberg_changelog_stream": QuerySpec(y45, Y45_SQL),
+    "y46_iceberg_rollback": QuerySpec(y46, Y46_SQL),
 }

@@ -507,10 +507,25 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             ):
                 continue
             if self._changelog:
+                # victim rows live in the files visible before this
+                # snapshot — its PARENT when recorded (after a
+                # rollback the seq-predecessor can be an abandoned
+                # branch, not the true prior state)
+                parent = snap.get("parent-snapshot-id")
+                if parent is not None:
+                    prev = next(
+                        (
+                            s
+                            for s in snaps
+                            if int(s["snapshot-id"]) == int(parent)
+                        ),
+                        None,
+                    )
+                else:
+                    prev = snaps[i - 1] if i > 0 else None
                 plan.extend(
                     self._changelog_partitions(
-                        snap, snaps[i - 1] if i > 0 else None,
-                        meta, name_of,
+                        snap, prev, meta, name_of,
                     )
                 )
                 continue
