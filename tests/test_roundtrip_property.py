@@ -199,3 +199,78 @@ def test_bpe_matches_independent_reference(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [tuple(r) for r in bpe_merge_steps(df, "text", 3).collect()]
     assert got == _ref_bpe(texts, 3)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg CDC upsert lifecycle vs a dict model (round 10)
+# ---------------------------------------------------------------------------
+
+_CDC_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete"]),
+        st.lists(
+            st.tuples(
+                st.integers(0, 9),  # key
+                st.integers(-1000, 1000),  # value (upsert only)
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda kv: kv[0],
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_CDC_OPS)
+def test_iceberg_equality_upsert_matches_dict_model(
+    spark, tmp_path_factory, ops
+):
+    """Any sequence of keyed upsert/delete batches applied through
+    the equality-delete writer must leave the table equal to the
+    same sequence applied to a plain dict — the CDC semantics the
+    sequence-number scoping exists to guarantee. Both read paths."""
+    from local_lakehouse_spark.sources import (
+        iceberg_py,
+        pyiceberg_source,
+    )
+
+    tbl = str(tmp_path_factory.mktemp("ice_prop") / "t")
+    model: dict[int, int] = {0: 0}
+    iceberg_py.write_iceberg(
+        spark,
+        spark.createDataFrame([(0, 0)], "k long, v long"),
+        tbl,
+        mode="create",
+    )
+    for kind, batch in ops:
+        if kind == "upsert":
+            df = spark.createDataFrame(
+                [(k, v) for k, v in batch], "k long, v long"
+            )
+            iceberg_py.upsert_iceberg_equality(spark, tbl, df, ["k"])
+            model.update({k: v for k, v in batch})
+        else:
+            keys = spark.createDataFrame(
+                [(k,) for k, _ in batch], "k long"
+            )
+            iceberg_py.equality_delete_iceberg(spark, tbl, keys, ["k"])
+            for k, _ in batch:
+                model.pop(k, None)
+    got = {
+        r.k: r.v
+        for r in iceberg_py.read_iceberg(spark, tbl).collect()
+    }
+    assert got == model
+    pyiceberg_source.register(spark)
+    ds = {
+        r.k: r.v
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    }
+    assert ds == model
