@@ -2928,16 +2928,17 @@ def _positional_scan(spark: SparkSession, meta: dict, path: str):
     position deletes anti-joined out — the surviving-row universe
     every row-level change (DELETE / UPDATE / MERGE) computes
     against. Returns ``(scan, data_files, pos_deletes)``; scan is
-    None when the snapshot has no data files. Equality-delete
-    tables refuse (their scoping would dangle under more DML)."""
+    None when the snapshot has no data files. EQUALITY deletes are
+    APPLIED to the scan (sequence + partition scoped, the read
+    path's own anti-join): the surviving-row universe must exclude
+    eq-deleted rows, or an UPDATE/MERGE would resurrect them as new
+    images — so positional DML composes with CDC-upsert tables."""
     from pyspark.sql import functions as F
 
     snap = _select_snapshot(meta)
-    data_files, pos_deletes, n_eq = _snapshot_files(meta, snap, path)
-    if n_eq:
-        raise UnsupportedOperationError(
-            "table carries equality deletes; refusing to add more DML"
-        )
+    data_files, pos_deletes, eq_deletes = _snapshot_files(
+        meta, snap, path
+    )
     schema = iceberg_schema_to_spark(_current_schema(meta))
     paths = [_resolve(d["file_path"], path) for d in data_files]
     if not paths:
@@ -2990,6 +2991,10 @@ def _positional_scan(spark: SparkSession, meta: dict, path: str):
             (scan["__fn"] == prior["__pfn"])
             & (scan["__ri"] == prior["__ppos"]),
             "left_anti",
+        )
+    if eq_deletes:
+        scan = _apply_equality_deletes(
+            spark, scan, schema, data_files, eq_deletes, path
         )
     return scan, data_files, pos_deletes
 

@@ -2680,3 +2680,41 @@ def test_restore_iceberg_via_client_sql(unity, spark, tmp_path):
     assert len(
         iceberg_py.table_metadata(loc)["snapshots"]
     ) == n_snaps
+
+
+def test_positional_dml_composes_with_equality_deletes(spark, tbl):
+    """Positional DML over a CDC-upsert (equality-delete) table: the
+    surviving-row universe excludes eq-deleted rows, so an UPDATE
+    cannot resurrect them and a DELETE doesn't double-tombstone;
+    sequence scoping keeps the newer upserted images alive."""
+    from pyspark.sql import functions as F
+
+    from local_lakehouse_spark.sources.iceberg_py import (
+        update_iceberg_where,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "k long, v long"
+    )
+    write_iceberg(spark, df, tbl, mode="create")  # seq 1
+    # CDC upsert: replace k=2 (old image eq-deleted), insert k=9
+    up = spark.createDataFrame([(2, 222), (9, 90)], "k long, v long")
+    iceberg_py.upsert_iceberg_equality(spark, tbl, up, ["k"])  # seq 2
+    # positional UPDATE over the whole table: must see the upserted
+    # image of k=2 (222 -> 223), never resurrect the old 20
+    update_iceberg_where(spark, tbl, "k = 2", {"v": "v + 1"})  # seq 3
+    got = {(r.k, r.v) for r in read_iceberg(spark, tbl).collect()}
+    assert got == {
+        (0, 0), (1, 10), (2, 223), (3, 30), (4, 40), (5, 50), (9, 90),
+    }, got
+    # positional DELETE of an eq-survivor and an upserted row
+    delete_iceberg_where(spark, tbl, "k IN (1, 9)")
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == [0, 2, 3, 4, 5]
+    # both read paths agree at the end of the mixed lifecycle
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    assert sorted(
+        r.k for r in spark.read.format("pyiceberg").load(tbl).collect()
+    ) == got
