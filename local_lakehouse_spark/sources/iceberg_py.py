@@ -2280,16 +2280,11 @@ def write_iceberg(
             pass
         old_data: list = []
         old_deletes: list = []
+        old_eq: list = []
         if prev_snap is not None:
             old_data, old_deletes, old_eq = _snapshot_files(
                 meta, prev_snap, path
             )
-            if old_eq:
-                raise UnsupportedOperationError(
-                    "overwrite of a table carrying equality deletes "
-                    "is unsupported (their sequence scoping would "
-                    "dangle)"
-                )
         # Added entries under the CURRENT spec; removals grouped into
         # per-ORIGINAL-spec manifests carrying each removed entry's
         # partition record (spec rule: deleted entries stay readable
@@ -2311,9 +2306,14 @@ def write_iceberg(
             rows += _removal_manifest_rows(
                 path, meta, old_data, snap_id, seq, content=0
             )
-        if old_deletes:
+        # ALL delete files retire with the data they scoped —
+        # position AND equality (every prior data file is removed,
+        # so nothing remains in any delete's scope; content class
+        # preserved on the removal entries)
+        if old_deletes or old_eq:
             rows += _removal_manifest_rows(
-                path, meta, old_deletes, snap_id, seq, content=1
+                path, meta, old_deletes + old_eq, snap_id, seq,
+                content=1,
             )
         return _commit_snapshot(
             path, meta, rows, "overwrite", snap_id

@@ -2718,3 +2718,34 @@ def test_positional_dml_composes_with_equality_deletes(spark, tbl):
     assert sorted(
         r.k for r in spark.read.format("pyiceberg").load(tbl).collect()
     ) == got
+
+
+def test_overwrite_absorbs_equality_deletes(spark, tbl):
+    """Full-table OVERWRITE of a CDC-upsert table: every prior data
+    file AND delete file (position + equality) retires — nothing
+    dangles because nothing old survives; reads see exactly df."""
+    df = spark.createDataFrame(
+        [(i, i) for i in range(5)], "k long, v long"
+    )
+    write_iceberg(spark, df, tbl, mode="create")
+    iceberg_py.upsert_iceberg_equality(
+        spark,
+        tbl,
+        spark.createDataFrame([(1, 111)], "k long, v long"),
+        ["k"],
+    )
+    new = spark.createDataFrame([(77, 7)], "k long, v long")
+    meta = write_iceberg(spark, new, tbl, mode="overwrite")
+    snap = iceberg_py._select_snapshot(meta)
+    data, pos, eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    assert not pos and not eq
+    assert [
+        (r.k, r.v) for r in read_iceberg(spark, tbl).collect()
+    ] == [(77, 7)]
+    # pre-overwrite time travel still applies the equality delete
+    prev = meta["snapshots"][-2]["snapshot-id"]
+    got = {
+        (r.k, r.v)
+        for r in read_iceberg(spark, tbl, snapshot_id=prev).collect()
+    }
+    assert got == {(0, 0), (1, 111), (2, 2), (3, 3), (4, 4)}
