@@ -2450,6 +2450,7 @@ def compact_data_files(
     spark: SparkSession,
     path: str,
     target_num_files: int = 1,
+    sort_by: Optional[list] = None,
 ) -> dict:
     """Bin-pack compaction (Iceberg's ``rewrite_data_files``
     maintenance action) committed as a REPLACE snapshot: live rows —
@@ -2470,7 +2471,16 @@ def compact_data_files(
     identity-partitioned tables the rewritten files
     MATERIALIZE the partition columns physically (the compaction read
     injects them), so reads stay exact; their manifest partition
-    records are empty. Returns the committed metadata."""
+    records are empty. Returns the committed metadata.
+
+    ``sort_by`` (iceberg-spark's ``rewrite_data_files(strategy =>
+    'sort')`` / WRITE ORDERED BY — the OPTIMIZE-ZORDER analog): the
+    rewrite range-partitions + sorts on the named columns, giving
+    files DISJOINT bounds on the sort prefix, and commits the sort
+    order into the metadata (``sort-orders`` +
+    ``default-sort-order-id``). At 100 TB the payoff is
+    manifest-bounds skip pruning: a point/range predicate on the
+    sort prefix keeps O(1) of the files instead of all of them."""
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
@@ -2493,9 +2503,19 @@ def compact_data_files(
         ]
     )
     tmp = path + f".__ice_rw_{uuid.uuid4().hex}"
-    stamped.repartition(max(1, target_num_files)).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    if sort_by:
+        schema_names = {f["name"] for f in schema_obj["fields"]}
+        bad = [c for c in sort_by if c not in schema_names]
+        if bad:
+            raise UnsupportedOperationError(
+                f"sort_by columns {bad} not in the table schema"
+            )
+        shaped = stamped.repartitionByRange(
+            max(1, target_num_files), *sort_by
+        ).sortWithinPartitions(*sort_by)
+    else:
+        shaped = stamped.repartition(max(1, target_num_files))
+    shaped.write.mode("overwrite").parquet(tmp)
     import shutil
 
     import pyarrow.parquet as pq
@@ -2550,6 +2570,36 @@ def compact_data_files(
             path, meta, pos_deletes + eq_deletes, snap_id, seq,
             content=1,
         )
+    if sort_by:
+        # commit the order the rewrite established (spec sort-orders;
+        # identical existing orders are reused by order-id)
+        fields = [
+            {
+                "transform": "identity",
+                "source-id": ids[c],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in sort_by
+        ]
+        orders = list(meta.get("sort-orders") or [])
+        existing = next(
+            (o for o in orders if o.get("fields") == fields), None
+        )
+        if existing is None:
+            oid = (
+                max(
+                    (int(o.get("order-id", 0)) for o in orders),
+                    default=0,
+                )
+                + 1
+            )
+            orders = orders + [{"order-id": oid, "fields": fields}]
+        else:
+            oid = int(existing["order-id"])
+        meta = dict(meta)
+        meta["sort-orders"] = orders
+        meta["default-sort-order-id"] = oid
     return _commit_snapshot(path, meta, mrows, "replace", snap_id)
 
 

@@ -2749,3 +2749,54 @@ def test_overwrite_absorbs_equality_deletes(spark, tbl):
         for r in read_iceberg(spark, tbl, snapshot_id=prev).collect()
     }
     assert got == {(0, 0), (1, 111), (2, 2), (3, 3), (4, 4)}
+
+
+def test_sorted_compaction_skip_pruning(spark, tbl):
+    """compact_data_files(sort_by=...) — the OPTIMIZE-ZORDER analog:
+    the rewrite range-partitions + sorts so files carry DISJOINT
+    bounds on the sort prefix; a point predicate then prunes to
+    exactly one file; the sort order commits into the metadata."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    write_iceberg(spark, df.repartition(8), tbl, mode="create")
+    meta = iceberg_py.compact_data_files(
+        spark, tbl, target_num_files=4, sort_by=["k"]
+    )
+    # metadata carries the committed order
+    oid = meta["default-sort-order-id"]
+    order = next(
+        o for o in meta["sort-orders"] if o["order-id"] == oid
+    )
+    assert [f["source-id"] for f in order["fields"]] == [
+        next(
+            f["id"]
+            for f in iceberg_py._current_schema(meta)["fields"]
+            if f["name"] == "k"
+        )
+    ]
+    snap = iceberg_py._select_snapshot(meta)
+    data, _p, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    assert len(data) == 4
+    kept = iceberg_py.prune_data_files(
+        data, iceberg_py._current_schema(meta), [("k", "=", 500)]
+    )
+    assert len(kept) == 1, f"disjoint bounds should keep 1, got {len(kept)}"
+    # rows intact, read correct
+    out = read_iceberg(spark, tbl)
+    assert out.count() == 1000
+    assert out.filter("k = 500").count() == df.filter(
+        F.col("k") == 500
+    ).count()
+    # unknown sort column refuses
+    with pytest.raises(UnsupportedOperationError, match="sort_by"):
+        iceberg_py.compact_data_files(spark, tbl, sort_by=["zzz"])
+    # re-sorting by the same columns reuses the order-id
+    meta2 = iceberg_py.compact_data_files(
+        spark, tbl, target_num_files=2, sort_by=["k"]
+    )
+    assert meta2["default-sort-order-id"] == oid
+    assert len(meta2["sort-orders"]) == len(meta["sort-orders"])
