@@ -1098,9 +1098,35 @@ class LakehouseClient:
         import glob as _glob
 
         tbl = self.get_table(catalog, schema, name)
+        if tbl.file_type == FileType.ICEBERG:
+            # Iceberg OPTIMIZE = rewrite_data_files: bin-pack, or the
+            # 'sort' strategy when columns are named (lexicographic
+            # multi-column sort — iceberg-spark's sort rewrite; the
+            # Morton-curve variant stays the Delta/parquet path's).
+            # Committed as one REPLACE snapshot; delete files absorb.
+            if where is not None:
+                raise UnsupportedOperationError(
+                    "OPTIMIZE WHERE is not supported for ICEBERG "
+                    "tables (run partition-scoped rewrites via "
+                    "replaceWhere instead)"
+                )
+            from .sources import iceberg_py
+
+            path = _io.strip_file_scheme(tbl.storage_location or "")
+            meta = iceberg_py.compact_data_files(
+                self._require_spark(),
+                path,
+                target_num_files=int(target_files or 1),
+                sort_by=zorder_by,
+            )
+            snap = iceberg_py._select_snapshot(meta)
+            data, _p, _e = iceberg_py._snapshot_files(
+                meta, snap, path
+            )
+            return len(data)
         if tbl.file_type not in (FileType.PARQUET, FileType.DELTA):
             raise UnsupportedOperationError(
-                "optimize_table supports PARQUET/DELTA tables"
+                "optimize_table supports PARQUET/DELTA/ICEBERG tables"
             )
         spark = self._require_spark()
         path = tbl.storage_location.removeprefix("file://")

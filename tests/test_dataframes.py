@@ -963,3 +963,30 @@ def test_iceberg_table_changes_changelog_fast_path(
     assert ("insert", 7) in rows
     assert all(t == "delete" for t, k in rows if k != 7)
     assert len(rows) == 1 + 9  # 8 survivors of 0-9 + k=100 deleted
+
+
+def test_optimize_iceberg_via_client_sql(unity, spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY (...) on an ICEBERG table routes to the
+    sorted rewrite_data_files; bare OPTIMIZE bin-packs."""
+    from local_lakehouse_spark.sources import iceberg_py
+
+    df = spark.range(200).selectExpr(
+        "(id * 7919) % 200 AS k", "id AS v"
+    )
+    loc = _loc(tmp_path, "ice_opt")
+    unity.create_as_table(
+        df.repartition(8), "unity", "default", "ice_opt",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    out = unity.sql("OPTIMIZE unity.default.ice_opt ZORDER BY (k)")
+    assert out.collect()[0].target_files == 1
+    meta = iceberg_py.table_metadata(loc)
+    assert meta["default-sort-order-id"] >= 1
+    assert unity.read_table(
+        "unity", "default", "ice_opt"
+    ).count() == 200
+    # WHERE refuses for ICEBERG
+    with pytest.raises(UnsupportedOperationError, match="WHERE"):
+        unity.optimize_table(
+            "unity", "default", "ice_opt", where="k > 5"
+        )
