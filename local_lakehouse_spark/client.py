@@ -247,6 +247,17 @@ class LakehouseClient:
             from .sources.delta_py import DeltaLog
 
             return DeltaLog(path).versions()
+        if tbl.file_type == FileType.ICEBERG:
+            from .sources import iceberg_py
+
+            meta = iceberg_py.table_metadata(path)
+            return [
+                int(s["snapshot-id"])
+                for s in sorted(
+                    meta.get("snapshots") or [],
+                    key=lambda s: int(s.get("sequence-number") or 0),
+                )
+            ]
         return _io.snapshot_versions(path)
 
     def restore_table(
@@ -1534,6 +1545,49 @@ class LakehouseClient:
             table = self.get_table(cat, sch, tbl)
             if table.file_type == FileType.DELTA:
                 return self.get_delta_table(cat, sch, tbl).history()
+            if table.file_type == FileType.ICEBERG:
+                # the Iceberg `history` metadata-table shape
+                from .sources import iceberg_py
+
+                meta = iceberg_py.table_metadata(
+                    _io.strip_file_scheme(
+                        table.storage_location or ""
+                    )
+                )
+                cur = meta.get("current-snapshot-id")
+                chain = iceberg_py.current_ancestors(meta)
+                rows = [
+                    (
+                        int(s["snapshot-id"]),
+                        int(s.get("sequence-number") or 0),
+                        int(s["timestamp-ms"]),
+                        (s.get("summary") or {}).get("operation"),
+                        (
+                            int(s["parent-snapshot-id"])
+                            if "parent-snapshot-id" in s
+                            else None
+                        ),
+                        int(s["snapshot-id"]) == cur,
+                        (
+                            int(s["snapshot-id"]) in chain
+                            if chain is not None
+                            else True
+                        ),
+                    )
+                    for s in sorted(
+                        meta.get("snapshots") or [],
+                        key=lambda s: int(
+                            s.get("sequence-number") or 0
+                        ),
+                    )
+                ]
+                return spark.createDataFrame(
+                    rows,
+                    "snapshot_id long, sequence_number long, "
+                    "made_current_at_ms long, operation string, "
+                    "parent_id long, is_current boolean, "
+                    "is_current_ancestor boolean",
+                )
             return spark.createDataFrame(
                 [(v,) for v in self.table_history(cat, sch, tbl)],
                 "version long",

@@ -990,3 +990,37 @@ def test_optimize_iceberg_via_client_sql(unity, spark, tmp_path):
         unity.optimize_table(
             "unity", "default", "ice_opt", where="k > 5"
         )
+
+
+def test_describe_history_iceberg(unity, spark, tmp_path):
+    """DESCRIBE HISTORY on an ICEBERG table returns the metadata
+    history-table shape (snapshot ids, sequences, operations, parent
+    lineage, current/ancestor flags — rollback-aware)."""
+    from local_lakehouse_spark.sources import iceberg_py
+
+    df = spark.range(6).selectExpr("id AS k")
+    loc = _loc(tmp_path, "ice_hist")
+    unity.create_as_table(
+        df, "unity", "default", "ice_hist",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    unity.write_table(
+        spark.range(6, 9).selectExpr("id AS k"),
+        "unity", "default", "ice_hist", mode="APPEND",
+    )
+    snaps = iceberg_py.table_metadata(loc)["snapshots"]
+    iceberg_py.rollback_iceberg(loc, snapshot_id=snaps[0]["snapshot-id"])
+
+    hist = unity.sql("DESCRIBE HISTORY unity.default.ice_hist")
+    rows = {r.snapshot_id: r for r in hist.collect()}
+    assert len(rows) == 2
+    first = rows[snaps[0]["snapshot-id"]]
+    second = rows[snaps[1]["snapshot-id"]]
+    assert first.is_current and first.is_current_ancestor
+    assert not second.is_current and not second.is_current_ancestor
+    assert second.parent_id == first.snapshot_id
+    assert first.operation == "append"
+    # table_history lists snapshot ids oldest-first
+    assert unity.table_history("unity", "default", "ice_hist") == [
+        s["snapshot-id"] for s in snaps
+    ]
