@@ -1527,6 +1527,38 @@ class LakehouseClient:
                 return spark.createDataFrame(
                     [(len(deleted),)], "files_deleted long"
                 )
+            if table.file_type == FileType.ICEBERG:
+                # Iceberg VACUUM = expire_snapshots + orphan cleanup:
+                # drop snapshots older than the retention window and
+                # delete files no surviving snapshot references.
+                if dry is not None:
+                    raise UnsupportedOperationError(
+                        "VACUUM ... DRY RUN requires a DELTA table"
+                    )
+                import time as _time
+
+                from .sources import iceberg_py
+
+                res = iceberg_py.expire_snapshots(
+                    path,
+                    older_than_ms=int(
+                        (
+                            _time.time()
+                            - (float(hours) if hours else 168.0)
+                            * 3600
+                        )
+                        * 1000
+                    ),
+                )
+                return spark.createDataFrame(
+                    [
+                        (
+                            len(res["expired"]),
+                            len(res["deleted_files"]),
+                        )
+                    ],
+                    "snapshots_expired long, files_deleted long",
+                )
             if dry is not None:
                 raise UnsupportedOperationError(
                     "VACUUM ... DRY RUN requires a DELTA table"
@@ -1598,6 +1630,41 @@ class LakehouseClient:
             table = self.get_table(cat, sch, tbl)
             if table.file_type == FileType.DELTA:
                 return self.get_delta_table(cat, sch, tbl).detail()
+            if table.file_type == FileType.ICEBERG:
+                # live-snapshot stats from the MANIFESTS (metadata
+                # only — a filesystem walk would count retired files)
+                from .sources import iceberg_py
+
+                path = _io.strip_file_scheme(
+                    table.storage_location or ""
+                )
+                meta = iceberg_py.table_metadata(path)
+                try:
+                    snap = iceberg_py._select_snapshot(meta)
+                    data, _p, _e = iceberg_py._snapshot_files(
+                        meta, snap, path
+                    )
+                except DoesNotExistError:
+                    data = []
+                return spark.createDataFrame(
+                    [
+                        (
+                            table.table_id,
+                            "iceberg",
+                            table.storage_location,
+                            iceberg_py.current_partition_by(meta),
+                            len(data),
+                            sum(
+                                int(d.get("file_size_in_bytes") or 0)
+                                for d in data
+                            ),
+                            dict(meta.get("properties") or {}),
+                        )
+                    ],
+                    "id string, format string, location string, "
+                    "partitionColumns array<string>, numFiles long, "
+                    "sizeInBytes long, properties map<string,string>",
+                )
             import glob as _glob
 
             path = _io.strip_file_scheme(table.storage_location or "")

@@ -1024,3 +1024,36 @@ def test_describe_history_iceberg(unity, spark, tmp_path):
     assert unity.table_history("unity", "default", "ice_hist") == [
         s["snapshot-id"] for s in snaps
     ]
+
+
+def test_describe_detail_and_vacuum_iceberg(unity, spark, tmp_path):
+    """DESCRIBE DETAIL on ICEBERG reports live-snapshot stats from
+    the manifests (never counts retired files); VACUUM maps to
+    expire_snapshots + orphan cleanup."""
+    from local_lakehouse_spark.sources import iceberg_py
+
+    df = spark.range(10).selectExpr("id AS k")
+    loc = _loc(tmp_path, "ice_detail")
+    unity.create_as_table(
+        df.repartition(2), "unity", "default", "ice_detail",
+        file_type=FileType.ICEBERG, location=loc,
+    )
+    # compaction retires the 2 original files; DETAIL must count
+    # only the live rewrite, not the retired ones still on disk
+    iceberg_py.compact_data_files(spark, loc)
+    d = unity.sql(
+        "DESCRIBE DETAIL unity.default.ice_detail"
+    ).collect()[0]
+    assert d.format == "iceberg"
+    assert d.numFiles == 1
+    assert d.sizeInBytes > 0
+    # VACUUM RETAIN 0 HOURS expires the pre-compaction snapshot and
+    # deletes its now-orphaned files
+    out = unity.sql(
+        "VACUUM unity.default.ice_detail RETAIN 0 HOURS"
+    ).collect()[0]
+    assert out.snapshots_expired == 1
+    assert out.files_deleted >= 2
+    assert unity.read_table(
+        "unity", "default", "ice_detail"
+    ).count() == 10
