@@ -468,9 +468,14 @@ def _removal_entry(d: dict, spec_fields: list) -> dict:
         "partition": partition,
     }
     # preserve the entry's original content class (an equality-delete
-    # file must stay content=2 even inside a content=1 manifest)
+    # file must stay content=2 even inside a content=1 manifest) AND
+    # its equality_ids — the spec marks them required for content=2
+    # entries, DELETED or not, so foreign readers inspecting removal
+    # entries see well-formed equality-delete metadata
     if d.get("content") is not None:
         out["content"] = int(d["content"])
+    if d.get("equality_ids"):
+        out["equality_ids"] = [int(i) for i in d["equality_ids"]]
     return out
 
 
@@ -1016,6 +1021,66 @@ def _inject_identity_partitions(
     )
 
 
+def _eq_delete_physical_names(
+    abs_p: str, ids: tuple, by_id: dict
+) -> tuple:
+    """Resolve an equality-delete file's PHYSICAL column names for
+    the given field ids from its parquet footer ``PARQUET:field_id``
+    metadata — the Iceberg id-binding rule. A footer without any
+    field ids (a writer that skipped stamping) falls back to the
+    current schema NAME when present; a genuinely absent column is a
+    malformed delete file and refuses loudly rather than surfacing
+    NULL keys. Probes are cached: delete files are immutable once
+    committed."""
+    import pyarrow.parquet as pq
+
+    try:
+        st = os.stat(abs_p)
+        # current names are part of the key: the unstamped-footer
+        # fallback binds by NAME, so a schema rename must re-probe
+        # (and then refuse — without footer ids the binding can no
+        # longer be proven)
+        key = (
+            "eqdel",
+            abs_p,
+            st.st_mtime_ns,
+            st.st_size,
+            ids,
+            tuple(by_id[i] for i in ids),
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    fs = pq.read_schema(abs_p)
+    by_fid = {}
+    for f in fs:
+        m = (f.metadata or {}).get(b"PARQUET:field_id")
+        if m is not None:
+            by_fid[int(m)] = f.name
+    names = set(fs.names)
+    phys = []
+    for i in ids:
+        if by_fid:
+            pn = by_fid.get(int(i))
+        else:
+            pn = by_id[i] if by_id[i] in names else None
+        if pn is None:
+            raise UnsupportedOperationError(
+                f"equality delete file {os.path.basename(abs_p)} has "
+                f"no column for field id {i} "
+                f"(current name {by_id[i]!r}); applying it would "
+                f"surface NULL keys and delete the wrong rows"
+            )
+        phys.append(pn)
+    result = tuple(phys)
+    if key is not None:
+        if len(_PROBE_CACHE) > 1_000_000:
+            _PROBE_CACHE.clear()
+        _PROBE_CACHE[key] = result
+    return result
+
+
 def _apply_equality_deletes(
     spark: SparkSession,
     scan: DataFrame,
@@ -1093,14 +1158,33 @@ def _apply_equality_deletes(
         groups.setdefault((ids, _pk(d)), []).append(d)
     for (ids, pk), files in groups.items():
         cols = [by_id[i] for i in ids]
-        sub = T.StructType([schema[c] for c in cols])
         parts = []
         for d in files:
+            abs_p = _resolve(d["file_path"], path)
+            # bind the delete file's columns by FOOTER FIELD ID (the
+            # same id-binding rule as data files): a foreign table
+            # whose equality columns were renamed AFTER the delete
+            # file was written stores the OLD physical names, so a
+            # read by current-schema name would surface all-NULL
+            # columns — and with eqNullSafe join keys silently delete
+            # every earlier-sequence row with a NULL key instead of
+            # the intended rows. Footer probe is driver-side and
+            # metadata-sized (delete files are few per snapshot).
+            phys = _eq_delete_physical_names(abs_p, ids, by_id)
+            sub = T.StructType(
+                [
+                    T.StructField(pn, schema[c].dataType, True)
+                    for c, pn in zip(cols, phys)
+                ]
+            )
             parts.append(
                 spark.read.schema(sub)
-                .parquet(_resolve(d["file_path"], path))
+                .parquet(abs_p)
                 .select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                    *[
+                        F.col(pn).alias(f"__eq_{c}")
+                        for c, pn in zip(cols, phys)
+                    ],
                     F.lit(int(d["_seq"])).alias("__eseq"),
                 )
             )
@@ -1360,7 +1444,11 @@ def _write_manifest(
                     tuple(e.get("partition") or ()),
                     e["record_count"],
                     e["file_size_in_bytes"],
-                    list(equality_ids) if equality_ids else None,
+                    (
+                        list(e.get("equality_ids") or equality_ids)
+                        if (e.get("equality_ids") or equality_ids)
+                        else None
+                    ),
                     (
                         sorted(e["lower_bounds"].items())
                         if e.get("lower_bounds")
@@ -1538,6 +1626,7 @@ def _commit_snapshot(
     operation: str,
     snap_id: int,
     extra_summary: Optional[dict] = None,
+    extra_properties: Optional[dict] = None,
 ) -> dict:
     """Append a snapshot whose manifest LIST contains ``manifest_rows``
     (prior snapshots' manifests carried over by the caller) and write
@@ -1603,6 +1692,14 @@ def _commit_snapshot(
         "schema-id": meta.get("current-schema-id", 0),
     }
     meta = dict(meta)
+    if extra_properties:
+        # table properties survive snapshot expiry — the streaming
+        # sink's exactly-once high-water epoch lives here (the Delta
+        # analogue: txn actions outliving log cleanup)
+        meta["properties"] = {
+            **(meta.get("properties") or {}),
+            **{str(k): str(v) for k, v in extra_properties.items()},
+        }
     meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
@@ -2467,11 +2564,13 @@ def compact_data_files(
     absorb like position deletes: the live-rows read applied them,
     and at the rewrite's new sequence nothing remains in their
     strictly-smaller-sequence scope, so they retire (status=2,
-    content preserved) with the old data files. On
-    identity-partitioned tables the rewritten files
-    MATERIALIZE the partition columns physically (the compaction read
-    injects them), so reads stay exact; their manifest partition
-    records are empty. Returns the committed metadata.
+    content preserved) with the old data files. Under a PARTITIONED
+    default spec the rewrite routes through the shared staging step
+    (_stage_data_files) so the new files carry REAL manifest
+    partition records — a later partition-scoped equality delete
+    (the Flink shape) matches compacted files exactly like
+    writer-fresh ones; empty records would silently exempt them.
+    Returns the committed metadata.
 
     ``sort_by`` (iceberg-spark's ``rewrite_data_files(strategy =>
     'sort')`` / WRITE ORDERED BY — the OPTIMIZE-ZORDER analog): the
@@ -2494,15 +2593,6 @@ def compact_data_files(
     schema_obj = _current_schema(meta)
     ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
     live = read_iceberg(spark, path)
-    stamped = live.select(
-        *[
-            F.col(f["name"]).alias(
-                f["name"], metadata={"parquet.field.id": ids[f["name"]]}
-            )
-            for f in schema_obj["fields"]
-        ]
-    )
-    tmp = path + f".__ice_rw_{uuid.uuid4().hex}"
     if sort_by:
         schema_names = {f["name"] for f in schema_obj["fields"]}
         bad = [c for c in sort_by if c not in schema_names]
@@ -2510,37 +2600,60 @@ def compact_data_files(
             raise UnsupportedOperationError(
                 f"sort_by columns {bad} not in the table schema"
             )
-        shaped = stamped.repartitionByRange(
+        shaped = live.repartitionByRange(
             max(1, target_num_files), *sort_by
         ).sortWithinPartitions(*sort_by)
     else:
-        shaped = stamped.repartition(max(1, target_num_files))
-    shaped.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    import pyarrow.parquet as pq
-
-    data_dir = os.path.join(path, "data")
-    entries = []
-    for src in _collect_part_files(tmp):
-        n = pq.read_metadata(src).num_rows
-        if n == 0:
-            continue
-        dest = os.path.join(
-            data_dir, f"{uuid.uuid4().hex}-{os.path.basename(src)}"
+        shaped = live.repartition(max(1, target_num_files))
+    spec_fields = _partition_specs(meta).get(
+        int(meta.get("default-spec-id", 0)), []
+    )
+    pf_avro: list = []
+    if spec_fields:
+        # partitioned default spec: the shared staging step lays the
+        # rewrite out by the spec and records REAL partition values
+        # per file, keeping partition-scoped delete matching and
+        # manifest partition pruning exact post-compaction
+        entries, pf_avro = _stage_data_files(
+            spark, shaped, path, meta, schema_obj, ids
         )
-        os.replace(src, dest)
-        lows, highs = _file_bounds(dest, schema_obj)
-        entries.append(
-            {
-                "file_path": dest,
-                "record_count": n,
-                "file_size_in_bytes": os.path.getsize(dest),
-                "lower_bounds": lows,
-                "upper_bounds": highs,
-            }
+    else:
+        stamped = shaped.select(
+            *[
+                F.col(f["name"]).alias(
+                    f["name"],
+                    metadata={"parquet.field.id": ids[f["name"]]},
+                )
+                for f in schema_obj["fields"]
+            ]
         )
-    shutil.rmtree(tmp, ignore_errors=True)
+        tmp = path + f".__ice_rw_{uuid.uuid4().hex}"
+        stamped.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        data_dir = os.path.join(path, "data")
+        entries = []
+        for src in _collect_part_files(tmp):
+            n = pq.read_metadata(src).num_rows
+            if n == 0:
+                continue
+            dest = os.path.join(
+                data_dir, f"{uuid.uuid4().hex}-{os.path.basename(src)}"
+            )
+            os.replace(src, dest)
+            lows, highs = _file_bounds(dest, schema_obj)
+            entries.append(
+                {
+                    "file_path": dest,
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "lower_bounds": lows,
+                    "upper_bounds": highs,
+                }
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snap_id = _new_snapshot_id()
     mrows = [
@@ -2550,6 +2663,7 @@ def compact_data_files(
             snap_id,
             seq,
             content=0,
+            partition_fields=pf_avro or None,
             spec_id=int(meta.get("default-spec-id", 0)),
         )["row"]
     ]

@@ -870,7 +870,22 @@ class _PyIcebergStreamWriter(DataSourceStreamArrowWriter):
 
     # -- driver ----------------------------------------------------------
     def _last_epoch(self, meta: dict) -> int:
+        """The app's committed high-water epoch. Authoritative source
+        is the ``stream-epoch.<app>`` TABLE PROPERTY persisted at
+        commit time — expire_snapshots can expire the snapshot whose
+        summary carried the marker while newer non-stream commits
+        survive, and a restarted query must still skip the replayed
+        microbatch. Snapshot summaries are kept as a back-compat
+        fallback for tables committed before the property existed."""
         last = -1
+        prop = (meta.get("properties") or {}).get(
+            f"stream-epoch.{self._app}"
+        )
+        if prop is not None:
+            try:
+                last = int(prop)
+            except ValueError:
+                pass
         for s in meta.get("snapshots") or []:
             smry = s.get("summary") or {}
             if smry.get("stream-app-id") == self._app:
@@ -943,6 +958,9 @@ class _PyIcebergStreamWriter(DataSourceStreamArrowWriter):
             extra_summary={
                 "stream-app-id": self._app,
                 "stream-epoch-id": int(batchId),
+            },
+            extra_properties={
+                f"stream-epoch.{self._app}": int(batchId)
             },
         )
 

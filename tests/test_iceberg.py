@@ -2800,3 +2800,222 @@ def test_sorted_compaction_skip_pruning(spark, tbl):
     )
     assert meta2["default-sort-order-id"] == oid
     assert len(meta2["sort-orders"]) == len(meta["sort-orders"])
+
+
+def test_equality_delete_binds_by_footer_field_id(spark, tbl):
+    """ADVICE r10: an equality-delete file's columns must bind by
+    FOOTER FIELD ID like data files. Rename the equality column
+    AFTER the delete was committed: the delete file stores the OLD
+    physical name, and a name-bound read would surface all-NULL keys
+    — with eqNullSafe matching that silently deletes every
+    earlier-sequence NULL-keyed row instead of the intended ones."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "n")],
+        "k long, s string",
+    )
+    write_iceberg(spark, df, tbl, mode="create")  # seq 1
+    _commit_equality_delete(
+        spark, tbl, [(2,)], "k long", eq_ids=[1]
+    )  # seq 2: delete k=2 (file's physical column name is "k")
+    # rename k -> key (same field id 1) via a new metadata version
+    meta = json.load(open(os.path.join(tbl, "metadata", "v2.metadata.json")))
+    meta["schemas"][0]["fields"][0]["name"] = "key"
+    with open(
+        os.path.join(tbl, "metadata", "v3.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(
+        os.path.join(tbl, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write("3")
+    got = sorted(
+        ((r.key, r.s) for r in read_iceberg(spark, tbl).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    # k=2 deleted; the NULL-keyed row SURVIVES (it was never deleted)
+    assert got == [(1, "a"), (3, "c"), (None, "n")]
+
+
+def test_equality_delete_unstamped_footer_binds_by_name(spark, tbl):
+    """A foreign equality-delete file whose footer carries NO field
+    ids falls back to current-name binding (and applies); a delete
+    whose column is genuinely absent refuses loudly instead of
+    surfacing NULL keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import uuid as _uuid
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    write_iceberg(spark, df, tbl, mode="create")
+    meta = table_metadata(tbl)
+    # hand-stage a delete parquet WITHOUT footer field ids
+    dest = os.path.join(
+        tbl, "data", f"eqdel-plain-{_uuid.uuid4().hex[:8]}.parquet"
+    )
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), dest)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = iceberg_py._new_snapshot_id()
+    mrow = iceberg_py._write_manifest(
+        tbl,
+        [
+            {
+                "file_path": dest,
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(dest),
+                "partition": None,
+            }
+        ],
+        sid,
+        seq,
+        content=2,
+        equality_ids=[1],
+    )
+    prior = iceberg_py._prior_manifest_rows(meta, tbl)
+    iceberg_py._commit_snapshot(
+        tbl, meta, prior + [mrow["row"]], "delete", sid
+    )
+    got = sorted(
+        (r.k, r.s) for r in read_iceberg(spark, tbl).collect()
+    )
+    assert got == [(1, "a"), (3, "c")]
+    # rename k -> key: the unstamped delete file can no longer bind
+    meta = table_metadata(tbl)
+    v = int(
+        open(os.path.join(tbl, "metadata", "version-hint.text")).read()
+    )
+    meta["schemas"][0]["fields"][0]["name"] = "key"
+    with open(
+        os.path.join(tbl, "metadata", f"v{v + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(
+        os.path.join(tbl, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write(str(v + 1))
+    with pytest.raises(
+        UnsupportedOperationError, match="no column for field id"
+    ):
+        read_iceberg(spark, tbl).collect()
+
+
+def test_removal_entries_preserve_equality_ids(spark, tbl):
+    """ADVICE r10: status=2 DELETED entries for retired
+    equality-delete files must keep equality_ids (spec: required for
+    content=2 entries) so foreign readers inspecting removal
+    manifests see well-formed metadata."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    write_iceberg(spark, df, tbl, mode="create")
+    _commit_equality_delete(spark, tbl, [(2,)], "k long", eq_ids=[1])
+    iceberg_py.compact_data_files(spark, tbl)  # absorbs the delete
+    meta = table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    removed_eq = []
+    for mf in iceberg_py._manifest_list_rows(snap, tbl):
+        mpath = iceberg_py._resolve(mf["manifest_path"], tbl)
+        for entry in iceberg_py._read_avro_dicts(mpath):
+            d = entry["data_file"]
+            if entry.get("status") == 2 and int(d.get("content") or 0) == 2:
+                removed_eq.append(d)
+    assert removed_eq, "compaction should retire the equality delete"
+    for d in removed_eq:
+        assert list(d.get("equality_ids") or []) == [1]
+
+
+def test_stream_sink_epoch_survives_expire(spark, tbl, tmp_path):
+    """ADVICE r10: the streaming sink's exactly-once high-water epoch
+    persists as a TABLE PROPERTY, so expire_snapshots cannot erase it
+    and a restarted query still skips the replayed microbatch."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    write_iceberg(spark, df, tbl, mode="create")
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(2, "b")], "k long, s string").write.json(
+        src_dir
+    )
+    q = (
+        spark.readStream.schema("k long, s string")
+        .json(src_dir)
+        .writeStream.format("pyiceberg")
+        .option("path", tbl)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("queryName", "epoch_prop_app")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    meta = table_metadata(tbl)
+    props = meta.get("properties") or {}
+    keys = [k for k in props if k.startswith("stream-epoch.")]
+    assert keys, f"high-water property missing: {props}"
+    assert int(props[keys[0]]) >= 0
+    # churn + expire: the marker snapshot can be expired, the
+    # property survives
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, "c")], "k long, s string"),
+        tbl,
+        mode="append",
+    )
+    import time as _time
+
+    meta = iceberg_py.expire_snapshots(
+        tbl, older_than_ms=int(_time.time() * 1000) + 10_000,
+        retain_last=1,
+    )
+    assert not any(
+        (s.get("summary") or {}).get("stream-app-id")
+        for s in meta.get("snapshots") or []
+    ), "marker snapshot should be expired in this scenario"
+    props = (table_metadata(tbl).get("properties")) or {}
+    assert any(k.startswith("stream-epoch.") for k in props)
+
+
+def test_compaction_partitioned_writes_real_partition_records(
+    spark, tbl
+):
+    """ADVICE r10: compaction under a partitioned default spec must
+    write REAL manifest partition records so a later partition-scoped
+    equality delete (Flink-style) matches the compacted files."""
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "x"), (3, 30, "y"), (4, 40, "y")],
+        "k long, v long, p string",
+    )
+    write_iceberg(
+        spark, df, tbl, mode="create", partition_by=["p"]
+    )
+    meta = iceberg_py.compact_data_files(spark, tbl, target_num_files=1)
+    snap = iceberg_py._select_snapshot(meta)
+    data, _pos, _eq = iceberg_py._snapshot_files(meta, snap, tbl)
+    parts = sorted(
+        (d.get("partition") or {}).get("p") for d in data
+    )
+    assert parts == ["x", "y"], f"real partition records, got {parts}"
+    # a partition-scoped equality delete now matches the compacted
+    # file for p='x' only
+    spec_fields = iceberg_py._partition_specs(meta).get(
+        int(meta.get("default-spec-id", 0))
+    )
+    pf = iceberg_py._pf_avro_for_spec(
+        meta, int(meta.get("default-spec-id", 0))
+    )
+    assert spec_fields and pf
+    _commit_equality_delete(
+        spark,
+        tbl,
+        [(1,)],
+        "k long",
+        eq_ids=[1],
+        partition=("x",),
+        partition_fields=pf,
+        spec_id=int(meta.get("default-spec-id", 0)),
+    )
+    got = sorted(
+        (r.k, r.p) for r in read_iceberg(spark, tbl).collect()
+    )
+    assert got == [(2, "x"), (3, "y"), (4, "y")]
