@@ -26,78 +26,78 @@ from local_lakehouse_spark.queries_ext import EXT_QUERY_SPECS as _EXT
 
 _ALL = {**_CORE, **_EXT}
 
-# Round-10 cap ordering (driver cap = 50 queries/round; stamps are
-# CUMULATIVE across CORRECTNESS_r01..r09). The cap fills by STAMP AGE
+# Round-11 cap ordering (driver cap = 50 queries/round; stamps are
+# CUMULATIVE across CORRECTNESS_r01..r10). The cap fills by STAMP AGE
 # (judge r7 #1, re-affirmed every round since):
-# 1. never-stamped first: y43 equality-delete upsert, y44 partition-
-#    spec evolution, y45 streaming changelog — new this round — plus
-#    the 5 r9 FAILures (y35/y37-y40: the pyiceberg register conf
-#    defect, fixed this round) needing green re-stamps;
-# 2. ALL 12 remaining r5-era stamps (x54/x57/x99 + y01-y09) — the
-#    oldest in the union;
-# 3. the remaining 30 slots go to r6-era stamps: the y10-y21
-#    Delta-protocol band first (their shared read paths churned
-#    in r6-r10), then q01 onward.
-# Everything past the cap keeps an r6+ stamp AND a same-round local
-# green in CORRECTNESS_LOCAL_r10.json; the r6 tail (q18-q40 band)
-# rotates in r11.
-_NEVER_OR_FAILED = [
-    "y43_iceberg_equality_upsert",
-    "y44_iceberg_spec_evolution",
-    "y45_iceberg_changelog_stream",
-    "y46_iceberg_rollback",
-    "y35_iceberg_partitioned",
-    "y37_iceberg_transform_partitions",
-    "y38_iceberg_convert_from_delta",
-    "y39_iceberg_add_files",
-    "y40_iceberg_refs",
+# 1. never-stamped first: the four new r11 capabilities — y47 Iceberg
+#    v3 deletion vectors, y48 equality-delete changelog, y49 WAP
+#    branch publish, y50 MERGE schema evolution;
+# 2. the 3 remaining r5-era stamps (x06/x14/x22 — rows-only by
+#    declaration, still the oldest in the union);
+# 3. the full r6-era q19-q40 band (judge r10 item #1 — the only
+#    latest-stamps older than r7);
+# 4. the remaining slots go to the oldest r7-era stamps (q41-q57).
+# Everything past the cap keeps an r6+... now r7+ stamp AND a
+# same-round local green in CORRECTNESS_LOCAL_r11.json.
+_NEVER_STAMPED = [
+    "y47_iceberg_v3_deletion_vectors",
+    "y48_iceberg_equality_changelog",
+    "y49_iceberg_wap_publish",
+    "y50_merge_schema_evolution",
 ]
 _R5_ERA = [
-    "x54_data_quality_report",
-    "x57_embedding_audit",
-    "x99_bucketed_join",
-    "y01_incremental_rollup",
-    "y02_streaming_cdc_upsert",
-    "y03_zorder_skipping",
-    "y04_bpe_tokenize",
-    "y05_cdc_change_feed",
-    "y06_schema_evolution_read",
-    "y07_table_checksum",
-    "y08_compaction",
-    "y09_time_travel_restore",
+    "x06_ann_lsh_topk",
+    "x14_embedding_near_dup",
+    "x22_approx_distinct_hll",
 ]
-_R6_ERA_HEAD = [
-    "y10_deletion_vector_read",
-    "y11_column_mapping_read",
-    "y12_dv_delete",
-    "y13_dv_update",
-    "y14_dv_purge",
-    "y15_delta_optimize",
-    "y16_append_only_governance",
-    "y17_timestamp_as_of",
-    "y18_check_constraints",
-    "y19_cdc_log_replay",
-    "y20_shallow_clone",
-    "y21_generated_columns",
-    "q01_scan_project",
-    "q02_filter_and",
-    "q03_between_in",
-    "q04_like",
-    "q06_distinct",
-    "q07_topk",
-    "q08_inner_join",
-    "q09_left_join",
-    "q10_full_outer_join",
-    "q11_semi_join",
-    "q12_anti_join",
-    "q13_multiway_join",
-    "q14_range_join",
-    "q15_cross_join",
-    "q16_tpch_q1_agg",
-    "q17_count_distinct",
-    "q18_having",
+_R6_BAND = [
+    "q19_rollup",
+    "q20_window_rownum",
+    "q21_window_lag",
+    "q22_window_moving",
+    "q23_union_all",
+    "q24_intersect_except",
+    "q25_string_fns",
+    "q26_date_fns",
+    "q27_math_case_cast",
+    "q28_scalar_subquery",
+    "q29_correlated_subquery",
+    "q30_cte",
+    "q31_array_explode",
+    "q33_percentiles",
+    "q34_ntile_distribution",
+    "q35_pivot",
+    "q36_tpch_q3_shipping_priority",
+    "q37_tpch_q5_local_supplier",
+    "q38_tpch_q10_returned_items",
+    "q39_window_value_fns",
+    "q40_string_agg",
 ]
-_PRIORITY = _NEVER_OR_FAILED + _R5_ERA + _R6_ERA_HEAD
+_R7_ERA_HEAD = [
+    "q41_tpch_q12_conditional_agg",
+    "q42_tpch_q18_having_join",
+    "q43_tpch_q4_exists",
+    "q44_tpch_q6_scan_agg",
+    "q45_unpivot",
+    "q46_grouping_sets",
+    "q47_lateral_topn",
+    "q48_tpch_q2_min_cost_supplier",
+    "q49_tpch_q7_volume_shipping",
+    "q50_tpch_q8_market_share",
+    "q51_tpch_q9_product_profit",
+    "q52_tpch_q11_important_stock",
+    "q53_tpch_q13_order_distribution",
+    "q54_tpch_q14_promo_effect",
+    "q56_tpch_q16_parts_suppliers",
+    "q57_tpch_q17_small_quantity",
+    "x01_dedup_exact",
+    "x02_dedup_ngram_jaccard",
+    "x05_ann_cosine_topk",
+    "x07_language_id",
+    "x08_quality_score",
+    "x09_token_count",
+]
+_PRIORITY = _NEVER_STAMPED + _R5_ERA + _R6_BAND + _R7_ERA_HEAD
 QUERY_SPECS = {
     **{n: _ALL[n] for n in _PRIORITY},
     **{n: s for n, s in _ALL.items() if n not in _PRIORITY},

@@ -14,9 +14,10 @@ pass_totals / extended_pass_totals list each pass) — a single
 loaded-box pass had swung totals by ±25% across rounds with zero
 plan changes (r7: x62 read 6.15 s single-pass on a loadavg-8 box vs
 ~4 s idle). When the box is already LOADED at start (1-min loadavg
-> 3), the headline set runs FIVE passes instead (judge r9 #7 — the
-3-pass median still admitted 1.2-1.3x per-query swings under load;
-headline_passes in the JSON records which protocol ran).
+> 3), BOTH sets run FIVE passes instead (judge r9 #7 for the
+headline, r10 #4 for the extended — the 3-pass median still admitted
+1.2-1.3x per-query swings under load; headline_passes /
+extended_passes in the JSON record which protocol ran).
 loadavg at start/end is recorded in the JSON so a noisy
 run is self-labeling.
 
@@ -230,8 +231,13 @@ def main() -> int:
     # infrastructure: every iteration's ranks are recomputed from the
     # parquet scan (the warm pass's localCheckpoint RDDs are released
     # before timing) — warmup policy, not result caching.
+    # Loaded-box protocol for the EXTENDED set too (judge r10 #4:
+    # the r10 extended "regressions" — x66/x82/x47/x64 up 1.06-1.33x
+    # — were exactly the noise band the headline 5-pass protocol had
+    # already eliminated; idle A/Bs disproved every one).
+    n_extended_passes = 5 if load_start[0] > 3 else 3
     ext_pass_times: list[dict[str, float]] = []
-    for _pass in range(3):
+    for _pass in range(n_extended_passes):
         try:
             materialize(qs["x66_pagerank"](spark, sf_dir))
         except Exception:
@@ -273,6 +279,7 @@ def main() -> int:
         },
         "extended": ext,
         "extended_pass_totals": ext_pass_totals,
+        "extended_passes": n_extended_passes,
         "sf": sf_num,
     }
     if failed:

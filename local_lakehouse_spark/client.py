@@ -260,6 +260,94 @@ class LakehouseClient:
             ]
         return _io.snapshot_versions(path)
 
+    # -- WAP (write-audit-publish) branch facade (ICEBERG) ------------------
+
+    def create_branch(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        branch: str,
+        version: Optional[int] = None,
+    ) -> None:
+        """Create a branch ref (WAP audit staging; SQL twin:
+        ``ALTER TABLE c.s.t CREATE BRANCH b [AS OF VERSION v]``)."""
+        from .sources import iceberg_py
+
+        iceberg_py.create_iceberg_branch(
+            self._iceberg_path(catalog, schema, name, "create_branch"),
+            branch,
+            snapshot_id=version,
+        )
+
+    def drop_branch(
+        self, catalog: str, schema: str, name: str, branch: str
+    ) -> None:
+        from .sources import iceberg_py
+
+        iceberg_py.drop_iceberg_ref(
+            self._iceberg_path(catalog, schema, name, "drop_branch"),
+            branch,
+        )
+
+    def write_table_branch(
+        self,
+        df: DataFrame,
+        catalog: str,
+        schema: str,
+        name: str,
+        branch: str,
+    ) -> None:
+        """Append ``df`` to an audit BRANCH — main readers never see
+        the rows until :meth:`fast_forward` publishes them. The frame
+        passes the same constraint gate as a main write."""
+        from .sources import iceberg_py
+
+        tbl = self.get_table(catalog, schema, name)
+        self._check_constraints(df, tbl)
+        iceberg_py.append_iceberg_branch(
+            self._require_spark(),
+            df,
+            self._iceberg_path(
+                catalog, schema, name, "write_table_branch"
+            ),
+            branch,
+        )
+
+    def fast_forward(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        branch: str,
+        to: str,
+    ) -> None:
+        """Publish: move ``branch`` to the head of ``to`` (allowed
+        only for true fast-forwards — git semantics). SQL twin:
+        ``ALTER TABLE c.s.t FAST FORWARD main TO audit``."""
+        from .sources import iceberg_py
+
+        iceberg_py.fast_forward_iceberg(
+            self._iceberg_path(catalog, schema, name, "fast_forward"),
+            branch,
+            to,
+        )
+
+    def cherrypick_snapshot(
+        self, catalog: str, schema: str, name: str, snapshot_id: int
+    ) -> None:
+        """Publish a divergent APPEND snapshot onto main, re-stamped
+        at a new sequence (idempotent via the published-wap-id
+        marker)."""
+        from .sources import iceberg_py
+
+        iceberg_py.cherrypick_iceberg_snapshot(
+            self._iceberg_path(
+                catalog, schema, name, "cherrypick_snapshot"
+            ),
+            int(snapshot_id),
+        )
+
     def restore_table(
         self,
         catalog: str,
@@ -721,10 +809,11 @@ class LakehouseClient:
             # exceptAll diff. Gross insert/delete rows net out by full
             # row (a row inserted then deleted inside the range
             # vanishes, matching the old-vs-new diff's semantics).
-            # Ranges the changelog cannot reconstruct (full
-            # overwrites, equality deletes) fall back to the generic
-            # diff — probed DRIVER-SIDE so the failure cannot surface
-            # lazily at action time.
+            # Equality-delete and deletion-vector snapshots
+            # reconstruct row-level (r11); only ranges the changelog
+            # cannot express (full overwrites / rewritten entries)
+            # fall back to the generic diff — probed DRIVER-SIDE so
+            # the failure cannot surface lazily at action time.
             fast = self._iceberg_net_changes(
                 tbl, from_version, to_version
             )
@@ -1265,15 +1354,36 @@ class LakehouseClient:
         condition: Optional[str] = None,
         source_alias: str = "s",
         target_alias: str = "t",
+        schema_evolution: bool = False,
     ):
         """Parity: client.py:401-427. Returns a chainable merger. The
         merged result passes the same CHECK-constraint gate as
-        write_table before committing (ADVICE r1)."""
+        write_table before committing (ADVICE r1).
+        ``schema_evolution`` = delta-spark's ``withSchemaEvolution()``
+        (new source columns evolve the target, nullable)."""
         tbl = self.get_table(catalog, schema, name)
-        return _merge_table(
+        merger = _merge_table(
             self._require_spark(), tbl, df, condition, source_alias, target_alias,
             validate=lambda result: self._check_constraints(result, tbl),
+            schema_evolution=schema_evolution,
         )
+        if schema_evolution and hasattr(merger, "execute"):
+            # post-execute schema reconciliation into the metastore,
+            # the same contract write_table keeps (client.py:394-399)
+            orig_execute = merger.execute
+
+            def _execute_and_sync() -> None:
+                orig_execute()
+                evolved = self.read_table(catalog, schema, name)
+                fresh = self.get_table(catalog, schema, name)
+                fresh.columns = spark_schema_to_uc_columns(
+                    evolved.schema,
+                    [c.name for c in fresh.partition_columns()],
+                )
+                self.metastore.overwrite_table(fresh)
+
+            merger.execute = _execute_and_sync  # type: ignore[method-assign]
+        return merger
 
     # -- SQL -----------------------------------------------------------------
 
@@ -1363,6 +1473,32 @@ class LakehouseClient:
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
         + r"\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*$",
         re.IGNORECASE | re.DOTALL,
+    )
+    def _iceberg_path(
+        self, cat: str, sch: str, tbl: str, op: str
+    ) -> str:
+        """Resolve + gate: the op needs an ICEBERG table; returns its
+        scheme-stripped path."""
+        table = self.get_table(cat, sch, tbl)
+        if table.file_type != FileType.ICEBERG:
+            raise UnsupportedOperationError(
+                f"{op} requires an ICEBERG table; "
+                f"{table.full_name} is {table.file_type.value}"
+            )
+        return _io.strip_file_scheme(table.storage_location or "")
+
+    _BRANCH_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+(CREATE|DROP)\s+BRANCH\s+(\w+)"
+        + r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+        re.IGNORECASE,
+    )
+    _FAST_FORWARD_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+FAST\s+FORWARD\s+(\w+)\s+TO\s+(\w+)\s*$",
+        re.IGNORECASE,
     )
     _ADD_CONSTRAINT_RE = re.compile(
         r"^ALTER\s+TABLE\s+"
@@ -1750,6 +1886,51 @@ class LakehouseClient:
             )
             return spark.createDataFrame(
                 [(int(meta["default-spec-id"]),)], "spec_id int"
+            )
+        m = self._BRANCH_RE.match(stmt)
+        if m:
+            cat, sch, tbl, action, bname, version = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            path = self._iceberg_path(cat, sch, tbl, "BRANCH DDL")
+            from .sources import iceberg_py
+
+            if action.upper() == "CREATE":
+                meta = iceberg_py.create_iceberg_branch(
+                    path,
+                    bname,
+                    snapshot_id=(
+                        int(version) if version is not None else None
+                    ),
+                )
+            else:
+                meta = iceberg_py.drop_iceberg_ref(path, bname)
+            return spark.createDataFrame(
+                [(bname, action.upper())], "branch string, op string"
+            )
+        m = self._FAST_FORWARD_RE.match(stmt)
+        if m:
+            cat, sch, tbl, bname, to = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            path = self._iceberg_path(cat, sch, tbl, "FAST FORWARD")
+            from .sources import iceberg_py
+
+            meta = iceberg_py.fast_forward_iceberg(path, bname, to)
+            return spark.createDataFrame(
+                [
+                    (
+                        bname,
+                        int(
+                            (meta.get("refs") or {})
+                            .get(bname, {})
+                            .get("snapshot-id", -1)
+                        ),
+                    )
+                ],
+                "branch string, snapshot_id long",
             )
         m = self._ADD_CONSTRAINT_RE.match(stmt)
         if m:

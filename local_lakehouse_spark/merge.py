@@ -90,6 +90,24 @@ class SparkMerger:
         self._matched: list[tuple[str, Optional[dict], Optional[str]]] = []
         self._not_matched: list[tuple[str, Optional[dict], Optional[str]]] = []
         self._not_matched_by_source: list[tuple[str, Optional[dict], Optional[str]]] = []
+        self._evolve = False
+
+    def with_schema_evolution(self) -> "SparkMerger":
+        """delta-spark's ``withSchemaEvolution()``: source columns
+        absent from the target evolve the target schema (nullable)
+        before the merge — existing rows read them back as NULL."""
+        self._evolve = True
+        return self
+
+    def _new_source_fields(self) -> list:
+        target_cols = {
+            c.name for c in (self._table.columns or [])
+        }
+        return [
+            f
+            for f in self._source.schema.fields
+            if f.name not in target_cols
+        ]
 
     # -- clause builders (names match delta-rs / reference tests) ----------
 
@@ -126,6 +144,14 @@ class SparkMerger:
     def _result_plan(self) -> DataFrame:
         """Build the merged DataFrame: full-outer join + per-class projection."""
         target = read_table(self._spark, self._table)
+        if self._evolve:
+            # evolution for log-less (PARQUET) targets: the rewrite
+            # carries the new columns, existing rows surface NULL
+            for f in self._source.schema.fields:
+                if f.name not in target.columns:
+                    target = target.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
         out_cols = target.columns
         s, t = self._s, self._t
 
@@ -383,6 +409,15 @@ class SparkMerger:
         if self._table.file_type == FileType.DELTA:
             from .sources import delta_py
 
+            if self._evolve:
+                # withSchemaEvolution: a metadata-only mergeSchema
+                # commit BEFORE the positional read, so the evolved
+                # columns flow through the DV change set like any
+                # other (old files read them as NULL; column-mapped
+                # tables get fresh ids/physical names)
+                delta_py.evolve_delta_schema(
+                    self._spark, path, list(self._source.schema.fields)
+                )
             snap_probe = delta_py.DeltaLog(path).snapshot(
                 allow=delta_py.BATCH_READ_FEATURES
             )
@@ -439,6 +474,23 @@ class SparkMerger:
 
             meta = iceberg_py.table_metadata(path)
             iceberg_py._require_v2(meta, "MERGE INTO")
+            if self._evolve:
+                known = {
+                    f["name"]
+                    for f in iceberg_py._current_schema(meta)["fields"]
+                }
+                fresh = [
+                    f.name
+                    for f in self._source.schema.fields
+                    if f.name not in known
+                ]
+                if fresh:
+                    raise UnsupportedOperationError(
+                        "MERGE withSchemaEvolution is implemented for "
+                        f"DELTA and PARQUET targets; Iceberg merge "
+                        f"sources must drop the new columns {fresh} "
+                        "or evolve via write_iceberg(merge_schema=True)"
+                    )
             scan, data_files, _pos = iceberg_py._positional_scan(
                 self._spark, meta, path
             )
@@ -494,6 +546,7 @@ def merge_table(
     source_alias: str = "s",
     target_alias: str = "t",
     validate: Optional[Callable[[DataFrame], None]] = None,
+    schema_evolution: bool = False,
 ):
     """Entry point, parity /root/reference/uchelper/client.py:401-427:
     DELTA/PARQUET-only, exact schema match required, condition defaults
@@ -504,7 +557,12 @@ def merge_table(
     commit (the client passes its CHECK-constraint gate). The DELTA
     path returns delta-spark's own merger, which enforces Delta's
     native constraints itself.
-    """
+
+    ``schema_evolution`` (delta-spark's ``withSchemaEvolution()``):
+    source columns ABSENT from the target relax the exact-schema
+    gate — overlapping columns still type-check — and evolve the
+    target schema (nullable) at execute() time; existing rows read
+    the new columns back as NULL."""
     from .types_map import check_schemas_equal, spark_schema_to_uc_columns
 
     if table.file_type not in (
@@ -516,10 +574,32 @@ def merge_table(
             f"MERGE is only supported for DELTA, PARQUET, and ICEBERG "
             f"tables, not {table.file_type.value}"
         )
-    # Exact schema match, parity dataframe.py:473.
-    check_schemas_equal(
-        spark_schema_to_uc_columns(source.schema), table.columns
-    )
+    if schema_evolution:
+        # overlapping columns must type-match exactly; new columns
+        # ride along and evolve the target at execute() time
+        from .exceptions import SchemaMismatchError
+
+        t_types = {
+            c.name: (c.data_type, c.type_precision, c.type_scale)
+            for c in (table.columns or [])
+        }
+        mismatched = [
+            c.name
+            for c in spark_schema_to_uc_columns(source.schema)
+            if c.name in t_types
+            and (c.data_type, c.type_precision, c.type_scale)
+            != t_types[c.name]
+        ]
+        if mismatched:
+            raise SchemaMismatchError(
+                "MERGE withSchemaEvolution: overlapping columns "
+                f"{mismatched} do not match the table types"
+            )
+    else:
+        # Exact schema match, parity dataframe.py:473.
+        check_schemas_equal(
+            spark_schema_to_uc_columns(source.schema), table.columns
+        )
     if condition is None:
         condition = default_merge_condition(table, source_alias, target_alias)
 
@@ -527,12 +607,18 @@ def merge_table(
         from delta.tables import DeltaTable  # type: ignore
 
         path = strip_file_scheme(table.storage_location or "")
-        return (
+        merger = (
             DeltaTable.forPath(spark, path)
             .alias(target_alias)
             .merge(source.alias(source_alias), condition)
         )
-    return SparkMerger(
+        if schema_evolution:
+            merger = merger.withSchemaEvolution()
+        return merger
+    merger = SparkMerger(
         spark, table, source, condition, source_alias, target_alias,
         validate=validate,
     )
+    if schema_evolution:
+        merger = merger.with_schema_evolution()
+    return merger

@@ -4393,3 +4393,50 @@ def restore(spark: SparkSession, path: str, version: int) -> Snapshot:
     )
     log.commit(cur.version + 1, actions, config=cur.configuration)
     return log.snapshot(cur.version + 1)
+
+
+def evolve_delta_schema(
+    spark: SparkSession, path: str, new_fields: list
+) -> bool:
+    """Metadata-only mergeSchema evolution (the MERGE
+    ``withSchemaEvolution()`` pre-step, delta-spark parity): append
+    the given fields — forced NULLABLE, existing files cannot satisfy
+    a new constraint — to the log schema as one metaData commit.
+    Column-mapped tables assign fresh column ids + random physical
+    names and bump maxColumnId (_assign_mapping_ids), so old footers
+    simply lack the new physical column and read NULL. Returns True
+    when a commit happened (False: nothing new). Conflicts resolve
+    through the WriteSerializable retry (_commit_dml)."""
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
+    old = {f.name for f in snap.schema.fields}
+    add = [
+        T.StructField(f.name, f.dataType, True)
+        for f in new_fields
+        if f.name not in old
+    ]
+    if not add:
+        return False
+    configuration = snap.configuration
+    if snap.column_mapping_mode not in ("", "none"):
+        add, configuration = _assign_mapping_ids(add, configuration)
+    schema = T.StructType(list(snap.schema.fields) + add)
+    meta_id = snap.metadata.get("id", str(uuid.uuid4()))
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "MERGE SCHEMA EVOLUTION",
+                "operationParameters": {
+                    "columns": json.dumps([f.name for f in add])
+                },
+                "engineInfo": "local-lakehouse-spark delta_py",
+            }
+        },
+        _meta_action(
+            schema, snap.partition_columns, meta_id, configuration
+        ),
+    ]
+    _commit_dml(log, snap, actions)
+    return True

@@ -144,12 +144,22 @@ class _PyIcebergReader(DataSourceReader):
                     f"field ids {unknown}"
                 )
             part = d.get("partition")
+            resolved = iceberg_py._resolve(d["file_path"], self._path)
             self._eq.append(
                 {
-                    "file": iceberg_py._resolve(
-                        d["file_path"], self._path
-                    ),
+                    "file": resolved,
                     "cols": [name_of[i] for i in ids],
+                    # the delete file's PHYSICAL column names, bound
+                    # by footer field id (renames after the delete
+                    # was written must still apply — read_iceberg
+                    # parity); metadata-sized driver probe, cached
+                    "phys": list(
+                        iceberg_py._eq_delete_physical_names(
+                            resolved,
+                            tuple(ids),
+                            {i: name_of[i] for i in ids},
+                        )
+                    ),
                     "seq": int(d["_seq"]),
                     # partition scoping (spec): a scoped delete file
                     # applies only to data files of the SAME spec +
@@ -162,11 +172,39 @@ class _PyIcebergReader(DataSourceReader):
             )
         self._schema_obj = ice_schema
         self._data = data
+        # v3 deletion vectors: one (puffin path, offset, length)
+        # triple per referenced data-file basename, loaded per task
+        self._dv_by_ref = {}
+        for d in pos:
+            if str(d.get("file_format", "")).upper() != "PUFFIN":
+                continue
+            if (
+                d.get("referenced_data_file") is None
+                or d.get("content_offset") is None
+                or d.get("content_size_in_bytes") is None
+            ):
+                raise UnsupportedOperationError(
+                    "pyiceberg: v3 deletion-vector entry missing "
+                    "referenced_data_file/content_offset/"
+                    "content_size_in_bytes"
+                )
+            self._dv_by_ref[
+                os.path.basename(
+                    iceberg_py._resolve(
+                        d["referenced_data_file"], self._path
+                    )
+                )
+            ] = (
+                iceberg_py._resolve(d["file_path"], self._path),
+                int(d["content_offset"]),
+                int(d["content_size_in_bytes"]),
+            )
         self._deletes = [
             iceberg_py._resolve(d["file_path"], self._path)
             for d in pos
+            if str(d.get("file_format", "")).upper() != "PUFFIN"
         ]
-        if self._deletes:
+        if self._deletes or self._dv_by_ref:
             # delete positions match data files by BASENAME in the
             # per-task reader — colliding basenames (hive-layout
             # files migrated in) would apply one file's positions to
@@ -254,6 +292,15 @@ class _PyIcebergReader(DataSourceReader):
                         d.get("_idpart") or {}, name_of
                     ),
                     "name_map": self._name_map,
+                    # v3 DV blob coordinates for THIS data file (at
+                    # most one, the v3 invariant)
+                    "dv": self._dv_by_ref.get(
+                        os.path.basename(
+                            iceberg_py._resolve(
+                                d["file_path"], self._path
+                            )
+                        )
+                    ),
                 }
             )
             for d in self._data
@@ -282,6 +329,16 @@ class _PyIcebergReader(DataSourceReader):
                 )
             if hits:
                 deleted = np.array(sorted(hits), dtype="int64")
+        dv = partition.value.get("dv")
+        if dv is not None:
+            import numpy as np
+
+            from . import iceberg_puffin
+
+            idx = iceberg_puffin.read_dv_blob(*dv)
+            deleted = (
+                idx if deleted is None else np.union1d(deleted, idx)
+            )
         batches = _read_file_as_batches(
             abs_path,
             self._schema,
@@ -305,9 +362,10 @@ class _PyIcebergReader(DataSourceReader):
         groups: dict = {}
         for e in eq:
             cols = tuple(e["cols"])
-            t = pq.read_table(e["file"], columns=list(cols))
+            phys = list(e.get("phys") or cols)
+            t = pq.read_table(e["file"], columns=phys)
             keys = (
-                set(zip(*(t.column(c).to_pylist() for c in cols)))
+                set(zip(*(t.column(pn).to_pylist() for pn in phys)))
                 if t.num_rows
                 else set()
             )
@@ -373,9 +431,9 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         )
         meta = iceberg_py.table_metadata(self._path)
         fmt = int(meta.get("format-version", 1))
-        if fmt != 2:
+        if fmt not in (2, 3):
             raise UnsupportedOperationError(
-                "pyiceberg streaming offsets are the table's v2 "
+                "pyiceberg streaming offsets are the table's "
                 f"sequence numbers; format-version {fmt} tables have "
                 "none — read them in batch"
             )
@@ -440,7 +498,17 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             )
             for entry in iceberg_py._read_avro_dicts(mpath):
                 if entry.get("status") == 2:  # REMOVED existing data
-                    removed = True
+                    # a retired deletion vector (replaced by this
+                    # snapshot's new DV for the same file) is not
+                    # removed DATA — the victim diff reconstructs
+                    # the change exactly
+                    if (
+                        str(
+                            entry["data_file"].get("file_format", "")
+                        ).upper()
+                        != "PUFFIN"
+                    ):
+                        removed = True
                     continue
                 eseq = entry.get("sequence_number")
                 if eseq is not None and int(eseq) != sseq:
@@ -459,6 +527,12 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
                     elif content == 1:
                         added_pos.append(entry)
                     else:
+                        # partition-scope matching needs the entry's
+                        # spec (equality-delete victim planning)
+                        entry = dict(entry)
+                        entry["_spec_id"] = int(
+                            mf.get("partition_spec_id") or 0
+                        )
                         added_eq.append(entry)
         return added_data, added_pos, added_eq, removed
 
@@ -562,6 +636,60 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             plan.append(InputPartition({"file": None}))
         return plan
 
+    def _eq_descriptors(
+        self, entries: list, name_of: dict, default_seq: int
+    ) -> list:
+        """Equality-delete manifest entries -> per-file descriptors
+        (file, logical cols, footer-id-bound physical names,
+        sequence, partition scope) for task-side keyset loading."""
+        out = []
+        for e in entries:
+            d = e["data_file"] if "data_file" in e else e
+            ids = sorted(
+                int(i) for i in (d.get("equality_ids") or [])
+            )
+            if not ids:
+                raise UnsupportedOperationError(
+                    "pyiceberg changelog: equality delete file "
+                    "without equality_ids"
+                )
+            unknown = [i for i in ids if i not in name_of]
+            if unknown:
+                raise UnsupportedOperationError(
+                    "pyiceberg changelog: equality delete references"
+                    f" dropped field ids {unknown}"
+                )
+            resolved = iceberg_py._resolve(
+                d["file_path"], self._path
+            )
+            eseq = e.get("sequence_number")
+            part = d.get("partition")
+            out.append(
+                {
+                    "file": resolved,
+                    "cols": [name_of[i] for i in ids],
+                    "phys": list(
+                        iceberg_py._eq_delete_physical_names(
+                            resolved,
+                            tuple(ids),
+                            {i: name_of[i] for i in ids},
+                        )
+                    ),
+                    "seq": (
+                        int(eseq)
+                        if eseq is not None
+                        else int(default_seq)
+                    ),
+                    "spec": int(e.get("_spec_id") or 0),
+                    "part": (
+                        dict(part)
+                        if isinstance(part, dict) and part
+                        else None
+                    ),
+                }
+            )
+        return out
+
     def _changelog_partitions(
         self, snap: dict, prev: "dict | None", meta: dict, name_of: dict
     ) -> list:
@@ -573,10 +701,15 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         delete files' victim rows as ``delete`` (materialized per
         task from the PRIOR snapshot's files) plus its added files as
         ``insert``; a maintenance ``replace`` (compaction) emits
-        NOTHING — no logical change. Full overwrites (status=2
-        removals) and equality deletes refuse (their victim-row
-        materialization needs cross-file sequence reconstruction)
-        unless skipChangeCommits skips the snapshot."""
+        NOTHING — no logical change. EQUALITY-DELETE snapshots (the
+        Flink-CDC upsert shape) reconstruct their victims: one task
+        per prior data file in a delete's sequence+partition scope
+        reads the file, masks rows already dead at the prior snapshot
+        (position/DV/earlier equality deletes), and emits the rows
+        matching the NEW delete keysets as ``delete`` — an
+        O(changed + matched data) plan. Full overwrites (status=2
+        removals) still refuse unless skipChangeCommits skips the
+        snapshot."""
         from datetime import datetime, timezone
 
         op = (snap.get("summary") or {}).get("operation")
@@ -585,19 +718,15 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
         added_data, added_pos, added_eq, removed = (
             self._snapshot_added(snap, meta)
         )
-        if added_eq or removed:
+        if removed:
             if self._skip_change:
                 return []
             raise UnsupportedOperationError(
                 "Iceberg changelog: snapshot {0} (operation {1!r}) "
-                "carries {2} — victim rows are not reconstructible "
-                "from its own manifests; set skipChangeCommits=true "
-                "to skip it".format(
-                    snap["snapshot-id"],
-                    op,
-                    "equality deletes"
-                    if added_eq
-                    else "removed (rewritten) entries",
+                "carries removed (rewritten) entries — victim rows "
+                "are not reconstructible from its own manifests; set "
+                "skipChangeCommits=true to skip it".format(
+                    snap["snapshot-id"], op
                 )
             )
         ts = datetime.fromtimestamp(
@@ -608,13 +737,34 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
             "_commit_timestamp": ts,
         }
         plan: list = []
-        if added_pos:
+        # v3 deletion vectors split from parquet position deletes:
+        # a DV's victims are its positions MINUS the file's PRIOR
+        # DV's (DV writes commit the union, so the prior is a subset)
+        dv_pos = [
+            e
+            for e in added_pos
+            if str(
+                e["data_file"].get("file_format", "")
+            ).upper() == "PUFFIN"
+        ]
+        added_pos = [
+            e
+            for e in added_pos
+            if str(
+                e["data_file"].get("file_format", "")
+            ).upper() != "PUFFIN"
+        ]
+        if added_pos or dv_pos or added_eq:
             # victim rows live in the files visible BEFORE this
             # snapshot; ship that (metadata-sized) basename map to
             # each delete-file task
             fmap: dict = {}
+            prior_dv: dict = {}
+            pdata: list = []
+            ppos: list = []
+            peq: list = []
             if prev is not None:
-                pdata, _pp, _pe = iceberg_py._snapshot_files(
+                pdata, ppos, peq = iceberg_py._snapshot_files(
                     meta, prev, self._path
                 )
                 for d in pdata:
@@ -634,6 +784,25 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
                             d.get("_idpart") or {}, name_of
                         ),
                     }
+                for d in ppos:
+                    if (
+                        str(d.get("file_format", "")).upper()
+                        == "PUFFIN"
+                    ):
+                        prior_dv[
+                            os.path.basename(
+                                iceberg_py._resolve(
+                                    d["referenced_data_file"],
+                                    self._path,
+                                )
+                            )
+                        ] = (
+                            iceberg_py._resolve(
+                                d["file_path"], self._path
+                            ),
+                            int(d["content_offset"]),
+                            int(d["content_size_in_bytes"]),
+                        )
             for e in added_pos:
                 plan.append(
                     InputPartition(
@@ -650,6 +819,101 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
                         }
                     )
                 )
+            for e in dv_pos:
+                d = e["data_file"]
+                ref = os.path.basename(
+                    iceberg_py._resolve(
+                        d["referenced_data_file"], self._path
+                    )
+                )
+                plan.append(
+                    InputPartition(
+                        {
+                            "kind": "dvdel",
+                            "dv": (
+                                iceberg_py._resolve(
+                                    d["file_path"], self._path
+                                ),
+                                int(d["content_offset"]),
+                                int(d["content_size_in_bytes"]),
+                            ),
+                            "ref": ref,
+                            "prior_dv": prior_dv.get(ref),
+                            "fmap": fmap,
+                            "part": {
+                                **stamp, "_change_type": "delete",
+                            },
+                        }
+                    )
+                )
+            if added_eq and pdata:
+                sseq = int(snap.get("sequence-number") or 0)
+                new_eq = self._eq_descriptors(
+                    added_eq, name_of, default_seq=sseq
+                )
+                prior_eq = self._eq_descriptors(
+                    [
+                        {"data_file": d, "_spec_id": d.get("_spec_id"),
+                         "sequence_number": d.get("_seq")}
+                        for d in peq
+                    ],
+                    name_of,
+                    default_seq=0,
+                )
+                pos_files = [
+                    iceberg_py._resolve(d["file_path"], self._path)
+                    for d in ppos
+                    if str(d.get("file_format", "")).upper()
+                    != "PUFFIN"
+                ]
+
+                def _scoped(descs, fseq, fspec, fpart):
+                    return [
+                        e
+                        for e in descs
+                        if e["seq"] > fseq
+                        and (
+                            e["part"] is None
+                            or (
+                                e["spec"] == fspec
+                                and e["part"] == fpart
+                            )
+                        )
+                    ]
+
+                for f in pdata:
+                    fseq = int(f.get("_seq") or 0)
+                    fspec = int(f.get("_spec_id") or 0)
+                    fpart = f.get("partition") or {}
+                    applicable = _scoped(new_eq, fseq, fspec, fpart)
+                    if not applicable:
+                        continue
+                    ap = iceberg_py._resolve(
+                        f["file_path"], self._path
+                    )
+                    base = os.path.basename(ap)
+                    plan.append(
+                        InputPartition(
+                            {
+                                "kind": "eqvictims",
+                                "file": ap,
+                                "base": base,
+                                "part_vals": _part_strings(
+                                    f.get("_idpart") or {}, name_of
+                                ),
+                                "pos_files": pos_files,
+                                "dv": prior_dv.get(base),
+                                "prior_eq": _scoped(
+                                    prior_eq, fseq, fspec, fpart
+                                ),
+                                "new_eq": applicable,
+                                "part": {
+                                    **stamp,
+                                    "_change_type": "delete",
+                                },
+                            }
+                        )
+                    )
         for e, idp in added_data:
             plan.append(
                 InputPartition(
@@ -669,6 +933,131 @@ class _PyIcebergStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition):
         v = partition.value
+        if v.get("kind") == "eqvictims":
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            # prior positional death: position-delete files naming
+            # this file + its prior deletion vector
+            deleted = None
+            hits = []
+            for dfp in v.get("pos_files") or []:
+                t = pq.read_table(dfp, columns=["file_path", "pos"])
+                hits.extend(
+                    p
+                    for f_, p in zip(
+                        t.column("file_path").to_pylist(),
+                        t.column("pos").to_pylist(),
+                    )
+                    if os.path.basename(f_) == v["base"]
+                )
+            if hits:
+                deleted = np.array(sorted(hits), dtype="int64")
+            if v.get("dv") is not None:
+                from . import iceberg_puffin
+
+                idx = iceberg_puffin.read_dv_blob(*v["dv"])
+                deleted = (
+                    idx
+                    if deleted is None
+                    else np.union1d(deleted, idx)
+                )
+
+            def _load_groups(descs):
+                groups: dict = {}
+                for e in descs:
+                    cols = tuple(e["cols"])
+                    phys = list(e.get("phys") or cols)
+                    t = pq.read_table(e["file"], columns=phys)
+                    keys = (
+                        set(
+                            zip(
+                                *(
+                                    t.column(pn).to_pylist()
+                                    for pn in phys
+                                )
+                            )
+                        )
+                        if t.num_rows
+                        else set()
+                    )
+                    groups.setdefault(cols, set()).update(keys)
+                return groups
+
+            prior_g = _load_groups(v.get("prior_eq") or [])
+            new_g = _load_groups(v.get("new_eq") or [])
+            batches = _read_file_as_batches(
+                v["file"],
+                self._out_schema,
+                {**(v.get("part_vals") or {}), **v["part"]},
+                deleted=deleted,
+                field_ids=self._fids,
+            )
+            for b in batches:
+                if not b.num_rows:
+                    continue
+                keep = np.zeros(b.num_rows, dtype=bool)
+                for cols, ks in new_g.items():
+                    if not ks:
+                        continue
+                    arrs = [
+                        b.column(
+                            b.schema.get_field_index(c)
+                        ).to_pylist()
+                        for c in cols
+                    ]
+                    keep |= np.fromiter(
+                        (t_ in ks for t_ in zip(*arrs)),
+                        dtype=bool,
+                        count=b.num_rows,
+                    )
+                for cols, ks in prior_g.items():
+                    if not ks or not keep.any():
+                        continue
+                    arrs = [
+                        b.column(
+                            b.schema.get_field_index(c)
+                        ).to_pylist()
+                        for c in cols
+                    ]
+                    keep &= np.fromiter(
+                        (t_ not in ks for t_ in zip(*arrs)),
+                        dtype=bool,
+                        count=b.num_rows,
+                    )
+                if keep.all():
+                    yield b
+                elif keep.any():
+                    yield b.filter(pa.array(keep))
+            return
+        if v.get("kind") == "dvdel":
+            import numpy as np
+
+            from . import iceberg_puffin
+
+            victims = iceberg_puffin.read_dv_blob(*v["dv"])
+            if v.get("prior_dv") is not None:
+                victims = np.setdiff1d(
+                    victims,
+                    iceberg_puffin.read_dv_blob(*v["prior_dv"]),
+                )
+            if not len(victims):
+                return
+            info = v["fmap"].get(v["ref"])
+            if info is None:
+                raise UnsupportedOperationError(
+                    "pyiceberg changelog: deletion vector references"
+                    f" unknown data file {v['ref']!r}"
+                )
+            yield from _read_file_as_batches(
+                info["file"],
+                self._out_schema,
+                {**(info["part"] or {}), **v["part"]},
+                field_ids=self._fids,
+                keep_only=[int(x) for x in victims],
+            )
+            return
         if v.get("kind") == "posdel":
             import pyarrow.parquet as pq
 

@@ -92,6 +92,12 @@ QUERIES = [
     # materialization (O(deleted rows) keep_only reads)
     "y43_equality_read_at_scale",
     "y45_changelog_at_scale",
+    # round 11: Iceberg v3 deletion-vector read crossing the delete
+    # broadcast cap (driver decode+broadcast -> executor mapInPandas
+    # decode + SMJ, the designed flip) and equality-delete changelog
+    # victim reconstruction (per-matched-file eqvictims tasks)
+    "y47_v3_dv_read_at_scale",
+    "y48_eq_changelog_at_scale",
 ]
 
 def _y10_dv_read_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +383,108 @@ def _y45_changelog_at_scale(
     )
 
 
+def _y47_v3_dv_read_at_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-11 rehearsal: the Iceberg v3 DELETION-VECTOR read
+    crossing the delete broadcast cap. Stage lineitem, upgrade to
+    v3, DV-delete ``l_quantity > 25`` (~half the rows: ~300k
+    positions at 1x — driver decode + broadcast anti-join; ~3M at
+    10x > the 2M cap — Puffin blobs decode IN EXECUTORS via
+    mapInPandas and the anti-join shuffles, the designed flip). The
+    timed region is the read."""
+    import hashlib
+    import tempfile
+
+    from local_lakehouse_spark.sources import iceberg_py
+
+    key = hashlib.md5(f"{sf_dir}|icedv3-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_icedv3_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+        )
+        iceberg_py.write_iceberg(
+            spark, li.repartition(32), tbl, mode="create"
+        )
+        iceberg_py.upgrade_iceberg_to_v3(tbl)
+        iceberg_py.dv_delete_iceberg_where(
+            spark, tbl, "l_quantity > 25"
+        )
+    meta = iceberg_py.table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    _d, pos, _e = iceberg_py._snapshot_files(meta, snap, tbl)
+    card = sum(int(p.get("record_count") or 0) for p in pos)
+    print(
+        f"    [y47_v3_dv_read_at_scale] DV positions: {card:,} "
+        f"(cap {iceberg_py._DELETE_BROADCAST_MAX_ROWS:,})",
+        flush=True,
+    )
+    return (
+        iceberg_py.read_iceberg(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+def _y48_eq_changelog_at_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-11 rehearsal: EQUALITY-delete changelog victim
+    reconstruction at scale. Stage lineitem, equality-delete
+    ``l_quantity > 45`` keys (~10%); the timed region is the full
+    batch changelog (inserts + victims). The claim: victims plan as
+    one task per matched PRIOR data file (eqvictims) and each task's
+    work is O(file + keyset) — never a table diff — so the 10x ratio
+    tracks data volume."""
+    import hashlib
+    import tempfile
+
+    from local_lakehouse_spark.sources import iceberg_py, pyiceberg_source
+
+    key = hashlib.md5(f"{sf_dir}|iceeqcl-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_iceeqcl_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+        )
+        iceberg_py.write_iceberg(
+            spark, li.repartition(32), tbl, mode="create"
+        )
+        keys = li.filter("l_quantity > 45").select(
+            "l_orderkey", "l_linenumber"
+        )
+        iceberg_py.equality_delete_iceberg(
+            spark, tbl, keys, ["l_orderkey", "l_linenumber"]
+        )
+    pyiceberg_source.register(spark)
+    return (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .load(tbl)
+        .groupBy("_change_type", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
 # Rehearsal-only cases (not part of the declared inventory — they
 # exist to measure a path the sf0.01 oracle can't reach).
 EXTRA = {
@@ -385,6 +493,8 @@ EXTRA = {
     "y36_iceberg_stream_at_scale": _y36_iceberg_stream_at_scale,
     "y43_equality_read_at_scale": _y43_equality_read_at_scale,
     "y45_changelog_at_scale": _y45_changelog_at_scale,
+    "y47_v3_dv_read_at_scale": _y47_v3_dv_read_at_scale,
+    "y48_eq_changelog_at_scale": _y48_eq_changelog_at_scale,
 }
 
 _ABC = "abcdefghijklmnopqrstuvwxyz"

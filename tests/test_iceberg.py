@@ -249,7 +249,8 @@ def test_not_a_table_and_version_guard(spark, tbl, tmp_path):
     write_iceberg(spark, df, tbl, mode="create")
     mfile = os.path.join(tbl, "metadata", "v1.metadata.json")
     meta = json.load(open(mfile))
-    meta["format-version"] = 3
+    # v3 reads since r11 (deletion vectors); v4 is beyond the spec
+    meta["format-version"] = 4
     with open(mfile, "w") as fh:
         json.dump(meta, fh)
     with pytest.raises(UnsupportedOperationError, match="format-version"):
@@ -3019,3 +3020,496 @@ def test_compaction_partitioned_writes_real_partition_records(
         (r.k, r.p) for r in read_iceberg(spark, tbl).collect()
     )
     assert got == [(2, "x"), (3, "y"), (4, "y")]
+
+
+def test_v3_dv_delete_read_replace_timetravel(spark, tbl):
+    """Iceberg v3 deletion vectors: upgrade, DV DELETE (Puffin blob,
+    executor-built), read applies the bitmap; a second overlapping
+    delete REPLACES the DV (union) leaving exactly one live DV per
+    file; time travel sees each stage; upgrade refuses while parquet
+    position-delete files live."""
+    from local_lakehouse_spark.sources import iceberg_puffin
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "id long, s string"
+    ).coalesce(1)
+    write_iceberg(spark, df, tbl, mode="create")
+    meta = iceberg_py.upgrade_iceberg_to_v3(tbl)
+    assert meta["format-version"] == 3
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "id IN (2, 5)")
+    got = sorted(r.id for r in read_iceberg(spark, tbl).collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "id = 7")
+    got = sorted(r.id for r in read_iceberg(spark, tbl).collect())
+    assert got == [0, 1, 3, 4, 6, 8, 9]
+    meta = table_metadata(tbl)
+    dvs = iceberg_py._live_dv_entries(meta, tbl)
+    assert len(dvs) == 1
+    d = next(iter(dvs.values()))
+    assert int(d["record_count"]) == 3  # union of both deletes
+    # Puffin footer coordinates match the manifest entry
+    pf = iceberg_py._resolve(d["file_path"], tbl)
+    ft = iceberg_puffin.read_puffin_footer(pf)
+    assert ft["blobs"][0]["offset"] == int(d["content_offset"])
+    assert ft["blobs"][0]["length"] == int(
+        d["content_size_in_bytes"]
+    )
+    assert ft["blobs"][0]["type"] == "deletion-vector-v1"
+    # time travel: each stage intact
+    snaps = meta["snapshots"]
+    assert sorted(
+        r.id
+        for r in read_iceberg(
+            spark, tbl, snapshot_id=snaps[0]["snapshot-id"]
+        ).collect()
+    ) == list(range(10))
+    assert sorted(
+        r.id
+        for r in read_iceberg(
+            spark, tbl, snapshot_id=snaps[1]["snapshot-id"]
+        ).collect()
+    ) == [0, 1, 3, 4, 6, 7, 8, 9]
+    # v2 DML refuses on v3; dv delete refuses on v2
+    with pytest.raises(UnsupportedOperationError, match="format-version"):
+        iceberg_py.delete_iceberg_where(spark, tbl, "id = 0")
+
+
+def test_v3_upgrade_refuses_position_deletes(spark, tbl):
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(6)], "id long, s string"
+    ).coalesce(1)
+    write_iceberg(spark, df, tbl, mode="create")
+    iceberg_py.delete_iceberg_where(spark, tbl, "id = 1")
+    with pytest.raises(
+        UnsupportedOperationError, match="position-delete"
+    ):
+        iceberg_py.upgrade_iceberg_to_v3(tbl)
+    with pytest.raises(UnsupportedOperationError, match="format-version"):
+        iceberg_py.dv_delete_iceberg_where(spark, tbl, "id = 2")
+    # compaction absorbs the position deletes -> upgrade succeeds
+    iceberg_py.compact_data_files(spark, tbl)
+    meta = iceberg_py.upgrade_iceberg_to_v3(tbl)
+    assert meta["format-version"] == 3
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "id = 2")
+    got = sorted(r.id for r in read_iceberg(spark, tbl).collect())
+    assert got == [0, 3, 4, 5]
+
+
+def test_v3_dv_pyiceberg_source_and_changelog(spark, tbl, tmp_path):
+    """The registered pyiceberg DataSource applies v3 DVs per task;
+    the batch AND streaming changelogs reconstruct per-snapshot
+    victims from DV diffs (new blob minus the file's prior blob)."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "id long, s string"
+    ).coalesce(1)
+    write_iceberg(spark, df, tbl, mode="create")
+    iceberg_py.upgrade_iceberg_to_v3(tbl)
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "id IN (2, 5)")
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "id = 7")
+    got = sorted(
+        r.id
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    )
+    assert got == [0, 1, 3, 4, 6, 8, 9]
+    cl = (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .load(tbl)
+    )
+    rows = sorted((r.id, r._change_type) for r in cl.collect())
+    assert [i for i, t_ in rows if t_ == "insert"] == list(range(10))
+    assert sorted(i for i, t_ in rows if t_ == "delete") == [2, 5, 7]
+    # stream == batch
+    out = []
+    q = (
+        spark.readStream.format("pyiceberg")
+        .option("changelog", "true")
+        .option(
+            "startingSnapshotId",
+            table_metadata(tbl)["snapshots"][0]["snapshot-id"],
+        )
+        .load(tbl)
+        .writeStream.foreachBatch(
+            lambda bdf, _b: out.extend(
+                (r.id, r._change_type) for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(out) == rows
+
+
+def test_equality_delete_changelog_reconstructs_victims(
+    spark, tbl, tmp_path
+):
+    """Equality-delete snapshots emit row-level changelog entries
+    (r11): victims reconstruct per prior data file from the delete
+    keysets — rows already dead at the prior snapshot never re-emit,
+    and a key deleted after an upsert emits the UPSERTED image, not
+    the original. Batch == stream; gross changes net to the state."""
+    from collections import Counter
+
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    ).coalesce(1)
+    write_iceberg(spark, base, tbl, mode="create")  # seq 1
+    up = spark.createDataFrame(
+        [(2, "V2"), (5, "V5"), (11, "v11")], "k long, v string"
+    ).coalesce(1)
+    iceberg_py.upsert_iceberg_equality(spark, tbl, up, ["k"])  # seq 2
+    dead = spark.createDataFrame([(3,), (2,)], "k long")
+    iceberg_py.equality_delete_iceberg(spark, tbl, dead, ["k"])  # seq 3
+    state = sorted(
+        (r.k, r.v) for r in read_iceberg(spark, tbl).collect()
+    )
+    cl = (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .load(tbl)
+    )
+    rows = sorted(
+        (r.k, r.v, r._change_type, r._commit_snapshot_id)
+        for r in cl.collect()
+    )
+    ins = sorted((k, v) for k, v, t_, _s in rows if t_ == "insert")
+    dels = sorted((k, v) for k, v, t_, _s in rows if t_ == "delete")
+    assert ins == sorted(
+        [(i, f"v{i}") for i in range(10)]
+        + [(2, "V2"), (5, "V5"), (11, "v11")]
+    )
+    # seq 2 kills old images of 2 and 5; seq 3 kills v3 and the
+    # UPSERTED V2 (old v2 is already dead — no double emit)
+    assert dels == sorted(
+        [(2, "v2"), (5, "v5"), (3, "v3"), (2, "V2")]
+    )
+    net = Counter(ins)
+    net.subtract(Counter(dels))
+    assert sorted(k for k, c in net.items() if c == 1) == state
+    # stream agrees row-for-row
+    out = []
+    q = (
+        spark.readStream.format("pyiceberg")
+        .option("changelog", "true")
+        .option(
+            "startingSnapshotId",
+            table_metadata(tbl)["snapshots"][0]["snapshot-id"],
+        )
+        .load(tbl)
+        .writeStream.foreachBatch(
+            lambda bdf, _b: out.extend(
+                (r.k, r.v, r._change_type, r._commit_snapshot_id)
+                for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(out) == rows
+    # table_changes' net fast path now covers equality ranges: the
+    # driver-side probe must NOT fall back (plan builds)
+    parts = pyiceberg_source._PyIcebergChangelogBatchReader(
+        {"path": tbl}
+    ).partitions()
+    assert "eqvictims" in [p.value.get("kind") for p in parts]
+
+
+def test_equality_changelog_partition_scoped(spark, tbl, tmp_path):
+    """A PARTITION-SCOPED equality delete's changelog victims stay
+    inside the scoped partition — rows with matching keys in other
+    partitions never emit as deletes."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "x"), (1, 30, "y"), (2, 40, "y")],
+        "k long, v long, p string",
+    )
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["p"])
+    meta = table_metadata(tbl)
+    pf = iceberg_py._pf_avro_for_spec(
+        meta, int(meta.get("default-spec-id", 0))
+    )
+    _commit_equality_delete(
+        spark,
+        tbl,
+        [(1,)],
+        "k long",
+        eq_ids=[1],
+        partition=("x",),
+        partition_fields=pf,
+        spec_id=int(meta.get("default-spec-id", 0)),
+    )
+    cl = (
+        spark.read.format("pyiceberg")
+        .option("changelog", "true")
+        .load(tbl)
+    )
+    dels = sorted(
+        (r.k, r.p)
+        for r in cl.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == [(1, "x")], dels
+
+
+def test_wap_branch_write_audit_publish(spark, tbl):
+    """WAP: an audit-branch append is invisible on main (both read
+    paths) until fast_forward publishes it; a divergent fast-forward
+    refuses; cherrypick_iceberg_snapshot publishes a divergent append
+    branch, re-stamped at a new sequence; non-append snapshots refuse
+    cherry-pick."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k long, v string"
+    ).coalesce(1)
+    write_iceberg(spark, base, tbl, mode="create")
+    iceberg_py.create_iceberg_branch(tbl, "audit")
+    with pytest.raises(UnsupportedOperationError, match="already"):
+        iceberg_py.create_iceberg_branch(tbl, "audit")
+    staged = spark.createDataFrame(
+        [(100, "s1"), (101, "s2")], "k long, v string"
+    ).coalesce(1)
+    iceberg_py.append_iceberg_branch(spark, staged, tbl, "audit")
+    assert read_iceberg(spark, tbl).count() == 5
+    assert spark.read.format("pyiceberg").load(tbl).count() == 5
+    assert read_iceberg(spark, tbl, ref="audit").count() == 7
+    # branch appends validate the schema like main appends
+    with pytest.raises(UnsupportedOperationError, match="columns"):
+        iceberg_py.append_iceberg_branch(
+            spark,
+            spark.createDataFrame([(1, 2)], "k long, zz long"),
+            tbl,
+            "audit",
+        )
+    iceberg_py.fast_forward_iceberg(tbl, "main", "audit")
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101]
+    meta = table_metadata(tbl)
+    assert (
+        meta["refs"]["main"]["snapshot-id"]
+        == meta["refs"]["audit"]["snapshot-id"]
+        == meta["current-snapshot-id"]
+    )
+    # diverge: main advances, audit stages another append
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(200, "m")], "k long, v string"),
+        tbl,
+        mode="append",
+    )
+    iceberg_py.append_iceberg_branch(
+        spark,
+        spark.createDataFrame([(300, "a")], "k long, v string"),
+        tbl,
+        "audit",
+    )
+    with pytest.raises(
+        UnsupportedOperationError, match="fast-forward"
+    ):
+        iceberg_py.fast_forward_iceberg(tbl, "main", "audit")
+    audit_head = table_metadata(tbl)["refs"]["audit"]["snapshot-id"]
+    meta = iceberg_py.cherrypick_iceberg_snapshot(tbl, audit_head)
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 200, 300]
+    # the published snapshot is re-stamped at a NEW sequence
+    assert int(meta["snapshots"][-1]["sequence-number"]) == int(
+        meta["last-sequence-number"]
+    )
+    # re-publishing an already-published snapshot is a no-op
+    n_snaps = len(meta["snapshots"])
+    meta2 = iceberg_py.cherrypick_iceberg_snapshot(tbl, audit_head)
+    assert len(meta2["snapshots"]) == n_snaps
+    iceberg_py.delete_iceberg_where(spark, tbl, "k = 0")
+    dsnap = table_metadata(tbl)["snapshots"][-1]["snapshot-id"]
+    with pytest.raises(UnsupportedOperationError, match="append"):
+        iceberg_py.cherrypick_iceberg_snapshot(tbl, dsnap)
+    iceberg_py.drop_iceberg_ref(tbl, "audit")
+    assert "audit" not in (table_metadata(tbl).get("refs") or {})
+    with pytest.raises(UnsupportedOperationError, match="main"):
+        iceberg_py.drop_iceberg_ref(tbl, "main")
+
+
+def test_wap_branch_stream_isolation(spark, tbl, tmp_path):
+    """A plain (replay) stream on main never surfaces audit-branch
+    rows; after the fast-forward publish, a fresh batch sees them —
+    and the published snapshot replays as a normal append."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1)
+    write_iceberg(spark, base, tbl, mode="create")
+    iceberg_py.create_iceberg_branch(tbl, "audit")
+    iceberg_py.append_iceberg_branch(
+        spark,
+        spark.createDataFrame([(9, "z")], "k long, v string"),
+        tbl,
+        "audit",
+    )
+
+    def drain(ck):
+        out = []
+        q = (
+            spark.readStream.format("pyiceberg")
+            .option(
+                "startingSnapshotId",
+                table_metadata(tbl)["snapshots"][0]["snapshot-id"],
+            )
+            .load(tbl)
+            .writeStream.foreachBatch(
+                lambda bdf, _b: out.extend(
+                    r.k for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(out)
+
+    assert drain("pre") == [1, 2]  # staged row invisible on main
+    iceberg_py.fast_forward_iceberg(tbl, "main", "audit")
+    assert drain("post") == [1, 2, 9]
+
+
+def test_mapped_prefix_zero_probe_reads(
+    spark, tbl, tmp_path, monkeypatch
+):
+    """Migration-time prefix recording (r11): a fresh session's read
+    of an add_files / convert table plans with ZERO per-file footer
+    probes — the property survives sessions, unlike the in-process
+    probe cache. Mixed stamped sources keep the probe fallback."""
+    import pyarrow.parquet as _pq
+
+    src_dir = tmp_path / "foreign"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, s string"
+    ).repartition(2).write.parquet(str(src_dir))
+    iceberg_py.add_files(spark, tbl, str(src_dir))
+    meta = table_metadata(tbl)
+    rec = json.loads(
+        (meta.get("properties") or {})[
+            iceberg_py._MAPPED_PREFIXES_PROP
+        ]
+    )
+    assert rec == [str(src_dir)]
+    # simulate a fresh session: clear the in-process cache, count
+    # footer probes during the read
+    iceberg_py._PROBE_CACHE.clear()
+    calls = {"n": 0}
+    real = _pq.read_schema
+
+    def counting(p, *a, **k):
+        calls["n"] += 1
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(_pq, "read_schema", counting)
+    got = sorted(
+        (r.id, r.s) for r in read_iceberg(spark, tbl).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert calls["n"] == 0, f"{calls['n']} footer probes on read"
+    monkeypatch.undo()
+    # a rename still resolves through the mapping's candidate name
+    v = int(
+        open(os.path.join(tbl, "metadata", "version-hint.text")).read()
+    )
+    meta = table_metadata(tbl)
+    meta["schemas"][0]["fields"][1]["name"] = "label"
+    with open(
+        os.path.join(tbl, "metadata", f"v{v + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(
+        os.path.join(tbl, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write(str(v + 1))
+    out = read_iceberg(spark, tbl)
+    assert out.columns == ["id", "label"]
+    assert sorted(r.label for r in out.collect()) == [
+        "a", "b", "c", "d",
+    ]
+
+
+def test_mapped_prefix_skipped_for_stamped_sources(
+    spark, tbl, tmp_path
+):
+    """add_files over field-id-STAMPED parquet must NOT record the
+    prefix — those files bind by id through the probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    src_dir = tmp_path / "stamped"
+    os.makedirs(src_dir)
+    fld = [
+        pa.field(
+            "id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}
+        ),
+        pa.field(
+            "s", pa.string(), metadata={b"PARQUET:field_id": b"2"}
+        ),
+    ]
+    _pq.write_table(
+        pa.table(
+            {"id": pa.array([7], pa.int64()), "s": ["x"]},
+            schema=pa.schema(fld),
+        ),
+        str(src_dir / "f.parquet"),
+    )
+    iceberg_py.add_files(spark, tbl, str(src_dir))
+    props = table_metadata(tbl).get("properties") or {}
+    assert iceberg_py._MAPPED_PREFIXES_PROP not in props
+    assert sorted(
+        (r.id, r.s) for r in read_iceberg(spark, tbl).collect()
+    ) == [(7, "x")]
+
+
+def test_wap_client_and_sql_surface(unity, spark, tmp_path):
+    """Client facade + SQL DDL for WAP: CREATE BRANCH, branch write,
+    FAST FORWARD publish, DROP BRANCH — the iceberg-spark procedures
+    driven through the same dispatcher as the other maintenance
+    SQL."""
+    loc = str(tmp_path / "wap_sql")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    write_iceberg(spark, base, loc, mode="create")
+    unity.register_as_table("unity", "default", "wap", "ICEBERG", loc)
+    unity.sql("ALTER TABLE unity.default.wap CREATE BRANCH audit")
+    unity.write_table_branch(
+        spark.createDataFrame([(9, "z")], "k long, v string"),
+        "unity",
+        "default",
+        "wap",
+        "audit",
+    )
+    assert unity.read_table("unity", "default", "wap").count() == 2
+    unity.sql(
+        "ALTER TABLE unity.default.wap FAST FORWARD main TO audit"
+    )
+    assert unity.read_table("unity", "default", "wap").count() == 3
+    unity.sql("ALTER TABLE unity.default.wap DROP BRANCH audit")
+    assert "audit" not in (table_metadata(loc).get("refs") or {})
+    # branch DDL refuses on non-Iceberg tables
+    unity.create_as_table(
+        base, "unity", "default", "plainp",
+        file_type="PARQUET", location=str(tmp_path / "pq"),
+    )
+    with pytest.raises(UnsupportedOperationError, match="ICEBERG"):
+        unity.sql(
+            "ALTER TABLE unity.default.plainp CREATE BRANCH b"
+        )

@@ -468,3 +468,102 @@ def test_merge_into_iceberg_merge_on_read(unity, spark, tmp_path):
         iceberg_py.read_iceberg(spark, loc, snapshot_id=pre).count()
         == 3
     )
+
+
+def test_merge_schema_evolution_refused_without_flag(target, spark):
+    src = spark.createDataFrame(
+        [(2, "B", 200, 9.5)], "id long, v string, n long, score double"
+    )
+    with pytest.raises(SchemaMismatchError):
+        target.merge_table(src, "unity", "default", "t")
+
+
+def test_merge_with_schema_evolution(target, spark):
+    """delta-spark withSchemaEvolution parity: a NEW source column
+    evolves the target (nullable); untouched/old rows read it back
+    NULL; the metastore columns reconcile after execute; overlapping
+    column type mismatches still refuse."""
+    src = spark.createDataFrame(
+        [(2, "B", 200, 9.5), (4, "d", 40, 4.0)],
+        "id long, v string, n long, score double",
+    )
+    (
+        target.merge_table(
+            src, "unity", "default", "t", schema_evolution=True
+        )
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    got = sorted(
+        tuple(r)
+        for r in target.read_table("unity", "default", "t").collect()
+    )
+    assert got == [
+        (1, "a", 10, None),
+        (2, "B", 200, 9.5),
+        (3, "c", 30, None),
+        (4, "d", 40, 4.0),
+    ]
+    cols = [
+        c.name for c in target.get_table("unity", "default", "t").columns
+    ]
+    assert cols == ["id", "v", "n", "score"]
+    # overlapping type mismatch refuses even with evolution on
+    bad = spark.createDataFrame(
+        [(1, 5, 10, 1.0)], "id long, v long, n long, score double"
+    )
+    with pytest.raises(SchemaMismatchError, match="overlapping"):
+        target.merge_table(
+            bad, "unity", "default", "t", schema_evolution=True
+        )
+
+
+def test_merge_schema_evolution_delta_column_mapped(
+    unity, spark, tmp_path
+):
+    """The column-mapped half: evolution assigns a fresh column id +
+    physical name; the pre-merge version still reads the OLD schema;
+    the DV merge leaves untouched rows in their files."""
+    from local_lakehouse_spark.sources import delta_py
+
+    loc = str(tmp_path / "mapped")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    delta_py.write_delta(
+        spark, base, loc, mode="overwrite", column_mapping="name"
+    )
+    unity.register_as_table(
+        "unity", "default", "mapped", "DELTA", loc
+    )
+    src = spark.createDataFrame(
+        [(2, "B", "x"), (9, "z", "y")], "id long, v string, tag string"
+    )
+    (
+        unity.merge_table(
+            src, "unity", "default", "mapped",
+            condition="s.id = t.id", schema_evolution=True,
+        )
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    got = sorted(
+        tuple(r)
+        for r in unity.read_table("unity", "default", "mapped").collect()
+    )
+    assert got == [
+        (1, "a", None),
+        (2, "B", "x"),
+        (3, "c", None),
+        (9, "z", "y"),
+    ]
+    snap = delta_py.DeltaLog(loc).snapshot(
+        allow=delta_py.BATCH_READ_FEATURES
+    )
+    tag = next(f for f in snap.schema.fields if f.name == "tag")
+    assert (tag.metadata or {}).get("delta.columnMapping.id")
+    assert delta_py.read_delta(spark, loc, version=0).columns == [
+        "id", "v",
+    ]
