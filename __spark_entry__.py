@@ -29,9 +29,10 @@ _ALL = {**_CORE, **_EXT}
 # Round-11 cap ordering (driver cap = 50 queries/round; stamps are
 # CUMULATIVE across CORRECTNESS_r01..r10). The cap fills by STAMP AGE
 # (judge r7 #1, re-affirmed every round since):
-# 1. never-stamped first: the four new r11 capabilities — y47 Iceberg
+# 1. never-stamped first: the six new r11 capabilities — y47 Iceberg
 #    v3 deletion vectors, y48 equality-delete changelog, y49 WAP
-#    branch publish, y50 MERGE schema evolution;
+#    (branch publish + wap.id staged commits), y50 MERGE schema
+#    evolution, y51 metadata tables, y52 v3 row lineage;
 # 2. the 3 remaining r5-era stamps (x06/x14/x22 — rows-only by
 #    declaration, still the oldest in the union);
 # 3. the full r6-era q19-q40 band (judge r10 item #1 — the only
@@ -44,6 +45,8 @@ _NEVER_STAMPED = [
     "y48_iceberg_equality_changelog",
     "y49_iceberg_wap_publish",
     "y50_merge_schema_evolution",
+    "y51_iceberg_metadata_tables",
+    "y52_iceberg_row_lineage",
 ]
 _R5_ERA = [
     "x06_ann_lsh_topk",

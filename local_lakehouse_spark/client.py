@@ -217,6 +217,7 @@ class LakehouseClient:
         name: str,
         version: Optional[int] = None,
         timestamp: Optional[object] = None,
+        ref: Optional[str] = None,
     ) -> DataFrame:
         """Parity: client.py:309-314. Lazy Spark DataFrame.
 
@@ -227,10 +228,40 @@ class LakehouseClient:
         ``timestamp`` (DELTA, exclusive with version): ``TIMESTAMP AS
         OF`` — ISO string or epoch ms, resolved to the latest commit
         at or before that time (Delta's semantics).
+
+        ``ref`` (ICEBERG): read a named branch/tag head (iceberg's
+        VERSION AS OF 'name').
         """
         tbl = self.get_table(catalog, schema, name)
         return _io.read_table(
-            self._require_spark(), tbl, version=version, timestamp=timestamp
+            self._require_spark(),
+            tbl,
+            version=version,
+            timestamp=timestamp,
+            ref=ref,
+        )
+
+    def metadata_table(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        kind: str,
+        version: Optional[int] = None,
+    ) -> DataFrame:
+        """Iceberg inspection tables (iceberg-spark's
+        ``db.table.snapshots`` / ``.files`` / ``.history`` /
+        ``.refs`` / ``.manifests`` / ``.delete_files`` /
+        ``.partitions``) as DataFrames; ``version`` pins the
+        file-level kinds to a snapshot id. DataSource twin:
+        ``spark.read.format("pyiceberg").option("metadata", kind)``."""
+        from .sources import iceberg_py
+
+        return iceberg_py.metadata_table(
+            self._require_spark(),
+            self._iceberg_path(catalog, schema, name, "metadata_table"),
+            kind,
+            snapshot_id=version,
         )
 
     def table_history(self, catalog: str, schema: str, name: str) -> list[int]:
@@ -288,7 +319,64 @@ class LakehouseClient:
         iceberg_py.drop_iceberg_ref(
             self._iceberg_path(catalog, schema, name, "drop_branch"),
             branch,
+            expect_type="branch",
         )
+
+    def create_tag(
+        self,
+        catalog: str,
+        schema: str,
+        name: str,
+        tag: str,
+        version: Optional[int] = None,
+    ) -> None:
+        """Create an immutable tag ref (SQL twin: ``ALTER TABLE
+        c.s.t CREATE TAG t [AS OF VERSION v]``); readable via
+        ``read_table(..., ref=t)``, pinned against expire."""
+        from .sources import iceberg_py
+
+        iceberg_py.create_iceberg_tag(
+            self._iceberg_path(catalog, schema, name, "create_tag"),
+            tag,
+            snapshot_id=version,
+        )
+
+    def drop_tag(
+        self, catalog: str, schema: str, name: str, tag: str
+    ) -> None:
+        from .sources import iceberg_py
+
+        iceberg_py.drop_iceberg_ref(
+            self._iceberg_path(catalog, schema, name, "drop_tag"),
+            tag,
+            expect_type="tag",
+        )
+
+    def stage_write(
+        self,
+        df: DataFrame,
+        catalog: str,
+        schema: str,
+        name: str,
+        wap_id: str,
+    ) -> int:
+        """Stage an append as a REF-LESS snapshot stamped with
+        ``wap.id`` (iceberg-spark's ``spark.wap.id`` staged commit —
+        the non-branch WAP flavor). Invisible to every reader —
+        current, VERSION AS OF timestamps, the changelog — until
+        :meth:`cherrypick_snapshot` publishes it onto main. Returns
+        the staged snapshot id (the cherry-pick handle)."""
+        from .sources import iceberg_py
+
+        tbl = self.get_table(catalog, schema, name)
+        self._check_constraints(df, tbl)
+        meta = iceberg_py.stage_iceberg_append(
+            self._require_spark(),
+            df,
+            self._iceberg_path(catalog, schema, name, "stage_write"),
+            wap_id,
+        )
+        return int(meta["snapshots"][-1]["snapshot-id"])
 
     def write_table_branch(
         self,
@@ -1490,7 +1578,7 @@ class LakehouseClient:
     _BRANCH_RE = re.compile(
         r"^ALTER\s+TABLE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
-        + r"\s+(CREATE|DROP)\s+BRANCH\s+(\w+)"
+        + r"\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(\w+)"
         + r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
         re.IGNORECASE,
     )
@@ -1889,13 +1977,14 @@ class LakehouseClient:
             )
         m = self._BRANCH_RE.match(stmt)
         if m:
-            cat, sch, tbl, action, bname, version = m.groups()
+            cat, sch, tbl, action, kind, bname, version = m.groups()
             cat, sch, tbl = (
                 self._unquote_name(g) for g in (cat, sch, tbl)
             )
             path = self._iceberg_path(cat, sch, tbl, "BRANCH DDL")
             from .sources import iceberg_py
 
+            ref_type = kind.lower()
             if action.upper() == "CREATE":
                 meta = iceberg_py.create_iceberg_branch(
                     path,
@@ -1903,11 +1992,15 @@ class LakehouseClient:
                     snapshot_id=(
                         int(version) if version is not None else None
                     ),
+                    ref_type=ref_type,
                 )
             else:
-                meta = iceberg_py.drop_iceberg_ref(path, bname)
+                meta = iceberg_py.drop_iceberg_ref(
+                    path, bname, expect_type=ref_type
+                )
             return spark.createDataFrame(
-                [(bname, action.upper())], "branch string, op string"
+                [(bname, f"{action.upper()} {kind.upper()}")],
+                "branch string, op string",
             )
         m = self._FAST_FORWARD_RE.match(stmt)
         if m:
@@ -2096,7 +2189,45 @@ class LakehouseClient:
             ).createOrReplaceTempView(view)
             return view
 
-        return spark.sql(_sqlnames.rewrite_three_part_names(query, resolve))
+        def resolve_meta(
+            cat: str,
+            sch: str,
+            tbl: str,
+            kind: str,
+            version: Optional[int],
+        ) -> Optional[str]:
+            """``cat.sch.tbl.files`` etc. — iceberg-spark's
+            metadata-table references; non-Iceberg tables and
+            unknown kinds fall through untouched."""
+            from .sources import iceberg_py
+
+            if kind.lower() not in iceberg_py.METADATA_TABLE_KINDS:
+                return None
+            try:
+                table = self.get_table(cat, sch, tbl)
+            except DoesNotExistError:
+                return None
+            if table.file_type != FileType.ICEBERG:
+                return None
+            view = "__llh_md_" + "_".join(
+                re.sub(r"\W", "_", p)
+                for p in (cat, sch, tbl, kind.lower())
+            )
+            if version is not None:
+                view += f"_v{version}"
+            iceberg_py.metadata_table(
+                spark,
+                _io.strip_file_scheme(table.storage_location or ""),
+                kind.lower(),
+                snapshot_id=version,
+            ).createOrReplaceTempView(view)
+            return view
+
+        return spark.sql(
+            _sqlnames.rewrite_three_part_names(
+                query, resolve, resolve_meta
+            )
+        )
 
     def _compile_merge(self, m: "re.Match[str]") -> DataFrame:
         """Compile ``MERGE INTO c.s.t [AS] t USING <src> [AS] s ON

@@ -180,6 +180,7 @@ def read_table(
     table: Table,
     version: Optional[int] = None,
     timestamp: Optional[object] = None,
+    ref: Optional[str] = None,
 ) -> DataFrame:
     """Catalog entry → DataFrame. Parity: dataframe.py:191-228.
 
@@ -203,6 +204,11 @@ def read_table(
     if version is not None and timestamp is not None:
         raise UnsupportedOperationError(
             "version and timestamp time travel are mutually exclusive"
+        )
+    if ref is not None and table.file_type != FileType.ICEBERG:
+        raise UnsupportedOperationError(
+            "ref (branch/tag) reads require an ICEBERG table; "
+            f"{table.full_name} is {table.file_type.value}"
         )
     location = table.storage_location
     if table.file_type == FileType.DELTA and not HAVE_DELTA:
@@ -234,6 +240,7 @@ def read_table(
             strip_file_scheme(location),
             snapshot_id=version,
             timestamp_ms=_ts_ms(timestamp) if timestamp is not None else None,
+            ref=ref,
         )
     if timestamp is not None:
         raise UnsupportedOperationError(

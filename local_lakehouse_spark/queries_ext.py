@@ -8995,8 +8995,13 @@ def y49(spark, sf):
     AND the pyiceberg DataSource; a DIVERGENT fast-forward refuses
     (a branch pinned at the old head cannot absorb main — git
     semantics); cherrypick_iceberg_snapshot publishes a divergent
-    append branch instead, re-stamped at a new sequence. Oracle: base
-    plus the staged rows."""
+    append branch instead, re-stamped at a new sequence. ALSO the
+    non-branch flavor (iceberg-spark's ``spark.wap.id``):
+    stage_iceberg_append commits a REF-LESS snapshot stamped
+    ``wap.id`` — invisible to current reads AND to timestamp travel
+    (snapshot-log resolution) until cherry-picked onto main at a new
+    sequence; duplicate wap.ids refuse. Oracle: base plus both
+    published stagings."""
     import hashlib
     import os
     import shutil
@@ -9006,7 +9011,7 @@ def y49(spark, sf):
     from .sources import iceberg_py, pyiceberg_source
 
     pyiceberg_source.register(spark)
-    key = hashlib.md5(f"{sf}|ice-wap-v1".encode()).hexdigest()[:8]
+    key = hashlib.md5(f"{sf}|ice-wap-v2".encode()).hexdigest()[:8]
     tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_wap_{key}")
     base = t(spark, sf, "nation").select(
         F.col("n_nationkey").cast("long").alias("nk"),
@@ -9060,6 +9065,51 @@ def y49(spark, sf):
                 raise AssertionError(
                     "y49: ancestor fast-forward should succeed"
                 )
+            # ---- the wap.id STAGED flavor (no branch at all) ----
+            staged2 = base.select(
+                (F.col("nk") + F.lit(200)).alias("nk"), F.col("rk")
+            )
+            meta = iceberg_py.stage_iceberg_append(
+                spark, staged2.coalesce(1), tbl, wap_id="audit-2"
+            )
+            ssnap = meta["snapshots"][-1]
+            sid = int(ssnap["snapshot-id"])
+            if ssnap["summary"].get("wap.id") != "audit-2" or sid in {
+                int(r["snapshot-id"])
+                for r in (meta.get("refs") or {}).values()
+            }:
+                raise AssertionError("y49: staged snapshot not ref-less")
+            n_cur = iceberg_py.read_iceberg(spark, tbl).count()
+            n_ts = iceberg_py.read_iceberg(
+                spark, tbl,
+                timestamp_ms=int(ssnap["timestamp-ms"]) + 10_000,
+            ).count()
+            if not (n_cur == n_ts == 2 * nb):
+                raise AssertionError(
+                    f"y49: staged rows leaked: cur={n_cur} "
+                    f"ts_travel={n_ts} want={2 * nb}"
+                )
+            try:
+                iceberg_py.stage_iceberg_append(
+                    spark, staged2.coalesce(1), tbl, wap_id="audit-2"
+                )
+                raise AssertionError(
+                    "y49: duplicate wap.id must refuse"
+                )
+            except UnsupportedOperationError:
+                pass
+            meta = iceberg_py.cherrypick_iceberg_snapshot(tbl, sid)
+            pub = meta["snapshots"][-1]
+            if pub["summary"].get("published-wap-id") != str(sid) or (
+                int(pub["sequence-number"])
+                <= int(ssnap["sequence-number"])
+            ):
+                raise AssertionError(
+                    "y49: cherry-pick not re-stamped at a new sequence"
+                )
+            # align the audit branch with the published head so the
+            # steady-state contract below holds
+            iceberg_py.fast_forward_iceberg(tbl, "audit", "main")
         except BaseException:
             shutil.rmtree(tbl, ignore_errors=True)
             raise
@@ -9087,6 +9137,9 @@ WITH published AS (
          CAST(n_regionkey AS BIGINT) AS rk FROM nation
   UNION ALL
   SELECT CAST(n_nationkey + 100 AS BIGINT),
+         CAST(n_regionkey AS BIGINT) FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey + 200 AS BIGINT),
          CAST(n_regionkey AS BIGINT) FROM nation
 )
 SELECT rk, CAST(COUNT(*) AS BIGINT) AS n,
@@ -9208,6 +9261,294 @@ SELECT s_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n,
 FROM supplier
 WHERE s_suppkey % 10 <> 0 AND s_suppkey % 7 <> 0
 GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def y51(spark, sf):
+    """ICEBERG METADATA TABLES (round 11 — iceberg-spark's
+    inspection surface ``db.table.snapshots / .files / .history /
+    .refs / .manifests / .delete_files / .partitions`` re-expressed
+    as metadata_table() + the pyiceberg DataSource's ``metadata``
+    option): nation lands identity-partitioned by region (one file
+    per partition), a row-level DELETE adds a position-delete file,
+    a tag pins the head. CONTRACTS: the snapshots table records the
+    append→delete operation sequence; refs lists main + the tag;
+    the files table's live data files equal the partitions table's
+    file_count sum; delete_files surfaces exactly the position
+    delete; the DataSource twin returns the identical partitions
+    multiset. Returned result: the PARTITIONS metadata table
+    (record_count counts data-file rows — deletes are merge-on-read
+    and do NOT rewrite data files, exactly iceberg's partitions
+    semantics) — oracle = GROUP BY over the source rows. Driver-side
+    METADATA decode only (manifest-sized; at 100 TB this is the same
+    I/O iceberg's own metadata tables do)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    key = hashlib.md5(f"{sf}|ice-mdt-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_mdt_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            base = t(spark, sf, "nation").select(
+                F.col("n_nationkey").cast("long").alias("nk"),
+                F.col("n_regionkey").cast("long").alias("rk"),
+            )
+            iceberg_py.write_iceberg(
+                spark,
+                base.coalesce(1),
+                tbl,
+                mode="create",
+                partition_by=["rk"],
+            )
+            iceberg_py.delete_iceberg_where(spark, tbl, "nk = 0")
+            iceberg_py.create_iceberg_tag(tbl, "audited")
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    snaps = iceberg_py.metadata_table(spark, tbl, "snapshots")
+    ops = [
+        r.operation
+        for r in snaps.orderBy("committed_at").collect()
+    ]
+    if ops != ["append", "delete"]:
+        raise AssertionError(f"y51: snapshot ops wrong: {ops}")
+    refs = {
+        (r.name, r.type)
+        for r in iceberg_py.metadata_table(spark, tbl, "refs").collect()
+    }
+    if refs != {("main", "branch"), ("audited", "tag")}:
+        raise AssertionError(f"y51: refs table wrong: {refs}")
+    files = iceberg_py.metadata_table(spark, tbl, "files")
+    dels = iceberg_py.metadata_table(spark, tbl, "delete_files")
+    parts = iceberg_py.metadata_table(spark, tbl, "partitions")
+    probe = (
+        files.agg(F.count(F.lit(1)).alias("nf"))
+        .crossJoin(dels.agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.max("content").alias("dc"),
+        ))
+        .crossJoin(parts.agg(
+            F.sum("file_count").alias("fc"),
+            F.sum("position_delete_file_count").alias("pdf"),
+        ))
+        .collect()[0]
+    )
+    if not (
+        probe.nf == probe.fc
+        and probe.nd == 1
+        and probe.dc == 1
+        and probe.pdf == 1
+    ):
+        raise AssertionError(f"y51: file accounting wrong: {probe}")
+    ds_parts = (
+        spark.read.format("pyiceberg")
+        .option("metadata", "partitions")
+        .load(tbl)
+    )
+    both = parts.unionByName(ds_parts)
+    if (
+        both.select(
+            F.array_sort(F.map_entries("partition")).alias("pkey"),
+            "spec_id",
+            "record_count",
+            "file_count",
+        )
+        .distinct()
+        .count()
+        != parts.count()
+    ):
+        raise AssertionError("y51: DataSource twin disagrees")
+    return (
+        parts.where(F.col("record_count") > 0)
+        .select(
+            F.element_at(F.col("partition"), "rk")
+            .cast("long")
+            .alias("rk"),
+            F.col("record_count").alias("n_rows"),
+            F.col("file_count").cast("long").alias("n_files"),
+        )
+        .orderBy("rk")
+    )
+
+
+Y51_SQL = """
+SELECT CAST(n_regionkey AS BIGINT) AS rk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files
+FROM nation GROUP BY n_regionkey ORDER BY rk
+"""
+
+
+def y52(spark, sf):
+    """ICEBERG V3 ROW LINEAGE (round 11 — the v3 spec's row-tracking
+    feature, the Delta row-tracking analogue y-series already covers
+    for Delta): the table metadata carries ``next-row-id``, every v3
+    snapshot records its ``first-row-id`` base, NEW data manifests
+    are stamped with manifest-level ``first_row_id`` (spec field 520)
+    and ADDED entries inherit sequential ids by record_count — so
+    ``_row_id = first_row_id + position`` materializes JVM-side from
+    a broadcast file->base map, never per-row Python. CONTRACTS:
+    pre-upgrade files read _row_id NULL (unknown lineage, the spec's
+    upgrade rule); two post-upgrade appends take disjoint contiguous
+    ranges in commit order; next-row-id == total assigned;
+    _last_updated_sequence_number == each file's data sequence; a DV
+    DELETE (v3's only row-level delete on data files) leaves
+    survivors' ids UNCHANGED — asserted by re-deriving the survivor
+    id set. Oracle: ids reconstructed relationally (appends are
+    single sorted files, so _row_id = ROW_NUMBER-1 + batch base).
+    100 TB: lineage map is one row per data file (metadata-sized,
+    broadcast), ids assigned at COMMIT time from one metadata
+    counter — no data-path work at all."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py
+
+    key = hashlib.md5(f"{sf}|ice-rowlin-v2".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_rl_{key}")
+    base = t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"),
+        F.col("n_regionkey").cast("long").alias("rk"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            # pre-upgrade rows: lineage unknown -> NULL _row_id
+            iceberg_py.write_iceberg(
+                spark,
+                base.select(
+                    (F.col("nk") + 500).alias("nk"), F.col("rk")
+                )
+                .coalesce(1)
+                .sortWithinPartitions("nk"),
+                tbl,
+                mode="create",
+            )
+            iceberg_py.upgrade_iceberg_to_v3(tbl)
+            # two assigned appends (disjoint contiguous ranges)
+            iceberg_py.write_iceberg(
+                spark,
+                base.coalesce(1).sortWithinPartitions("nk"),
+                tbl,
+                mode="append",
+            )
+            iceberg_py.write_iceberg(
+                spark,
+                base.select(
+                    (F.col("nk") + 100).alias("nk"), F.col("rk")
+                )
+                .coalesce(1)
+                .sortWithinPartitions("nk"),
+                tbl,
+                mode="append",
+            )
+            nb = base.count()
+            meta = iceberg_py.table_metadata(tbl)
+            bases = [
+                s.get("first-row-id") for s in meta["snapshots"]
+            ]
+            if bases != [None, 0, nb] or int(
+                meta.get("next-row-id", -1)
+            ) != 2 * nb:
+                raise AssertionError(
+                    f"y52: row-id assignment wrong: bases={bases} "
+                    f"next={meta.get('next-row-id')}"
+                )
+            before = {
+                (r.nk, r._row_id)
+                for r in iceberg_py.read_iceberg(
+                    spark, tbl, row_lineage=True
+                )
+                .where("nk < 500")
+                .collect()
+            }
+            # v3 row-level delete = deletion vector; data files are
+            # untouched, so survivors keep their ids
+            iceberg_py.dv_delete_iceberg_where(
+                spark, tbl, "nk % 5 = 0 AND nk < 100"
+            )
+            after = {
+                (r.nk, r._row_id)
+                for r in iceberg_py.read_iceberg(
+                    spark, tbl, row_lineage=True
+                )
+                .where("nk < 500")
+                .collect()
+            }
+            want = {
+                kv
+                for kv in before
+                if kv[0] % 5 != 0 or kv[0] >= 100
+            }
+            if after != want:
+                raise AssertionError(
+                    "y52: DV delete changed survivor row ids"
+                )
+            # both read paths materialize identical lineage
+            from .sources import pyiceberg_source
+
+            pyiceberg_source.register(spark)
+            jvm = iceberg_py.read_iceberg(
+                spark, tbl, row_lineage=True
+            )
+            ds = (
+                spark.read.format("pyiceberg")
+                .option("rowLineage", "true")
+                .load(tbl)
+            )
+            if (
+                jvm.exceptAll(ds).count() != 0
+                or ds.exceptAll(jvm).count() != 0
+            ):
+                raise AssertionError(
+                    "y52: read paths disagree on row lineage"
+                )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    df = iceberg_py.read_iceberg(spark, tbl, row_lineage=True)
+    return df.select(
+        "nk",
+        "rk",
+        F.col("_row_id").alias("row_id"),
+        F.col("_last_updated_sequence_number").alias("last_seq"),
+    ).orderBy("nk")
+
+
+Y52_SQL = """
+WITH a AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+         CAST(n_regionkey AS BIGINT) AS rk,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1
+              AS BIGINT) AS row_id,
+         CAST(2 AS BIGINT) AS last_seq
+  FROM nation
+), b AS (
+  SELECT CAST(n_nationkey + 100 AS BIGINT) AS nk,
+         CAST(n_regionkey AS BIGINT) AS rk,
+         CAST((SELECT COUNT(*) FROM nation)
+              + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1
+              AS BIGINT) AS row_id,
+         CAST(3 AS BIGINT) AS last_seq
+  FROM nation
+), pre AS (
+  SELECT CAST(n_nationkey + 500 AS BIGINT) AS nk,
+         CAST(n_regionkey AS BIGINT) AS rk,
+         CAST(NULL AS BIGINT) AS row_id,
+         CAST(1 AS BIGINT) AS last_seq
+  FROM nation
+)
+SELECT * FROM (
+  SELECT * FROM a WHERE nk % 5 <> 0
+  UNION ALL SELECT * FROM b
+  UNION ALL SELECT * FROM pre
+) ORDER BY nk
 """
 
 
@@ -9768,4 +10109,6 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y48_iceberg_equality_changelog": QuerySpec(y48, Y48_SQL),
     "y49_iceberg_wap_publish": QuerySpec(y49, Y49_SQL),
     "y50_merge_schema_evolution": QuerySpec(y50, Y50_SQL),
+    "y51_iceberg_metadata_tables": QuerySpec(y51, Y51_SQL),
+    "y52_iceberg_row_lineage": QuerySpec(y52, Y52_SQL),
 }

@@ -196,10 +196,26 @@ def _select_snapshot(
             f"snapshot {snapshot_id} not found in Iceberg metadata"
         )
     if as_of_ms is not None:
-        # latest snapshot at or before the instant (snapshot-log order)
+        # latest MAIN-history snapshot at or before the instant.
+        # iceberg-core resolves timestamp travel through the
+        # snapshot-log (SnapshotUtil.snapshotIdAsOfTime), NOT the raw
+        # snapshot list — branch-scoped and wap.id-STAGED snapshots
+        # never enter the log, so they must never resolve here. Fall
+        # back to the snapshot list only when a (foreign, minimal)
+        # table carries no log at all.
+        log = meta.get("snapshot-log") or []
+        if log:
+            by_id = {s["snapshot-id"]: s for s in snaps}
+            candidates = [
+                (e["timestamp-ms"], by_id[e["snapshot-id"]])
+                for e in log
+                if e["snapshot-id"] in by_id
+            ]
+        else:
+            candidates = [(s["timestamp-ms"], s) for s in snaps]
         best = None
-        for s in sorted(snaps, key=lambda s: s["timestamp-ms"]):
-            if s["timestamp-ms"] <= as_of_ms:
+        for ts, s in sorted(candidates, key=lambda p: p[0]):
+            if ts <= as_of_ms:
                 best = s
         if best is None:
             raise DoesNotExistError(
@@ -632,12 +648,27 @@ def _snapshot_files(meta: dict, snap: dict, path: str) -> tuple:
         mseq = int(mf.get("sequence_number") or 0)
         spec_fields = specs.get(int(mf.get("partition_spec_id") or 0), [])
         mpath = _resolve(mf["manifest_path"], path)
+        mf_frid = mf.get("first_row_id")
+        frid_running = 0
         for entry in _read_avro_dicts(mpath):
             if entry.get("status") == 2:  # DELETED entry
                 continue
             df = dict(entry["data_file"])
             seq = entry.get("sequence_number")
             df["_seq"] = int(seq) if seq is not None else mseq
+            # v3 row lineage: effective first_row_id — explicit on
+            # the entry (spec field 142, foreign rewrites), else
+            # inherited for ADDED entries from the manifest's
+            # first_row_id by running record_count (spec rule);
+            # null for pre-v3 files = unknown lineage
+            explicit_frid = df.get("first_row_id")
+            if explicit_frid is not None:
+                df["_first_row_id"] = int(explicit_frid)
+            elif entry.get("status") == 1 and mf_frid is not None:
+                df["_first_row_id"] = int(mf_frid) + frid_running
+                frid_running += int(df.get("record_count") or 0)
+            else:
+                df["_first_row_id"] = None
             # the entry's ORIGINAL spec — removal entries written by
             # a later overwrite must carry it (and the partition
             # record) so foreign readers inspecting DELETED entries
@@ -671,6 +702,7 @@ def read_iceberg(
     timestamp_ms: Optional[int] = None,
     filters: Optional[list] = None,
     ref: Optional[str] = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Snapshot -> DataFrame. Columns bind by FOOTER FIELD ID (the
     Iceberg resolution rule — renames are invisible, added columns
@@ -684,7 +716,14 @@ def read_iceberg(
     Time travel: ``snapshot_id`` or ``timestamp_ms`` (latest snapshot
     at or before the instant), like Spark's VERSION/TIMESTAMP AS OF
     on an Iceberg catalog table; ``ref`` resolves a named branch/tag
-    from the metadata's ``refs`` map."""
+    from the metadata's ``refs`` map.
+
+    ``row_lineage`` (v3 only): append the spec's lineage columns —
+    ``_row_id`` (the file's inherited/explicit first_row_id + row
+    position; NULL for pre-upgrade files whose lineage is unknown)
+    and ``_last_updated_sequence_number`` (the file's data sequence
+    number). DV deletes never rewrite data files, so surviving rows
+    keep their ids across row-level DELETEs — the v3 contract."""
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
@@ -693,6 +732,11 @@ def read_iceberg(
         raise UnsupportedOperationError(
             f"Iceberg format-version {fmt_version} is beyond the v3 "
             "spec this reader implements"
+        )
+    if row_lineage and fmt_version < 3:
+        raise UnsupportedOperationError(
+            "row_lineage needs a format-version 3 table (v3's "
+            f"row-lineage feature; this table is v{fmt_version})"
         )
     snap = _select_snapshot(meta, snapshot_id, timestamp_ms, ref=ref)
     # time travel binds the SNAPSHOT's schema-id, not the current one
@@ -722,6 +766,16 @@ def read_iceberg(
             data_files, schema_obj, filters
         )
     if not data_files:
+        if row_lineage:
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField(
+                        "_last_updated_sequence_number", T.LongType()
+                    ),
+                ]
+            )
         return spark.createDataFrame([], schema)
     for df_ in data_files + pos_deletes + eq_deletes:
         if str(df_.get("file_format", "PARQUET")).upper() != "PARQUET":
@@ -753,6 +807,7 @@ def read_iceberg(
         pos_deletes
         or eq_deletes
         or dv_deletes
+        or row_lineage
         or any(d.get("_idpart") for d in data_files)
     )
     names = [os.path.basename(p) for p in paths]
@@ -773,6 +828,33 @@ def read_iceberg(
     scan = _inject_identity_partitions(
         spark, scan, schema, data_files, path, full_path=collide
     )
+    if row_lineage:
+        # file -> (first_row_id, data sequence) is METADATA-sized
+        # (one row per data file, the same scale as the DV
+        # descriptors); broadcast-joined on the scan's file identity
+        # so _row_id = first_row_id + position stays JVM-side
+        keys = paths if collide else names
+        lin = spark.createDataFrame(
+            [
+                (
+                    k,
+                    d.get("_first_row_id"),
+                    int(d.get("_seq") or 0),
+                )
+                for k, d in zip(keys, data_files)
+            ],
+            "__fn string, __frid long, __lus long",
+        )
+        scan = (
+            scan.join(F.broadcast(lin), "__fn", "left")
+            .withColumns(
+                {
+                    "_row_id": F.col("__frid") + F.col("__ri"),
+                    "_last_updated_sequence_number": F.col("__lus"),
+                }
+            )
+            .drop("__frid", "__lus")
+        )
     if not pos_deletes and not eq_deletes and not dv_deletes:
         return scan.drop("__fn", "__ri") if needs_identity else scan
     if dv_deletes:
@@ -1398,6 +1480,16 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # v3 row lineage: starting row id for the manifest's ADDED
+        # data files (spec field 520); null pre-v3 / for delete
+        # manifests — added entries inherit sequentially by
+        # record_count (spec "Row Lineage" inheritance)
+        {
+            "name": "first_row_id",
+            "type": ["null", "long"],
+            "field-id": 520,
+            "default": None,
+        },
     ],
 }
 
@@ -1693,6 +1785,9 @@ def _write_manifest(
             added_rows,
             existing_rows,
             deleted_rows,
+            # first_row_id: assigned centrally by _commit_snapshot on
+            # v3 tables (row-lineage inheritance base)
+            None,
         ),
     }
 
@@ -1839,7 +1934,7 @@ def _commit_snapshot(
     snap_id: int,
     extra_summary: Optional[dict] = None,
     extra_properties: Optional[dict] = None,
-    branch: str = "main",
+    branch: Optional[str] = "main",
 ) -> dict:
     """Append a snapshot whose manifest LIST contains ``manifest_rows``
     (prior snapshots' manifests carried over by the caller) and write
@@ -1851,7 +1946,9 @@ def _commit_snapshot(
     ONLY that branch ref — ``current-snapshot-id``, ``refs['main']``
     and the snapshot-log stay untouched, so main readers never see
     the staged rows (the WAP audit-branch shape); sequence numbers
-    remain table-global per the spec."""
+    remain table-global per the spec. ``branch=None`` commits a
+    STAGED snapshot (iceberg's wap.id shape): no ref at all, parented
+    at the current head, published later by cherry-pick."""
     seq = int(meta.get("last-sequence-number", 0)) + 1
     prev_ts = max(
         (s["timestamp-ms"] for s in meta.get("snapshots") or []),
@@ -1862,6 +1959,34 @@ def _commit_snapshot(
     mlist = os.path.join(
         mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
     )
+    n_mf_fields = len(_MANIFEST_FILE_SCHEMA["fields"])
+    manifest_rows = [
+        tuple(r) + (None,) * (n_mf_fields - len(r))
+        for r in manifest_rows
+    ]
+    # v3 row lineage: assign this commit's NEW data manifests their
+    # first_row_id from the table's next-row-id high-water mark (the
+    # spec's manifest-level inheritance — added entries take
+    # sequential ids by record_count); carried-over manifests keep
+    # the value stamped at their own commit. Delete manifests and
+    # pre-v3 snapshots stay null.
+    first_row_id = None
+    if int(meta.get("format-version", 1)) >= 3:
+        first_row_id = int(meta.get("next-row-id", 0))
+        assigned = 0
+        stamped = []
+        for r in manifest_rows:
+            r = list(r)
+            if (
+                int(r[3]) == 0
+                and int(r[6]) == snap_id
+                and r[13] is None
+                and int(r[10]) > 0
+            ):
+                r[13] = first_row_id + assigned
+                assigned += int(r[10])
+            stamped.append(tuple(r))
+        manifest_rows = stamped
     avro_py.write_container(
         mlist, _MANIFEST_FILE_SCHEMA, iter(manifest_rows)
     )
@@ -1881,7 +2006,7 @@ def _commit_snapshot(
                 add_rows += r_add
         else:
             tot_dfiles += n_add + n_exist - n_del
-    if branch == "main":
+    if branch == "main" or branch is None:
         parent = meta.get("current-snapshot-id")
     else:
         ref = (meta.get("refs") or {}).get(branch)
@@ -1919,7 +2044,12 @@ def _commit_snapshot(
         },
         "schema-id": meta.get("current-schema-id", 0),
     }
+    if first_row_id is not None:
+        # spec: v3 snapshots record their row-id assignment base
+        snap["first-row-id"] = first_row_id
     meta = dict(meta)
+    if first_row_id is not None:
+        meta["next-row-id"] = first_row_id + assigned
     if extra_properties:
         # table properties survive snapshot expiry — the streaming
         # sink's exactly-once high-water epoch lives here (the Delta
@@ -1940,9 +2070,10 @@ def _commit_snapshot(
         meta["snapshot-log"] = list(
             meta.get("snapshot-log") or []
         ) + [{"snapshot-id": snap_id, "timestamp-ms": now}]
-    else:
+    elif branch is not None:
         # audit-branch commit: main and the snapshot-log untouched
         refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+    # branch=None: STAGED snapshot — no ref, nothing else moves
     meta["refs"] = refs
     return _write_metadata_json(path, meta)
 
@@ -1987,6 +2118,7 @@ def _write_metadata_json(path: str, meta: dict) -> dict:
 # the source manifest list or the append refuses — positional reuse
 # of a foreign avro schema would silently misalign sequence numbers
 _MANIFEST_ROW_DEFAULTS = {
+    "first_row_id": None,
     "partition_spec_id": 0,
     "content": 0,
     "added_files_count": 0,
@@ -4151,12 +4283,15 @@ def _check_append_schema(
 
 
 def create_iceberg_branch(
-    path: str, name: str, snapshot_id: Optional[int] = None
+    path: str,
+    name: str,
+    snapshot_id: Optional[int] = None,
+    ref_type: str = "branch",
 ) -> dict:
-    """Create a branch ref at ``snapshot_id`` (default: the current
-    snapshot) — iceberg-spark's ``ALTER TABLE ... CREATE BRANCH``.
-    Metadata-only; refusing on an existing ref keeps WAP workflows
-    explicit (drop or publish first)."""
+    """Create a branch (or tag) ref at ``snapshot_id`` (default: the
+    current snapshot) — iceberg-spark's ``ALTER TABLE ... CREATE
+    BRANCH/TAG``. Metadata-only; refusing on an existing ref keeps
+    WAP workflows explicit (drop or publish first)."""
     meta = table_metadata(path)
     _require_v2(meta, "create_iceberg_branch")
     refs = dict(meta.get("refs") or {})
@@ -4168,21 +4303,45 @@ def create_iceberg_branch(
     meta = dict(meta)
     refs[name] = {
         "snapshot-id": int(snap["snapshot-id"]),
-        "type": "branch",
+        "type": ref_type,
     }
     meta["refs"] = refs
     return _write_metadata_json(path, meta)
 
 
-def drop_iceberg_ref(path: str, name: str) -> dict:
+def create_iceberg_tag(
+    path: str, name: str, snapshot_id: Optional[int] = None
+) -> dict:
+    """``ALTER TABLE ... CREATE TAG``: an immutable named ref —
+    readable via VERSION AS OF 'name', pins its snapshot against
+    expire_snapshots, never writable (append_iceberg_branch and
+    fast_forward refuse tag targets)."""
+    return create_iceberg_branch(
+        path, name, snapshot_id=snapshot_id, ref_type="tag"
+    )
+
+
+def drop_iceberg_ref(
+    path: str, name: str, expect_type: Optional[str] = None
+) -> dict:
     """Drop a branch/tag ref (``ALTER TABLE ... DROP BRANCH/TAG``).
-    ``main`` refuses — it tracks the current snapshot."""
+    ``main`` refuses — it tracks the current snapshot. When
+    ``expect_type`` is given, dropping a ref of the other kind
+    refuses (iceberg-spark: DROP BRANCH on a tag is an error)."""
     meta = table_metadata(path)
     if name == "main":
         raise UnsupportedOperationError("cannot drop the main branch")
     refs = dict(meta.get("refs") or {})
     if name not in refs:
         raise UnsupportedOperationError(f"ref {name!r} does not exist")
+    if (
+        expect_type is not None
+        and (refs[name].get("type") or "branch") != expect_type
+    ):
+        raise UnsupportedOperationError(
+            f"ref {name!r} is a {refs[name].get('type')}, "
+            f"not a {expect_type}"
+        )
     del refs[name]
     meta = dict(meta)
     meta["refs"] = refs
@@ -4235,6 +4394,55 @@ def append_iceberg_branch(
     )
 
 
+def stage_iceberg_append(
+    spark: SparkSession, df: DataFrame, path: str, wap_id: str
+) -> dict:
+    """The non-branch WAP flavor (iceberg-spark's ``wap.id`` staged
+    commit): append ``df`` as a snapshot that joins the snapshot list
+    STAGED — no ref, current untouched, summary stamped with
+    ``wap.id`` — so no reader sees it until
+    cherrypick_iceberg_snapshot publishes it onto main (re-stamped at
+    a new sequence). Returns the committed metadata; the staged
+    snapshot id is ``snapshots[-1]``'s. A duplicate wap.id refuses
+    (the audit workflow keys on it)."""
+    meta = table_metadata(path)
+    _require_v2(meta, "stage_iceberg_append")
+    if any(
+        (s.get("summary") or {}).get("wap.id") == str(wap_id)
+        for s in meta.get("snapshots") or []
+    ):
+        raise UnsupportedOperationError(
+            f"wap.id {wap_id!r} is already staged on {path}"
+        )
+    schema_obj = _current_schema(meta)
+    _check_append_schema(df, schema_obj, path)
+    ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
+    entries, pf_avro = _stage_data_files(
+        spark, df, path, meta, schema_obj, ids
+    )
+    prior = _prior_manifest_rows(meta, path)
+    snap_id = _new_snapshot_id()
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    mrow = _write_manifest(
+        path,
+        entries,
+        snap_id,
+        seq,
+        content=0,
+        partition_fields=pf_avro or None,
+        spec_id=int(meta.get("default-spec-id", 0)),
+    )
+    return _commit_snapshot(
+        path,
+        meta,
+        prior + [mrow["row"]],
+        "append",
+        snap_id,
+        extra_summary={"wap.id": str(wap_id)},
+        branch=None,
+    )
+
+
 def _is_ancestor(meta: dict, ancestor_id: int, head_id: int) -> bool:
     """True iff ``ancestor_id`` is on ``head_id``'s parent chain
     (inclusive) — the fast-forward admissibility test."""
@@ -4269,6 +4477,11 @@ def fast_forward_iceberg(path: str, branch: str, to: str) -> dict:
     if dst is None:
         raise UnsupportedOperationError(
             f"ref {branch!r} does not exist"
+        )
+    if (dst.get("type") or "branch") != "branch":
+        raise UnsupportedOperationError(
+            f"cannot fast-forward {branch!r}: it is a tag "
+            "(tags are immutable)"
         )
     to_head = int(src["snapshot-id"])
     from_head = int(dst["snapshot-id"])
@@ -4379,4 +4592,222 @@ def cherrypick_iceberg_snapshot(path: str, snapshot_id: int) -> dict:
         "append",
         snap_id,
         extra_summary={"published-wap-id": str(snapshot_id)},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables (iceberg-spark's db.table.snapshots / .files / ...)
+# ---------------------------------------------------------------------------
+
+METADATA_TABLE_KINDS = (
+    "snapshots",
+    "history",
+    "refs",
+    "manifests",
+    "files",
+    "delete_files",
+    "partitions",
+)
+
+
+def metadata_table(
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    """Iceberg's inspection/metadata tables (iceberg-spark reads them
+    as ``db.table.snapshots`` etc.; here
+    ``spark.read.format("pyiceberg").option("metadata", kind)`` and
+    the client facade). Column names follow iceberg-spark's tables;
+    ``partition`` surfaces as map<string,string> of spec-field name ->
+    single-value-serialized value (schema-stable across spec
+    evolution, where iceberg-spark unions structs).
+
+    Driver-side METADATA decode only — manifest lists and manifests,
+    never data files. At 100 TB that is exactly the I/O iceberg's own
+    metadata tables do to plan; row counts scale with file counts,
+    not data size, and the result lands in a DataFrame so any heavy
+    aggregation over millions of files still runs distributed."""
+    ddl, rows = _metadata_rows(path, kind, snapshot_id)
+    return spark.createDataFrame(rows, ddl)
+
+
+def _metadata_rows(
+    path: str, kind: str, snapshot_id: Optional[int] = None
+) -> tuple:
+    """(schema_ddl, row tuples) for :func:`metadata_table` — shared
+    with the pyiceberg DataSource's ``metadata`` option."""
+    meta = table_metadata(path)
+    snaps = meta.get("snapshots") or []
+    if kind == "snapshots":
+        rows = [
+            (
+                _dt.datetime.fromtimestamp(
+                    int(s["timestamp-ms"]) / 1000.0
+                ),
+                int(s["snapshot-id"]),
+                (
+                    int(s["parent-snapshot-id"])
+                    if s.get("parent-snapshot-id") is not None
+                    else None
+                ),
+                (s.get("summary") or {}).get("operation"),
+                (
+                    _resolve(s["manifest-list"], path)
+                    if s.get("manifest-list")
+                    else None
+                ),
+                {
+                    k: str(v)
+                    for k, v in (s.get("summary") or {}).items()
+                    if k != "operation"
+                },
+            )
+            for s in snaps
+        ]
+        return (
+            "committed_at timestamp, snapshot_id long, parent_id long,"
+            " operation string, manifest_list string,"
+            " summary map<string,string>",
+            rows,
+        )
+    if kind == "history":
+        anc = current_ancestors(meta) or set()
+        rows = [
+            (
+                _dt.datetime.fromtimestamp(
+                    int(e["timestamp-ms"]) / 1000.0
+                ),
+                int(e["snapshot-id"]),
+                next(
+                    (
+                        (
+                            int(s["parent-snapshot-id"])
+                            if s.get("parent-snapshot-id") is not None
+                            else None
+                        )
+                        for s in snaps
+                        if int(s["snapshot-id"]) == int(e["snapshot-id"])
+                    ),
+                    None,
+                ),
+                int(e["snapshot-id"]) in anc,
+            )
+            for e in meta.get("snapshot-log") or []
+        ]
+        return (
+            "made_current_at timestamp, snapshot_id long,"
+            " parent_id long, is_current_ancestor boolean",
+            rows,
+        )
+    if kind == "refs":
+        rows = [
+            (name, r.get("type") or "branch", int(r["snapshot-id"]))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return (
+            "name string, type string, snapshot_id long",
+            rows,
+        )
+    snap = _select_snapshot(meta, snapshot_id)
+    if kind == "manifests":
+        rows = []
+        for mf in _manifest_list_rows(snap, path):
+            rows.append(
+                (
+                    int(mf.get("content") or 0),
+                    _resolve(mf["manifest_path"], path),
+                    int(mf.get("manifest_length") or 0),
+                    int(mf.get("partition_spec_id") or 0),
+                    int(mf.get("added_snapshot_id") or 0),
+                    int(mf.get("added_files_count") or 0),
+                    int(mf.get("existing_files_count") or 0),
+                    int(mf.get("deleted_files_count") or 0),
+                    int(mf.get("added_rows_count") or 0),
+                    int(mf.get("existing_rows_count") or 0),
+                    int(mf.get("deleted_rows_count") or 0),
+                )
+            )
+        return (
+            "content int, path string, length long,"
+            " partition_spec_id int, added_snapshot_id long,"
+            " added_data_files_count int, existing_data_files_count"
+            " int, deleted_data_files_count int, added_rows_count"
+            " long, existing_rows_count long, deleted_rows_count long",
+            rows,
+        )
+    if kind in ("files", "delete_files", "partitions"):
+        data, pos, eq = _snapshot_files(meta, snap, path)
+        specs = _partition_specs(meta)
+
+        def _pmap(d: dict) -> dict:
+            rec = d.get("partition") or {}
+            fields = specs.get(int(d.get("_spec_id") or 0), [])
+            return {
+                f["name"]: (
+                    None
+                    if rec.get(f["name"]) is None
+                    else str(rec.get(f["name"]))
+                )
+                for f in fields
+            }
+
+        if kind == "partitions":
+            agg: dict = {}
+            for d in data:
+                key = tuple(sorted(_pmap(d).items()))
+                cur = agg.setdefault(
+                    (int(d.get("_spec_id") or 0), key), [0, 0, 0, 0]
+                )
+                cur[0] += int(d.get("record_count") or 0)
+                cur[1] += 1
+            for d in pos + eq:
+                key = tuple(sorted(_pmap(d).items()))
+                cur = agg.setdefault(
+                    (int(d.get("_spec_id") or 0), key), [0, 0, 0, 0]
+                )
+                if int(d.get("content") or 0) == 1:
+                    cur[2] += 1
+                else:
+                    cur[3] += 1
+            rows = [
+                (dict(key), spec_id, c[0], c[1], c[2], c[3])
+                for (spec_id, key), c in sorted(
+                    agg.items(),
+                    key=lambda kv: (kv[0][0], repr(kv[0][1])),
+                )
+            ]
+            return (
+            "partition map<string,string>, spec_id int,"
+                " record_count long, file_count int,"
+                " position_delete_file_count int,"
+                " equality_delete_file_count int",
+            rows,
+        )
+        files = data if kind == "files" else pos + eq
+        rows = [
+            (
+                int(d.get("content") or 0),
+                _resolve(d["file_path"], path),
+                str(d.get("file_format") or "PARQUET").upper(),
+                _pmap(d),
+                int(d.get("_spec_id") or 0),
+                int(d.get("record_count") or 0),
+                int(d.get("file_size_in_bytes") or 0),
+                int(d.get("_seq") or 0),
+                [int(i) for i in d.get("equality_ids") or []] or None,
+            )
+            for d in files
+        ]
+        return (
+            "content int, file_path string, file_format string,"
+            " partition map<string,string>, spec_id int,"
+            " record_count long, file_size_in_bytes long,"
+            " sequence_number long, equality_ids array<int>",
+            rows,
+        )
+    raise UnsupportedOperationError(
+        f"unknown Iceberg metadata table {kind!r} "
+        f"(supported: {', '.join(METADATA_TABLE_KINDS)})"
     )

@@ -152,6 +152,7 @@ def _read_file_as_batches(
     field_ids: "dict | None" = None,
     name_map: "dict | None" = None,
     keep_only=None,
+    lineage: "tuple | None" = None,
 ):
     """One data file → Arrow batches matching the FULL table schema:
     partition columns materialize as constants from partitionValues,
@@ -173,6 +174,13 @@ def _read_file_as_batches(
     cast to the physical arrow type, and relabeled to the logical
     field (nested struct names included) before leaving the reader —
     executor-side, no extra pass over the values.
+
+    ``lineage``: optional ``(first_row_id | None, data_sequence)``
+    for Iceberg v3 row lineage — appends ``_row_id`` (first_row_id +
+    file position, computed BEFORE any delete filtering so survivors
+    keep their ids; NULL when first_row_id is unknown) and
+    ``_last_updated_sequence_number`` columns. The caller's
+    spark_schema must already carry the two fields.
 
     ``field_ids``: top-level logical -> ``delta.columnMapping.id``,
     passed for ``delta.columnMapping.mode=id`` tables. Binding is
@@ -224,6 +232,24 @@ def _read_file_as_batches(
         abs_path,
         columns=[n for n in file_schema.names if n in wanted],
     )
+    if lineage is not None:
+        import numpy as np
+
+        first, lseq = lineage
+        table = table.append_column(
+            "_row_id",
+            pa.array(
+                np.arange(table.num_rows, dtype="int64") + int(first)
+            )
+            if first is not None
+            else pa.nulls(table.num_rows, pa.int64()),
+        )
+        table = table.append_column(
+            "_last_updated_sequence_number",
+            pa.array(
+                np.full(table.num_rows, int(lseq), dtype="int64")
+            ),
+        )
     if deleted is not None and len(deleted):
         import numpy as np
 

@@ -118,6 +118,28 @@ class _PyIcebergReader(DataSourceReader):
         # parity — no phantom post-evolution columns)
         ice_schema = iceberg_py._schema_for_snapshot(meta, snap)
         self._schema = iceberg_py.iceberg_schema_to_spark(ice_schema)
+        self._lineage = (
+            str(options.get("rowlineage", "false")).lower() == "true"
+        )
+        if self._lineage:
+            # v3 row lineage (read_iceberg(row_lineage=True) parity):
+            # per-task _row_id = the file's inherited first_row_id +
+            # position, stamped BEFORE delete masks so survivors
+            # keep their ids
+            if int(meta.get("format-version", 1)) < 3:
+                raise UnsupportedOperationError(
+                    "pyiceberg rowLineage needs a format-version 3 "
+                    "table (v3's row-lineage feature)"
+                )
+            self._schema = T.StructType(
+                list(self._schema.fields)
+                + [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField(
+                        "_last_updated_sequence_number", T.LongType()
+                    ),
+                ]
+            )
         self._fids = {
             f["name"]: int(f["id"]) for f in ice_schema["fields"]
         }
@@ -301,6 +323,14 @@ class _PyIcebergReader(DataSourceReader):
                             )
                         )
                     ),
+                    "lineage": (
+                        (
+                            d.get("_first_row_id"),
+                            int(d.get("_seq") or 0),
+                        )
+                        if self._lineage
+                        else None
+                    ),
                 }
             )
             for d in self._data
@@ -346,6 +376,7 @@ class _PyIcebergReader(DataSourceReader):
             deleted=deleted,
             field_ids=self._fids,
             name_map=partition.value.get("name_map"),
+            lineage=partition.value.get("lineage"),
         )
         eq = partition.value.get("eq") or []
         if not eq:
@@ -1359,12 +1390,45 @@ class _PyIcebergStreamWriter(DataSourceStreamArrowWriter):
         )
 
 
+class _PyIcebergMetadataReader(DataSourceReader):
+    """``option("metadata", kind)``: iceberg's inspection tables
+    (snapshots / history / refs / manifests / files / delete_files /
+    partitions) through the DataSource — rows decoded driver-side
+    from manifest metadata (metadata-sized, exactly what
+    iceberg-spark's db.table.<kind> reads), served as one
+    partition."""
+
+    def __init__(self, options: dict):
+        sid = options.get("snapshotid")
+        _, self._rows = iceberg_py._metadata_rows(
+            _required_path(options),
+            str(options["metadata"]).lower(),
+            int(sid) if sid is not None else None,
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        for r in self._rows:
+            yield tuple(r)
+
+
 class PyIcebergDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "pyiceberg"
 
     def schema(self):
+        md = self.options.get("metadata")
+        if md is not None:
+            sid = self.options.get("snapshotid")
+            ddl, _ = iceberg_py._metadata_rows(
+                _required_path(self.options),
+                str(md).lower(),
+                int(sid) if sid is not None else None,
+            )
+            return ddl
         meta = iceberg_py.table_metadata(
             _required_path(self.options)
         )
@@ -1386,9 +1450,24 @@ class PyIcebergDataSource(DataSource):
         schema = _plain(iceberg_py.iceberg_schema_to_spark(ice))
         if str(self.options.get("changelog", "false")).lower() == "true":
             schema = _changelog_schema(schema)
+        elif (
+            str(self.options.get("rowlineage", "false")).lower()
+            == "true"
+        ):
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField(
+                        "_last_updated_sequence_number", T.LongType()
+                    ),
+                ]
+            )
         return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        if self.options.get("metadata") is not None:
+            return _PyIcebergMetadataReader(self.options)
         if str(self.options.get("changelog", "false")).lower() == "true":
             return _PyIcebergChangelogBatchReader(self.options)
         return _PyIcebergReader(self.options)

@@ -89,7 +89,11 @@ Resolver = Callable[
 ]
 
 
-def rewrite_three_part_names(sql: str, resolve: Resolver) -> str:
+def rewrite_three_part_names(
+    sql: str,
+    resolve: Resolver,
+    resolve_meta: Optional[Callable] = None,
+) -> str:
     """Rewrite every standalone ``cat.sch.tbl [VERSION AS OF n |
     TIMESTAMP AS OF 'ts']``.
 
@@ -97,6 +101,13 @@ def rewrite_three_part_names(sql: str, resolve: Resolver) -> str:
     comments are permitted around the dots (``cat . sch/*x*/. tbl``
     is one name). Comments, string literals, and quoted-identifier
     contents are never mistaken for references.
+
+    ``resolve_meta`` (optional) handles FOUR-part chains
+    ``cat.sch.tbl.kind [VERSION AS OF n]`` — iceberg-spark's
+    metadata-table references (``db.table.files`` etc.). It may
+    return None to leave the chain untouched (4-part chains were
+    never rewritten before, so unknown kinds keep their old
+    behavior).
     """
     tokens = tokenize(sql)
     sig = [i for i, t in enumerate(tokens) if t.kind not in ("ws", "comment")]
@@ -155,6 +166,36 @@ def rewrite_three_part_names(sql: str, resolve: Resolver) -> str:
                 timestamp = v4.text[1:-1].replace("''", "'")
                 end_si = j + 4
             replacement = resolve(cat, sch, tbl, version, timestamp)
+            if replacement is not None:
+                first_ti = sig[chain[0]]
+                last_ti = sig[end_si]
+                out.append(
+                    "".join(t.text for t in tokens[consumed_until:first_ti])
+                )
+                out.append(replacement)
+                consumed_until = last_ti + 1
+                si = end_si + 1
+                continue
+        elif len(chain) == 4 and resolve_meta is not None:
+            cat, sch, tbl, kind = (
+                unquote(tokens[sig[c]]) for c in chain
+            )
+            version = None
+            end_si = chain[-1]
+            v1, v2, v3, v4 = (sig_tok(j + k) for k in (1, 2, 3, 4))
+            if (
+                v1 is not None and v1.kind == "word"
+                and v1.text.upper() == "VERSION"
+                and v2 is not None and v2.kind == "word"
+                and v2.text.upper() == "AS"
+                and v3 is not None and v3.kind == "word"
+                and v3.text.upper() == "OF"
+                and v4 is not None and v4.kind == "number"
+                and v4.text.isdigit()
+            ):
+                version = int(v4.text)
+                end_si = j + 4
+            replacement = resolve_meta(cat, sch, tbl, kind, version)
             if replacement is not None:
                 first_ti = sig[chain[0]]
                 last_ti = sig[end_si]

@@ -98,6 +98,10 @@ QUERIES = [
     # victim reconstruction (per-matched-file eqvictims tasks)
     "y47_v3_dv_read_at_scale",
     "y48_eq_changelog_at_scale",
+    # round 11b: v3 row-lineage read — the file->first_row_id
+    # broadcast map grows with FILE COUNT only (metadata-sized);
+    # the _row_id materialization itself is a JVM-side projection
+    "y52_row_lineage_at_scale",
 ]
 
 def _y10_dv_read_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,6 +491,54 @@ def _y48_eq_changelog_at_scale(
 
 # Rehearsal-only cases (not part of the declared inventory — they
 # exist to measure a path the sf0.01 oracle can't reach).
+def _y52_row_lineage_at_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-11 rehearsal: v3 ROW-LINEAGE read over a mixed table —
+    a pre-upgrade lineitem copy (NULL lineage) plus a post-upgrade
+    assigned append, with a DV delete on top. The lineage map the
+    read broadcasts is ONE ROW PER DATA FILE (metadata-sized — file
+    count grows 10x here, positions never ship); _row_id =
+    first_row_id + _metadata.row_index is a codegen projection. The
+    timed region is the read + aggregate over both lineage classes."""
+    import hashlib
+    import tempfile
+
+    from local_lakehouse_spark.sources import iceberg_py
+
+    key = hashlib.md5(f"{sf_dir}|icerl-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_icerl_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        iceberg_py.write_iceberg(
+            spark, li.repartition(16), tbl, mode="create"
+        )
+        iceberg_py.upgrade_iceberg_to_v3(tbl)
+        iceberg_py.write_iceberg(
+            spark,
+            li.where("l_orderkey % 10 = 0").repartition(16),
+            tbl,
+            mode="append",
+        )
+        iceberg_py.dv_delete_iceberg_where(
+            spark, tbl, "l_quantity > 45"
+        )
+    return (
+        iceberg_py.read_iceberg(spark, tbl, row_lineage=True)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_row_id").alias("n_lineaged"),
+            F.sum("_row_id").alias("id_sum"),
+            F.max("_last_updated_sequence_number").alias("max_seq"),
+        )
+    )
+
+
 EXTRA = {
     "y10_dv_read_at_scale": _y10_dv_read_at_scale,
     "y33_iceberg_read_at_scale": _y33_iceberg_read_at_scale,
@@ -495,6 +547,7 @@ EXTRA = {
     "y45_changelog_at_scale": _y45_changelog_at_scale,
     "y47_v3_dv_read_at_scale": _y47_v3_dv_read_at_scale,
     "y48_eq_changelog_at_scale": _y48_eq_changelog_at_scale,
+    "y52_row_lineage_at_scale": _y52_row_lineage_at_scale,
 }
 
 _ABC = "abcdefghijklmnopqrstuvwxyz"

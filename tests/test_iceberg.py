@@ -3513,3 +3513,371 @@ def test_wap_client_and_sql_surface(unity, spark, tmp_path):
         unity.sql(
             "ALTER TABLE unity.default.plainp CREATE BRANCH b"
         )
+
+
+def test_wap_staged_commit_cherrypick(unity, spark, tmp_path):
+    """wap.id staged commits (iceberg-spark's ``spark.wap.id`` shape,
+    ref-LESS snapshots): invisible to current reads on both paths,
+    to TIMESTAMP travel (snapshot-log resolution — the leak this
+    round fixed), and to the changelog ancestry, until
+    cherrypick_snapshot publishes them onto main re-stamped at a new
+    sequence; duplicate wap.ids refuse; explicit snapshot-id travel
+    still reaches the staged rows (audit readers)."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    loc = str(tmp_path / "wap_staged")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    write_iceberg(spark, base, loc, mode="create")
+    unity.register_as_table(
+        "unity", "default", "staged", "ICEBERG", loc
+    )
+    sid = unity.stage_write(
+        spark.createDataFrame([(9, "z"), (10, "y")], "k long, v string"),
+        "unity",
+        "default",
+        "staged",
+        wap_id="audit-1",
+    )
+    meta = table_metadata(loc)
+    staged_snap = meta["snapshots"][-1]
+    assert int(staged_snap["snapshot-id"]) == sid
+    assert staged_snap["summary"]["wap.id"] == "audit-1"
+    # ref-less: no ref points at it, main untouched
+    assert sid not in {
+        int(r["snapshot-id"]) for r in meta["refs"].values()
+    }
+    assert int(meta["current-snapshot-id"]) != sid
+    # invisible: current reads (both paths), timestamp travel, and
+    # the changelog ancestry
+    assert read_iceberg(spark, loc).count() == 3
+    assert spark.read.format("pyiceberg").load(loc).count() == 3
+    future = int(staged_snap["timestamp-ms"]) + 10_000
+    assert read_iceberg(spark, loc, timestamp_ms=future).count() == 3
+    anc = iceberg_py.current_ancestors(meta)
+    assert anc is not None and sid not in anc
+    # audit readers reach it explicitly by snapshot id — a staged
+    # snapshot is a full table state (parent rows + staged rows)
+    assert read_iceberg(spark, loc, snapshot_id=sid).count() == 5
+    with pytest.raises(UnsupportedOperationError, match="already"):
+        iceberg_py.stage_iceberg_append(
+            spark,
+            spark.createDataFrame([(11, "x")], "k long, v string"),
+            loc,
+            "audit-1",
+        )
+    # publish: cherry-pick onto main, re-stamped at a new sequence
+    unity.cherrypick_snapshot("unity", "default", "staged", sid)
+    meta = table_metadata(loc)
+    pub = meta["snapshots"][-1]
+    assert pub["summary"]["published-wap-id"] == str(sid)
+    assert int(pub["sequence-number"]) == int(
+        meta["last-sequence-number"]
+    ) and int(pub["sequence-number"]) > int(
+        staged_snap["sequence-number"]
+    )
+    got = sorted(r.k for r in read_iceberg(spark, loc).collect())
+    assert got == [1, 2, 3, 9, 10]
+    assert read_iceberg(spark, loc, timestamp_ms=future + 20_000).count() == 5
+    # idempotent republish
+    n = len(meta["snapshots"])
+    assert len(
+        iceberg_py.cherrypick_iceberg_snapshot(loc, sid)["snapshots"]
+    ) == n
+
+
+def test_iceberg_tag_ddl_and_immutability(unity, spark, tmp_path):
+    """CREATE/DROP TAG SQL + client facade: tags resolve via VERSION
+    AS OF name, stay pinned while main advances, refuse writes/moves
+    (append, fast-forward), and kind-checked DROP refuses the wrong
+    keyword (iceberg-spark parity)."""
+    loc = str(tmp_path / "tags")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        loc,
+        mode="create",
+    )
+    v1 = int(table_metadata(loc)["current-snapshot-id"])
+    unity.register_as_table("unity", "default", "tagd", "ICEBERG", loc)
+    unity.sql(
+        f"ALTER TABLE unity.default.tagd CREATE TAG rel_v1 "
+        f"AS OF VERSION {v1}"
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        loc,
+        mode="append",
+    )
+    meta = table_metadata(loc)
+    assert meta["refs"]["rel_v1"] == {
+        "snapshot-id": v1, "type": "tag",
+    }
+    assert read_iceberg(spark, loc, ref="rel_v1").count() == 2
+    assert read_iceberg(spark, loc).count() == 3
+    # immutable: no branch-append, no fast-forward onto a tag
+    with pytest.raises(UnsupportedOperationError, match="branch"):
+        iceberg_py.append_iceberg_branch(
+            spark,
+            spark.createDataFrame([(4, "d")], "k long, v string"),
+            loc,
+            "rel_v1",
+        )
+    with pytest.raises(UnsupportedOperationError, match="tag"):
+        iceberg_py.fast_forward_iceberg(loc, "rel_v1", "main")
+    # kind-checked DROP: BRANCH keyword on a tag refuses
+    with pytest.raises(UnsupportedOperationError, match="not a"):
+        unity.sql("ALTER TABLE unity.default.tagd DROP BRANCH rel_v1")
+    unity.sql("ALTER TABLE unity.default.tagd DROP TAG rel_v1")
+    assert "rel_v1" not in (table_metadata(loc).get("refs") or {})
+    # client facade twin
+    unity.create_tag("unity", "default", "tagd", "rel_v2")
+    head = int(table_metadata(loc)["current-snapshot-id"])
+    assert table_metadata(loc)["refs"]["rel_v2"] == {
+        "snapshot-id": head, "type": "tag",
+    }
+    unity.drop_tag("unity", "default", "tagd", "rel_v2")
+    assert "rel_v2" not in (table_metadata(loc).get("refs") or {})
+
+
+def test_metadata_tables(unity, spark, tmp_path):
+    """Iceberg inspection tables (metadata_table + the pyiceberg
+    DataSource ``metadata`` option + client facade): snapshots /
+    history / refs / manifests / files / delete_files / partitions
+    over a partitioned table with a position delete and a tag;
+    unknown kinds refuse; history excludes staged/branch snapshots
+    (snapshot-log sourced)."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    loc = str(tmp_path / "mdt")
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "k long, g string"
+        ).coalesce(1),
+        loc,
+        mode="create",
+        partition_by=["g"],
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(4, "c")], "k long, g string"),
+        loc,
+        mode="append",
+    )
+    delete_iceberg_where(spark, loc, "k = 1")
+    iceberg_py.create_iceberg_tag(loc, "v1")
+    meta = table_metadata(loc)
+
+    snaps = iceberg_py.metadata_table(spark, loc, "snapshots")
+    rows = snaps.orderBy("committed_at").collect()
+    assert [r.operation for r in rows] == ["append", "append", "delete"]
+    assert rows[1].parent_id == rows[0].snapshot_id
+    assert rows[0]["summary"]["added-data-files"] == "2"
+
+    hist = iceberg_py.metadata_table(spark, loc, "history").collect()
+    assert len(hist) == 3 and all(r.is_current_ancestor for r in hist)
+    # staged snapshots never enter history (snapshot-log sourced)
+    iceberg_py.stage_iceberg_append(
+        spark,
+        spark.createDataFrame([(9, "z")], "k long, g string"),
+        loc,
+        "w1",
+    )
+    assert iceberg_py.metadata_table(spark, loc, "history").count() == 3
+    assert iceberg_py.metadata_table(spark, loc, "snapshots").count() == 4
+
+    refs = {
+        (r.name, r.type, r.snapshot_id)
+        for r in iceberg_py.metadata_table(spark, loc, "refs").collect()
+    }
+    cur = int(meta["current-snapshot-id"])
+    assert refs == {("main", "branch", cur), ("v1", "tag", cur)}
+
+    files = iceberg_py.metadata_table(spark, loc, "files").collect()
+    assert len(files) == 3 and all(f.content == 0 for f in files)
+    assert {f.partition["g"] for f in files} == {"a", "b", "c"}
+    assert sum(f.record_count for f in files) == 4
+
+    dels = iceberg_py.metadata_table(spark, loc, "delete_files").collect()
+    assert len(dels) == 1 and dels[0].content == 1
+
+    parts = {
+        tuple(sorted(r.partition.items())): (
+            r.record_count,
+            r.file_count,
+        )
+        for r in iceberg_py.metadata_table(
+            spark, loc, "partitions"
+        ).collect()
+        if r.file_count > 0
+    }
+    assert parts == {
+        (("g", "a"),): (2, 1),
+        (("g", "b"),): (1, 1),
+        (("g", "c"),): (1, 1),
+    }
+
+    mans = iceberg_py.metadata_table(spark, loc, "manifests")
+    assert mans.count() >= 3
+    assert mans.where("content = 1").count() >= 1  # delete manifest
+
+    # DataSource twin + snapshot pinning + client facade
+    ds = (
+        spark.read.format("pyiceberg")
+        .option("metadata", "files")
+        .load(loc)
+    )
+    assert sorted(r.file_path for r in ds.collect()) == sorted(
+        f.file_path for f in files
+    )
+    first = int(meta["snapshots"][0]["snapshot-id"])
+    pinned = iceberg_py.metadata_table(
+        spark, loc, "files", snapshot_id=first
+    )
+    assert pinned.count() == 2
+    unity.register_as_table("unity", "default", "mdt", "ICEBERG", loc)
+    assert unity.metadata_table(
+        "unity", "default", "mdt", "partitions"
+    ).count() == len(parts) + 1  # + the unpartitioned delete-file row
+    with pytest.raises(UnsupportedOperationError, match="metadata"):
+        iceberg_py.metadata_table(spark, loc, "nope")
+
+
+def test_v3_row_lineage(spark, tbl):
+    """v3 row lineage: next-row-id / snapshot first-row-id /
+    manifest-level first_row_id (field 520) with ADDED-entry
+    inheritance; pre-upgrade files read _row_id NULL; carried
+    manifests keep their assignment across later commits; DV deletes
+    leave survivor ids untouched; v2 reads refuse row_lineage."""
+    pre = spark.createDataFrame(
+        [(100 + i, "pre") for i in range(3)], "k long, tag string"
+    ).coalesce(1).sortWithinPartitions("k")
+    write_iceberg(spark, pre, tbl, mode="create")
+    with pytest.raises(UnsupportedOperationError, match="row_lineage"):
+        read_iceberg(spark, tbl, row_lineage=True)
+    iceberg_py.upgrade_iceberg_to_v3(tbl)
+    a = spark.createDataFrame(
+        [(i, "a") for i in range(5)], "k long, tag string"
+    ).coalesce(1).sortWithinPartitions("k")
+    write_iceberg(spark, a, tbl, mode="append")
+    b = spark.createDataFrame(
+        [(10 + i, "b") for i in range(4)], "k long, tag string"
+    ).coalesce(1).sortWithinPartitions("k")
+    write_iceberg(spark, b, tbl, mode="append")
+    meta = table_metadata(tbl)
+    assert int(meta["next-row-id"]) == 9
+    assert [
+        s.get("first-row-id") for s in meta["snapshots"]
+    ] == [None, 0, 5]
+    # manifest-list rows carry the assignment (spec field 520)
+    mrows = iceberg_py._manifest_list_rows(
+        iceberg_py._select_snapshot(meta), tbl
+    )
+    assert sorted(
+        (r.get("first_row_id") for r in mrows),
+        key=lambda v: (v is None, v),
+    ) == [0, 5, None]
+    got = {
+        (r.k, r._row_id, r._last_updated_sequence_number)
+        for r in read_iceberg(spark, tbl, row_lineage=True).collect()
+    }
+    assert got == (
+        {(i, i, 2) for i in range(5)}
+        | {(10 + i, 5 + i, 3) for i in range(4)}
+        | {(100 + i, None, 1) for i in range(3)}
+    )
+    # DV delete: survivors keep ids
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "k = 2")
+    got2 = {
+        (r.k, r._row_id)
+        for r in read_iceberg(spark, tbl, row_lineage=True)
+        .where("tag = 'a'")
+        .collect()
+    }
+    assert got2 == {(0, 0), (1, 1), (3, 3), (4, 4)}
+    # plain reads are untouched by the feature
+    assert read_iceberg(spark, tbl).columns == ["k", "tag"]
+
+
+def test_metadata_tables_sql_surface(unity, spark, tmp_path):
+    """SQL references to metadata tables: FROM c.s.t.<kind>
+    [VERSION AS OF n] resolve through the 4-part rewriter; unknown
+    kinds and non-Iceberg tables are left untouched."""
+    loc = str(tmp_path / "mdsql")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        loc,
+        mode="create",
+    )
+    first = int(table_metadata(loc)["current-snapshot-id"])
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        loc,
+        mode="append",
+    )
+    unity.register_as_table("unity", "default", "mdsql", "ICEBERG", loc)
+    rows = unity.sql(
+        "SELECT snapshot_id, operation FROM unity.default.mdsql.snapshots "
+        "ORDER BY committed_at"
+    ).collect()
+    assert len(rows) == 2 and rows[0].snapshot_id == first
+    assert unity.sql(
+        "SELECT * FROM unity.default.mdsql.files"
+    ).count() == 3
+    assert unity.sql(
+        f"SELECT * FROM unity.default.mdsql.files VERSION AS OF {first}"
+    ).count() == 2
+    assert unity.sql(
+        "SELECT name FROM unity.default.mdsql.refs"
+    ).collect()[0].name == "main"
+
+
+def test_v3_row_lineage_datasource_parity(spark, tbl, tmp_path):
+    """The pyiceberg DataSource's rowLineage option matches
+    read_iceberg(row_lineage=True) exactly (ids stamped before the
+    per-task delete masks); v2 tables refuse the option."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(9)], "k long, g long"
+        ).coalesce(1).sortWithinPartitions("k"),
+        tbl,
+        mode="create",
+    )
+    with pytest.raises(Exception, match="rowLineage|format-version"):
+        spark.read.format("pyiceberg").option(
+            "rowLineage", "true"
+        ).load(tbl).collect()
+    iceberg_py.upgrade_iceberg_to_v3(tbl)
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(10 + i, 7) for i in range(4)], "k long, g long"
+        ).coalesce(1).sortWithinPartitions("k"),
+        tbl,
+        mode="append",
+    )
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "k IN (11, 3)")
+    jvm = read_iceberg(spark, tbl, row_lineage=True)
+    ds = (
+        spark.read.format("pyiceberg")
+        .option("rowLineage", "true")
+        .load(tbl)
+    )
+    assert jvm.exceptAll(ds).count() == 0
+    assert ds.exceptAll(jvm).count() == 0
+    got = {(r.k, r._row_id) for r in ds.collect()}
+    # pre-upgrade rows NULL, post-upgrade 0..3 minus the DV victim
+    assert got == {(i, None) for i in range(9) if i != 3} | {
+        (10, 0), (12, 2), (13, 3),
+    }

@@ -337,3 +337,46 @@ def test_sql_describe_detail(unity, spark, tmp_path):
     )
     row = unity.sql("DESCRIBE DETAIL unity.default.dd2").collect()[0]
     assert row["format"] == "delta" and row["numFiles"] >= 1
+
+
+def test_four_part_metadata_chain():
+    """4-part chains route through resolve_meta; unknown kinds and
+    chains with no resolver keep their old untouched behavior."""
+    from local_lakehouse_spark.sqlnames import rewrite_three_part_names
+
+    calls = []
+
+    def resolve(cat, sch, tbl, version, timestamp=None):
+        return f"V_{tbl}"
+
+    def resolve_meta(cat, sch, tbl, kind, version):
+        calls.append((cat, sch, tbl, kind, version))
+        if kind == "files":
+            return f"MD_{tbl}_{kind}" + (
+                f"_v{version}" if version is not None else ""
+            )
+        return None
+
+    out = rewrite_three_part_names(
+        "SELECT * FROM c.s.t.files", resolve, resolve_meta
+    )
+    assert out == "SELECT * FROM MD_t_files"
+    out = rewrite_three_part_names(
+        "SELECT * FROM c.s.t.files VERSION AS OF 7", resolve, resolve_meta
+    )
+    assert out == "SELECT * FROM MD_t_files_v7"
+    # unknown kind -> untouched (and the 3-part prefix NOT rewritten)
+    out = rewrite_three_part_names(
+        "SELECT c.s.t.col FROM x", resolve, resolve_meta
+    )
+    assert out == "SELECT c.s.t.col FROM x"
+    # without resolve_meta, 4-part chains stay untouched
+    out = rewrite_three_part_names("SELECT * FROM c.s.t.files", resolve)
+    assert out == "SELECT * FROM c.s.t.files"
+    # 3-part rewrites still work alongside
+    out = rewrite_three_part_names(
+        "SELECT * FROM c.s.t JOIN c.s.u.files ON 1=1",
+        resolve,
+        resolve_meta,
+    )
+    assert out == "SELECT * FROM V_t JOIN MD_u_files ON 1=1"
