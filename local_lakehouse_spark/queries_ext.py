@@ -9345,6 +9345,27 @@ def y51(spark, sf):
         and probe.pdf == 1
     ):
         raise AssertionError(f"y51: file accounting wrong: {probe}")
+    ents = iceberg_py.metadata_table(spark, tbl, "entries")
+    pdel = iceberg_py.metadata_table(spark, tbl, "position_deletes")
+    probe2 = (
+        ents.agg(
+            F.sum(
+                F.when(F.col("content") == 0, F.col("record_count"))
+            ).alias("data_rows"),
+            F.max("status").alias("max_status"),
+        )
+        .crossJoin(pdel.agg(F.count(F.lit(1)).alias("npos")))
+        .collect()[0]
+    )
+    nb = t(spark, sf, "nation").count()
+    if not (
+        probe2.data_rows == nb
+        and probe2.max_status == 1
+        and probe2.npos == 1
+    ):
+        raise AssertionError(
+            f"y51: entries/position_deletes wrong: {probe2}"
+        )
     ds_parts = (
         spark.read.format("pyiceberg")
         .option("metadata", "partitions")

@@ -4604,10 +4604,30 @@ METADATA_TABLE_KINDS = (
     "history",
     "refs",
     "manifests",
+    "entries",
     "files",
     "delete_files",
     "partitions",
+    "all_data_files",
+    "all_delete_files",
+    "all_manifests",
+    "position_deletes",
 )
+
+
+def _entry_pmap(d: dict, specs: dict) -> dict:
+    """A manifest entry's partition record as a schema-stable
+    map<string,string> (spec-field name -> stringified value)."""
+    rec = d.get("partition") or {}
+    fields = specs.get(int(d.get("_spec_id") or 0), [])
+    return {
+        f["name"]: (
+            None
+            if rec.get(f["name"]) is None
+            else str(rec.get(f["name"]))
+        )
+        for f in fields
+    }
 
 
 def metadata_table(
@@ -4628,9 +4648,141 @@ def metadata_table(
     never data files. At 100 TB that is exactly the I/O iceberg's own
     metadata tables do to plan; row counts scale with file counts,
     not data size, and the result lands in a DataFrame so any heavy
-    aggregation over millions of files still runs distributed."""
+    aggregation over millions of files still runs distributed.
+
+    Exception: ``position_deletes`` is ROW-level (one row per deleted
+    position — unbounded), so it reads the delete parquet files with
+    a DISTRIBUTED Spark scan and decodes v3 DV blobs in executors via
+    mapInPandas; it is therefore not servable through the
+    DataSource's driver-row channel (metadata_table/SQL only)."""
+    if kind == "position_deletes":
+        return _position_deletes_table(spark, path, snapshot_id)
     ddl, rows = _metadata_rows(path, kind, snapshot_id)
     return spark.createDataFrame(rows, ddl)
+
+
+def _position_deletes_table(
+    spark: SparkSession, path: str, snapshot_id: Optional[int] = None
+) -> DataFrame:
+    """iceberg's ``position_deletes`` metadata table: the live delete
+    positions — parquet position-delete files read distributed,
+    Puffin deletion vectors decoded executor-side (one task per
+    blob), each row carrying its delete file's partition scope."""
+    from pyspark.sql import functions as F
+
+    meta = table_metadata(path)
+    snap = _select_snapshot(meta, snapshot_id)
+    _dd, pos, _eq = _snapshot_files(meta, snap, path)
+    specs = _partition_specs(meta)
+    ddl = (
+        "file_path string, pos long,"
+        " partition map<string,string>, spec_id int,"
+        " delete_file_path string"
+    )
+    dvs = [
+        d
+        for d in pos
+        if str(d.get("file_format", "")).upper() == "PUFFIN"
+    ]
+    pdels = [
+        d
+        for d in pos
+        if str(d.get("file_format", "")).upper() != "PUFFIN"
+    ]
+    outs = []
+    if pdels:
+        dpaths = [_resolve(d["file_path"], path) for d in pdels]
+        scope = spark.createDataFrame(
+            [
+                (
+                    os.path.basename(p),
+                    p,
+                    _entry_pmap(d, specs),
+                    int(d.get("_spec_id") or 0),
+                )
+                for p, d in zip(dpaths, pdels)
+            ],
+            "__dfn string, delete_file_path string,"
+            " partition map<string,string>, spec_id int",
+        )
+        raw = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*dpaths)
+            .withColumn(
+                "__dfn", F.col("_metadata.file_name")
+            )
+        )
+        outs.append(
+            raw.join(F.broadcast(scope), "__dfn", "left").select(
+                "file_path",
+                "pos",
+                "partition",
+                "spec_id",
+                "delete_file_path",
+            )
+        )
+    if dvs:
+        from . import iceberg_puffin
+
+        desc = spark.createDataFrame(
+            [
+                (
+                    _resolve(d["referenced_data_file"], path),
+                    _resolve(d["file_path"], path),
+                    int(d["content_offset"]),
+                    int(d["content_size_in_bytes"]),
+                )
+                for d in dvs
+            ],
+            "ref string, pf string, off long, ln long",
+        ).repartition(max(len(dvs), 1))
+
+        def expand(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for ref, pf, off, ln in zip(
+                    pdf["ref"], pdf["pf"], pdf["off"], pdf["ln"]
+                ):
+                    yield pd.DataFrame(
+                        {
+                            "file_path": ref,
+                            "pos": iceberg_puffin.read_dv_blob(
+                                pf, int(off), int(ln)
+                            ),
+                            "pf": pf,
+                        }
+                    )
+
+        positions = desc.mapInPandas(
+            expand, "file_path string, pos long, pf string"
+        )
+        scope = spark.createDataFrame(
+            [
+                (
+                    _resolve(d["file_path"], path),
+                    _entry_pmap(d, specs),
+                    int(d.get("_spec_id") or 0),
+                )
+                for d in dvs
+            ],
+            "pf string, partition map<string,string>, spec_id int",
+        )
+        outs.append(
+            positions.join(F.broadcast(scope), "pf", "left").select(
+                "file_path",
+                "pos",
+                "partition",
+                "spec_id",
+                F.col("pf").alias("delete_file_path"),
+            )
+        )
+    if not outs:
+        return spark.createDataFrame([], ddl)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def _metadata_rows(
@@ -4737,21 +4889,120 @@ def _metadata_rows(
             " long, existing_rows_count long, deleted_rows_count long",
             rows,
         )
+    if kind == "entries":
+        # the current (or pinned) snapshot's manifest ENTRIES,
+        # statuses included (EXISTING=0/ADDED=1/DELETED=2 — the
+        # iceberg entries-table shape, flattened)
+        specs = _partition_specs(meta)
+        rows = []
+        for mf in _manifest_list_rows(snap, path):
+            mseq = int(mf.get("sequence_number") or 0)
+            sid = int(mf.get("partition_spec_id") or 0)
+            for entry in _read_avro_dicts(
+                _resolve(mf["manifest_path"], path)
+            ):
+                d = dict(entry["data_file"])
+                d["_spec_id"] = sid
+                eseq = entry.get("sequence_number")
+                rows.append(
+                    (
+                        int(entry.get("status") or 0),
+                        int(entry.get("snapshot_id") or 0),
+                        int(eseq) if eseq is not None else mseq,
+                        int(d.get("content") or 0),
+                        _resolve(d["file_path"], path),
+                        _entry_pmap(d, specs),
+                        sid,
+                        int(d.get("record_count") or 0),
+                        int(d.get("file_size_in_bytes") or 0),
+                    )
+                )
+        return (
+            "status int, snapshot_id long, sequence_number long,"
+            " content int, file_path string,"
+            " partition map<string,string>, spec_id int,"
+            " record_count long, file_size_in_bytes long",
+            rows,
+        )
+    if kind == "all_manifests":
+        # union over ALL retained snapshots, deduped by manifest path
+        rows, seen = [], set()
+        for s in snaps:
+            for mf in _manifest_list_rows(s, path):
+                p = _resolve(mf["manifest_path"], path)
+                if p in seen:
+                    continue
+                seen.add(p)
+                rows.append(
+                    (
+                        int(mf.get("content") or 0),
+                        p,
+                        int(mf.get("manifest_length") or 0),
+                        int(mf.get("partition_spec_id") or 0),
+                        int(mf.get("added_snapshot_id") or 0),
+                        int(mf.get("added_files_count") or 0),
+                        int(mf.get("existing_files_count") or 0),
+                        int(mf.get("deleted_files_count") or 0),
+                        int(mf.get("added_rows_count") or 0),
+                        int(mf.get("existing_rows_count") or 0),
+                        int(mf.get("deleted_rows_count") or 0),
+                    )
+                )
+        return (
+            "content int, path string, length long,"
+            " partition_spec_id int, added_snapshot_id long,"
+            " added_data_files_count int, existing_data_files_count"
+            " int, deleted_data_files_count int, added_rows_count"
+            " long, existing_rows_count long, deleted_rows_count long",
+            rows,
+        )
+    if kind in ("all_data_files", "all_delete_files"):
+        # union of live files over ALL retained snapshots, deduped
+        # by file path (a file EXISTING in many snapshots rows once)
+        specs = _partition_specs(meta)
+        rows, seen = [], set()
+        for s in snaps:
+            data, pos, eq = _snapshot_files(meta, s, path)
+            for d in (
+                data if kind == "all_data_files" else pos + eq
+            ):
+                p = _resolve(d["file_path"], path)
+                if p in seen:
+                    continue
+                seen.add(p)
+                rows.append(
+                    (
+                        int(d.get("content") or 0),
+                        p,
+                        str(d.get("file_format") or "PARQUET").upper(),
+                        _entry_pmap(d, specs),
+                        int(d.get("_spec_id") or 0),
+                        int(d.get("record_count") or 0),
+                        int(d.get("file_size_in_bytes") or 0),
+                        int(d.get("_seq") or 0),
+                        [int(i) for i in d.get("equality_ids") or []]
+                        or None,
+                    )
+                )
+        return (
+            "content int, file_path string, file_format string,"
+            " partition map<string,string>, spec_id int,"
+            " record_count long, file_size_in_bytes long,"
+            " sequence_number long, equality_ids array<int>",
+            rows,
+        )
+    if kind == "position_deletes":
+        raise UnsupportedOperationError(
+            "position_deletes is row-level (unbounded) — read it "
+            "through metadata_table()/SQL, which plan a distributed "
+            "scan, not the DataSource metadata option"
+        )
     if kind in ("files", "delete_files", "partitions"):
         data, pos, eq = _snapshot_files(meta, snap, path)
         specs = _partition_specs(meta)
 
         def _pmap(d: dict) -> dict:
-            rec = d.get("partition") or {}
-            fields = specs.get(int(d.get("_spec_id") or 0), [])
-            return {
-                f["name"]: (
-                    None
-                    if rec.get(f["name"]) is None
-                    else str(rec.get(f["name"]))
-                )
-                for f in fields
-            }
+            return _entry_pmap(d, specs)
 
         if kind == "partitions":
             agg: dict = {}

@@ -3881,3 +3881,69 @@ def test_v3_row_lineage_datasource_parity(spark, tbl, tmp_path):
     assert got == {(i, None) for i in range(9) if i != 3} | {
         (10, 0), (12, 2), (13, 3),
     }
+
+
+def test_metadata_tables_extended_kinds(spark, tbl, tmp_path):
+    """entries / all_data_files / all_delete_files / all_manifests /
+    position_deletes: statuses surface in entries; all_* union over
+    retained snapshots (compacted-away files still visible);
+    position_deletes reads parquet deletes distributed and decodes
+    v3 DVs executor-side; the DataSource metadata option refuses the
+    row-level kind."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(8)], "k long, g long"
+    ).coalesce(1)
+    write_iceberg(spark, df, tbl, mode="create", partition_by=["g"])
+    delete_iceberg_where(spark, tbl, "k IN (1, 4)")
+    ents = iceberg_py.metadata_table(spark, tbl, "entries").collect()
+    assert {(e.status, e.content) for e in ents} == {(1, 0), (1, 1)}
+    assert sum(e.record_count for e in ents if e.content == 0) == 8
+    pdel = iceberg_py.metadata_table(
+        spark, tbl, "position_deletes"
+    ).collect()
+    assert len(pdel) == 2 and {p.pos for p in pdel} <= {0, 1, 2, 3}
+    assert all(
+        p.delete_file_path.endswith(".parquet") for p in pdel
+    )
+    assert (
+        iceberg_py.metadata_table(spark, tbl, "all_data_files").count()
+        == 2
+    )
+    assert (
+        iceberg_py.metadata_table(
+            spark, tbl, "all_delete_files"
+        ).count()
+        == 1
+    )
+    assert (
+        iceberg_py.metadata_table(spark, tbl, "all_manifests").count()
+        == 2
+    )
+    with pytest.raises(Exception, match="position_deletes"):
+        spark.read.format("pyiceberg").option(
+            "metadata", "position_deletes"
+        ).load(tbl).collect()
+
+    # v3 DV flavor: DV positions surface with their Puffin path
+    loc2 = str(tmp_path / "mdv")
+    write_iceberg(spark, df, loc2, mode="create")
+    iceberg_py.upgrade_iceberg_to_v3(loc2)
+    iceberg_py.dv_delete_iceberg_where(spark, loc2, "k IN (2, 5)")
+    dvp = iceberg_py.metadata_table(
+        spark, loc2, "position_deletes"
+    ).collect()
+    assert {p.pos for p in dvp} == {2, 5}
+    assert all(".puffin" in p.delete_file_path or "dv-" in
+               p.delete_file_path for p in dvp)
+    # all_data_files keeps files a later compaction retired (v2
+    # table: compaction absorbs the position delete and rewrites)
+    iceberg_py.compact_data_files(spark, tbl)
+    assert (
+        iceberg_py.metadata_table(spark, tbl, "files").count()
+        < iceberg_py.metadata_table(
+            spark, tbl, "all_data_files"
+        ).count()
+    )
