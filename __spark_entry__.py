@@ -47,6 +47,7 @@ _NEVER_STAMPED = [
     "y50_merge_schema_evolution",
     "y51_iceberg_metadata_tables",
     "y52_iceberg_row_lineage",
+    "y53_iceberg_default_values",
 ]
 _R5_ERA = [
     "x06_ann_lsh_topk",

@@ -1582,6 +1582,26 @@ class LakehouseClient:
         + r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
         re.IGNORECASE,
     )
+    _ADD_COLUMN_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)"
+        + r"(?:\s+DEFAULT\s+('(?:[^']|'')*'|[-\d.]+|TRUE|FALSE))?"
+        + r"\s*$",
+        re.IGNORECASE,
+    )
+    _RENAME_COLUMN_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+        re.IGNORECASE,
+    )
+    _DROP_COLUMN_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+DROP\s+COLUMN\s+(\w+)\s*$",
+        re.IGNORECASE,
+    )
     _FAST_FORWARD_RE = re.compile(
         r"^ALTER\s+TABLE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
@@ -2001,6 +2021,65 @@ class LakehouseClient:
             return spark.createDataFrame(
                 [(bname, f"{action.upper()} {kind.upper()}")],
                 "branch string, op string",
+            )
+        m = self._ADD_COLUMN_RE.match(stmt)
+        if m:
+            cat, sch, tbl, col, typ, default = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            path = self._iceberg_path(cat, sch, tbl, "ADD COLUMN")
+            from .sources import iceberg_py
+
+            typ = typ.lower()
+            dv = None
+            if default is not None:
+                if default.startswith("'"):
+                    dv = default[1:-1].replace("''", "'")
+                elif default.upper() in ("TRUE", "FALSE"):
+                    dv = default.upper() == "TRUE"
+                elif typ in ("int", "long"):
+                    dv = int(default)
+                else:
+                    dv = float(default)
+            # SQL DEFAULT sets BOTH defaults (iceberg-spark's ADD
+            # COLUMN ... DEFAULT: existing rows read it, omitting
+            # writers fill it)
+            iceberg_py.add_iceberg_column(
+                path,
+                col,
+                typ,
+                initial_default=dv,
+                write_default=dv,
+            )
+            return spark.createDataFrame(
+                [(col, typ)], "column string, type string"
+            )
+        m = self._RENAME_COLUMN_RE.match(stmt)
+        if m:
+            cat, sch, tbl, old, new = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            path = self._iceberg_path(cat, sch, tbl, "RENAME COLUMN")
+            from .sources import iceberg_py
+
+            iceberg_py.rename_iceberg_column(path, old, new)
+            return spark.createDataFrame(
+                [(old, new)], "old string, new string"
+            )
+        m = self._DROP_COLUMN_RE.match(stmt)
+        if m:
+            cat, sch, tbl, col = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            path = self._iceberg_path(cat, sch, tbl, "DROP COLUMN")
+            from .sources import iceberg_py
+
+            iceberg_py.drop_iceberg_column(path, col)
+            return spark.createDataFrame(
+                [(col,)], "column string"
             )
         m = self._FAST_FORWARD_RE.match(stmt)
         if m:

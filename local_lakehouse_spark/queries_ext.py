@@ -9542,6 +9542,148 @@ def y52(spark, sf):
     ).orderBy("nk")
 
 
+def y53(spark, sf):
+    """ICEBERG V3 DEFAULT VALUES (round 11 — the spec's
+    initial-default / write-default feature): add_iceberg_column on
+    a v3 table records both defaults in the schema; rows in files
+    written BEFORE the column existed read the INITIAL default (the
+    spec's column-projection rule — per FILE by footer field-id
+    absence, via cached footer probes + a broadcast flag join, so
+    post-evolution NULLs stay NULL); appends that OMIT the column
+    fill the WRITE default before staging; explicit values (NULL
+    included) always win. CONTRACTS: both read paths agree row-for-
+    row (JVM scan and the per-task Arrow DataSource); a required
+    column without an initial_default refuses on a non-empty table;
+    staging NULLs into a required column refuses from the footer
+    null counts. Oracle: three relational segments (pre-evolution ->
+    initial default, omitted -> write default, explicit CASE)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .exceptions import UnsupportedOperationError
+    from .sources import iceberg_py, pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    key = hashlib.md5(f"{sf}|ice-defaults-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_dflt_{key}")
+    base = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("sk"),
+        F.col("s_nationkey").cast("long").alias("nk"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            iceberg_py.write_iceberg(
+                spark,
+                base.where("sk % 3 = 0").coalesce(1),
+                tbl,
+                mode="create",
+            )
+            iceberg_py.upgrade_iceberg_to_v3(tbl)
+            try:
+                iceberg_py.add_iceberg_column(
+                    tbl, "must", "string", required=True
+                )
+                raise AssertionError(
+                    "y53: required column without initial_default "
+                    "must refuse on a non-empty table"
+                )
+            except UnsupportedOperationError:
+                pass
+            iceberg_py.add_iceberg_column(
+                tbl,
+                "tier",
+                "string",
+                initial_default="bronze",
+                write_default="standard",
+            )
+            # omitted column -> write default
+            iceberg_py.write_iceberg(
+                spark, base.where("sk % 3 = 1"), tbl, mode="append"
+            )
+            # explicit values (NULL included) always win
+            iceberg_py.write_iceberg(
+                spark,
+                base.where("sk % 3 = 2").select(
+                    "sk",
+                    "nk",
+                    F.when(F.col("sk") % 2 == 0, F.lit("gold"))
+                    .otherwise(F.lit(None).cast("string"))
+                    .alias("tier"),
+                ),
+                tbl,
+                mode="append",
+            )
+            # required-null staging refusal (footer null counts)
+            iceberg_py.add_iceberg_column(
+                tbl,
+                "grade",
+                "long",
+                required=True,
+                initial_default=0,
+                write_default=0,
+            )
+            try:
+                iceberg_py.write_iceberg(
+                    spark,
+                    base.where("sk = 1").select(
+                        "sk",
+                        "nk",
+                        F.lit("x").alias("tier"),
+                        F.lit(None).cast("long").alias("grade"),
+                    ),
+                    tbl,
+                    mode="append",
+                )
+                raise AssertionError(
+                    "y53: NULL into a required column must refuse"
+                )
+            except UnsupportedOperationError:
+                pass
+            jvm = iceberg_py.read_iceberg(spark, tbl)
+            ds = spark.read.format("pyiceberg").load(tbl)
+            if (
+                jvm.exceptAll(ds).count() != 0
+                or ds.exceptAll(jvm).count() != 0
+            ):
+                raise AssertionError(
+                    "y53: read paths disagree on defaults"
+                )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    df = iceberg_py.read_iceberg(spark, tbl)
+    return (
+        df.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sk").cast("bigint").alias("sk_sum"),
+            F.min("grade").cast("bigint").alias("min_grade"),
+        )
+        .orderBy(F.col("tier").asc_nulls_first())
+    )
+
+
+Y53_SQL = """
+WITH rows_ AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS sk, 'bronze' AS tier
+  FROM supplier WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT CAST(s_suppkey AS BIGINT), 'standard'
+  FROM supplier WHERE s_suppkey % 3 = 1
+  UNION ALL
+  SELECT CAST(s_suppkey AS BIGINT),
+         CASE WHEN s_suppkey % 2 = 0 THEN 'gold' END
+  FROM supplier WHERE s_suppkey % 3 = 2
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(sk) AS BIGINT) AS sk_sum,
+       CAST(0 AS BIGINT) AS min_grade
+FROM rows_ GROUP BY tier ORDER BY tier NULLS FIRST
+"""
+
+
 Y52_SQL = """
 WITH a AS (
   SELECT CAST(n_nationkey AS BIGINT) AS nk,
@@ -10132,4 +10274,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y50_merge_schema_evolution": QuerySpec(y50, Y50_SQL),
     "y51_iceberg_metadata_tables": QuerySpec(y51, Y51_SQL),
     "y52_iceberg_row_lineage": QuerySpec(y52, Y52_SQL),
+    "y53_iceberg_default_values": QuerySpec(y53, Y53_SQL),
 }

@@ -739,8 +739,13 @@ def read_iceberg(
             f"row-lineage feature; this table is v{fmt_version})"
         )
     snap = _select_snapshot(meta, snapshot_id, timestamp_ms, ref=ref)
-    # time travel binds the SNAPSHOT's schema-id, not the current one
-    schema_obj = _schema_for_snapshot(meta, snap)
+    # time travel binds the SNAPSHOT's schema-id; a CURRENT read
+    # binds the CURRENT schema (iceberg semantics — a metadata-only
+    # ADD COLUMN shows up before any new snapshot exists)
+    if snapshot_id is None and timestamp_ms is None and ref is None:
+        schema_obj = _current_schema(meta)
+    else:
+        schema_obj = _schema_for_snapshot(meta, snap)
     schema = iceberg_schema_to_spark(schema_obj)
     data_files, pos_deletes, eq_deletes = _snapshot_files(
         meta, snap, path
@@ -803,11 +808,17 @@ def read_iceberg(
     # part names across partition dirs — injection-only reads fall
     # back to FULL normalized paths (both sides ours, exact); reads
     # that must match DELETE-file paths keep the loud refusal.
+    default_fields = [
+        f
+        for f in schema_obj["fields"]
+        if f.get("initial-default") is not None
+    ]
     needs_identity = (
         pos_deletes
         or eq_deletes
         or dv_deletes
         or row_lineage
+        or default_fields
         or any(d.get("_idpart") for d in data_files)
     )
     names = [os.path.basename(p) for p in paths]
@@ -828,6 +839,41 @@ def read_iceberg(
     scan = _inject_identity_partitions(
         spark, scan, schema, data_files, path, full_path=collide
     )
+    if default_fields:
+        # v3 initial-default (spec column projection): a row reads
+        # the default iff its FILE's footer lacks the field id —
+        # post-evolution NULLs stay NULL. Per-file footer probes are
+        # cached (immutable files); the fill itself is a broadcast
+        # flag join + JVM-side CASE, only on default-bearing tables.
+        keys = paths if collide else names
+        flags = spark.createDataFrame(
+            [
+                (k,)
+                + tuple(
+                    int(f["id"]) not in _footer_field_ids(p)
+                    for f in default_fields
+                )
+                for k, p in zip(keys, paths)
+            ],
+            "__fn string, "
+            + ", ".join(
+                f"__dmiss_{f['id']} boolean" for f in default_fields
+            ),
+        )
+        scan = scan.join(F.broadcast(flags), "__fn", "left")
+        for f in default_fields:
+            scan = scan.withColumn(
+                f["name"],
+                F.when(
+                    F.col(f"__dmiss_{f['id']}"),
+                    F.lit(f["initial-default"]).cast(
+                        _default_spark_field(f).dataType
+                    ),
+                ).otherwise(F.col(f["name"])),
+            )
+        scan = scan.drop(
+            *[f"__dmiss_{f['id']}" for f in default_fields]
+        )
     if row_lineage:
         # file -> (first_row_id, data sequence) is METADATA-sized
         # (one row per data file, the same scale as the DV
@@ -2564,6 +2610,33 @@ def _stage_data_files(
                 )
                 for lc, sf in zip(layout_cols, spec_fields)
             )
+        # REQUIRED columns must not stage nulls (spec: required =
+        # non-null); the parquet footer's null counts make this a
+        # metadata-sized check — committing would poison every
+        # field-bound read of the file
+        req = {
+            f["name"]
+            for f in schema_obj["fields"]
+            if f.get("required") and isinstance(f["type"], str)
+        }
+        if req:
+            md_src = pq.read_metadata(src)
+            for rg in range(md_src.num_row_groups):
+                g = md_src.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if (
+                        col.path_in_schema in req
+                        and st is not None
+                        and st.null_count
+                    ):
+                        raise UnsupportedOperationError(
+                            f"append stages {st.null_count} NULL(s) "
+                            f"into required column "
+                            f"{col.path_in_schema!r} — required "
+                            "Iceberg fields are non-null"
+                        )
         dest = os.path.join(
             data_dir, f"{uuid.uuid4().hex}-{os.path.basename(src)}"
         )
@@ -2643,6 +2716,10 @@ def write_iceberg(
     else:
         raise ValueError(f"write_iceberg mode {mode!r}")
     schema_obj = _current_schema(meta)
+    if mode != "create":
+        # v3 write-default: fill columns the frame omits before the
+        # schema guards (a required-with-default column passes)
+        df = _apply_write_defaults(df, schema_obj)
     ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
     extra = [f for f in df.schema.fields if f.name not in ids]
     if extra and not merge_schema:
@@ -5062,3 +5139,234 @@ def _metadata_rows(
         f"unknown Iceberg metadata table {kind!r} "
         f"(supported: {', '.join(METADATA_TABLE_KINDS)})"
     )
+
+
+# ---------------------------------------------------------------------------
+# v3 default values (spec "Default values": initial-default /
+# write-default on schema fields)
+# ---------------------------------------------------------------------------
+
+# defaults restricted to primitives whose JSON single-value form is
+# unambiguous; everything else refuses loudly
+_DEFAULTABLE_TYPES = (
+    "boolean",
+    "int",
+    "long",
+    "float",
+    "double",
+    "string",
+)
+
+
+def _default_spark_field(field: dict) -> T.StructField:
+    return _iceberg_field(field)
+
+
+def add_iceberg_column(
+    path: str,
+    name: str,
+    type_str: str,
+    required: bool = False,
+    initial_default=None,
+    write_default=None,
+    doc: Optional[str] = None,
+) -> dict:
+    """Schema evolution with v3 DEFAULT VALUES: add a column whose
+    ``initial-default`` is returned for rows in data files written
+    BEFORE the column existed (the spec's column-projection rule —
+    field id absent from the file => initial-default, not NULL) and
+    whose ``write-default`` fills appends that omit the column.
+    Metadata-only commit; both read paths apply it per FILE, so
+    post-evolution NULLs stay NULL.
+
+    v3 only (defaults are a v3 feature); a REQUIRED column on a
+    non-empty table needs an initial_default (otherwise existing
+    rows could not satisfy it — the spec's rule and delta's
+    equivalent refusal)."""
+    meta = table_metadata(path)
+    if int(meta.get("format-version", 1)) < 3:
+        raise UnsupportedOperationError(
+            "default values need a format-version 3 table "
+            "(upgrade_iceberg_to_v3 first)"
+        )
+    if type_str not in _DEFAULTABLE_TYPES and (
+        initial_default is not None or write_default is not None
+    ):
+        raise UnsupportedOperationError(
+            f"defaults for type {type_str!r} unsupported "
+            f"(supported: {', '.join(_DEFAULTABLE_TYPES)})"
+        )
+    schema_obj = _current_schema(meta)
+    if any(f["name"] == name for f in schema_obj["fields"]):
+        raise UnsupportedOperationError(
+            f"column {name!r} already exists"
+        )
+    non_empty = meta.get("current-snapshot-id") not in (None, -1)
+    if required and initial_default is None and non_empty:
+        raise UnsupportedOperationError(
+            f"adding required column {name!r} to a non-empty table "
+            "needs an initial_default (existing rows cannot satisfy "
+            "the constraint)"
+        )
+    fid = int(meta.get("last-column-id", 0)) + 1
+    field = {"id": fid, "name": name, "type": type_str}
+    field["required"] = bool(required)
+    if doc:
+        field["doc"] = doc
+    if initial_default is not None:
+        field["initial-default"] = initial_default
+    if write_default is not None:
+        field["write-default"] = write_default
+    new_sid = (
+        max(
+            (s.get("schema-id", 0) for s in meta.get("schemas") or []),
+            default=0,
+        )
+        + 1
+    )
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_sid,
+        "fields": list(schema_obj["fields"]) + [field],
+    }
+    meta = dict(meta)
+    meta["schemas"] = list(meta.get("schemas") or []) + [new_schema]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = fid
+    return _write_metadata_json(path, meta)
+
+
+def _apply_write_defaults(df: DataFrame, schema_obj: dict) -> DataFrame:
+    """Fill columns the frame omits with their ``write-default``
+    (spec: writers use it for unsupplied values) — BEFORE the
+    append-schema guards, so a required-with-default column passes."""
+    from pyspark.sql import functions as F
+
+    present = {f.name for f in df.schema.fields}
+    for f in schema_obj["fields"]:
+        wd = f.get("write-default")
+        if wd is None or f["name"] in present:
+            continue
+        df = df.withColumn(
+            f["name"],
+            F.lit(wd).cast(_default_spark_field(f).dataType),
+        )
+    return df
+
+
+_FOOTER_IDS_CACHE: dict = {}
+
+
+def _footer_field_ids(p: str) -> frozenset:
+    """The parquet footer's field-id set, cached per (path, mtime,
+    size) — data files are immutable once committed (same contract
+    as the name-mapping probe cache)."""
+    import pyarrow.parquet as pq
+
+    try:
+        st = os.stat(p)
+        key = (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _FOOTER_IDS_CACHE:
+        return _FOOTER_IDS_CACHE[key]
+    ids = frozenset(
+        int((f.metadata or {})[b"PARQUET:field_id"])
+        for f in pq.read_schema(p)
+        if (f.metadata or {}).get(b"PARQUET:field_id") is not None
+    )
+    if key is not None:
+        if len(_FOOTER_IDS_CACHE) > 1_000_000:
+            _FOOTER_IDS_CACHE.clear()
+        _FOOTER_IDS_CACHE[key] = ids
+    return ids
+
+
+def rename_iceberg_column(path: str, name: str, new_name: str) -> dict:
+    """Schema evolution: rename, PRESERVING the field id (the whole
+    point of id-bound resolution — existing data files need no
+    rewrite and keep resolving; name mapping, bounds, equality
+    deletes all key on the id). Metadata-only commit."""
+    meta = table_metadata(path)
+    schema_obj = _current_schema(meta)
+    if not any(f["name"] == name for f in schema_obj["fields"]):
+        raise UnsupportedOperationError(f"column {name!r} not found")
+    if any(f["name"] == new_name for f in schema_obj["fields"]):
+        raise UnsupportedOperationError(
+            f"column {new_name!r} already exists"
+        )
+    new_sid = (
+        max(
+            (s.get("schema-id", 0) for s in meta.get("schemas") or []),
+            default=0,
+        )
+        + 1
+    )
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_sid,
+        "fields": [
+            {**f, "name": new_name} if f["name"] == name else f
+            for f in schema_obj["fields"]
+        ],
+    }
+    meta = dict(meta)
+    meta["schemas"] = list(meta.get("schemas") or []) + [new_schema]
+    meta["current-schema-id"] = new_sid
+    return _write_metadata_json(path, meta)
+
+
+def drop_iceberg_column(path: str, name: str) -> dict:
+    """Schema evolution: drop a column — metadata-only (data files
+    keep the physical column; id-bound reads simply stop projecting
+    it). Refuses when the field sources a partition-spec field (the
+    spec's rule — the spec would dangle) or is referenced by a LIVE
+    equality-delete file (applying that delete later would hit the
+    dropped-field-id refusal at read time)."""
+    meta = table_metadata(path)
+    schema_obj = _current_schema(meta)
+    field = next(
+        (f for f in schema_obj["fields"] if f["name"] == name), None
+    )
+    if field is None:
+        raise UnsupportedOperationError(f"column {name!r} not found")
+    fid = int(field["id"])
+    for spec in meta.get("partition-specs") or []:
+        for sf in spec.get("fields") or []:
+            if int(sf.get("source-id", -1)) == fid:
+                raise UnsupportedOperationError(
+                    f"cannot drop {name!r}: partition spec "
+                    f"{spec.get('spec-id')} field "
+                    f"{sf.get('name')!r} sources it"
+                )
+    if meta.get("current-snapshot-id") not in (None, -1):
+        snap = _select_snapshot(meta)
+        _d, _p, eq = _snapshot_files(meta, snap, path)
+        for d in eq:
+            if fid in {int(i) for i in d.get("equality_ids") or []}:
+                raise UnsupportedOperationError(
+                    f"cannot drop {name!r}: a live equality-delete "
+                    "file references it (compact first)"
+                )
+    new_sid = (
+        max(
+            (s.get("schema-id", 0) for s in meta.get("schemas") or []),
+            default=0,
+        )
+        + 1
+    )
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_sid,
+        "fields": [
+            f for f in schema_obj["fields"] if f["name"] != name
+        ],
+    }
+    if not new_schema["fields"]:
+        raise UnsupportedOperationError(
+            "cannot drop the last column"
+        )
+    meta = dict(meta)
+    meta["schemas"] = list(meta.get("schemas") or []) + [new_schema]
+    meta["current-schema-id"] = new_sid
+    return _write_metadata_json(path, meta)

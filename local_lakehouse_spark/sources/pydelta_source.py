@@ -153,6 +153,7 @@ def _read_file_as_batches(
     name_map: "dict | None" = None,
     keep_only=None,
     lineage: "tuple | None" = None,
+    defaults: "dict | None" = None,
 ):
     """One data file → Arrow batches matching the FULL table schema:
     partition columns materialize as constants from partitionValues,
@@ -174,6 +175,12 @@ def _read_file_as_batches(
     cast to the physical arrow type, and relabeled to the logical
     field (nested struct names included) before leaving the reader —
     executor-side, no extra pass over the values.
+
+    ``defaults``: optional {logical name: value} — Iceberg v3
+    ``initial-default``: a column ABSENT from this file surfaces the
+    default instead of NULL (spec column projection); columns
+    present in the file keep their stored values, so
+    post-evolution NULLs stay NULL.
 
     ``lineage``: optional ``(first_row_id | None, data_sequence)``
     for Iceberg v3 row lineage — appends ``_row_id`` (first_row_id +
@@ -284,6 +291,10 @@ def _read_file_as_batches(
                 cols.append(
                     pa.array([raw] * n, type=pa.string()).cast(field.type)
                 )
+        elif defaults and field.name in defaults:
+            cols.append(
+                pa.array([defaults[field.name]] * n).cast(field.type)
+            )
         else:
             cols.append(pa.nulls(n, field.type))
     out = pa.Table.from_arrays(cols, schema=target)

@@ -115,12 +115,26 @@ class _PyIcebergReader(DataSourceReader):
             ref=options.get("ref") or options.get("branch"),
         )
         # time travel binds the snapshot's schema-id (read_iceberg
-        # parity — no phantom post-evolution columns)
-        ice_schema = iceberg_py._schema_for_snapshot(meta, snap)
+        # parity — no phantom post-evolution columns); a CURRENT
+        # read binds the CURRENT schema (a metadata-only ADD COLUMN
+        # shows up before any new snapshot exists)
+        if sid is None and ts is None and not (
+            options.get("ref") or options.get("branch")
+        ):
+            ice_schema = iceberg_py._current_schema(meta)
+        else:
+            ice_schema = iceberg_py._schema_for_snapshot(meta, snap)
         self._schema = iceberg_py.iceberg_schema_to_spark(ice_schema)
         self._lineage = (
             str(options.get("rowlineage", "false")).lower() == "true"
         )
+        # v3 initial-default: per-task fill for files whose footer
+        # lacks the field (read_iceberg parity)
+        self._defaults = {
+            f["name"]: f["initial-default"]
+            for f in ice_schema["fields"]
+            if f.get("initial-default") is not None
+        } or None
         if self._lineage:
             # v3 row lineage (read_iceberg(row_lineage=True) parity):
             # per-task _row_id = the file's inherited first_row_id +
@@ -331,6 +345,7 @@ class _PyIcebergReader(DataSourceReader):
                         if self._lineage
                         else None
                     ),
+                    "defaults": self._defaults,
                 }
             )
             for d in self._data
@@ -377,6 +392,7 @@ class _PyIcebergReader(DataSourceReader):
             field_ids=self._fids,
             name_map=partition.value.get("name_map"),
             lineage=partition.value.get("lineage"),
+            defaults=partition.value.get("defaults"),
         )
         eq = partition.value.get("eq") or []
         if not eq:

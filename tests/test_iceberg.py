@@ -3947,3 +3947,186 @@ def test_metadata_tables_extended_kinds(spark, tbl, tmp_path):
             spark, tbl, "all_data_files"
         ).count()
     )
+
+
+def test_v3_default_values(unity, spark, tbl, tmp_path):
+    """v3 initial-default / write-default: pre-evolution files read
+    the initial default per FILE (footer field-id absence), appends
+    omitting the column fill the write default, explicit NULLs stay
+    NULL; both read paths agree; ADD COLUMN ... DEFAULT SQL sets
+    both; guards refuse required-without-default on non-empty
+    tables, defaults on v2, and staging NULLs into required
+    columns."""
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1,), (2,)], "k long").coalesce(1),
+        tbl,
+        mode="create",
+    )
+    with pytest.raises(UnsupportedOperationError, match="format-version 3"):
+        iceberg_py.add_iceberg_column(
+            tbl, "tier", "string", initial_default="x"
+        )
+    iceberg_py.upgrade_iceberg_to_v3(tbl)
+    with pytest.raises(UnsupportedOperationError, match="initial_default"):
+        iceberg_py.add_iceberg_column(tbl, "m", "string", required=True)
+    with pytest.raises(UnsupportedOperationError, match="unsupported"):
+        iceberg_py.add_iceberg_column(
+            tbl, "m", "date", initial_default="2026-01-01"
+        )
+    iceberg_py.add_iceberg_column(
+        tbl,
+        "tier",
+        "string",
+        initial_default="bronze",
+        write_default="standard",
+    )
+    # metadata-only evolution: the new column shows on CURRENT reads
+    # of both paths before any new snapshot exists
+    assert read_iceberg(spark, tbl).columns == ["k", "tier"]
+    assert spark.read.format("pyiceberg").load(tbl).columns == [
+        "k", "tier",
+    ]
+    write_iceberg(
+        spark, spark.createDataFrame([(3,)], "k long"), tbl,
+        mode="append",
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(4, "gold"), (5, None)], "k long, tier string"
+        ),
+        tbl,
+        mode="append",
+    )
+    want = [
+        (1, "bronze"), (2, "bronze"), (3, "standard"),
+        (4, "gold"), (5, None),
+    ]
+    assert sorted(
+        (r.k, r.tier) for r in read_iceberg(spark, tbl).collect()
+    ) == want
+    assert sorted(
+        (r.k, r.tier)
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    ) == want
+    # time travel to a pre-evolution snapshot: no phantom column
+    first = int(table_metadata(tbl)["snapshots"][0]["snapshot-id"])
+    assert read_iceberg(spark, tbl, snapshot_id=first).columns == ["k"]
+    # required + defaults: NULL staging refuses from footer stats
+    iceberg_py.add_iceberg_column(
+        tbl, "grade", "long", required=True,
+        initial_default=0, write_default=7,
+    )
+    with pytest.raises(UnsupportedOperationError, match="required"):
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(9, "x", None)], "k long, tier string, grade long"
+            ),
+            tbl,
+            mode="append",
+        )
+    write_iceberg(
+        spark, spark.createDataFrame([(6,)], "k long"), tbl,
+        mode="append",
+    )
+    got = {
+        (r.k, r.grade) for r in read_iceberg(spark, tbl).collect()
+    }
+    assert (6, 7) in got and (1, 0) in got
+
+    # SQL: ADD COLUMN ... DEFAULT sets both defaults
+    loc = str(tmp_path / "addcol")
+    write_iceberg(
+        spark, spark.createDataFrame([(1,)], "k long").coalesce(1),
+        loc, mode="create",
+    )
+    iceberg_py.upgrade_iceberg_to_v3(loc)
+    unity.register_as_table("unity", "default", "addcol", "ICEBERG", loc)
+    unity.sql(
+        "ALTER TABLE unity.default.addcol "
+        "ADD COLUMN score long DEFAULT 42"
+    )
+    f = [
+        x
+        for x in iceberg_py._current_schema(table_metadata(loc))["fields"]
+        if x["name"] == "score"
+    ][0]
+    assert f["initial-default"] == 42 and f["write-default"] == 42
+    assert unity.read_table("unity", "default", "addcol").collect()[
+        0
+    ].score == 42
+
+
+def test_rename_drop_column(unity, spark, tbl, tmp_path):
+    """RENAME/DROP COLUMN: metadata-only, field-id preserved on
+    rename (existing files keep resolving — renames invisible to the
+    id-bound scan); drop refuses partition-source and live-equality-
+    delete fields; time travel keeps the old names; SQL surface."""
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, v string, w long"
+        ).coalesce(1),
+        tbl,
+        mode="create",
+        partition_by=["v"],
+    )
+    first = int(table_metadata(tbl)["current-snapshot-id"])
+    old_fid = [
+        f for f in iceberg_py._current_schema(table_metadata(tbl))["fields"]
+        if f["name"] == "k"
+    ][0]["id"]
+    iceberg_py.rename_iceberg_column(tbl, "k", "key")
+    meta = table_metadata(tbl)
+    f = [
+        x for x in iceberg_py._current_schema(meta)["fields"]
+        if x["name"] == "key"
+    ][0]
+    assert f["id"] == old_fid  # id preserved
+    got = sorted((r.key, r.v) for r in read_iceberg(spark, tbl).collect())
+    assert got == [(1, "a"), (2, "b")]
+    # time travel keeps the OLD name (snapshot schema-id binding)
+    assert "k" in read_iceberg(spark, tbl, snapshot_id=first).columns
+    with pytest.raises(UnsupportedOperationError, match="already"):
+        iceberg_py.rename_iceberg_column(tbl, "v", "key")
+    # drop: partition source refuses, plain column drops
+    with pytest.raises(UnsupportedOperationError, match="partition"):
+        iceberg_py.drop_iceberg_column(tbl, "v")
+    iceberg_py.drop_iceberg_column(tbl, "w")
+    assert read_iceberg(spark, tbl).columns == ["key", "v"]
+    # appends after the drop: the physical column is simply absent
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(3, "c")], "key long, v string"),
+        tbl,
+        mode="append",
+    )
+    assert read_iceberg(spark, tbl).count() == 3
+    # live equality delete blocks dropping its key column
+    loc2 = str(tmp_path / "eqdrop")
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+        .coalesce(1),
+        loc2,
+        mode="create",
+    )
+    iceberg_py.equality_delete_iceberg(
+        spark,
+        loc2,
+        spark.createDataFrame([(1,)], "id long"),
+        ["id"],
+    )
+    with pytest.raises(UnsupportedOperationError, match="equality"):
+        iceberg_py.drop_iceberg_column(loc2, "id")
+    # SQL twins (on the eq table: s is a plain droppable column)
+    unity.register_as_table("unity", "default", "rdc", "ICEBERG", loc2)
+    unity.sql("ALTER TABLE unity.default.rdc RENAME COLUMN s TO txt")
+    assert "txt" in unity.read_table("unity", "default", "rdc").columns
+    unity.sql("ALTER TABLE unity.default.rdc DROP COLUMN txt")
+    assert unity.read_table("unity", "default", "rdc").columns == ["id"]
