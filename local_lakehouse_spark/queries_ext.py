@@ -9684,6 +9684,151 @@ FROM rows_ GROUP BY tier ORDER BY tier NULLS FIRST
 """
 
 
+def y54(spark, sf):
+    """ICEBERG V3 CDC UPSERT (round 11 — the y43 Flink-CDC shape on
+    a FORMAT-VERSION 3 table, now that the write gates admit every
+    v3-legal construct): equality-delete upsert batches compose with
+    a deletion-vector DELETE on the same table, and ROW LINEAGE
+    stays exact through both — keys never touched keep their
+    (_row_id) across the upserts AND the DV delete (equality deletes
+    and DVs mask rows without rewriting data files, the
+    merge-on-read guarantee), re-upserted keys carry fresh ids.
+    CONTRACTS: both read paths agree; untouched-key id stability
+    asserted; parquet position-delete DML refuses on v3. Oracle:
+    the upsert algebra replayed relationally."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .exceptions import UnsupportedOperationError
+    from .sources import iceberg_py, pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    key = hashlib.md5(f"{sf}|ice-v3cdc-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_v3cdc_{key}")
+    base = t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            iceberg_py.write_iceberg(
+                spark,
+                base.coalesce(1).sortWithinPartitions("ck"),
+                tbl,
+                mode="create",
+            )
+            iceberg_py.upgrade_iceberg_to_v3(tbl)
+            before = {
+                (r.ck, r._row_id)
+                for r in iceberg_py.read_iceberg(
+                    spark, tbl, row_lineage=True
+                ).collect()
+            }
+            # CDC batch 1: bump every ck%10==0 balance by 1000
+            iceberg_py.upsert_iceberg_equality(
+                spark,
+                tbl,
+                base.where("ck % 10 = 0").select(
+                    "ck", "nk", (F.col("bal") + 1000).alias("bal")
+                ),
+                ["ck"],
+            )
+            # CDC batch 2: re-upsert ck%20==0 back to bal=1.0
+            iceberg_py.upsert_iceberg_equality(
+                spark,
+                tbl,
+                base.where("ck % 20 = 0").select(
+                    "ck", "nk", F.lit(1.0).alias("bal")
+                ),
+                ["ck"],
+            )
+            # DV delete composes on the same v3 table
+            iceberg_py.dv_delete_iceberg_where(
+                spark, tbl, "ck % 100 = 7"
+            )
+            try:
+                iceberg_py.delete_iceberg_where(spark, tbl, "ck = 1")
+                raise AssertionError(
+                    "y54: parquet position-delete DML must refuse on v3"
+                )
+            except UnsupportedOperationError:
+                pass
+            # untouched keys keep their row ids through all of it
+            after = {
+                (r.ck, r._row_id)
+                for r in iceberg_py.read_iceberg(
+                    spark, tbl, row_lineage=True
+                )
+                .where("ck % 10 != 0 AND ck % 100 != 7")
+                .collect()
+            }
+            want = {
+                kv
+                for kv in before
+                if kv[0] % 10 != 0 and kv[0] % 100 != 7
+            }
+            if after != want:
+                raise AssertionError(
+                    "y54: untouched keys changed row ids"
+                )
+            # rows re-written post-upgrade carry ASSIGNED ids
+            # (pre-upgrade rows read NULL — unknown lineage)
+            n_unassigned = (
+                iceberg_py.read_iceberg(
+                    spark, tbl, row_lineage=True
+                )
+                .where("ck % 10 = 0 AND _row_id IS NULL")
+                .count()
+            )
+            if n_unassigned:
+                raise AssertionError(
+                    "y54: post-upgrade upsert rows lack row ids"
+                )
+            n_jvm = iceberg_py.read_iceberg(spark, tbl).count()
+            n_ds = (
+                spark.read.format("pyiceberg").load(tbl).count()
+            )
+            if n_jvm != n_ds:
+                raise AssertionError(
+                    f"y54: read paths disagree: {n_jvm} != {n_ds}"
+                )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    df = iceberg_py.read_iceberg(spark, tbl)
+    return (
+        df.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("bal") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("nk")
+    )
+
+
+Y54_SQL = """
+WITH final AS (
+  SELECT c_nationkey AS nk,
+         CASE WHEN c_custkey % 20 = 0 THEN 1.0
+              WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE c_custkey % 100 <> 7
+)
+SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(bal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM final GROUP BY nk ORDER BY nk
+"""
+
+
 Y52_SQL = """
 WITH a AS (
   SELECT CAST(n_nationkey AS BIGINT) AS nk,
@@ -10275,4 +10420,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y51_iceberg_metadata_tables": QuerySpec(y51, Y51_SQL),
     "y52_iceberg_row_lineage": QuerySpec(y52, Y52_SQL),
     "y53_iceberg_default_values": QuerySpec(y53, Y53_SQL),
+    "y54_iceberg_v3_cdc_upsert": QuerySpec(y54, Y54_SQL),
 }

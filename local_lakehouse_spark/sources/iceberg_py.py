@@ -592,15 +592,24 @@ def _transform_values(
     return out
 
 
-def _require_v2(meta: dict, op: str) -> None:
-    """DML/maintenance write paths commit v2 constructs (sequence
-    numbers, delete files, REPLACE entry semantics) — refuse loudly
-    on any other format version. READS stay version-tolerant
-    (format-version 1 tables read fine; v3 refuses in read_iceberg)."""
+def _require_v2(
+    meta: dict, op: str, allowed: tuple = (2,)
+) -> None:
+    """Write-path format gate. The default (v2 only) guards ops
+    whose constructs v3 FORBIDS (parquet position deletes:
+    delete/update_iceberg_where — v3 rows delete via DVs) or whose
+    v3 semantics we refuse to silently break (compact_data_files
+    would renumber row lineage). Ops legal on both versions pass
+    ``allowed=(2, 3)``: metadata-only commits, appends/overwrites
+    (replaced rows are NEW rows — fresh row ids are the replace
+    semantics), equality deletes (still a v3 construct), WAP.
+    READS stay version-tolerant (v1 reads fine; v4+ refuses in
+    read_iceberg)."""
     fmt = int(meta.get("format-version", 1))
-    if fmt != 2:
+    if fmt not in allowed:
+        want = " or ".join(f"v{v}" for v in allowed)
         raise UnsupportedOperationError(
-            f"{op} requires an Iceberg format-version 2 table "
+            f"{op} requires an Iceberg format-version {want} table "
             f"(this table is v{fmt})"
         )
 
@@ -2319,7 +2328,7 @@ def rollback_iceberg(
     rule: sequences never reuse even across rollbacks). ``main``
     tracks the new current; snapshot-log records the change."""
     meta = table_metadata(path)
-    _require_v2(meta, "rollback_iceberg")
+    _require_v2(meta, "rollback_iceberg", allowed=(2, 3))
     if (snapshot_id is None) == (timestamp_ms is None):
         raise UnsupportedOperationError(
             "rollback_iceberg takes exactly one of "
@@ -2405,7 +2414,7 @@ def evolve_iceberg_partition_spec(
     joinable across specs). ``partition_by=[]`` evolves to the
     unpartitioned spec."""
     meta = table_metadata(path)
-    _require_v2(meta, "evolve_iceberg_partition_spec")
+    _require_v2(meta, "evolve_iceberg_partition_spec", allowed=(2, 3))
     schema_obj = _current_schema(meta)
     fields = _partition_spec_fields(schema_obj, partition_by)
     seen: dict = {}
@@ -2712,7 +2721,7 @@ def write_iceberg(
         meta = table_metadata(path)
     elif mode == "overwrite":
         meta = table_metadata(path)
-        _require_v2(meta, "write_iceberg(mode='overwrite')")
+        _require_v2(meta, "write_iceberg(mode='overwrite')", allowed=(2, 3))
     else:
         raise ValueError(f"write_iceberg mode {mode!r}")
     schema_obj = _current_schema(meta)
@@ -2899,7 +2908,7 @@ def expire_snapshots(
     Returns ``{"expired": [...ids], "deleted_files": [...paths]}``.
     Driver-side metadata work only — this never reads data."""
     meta = table_metadata(path)
-    _require_v2(meta, "expire_snapshots")
+    _require_v2(meta, "expire_snapshots", allowed=(2, 3))
     snaps = sorted(
         meta.get("snapshots") or [], key=lambda s: s["timestamp-ms"]
     )
@@ -3340,7 +3349,7 @@ def add_files(spark: SparkSession, path: str, source: object) -> dict:
         raise DoesNotExistError(f"add_files: no parquet under {source!r}")
     if is_iceberg_table(path):
         meta = table_metadata(path)
-        _require_v2(meta, "add_files")
+        _require_v2(meta, "add_files", allowed=(2, 3))
         spec = _partition_specs(meta).get(
             int(meta.get("default-spec-id", 0)), []
         )
@@ -3929,7 +3938,7 @@ def equality_delete_iceberg(
     all data files, matching Spark/Flink read behavior for
     unpartitioned-spec global deletes."""
     meta = table_metadata(path)
-    _require_v2(meta, "equality_delete_iceberg")
+    _require_v2(meta, "equality_delete_iceberg", allowed=(2, 3))
     schema_obj = _current_schema(meta)
     eq_ids = _validate_equality_columns(schema_obj, equality_columns)
     entries = _stage_equality_deletes(
@@ -3969,7 +3978,7 @@ def upsert_iceberg_equality(
     number; the strict ``<`` rule keeps the new rows alive. The
     per-batch cost is O(batch), never O(table)."""
     meta = table_metadata(path)
-    _require_v2(meta, "upsert_iceberg_equality")
+    _require_v2(meta, "upsert_iceberg_equality", allowed=(2, 3))
     schema_obj = _current_schema(meta)
     eq_ids = _validate_equality_columns(schema_obj, equality_columns)
     present = {f.name for f in df.schema.fields}
@@ -4048,7 +4057,7 @@ def overwrite_iceberg_where(
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
-    _require_v2(meta, "overwrite_iceberg_where")
+    _require_v2(meta, "overwrite_iceberg_where", allowed=(2, 3))
     if constraint_check:
         # a NULL predicate result does NOT satisfy the constraint
         # (Delta's rule) — coalesce so null-evaluating rows are
@@ -4370,7 +4379,7 @@ def create_iceberg_branch(
     BRANCH/TAG``. Metadata-only; refusing on an existing ref keeps
     WAP workflows explicit (drop or publish first)."""
     meta = table_metadata(path)
-    _require_v2(meta, "create_iceberg_branch")
+    _require_v2(meta, "create_iceberg_branch", allowed=(2, 3))
     refs = dict(meta.get("refs") or {})
     if name in refs:
         raise UnsupportedOperationError(
@@ -4435,7 +4444,7 @@ def append_iceberg_branch(
     carry-over all match a main append, just rooted at the branch
     head."""
     meta = table_metadata(path)
-    _require_v2(meta, "append_iceberg_branch")
+    _require_v2(meta, "append_iceberg_branch", allowed=(2, 3))
     ref = (meta.get("refs") or {}).get(branch)
     if branch == "main" or ref is None or ref.get("type") != "branch":
         raise UnsupportedOperationError(
@@ -4483,7 +4492,7 @@ def stage_iceberg_append(
     snapshot id is ``snapshots[-1]``'s. A duplicate wap.id refuses
     (the audit workflow keys on it)."""
     meta = table_metadata(path)
-    _require_v2(meta, "stage_iceberg_append")
+    _require_v2(meta, "stage_iceberg_append", allowed=(2, 3))
     if any(
         (s.get("summary") or {}).get("wap.id") == str(wap_id)
         for s in meta.get("snapshots") or []
@@ -4545,7 +4554,7 @@ def fast_forward_iceberg(path: str, branch: str, to: str) -> dict:
     and the snapshot-log, so audited rows become visible to every
     main reader atomically with this metadata commit."""
     meta = table_metadata(path)
-    _require_v2(meta, "fast_forward_iceberg")
+    _require_v2(meta, "fast_forward_iceberg", allowed=(2, 3))
     refs = dict(meta.get("refs") or {})
     src = refs.get(to)
     if src is None:
@@ -4603,7 +4612,7 @@ def cherrypick_iceberg_snapshot(path: str, snapshot_id: int) -> dict:
     snapshots refuse: replaying deletes or rewrites out of order
     would corrupt row-level state."""
     meta = table_metadata(path)
-    _require_v2(meta, "cherrypick_iceberg_snapshot")
+    _require_v2(meta, "cherrypick_iceberg_snapshot", allowed=(2, 3))
     by_id = {
         int(s["snapshot-id"]): s
         for s in meta.get("snapshots") or []

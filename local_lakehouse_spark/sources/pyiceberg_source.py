@@ -1238,7 +1238,9 @@ class _PyIcebergStreamWriter(DataSourceStreamArrowWriter):
                 )
         if iceberg_py.is_iceberg_table(self._path):
             meta = iceberg_py.table_metadata(self._path)
-            iceberg_py._require_v2(meta, "pyiceberg stream sink")
+            iceberg_py._require_v2(
+                meta, "pyiceberg stream sink", allowed=(2, 3)
+            )
             ice = iceberg_py._current_schema(meta)
             table_schema = iceberg_py.iceberg_schema_to_spark(ice)
             want = {

@@ -4130,3 +4130,65 @@ def test_rename_drop_column(unity, spark, tbl, tmp_path):
     assert "txt" in unity.read_table("unity", "default", "rdc").columns
     unity.sql("ALTER TABLE unity.default.rdc DROP COLUMN txt")
     assert unity.read_table("unity", "default", "rdc").columns == ["id"]
+
+
+def test_v3_legal_ops_gate(spark, tbl, tmp_path):
+    """v3 tables now accept the ops the v3 spec still permits —
+    equality deletes/CDC upsert (the Flink shape), WAP staged
+    commits, branch+tag lifecycle, overwrite, expire — while parquet
+    position-delete DML and lineage-renumbering compaction keep
+    refusing with pointers."""
+    write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "k long, v string"
+        ).coalesce(1),
+        tbl,
+        mode="create",
+    )
+    iceberg_py.upgrade_iceberg_to_v3(tbl)
+    # equality upsert (CDC): delete-by-key + re-insert works on v3
+    iceberg_py.upsert_iceberg_equality(
+        spark,
+        tbl,
+        spark.createDataFrame(
+            [(2, "UP2"), (99, "NEW")], "k long, v string"
+        ),
+        ["k"],
+    )
+    got = dict(
+        (r.k, r.v) for r in read_iceberg(spark, tbl).collect()
+    )
+    assert got[2] == "UP2" and got[99] == "NEW" and len(got) == 7
+    # the pyiceberg path agrees (equality + v3 in one table)
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    assert dict(
+        (r.k, r.v)
+        for r in spark.read.format("pyiceberg").load(tbl).collect()
+    ) == got
+    # DV delete composes with the equality delete
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "k = 0")
+    assert read_iceberg(spark, tbl).count() == 6
+    # WAP on v3: stage + cherry-pick (fresh row ids at publish)
+    meta = iceberg_py.stage_iceberg_append(
+        spark,
+        spark.createDataFrame([(50, "staged")], "k long, v string"),
+        tbl,
+        "w1",
+    )
+    sid = int(meta["snapshots"][-1]["snapshot-id"])
+    assert read_iceberg(spark, tbl).count() == 6
+    iceberg_py.cherrypick_iceberg_snapshot(tbl, sid)
+    assert read_iceberg(spark, tbl).count() == 7
+    meta = table_metadata(tbl)
+    assert int(meta["snapshots"][-1]["first-row-id"]) >= 0
+    # position-delete DML still refuses with the DV pointer class
+    with pytest.raises(UnsupportedOperationError, match="v2"):
+        delete_iceberg_where(spark, tbl, "k = 3")
+    with pytest.raises(UnsupportedOperationError, match="v2"):
+        iceberg_py.compact_data_files(spark, tbl)
+    # expire works on v3
+    out = iceberg_py.expire_snapshots(tbl, retain_last=1)
+    assert isinstance(out, dict)
