@@ -29,11 +29,12 @@ _ALL = {**_CORE, **_EXT}
 # Round-11 cap ordering (driver cap = 50 queries/round; stamps are
 # CUMULATIVE across CORRECTNESS_r01..r10). The cap fills by STAMP AGE
 # (judge r7 #1, re-affirmed every round since):
-# 1. never-stamped first: the eight new r11 capabilities — y47
+# 1. never-stamped first: the nine new r11 capabilities — y47
 #    Iceberg v3 deletion vectors, y48 equality-delete changelog, y49
 #    WAP (branch publish + wap.id staged commits), y50 MERGE schema
 #    evolution, y51 metadata tables, y52 v3 row lineage, y53 v3
-#    default values, y54 v3 CDC upsert (v3-legal write gates);
+#    default values, y54 v3 CDC upsert (v3-legal write gates), y55
+#    sort orders;
 # 2. the 3 remaining r5-era stamps (x06/x14/x22 — rows-only by
 #    declaration, still the oldest in the union);
 # 3. the full r6-era q19-q40 band (judge r10 item #1 — the only
@@ -50,6 +51,7 @@ _NEVER_STAMPED = [
     "y52_iceberg_row_lineage",
     "y53_iceberg_default_values",
     "y54_iceberg_v3_cdc_upsert",
+    "y55_iceberg_sort_order",
 ]
 _R5_ERA = [
     "x06_ann_lsh_topk",

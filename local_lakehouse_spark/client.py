@@ -1590,6 +1590,12 @@ class LakehouseClient:
         + r"\s*$",
         re.IGNORECASE,
     )
+    _WRITE_ORDERED_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+WRITE\s+(?:ORDERED\s+BY\s+(.+?)|(UNORDERED))\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _RENAME_COLUMN_RE = re.compile(
         r"^ALTER\s+TABLE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
@@ -2054,6 +2060,31 @@ class LakehouseClient:
             )
             return spark.createDataFrame(
                 [(col, typ)], "column string, type string"
+            )
+        m = self._WRITE_ORDERED_RE.match(stmt)
+        if m:
+            cat, sch, tbl, fields_txt, unordered = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            path = self._iceberg_path(
+                cat, sch, tbl, "WRITE ORDERED BY"
+            )
+            from .sources import iceberg_py
+
+            fields = (
+                []
+                if unordered
+                else [
+                    f.strip()
+                    for f in fields_txt.split(",")
+                    if f.strip()
+                ]
+            )
+            meta = iceberg_py.set_iceberg_sort_order(path, fields)
+            return spark.createDataFrame(
+                [(int(meta.get("default-sort-order-id", 0)),)],
+                "sort_order_id int",
             )
         m = self._RENAME_COLUMN_RE.match(stmt)
         if m:

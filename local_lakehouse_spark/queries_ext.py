@@ -9813,6 +9813,101 @@ def y54(spark, sf):
     )
 
 
+def y55(spark, sf):
+    """ICEBERG SORT ORDERS (round 11 — spec sort-orders /
+    default-sort-order-id / data_file field 140, iceberg-spark's
+    WRITE ORDERED BY): setting a sort order makes subsequent writes
+    GLOBALLY sort (range exchange + local sort, iceberg's
+    write.distribution-mode=range) so files land with near-disjoint
+    bounds on the sort key — the manifest-bounds planner then PRUNES
+    files for range predicates, Delta ZORDER economics paid at write
+    time. CONTRACTS: every committed entry stamps sort_order_id;
+    every file is internally sorted; a half-range predicate prunes
+    at least a third of the files at planning time (asserted via
+    prune_data_files on real manifest bounds); pruned read ==
+    unpruned filter. Oracle: the same range aggregate over orders."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py
+
+    key = hashlib.md5(f"{sf}|ice-sort-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_sort_{key}")
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            base = t(spark, sf, "orders").select(
+                F.col("o_orderkey").cast("long").alias("ok"),
+                F.col("o_orderdate").cast("date").alias("od"),
+                F.col("o_totalprice").cast("double").alias("tp"),
+            )
+            iceberg_py.write_iceberg(
+                spark, base.limit(0), tbl, mode="create"
+            )
+            iceberg_py.set_iceberg_sort_order(tbl, ["od"])
+            iceberg_py.write_iceberg(
+                spark, base.repartition(8), tbl, mode="append"
+            )
+            meta = iceberg_py.table_metadata(tbl)
+            snap = iceberg_py._select_snapshot(meta)
+            data, _p, _e = iceberg_py._snapshot_files(
+                meta, snap, tbl
+            )
+            oid = int(meta["default-sort-order-id"])
+            if not data or any(
+                int(d.get("sort_order_id") or -1) != oid
+                for d in data
+            ):
+                raise AssertionError(
+                    "y55: entries missing the sort_order_id stamp"
+                )
+            schema_obj = iceberg_py._current_schema(meta)
+            import datetime as _dt
+
+            kept = iceberg_py.prune_data_files(
+                data,
+                schema_obj,
+                [("od", ">=", _dt.date(2000, 1, 1))],
+            )
+            if len(data) < 4 or len(kept) > (2 * len(data)) // 3:
+                raise AssertionError(
+                    f"y55: sorted write did not prune: "
+                    f"{len(kept)}/{len(data)} files survive"
+                )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    import datetime as _dt
+
+    df = iceberg_py.read_iceberg(
+        spark, tbl, filters=[("od", ">=", _dt.date(2000, 1, 1))]
+    ).where(F.col("od") >= F.lit("2000-01-01"))
+    return (
+        df.groupBy(F.year("od").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("yr")
+    )
+
+
+Y55_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= DATE '2000-01-01'
+GROUP BY 1 ORDER BY yr
+"""
+
+
 Y54_SQL = """
 WITH final AS (
   SELECT c_nationkey AS nk,
@@ -10421,4 +10516,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y52_iceberg_row_lineage": QuerySpec(y52, Y52_SQL),
     "y53_iceberg_default_values": QuerySpec(y53, Y53_SQL),
     "y54_iceberg_v3_cdc_upsert": QuerySpec(y54, Y54_SQL),
+    "y55_iceberg_sort_order": QuerySpec(y55, Y55_SQL),
 }

@@ -1548,6 +1548,14 @@ _MANIFEST_FILE_SCHEMA = {
     ],
 }
 
+# sort-order stamp (spec data_file field 140; set on data files
+# written under a table sort order)
+_SORT_FIELD_DEF = {
+    "name": "sort_order_id",
+    "type": ["null", "int"],
+    "field-id": 140,
+}
+
 # v3 deletion-vector manifest fields (spec "Data File" struct; only
 # set on content=1 entries whose file_format is PUFFIN)
 _DV_FIELD_DEFS = [
@@ -1566,12 +1574,15 @@ _DV_FIELD_DEFS = [
 
 
 def _data_file_schema(
-    partition_fields: Optional[list] = None, dv_fields: bool = False
+    partition_fields: Optional[list] = None,
+    dv_fields: bool = False,
+    sort_field: bool = False,
 ) -> dict:
     """The manifest entry's data_file record schema; the ``partition``
     record carries one nullable field per partition-spec field (empty
     for unpartitioned tables, as before). ``dv_fields`` appends the
-    v3 deletion-vector columns."""
+    v3 deletion-vector columns; ``sort_field`` the sort_order_id
+    stamp (field 140)."""
     pf = [
         {
             "name": p["name"],
@@ -1582,6 +1593,10 @@ def _data_file_schema(
     ]
     s = json.loads(json.dumps(_DATA_FILE_SCHEMA))  # deep copy
     s["fields"][3]["type"]["fields"] = pf
+    if sort_field:
+        s["fields"] = s["fields"] + [
+            json.loads(json.dumps(_SORT_FIELD_DEF))
+        ]
     if dv_fields:
         s["fields"] = s["fields"] + json.loads(
             json.dumps(_DV_FIELD_DEFS)
@@ -1590,11 +1605,13 @@ def _data_file_schema(
 
 
 def _manifest_entry_schema(
-    partition_fields: Optional[list] = None, dv_fields: bool = False
+    partition_fields: Optional[list] = None,
+    dv_fields: bool = False,
+    sort_field: bool = False,
 ) -> dict:
     s = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
     s["fields"][4]["type"] = _data_file_schema(
-        partition_fields, dv_fields=dv_fields
+        partition_fields, dv_fields=dv_fields, sort_field=sort_field
     )
     return s
 
@@ -1767,6 +1784,9 @@ def _write_manifest(
     dv_fields = any(
         e.get("referenced_data_file") is not None for e in entries
     )
+    sort_field = any(
+        e.get("sort_order_id") is not None for e in entries
+    )
     rows = []
     min_seq = seq
     n_added = n_existing = n_deleted = 0
@@ -1812,6 +1832,8 @@ def _write_manifest(
                 else None
             ),
         )
+        if sort_field:
+            data_file = data_file + (e.get("sort_order_id"),)
         if dv_fields:
             data_file = data_file + (
                 e.get("referenced_data_file"),
@@ -1821,7 +1843,11 @@ def _write_manifest(
         rows.append((status, snapshot_id, eseq, eseq, data_file))
     avro_py.write_container(
         mpath,
-        _manifest_entry_schema(partition_fields, dv_fields=dv_fields),
+        _manifest_entry_schema(
+            partition_fields,
+            dv_fields=dv_fields,
+            sort_field=sort_field,
+        ),
         iter(rows),
     )
     return {
@@ -2806,6 +2832,60 @@ def write_iceberg(
             f"append is missing required (non-null) schema columns "
             f"{missing_req}; committing would read them back as NULL"
         )
+    sort_order = _default_sort_order(meta)
+    if sort_order is not None:
+        from pyspark.sql import functions as F
+
+        oid, sort_cols = sort_order
+        exprs = []
+        # partitioned tables: cluster by partition first so each
+        # output file stays sorted after the layout split
+        for spec in meta.get("partition-specs") or []:
+            if int(spec.get("spec-id", -1)) != int(
+                meta.get("default-spec-id", 0)
+            ):
+                continue
+            by_id = {
+                f["id"]: f["name"] for f in schema_obj["fields"]
+            }
+            for sf_ in spec.get("fields") or []:
+                if sf_.get("transform", "identity") == "identity":
+                    name = by_id.get(int(sf_["source-id"]))
+                    if name and name in df.columns:
+                        exprs.append(F.col(name))
+        for name, direction, null_order in sort_cols:
+            if name not in df.columns:
+                continue
+            c = F.col(name)
+            c = (
+                (
+                    c.asc_nulls_first()
+                    if null_order == "nulls-first"
+                    else c.asc_nulls_last()
+                )
+                if direction == "asc"
+                else (
+                    c.desc_nulls_first()
+                    if null_order == "nulls-first"
+                    else c.desc_nulls_last()
+                )
+            )
+            exprs.append(c)
+        if exprs:
+            # GLOBAL sort (range exchange + local sort — iceberg's
+            # write.distribution-mode=range): files land with
+            # near-DISJOINT bounds on the sort key, which is what
+            # makes the manifest-bounds scan planning prune; a
+            # within-task sort alone would leave every file spanning
+            # the full key range. The shuffle is the price of a
+            # sorted write, paid once at write time. The explicit
+            # range-partition count preserves the caller's write
+            # parallelism (a bare orderBy lets AQE coalesce small
+            # writes into one file, defeating the clustering).
+            n_parts = max(df.rdd.getNumPartitions(), 1)
+            df = df.repartitionByRange(
+                n_parts, *exprs
+            ).sortWithinPartitions(*exprs)
     entries, pf_avro = _stage_data_files(
         spark,
         df,
@@ -2816,6 +2896,11 @@ def write_iceberg(
         mode=mode,
         partition_by=partition_by,
     )
+    if sort_order is not None:
+        # spec field 140: the new files were written under the
+        # default sort order
+        for e in entries:
+            e["sort_order_id"] = sort_order[0]
     snap_id = _new_snapshot_id()
     seq = int(meta.get("last-sequence-number", 0)) + 1
     cur_spec = int(meta.get("default-spec-id", 0))
@@ -5134,6 +5219,11 @@ def _metadata_rows(
                 int(d.get("file_size_in_bytes") or 0),
                 int(d.get("_seq") or 0),
                 [int(i) for i in d.get("equality_ids") or []] or None,
+                (
+                    int(d["sort_order_id"])
+                    if d.get("sort_order_id") is not None
+                    else None
+                ),
             )
             for d in files
         ]
@@ -5141,7 +5231,8 @@ def _metadata_rows(
             "content int, file_path string, file_format string,"
             " partition map<string,string>, spec_id int,"
             " record_count long, file_size_in_bytes long,"
-            " sequence_number long, equality_ids array<int>",
+            " sequence_number long, equality_ids array<int>,"
+            " sort_order_id int",
             rows,
         )
     raise UnsupportedOperationError(
@@ -5379,3 +5470,128 @@ def drop_iceberg_column(path: str, name: str) -> dict:
     meta["schemas"] = list(meta.get("schemas") or []) + [new_schema]
     meta["current-schema-id"] = new_sid
     return _write_metadata_json(path, meta)
+
+
+# ---------------------------------------------------------------------------
+# Sort orders (spec "Sort Orders": sort-orders / default-sort-order-id;
+# data files stamp sort_order_id, field 140)
+# ---------------------------------------------------------------------------
+
+
+def set_iceberg_sort_order(path: str, fields: list) -> dict:
+    """``ALTER TABLE ... WRITE ORDERED BY``: record a table sort
+    order (identity transforms; entries like ``"col"``, ``"col
+    DESC"``, ``"col ASC NULLS FIRST"``) and make it the default.
+    Metadata-only; subsequent write_iceberg create/append calls sort
+    rows WITHIN each task by the order (+ partition columns first on
+    partitioned tables) before staging, and stamp ``sort_order_id``
+    on the new data-file entries. Files land CLUSTERED on the sort
+    key, so the manifest bounds that drive scan planning become
+    near-disjoint — the same economics as Delta OPTIMIZE ZORDER for
+    one-dimensional keys, paid at write time. ``fields=[]`` resets
+    to unsorted (order 0, the spec's reserved id)."""
+    meta = table_metadata(path)
+    schema_obj = _current_schema(meta)
+    by_name = {f["name"]: f for f in schema_obj["fields"]}
+    parsed = []
+    for raw in fields:
+        toks = str(raw).split()
+        col = toks[0]
+        if col not in by_name:
+            raise UnsupportedOperationError(
+                f"sort column {col!r} not in the schema"
+            )
+        direction = "asc"
+        null_order = None
+        rest = [t.upper() for t in toks[1:]]
+        if rest[:1] in (["ASC"], ["DESC"]):
+            direction = rest[0].lower()
+            rest = rest[1:]
+        if rest[:2] == ["NULLS", "FIRST"]:
+            null_order = "nulls-first"
+            rest = rest[2:]
+        elif rest[:2] == ["NULLS", "LAST"]:
+            null_order = "nulls-last"
+            rest = rest[2:]
+        if rest:
+            raise UnsupportedOperationError(
+                f"cannot parse sort field {raw!r}"
+            )
+        if null_order is None:
+            # spec/iceberg-core defaults: ASC -> nulls-first,
+            # DESC -> nulls-last
+            null_order = (
+                "nulls-first" if direction == "asc" else "nulls-last"
+            )
+        parsed.append(
+            {
+                "transform": "identity",
+                "source-id": int(by_name[col]["id"]),
+                "direction": direction,
+                "null-order": null_order,
+            }
+        )
+    meta = dict(meta)
+    orders = list(meta.get("sort-orders") or [])
+    if not any(
+        int(o.get("order-id", -1)) == 0 for o in orders
+    ):
+        orders.append({"order-id": 0, "fields": []})
+    if not parsed:
+        meta["sort-orders"] = orders
+        meta["default-sort-order-id"] = 0
+        return _write_metadata_json(path, meta)
+    existing = next(
+        (
+            o
+            for o in orders
+            if o.get("fields") == parsed and int(o["order-id"]) != 0
+        ),
+        None,
+    )
+    if existing is not None:
+        oid = int(existing["order-id"])
+    else:
+        oid = max(int(o["order-id"]) for o in orders) + 1
+        orders.append({"order-id": oid, "fields": parsed})
+    meta["sort-orders"] = orders
+    meta["default-sort-order-id"] = oid
+    return _write_metadata_json(path, meta)
+
+
+def _default_sort_order(meta: dict):
+    """(order_id, [(column, direction, null_order)]) of the table's
+    default sort order, or None when unsorted/absent; orders whose
+    source ids no longer resolve (dropped columns) are ignored."""
+    oid = int(meta.get("default-sort-order-id", 0) or 0)
+    if oid == 0:
+        return None
+    order = next(
+        (
+            o
+            for o in meta.get("sort-orders") or []
+            if int(o.get("order-id", -1)) == oid
+        ),
+        None,
+    )
+    if order is None:
+        return None
+    by_id = {
+        int(f["id"]): f["name"]
+        for f in _current_schema(meta)["fields"]
+    }
+    cols = []
+    for f in order.get("fields") or []:
+        if f.get("transform", "identity") != "identity":
+            return None  # transform orders: not applied by this writer
+        name = by_id.get(int(f["source-id"]))
+        if name is None:
+            return None
+        cols.append(
+            (
+                name,
+                f.get("direction", "asc"),
+                f.get("null-order", "nulls-first"),
+            )
+        )
+    return (oid, cols) if cols else None

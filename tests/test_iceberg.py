@@ -4192,3 +4192,68 @@ def test_v3_legal_ops_gate(spark, tbl, tmp_path):
     # expire works on v3
     out = iceberg_py.expire_snapshots(tbl, retain_last=1)
     assert isinstance(out, dict)
+
+
+def test_sort_orders(unity, spark, tbl):
+    """Sort orders (spec sort-orders/default-sort-order-id):
+    WRITE ORDERED BY records the order, subsequent writes cluster
+    rows by it (near-disjoint file bounds -> scan planning prunes)
+    and stamp sort_order_id (field 140) on the new entries; WRITE
+    UNORDERED resets to order 0; reusing the same field list reuses
+    the order id."""
+    from pyspark.sql import functions as F
+
+    write_iceberg(
+        spark,
+        spark.range(0).select(F.col("id").alias("k")),
+        tbl,
+        mode="create",
+    )
+    unity.register_as_table("unity", "default", "so", "ICEBERG", tbl)
+    unity.sql(
+        "ALTER TABLE unity.default.so WRITE ORDERED BY k DESC NULLS LAST"
+    )
+    meta = table_metadata(tbl)
+    oid = int(meta["default-sort-order-id"])
+    assert oid == 1
+    assert meta["sort-orders"][-1]["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": 1,
+            "direction": "desc",
+            "null-order": "nulls-last",
+        }
+    ]
+    # sorted write: 4 tasks over shuffled input -> per-file bounds
+    # come out disjoint enough that a point filter prunes files
+    df = (
+        spark.range(4000)
+        .select((F.xxhash64("id") % 1000).alias("k"))
+        .repartition(4)
+    )
+    write_iceberg(spark, df, tbl, mode="append")
+    files = iceberg_py.metadata_table(spark, tbl, "files").collect()
+    assert all(f.sort_order_id == oid for f in files)
+    # every file is internally sorted DESC on k
+    import pyarrow.parquet as pq
+
+    for f in files:
+        ks = pq.read_table(f.file_path, columns=["k"]).column(
+            "k"
+        ).to_pylist()
+        assert ks == sorted(ks, reverse=True)
+    # unknown column refuses; same fields reuse the id; reset works
+    with pytest.raises(UnsupportedOperationError, match="schema"):
+        iceberg_py.set_iceberg_sort_order(tbl, ["nope"])
+    iceberg_py.set_iceberg_sort_order(tbl, ["k DESC NULLS LAST"])
+    assert int(table_metadata(tbl)["default-sort-order-id"]) == oid
+    unity.sql("ALTER TABLE unity.default.so WRITE UNORDERED")
+    assert int(table_metadata(tbl)["default-sort-order-id"]) == 0
+    write_iceberg(
+        spark,
+        spark.range(5).select(F.col("id").alias("k")),
+        tbl,
+        mode="append",
+    )
+    latest = iceberg_py.metadata_table(spark, tbl, "files").collect()
+    assert any(f.sort_order_id is None for f in latest)
