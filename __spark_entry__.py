@@ -29,12 +29,12 @@ _ALL = {**_CORE, **_EXT}
 # Round-11 cap ordering (driver cap = 50 queries/round; stamps are
 # CUMULATIVE across CORRECTNESS_r01..r10). The cap fills by STAMP AGE
 # (judge r7 #1, re-affirmed every round since):
-# 1. never-stamped first: the nine new r11 capabilities — y47
+# 1. never-stamped first: the ten new r11 capabilities — y47
 #    Iceberg v3 deletion vectors, y48 equality-delete changelog, y49
 #    WAP (branch publish + wap.id staged commits), y50 MERGE schema
 #    evolution, y51 metadata tables, y52 v3 row lineage, y53 v3
 #    default values, y54 v3 CDC upsert (v3-legal write gates), y55
-#    sort orders;
+#    sort orders, y56 Delta column defaults;
 # 2. the 3 remaining r5-era stamps (x06/x14/x22 — rows-only by
 #    declaration, still the oldest in the union);
 # 3. the full r6-era q19-q40 band (judge r10 item #1 — the only
@@ -52,6 +52,7 @@ _NEVER_STAMPED = [
     "y53_iceberg_default_values",
     "y54_iceberg_v3_cdc_upsert",
     "y55_iceberg_sort_order",
+    "y56_delta_column_defaults",
 ]
 _R5_ERA = [
     "x06_ann_lsh_topk",

@@ -1590,6 +1590,13 @@ class LakehouseClient:
         + r"\s*$",
         re.IGNORECASE,
     )
+    _COLUMN_DEFAULT_RE = re.compile(
+        r"^ALTER\s+TABLE\s+"
+        + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
+        + r"\s+ALTER\s+COLUMN\s+(\w+)\s+"
+        + r"(?:SET\s+DEFAULT\s+(.+?)|(DROP\s+DEFAULT))\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _WRITE_ORDERED_RE = re.compile(
         r"^ALTER\s+TABLE\s+"
         + rf"{_IDENT}\.{_IDENT}\.{_IDENT}"
@@ -2060,6 +2067,31 @@ class LakehouseClient:
             )
             return spark.createDataFrame(
                 [(col, typ)], "column string, type string"
+            )
+        m = self._COLUMN_DEFAULT_RE.match(stmt)
+        if m:
+            cat, sch, tbl, col, default_sql, dropping = m.groups()
+            cat, sch, tbl = (
+                self._unquote_name(g) for g in (cat, sch, tbl)
+            )
+            table = self.get_table(cat, sch, tbl)
+            if table.file_type != FileType.DELTA or _io.HAVE_DELTA:
+                raise UnsupportedOperationError(
+                    "ALTER COLUMN ... SET/DROP DEFAULT requires a "
+                    "DELTA table (allowColumnDefaults; python log)"
+                )
+            from .sources import delta_py
+
+            loc = _io.strip_file_scheme(table.storage_location or "")
+            if dropping:
+                delta_py.drop_delta_column_default(loc, col)
+            else:
+                delta_py.set_delta_column_default(
+                    loc, col, default_sql.strip()
+                )
+            return spark.createDataFrame(
+                [(col, "DROP" if dropping else "SET")],
+                "column string, op string",
             )
         m = self._WRITE_ORDERED_RE.match(stmt)
         if m:

@@ -9897,6 +9897,112 @@ def y55(spark, sf):
     )
 
 
+def y56(spark, sf):
+    """DELTA COLUMN DEFAULTS (round 11 — the protocol's
+    allowColumnDefaults writer feature, delta-spark's ALTER COLUMN
+    SET DEFAULT; the Delta-side mirror of y53's Iceberg defaults):
+    SET DEFAULT declares the feature (writer version 7) and records
+    CURRENT_DEFAULT in the field metadata; writes that OMIT the
+    column fill it at write time; EXISTING rows are untouched (the
+    protocol has no read-time initial-default — the asymmetry vs
+    Iceberg v3 is the spec's, asserted); explicit values and NULLs
+    always win. CONTRACTS: feature flag + metadata present,
+    pre-default rows unchanged, filled/explicit/NULL segments exact.
+    Oracle: the three segments replayed relationally."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import delta_py
+
+    key = hashlib.md5(f"{sf}|delta-dflt-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_delta_dflt_{key}")
+    base = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("sk"),
+        F.col("s_nationkey").cast("long").alias("nk"),
+    )
+    if not os.path.exists(os.path.join(tbl, "_delta_log")):
+        try:
+            delta_py.write_delta(
+                spark,
+                base.where("sk % 3 = 0").select(
+                    "sk", "nk", F.lit("orig").alias("tier")
+                ),
+                tbl,
+                mode="overwrite",
+            )
+            delta_py.set_delta_column_default(
+                tbl, "tier", "'standard'"
+            )
+            snap = delta_py.DeltaLog(tbl).snapshot()
+            if "allowColumnDefaults" not in (
+                snap.protocol.get("writerFeatures") or []
+            ):
+                raise AssertionError(
+                    "y56: allowColumnDefaults not declared"
+                )
+            delta_py.write_delta(
+                spark,
+                base.where("sk % 3 = 1"),
+                tbl,
+                mode="append",
+            )
+            delta_py.write_delta(
+                spark,
+                base.where("sk % 3 = 2").select(
+                    "sk",
+                    "nk",
+                    F.when(F.col("sk") % 2 == 0, F.lit("gold"))
+                    .otherwise(F.lit(None).cast("string"))
+                    .alias("tier"),
+                ),
+                tbl,
+                mode="append",
+            )
+            # write-time-only semantics: the pre-default rows keep
+            # their written values, never re-filled
+            n_orig = (
+                delta_py.read_delta(spark, tbl)
+                .where("sk % 3 = 0 AND tier != 'orig'")
+                .count()
+            )
+            if n_orig:
+                raise AssertionError(
+                    "y56: defaults must not rewrite existing rows"
+                )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    df = delta_py.read_delta(spark, tbl)
+    return (
+        df.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sk").cast("bigint").alias("sk_sum"),
+        )
+        .orderBy(F.col("tier").asc_nulls_first())
+    )
+
+
+Y56_SQL = """
+WITH rows_ AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS sk, 'orig' AS tier
+  FROM supplier WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT CAST(s_suppkey AS BIGINT), 'standard'
+  FROM supplier WHERE s_suppkey % 3 = 1
+  UNION ALL
+  SELECT CAST(s_suppkey AS BIGINT),
+         CASE WHEN s_suppkey % 2 = 0 THEN 'gold' END
+  FROM supplier WHERE s_suppkey % 3 = 2
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(sk) AS BIGINT) AS sk_sum
+FROM rows_ GROUP BY tier ORDER BY tier NULLS FIRST
+"""
+
+
 Y55_SQL = """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -10517,4 +10623,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y53_iceberg_default_values": QuerySpec(y53, Y53_SQL),
     "y54_iceberg_v3_cdc_upsert": QuerySpec(y54, Y54_SQL),
     "y55_iceberg_sort_order": QuerySpec(y55, Y55_SQL),
+    "y56_delta_column_defaults": QuerySpec(y56, Y56_SQL),
 }

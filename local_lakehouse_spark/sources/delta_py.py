@@ -141,6 +141,9 @@ SUPPORTED_WRITER_FEATURES = {
     "timestampNtz",
     "typeWidening",
     "typeWidening-preview",
+    # CURRENT_DEFAULT fills honored at every write entry point
+    # (_apply_column_defaults in write_delta)
+    "allowColumnDefaults",
 }
 
 
@@ -1976,6 +1979,10 @@ def write_delta(
         )
     if snap is not None:
         partition_by = snap.partition_columns  # layout is table-owned
+        # allowColumnDefaults: fill omitted columns from their
+        # CURRENT_DEFAULT before the replaceWhere union and every
+        # schema check (write-time semantics per the protocol)
+        df = _apply_column_defaults(df, snap.schema)
         if replace_where is not None:
             # Rewrite = rows NOT matching the predicate + new rows.
             # File-granular removal (keep untouched files) would need
@@ -4440,3 +4447,125 @@ def evolve_delta_schema(
     ]
     _commit_dml(log, snap, actions)
     return True
+
+
+# ---------------------------------------------------------------------------
+# Column DEFAULT values (writer feature allowColumnDefaults)
+# ---------------------------------------------------------------------------
+
+
+def set_delta_column_default(
+    path: str, column: str, default_sql: str
+) -> "Snapshot":
+    """delta-spark's ``ALTER TABLE ... ALTER COLUMN c SET DEFAULT
+    <expr>``: record ``CURRENT_DEFAULT`` in the field metadata and
+    declare the ``allowColumnDefaults`` writer feature (writer
+    version 7). WRITE-time semantics only, per the Delta protocol:
+    later writes that omit the column fill it with the expression;
+    existing rows and reads are untouched (no Iceberg-style
+    initial-default — that asymmetry is the protocol's, not ours).
+    Generated columns refuse (delta-spark: the two are exclusive)."""
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
+    fields = []
+    found = False
+    for f in snap.schema.fields:
+        if f.name == column:
+            found = True
+            md = dict(f.metadata or {})
+            if "delta.generationExpression" in md:
+                raise UnsupportedOperationError(
+                    f"column {column!r} is a generated column — "
+                    "defaults and generation expressions are exclusive"
+                )
+            md["CURRENT_DEFAULT"] = str(default_sql)
+            f = T.StructField(f.name, f.dataType, f.nullable, md)
+        fields.append(f)
+    if not found:
+        raise UnsupportedOperationError(
+            f"column {column!r} not found"
+        )
+    actions: list[dict] = []
+    proto = dict(snap.protocol or PROTOCOL)
+    wf = set(proto.get("writerFeatures") or [])
+    if "allowColumnDefaults" not in wf:
+        proto.update(
+            {
+                "minReaderVersion": max(
+                    int(proto.get("minReaderVersion", 1)), 1
+                ),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    wf | {"allowColumnDefaults"}
+                ),
+            }
+        )
+        if proto.get("readerFeatures") is not None or int(
+            proto["minReaderVersion"]
+        ) >= 3:
+            proto["readerFeatures"] = sorted(
+                set(proto.get("readerFeatures") or [])
+            )
+        actions.append({"protocol": proto})
+    actions.append(
+        _meta_action(
+            T.StructType(fields),
+            snap.partition_columns,
+            snap.metadata.get("id", str(uuid.uuid4())),
+            snap.configuration,
+        )
+    )
+    log.commit(snap.version + 1, actions, config=snap.configuration)
+    return log.snapshot(allow=BATCH_READ_FEATURES)
+
+
+def drop_delta_column_default(path: str, column: str) -> "Snapshot":
+    """``ALTER COLUMN c DROP DEFAULT`` — metadata-only; the feature
+    flag stays (features are never retired from a protocol)."""
+    log = DeltaLog(path)
+    snap = log.snapshot(allow=BATCH_READ_FEATURES)
+    _check_writer_support(snap, path)
+    fields = []
+    found = False
+    for f in snap.schema.fields:
+        if f.name == column:
+            found = True
+            md = dict(f.metadata or {})
+            md.pop("CURRENT_DEFAULT", None)
+            f = T.StructField(f.name, f.dataType, f.nullable, md)
+        fields.append(f)
+    if not found:
+        raise UnsupportedOperationError(
+            f"column {column!r} not found"
+        )
+    log.commit(
+        snap.version + 1,
+        [
+            _meta_action(
+                T.StructType(fields),
+                snap.partition_columns,
+                snap.metadata.get("id", str(uuid.uuid4())),
+                snap.configuration,
+            )
+        ],
+        config=snap.configuration,
+    )
+    return log.snapshot(allow=BATCH_READ_FEATURES)
+
+
+def _apply_column_defaults(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Fill columns the frame omits with their ``CURRENT_DEFAULT``
+    (allowColumnDefaults write semantics) — BEFORE schema checks and
+    replaceWhere unions, so filled frames compose like full ones."""
+    from pyspark.sql import functions as F
+
+    present = {f.name for f in df.schema.fields}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "CURRENT_DEFAULT" in md and f.name not in present:
+            df = df.withColumn(
+                f.name,
+                F.expr(md["CURRENT_DEFAULT"]).cast(f.dataType),
+            )
+    return df

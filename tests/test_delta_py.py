@@ -2447,3 +2447,111 @@ def test_cdf_refuses_expired_starting_version(spark, tbl):
     # starting at the earliest surviving commit still reads fine
     out = read_change_feed(spark, tbl, starting_version=surviving[0])
     assert out.count() >= 1
+
+
+def test_column_defaults(unity, spark, tmp_path):
+    """allowColumnDefaults: SET DEFAULT declares the writer feature
+    and records CURRENT_DEFAULT; writes omitting the column fill it
+    (write-time only — existing rows keep NULL); explicit values and
+    NULLs win; DROP DEFAULT stops filling; generated columns refuse;
+    foreign tables demanding the feature are now writable."""
+    from pyspark.sql import types as T
+
+    from local_lakehouse_spark.sources import delta_py
+
+    loc = str(tmp_path / "dflt")
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame([(1, None), (2, "b")], "k long, v string"),
+        loc,
+        mode="overwrite",
+    )
+    delta_py.set_delta_column_default(loc, "v", "'fallback'")
+    snap = delta_py.DeltaLog(loc).snapshot()
+    proto = snap.protocol
+    assert "allowColumnDefaults" in (proto.get("writerFeatures") or [])
+    f = [x for x in snap.schema.fields if x.name == "v"][0]
+    assert f.metadata["CURRENT_DEFAULT"] == "'fallback'"
+    # existing rows untouched (write-time semantics)
+    got = dict(
+        (r.k, r.v) for r in delta_py.read_delta(spark, loc).collect()
+    )
+    assert got == {1: None, 2: "b"}
+    # omitted column -> default; explicit value/NULL -> kept
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame([(3,)], "k long"),
+        loc,
+        mode="append",
+    )
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame([(4, "x"), (5, None)], "k long, v string"),
+        loc,
+        mode="append",
+    )
+    got = dict(
+        (r.k, r.v) for r in delta_py.read_delta(spark, loc).collect()
+    )
+    assert got == {1: None, 2: "b", 3: "fallback", 4: "x", 5: None}
+    # replaceWhere with an omitted column composes
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame([(6,)], "k long"),
+        loc,
+        mode="overwrite",
+        replace_where="k = 1",
+    )
+    got = dict(
+        (r.k, r.v) for r in delta_py.read_delta(spark, loc).collect()
+    )
+    assert got[6] == "fallback" and 1 not in got and got[2] == "b"
+    # DROP DEFAULT: later omitting writes go back to NULL
+    delta_py.drop_delta_column_default(loc, "v")
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame([(7,)], "k long"),
+        loc,
+        mode="append",
+    )
+    got = dict(
+        (r.k, r.v) for r in delta_py.read_delta(spark, loc).collect()
+    )
+    assert got[7] is None
+    # SQL twins over the client
+    unity.register_as_table("unity", "default", "cdflt", "DELTA", loc)
+    unity.sql(
+        "ALTER TABLE unity.default.cdflt "
+        "ALTER COLUMN v SET DEFAULT 'sqld'"
+    )
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame([(8,)], "k long"),
+        loc,
+        mode="append",
+    )
+    assert dict(
+        (r.k, r.v) for r in delta_py.read_delta(spark, loc).collect()
+    )[8] == "sqld"
+    unity.sql(
+        "ALTER TABLE unity.default.cdflt ALTER COLUMN v DROP DEFAULT"
+    )
+    f = [
+        x
+        for x in delta_py.DeltaLog(loc).snapshot().schema.fields
+        if x.name == "v"
+    ][0]
+    assert "CURRENT_DEFAULT" not in (f.metadata or {})
+    # generated columns are exclusive with defaults
+    gloc = str(tmp_path / "gen")
+    delta_py.write_delta(
+        spark,
+        spark.createDataFrame([(1,)], "k long"),
+        gloc,
+        mode="overwrite",
+        generated={"k2": "k * 2"},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="generated"):
+        delta_py.set_delta_column_default(gloc, "k2", "0")
