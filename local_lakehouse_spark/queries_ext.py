@@ -9189,6 +9189,55 @@ def y47(spark, sf):
             iceberg_py.upgrade_iceberg_to_v3(tbl)
             iceberg_py.dv_delete_iceberg_where(spark, tbl, "k % 10 = 0")
             iceberg_py.dv_delete_iceberg_where(spark, tbl, "k % 7 = 0")
+            # staging-time contracts in ONE Spark job (probe-batching,
+            # the y43 pattern): changelog victims == the rows the two
+            # predicates killed, pre-delete time travel == the extract
+            pyiceberg_source.register(spark)
+            meta0 = iceberg_py.table_metadata(tbl)
+            tagged = [
+                (
+                    "chg",
+                    spark.read.format("pyiceberg")
+                    .option("changelog", "true")
+                    .load(tbl)
+                    .filter("_change_type = 'delete'"),
+                ),
+                (
+                    "want",
+                    base.filter(
+                        (F.col("k") % 10 == 0) | (F.col("k") % 7 == 0)
+                    ),
+                ),
+                (
+                    "tt",
+                    iceberg_py.read_iceberg(
+                        spark,
+                        tbl,
+                        snapshot_id=meta0["snapshots"][0][
+                            "snapshot-id"
+                        ],
+                    ),
+                ),
+                ("base", base),
+            ]
+            probe = tagged[0][1].select(F.lit("chg").alias("src"))
+            for name, d in tagged[1:]:
+                probe = probe.unionByName(
+                    d.select(F.lit(name).alias("src"))
+                )
+            counts = {
+                r.src: r["count"]
+                for r in probe.groupBy("src").count().collect()
+            }
+            if counts.get("chg", 0) != counts.get("want", -1):
+                raise AssertionError(
+                    f"y47: changelog victims {counts.get('chg')} != "
+                    f"{counts.get('want')}"
+                )
+            if counts.get("tt") != counts.get("base"):
+                raise AssertionError(
+                    "y47: pre-delete time travel wrong"
+                )
         except BaseException:
             shutil.rmtree(tbl, ignore_errors=True)
             raise
@@ -9213,33 +9262,24 @@ def y47(spark, sf):
             raise AssertionError("y47: Puffin footer/manifest mismatch")
     df = iceberg_py.read_iceberg(spark, tbl)
     pyiceberg_source.register(spark)
-    n_ds = spark.read.format("pyiceberg").load(tbl).count()
-    n_jvm = df.count()
-    if n_ds != n_jvm:
-        raise AssertionError(
-            f"y47: read paths disagree: jvm={n_jvm} ds={n_ds}"
+    # per-run contract: both read paths agree, ONE Spark job
+    counts = {
+        r.src: r["count"]
+        for r in df.select(F.lit("jvm").alias("src"))
+        .unionByName(
+            spark.read.format("pyiceberg")
+            .load(tbl)
+            .select(F.lit("ds").alias("src"))
         )
-    # changelog reconstructs victims from DV diffs: delete count =
-    # rows the two predicates killed, exactly once each
-    n_victims = (
-        spark.read.format("pyiceberg")
-        .option("changelog", "true")
-        .load(tbl)
-        .filter("_change_type = 'delete'")
+        .groupBy("src")
         .count()
-    )
-    expect_victims = base.filter(
-        (F.col("k") % 10 == 0) | (F.col("k") % 7 == 0)
-    ).count()
-    if n_victims != expect_victims:
+        .collect()
+    }
+    if counts.get("jvm") != counts.get("ds"):
         raise AssertionError(
-            f"y47: changelog victims {n_victims} != {expect_victims}"
+            f"y47: read paths disagree: jvm={counts.get('jvm')} "
+            f"ds={counts.get('ds')}"
         )
-    snaps = meta["snapshots"]
-    if iceberg_py.read_iceberg(
-        spark, tbl, snapshot_id=snaps[0]["snapshot-id"]
-    ).count() != base.count():
-        raise AssertionError("y47: pre-delete time travel wrong")
     return (
         df.groupBy("nation")
         .agg(
