@@ -134,9 +134,48 @@ def release_persisted(spark) -> None:
         pass  # cleanup is best-effort; never fail the bench over it
 
 
+def wait_for_idle_start(
+    threshold: float = 8.0,
+    timeout_s: float = 600.0,
+    poll_s: float = 15.0,
+) -> list[float]:
+    """Start gate (judge r11 #2): BENCH_r11 was recorded with 1-min
+    loadavg 14.35 on a 32-cpu box — another workload was draining —
+    and read 23.24 s where the same HEAD measured 19.04/16.99 s idle.
+    The 5-pass median smooths within-run noise but cannot fix a
+    polluted machine, so before pass 1 we sleep-poll until the 1-min
+    loadavg drops under ``threshold`` (default 8 on 32 cpus) or the
+    ``timeout_s`` budget runs out (never block the driver forever —
+    a timed-out run proceeds and stays self-labeling via the
+    recorded loadavg.start). Override with SPARK_GRAFT_LOAD_GATE=0
+    to skip, or set a different threshold."""
+    gate = os.environ.get("SPARK_GRAFT_LOAD_GATE", "")
+    if gate != "":
+        try:
+            threshold = float(gate)
+        except ValueError:
+            threshold = 8.0
+    if threshold <= 0:
+        return [round(x, 2) for x in os.getloadavg()]
+    waited = 0.0
+    load = os.getloadavg()
+    while load[0] > threshold and waited < timeout_s:
+        print(
+            f"# bench start-gate: 1-min loadavg {load[0]:.2f} > "
+            f"{threshold:g}, sleeping {poll_s:g}s "
+            f"({waited:.0f}/{timeout_s:.0f}s waited)",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+        waited += poll_s
+        load = os.getloadavg()
+    return [round(x, 2) for x in load]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    gate_load = wait_for_idle_start()
     try:
         sf_num = float(sf)
     except ValueError:
@@ -277,6 +316,7 @@ def main() -> int:
         "pass_totals": pass_totals,
         "headline_passes": n_headline_passes,
         "loadavg": {
+            "gate": gate_load,
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in os.getloadavg()],
         },
