@@ -10025,6 +10025,195 @@ def y56(spark, sf):
     )
 
 
+def y57(spark, sf):
+    """ICEBERG V3 LINEAGE-PRESERVING COMPACTION (round 12 — the last
+    v3 write gate; iceberg-spark's rewrite_data_files on a v3
+    table): the bin-pack rewrite MATERIALIZES survivors' ``_row_id``
+    / ``_last_updated_sequence_number`` into the new parquet under
+    the spec's reserved field ids (2147483540/2147483539), so
+    compaction never renumbers rows — the same preserve-on-rewrite
+    trick delta_py's row-tracked OPTIMIZE uses (y30). The read rule
+    is per-row: a non-null materialized value WINS, a null inherits
+    first_row_id + position — which is how pre-upgrade (unknown
+    lineage) rows take fresh ids at the rewrite. CONTRACTS asserted
+    at staging: known-lineage survivors keep (nk, row_id, last_seq)
+    BIT-IDENTICAL across the compaction; the rewrite collapses to
+    ONE data file with zero delete entries; a POST-compaction DV
+    delete on the materialized file leaves survivor ids untouched;
+    both read paths (JVM scan + Arrow DataSource) agree row-for-row.
+    Oracle: ids reconstructed relationally — appends are single
+    sorted files (row_id = batch base + ROW_NUMBER-1) and the
+    pre-upgrade band's fresh ids follow the sort_by compaction's
+    file order (base 2N + survivors-before-it) while its last_seq
+    stays the ORIGINAL file's sequence — the rewrite materializes
+    the inherited value, and the row content was never updated.
+    100 TB: lineage
+    rides IN the rewritten files (zero extra shuffle — the columns
+    travel with the rows being rewritten anyway), and reads pay one
+    cached driver-side footer probe per file to detect
+    materialization, the same budget as v3 default values."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    key = hashlib.md5(f"{sf}|ice-compact-lin-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_cl_{key}")
+    base = t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"),
+        F.col("n_regionkey").cast("long").alias("rk"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            # pre-upgrade band (nk+500): lineage unknown -> NULL ids
+            iceberg_py.write_iceberg(
+                spark,
+                base.select(
+                    (F.col("nk") + 500).alias("nk"), F.col("rk")
+                )
+                .coalesce(1)
+                .sortWithinPartitions("nk"),
+                tbl,
+                mode="create",
+            )
+            iceberg_py.upgrade_iceberg_to_v3(tbl)
+            for shift in (0, 100):  # ids 0..N-1 then N..2N-1
+                iceberg_py.write_iceberg(
+                    spark,
+                    base.select(
+                        (F.col("nk") + shift).alias("nk"),
+                        F.col("rk"),
+                    )
+                    .coalesce(1)
+                    .sortWithinPartitions("nk"),
+                    tbl,
+                    mode="append",
+                )
+            iceberg_py.dv_delete_iceberg_where(
+                spark, tbl, "nk % 5 = 0"
+            )
+            known = {
+                (r.nk, r._row_id, r._last_updated_sequence_number)
+                for r in iceberg_py.read_iceberg(
+                    spark, tbl, row_lineage=True
+                ).collect()
+                if r._row_id is not None
+            }
+            iceberg_py.compact_data_files(
+                spark, tbl, target_num_files=1, sort_by=["nk"]
+            )
+            meta = iceberg_py.table_metadata(tbl)
+            snap = iceberg_py._select_snapshot(meta)
+            d, p, e = iceberg_py._snapshot_files(meta, snap, tbl)
+            if len(d) != 1 or p or e:
+                raise AssertionError(
+                    f"y57: compaction left {len(d)} data files, "
+                    f"{len(p)} pos/DV and {len(e)} eq delete entries"
+                )
+            mid = iceberg_py.read_iceberg(
+                spark, tbl, row_lineage=True
+            ).collect()
+            mid_known = {
+                (r.nk, r._row_id, r._last_updated_sequence_number)
+                for r in mid
+                if (r.nk, r._row_id, r._last_updated_sequence_number)
+                in known
+            }
+            if mid_known != known:
+                raise AssertionError(
+                    "y57: compaction renumbered known-lineage rows"
+                )
+            if any(r._row_id is None for r in mid):
+                raise AssertionError(
+                    "y57: rewrite left unknown-lineage rows unassigned"
+                )
+            # DV delete ON the materialized file: ids still stable
+            iceberg_py.dv_delete_iceberg_where(
+                spark, tbl, "nk % 7 = 1"
+            )
+            after = {
+                (r.nk, r._row_id)
+                for r in iceberg_py.read_iceberg(
+                    spark, tbl, row_lineage=True
+                ).collect()
+            }
+            want = {
+                (r.nk, r._row_id) for r in mid if r.nk % 7 != 1
+            }
+            if after != want:
+                raise AssertionError(
+                    "y57: post-compaction DV delete moved row ids"
+                )
+            jvm = iceberg_py.read_iceberg(
+                spark, tbl, row_lineage=True
+            )
+            ds = (
+                spark.read.format("pyiceberg")
+                .option("rowLineage", "true")
+                .load(tbl)
+            )
+            if (
+                jvm.exceptAll(ds).count() != 0
+                or ds.exceptAll(jvm).count() != 0
+            ):
+                raise AssertionError(
+                    "y57: read paths disagree after compaction"
+                )
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    df = iceberg_py.read_iceberg(spark, tbl, row_lineage=True)
+    return df.select(
+        "nk",
+        "rk",
+        F.col("_row_id").alias("row_id"),
+        F.col("_last_updated_sequence_number").alias("last_seq"),
+    ).orderBy("nk")
+
+
+Y57_SQL = """
+WITH a AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+         CAST(n_regionkey AS BIGINT) AS rk,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1
+              AS BIGINT) AS row_id,
+         CAST(2 AS BIGINT) AS last_seq
+  FROM nation
+), b AS (
+  SELECT CAST(n_nationkey + 100 AS BIGINT) AS nk,
+         CAST(n_regionkey AS BIGINT) AS rk,
+         CAST((SELECT COUNT(*) FROM nation)
+              + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1
+              AS BIGINT) AS row_id,
+         CAST(3 AS BIGINT) AS last_seq
+  FROM nation
+), pre_surv AS (
+  SELECT CAST(n_nationkey + 500 AS BIGINT) AS nk,
+         CAST(n_regionkey AS BIGINT) AS rk
+  FROM nation WHERE (n_nationkey + 500) % 5 <> 0
+), pre AS (
+  SELECT nk, rk,
+         CAST(2 * (SELECT COUNT(*) FROM nation)
+              + (SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey % 5 <> 0)
+              + (SELECT COUNT(*) FROM nation
+                 WHERE (n_nationkey + 100) % 5 <> 0)
+              + ROW_NUMBER() OVER (ORDER BY nk) - 1
+              AS BIGINT) AS row_id,
+         CAST(1 AS BIGINT) AS last_seq
+  FROM pre_surv
+)
+SELECT * FROM (
+  SELECT * FROM a WHERE nk % 5 <> 0 AND nk % 7 <> 1
+  UNION ALL SELECT * FROM b WHERE nk % 5 <> 0 AND nk % 7 <> 1
+  UNION ALL SELECT * FROM pre WHERE nk % 7 <> 1
+) ORDER BY nk
+"""
+
+
 Y56_SQL = """
 WITH rows_ AS (
   SELECT CAST(s_suppkey AS BIGINT) AS sk, 'orig' AS tier
@@ -10664,4 +10853,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y54_iceberg_v3_cdc_upsert": QuerySpec(y54, Y54_SQL),
     "y55_iceberg_sort_order": QuerySpec(y55, Y55_SQL),
     "y56_delta_column_defaults": QuerySpec(y56, Y56_SQL),
+    "y57_iceberg_lineage_compaction": QuerySpec(y57, Y57_SQL),
 }

@@ -98,6 +98,21 @@ from . import avro_py
 # the anti-join shuffles
 _DELETE_BROADCAST_MAX_ROWS = 2_000_000
 
+# v3 row-lineage metadata columns, materialized into REWRITTEN data
+# files under the spec's reserved field ids (Schemas / Reserved Field
+# IDs: _row_id = 2147483540, _last_updated_sequence_number =
+# 2147483539). The read rule is per-row: a non-null materialized
+# value WINS; a null (or a file without the columns) falls back to
+# manifest inheritance first_row_id + position — which is exactly
+# what lets a compaction rewrite preserve surviving rows' identities
+# while fresh appends keep the cheap metadata-only assignment.
+_ROW_ID_FIELD_ID = 2147483540
+_LAST_UPDATED_SEQ_FIELD_ID = 2147483539
+_ROW_LINEAGE_COLS = (
+    ("_row_id", _ROW_ID_FIELD_ID),
+    ("_last_updated_sequence_number", _LAST_UPDATED_SEQ_FIELD_ID),
+)
+
 
 # ---------------------------------------------------------------------------
 # Table metadata (JSON)
@@ -597,12 +612,12 @@ def _require_v2(
 ) -> None:
     """Write-path format gate. The default (v2 only) guards ops
     whose constructs v3 FORBIDS (parquet position deletes:
-    delete/update_iceberg_where — v3 rows delete via DVs) or whose
-    v3 semantics we refuse to silently break (compact_data_files
-    would renumber row lineage). Ops legal on both versions pass
-    ``allowed=(2, 3)``: metadata-only commits, appends/overwrites
-    (replaced rows are NEW rows — fresh row ids are the replace
-    semantics), equality deletes (still a v3 construct), WAP.
+    delete/update_iceberg_where — v3 rows delete via DVs). Ops
+    legal on both versions pass ``allowed=(2, 3)``: metadata-only
+    commits, appends/overwrites (replaced rows are NEW rows — fresh
+    row ids are the replace semantics), equality deletes (still a
+    v3 construct), WAP, and compact_data_files (which on v3
+    preserves row lineage by materializing the reserved columns).
     READS stay version-tolerant (v1 reads fine; v4+ refuses in
     read_iceberg)."""
     fmt = int(meta.get("format-version", 1))
@@ -837,14 +852,68 @@ def read_iceberg(
             "Iceberg read over data files with colliding basenames "
             "and delete files"
         )
-    scan = _build_scan(
-        spark,
-        paths,
-        schema,
-        meta,
-        bool(needs_identity),
-        full_path_identity=collide,
-    )
+    # materialized lineage (v3 compaction rewrites): files whose
+    # footers carry the reserved _row_id field id read the lineage
+    # COLUMNS; everything else null-fills and inherits. The probe is
+    # driver-side, cached per immutable file (same budget as the
+    # default-values footer probe), and only paid on lineage reads.
+    mat_paths: list = []
+    if row_lineage:
+        mat_paths = [
+            p
+            for p in paths
+            if _ROW_ID_FIELD_ID in _footer_field_ids(p)
+        ]
+    if mat_paths:
+        lineage_fields = [
+            T.StructField(
+                n,
+                T.LongType(),
+                True,
+                metadata={"parquet.field.id": fid},
+            )
+            for n, fid in _ROW_LINEAGE_COLS
+        ]
+        mat_set = set(mat_paths)
+        rest = [p for p in paths if p not in mat_set]
+        scan = _build_scan(
+            spark,
+            mat_paths,
+            T.StructType(list(schema.fields) + lineage_fields),
+            meta,
+            True,
+            full_path_identity=collide,
+        ).withColumnsRenamed(
+            {
+                "_row_id": "__mrid",
+                "_last_updated_sequence_number": "__mlus",
+            }
+        )
+        if rest:
+            scan = scan.unionByName(
+                _build_scan(
+                    spark,
+                    rest,
+                    schema,
+                    meta,
+                    True,
+                    full_path_identity=collide,
+                ).withColumns(
+                    {
+                        "__mrid": F.lit(None).cast("long"),
+                        "__mlus": F.lit(None).cast("long"),
+                    }
+                )
+            )
+    else:
+        scan = _build_scan(
+            spark,
+            paths,
+            schema,
+            meta,
+            bool(needs_identity),
+            full_path_identity=collide,
+        )
     scan = _inject_identity_partitions(
         spark, scan, schema, data_files, path, full_path=collide
     )
@@ -900,15 +969,27 @@ def read_iceberg(
             ],
             "__fn string, __frid long, __lus long",
         )
+        inherited_rid = F.col("__frid") + F.col("__ri")
         scan = (
             scan.join(F.broadcast(lin), "__fn", "left")
             .withColumns(
                 {
-                    "_row_id": F.col("__frid") + F.col("__ri"),
-                    "_last_updated_sequence_number": F.col("__lus"),
+                    # spec read rule: materialized value wins per ROW
+                    # (a null in a materialized column still inherits
+                    # — how unknown-lineage rows gain ids on rewrite)
+                    "_row_id": (
+                        F.coalesce(F.col("__mrid"), inherited_rid)
+                        if mat_paths
+                        else inherited_rid
+                    ),
+                    "_last_updated_sequence_number": (
+                        F.coalesce(F.col("__mlus"), F.col("__lus"))
+                        if mat_paths
+                        else F.col("__lus")
+                    ),
                 }
             )
-            .drop("__frid", "__lus")
+            .drop("__frid", "__lus", "__mrid", "__mlus")
         )
     if not pos_deletes and not eq_deletes and not dv_deletes:
         return scan.drop("__fn", "__ri") if needs_identity else scan
@@ -3115,6 +3196,16 @@ def compact_data_files(
     writer-fresh ones; empty records would silently exempt them.
     Returns the committed metadata.
 
+    On a FORMAT-VERSION 3 table the rewrite preserves ROW LINEAGE:
+    survivors' ``_row_id`` / ``_last_updated_sequence_number`` are
+    read through the lineage-aware scan and MATERIALIZED into the
+    rewritten parquet under the spec's reserved field ids, so
+    compaction never renumbers rows (the spec's rewrite obligation;
+    iceberg-spark does the same). Rows from pre-upgrade files
+    (unknown lineage) materialize NULL and take fresh inherited ids
+    from the commit's first_row_id — the spec's null rule. v3
+    deletion vectors absorb exactly like position deletes.
+
     ``sort_by`` (iceberg-spark's ``rewrite_data_files(strategy =>
     'sort')`` / WRITE ORDERED BY — the OPTIMIZE-ZORDER analog): the
     rewrite range-partitions + sorts on the named columns, giving
@@ -3126,7 +3217,8 @@ def compact_data_files(
     from pyspark.sql import functions as F
 
     meta = table_metadata(path)
-    _require_v2(meta, "compact_data_files")
+    _require_v2(meta, "compact_data_files", allowed=(2, 3))
+    fmt3 = int(meta.get("format-version", 1)) >= 3
     snap = _select_snapshot(meta)
     data_files, pos_deletes, eq_deletes = _snapshot_files(
         meta, snap, path
@@ -3135,7 +3227,20 @@ def compact_data_files(
         return meta
     schema_obj = _current_schema(meta)
     ids = {f["name"]: f["id"] for f in schema_obj["fields"]}
-    live = read_iceberg(spark, path)
+    if fmt3:
+        # v3 lineage-preserving rewrite (spec: Row Lineage /
+        # "writers rewriting rows must preserve _row_id and
+        # _last_updated_sequence_number by materializing them as
+        # file columns under the reserved field ids"): survivors
+        # carry their ORIGINAL ids into the rewritten parquet, so a
+        # compaction never renumbers rows — the same trick
+        # delta_py's row-tracked OPTIMIZE uses (y30). Rows whose
+        # lineage is unknown (pre-upgrade files) materialize NULL
+        # and take fresh inherited ids, the spec's null rule.
+        ids.update(dict(_ROW_LINEAGE_COLS))
+        live = read_iceberg(spark, path, row_lineage=True)
+    else:
+        live = read_iceberg(spark, path)
     if sort_by:
         schema_names = {f["name"] for f in schema_obj["fields"]}
         bad = [c for c in sort_by if c not in schema_names]
@@ -3163,11 +3268,11 @@ def compact_data_files(
     else:
         stamped = shaped.select(
             *[
-                F.col(f["name"]).alias(
-                    f["name"],
-                    metadata={"parquet.field.id": ids[f["name"]]},
+                F.col(f.name).alias(
+                    f.name,
+                    metadata={"parquet.field.id": ids[f.name]},
                 )
-                for f in schema_obj["fields"]
+                for f in shaped.schema.fields
             ]
         )
         tmp = path + f".__ice_rw_{uuid.uuid4().hex}"

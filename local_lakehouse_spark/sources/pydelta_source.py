@@ -241,21 +241,42 @@ def _read_file_as_batches(
     )
     if lineage is not None:
         import numpy as np
+        import pyarrow.compute as pc
 
         first, lseq = lineage
-        table = table.append_column(
-            "_row_id",
+        inh_rid = (
             pa.array(
                 np.arange(table.num_rows, dtype="int64") + int(first)
             )
             if first is not None
-            else pa.nulls(table.num_rows, pa.int64()),
+            else pa.nulls(table.num_rows, pa.int64())
         )
+        inh_lus = pa.array(
+            np.full(table.num_rows, int(lseq), dtype="int64")
+        )
+        # materialized lineage (a v3 compaction rewrite stored the
+        # reserved columns in the file): per-row, the stored value
+        # WINS and a null inherits — the spec read rule. The columns
+        # land in `table` via the schema-driven read above; drop the
+        # stored copies so the appended outputs are unambiguous.
+        if "_row_id" in table.column_names:
+            inh_rid = pc.coalesce(
+                table.column("_row_id").cast(pa.int64()), inh_rid
+            ).combine_chunks()
+            table = table.drop_columns(["_row_id"])
+        if "_last_updated_sequence_number" in table.column_names:
+            inh_lus = pc.coalesce(
+                table.column("_last_updated_sequence_number").cast(
+                    pa.int64()
+                ),
+                inh_lus,
+            ).combine_chunks()
+            table = table.drop_columns(
+                ["_last_updated_sequence_number"]
+            )
+        table = table.append_column("_row_id", inh_rid)
         table = table.append_column(
-            "_last_updated_sequence_number",
-            pa.array(
-                np.full(table.num_rows, int(lseq), dtype="int64")
-            ),
+            "_last_updated_sequence_number", inh_lus
         )
     if deleted is not None and len(deleted):
         import numpy as np

@@ -3839,6 +3839,79 @@ def test_metadata_tables_sql_surface(unity, spark, tmp_path):
     ).collect()[0].name == "main"
 
 
+def test_v3_compaction_preserves_lineage(spark, tbl, tmp_path):
+    """Lineage-preserving v3 compaction (round 12, the last v3 write
+    gate): the rewrite materializes _row_id /
+    _last_updated_sequence_number into the new parquet under the
+    spec's reserved field ids (2147483540/2147483539), so survivor
+    ids are BIT-IDENTICAL before and after across the unpartitioned,
+    partitioned (_stage_data_files), and sort_by rewrite paths —
+    with live deletion vectors absorbed in each."""
+    from pyspark.sql import functions as F
+
+    for variant in ("plain", "part", "sort"):
+        loc = str(tmp_path / f"lin_{variant}")
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+        )
+        if variant == "part":
+            write_iceberg(
+                spark, df, loc, mode="create", partition_by=["g"]
+            )
+        else:
+            write_iceberg(
+                spark,
+                df.coalesce(1).sortWithinPartitions("k"),
+                loc,
+                mode="create",
+            )
+        iceberg_py.upgrade_iceberg_to_v3(loc)
+        write_iceberg(
+            spark,
+            df.select((F.col("k") + 40).alias("k"), "g"),
+            loc,
+            mode="append",
+        )
+        iceberg_py.dv_delete_iceberg_where(spark, loc, "k % 5 = 0")
+        known = {
+            (r.k, r._row_id, r._last_updated_sequence_number)
+            for r in iceberg_py.read_iceberg(
+                spark, loc, row_lineage=True
+            ).collect()
+            if r._row_id is not None
+        }
+        assert known  # the append rows carry assigned ids
+        kw = {"sort_by": ["k"]} if variant == "sort" else {}
+        iceberg_py.compact_data_files(
+            spark, loc, target_num_files=2, **kw
+        )
+        after = {
+            (r.k, r._row_id, r._last_updated_sequence_number)
+            for r in iceberg_py.read_iceberg(
+                spark, loc, row_lineage=True
+            ).collect()
+        }
+        assert known <= after, variant
+        # reserved ids really are in the rewritten footers
+        import pyarrow.parquet as pq
+
+        ddir = os.path.join(loc, "data")
+        mats = [
+            p
+            for p in (
+                os.path.join(dp, f)
+                for dp, _dn, fns in os.walk(ddir)
+                for f in fns
+                if f.endswith(".parquet")
+            )
+            if iceberg_py._ROW_ID_FIELD_ID
+            in iceberg_py._footer_field_ids(p)
+        ]
+        assert mats, variant
+        fs = pq.read_schema(mats[0])
+        assert "_row_id" in fs.names
+
+
 def test_v3_row_lineage_datasource_parity(spark, tbl, tmp_path):
     """The pyiceberg DataSource's rowLineage option matches
     read_iceberg(row_lineage=True) exactly (ids stamped before the
@@ -4135,9 +4208,9 @@ def test_rename_drop_column(unity, spark, tbl, tmp_path):
 def test_v3_legal_ops_gate(spark, tbl, tmp_path):
     """v3 tables now accept the ops the v3 spec still permits —
     equality deletes/CDC upsert (the Flink shape), WAP staged
-    commits, branch+tag lifecycle, overwrite, expire — while parquet
-    position-delete DML and lineage-renumbering compaction keep
-    refusing with pointers."""
+    commits, branch+tag lifecycle, overwrite, expire, and (round 12)
+    lineage-preserving compaction — while parquet position-delete
+    DML keeps refusing with a pointer to DVs."""
     write_iceberg(
         spark,
         spark.createDataFrame(
@@ -4187,8 +4260,42 @@ def test_v3_legal_ops_gate(spark, tbl, tmp_path):
     # position-delete DML still refuses with the DV pointer class
     with pytest.raises(UnsupportedOperationError, match="v2"):
         delete_iceberg_where(spark, tbl, "k = 3")
-    with pytest.raises(UnsupportedOperationError, match="v2"):
-        iceberg_py.compact_data_files(spark, tbl)
+    # v3 compaction preserves row lineage (round 12): survivors with
+    # KNOWN lineage keep their (k, _row_id) across the rewrite;
+    # pre-upgrade rows (NULL _row_id — the create predates the v3
+    # upgrade) take fresh inherited ids, the spec's null rule; DV +
+    # delete files retire
+    before = {
+        (r.k, r._row_id)
+        for r in iceberg_py.read_iceberg(
+            spark, tbl, row_lineage=True
+        ).collect()
+    }
+    iceberg_py.compact_data_files(spark, tbl, target_num_files=1)
+    after = {
+        (r.k, r._row_id)
+        for r in iceberg_py.read_iceberg(
+            spark, tbl, row_lineage=True
+        ).collect()
+    }
+    assert {kv for kv in after if kv in before} == {
+        kv for kv in before if kv[1] is not None
+    }
+    assert {kv[0] for kv in after} == {kv[0] for kv in before}
+    assert all(kv[1] is not None for kv in after)
+    meta = table_metadata(tbl)
+    snap = iceberg_py._select_snapshot(meta)
+    d, p, e = iceberg_py._snapshot_files(meta, snap, tbl)
+    assert len(d) == 1 and not p and not e
+    # a post-compaction DV delete on the materialized file still
+    # leaves survivors' ids untouched
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "k = 2")
+    assert {
+        (r.k, r._row_id)
+        for r in iceberg_py.read_iceberg(
+            spark, tbl, row_lineage=True
+        ).collect()
+    } == {kv for kv in after if kv[0] != 2}
     # expire works on v3
     out = iceberg_py.expire_snapshots(tbl, retain_last=1)
     assert isinstance(out, dict)
