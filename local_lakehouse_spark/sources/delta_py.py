@@ -681,6 +681,25 @@ class DeltaLog:
                 os.unlink(tmp)
             except FileNotFoundError:
                 pass
+        # Delta UniForm: when the table config (a metaData action in
+        # THIS commit wins over the caller-passed snapshot config)
+        # enables the iceberg universal format, regenerate the
+        # Iceberg mirror now — synchronously, like delta-spark's
+        # in-commit conversion. The Delta commit above is already
+        # durable; a sync failure surfaces to the writer and the
+        # next successful sync catches up (version-based
+        # idempotency in sync_uniform).
+        cfg = dict(config or {})
+        for a in actions:
+            md = a.get("metaData")
+            if md is not None:
+                cfg = dict(md.get("configuration") or {})
+        if "iceberg" in str(
+            cfg.get("delta.universalFormat.enabledFormats", "")
+        ).lower():
+            from . import iceberg_py
+
+            iceberg_py.sync_uniform(self.path)
 
     def write_checkpoint(self, version: Optional[int] = None) -> str:
         """Materialize the snapshot state (protocol + metaData + live

@@ -620,12 +620,25 @@ def _require_v2(
     preserves row lineage by materializing the reserved columns).
     READS stay version-tolerant (v1 reads fine; v4+ refuses in
     read_iceberg)."""
+    _refuse_uniform_write(meta, op)
     fmt = int(meta.get("format-version", 1))
     if fmt not in allowed:
         want = " or ".join(f"v{v}" for v in allowed)
         raise UnsupportedOperationError(
             f"{op} requires an Iceberg format-version {want} table "
             f"(this table is v{fmt})"
+        )
+
+
+def _refuse_uniform_write(meta: dict, op: str) -> None:
+    """One-way-mirror gate: Iceberg metadata generated by
+    sync_uniform refuses Iceberg-side writes BEFORE any scan or
+    staging work (the _commit_snapshot backstop would catch it too,
+    but only after the operation burned a full rewrite)."""
+    if (meta.get("properties") or {}).get(_UNIFORM_SOURCE_PROP):
+        raise UnsupportedOperationError(
+            f"{op}: this Iceberg metadata is a UniForm mirror of a "
+            "Delta table; write through the Delta surface (pydelta)"
         )
 
 
@@ -852,59 +865,103 @@ def read_iceberg(
             "Iceberg read over data files with colliding basenames "
             "and delete files"
         )
-    # materialized lineage (v3 compaction rewrites): files whose
-    # footers carry the reserved _row_id field id read the lineage
-    # COLUMNS; everything else null-fills and inherits. The probe is
-    # driver-side, cached per immutable file (same budget as the
-    # default-values footer probe), and only paid on lineage reads.
-    mat_paths: list = []
+    # EXTRA physical columns some (not all) data files carry, read by
+    # reserved/historical field id and NULL-filled elsewhere:
+    #  - materialized row lineage (__mrid/__mlus — v3 compaction
+    #    rewrites store the reserved lineage columns);
+    #  - DROPPED columns still referenced by live equality deletes
+    #    (__eqdrop_<id> — the spec applies such deletes against the
+    #    values old data files still store under the dropped id).
+    # Files group by WHICH extras their footer carries (driver-side
+    # cached probes, the default-values budget); one id-bound scan
+    # per group, unioned — so no file is ever asked for an id its
+    # footer lacks.
+    extras: list = []
+    mat_paths = False  # any file materializes lineage
     if row_lineage:
-        mat_paths = [
-            p
-            for p in paths
-            if _ROW_ID_FIELD_ID in _footer_field_ids(p)
-        ]
-    if mat_paths:
-        lineage_fields = [
+        extras += [
             T.StructField(
-                n,
+                alias,
                 T.LongType(),
                 True,
                 metadata={"parquet.field.id": fid},
             )
-            for n, fid in _ROW_LINEAGE_COLS
+            for alias, (_n, fid) in zip(
+                ("__mrid", "__mlus"), _ROW_LINEAGE_COLS
+            )
         ]
-        mat_set = set(mat_paths)
-        rest = [p for p in paths if p not in mat_set]
-        scan = _build_scan(
-            spark,
-            mat_paths,
-            T.StructType(list(schema.fields) + lineage_fields),
-            meta,
-            True,
-            full_path_identity=collide,
-        ).withColumnsRenamed(
+    dropped_fields: list = []
+    if eq_deletes:
+        cur_ids = {
+            int(f.metadata["parquet.field.id"]) for f in schema.fields
+        }
+        want = sorted(
             {
-                "_row_id": "__mrid",
-                "_last_updated_sequence_number": "__mlus",
+                int(i)
+                for d in eq_deletes
+                for i in (d.get("equality_ids") or [])
             }
+            - cur_ids
         )
-        if rest:
-            scan = scan.unionByName(
-                _build_scan(
-                    spark,
-                    rest,
-                    schema,
-                    meta,
+        for fid in want:
+            hf = _historical_field(meta, fid)
+            if hf is None:
+                continue  # _apply_equality_deletes keeps the refusal
+            dropped_fields.append(
+                T.StructField(
+                    f"__eqdrop_{fid}",
+                    _iceberg_type(hf["type"]),
                     True,
-                    full_path_identity=collide,
-                ).withColumns(
-                    {
-                        "__mrid": F.lit(None).cast("long"),
-                        "__mlus": F.lit(None).cast("long"),
-                    }
+                    metadata={"parquet.field.id": fid},
                 )
             )
+        extras += dropped_fields
+    if extras:
+        groups: dict = {}
+        for p in paths:
+            fids = _footer_field_ids(p)
+            present = frozenset(
+                int(f.metadata["parquet.field.id"])
+                for f in extras
+                if int(f.metadata["parquet.field.id"]) in fids
+            )
+            groups.setdefault(present, []).append(p)
+        mat_paths = any(
+            _ROW_ID_FIELD_ID in pres for pres in groups
+        )
+        scans = []
+        for present, ps in sorted(
+            groups.items(), key=lambda kv: sorted(kv[0])
+        ):
+            fl = [
+                f
+                for f in extras
+                if int(f.metadata["parquet.field.id"]) in present
+            ]
+            s = _build_scan(
+                spark,
+                ps,
+                T.StructType(list(schema.fields) + fl),
+                meta,
+                True,
+                full_path_identity=collide,
+            )
+            missing = [
+                f
+                for f in extras
+                if int(f.metadata["parquet.field.id"]) not in present
+            ]
+            if missing:
+                s = s.withColumns(
+                    {
+                        f.name: F.lit(None).cast(f.dataType)
+                        for f in missing
+                    }
+                )
+            scans.append(s)
+        scan = scans[0]
+        for s in scans[1:]:
+            scan = scan.unionByName(s)
     else:
         scan = _build_scan(
             spark,
@@ -1019,9 +1076,16 @@ def read_iceberg(
         )
     if eq_deletes:
         scan = _apply_equality_deletes(
-            spark, scan, schema, data_files, eq_deletes, path
+            spark,
+            scan,
+            T.StructType(list(schema.fields) + dropped_fields),
+            data_files,
+            eq_deletes,
+            path,
         )
-    return scan.drop("__fn", "__ri")
+    return scan.drop(
+        "__fn", "__ri", *[f.name for f in dropped_fields]
+    )
 
 
 def _apply_deletion_vectors(
@@ -1413,6 +1477,26 @@ def _inject_identity_partitions(
     )
 
 
+def _historical_field(meta: dict, fid: int) -> Optional[dict]:
+    """The field with id ``fid`` from the NEWEST historical schema
+    that still carried it — how a live equality delete referencing a
+    DROPPED column resolves (the spec keeps schema history in the
+    metadata precisely so old constructs stay interpretable). None
+    when no schema ever defined the id."""
+    schemas = sorted(
+        meta.get("schemas") or [],
+        key=lambda s: int(s.get("schema-id", 0)),
+        reverse=True,
+    )
+    for s in schemas:
+        for f in s.get("fields") or []:
+            if int(f["id"]) == int(fid) and isinstance(
+                f.get("type"), str
+            ):
+                return f
+    return None
+
+
 def _eq_delete_physical_names(
     abs_p: str, ids: tuple, by_id: dict
 ) -> tuple:
@@ -1543,9 +1627,14 @@ def _apply_equality_deletes(
             )
         unknown = [i for i in ids if i not in by_id]
         if unknown:
+            # read_iceberg surfaces dropped-but-historical ids as
+            # __eqdrop_<id> scan columns before calling here; an id
+            # absent from EVERY schema in the metadata history (or a
+            # write-path positional scan, which doesn't resolve
+            # history) keeps the loud refusal
             raise UnsupportedOperationError(
-                f"equality delete references dropped field ids "
-                f"{unknown}; applying it needs the historical schema"
+                f"equality delete references field ids {unknown} "
+                "not present in any schema this metadata records"
             )
         groups.setdefault((ids, _pk(d)), []).append(d)
     for (ids, pk), files in groups.items():
@@ -2111,6 +2200,16 @@ def _commit_snapshot(
     remain table-global per the spec. ``branch=None`` commits a
     STAGED snapshot (iceberg's wap.id shape): no ref at all, parented
     at the current head, published later by cherry-pick."""
+    if (meta.get("properties") or {}).get(_UNIFORM_SOURCE_PROP):
+        # one-way mirror: this Iceberg metadata is generated from a
+        # Delta table by sync_uniform (which strips the marker before
+        # its own commit); an Iceberg-side snapshot write would
+        # diverge the two format views of the same files
+        raise UnsupportedOperationError(
+            "this Iceberg metadata is a UniForm mirror of a Delta "
+            "table; write through the Delta surface (pydelta) — "
+            "sync_uniform regenerates the mirror on each commit"
+        )
     seq = int(meta.get("last-sequence-number", 0)) + 1
     prev_ts = max(
         (s["timestamp-ms"] for s in meta.get("snapshots") or []),
@@ -3737,6 +3836,509 @@ def convert_delta_to_iceberg(
     )
 
 
+# ---------------------------------------------------------------------------
+# Delta UniForm (Iceberg metadata mirrored over a live Delta table)
+# ---------------------------------------------------------------------------
+
+_UNIFORM_VERSION_PROP = "llh.uniform.delta-version"
+_UNIFORM_SOURCE_PROP = "llh.uniform.source"
+_UNIFORM_DV_STATE_PROP = "llh.uniform.dv-state"
+
+
+def _uniform_dv_digest(dv: dict) -> str:
+    """Content identity of a Delta DV descriptor: DV payloads are
+    immutable once written (a DELETE replaces the descriptor, never
+    the bytes behind one), so (storage, path/inline, offset, size)
+    pins the bitmap exactly — no bitmap read needed to detect
+    change."""
+    return "|".join(
+        str(dv.get(k))
+        for k in (
+            "storageType",
+            "pathOrInlineDv",
+            "offset",
+            "sizeInBytes",
+        )
+    )
+
+
+def _strip_field_ids(t: object) -> object:
+    """Iceberg type with every id stripped — the shape compared
+    across UniForm syncs to detect REAL schema evolution (ids are
+    assignment artifacts, not schema content)."""
+    if isinstance(t, dict):
+        return {
+            k: (
+                [_strip_field_ids(x) for x in v]
+                if isinstance(v, list)
+                else _strip_field_ids(v)
+            )
+            for k, v in t.items()
+            if k not in ("id", "element-id", "key-id", "value-id")
+        }
+    return t
+
+
+def _uniform_schema_shape(schema_obj: dict) -> list:
+    return [
+        (
+            f["name"],
+            json.dumps(_strip_field_ids(f["type"]), sort_keys=True),
+            bool(f.get("required", False)),
+        )
+        for f in schema_obj["fields"]
+    ]
+
+
+def enable_uniform(path: str) -> dict:
+    """Turn on Delta UniForm for the table at ``path`` (delta-spark's
+    ``delta.universalFormat.enabledFormats=iceberg``): every later
+    Delta commit regenerates Iceberg metadata under
+    ``path/metadata/`` referencing the SAME parquet files, so Iceberg
+    readers (read_iceberg / the pyiceberg DataSource / foreign
+    engines) see the live table with zero data copied. The property
+    commit itself triggers the first sync through the commit hook;
+    the explicit call below is an idempotent catch-up for logs that
+    predate the hook."""
+    from . import delta_py
+
+    delta_py.set_properties(
+        path, {"delta.universalFormat.enabledFormats": "iceberg"}
+    )
+    return sync_uniform(path)
+
+
+def sync_uniform(path: str) -> dict:
+    """Delta UniForm sync: mirror the CURRENT Delta snapshot of
+    ``path`` as an Iceberg v3 commit in ``path/metadata/``. Pure
+    metadata work — no SparkSession, no data copied:
+
+    - data files: the Delta adds are referenced IN PLACE (absolute
+      paths, bounds from cached footer stats, identity partition
+      spec from the Delta partition columns — the convert_delta
+      shape, y38). Delta parquet carries no field ids, so reads
+      bind through ``schema.name-mapping.default``.
+    - deletion vectors: each Delta DV bitmap (delta_dv roaring) is
+      re-encoded as an Iceberg v3 ``deletion-vector-v1`` Puffin blob
+      — both formats store roaring position bitmaps, so the
+      conversion is exact. One Puffin file per sync holds every
+      new/changed DV; unchanged DVs are detected by descriptor
+      digest and their manifests carry over untouched. (delta-spark
+      UniForm refuses DV tables outright; owning both codecs lets
+      this repo mirror them.)
+    - increments: the sync DIFFS against the previous mirrored
+      snapshot — unchanged data manifests are reused by reference,
+      manifests containing removed files are rewritten with
+      survivors carried EXISTING (bounds preserved), and only new
+      files get fresh manifest entries. At 100 TB a steady-state
+      append syncs O(new files) metadata, not O(table).
+    - idempotency: ``llh.uniform.delta-version`` records the synced
+      Delta version; re-syncing the same version is a no-op, so the
+      commit-hook + explicit calls never double-commit.
+
+    The mirror is ONE-WAY: Delta is the source of truth, and Iceberg
+    snapshot writes onto a mirrored table refuse (\"write through
+    the Delta surface\"). Row lineage is NOT mirrored (Delta row
+    tracking has its own id space) — lineage reads surface NULL ids.
+    Column-mapped Delta tables refuse with a materialization
+    pointer, the convert_delta_to_iceberg rule. Delta VACUUM may
+    remove files older Iceberg snapshots still reference — the
+    documented UniForm retention trade-off (current-snapshot reads
+    are always safe: the live sets are identical by construction)."""
+    import pyarrow.parquet as pq
+
+    from urllib.parse import unquote
+
+    from . import delta_dv, delta_py, iceberg_puffin
+
+    dlog = delta_py.DeltaLog(path)
+    # column mapping enters `allow` only so the refusal below owns
+    # the message (a materialization pointer, not a feature list)
+    snap = dlog.snapshot(
+        allow=frozenset(
+            {
+                delta_py.FEATURE_DELETION_VECTORS,
+                delta_py.FEATURE_COLUMN_MAPPING,
+            }
+        )
+    )
+    if snap.column_mapping_mode not in ("", "none"):
+        raise UnsupportedOperationError(
+            "uniform sync does not support column-mapped Delta "
+            "tables (physical names need a rewrite to mirror); "
+            "materialize with read_delta + write_iceberg instead"
+        )
+    prev_meta = (
+        table_metadata(path) if is_iceberg_table(path) else None
+    )
+    props_prev = (prev_meta or {}).get("properties") or {}
+    if prev_meta is not None and _UNIFORM_VERSION_PROP not in props_prev:
+        raise UnsupportedOperationError(
+            f"{path} already carries Iceberg metadata not written "
+            "by uniform sync; refusing to overwrite it"
+        )
+    if prev_meta is not None and int(
+        props_prev[_UNIFORM_VERSION_PROP]
+    ) >= snap.version:
+        return prev_meta  # this Delta version is already mirrored
+    part_cols = snap.partition_columns
+
+    # ---- schema: first sync allocates ids; later syncs preserve
+    # ids BY NAME (names are the identity — no column mapping) and
+    # commit a new schema-id only when the shape really changed
+    if prev_meta is None:
+        meta = _new_table_meta(snap.schema, path)
+        meta["format-version"] = 3
+        meta["next-row-id"] = 0
+        schema_obj = meta["schemas"][0]
+        by_name = {f["name"]: f for f in schema_obj["fields"]}
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": by_name[c]["id"],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(part_cols)
+        ]
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": spec_fields}
+        ]
+        meta["last-partition-id"] = 999 + len(spec_fields)
+    else:
+        meta = dict(prev_meta)
+        meta["properties"] = dict(meta.get("properties") or {})
+        prev_schema = _current_schema(prev_meta)
+        alloc = {"n": int(prev_meta.get("last-column-id", 0))}
+
+        def _next_id() -> int:
+            alloc["n"] += 1
+            return alloc["n"]
+
+        built = _spark_to_iceberg_type(snap.schema, _next_id)
+        prev_ids = {
+            f["name"]: int(f["id"]) for f in prev_schema["fields"]
+        }
+        fields = [
+            {**f, "id": prev_ids.get(f["name"], f["id"])}
+            for f in built["fields"]
+        ]
+        cand = {
+            "type": "struct",
+            "schema-id": int(prev_schema.get("schema-id", 0)),
+            "fields": fields,
+        }
+        if _uniform_schema_shape(cand) == _uniform_schema_shape(
+            prev_schema
+        ):
+            schema_obj = prev_schema
+        else:
+            sid = (
+                max(
+                    int(s.get("schema-id", 0))
+                    for s in meta.get("schemas") or [prev_schema]
+                )
+                + 1
+            )
+            schema_obj = {**cand, "schema-id": sid}
+            meta["schemas"] = list(meta.get("schemas") or []) + [
+                schema_obj
+            ]
+            meta["current-schema-id"] = sid
+            meta["last-column-id"] = max(
+                int(meta.get("last-column-id", 0)),
+                *(int(f["id"]) for f in fields),
+            )
+        spec_fields = _partition_specs(meta).get(
+            int(meta.get("default-spec-id", 0)), []
+        )
+        fields_by_id = {
+            int(f["id"]): f for f in schema_obj["fields"]
+        }
+        prev_part = [
+            fields_by_id.get(int(sf["source-id"]), {}).get("name")
+            for sf in spec_fields
+        ]
+        if prev_part != list(part_cols):
+            raise UnsupportedOperationError(
+                f"Delta partition columns changed {prev_part} -> "
+                f"{list(part_cols)}; re-enable uniform on the "
+                "rewritten table"
+            )
+    by_name = {f["name"]: f for f in schema_obj["fields"]}
+    meta["properties"] = dict(meta.get("properties") or {})
+    meta["properties"]["schema.name-mapping.default"] = (
+        _default_name_mapping(schema_obj)
+    )
+    os.makedirs(_metadata_dir(path), exist_ok=True)
+
+    # ---- diff data files against the previous mirrored snapshot
+    prev_by_abs: dict = {}
+    prev_mlist: list = []
+    if (
+        prev_meta is not None
+        and prev_meta.get("current-snapshot-id") not in (None, -1)
+    ):
+        psnap = _select_snapshot(prev_meta)
+        prev_mlist = _manifest_list_rows(psnap, path)
+        pdata, _ppos, _peq = _snapshot_files(prev_meta, psnap, path)
+        prev_by_abs = {
+            _resolve(d["file_path"], path): d for d in pdata
+        }
+    new_by_abs = {
+        os.path.join(path, unquote(rel)): add
+        for rel, add in snap.adds.items()
+    }
+    added_paths = sorted(
+        p for p in new_by_abs if p not in prev_by_abs
+    )
+    removed_abs = {
+        p for p in prev_by_abs if p not in new_by_abs
+    }
+
+    # ---- DV diff by descriptor digest
+    dv_prev = json.loads(
+        props_prev.get(_UNIFORM_DV_STATE_PROP, "{}")
+    )
+    dv_now: dict = {}
+    for rel, add in snap.adds.items():
+        dv = add.get("deletionVector")
+        if dv:
+            abs_p = os.path.join(path, unquote(rel))
+            dv_now[os.path.basename(abs_p)] = (
+                _uniform_dv_digest(dv),
+                dv,
+                abs_p,
+            )
+    dv_changed = {
+        fn: v
+        for fn, v in dv_now.items()
+        if dv_prev.get(fn) != v[0]
+    }
+    dv_dropped = set(dv_prev) - set(dv_now)
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = _new_snapshot_id()
+
+    def _carry(d: dict, spec_f: list, status: int) -> dict:
+        # carried EXISTING entries keep their column bounds (pruning
+        # must survive the rewrite); decoded avro bounds arrive as
+        # k_v record dicts [{"key": id, "value": bytes}, ...]
+        e = _removal_entry(d, spec_f, status=status)
+        for k in ("lower_bounds", "upper_bounds"):
+            v = d.get(k)
+            if not v:
+                continue
+            if isinstance(v, dict):
+                e[k] = v
+            else:
+                e[k] = {
+                    (
+                        item["key"]
+                        if isinstance(item, dict)
+                        else item[0]
+                    ): (
+                        item["value"]
+                        if isinstance(item, dict)
+                        else item[1]
+                    )
+                    for item in v
+                }
+        return e
+
+    mrows: list = []
+    specs = _partition_specs(meta)
+    live_basenames = {os.path.basename(p) for p in new_by_abs}
+    for mf in prev_mlist:
+        sid_ = int(mf.get("partition_spec_id") or 0)
+        pf = _pf_avro_for_spec(meta, sid_)
+        spec_f = specs.get(sid_, []) if pf else []
+        mpath = _resolve(mf["manifest_path"], path)
+        mseq = int(mf.get("sequence_number") or 0)
+        entries_in = []
+        dirty = False
+        for entry in _read_avro_dicts(mpath):
+            if entry.get("status") == 2:
+                continue
+            d = dict(entry["data_file"])
+            eseq = entry.get("sequence_number")
+            d["_seq"] = int(eseq) if eseq is not None else mseq
+            abs_p = _resolve(d["file_path"], path)
+            if int(mf.get("content") or 0) == 0:
+                gone = abs_p in removed_abs
+            else:
+                ref = d.get("referenced_data_file")
+                base = (
+                    os.path.basename(_resolve(ref, path))
+                    if ref
+                    else None
+                )
+                # a DV entry retires when its data file left, its
+                # bitmap changed (replaced this sync), or the DV
+                # disappeared without a rewrite
+                gone = base is not None and (
+                    base in dv_changed
+                    or base in dv_dropped
+                    or base not in live_basenames
+                )
+            dirty = dirty or gone
+            entries_in.append((d, 2 if gone else 0))
+        if not dirty:
+            mrows.append(_mf_row_from_dict(mf))
+            continue
+        mrows.append(
+            _write_manifest(
+                path,
+                [
+                    _carry(d, spec_f, st)
+                    for d, st in entries_in
+                ],
+                snap_id,
+                seq,
+                content=int(mf.get("content") or 0),
+                partition_fields=pf or None,
+                spec_id=sid_,
+            )["row"]
+        )
+
+    # ---- new data files -> one fresh manifest
+    pf_avro = [
+        {
+            "name": sf["name"],
+            "avro_type": _PART_AVRO_TYPES[
+                by_name[sf["name"]]["type"]
+            ],
+            "field-id": sf["field-id"],
+        }
+        for sf in _partition_specs(meta).get(
+            int(meta.get("default-spec-id", 0)), []
+        )
+    ]
+    stamped_new = False
+    if added_paths:
+        entries = []
+        for abs_p in added_paths:
+            add = new_by_abs[abs_p]
+            n_rows = None
+            if add.get("stats"):
+                try:
+                    n_rows = int(
+                        json.loads(add["stats"]).get("numRecords")
+                    )
+                except (ValueError, TypeError):
+                    n_rows = None
+            if n_rows is None:
+                n_rows = pq.read_metadata(abs_p).num_rows
+            partition = None
+            if part_cols:
+                pv = add.get("partitionValues") or {}
+                partition = tuple(
+                    None
+                    if pv.get(c) is None
+                    else _hive_partition_value(
+                        str(pv[c]), by_name[c]["type"]
+                    )
+                    for c in part_cols
+                )
+            lows, highs = _file_bounds(abs_p, schema_obj)
+            if _footer_field_ids(abs_p):
+                stamped_new = True
+            entries.append(
+                {
+                    "file_path": abs_p,
+                    "record_count": n_rows,
+                    "file_size_in_bytes": int(
+                        add.get("size") or os.path.getsize(abs_p)
+                    ),
+                    "lower_bounds": lows,
+                    "upper_bounds": highs,
+                    "partition": partition,
+                }
+            )
+        mrows.append(
+            _write_manifest(
+                path,
+                entries,
+                snap_id,
+                seq,
+                content=0,
+                partition_fields=pf_avro or None,
+                spec_id=int(meta.get("default-spec-id", 0)),
+            )["row"]
+        )
+
+    # unstamped Delta parquet binds by mapping with zero footer I/O;
+    # a stamped file anywhere keeps the per-file probe (same rule as
+    # convert_delta_to_iceberg, re-checked incrementally on the NEW
+    # files only — probes are cached per immutable file)
+    if stamped_new:
+        meta["properties"].pop(_MAPPED_PREFIXES_PROP, None)
+    elif prev_meta is None or _MAPPED_PREFIXES_PROP in props_prev:
+        meta = _note_mapped_prefixes(meta, [path])
+
+    # ---- new/changed DVs -> one Puffin file + one delete manifest
+    if dv_changed:
+        dest = os.path.join(
+            _metadata_dir(path), f"dv-{uuid.uuid4().hex}.puffin"
+        )
+        descs = iceberg_puffin.write_puffin_dv_file(
+            dest,
+            [
+                (abs_p, delta_dv.load_dv_indices(dv, path))
+                for _fn, (_dig, dv, abs_p) in sorted(
+                    dv_changed.items()
+                )
+            ],
+            snap_id,
+            seq,
+        )
+        mrows.append(
+            _write_manifest(
+                path,
+                [
+                    {
+                        "file_path": d["path"],
+                        "file_format": "PUFFIN",
+                        "record_count": int(d["cardinality"]),
+                        "file_size_in_bytes": int(d["file_size"]),
+                        "referenced_data_file": d["referenced"],
+                        "content_offset": int(d["offset"]),
+                        "content_size_in_bytes": int(d["length"]),
+                    }
+                    for d in descs
+                ],
+                snap_id,
+                seq,
+                content=1,
+                spec_id=int(meta.get("default-spec-id", 0)),
+            )["row"]
+        )
+
+    op = (
+        "append"
+        if not removed_abs and not dv_changed and not dv_dropped
+        else "overwrite"
+    )
+    # the one-way guard key lives OUTSIDE the committed meta dict and
+    # re-enters via extra_properties — _commit_snapshot refuses any
+    # OTHER writer that sees it
+    meta["properties"].pop(_UNIFORM_SOURCE_PROP, None)
+    return _commit_snapshot(
+        path,
+        meta,
+        mrows,
+        op,
+        snap_id,
+        extra_properties={
+            _UNIFORM_SOURCE_PROP: "delta",
+            _UNIFORM_VERSION_PROP: str(snap.version),
+            _UNIFORM_DV_STATE_PROP: json.dumps(
+                {fn: v[0] for fn, v in sorted(dv_now.items())}
+            ),
+        },
+    )
+
+
 def delete_iceberg_where(
     spark: SparkSession, path: str, predicate: str
 ) -> dict:
@@ -4365,6 +4967,7 @@ def dv_delete_iceberg_where(
     from . import iceberg_puffin
 
     meta = table_metadata(path)
+    _refuse_uniform_write(meta, "dv_delete_iceberg_where")
     fmt = int(meta.get("format-version", 1))
     if fmt != 3:
         raise UnsupportedOperationError(
@@ -5525,9 +6128,11 @@ def drop_iceberg_column(path: str, name: str) -> dict:
     """Schema evolution: drop a column — metadata-only (data files
     keep the physical column; id-bound reads simply stop projecting
     it). Refuses when the field sources a partition-spec field (the
-    spec's rule — the spec would dangle) or is referenced by a LIVE
-    equality-delete file (applying that delete later would hit the
-    dropped-field-id refusal at read time)."""
+    spec's rule — the spec would dangle). A LIVE equality-delete
+    file referencing the column is fine (round 12): the read side
+    resolves the dropped id against the schema HISTORY and applies
+    the delete on the values old data files still store — the spec's
+    rule, the Flink CDC + drop-column shape."""
     meta = table_metadata(path)
     schema_obj = _current_schema(meta)
     field = next(
@@ -5543,15 +6148,6 @@ def drop_iceberg_column(path: str, name: str) -> dict:
                     f"cannot drop {name!r}: partition spec "
                     f"{spec.get('spec-id')} field "
                     f"{sf.get('name')!r} sources it"
-                )
-    if meta.get("current-snapshot-id") not in (None, -1):
-        snap = _select_snapshot(meta)
-        _d, _p, eq = _snapshot_files(meta, snap, path)
-        for d in eq:
-            if fid in {int(i) for i in d.get("equality_ids") or []}:
-                raise UnsupportedOperationError(
-                    f"cannot drop {name!r}: a live equality-delete "
-                    "file references it (compact first)"
                 )
     new_sid = (
         max(

@@ -166,6 +166,7 @@ class _PyIcebergReader(DataSourceReader):
         # per task with the sequence rule
         name_of = {int(f["id"]): f["name"] for f in ice_schema["fields"]}
         self._eq = []
+        self._eqdrop: dict = {}  # dropped fid -> historical field
         for d in eq:
             ids = sorted(int(i) for i in (d.get("equality_ids") or []))
             if not ids:
@@ -173,12 +174,22 @@ class _PyIcebergReader(DataSourceReader):
                     "pyiceberg: equality delete file without "
                     "equality_ids"
                 )
-            unknown = [i for i in ids if i not in name_of]
-            if unknown:
-                raise UnsupportedOperationError(
-                    f"pyiceberg: equality delete references dropped "
-                    f"field ids {unknown}"
-                )
+            for i in ids:
+                if i in name_of:
+                    continue
+                # dropped column still referenced by a live delete:
+                # resolve against the schema HISTORY (read_iceberg
+                # parity) — the per-task reader surfaces the value
+                # under a sentinel name from files that store it
+                hf = iceberg_py._historical_field(meta, i)
+                if hf is None:
+                    raise UnsupportedOperationError(
+                        f"pyiceberg: equality delete references "
+                        f"field id {i} not present in any schema "
+                        "this metadata records"
+                    )
+                name_of[i] = f"__eqdrop_{i}"
+                self._eqdrop[i] = hf
             part = d.get("partition")
             resolved = iceberg_py._resolve(d["file_path"], self._path)
             self._eq.append(
@@ -206,6 +217,29 @@ class _PyIcebergReader(DataSourceReader):
                     else None,
                 }
             )
+        # dropped-id equality columns ride the per-task read under
+        # sentinel names (footer-id bound; files without the column
+        # NULL-fill) and are stripped before batches leave the task
+        self._read_schema = self._schema
+        if self._eqdrop:
+            self._read_schema = T.StructType(
+                list(self._schema.fields)
+                + [
+                    T.StructField(
+                        f"__eqdrop_{fid}",
+                        iceberg_py._iceberg_type(hf["type"]),
+                        True,
+                    )
+                    for fid, hf in sorted(self._eqdrop.items())
+                ]
+            )
+            self._fids = {
+                **self._fids,
+                **{
+                    f"__eqdrop_{fid}": int(fid)
+                    for fid in self._eqdrop
+                },
+            }
         self._schema_obj = ice_schema
         self._data = data
         # v3 deletion vectors: one (puffin path, offset, length)
@@ -386,7 +420,7 @@ class _PyIcebergReader(DataSourceReader):
             )
         batches = _read_file_as_batches(
             abs_path,
-            self._schema,
+            getattr(self, "_read_schema", self._schema),
             partition.value.get("part") or {},
             deleted=deleted,
             field_ids=self._fids,
@@ -394,9 +428,15 @@ class _PyIcebergReader(DataSourceReader):
             lineage=partition.value.get("lineage"),
             defaults=partition.value.get("defaults"),
         )
+        strip = bool(getattr(self, "_eqdrop", None))
+        out_names = [f.name for f in self._schema.fields]
         eq = partition.value.get("eq") or []
         if not eq:
-            yield from batches
+            if strip:
+                for b in batches:
+                    yield b.select(out_names)
+            else:
+                yield from batches
             return
         # equality deletes: key-tuple sets per distinct column list
         # (sequence scoping already done at planning). Python tuples
@@ -431,6 +471,8 @@ class _PyIcebergReader(DataSourceReader):
                     dtype=bool,
                     count=b.num_rows,
                 )
+            if strip:
+                b = b.select(out_names)
             if mask.all():
                 yield b
             elif mask.any():

@@ -4180,12 +4180,16 @@ def test_rename_drop_column(unity, spark, tbl, tmp_path):
         mode="append",
     )
     assert read_iceberg(spark, tbl).count() == 3
-    # live equality delete blocks dropping its key column
+    # dropping a live equality delete's key column is LEGAL now
+    # (round 12): the read resolves the dropped id against the
+    # schema history and applies the delete on the values old data
+    # files still store
     loc2 = str(tmp_path / "eqdrop")
     write_iceberg(
         spark,
-        spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
-        .coalesce(1),
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 20)], "id long, s string, w long"
+        ).coalesce(1),
         loc2,
         mode="create",
     )
@@ -4195,14 +4199,25 @@ def test_rename_drop_column(unity, spark, tbl, tmp_path):
         spark.createDataFrame([(1,)], "id long"),
         ["id"],
     )
-    with pytest.raises(UnsupportedOperationError, match="equality"):
-        iceberg_py.drop_iceberg_column(loc2, "id")
+    iceberg_py.drop_iceberg_column(loc2, "id")  # the eq KEY column
+    assert [
+        (r.s, r.w) for r in read_iceberg(spark, loc2).collect()
+    ] == [("y", 20)]
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    assert [
+        (r.s, r.w)
+        for r in spark.read.format("pyiceberg").load(loc2).collect()
+    ] == [("y", 20)]
     # SQL twins (on the eq table: s is a plain droppable column)
     unity.register_as_table("unity", "default", "rdc", "ICEBERG", loc2)
     unity.sql("ALTER TABLE unity.default.rdc RENAME COLUMN s TO txt")
     assert "txt" in unity.read_table("unity", "default", "rdc").columns
     unity.sql("ALTER TABLE unity.default.rdc DROP COLUMN txt")
-    assert unity.read_table("unity", "default", "rdc").columns == ["id"]
+    assert unity.read_table("unity", "default", "rdc").columns == [
+        "w"
+    ]
 
 
 def test_v3_legal_ops_gate(spark, tbl, tmp_path):
