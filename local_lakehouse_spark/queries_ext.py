@@ -10361,6 +10361,152 @@ def y59(spark, sf):
     )
 
 
+def y60(spark, sf):
+    """ICEBERG V3 VARIANT COLUMNS (round 12 — the v3 spec's new
+    semi-structured type, Spark 4 VariantType end-to-end): a table
+    whose ``doc`` column is ``variant`` CREATES directly at
+    format-version 3 (the spec gates the type to v3), appends ride
+    the normal field-id-stamped write path, and reads bind by FOOTER
+    FIELD ID — so RENAME COLUMN is invisible to stored data, exactly
+    like primitive columns. Storage is the spec's baseline encoding:
+    the UNSHREDDED parquet variant group {metadata, value} without
+    the logical-type annotation (session.py pins both Spark confs),
+    keeping footers readable by pyarrow/duckdb so every driver-side
+    probe (bounds, ids, row counts) still works. CONTRACTS at
+    staging: format-version == 3 with schema type 'variant'; rename
+    then read-by-id returns identical extracted values; time travel
+    to the create snapshot sees half the rows; the Arrow DataSource
+    refuses variant loudly (no Arrow round-trip) — the JVM scan is
+    the declared path. Oracle: the variant round-trip re-derived
+    relationally from orders (variant_get on what to_json packed).
+    100 TB: variant adds zero driver-side work — binary payloads
+    stay columnar in parquet, extraction is JVM-side variant_get."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import iceberg_py, pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    key = hashlib.md5(f"{sf}|ice-variant-v1".encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"llh_ice_var_{key}")
+    base = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.floor(
+                        F.col("o_totalprice") * 100 + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("cents"),
+                    F.col("o_orderpriority").alias("pri"),
+                )
+            )
+        ).alias("doc"),
+    )
+    if not iceberg_py.is_iceberg_table(tbl):
+        try:
+            iceberg_py.write_iceberg(
+                spark,
+                base.where("ok % 2 = 0").coalesce(1),
+                tbl,
+                mode="create",
+            )
+            meta = iceberg_py.table_metadata(tbl)
+            types = [
+                f["type"]
+                for f in iceberg_py._current_schema(meta)["fields"]
+            ]
+            if int(meta["format-version"]) != 3 or "variant" not in types:
+                raise AssertionError(
+                    f"y60: expected a v3 variant table, got "
+                    f"v{meta['format-version']} {types}"
+                )
+            iceberg_py.write_iceberg(
+                spark,
+                base.where("ok % 2 = 1").coalesce(1),
+                tbl,
+                mode="append",
+            )
+            before = (
+                iceberg_py.read_iceberg(spark, tbl)
+                .select(
+                    F.sum(
+                        F.variant_get("doc", "$.cents", "long")
+                    ).alias("s")
+                )
+                .collect()[0]
+                .s
+            )
+            iceberg_py.rename_iceberg_column(tbl, "doc", "payload")
+            after = (
+                iceberg_py.read_iceberg(spark, tbl)
+                .select(
+                    F.sum(
+                        F.variant_get("payload", "$.cents", "long")
+                    ).alias("s")
+                )
+                .collect()[0]
+                .s
+            )
+            if before != after:
+                raise AssertionError(
+                    "y60: rename changed variant extraction "
+                    f"({before} != {after})"
+                )
+            iceberg_py.rename_iceberg_column(tbl, "payload", "doc")
+            sid = int(meta["snapshots"][0]["snapshot-id"])
+            tt = iceberg_py.read_iceberg(
+                spark, tbl, snapshot_id=sid
+            ).count()
+            full = iceberg_py.read_iceberg(spark, tbl).count()
+            if tt >= full:
+                raise AssertionError(
+                    "y60: time travel does not isolate the create "
+                    "snapshot"
+                )
+            try:
+                spark.read.format("pyiceberg").load(tbl).count()
+                raise AssertionError(
+                    "y60: the Arrow DataSource must refuse variant"
+                )
+            except AssertionError:
+                raise
+            except Exception as exc:
+                # surfaces as AnalysisException wrapping the
+                # UnsupportedOperationError raised in the reader
+                if "variant" not in str(exc):
+                    raise
+        except BaseException:
+            shutil.rmtree(tbl, ignore_errors=True)
+            raise
+    df = iceberg_py.read_iceberg(spark, tbl)
+    return (
+        df.select(
+            F.variant_get("doc", "$.pri", "string").alias("pri"),
+            F.variant_get("doc", "$.cents", "long").alias("cents"),
+        )
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("pri")
+    )
+
+
+Y60_SQL = """
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents_sum
+FROM orders
+GROUP BY o_orderpriority ORDER BY pri
+"""
+
+
 Y59_SQL = """
 WITH final AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nk, 'base' AS tag
@@ -11076,4 +11222,5 @@ EXT_QUERY_SPECS: dict[str, QuerySpec] = {
     "y57_iceberg_lineage_compaction": QuerySpec(y57, Y57_SQL),
     "y58_delta_uniform": QuerySpec(y58, Y58_SQL),
     "y59_iceberg_dropped_column_eq_delete": QuerySpec(y59, Y59_SQL),
+    "y60_iceberg_variant": QuerySpec(y60, Y60_SQL),
 }

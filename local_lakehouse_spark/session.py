@@ -36,6 +36,16 @@ _RUNTIME_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.fieldId.read.enabled": "true",
     "spark.sql.parquet.fieldId.write.enabled": "true",
+    # VARIANT columns (Iceberg v3 / Spark 4): write the UNSHREDDED
+    # variant group {metadata, value} without the parquet VARIANT
+    # logical-type annotation — Spark 4.1's shredded+annotated
+    # default writes footers this container's pyarrow cannot even
+    # read_schema (unknown Thrift LogicalType), which would break
+    # every driver-side footer probe (bounds, field ids, row
+    # counts). Unshredded is the Iceberg spec's baseline encoding
+    # and reads back as VariantType by field id.
+    "spark.sql.variant.writeShredding.enabled": "false",
+    "spark.sql.parquet.variant.annotateLogicalType.enabled": "false",
 }
 
 

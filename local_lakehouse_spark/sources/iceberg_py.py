@@ -266,6 +266,12 @@ _PRIMITIVES = {
     # timestamp is wall-clock (TimestampNTZ)
     "timestamptz": T.TimestampType(),
     "timestamp": T.TimestampNTZType(),
+    # v3 type: semi-structured values, stored UNSHREDDED as the
+    # parquet variant group {metadata: binary, value: binary} (the
+    # spec's baseline encoding; session.py disables Spark's
+    # shredding + logical-type annotation so the footer stays
+    # readable by pyarrow/duckdb and binds by field id)
+    "variant": T.VariantType(),
 }
 
 _DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
@@ -1918,6 +1924,7 @@ def _spark_to_iceberg_type(dt: T.DataType, next_id) -> object:
         T.BinaryType(): "binary",
         T.TimestampType(): "timestamptz",
         T.TimestampNTZType(): "timestamp",
+        T.VariantType(): "variant",
     }
     if dt in rev:
         return rev[dt]
@@ -2919,6 +2926,13 @@ def write_iceberg(
             )
         meta = _new_table_meta(df.schema, path)
         schema_obj = meta["schemas"][0]
+        if any(
+            f.get("type") == "variant" for f in schema_obj["fields"]
+        ):
+            # variant is a v3-only type (spec): the table creates
+            # directly at format-version 3
+            meta["format-version"] = 3
+            meta["next-row-id"] = 0
         if partition_by:
             pf = _partition_spec_fields(schema_obj, partition_by)
             meta["partition-specs"] = [{"spec-id": 0, "fields": pf}]

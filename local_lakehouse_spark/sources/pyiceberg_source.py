@@ -125,6 +125,16 @@ class _PyIcebergReader(DataSourceReader):
         else:
             ice_schema = iceberg_py._schema_for_snapshot(meta, snap)
         self._schema = iceberg_py.iceberg_schema_to_spark(ice_schema)
+        if any(
+            isinstance(f.dataType, T.VariantType)
+            for f in self._schema.fields
+        ):
+            # Arrow has no variant representation this reader can
+            # round-trip; the JVM scan handles variant natively
+            raise UnsupportedOperationError(
+                "pyiceberg: variant columns need the JVM scan path "
+                "(read_iceberg / read_table)"
+            )
         self._lineage = (
             str(options.get("rowlineage", "false")).lower() == "true"
         )

@@ -3839,6 +3839,76 @@ def test_metadata_tables_sql_surface(unity, spark, tmp_path):
     ).collect()[0].name == "main"
 
 
+def test_v3_variant_type(spark, tbl):
+    """Iceberg v3 VARIANT (round 12): a variant-typed column CREATES
+    the table directly at format-version 3, stores the UNSHREDDED
+    parquet variant group (footers stay pyarrow-readable — bounds /
+    field-id probes keep working), binds by field id across RENAME,
+    time-travels, composes with DV deletes, and the Arrow DataSource
+    refuses it loudly."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.parse_json(
+            F.concat(
+                F.lit('{"a":'),
+                F.col("id").cast("string"),
+                F.lit("}"),
+            )
+        ).alias("doc"),
+    )
+    write_iceberg(spark, df.coalesce(1), tbl, mode="create")
+    meta = table_metadata(tbl)
+    assert int(meta["format-version"]) == 3
+    assert "variant" in [
+        f["type"] for f in iceberg_py._current_schema(meta)["fields"]
+    ]
+    # footers readable + id-stamped (the unshredded/unannotated
+    # layout session.py pins)
+    dfile = next(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(os.path.join(tbl, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert pq.read_schema(dfile) is not None
+    assert iceberg_py._footer_field_ids(dfile)
+    write_iceberg(
+        spark,
+        df.select((F.col("k") + 20).alias("k"), "doc").coalesce(1),
+        tbl,
+        mode="append",
+    )
+    out = read_iceberg(spark, tbl)
+    assert (
+        out.select(
+            F.sum(F.variant_get("doc", "$.a", "long")).alias("s")
+        ).collect()[0].s
+        == sum(range(20)) * 2
+    )
+    iceberg_py.rename_iceberg_column(tbl, "doc", "payload")
+    assert (
+        read_iceberg(spark, tbl)
+        .select(
+            F.sum(F.variant_get("payload", "$.a", "long")).alias("s")
+        )
+        .collect()[0]
+        .s
+        == sum(range(20)) * 2
+    )
+    sid = int(meta["snapshots"][0]["snapshot-id"])
+    assert read_iceberg(spark, tbl, snapshot_id=sid).count() == 20
+    iceberg_py.dv_delete_iceberg_where(spark, tbl, "k % 4 = 0")
+    assert read_iceberg(spark, tbl).count() == 30
+    from local_lakehouse_spark.sources import pyiceberg_source
+
+    pyiceberg_source.register(spark)
+    with pytest.raises(Exception, match="variant"):
+        spark.read.format("pyiceberg").load(tbl).count()
+
+
 def test_v3_compaction_preserves_lineage(spark, tbl, tmp_path):
     """Lineage-preserving v3 compaction (round 12, the last v3 write
     gate): the rewrite materializes _row_id /
