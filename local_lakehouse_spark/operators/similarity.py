@@ -266,6 +266,198 @@ def cosine_topk_lsh(
     )
 
 
+def md5_plane_coeffs(
+    n_planes: int, dim: int, modulus: int = 200003
+) -> list[list[int]]:
+    """Deterministic integer hyperplane coefficients derived from
+    md5 — the lower-half little-endian uint64 of ``md5("<p>-<i>")``
+    mod ``modulus``, recentred to ``[-(modulus-1)/2, (modulus-1)/2]``.
+    DuckDB exposes the identical number as ``md5_number_lower``, so
+    an independent engine recomputes the exact planes (the x04 md5
+    trick, lifted from bit-sampling to hyperplanes). Driver-side,
+    tiny (n_planes x dim ints), inlined as array literals — no join,
+    no state to ship."""
+    import hashlib
+
+    half = (modulus - 1) // 2
+    return [
+        [
+            int.from_bytes(
+                hashlib.md5(f"{p}-{i}".encode()).digest()[8:16],
+                "little",
+            )
+            % modulus
+            - half
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def cosine_topk_lsh_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 6,
+    n_probes: int = 4,
+    dim: int = 64,
+    round_digits: int = 4,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """``cosine_topk_lsh`` in its ORACLE-CHECKABLE configuration
+    (the x17 nprobe==n_centroids precedent): every float step that
+    decides a discrete outcome runs in EXACT integer arithmetic, so
+    an independent engine reproduces the identical result set —
+    x06's promotion from rows-only to a full value-hash oracle.
+
+    - vectors quantize once: vq[i] = floor(v[i]*quant + 0.5) as long
+      (the only float->int step; both engines evaluate the same IEEE
+      double expression).
+    - hyperplane projections are integer dot products against the
+      md5-derived coefficient table — bucket signs and multi-probe
+      |margin| orderings are exact, never last-ulp-dependent (the
+      xxhash production variant's float projections are why it was
+      rows-only: a sum near 0 could flip buckets across engines).
+    - cosine = dot/sqrt(na)/sqrt(nb) over the exact integer sums;
+      IEEE sqrt/divide are correctly rounded, so the rounded value
+      matches bit-for-bit.
+
+    Query-directed multi-probe (own bucket + the n_probes-1
+    smallest-|margin| single-bit flips) and the broadcast bucket
+    join are unchanged from the production path. Bucket salting is
+    deliberately absent here — it only engages above
+    ``max_bucket_size`` and this configuration is pinned for
+    oracle parity; the salted path stays covered by
+    ``cosine_topk_lsh`` + its planted-recall contract. 100 TB: the
+    corpus is hashed once JVM-side (integer expressions, no Python),
+    queries broadcast, candidates bounded by bucket occupancy."""
+    coeffs = md5_plane_coeffs(n_planes, dim)
+
+    def vq(col):
+        return F.transform(
+            col,
+            lambda x: F.floor(
+                x.cast("double") * quant + F.lit(0.5)
+            ).cast("long"),
+        )
+
+    def proj_int(vq_col, p: int):
+        arr = F.array(
+            *[F.lit(c).cast("long") for c in coeffs[p]]
+        )
+        return F.aggregate(
+            F.zip_with(vq_col, arr, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"), vq(F.col(vec_col)).alias("c_vq")
+    ).withColumn(
+        "bucket",
+        sum(
+            (proj_int(F.col("c_vq"), p) >= 0).cast("long")
+            * F.lit(2**p)
+            for p in range(n_planes)
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), vq(F.col(vec_col)).alias("q_vq")
+    ).select(
+        "qid",
+        "q_vq",
+        *[
+            proj_int(F.col("q_vq"), p).alias(f"_proj{p}")
+            for p in range(n_planes)
+        ],
+    ).withColumn(
+        "bucket",
+        sum(
+            (F.col(f"_proj{p}") >= 0).cast("long") * F.lit(2**p)
+            for p in range(n_planes)
+        ),
+    )
+    if n_probes > 1:
+        flip_structs = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.col(f"_proj{p}")).alias("m"),
+                        F.col("bucket")
+                        .bitwiseXOR(F.lit(2**p))
+                        .alias("b"),
+                    )
+                    for p in range(n_planes)
+                ]
+            )
+        )
+        probes = F.concat(
+            F.array(F.col("bucket")),
+            F.slice(
+                F.transform(flip_structs, lambda s: s["b"]),
+                1,
+                min(n_probes - 1, n_planes),
+            ),
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    q = q.select("qid", "q_vq", "bucket")
+    p10 = 10**round_digits
+
+    def _isum(a, b, fn):
+        return F.aggregate(
+            F.zip_with(a, b, fn),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.floor(
+                    (
+                        _isum(
+                            F.col("q_vq"),
+                            F.col("c_vq"),
+                            lambda x, y: x * y,
+                        ).cast("double")
+                        / F.sqrt(
+                            _isum(
+                                F.col("q_vq"),
+                                F.col("q_vq"),
+                                lambda x, y: x * y,
+                            ).cast("double")
+                        )
+                        / F.sqrt(
+                            _isum(
+                                F.col("c_vq"),
+                                F.col("c_vq"),
+                                lambda x, y: x * y,
+                            ).cast("double")
+                        )
+                    )
+                    * p10
+                    + F.lit(0.5)
+                )
+                / p10
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("cid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 def _l2sq(a, b):
     """Squared L2 distance between two double arrays (JVM-side)."""
     return F.aggregate(
