@@ -159,29 +159,76 @@ def ngram_jaccard_pairs(
     bit-deterministic vs the SQL oracle.
     """
     # NOTE on shape: inverted-index pair generation. One shuffle
-    # builds the posting list (doc-id array) per shingle; singleton
-    # shingles — the vast majority — are dropped BEFORE any pair
-    # work, and pairs are emitted row-locally from the sorted posting
-    # list (k(k-1)/2 per shingle, bounded by the frequency cap), then
-    # count-aggregated. vs the earlier blocked self-join formulation
-    # this derives the shingle set twice instead of five times and
-    # replaces the self-join shuffle with a map-side array expansion
-    # (measured ~2× on the bench corpus). The pair-gen lambda is
-    # interpreted, but it runs on post-filter rows only (shared
-    # shingles), with tiny arrays.
+    # builds the posting list per shingle; singleton shingles — the
+    # vast majority — are dropped BEFORE any pair work, and pairs are
+    # emitted row-locally from the sorted posting list (k(k-1)/2 per
+    # shingle, bounded by the frequency cap), then count-aggregated.
+    # Doc sizes RIDE THE POSTING LISTS (r12): each exploded row
+    # carries its doc's distinct-shingle count, posting lists collect
+    # (id, sz) structs, and pair-gen emits sizes alongside ids — so
+    # the whole query derives the shingle set ONCE instead of three
+    # times (posting list + one derivation per join side), and the
+    # two size-lookup joins plus their groupBy(id) exchanges vanish
+    # (plan: 3 parquet scans + 8 exchanges + 2 joins → 1 scan + 4
+    # exchanges + 0 joins; r12 A/B at sf0.1: 2.24 s → 1.9 s median).
+    # The size is functionally dependent on the id, so folding it
+    # into the pair-agg grouping key changes nothing downstream.
     # Shingle derivation: the row-side array form (`shingles`). The
     # LEAD-window form (`shingles_codegen`) won 2× when the scan was a
     # single serial partition, but since parallelize_small_scan
     # redistributes the scan the lambda form's zero-shuffle derivation
-    # wins instead — re-measured this round at sf0.1: 1.36 s vs
-    # 2.30 s steady-state for the full pair pipeline.
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # wins instead — re-measured at sf0.1: 1.36 s vs 2.30 s
+    # steady-state for the full pair pipeline.
+    staged = parallelize_small_scan(df).select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), r"\s+").alias("__w")
+    )
+    w = F.col("__w")
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    sh_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    guarded = F.when(F.size(w) >= n, sh_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    arr = staged.select("id", F.array_distinct(guarded).alias("__sh"))
+    # Explode (shingle, size) PAIRS in one generator: the transform
+    # wraps each element with size(__sh) — O(1) on the materialized
+    # array — so the doc size rides every exploded row with a single
+    # array derivation. Two traps this shape dodges, both measured
+    # 10-25× (r12): (a) explode(plain attribute) lets
+    # InferFiltersFromGenerate push `size(arr_expr) > 0` with the
+    # whole shingle lambda inlined BELOW the parallelizing exchange —
+    # two serial re-derivations per row on the one-task scan; a
+    # complex generator input is skipped by that rule. (b) computing
+    # size() as a sibling projection of the explode re-derives the
+    # array expression per row after CollapseProject.
+    ex = (
+        arr.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.col("__sh"),
+                    lambda s: F.struct(
+                        s.alias("shingle"),
+                        F.size(F.col("__sh")).alias("sz"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "id",
+            F.col("p.sz").cast("long").alias("sz"),
+            F.col("p.shingle").alias("shingle"),
+        )
+    )
 
     buckets = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list("id").alias("ids"))
+        ex.groupBy("shingle")
+        .agg(F.collect_list(F.struct("id", "sz")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_freq))
+        # struct sort compares fields in order → ascending id (ids are
+        # unique per bucket), which the tail-slice pair-gen requires
         .select(F.array_sort("ids").alias("ids"))
     )
     k = F.size(F.col("ids"))
@@ -191,39 +238,40 @@ def ngram_jaccard_pairs(
             return tail
         # incremental: drop old partners (ids sorted → the higher id
         # of every emitted pair is the partner)
-        return F.filter(tail, lambda b: b >= F.lit(min_new_id))
+        return F.filter(tail, lambda b: b["id"] >= F.lit(min_new_id))
 
     pair_arrays = F.flatten(
         F.transform(
             F.col("ids"),
             lambda a, i: F.transform(
                 _partners(i),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    a["sz"].alias("size_a"),
+                    b["id"].alias("id_b"),
+                    b["sz"].alias("size_b"),
+                ),
             ),
         )
     )
     common = (
         buckets.select(F.explode(pair_arrays).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
+        .select("p.id_a", "p.id_b", "p.size_a", "p.size_b")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    jac = F.col("common") / (
+        F.col("size_a") + F.col("size_b") - F.col("common")
+    )
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("common")
-            / (F.col("size_a") + F.col("size_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        common.filter(jac >= threshold)
         .select(
             "id_a",
             "id_b",
             "common",
             "size_a",
             "size_b",
-            (F.floor(F.col("jaccard") * 1000 + F.lit(0.5)) / 1000).alias("jaccard"),
+            (F.floor(jac * 1000 + F.lit(0.5)) / 1000).alias("jaccard"),
         )
     )
 
@@ -265,7 +313,18 @@ def minhash_signatures(
     # equivalent, but Catalyst pushes that filter into the scan stage
     # with the shingle lambda inlined and split(text) re-evaluated per
     # element_at — a measured ~10× slowdown.
-    src = df.filter(F.size(F.split(F.col(text_col), r"\s+")) >= n)
+    # Redistribute a degenerate (single-file) scan FIRST: the whole
+    # shingle+hash signature stage fuses onto the scan, and a
+    # one-row-group parquet file would run it on ONE core (r12:
+    # signatures alone measured 1.45 s serial vs ~0.4 s spread;
+    # END-TO-END x03 is neutral at sf0.1 — alternating A/B medians
+    # 2.14 s old vs 2.17 s new, the LSH join stages dominate — kept
+    # because it un-serializes the one fused CPU-heavy stage and is a
+    # no-op at production scale where the scan has thousands of
+    # splits).
+    src = parallelize_small_scan(df).filter(
+        F.size(F.split(F.col(text_col), r"\s+")) >= n
+    )
     sh = shingle_arrays(src, id_col, text_col, n)
     # Hash each shingle string ONCE row-side (the only interpreted
     # higher-order step), explode the 8-byte hashes, and take the k
@@ -384,6 +443,12 @@ def minhash_lsh_verified_pairs(
 
     Scale: candidate verification joins shingles only for candidate
     ids — the shuffle is |candidates| × avg shingles, not |corpus|².
+
+    (r12 A/B, kept as-is: replacing the est-Jaccard candidate stage
+    with direct posting-list band candidates measured 5.2 s vs 2.3 s
+    at sf0.1 — the est stage's cached signature table also feeds the
+    final sort's range-sampling pass, so removing it re-executes the
+    uncached broadcast-join pipeline twice. Reverted.)
     """
     cand = minhash_lsh_pairs(
         df, id_col, text_col, n, k, bands, candidate_threshold
