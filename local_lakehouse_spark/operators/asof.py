@@ -34,14 +34,31 @@ def asof_join(
     right_time: str,
     payload_cols: list[str],
     direction: str = "backward",
+    state_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left rows + latest-right payload columns (NULL when no right row
     precedes). ``direction='backward'`` matches right_time <= left_time
     (the DuckDB ``ASOF JOIN ... ON l.t >= r.t`` semantics);
     ``'forward'`` matches the earliest right_time >= left_time.
+
+    ``state_tiebreak`` (a payload column name) makes ties among right
+    rows at the SAME (key, time) deterministic without a separate
+    dedup pass: state rows at equal time are ordered by the tiebreak
+    ascending inside the one as-of window, so ``backward`` resolves
+    equal-time ties to the MAX tiebreak row and ``forward`` to the
+    MIN — identical to deduplicating the right side to that row first
+    (r12: folding the dedup into the window ordering removes the
+    dedup's own exchange + sort + window pass; all payload columns
+    come from the same winning row because ``last/first(ignorenulls)``
+    skip probe rows' all-NULL payloads, and the probe/state flag
+    orders before the tiebreak so probe rows never interleave).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
+    if state_tiebreak is not None and state_tiebreak not in payload_cols:
+        raise ValueError(
+            f"state_tiebreak {state_tiebreak!r} must be one of payload_cols"
+        )
 
     l_tagged = left.select(
         F.col(left_key).alias("__key"),
@@ -61,11 +78,14 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    tiebreak = (
+        [F.asc(f"__p_{state_tiebreak}")] if state_tiebreak is not None else []
+    )
     if direction == "backward":
         # state rows sort before probes at equal time → <= semantics
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.asc("__time"), F.asc("__is_probe"))
+            .orderBy(F.asc("__time"), F.asc("__is_probe"), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         picked = [
@@ -75,7 +95,7 @@ def asof_join(
     else:
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.asc("__time"), F.desc("__is_probe"))
+            .orderBy(F.asc("__time"), F.desc("__is_probe"), *tiebreak)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         picked = [

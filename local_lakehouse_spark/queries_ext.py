@@ -450,16 +450,16 @@ ORDER BY id
 def x11(spark, sf):
     events = events_table(spark, sf)
     orders = t(spark, sf, "orders")
-    # Dedupe right side to one order per (custkey, orderdate) — makes
-    # the as-of pick deterministic in BOTH engines (ties on the asof
-    # key are otherwise unspecified).
-    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
-        F.desc("o_orderkey")
-    )
-    od = (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    # Ties on the as-of key (several orders on one (custkey, date))
+    # are resolved to the MAX o_orderkey row. The oracle dedupes the
+    # right side to that row with a ROW_NUMBER pass; Spark-side the
+    # same pick rides the as-of window's ordering instead
+    # (state_tiebreak) — r12: the separate dedup window cost its own
+    # exchange + sort + WindowGroupLimit pass over orders (plan: 3
+    # exchanges → 2), alternating A/B 1.01 s → 0.71 s median, result
+    # identical (LOCF's last() at equal time IS the max-tiebreak row).
+    od = orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
     )
     joined = asof_join(
         events,
@@ -469,6 +469,7 @@ def x11(spark, sf):
         left_time="ts",
         right_time="o_orderdate",
         payload_cols=["o_orderkey", "o_totalprice"],
+        state_tiebreak="o_orderkey",
     )
     return joined.select("event_id", "o_orderkey", "o_totalprice").orderBy(
         "event_id"

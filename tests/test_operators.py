@@ -241,6 +241,43 @@ def test_asof_join_backward_forward(spark):
     assert got_f == {1: "a", 2: None, 3: "c"}
 
 
+def test_asof_join_state_tiebreak(spark):
+    # Duplicate state times per key: the tiebreak must pick the MAX
+    # tiebreak row for backward and the MIN for forward — identical to
+    # deduplicating the state side first, without the extra window
+    # pass (r12 optimization; both payload columns must come from the
+    # SAME winning row).
+    events = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205)], "event_id long, key long, t long"
+    )
+    states = spark.createDataFrame(
+        [(10, 100, 7, "k7"), (10, 100, 9, "k9"), (10, 200, 1, "k1"),
+         (10, 200, 3, "k3")],
+        "key long, t long, ord long, v string",
+    )
+    back = asof_join(
+        events, states, "key", "key", "t", "t", ["ord", "v"],
+        direction="backward", state_tiebreak="ord",
+    )
+    got = {r.event_id: (r.ord, r.v) for r in back.collect()}
+    assert got == {1: (9, "k9"), 2: (3, "k3")}
+    fwd = asof_join(
+        events, states, "key", "key", "t", "t", ["ord", "v"],
+        direction="forward", state_tiebreak="ord",
+    )
+    got_f = {r.event_id: (r.ord, r.v) for r in fwd.collect()}
+    # event1 t=100: first state >= 100 at equal time -> min ord (7);
+    # event2 t=205: no state at or after -> NULL payload
+    assert got_f == {1: (7, "k7"), 2: (None, None)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(
+            events, states, "key", "key", "t", "t", ["v"],
+            state_tiebreak="ord",
+        )
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of a house"),
