@@ -2440,6 +2440,45 @@ SELECT doc_id, cluster_id, rn = 1 AS keep FROM ranked ORDER BY doc_id
 """
 
 
+def _co_occurrence_pairs(spark, sf, ordered: bool = False) -> DataFrame:
+    """(src, dst) part pairs sharing an order — the market-basket
+    edge derivation shared by x66/x94. r12: ONE groupBy(l_orderkey)
+    with map-side partial collect_set replaces the old
+    distinct + self-join (the distinct's (order, part) exchange AND
+    the equi-join vanish; collect_set dedupes within the order for
+    free); pairs then explode from each order's part set in-task.
+    Fan-out is bounded by parts-per-order (≤7 in this schema), the
+    same bound the self-join had. The cheap round-robin repartition
+    of the collapsed arrays (1 narrow row per order) spreads the
+    explosion across cores — without it AQE coalesces the
+    order-count-sized agg output to a handful of partitions and the
+    pair generation serializes. ``ordered`` emits only src < dst
+    (x94's undirected orientation); otherwise src != dst (x66)."""
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    grouped = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    cond = "b > a" if ordered else "b != a"
+    return (
+        grouped.repartition(n_part)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, a -> transform("
+                        f"filter(ps, b -> {cond}), "
+                        "b -> struct(a as src, b as dst)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+
+
 def x66(spark, sf):
     """PageRank over the part co-occurrence graph (parts sharing an
     order — the market-basket graph), 5 fixed-point iterations
@@ -2448,21 +2487,11 @@ def x66(spark, sf):
     the same 5 iterations in CTEs."""
     from .operators.graph import pagerank_fixedpoint
 
-    # Dedupe (order, part) BEFORE the self-join: the join input
-    # shrinks to distinct pairs and the join is a plain equi-join on
-    # the order key. Cross-order pair dedup is delegated to
+    # Cross-order pair dedup is delegated to
     # pagerank_fixedpoint(dedupe_edges=True), which folds it into the
     # dst-repartition shuffle it performs anyway — one full-edge
     # exchange instead of two.
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-    )
+    edges = _co_occurrence_pairs(spark, sf)
     pr = pagerank_fixedpoint(edges, n_iter=5, dedupe_edges=True)
     return (
         pr.orderBy(F.desc("r"), F.asc("node"))
@@ -4017,15 +4046,10 @@ def x94(spark, sf):
     kills naive triangle joins. Top-20 parts by triangle count."""
     from .operators.graph import triangle_counts
 
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-    )
+    # r12: edges via the shared groupBy+collect_set derivation (no
+    # distinct exchange, no self-join); cross-order pair dedup is
+    # triangle_counts' own (min,max) distinct, unchanged.
+    edges = _co_occurrence_pairs(spark, sf, ordered=True)
     return triangle_counts(edges, top_k=20).withColumnRenamed("id", "part_id")
 
 
