@@ -29,6 +29,42 @@ def _words(text_col: Column) -> Column:
     return F.split(text_col, r"\s+")
 
 
+def _lang_pred_expr(words: Column) -> Column:
+    """The language_id argmax as a single expression (shared with
+    corpus_filter's fused admission select)."""
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect(words, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best <= 0, F.lit("und")).otherwise(pred)
+
+
+def _quality_score_expr(text_col: Column, words: Column) -> Column:
+    """The quality_score 0–1 combination as a single expression
+    (shared with corpus_filter's fused admission select)."""
+    n_chars = F.length(text_col)
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    avg_word_len = (n_chars - (n_words - 1)) / n_words
+    stopword_ratio = stop_hits / n_words
+    length_ok = (n_words >= 10) & (n_words <= 100000)
+    return (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(
+            (avg_word_len >= 3) & (avg_word_len <= 12), F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            (stopword_ratio >= 0.01) & (stopword_ratio <= 0.5), F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+    )
+
+
 def language_id(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -136,35 +172,38 @@ def corpus_filter(
     text_col: str,
     langs: tuple[str, ...] = ("en",),
     min_score: float = 0.75,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """The end-to-end training-data admission pipeline, composed from
     the individual operators: language-ID gate + quality-score gate +
     exact first-occurrence dedup. Returns the admitted documents as
-    (id, lang_pred, n_words, score).
+    (id, lang_pred, n_words, score[, *keep]) — ``keep`` names extra
+    input columns to carry through (r12: lets x49 chunk the admitted
+    text directly instead of re-joining the corpus twice).
 
-    Shape at scale: language/quality are map-side column expressions
-    over one scan; the dedup is one 8-byte-keyed shuffle (min id per
-    content hash, re-joined by id — both sides shrink before the
-    join). No Python anywhere.
+    Shape at scale (r12): language AND quality are ONE fused map-side
+    select over ONE scan — they are both per-row expressions of the
+    same row, so the pre-r12 lang ⋈ qual join on id (two scans + an
+    exchange-backed join) was pure overhead. The dedup stays a
+    separate min-id-per-text aggregate, applied as a left-semi join
+    (broadcast below threshold). No Python anywhere.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    lang = language_id(df, id_col, text_col).select("id", "lang_pred")
-    qual = quality_score(df, id_col, text_col).select(
-        "id", "n_words", "score"
+    words = _words(F.col(text_col))
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        _lang_pred_expr(words).alias("lang_pred"),
+        F.size(words).cast("bigint").alias("n_words"),
+        _quality_score_expr(F.col(text_col), words).alias("score"),
+        *[F.col(c) for c in keep],
     )
     firsts = (
-        base.groupBy("__t")
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .groupBy("__t")
         .agg(F.min("id").alias("id"))
         .select("id")
     )
-    return (
-        lang.join(qual, "id")
-        .join(firsts, "id", "left_semi")
-        .filter(
-            F.col("lang_pred").isin(list(langs))
-            & (F.col("score") >= min_score)
-        )
-        .select("id", "lang_pred", "n_words", "score")
+    return feats.join(firsts, "id", "left_semi").filter(
+        F.col("lang_pred").isin(list(langs)) & (F.col("score") >= min_score)
     )
 
 
@@ -174,10 +213,13 @@ def chunk_documents(
     text_col: str,
     chunk_chars: int = 120,
     stride: int = 90,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, chunk_id, start, chunk, chunk_len) — fixed-width character
-    chunking with overlap (chunk_chars - stride), the LLM-context
-    windowing step of a pretraining pipeline.
+    """(id, chunk_id, start, chunk, chunk_len[, *keep]) — fixed-width
+    character chunking with overlap (chunk_chars - stride), the
+    LLM-context windowing step of a pretraining pipeline. ``keep``
+    names extra input columns copied onto every chunk row (r12: lets
+    x49 carry ``source`` through instead of re-joining the corpus).
 
     Spark shape: sequence() + posexplode() — a generator expression
     evaluated inside the scan stage, no shuffle at all; output rows
@@ -190,6 +232,7 @@ def chunk_documents(
         df.select(
             F.col(id_col).alias("id"),
             F.col(text_col).alias("__t"),
+            *[F.col(c) for c in keep],
             F.posexplode(starts).alias("chunk_id", "start"),
         )
         .select(
@@ -200,6 +243,7 @@ def chunk_documents(
             F.length(F.expr(f"substring(__t, start, {chunk_chars})"))
             .cast("int")
             .alias("chunk_len"),
+            *keep,
         )
     )
 
@@ -385,6 +429,7 @@ def pack_sequences(
     tokens_col: str,
     group_col: str,
     budget: int,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Streaming sequence packing: assign documents (in id order,
     within each group/shard) to context-window bins of ``budget``
@@ -396,7 +441,10 @@ def pack_sequences(
     cumsum, so it parallelizes by group, merges trivially, and an
     independent engine reproduces it exactly. Output adds ``bin``
     (per-group bin index) and ``bin_prefix`` (tokens before this doc
-    within its bin).
+    within its bin). ``passthrough`` names extra input columns to
+    carry onto the output rows (r12: saves x49's join-back of the
+    packing result to its own input — which duplicated the whole
+    chunking subtree in the plan).
     """
     w = (
         Window.partitionBy(group_col)
@@ -410,6 +458,7 @@ def pack_sequences(
         tokens_col,
         F.floor(before / budget).cast("int").alias("bin"),
         (before % budget).cast("long").alias("bin_prefix"),
+        *passthrough,
     )
 
 
@@ -893,56 +942,90 @@ def cdc_chunks(
     (sketches._md5_u48), so an external SQL engine reproduces the
     exact boundaries.
 
-    Scale shape: split → posexplode in the scan stage, ONE window
-    pass per doc (lag chain + running boundary count — Spark
-    evaluates all three window expressions in a single WindowExec),
-    one (id, chunk_id) agg with ordered reassembly. No UDF, no
-    shuffle beyond the doc-keyed window + agg.
+    Scale shape (r12): ZERO shuffles — boundaries are a per-row array
+    computation. The pre-r12 form posexploded every word, ran a
+    doc-keyed window (lag chain + running boundary sum) and
+    reassembled chunks with a groupBy(id, chunk_id) + array_sort —
+    one full word-level exchange plus two sorts, all to compute
+    something each document row already determines locally. Now:
+    boundary positions = ``filter(sequence, i -> hash(slice) % mask
+    = 0)``, chunk spans = zip of shifted boundary arrays, chunk text
+    = ``concat_ws(slice(ws, start, len))`` — scan-stage expressions
+    only, the hash count per word is unchanged, and downstream
+    consumers see the identical (id, chunk_id, chunk, n_words) rows.
+    ``parallelize_small_scan`` guards the degenerate one-row-group
+    input (the fused per-row work would otherwise run on ONE task;
+    a no-op at production file counts).
     """
-    from pyspark.sql import Window as W
-
+    from .dedup import parallelize_small_scan
     from .sketches import _md5_u48
 
-    words = df.select(
+    # Each intermediate array is PROJECTED into its own column so it
+    # is evaluated once per row — lambda-inlined references would
+    # re-derive the whole split per element (the x02 inlining trap).
+    staged = parallelize_small_scan(df).select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.filter(_words(F.col(text_col)), lambda x: x != "")
-        ).alias("i", "w"),
+        F.filter(_words(F.col(text_col)), lambda x: x != "").alias("__ws"),
     )
-    byid = W.partitionBy("id").orderBy("i")
-    gram = F.concat_ws(
-        " ", *[F.lag("w", window - 1 - j).over(byid) for j in range(window)]
-    )
-    flagged = words.select(
+    ws = F.col("__ws")
+    n = F.size(ws)
+    # 1-based word index i ends a chunk when the trailing-`window`
+    # gram hashes to 0 mod mask (only defined from i >= window)
+    bounded = staged.select(
         "id",
-        "i",
-        "w",
-        (
-            (F.col("i") >= window - 1)
-            & (_md5_u48(gram) % mask == 0)
-        ).cast("int").alias("boundary"),
-    )
-    chunked = flagged.select(
-        "id",
-        "i",
-        "w",
-        F.coalesce(
-            F.sum("boundary").over(
-                byid.rowsBetween(W.unboundedPreceding, -1)
+        "__ws",
+        F.filter(
+            F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
             ),
-            F.lit(0),
-        ).cast("bigint").alias("chunk_id"),
+            lambda i: (i >= window)
+            & (
+                _md5_u48(
+                    F.concat_ws(
+                        " ", F.slice(ws, i - (window - 1), F.lit(window))
+                    )
+                )
+                % mask
+                == 0
+            ),
+        ).alias("__bpos"),
+    )
+    # chunk k spans [start_k, end_k] (1-based, inclusive): starts are
+    # 1 + each boundary, ends are each boundary + n. A boundary ON
+    # the last word would yield an empty trailing span — filtered.
+    bpos = F.col("__bpos")
+    spanned = bounded.select(
+        "id",
+        "__ws",
+        F.filter(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1)
+                ).alias("s"),
+                F.concat(bpos, F.array(n)).alias("e"),
+            ),
+            lambda z: z["s"] <= z["e"],
+        ).alias("__spans"),
     )
     return (
-        chunked.groupBy("id", "chunk_id")
-        .agg(
-            F.array_join(
+        spanned.select(
+            "id",
+            F.posexplode(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("chunk"),
-            F.count(F.lit(1)).alias("n_words"),
+                    F.col("__spans"),
+                    lambda z: F.struct(
+                        F.concat_ws(
+                            " ", F.slice(ws, z["s"], z["e"] - z["s"] + 1)
+                        ).alias("chunk"),
+                        (z["e"] - z["s"] + 1).cast("bigint").alias("n_words"),
+                    ),
+                )
+            ).alias("chunk_id", "c"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.n_words").alias("n_words"),
         )
     )

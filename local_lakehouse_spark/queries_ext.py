@@ -1728,24 +1728,38 @@ def x49(spark, sf):
     )
 
     docs = t(spark, sf, "documents")
-    admitted = corpus_filter(docs, "doc_id", "text").select(
-        F.col("id").alias("doc_id")
+    # r12 (guide §2.4): admission keeps text+source (corpus_filter
+    # `keep`), chunking carries source (`keep`), and packing carries
+    # id/chunk_id (`passthrough`) — the three join-backs of the old
+    # composition (docs ⋈ admitted for text, chunks ⋈ docs for
+    # source, packed ⋈ with_tok for ids, the last of which DUPLICATED
+    # the whole chunking subtree in the plan) all disappear. One
+    # linear pipeline: 2 corpus scans (features + first-occurrence
+    # dedup) instead of 5, 1 join instead of 4.
+    adm_docs = corpus_filter(
+        docs, "doc_id", "text", keep=("text", "source")
+    ).select(F.col("id").alias("doc_id"), "text", "source")
+    chunks = chunk_documents(
+        adm_docs, "doc_id", "text", 120, 90, keep=("source",)
     )
-    adm_docs = docs.join(admitted, "doc_id")
-    chunks = chunk_documents(adm_docs, "doc_id", "text", 120, 90)
     with_tok = chunks.select(
         "id",
         "chunk_id",
+        "source",
         F.size(
             F.filter(F.split(F.col("chunk"), r"\s+"), lambda x: x != "")
         ).cast("long").alias("n_tokens"),
         (F.col("id") * 1000 + F.col("chunk_id")).alias("seq"),
-    ).join(
-        docs.select(F.col("doc_id").alias("id"), "source"), "id"
     )
     return (
-        pack_sequences(with_tok, "seq", "n_tokens", "source", budget=512)
-        .join(with_tok.select("seq", "id", "chunk_id"), "seq")
+        pack_sequences(
+            with_tok,
+            "seq",
+            "n_tokens",
+            "source",
+            budget=512,
+            passthrough=("id", "chunk_id"),
+        )
         .select("source", "id", "chunk_id", "n_tokens", "bin", "bin_prefix")
         .orderBy("source", "id", "chunk_id")
     )

@@ -1556,6 +1556,35 @@ def test_cdc_chunks_expected_length(spark):
     assert 8 <= avg <= 32, avg  # 2x tolerance around the expected 16
 
 
+def test_cdc_chunks_edge_cases(spark):
+    """r12 span-based rewrite edge cases: a boundary landing ON the
+    last word must not emit an empty trailing chunk; short/empty
+    texts yield dense 0-based chunk_ids with every word accounted
+    for exactly once."""
+    from local_lakehouse_spark.operators.text import cdc_chunks
+
+    # mask=1 => EVERY word from index `window` on is a boundary,
+    # including the last → chunks of 1 word after the first
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs, "doc_id", "text", window=2, mask=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    # doc 1: boundary after every word from the 2nd on, incl. the
+    # LAST word — no empty trailing chunk may appear
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk for r in d1] == ["a b", "c", "d", "e"]
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert all(r.n_words == len(r.chunk.split()) for r in d1)
+    d2 = sorted(by_doc[2], key=lambda r: r.chunk_id)
+    assert [r.chunk for r in d2] == ["x y"]
+    # empty / whitespace-only docs produce no chunk rows at all
+    assert 3 not in by_doc and 4 not in by_doc
+
+
 def test_triangle_counts_known_graphs(spark):
     """K4 has 4 triangles, every vertex in 3 of them; adding a
     pendant vertex changes nothing; duplicated/reversed input edges
