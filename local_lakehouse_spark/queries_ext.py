@@ -3654,25 +3654,38 @@ def x88(spark, sf):
         .groupBy("vec_id", "label", "clabel")
         .agg(F.sum(F.abs(F.col("q") * 1000 - F.col("c_micro"))).alias("l1"))
     )
-    own = alldist.filter(F.col("label") == F.col("clabel")).groupBy(
-        "label"
-    ).agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.expr("CAST(sum(l1) AS BIGINT) DIV count(1)").alias("intra_micro"),
-    )
-    other = (
-        alldist.filter(F.col("label") != F.col("clabel"))
-        .groupBy("vec_id", "label")
-        .agg(F.min("l1").alias("nearest_other"))
-        .groupBy("label")
-        .agg(
-            F.expr("CAST(sum(nearest_other) AS BIGINT) DIV count(1)").alias(
-                "inter_micro"
-            )
-        )
+    # r12 (guide §2.4): own/intra and other/inter previously derived
+    # from TWO consumers of `alldist` (filter= / filter<> → separate
+    # groupBys → an own⋈other join), which re-executed the whole
+    # dims⋈cent subtree — 4 posexplode Generates and 8 Exchanges in
+    # the plan. One (vec_id, label) aggregate computes both sides
+    # (the own-centroid distance is the single label==clabel row, the
+    # nearest-other is the min over the rest), and the label rollup
+    # then needs no join at all: 2 Generates, 4 Exchanges.
+    # `count(own_l1)` == the old own-side count(1) (every vector has
+    # its own-label centroid row); the `count(nearest) > 0` filter
+    # reproduces the old inner join's drop of single-label corpora.
+    per_vec = alldist.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("clabel"), F.col("l1"))
+        ).alias("own_l1"),
+        F.min(
+            F.when(F.col("label") != F.col("clabel"), F.col("l1"))
+        ).alias("nearest_other"),
     )
     return (
-        own.join(other, "label")
+        per_vec.groupBy("label")
+        .agg(
+            F.count("own_l1").alias("n_vecs"),
+            F.expr("CAST(sum(own_l1) AS BIGINT) DIV count(own_l1)").alias(
+                "intra_micro"
+            ),
+            F.expr(
+                "CAST(sum(nearest_other) AS BIGINT) DIV count(nearest_other)"
+            ).alias("inter_micro"),
+            F.count("nearest_other").alias("__n_other"),
+        )
+        .filter(F.col("__n_other") > 0)
         .select(
             "label",
             "n_vecs",
