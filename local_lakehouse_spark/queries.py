@@ -2385,7 +2385,15 @@ def q69(spark, sf):
     orders of the same priority fall within $1000 below its total
     price, and their combined value. Money in integer cents so both
     the ordering key and the sum are exact; RANGE frames include
-    peers, so tied prices get identical (deterministic) answers."""
+    peers, so tied prices get identical (deterministic) answers.
+
+    r12 (guide §3.3): the final orderBy's range-sampling pass
+    re-executed the RANGE-frame window (5 fat priority partitions —
+    the expensive part of this query) because no stage boundary sits
+    between window and sort. A lazy localCheckpoint materializes the
+    window output once; sampler and shuffle read the persisted
+    blocks. Alternating A/B median 1.391 -> 0.981 s; rows and order
+    identical."""
     o = t(spark, sf, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -2406,6 +2414,7 @@ def q69(spark, sf):
             F.count(F.lit(1)).over(w).alias("n_band"),
             F.sum("cents").over(w).alias("band_cents"),
         )
+        .localCheckpoint(eager=False)
         .orderBy("o_orderkey")
     )
 
