@@ -271,32 +271,56 @@ def pagerank_fixedpoint(
         # full-edge distinct exchange entirely
         e = e.dropDuplicates(["src", "dst"])
     e = e.localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # r12 (guide §2.4 "remove shuffles outright"): the node frame,
+    # out-degrees, and the three structural counts previously took
+    # three full-edge passes (union+distinct for nodes, groupBy(src)
+    # for outdeg, distinct(dst) for inbound flags) plus two
+    # node-sized joins under the stats aggregate — measured 2.4-2.8 s
+    # of x66's 4.9 s before the first iteration ran. ONE exploded
+    # groupBy computes all of it: each edge contributes
+    # (src, out=1, in=0) and (dst, out=0, in=1); per-node sums are
+    # the degrees (map-side partial aggregation collapses the 2×
+    # fanout within each edge partition), and the driver stats fold
+    # out of the same node-sized table. The table persists once
+    # (localCheckpoint) so the per-round outdeg broadcast reads
+    # persisted node rows instead of re-aggregating the edge list.
+    nodeinfo = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("o"),
+                        F.lit(0).alias("i"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("o"),
+                        F.lit(1).alias("i"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.node").alias("node"))
+        .agg(
+            F.sum("x.o").alias("__outdeg"),
+            F.sum("x.i").alias("__indeg"),
+        )
         .localCheckpoint(eager=False)
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # One job for all three structural counts (node count, dangling
-    # nodes, nodes with no inbound edge) instead of three actions.
-    indeg_nodes = e.select(F.col("dst").alias("node")).distinct()
-    stats = (
-        nodes.join(
-            outdeg.select(F.col("src").alias("node"), "outdeg"), "node", "left"
-        )
-        .join(indeg_nodes.withColumn("__has_in", F.lit(1)), "node", "left")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("outdeg").isNull(), 1).otherwise(0)).alias(
-                "n_dangling"
-            ),
-            F.sum(F.when(F.col("__has_in").isNull(), 1).otherwise(0)).alias(
-                "n_no_inbound"
-            ),
-        )
-        .collect()[0]
+    nodes = nodeinfo.select("node")
+    outdeg = nodeinfo.filter(F.col("__outdeg") > 0).select(
+        F.col("node").alias("src"), F.col("__outdeg").alias("outdeg")
     )
+    stats = nodeinfo.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("__outdeg") == 0, 1).otherwise(0)).alias(
+            "n_dangling"
+        ),
+        F.sum(F.when(F.col("__indeg") == 0, 1).otherwise(0)).alias(
+            "n_no_inbound"
+        ),
+    ).collect()[0]
     n, n_dangling, n_no_inbound = stats.n, stats.n_dangling, stats.n_no_inbound
     base = ((100 - damping_pct) * (scale // n)) // 100
 
