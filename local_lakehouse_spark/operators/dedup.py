@@ -231,32 +231,35 @@ def ngram_jaccard_pairs(
         # unique per bucket), which the tail-slice pair-gen requires
         .select(F.array_sort("ids").alias("ids"))
     )
-    k = F.size(F.col("ids"))
-    def _partners(i):
-        tail = F.slice(F.col("ids"), i + F.lit(2), k - i - F.lit(1))
-        if min_new_id is None:
-            return tail
+    # Pair generation as two chained codegen Generates (r12, guide
+    # §4.1 "prefer built-ins/codegen over interpreted paths"): the
+    # previous flatten(transform(transform(struct...))) built every
+    # k(k-1)/2 pair struct through INTERPRETED higher-order lambdas —
+    # A/B'd at sf0.1: pair stage 1.262 -> 0.989 s median for the same
+    # 1.27 M pair rows. posexplode streams each bucket element with
+    # its position; the second explode slices the (sorted) tail of
+    # the SAME posting array, so pairs stay (lower id, higher id) and
+    # rows pipeline through whole-stage codegen without materializing
+    # per-element array copies.
+    step1 = buckets.select("ids", F.posexplode("ids").alias("i", "a"))
+    pairs = step1.select(
+        F.col("a.id").alias("id_a"),
+        F.col("a.sz").alias("size_a"),
+        F.explode(
+            F.slice(
+                F.col("ids"), F.col("i") + 2, F.size("ids") - F.col("i") - 1
+            )
+        ).alias("b"),
+    )
+    if min_new_id is not None:
         # incremental: drop old partners (ids sorted → the higher id
         # of every emitted pair is the partner)
-        return F.filter(tail, lambda b: b["id"] >= F.lit(min_new_id))
-
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                _partners(i),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    a["sz"].alias("size_a"),
-                    b["id"].alias("id_b"),
-                    b["sz"].alias("size_b"),
-                ),
-            ),
-        )
-    )
+        pairs = pairs.filter(F.col("b.id") >= F.lit(min_new_id))
     common = (
-        buckets.select(F.explode(pair_arrays).alias("p"))
-        .select("p.id_a", "p.id_b", "p.size_a", "p.size_b")
+        pairs.select(
+            "id_a", F.col("b.id").alias("id_b"), "size_a",
+            F.col("b.sz").alias("size_b"),
+        )
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
