@@ -53,6 +53,14 @@ def pareto_frontier_2d(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     d = d.withColumn("__local_prev", F.max("__grp_max").over(w_local))
+    # Materialize the domain table ONCE (r12, guide §3.3): `d` feeds
+    # both the offsets aggregate and the final join, so without this
+    # the groupBy → repartitionByRange → window subtree executed
+    # twice (plus its range exchange re-samples per execution). The
+    # persisted table is O(distinct min_col) rows. This also pins ONE
+    # __pid assignment for both consumers by construction instead of
+    # relying on the two executions sampling identical range bounds.
+    d = d.localCheckpoint(eager=False)
 
     # Per-partition totals: #partitions rows — the one place a global
     # window is safe, because its input is O(partitions), not O(rows).
