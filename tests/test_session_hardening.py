@@ -40,12 +40,21 @@ def bare_session(spark):
     # in a bare session
     s.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
     s.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    # variant shredding/annotation default ON in a bare Spark 4.1
+    # session (harden_runtime turns both OFF — r11 VARIANT support,
+    # commit fbb298f)
+    s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    s.conf.set(
+        "spark.sql.parquet.variant.annotateLogicalType.enabled", "true"
+    )
     assert _RUNTIME_CONFS.keys() == {
         "spark.sql.legacy.parquet.nanosAsLong",
         "spark.sql.session.timeZone",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.parquet.fieldId.read.enabled",
         "spark.sql.parquet.fieldId.write.enabled",
+        "spark.sql.variant.writeShredding.enabled",
+        "spark.sql.parquet.variant.annotateLogicalType.enabled",
     }, "new runtime conf added — perturb it here too"
     return s
 
