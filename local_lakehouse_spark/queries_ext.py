@@ -2484,22 +2484,22 @@ def _co_occurrence_pairs(spark, sf, ordered: bool = False) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
     )
-    cond = "b > a" if ordered else "b != a"
-    return (
-        grouped.repartition(n_part)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(ps, a -> transform("
-                        f"filter(ps, b -> {cond}), "
-                        "b -> struct(a as src, b as dst)))"
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
+    # r12 second pass (guide §4.1): the nested
+    # transform(filter(...), struct...) lambda chain built every pair
+    # struct through INTERPRETED higher-order evaluation. Two chained
+    # explodes + a plain column filter emit the identical pair
+    # multiset entirely in whole-stage codegen — A/B at sf0.1:
+    # 1.172 -> 1.035 s median for the same 2 399 150 pair rows.
+    s1 = grouped.repartition(n_part).select(
+        "ps", F.explode("ps").alias("src")
     )
+    s2 = s1.select("src", F.explode("ps").alias("dst"))
+    cond = (
+        F.col("dst") > F.col("src")
+        if ordered
+        else F.col("dst") != F.col("src")
+    )
+    return s2.filter(cond).select("src", "dst")
 
 
 def x66(spark, sf):
