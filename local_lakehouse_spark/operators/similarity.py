@@ -62,12 +62,19 @@ def cosine_topk_bruteforce(
     the per-query top-k window, keyed by qid. Rank is deterministic:
     cosine is rounded BEFORE ranking and ties break on cid.
     """
+    # Norms are per-VECTOR constants: compute them once per side
+    # BEFORE the crossJoin instead of re-folding both 64-element
+    # arrays on every (corpus × query) row (r12, guide §4.1 — the
+    # array folds are interpreted higher-order lambdas; this removes
+    # 2/3 of them). The norm value is the identical deterministic
+    # expression over the identical array, so every row's cosine is
+    # bit-unchanged (A/B: byte-identical rows, 0.78 -> 0.67 s).
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("q_emb")
-    )
+    ).withColumn("__qn", _norm2(F.col("q_emb")))
     c = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
-    )
+    ).withColumn("__cn", _norm2(F.col("c_emb")))
     p = 10**round_digits
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -78,7 +85,7 @@ def cosine_topk_bruteforce(
             (
                 F.floor(
                     (_dot(F.col("q_emb"), F.col("c_emb"))
-                     / F.sqrt(_norm2(F.col("q_emb")) * _norm2(F.col("c_emb"))))
+                     / F.sqrt(F.col("__qn") * F.col("__cn")))
                     * p
                     + F.lit(0.5)
                 )
