@@ -12,10 +12,11 @@ the batch SQL answer via the availableNow trigger) and the hash-based
 dedup family: x03 verifies LSH candidates with the exact jaccard (so
 an exact SQL twin is a true oracle) and x04 runs SimHash in md5 mode
 (DuckDB's md5_number_lower reproduces the identical fingerprints).
-Rows-only by design: x06 (xxhash LSH buckets, approximate by
-construction), x14 (sign-LSH blocking, genuinely partial recall at
-cos 0.4 — measured 7/59 at sf0.01), x22 (DataSketches HLL ≠ DuckDB's
-HLL implementation; accuracy asserted ±2% in tests instead).
+Rows-only by design: x14 (sign-LSH blocking, genuinely partial recall
+at cos 0.4 — measured 7/59 at sf0.01), x22 (DataSketches HLL ≠
+DuckDB's HLL implementation; accuracy asserted ±2% in tests instead).
+x06 graduated to a full value-hash oracle in r12: its md5-derived
+integer hyperplanes are reproduced exactly by the DuckDB twin.
 """
 
 from __future__ import annotations
@@ -3750,7 +3751,11 @@ def x89(spark, sf):
     import hashlib
 
     from .sources import pydelta_source
-    from .streaming.windows import run_stream_to_memory, streaming_tumbling_agg
+    from .streaming.windows import (
+        run_stream_to_memory,
+        sink_sorted,
+        streaming_tumbling_agg,
+    )
 
     pydelta_source.register(spark)
     key = hashlib.md5(sf.encode()).hexdigest()[:8]
@@ -3762,7 +3767,9 @@ def x89(spark, sf):
     )
     name = f"x89_sink_{key}"
     run_stream_to_memory(streaming_tumbling_agg(stream), name)
-    return spark.table(name).orderBy("win_start", "event_type")
+    # r13: single-task sort of the driver-resident sink (see
+    # sink_sorted) — identical rows and order to the old orderBy.
+    return sink_sorted(spark, name, "win_start", "event_type")
 
 
 def stage_x89_table(spark, sf: str) -> str:
@@ -6715,7 +6722,12 @@ def y23(spark, sf):
                 F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100
             ).alias("sum_value"),
         )
-        .orderBy("win_start", "event_type")
+        # r13: the rollup of a driver-resident memory sink is a few
+        # thousand rows — a single-task sort replaces the range
+        # exchange + its sampling pass (identical rows and order;
+        # same rationale as streaming.windows.sink_sorted).
+        .coalesce(1)
+        .sortWithinPartitions("win_start", "event_type")
     )
 
 

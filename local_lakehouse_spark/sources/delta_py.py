@@ -1446,14 +1446,26 @@ def read_delta(
 def _move_parts(tmp: str, path: str) -> list[tuple[str, dict]]:
     """Move Spark-written part files from ``tmp`` into the table dir,
     preserving partition subdirs; returns (rel_path, partitionValues)
-    per data file. Renames only — no data copied."""
+    per data file. Renames only — no data copied.
+
+    Each file gets a fresh table-unique basename: Spark's own names
+    are ``part-<taskIndex>-<jobUUID>...``, so one task writing into
+    TWO hive partition dirs emits the SAME basename under both
+    (guaranteed whenever tasks hold rows of several partition values
+    — e.g. 10 interleaved rows on 4 cores). The DV/row-tracking
+    machinery keys per-file state by basename (positional joins ship
+    basenames, not paths) and refuses colliding-basename tables, so a
+    partitioned write must never create one."""
     out = []
     for root, _dirs, names in os.walk(tmp):
         for name in names:
             if not name.endswith(".parquet") or name.startswith("."):
                 continue
+            uniq = f"part-{uuid.uuid4().hex}.parquet"
             src = os.path.join(root, name)
-            rel = os.path.relpath(src, tmp)
+            rel = os.path.join(
+                os.path.dirname(os.path.relpath(src, tmp)), uniq
+            ).lstrip(os.sep)
             parts = {}
             for seg in rel.split(os.sep)[:-1]:
                 if "=" in seg:

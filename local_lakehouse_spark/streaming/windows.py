@@ -663,6 +663,26 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+def sink_sorted(
+    spark: SparkSession, table_name: str, *cols: str
+) -> DataFrame:
+    """Globally ordered read of a memory-sink table on ONE task.
+
+    A memory sink's rows are already DRIVER-resident (the sink
+    collects each batch), so a range-partitioned ``orderBy`` of its
+    scan buys no distribution — it pays a sampling pass plus an
+    exchange that scatters driver-local rows across executors only to
+    funnel them straight back. ``coalesce(1) + sortWithinPartitions``
+    is the identical total order with one task and zero exchanges
+    (r13 A/B on x89's 3600-row sink: 0.49 s → 0.11 s for the tail).
+
+    Only for memory-sink reads: the sink itself is the scale
+    boundary (it is the declared test/validation harness shape), so
+    the single-task sort can never see more rows than the driver
+    already holds. Distributed outputs keep their range sorts."""
+    return spark.table(table_name).coalesce(1).sortWithinPartitions(*cols)
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

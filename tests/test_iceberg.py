@@ -1428,7 +1428,14 @@ def test_add_files_migration(spark, tbl, tmp_path):
         F.col("id").alias("k"), (F.col("id") % 9).alias("g")
     )
     raw = str(tmp_path / "raw")
-    df.repartition(4).write.mode("overwrite").parquet(raw)
+    # Range-partition by k so the 4 migrated files carry DISJOINT k
+    # bounds: round-robin repartition interleaves rows, leaving every
+    # file spanning ~[0,99], and whether min/max pruning can then drop
+    # a file depends on the session's core count (the bounds assert
+    # below flapped when the test session's parallelism changed).
+    df.repartitionByRange(4, F.col("k")).write.mode(
+        "overwrite"
+    ).parquet(raw)
 
     meta = iceberg_py.add_files(spark, tbl, raw)
     assert json.loads(
